@@ -1,0 +1,552 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** Core relational operator surface (SURVEY.md §2.1–§2.8 mapped to the
+  * driver corpus): scans, projection, filtering, all join kinds,
+  * hash aggregation, distinct/dedup, windows, sorts/top-k, set ops,
+  * date/string/json scalar functions, missing-value profile.
+  *
+  * Scale notes (100 TB design):
+  *  - dimension tables (region/nation/customer/supplier/part at TPC-H
+  *    proportions) are broadcast explicitly — fact-side never shuffles
+  *    for a dim join;
+  *  - fact/fact joins (orders⋈lineitem) shuffle on the join key once and
+  *    AQE coalesces/skew-splits at runtime;
+  *  - aggregations are declarative groupBy → Catalyst plans
+  *    partial (map-side) + final aggregation automatically;
+  *  - every filter/projection is an expression on the scan, so parquet
+  *    gets PushedFilters + pruned ReadSchema.
+  */
+object Relational extends QueryModule {
+
+  private val cutoff = "2001-09-01"
+
+  /** TPC-H Q1 — pricing summary. Single shuffle on the 2 flag columns. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val pricingSummarySql =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  round(sum(l_quantity), 4) AS sum_qty,
+       |  round(sum(l_extendedprice), 4) AS sum_base_price,
+       |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       |  round(avg(l_quantity), 4) AS avg_qty,
+       |  round(avg(l_extendedprice), 4) AS avg_price,
+       |  round(avg(l_discount), 4) AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '$cutoff 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6 — fully-pushed-down filter + scalar aggregate. The three
+    * predicates reach the parquet scan as PushedFilters; only 4 columns
+    * are read at 100 TB.
+    */
+  def revenueFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp_ntz") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private val revenueFilterSql =
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue, count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q3 shape — broadcast dim filter + fact/fact shuffle join +
+    * group + deterministic top-k.
+    */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+  }
+
+  private val topRevenueOrdersSql =
+    """SELECT o_orderkey, o_orderdate::DATE AS o_orderdate, o_orderpriority,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape — star join: fact shuffles once (orders⋈lineitem);
+    * customer/nation/region are broadcast so the chain adds no shuffles.
+    */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val regionRevenueSql =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  count(*) AS n_lineitems
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  /** Left outer join preserving empty groups (reference J-family +
+    * null-path, SURVEY §2.4).
+    */
+  def nationCustomerStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(Tables.customer(spark, dir), col("n_nationkey") === col("c_nationkey"), "left")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"),
+        round(coalesce(sum(col("c_acctbal")), lit(0.0)), 4).as("total_acctbal"))
+      .orderBy(col("n_nationkey"))
+
+  private val nationCustomerStatsSql =
+    """SELECT n_nationkey, n_name, count(c_custkey) AS n_customers,
+      |  round(coalesce(sum(c_acctbal), 0), 4) AS total_acctbal
+      |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+      |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin
+
+  /** Left-semi join (EXISTS). */
+  def bigSpenders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir).filter(col("o_totalprice") > 300000)
+    Tables.customer(spark, dir)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val bigSpendersSql =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  private val customersWithoutOrdersSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** DISTINCT on a projection (reference A4). */
+  def distinctSegmentNation(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  private val distinctSegmentNationSql =
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** Deterministic dropDuplicates-keep-first (reference A5, with the
+    * explicit tiebreak BASELINE.md's hash oracle requires): first order
+    * per customer by (o_orderdate, o_orderkey).
+    */
+  def firstOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("first_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val firstOrderPerCustomerSql =
+    """SELECT o_custkey, o_orderkey, o_orderdate::DATE AS first_orderdate
+      |FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Ranking window — top 3 orders per priority class. */
+  def top3PerPriority(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rank_in_priority", row_number().over(w))
+      .filter(col("rank_in_priority") <= 3)
+      .select(col("o_orderpriority"), col("rank_in_priority"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rank_in_priority"))
+  }
+
+  private val top3PerPrioritySql =
+    """SELECT o_orderpriority,
+      |  row_number() OVER (PARTITION BY o_orderpriority
+      |                     ORDER BY o_totalprice DESC, o_orderkey) AS rank_in_priority,
+      |  o_orderkey, o_totalprice
+      |FROM orders
+      |QUALIFY rank_in_priority <= 3
+      |ORDER BY o_orderpriority, rank_in_priority""".stripMargin
+
+  /** Running-total analytic window over each customer's order history. */
+  def runningCustomerSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("running_spend", round(sum(col("o_totalprice")).over(w), 4))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val runningCustomerSpendSql =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Global top-k: TotalOrder sort + limit (Spark plans TakeOrderedAndProject —
+    * no full sort at scale).
+    */
+  def top20Orders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  private val top20OrdersSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** Set ops — UNION distinct of two key sets. */
+  def unionSegments(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val b = Tables.orders(spark, dir).filter(col("o_totalprice") > 350000)
+      .select(col("o_custkey").as("c_custkey"))
+    a.union(b).distinct().orderBy(col("c_custkey"))
+  }
+
+  private val unionSegmentsSql =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 350000
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Set ops — EXCEPT (distinct). */
+  def exceptSegments(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(spark, dir).filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey"))
+    val b = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey"))
+    a.except(b).orderBy(col("c_custkey"))
+  }
+
+  private val exceptSegmentsSql =
+    """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |EXCEPT
+      |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Calendar dimension (reference D1–D5 + calendar-dim composite,
+    * etl_functions.py:115–131) applied to o_orderdate. Spark dayofweek is
+    * 1=Sunday; the oracle adds 1 to DuckDB's 0=Sunday.
+    */
+  def calendarDim(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("order_date"))
+      .distinct()
+      .withColumn("arrival_day", dayofmonth(col("order_date")))
+      .withColumn("arrival_week", weekofyear(col("order_date")))
+      .withColumn("arrival_month", month(col("order_date")))
+      .withColumn("arrival_year", year(col("order_date")))
+      .withColumn("arrival_weekday", dayofweek(col("order_date")))
+      .orderBy(col("order_date"))
+
+  private val calendarDimSql =
+    """SELECT DISTINCT o_orderdate::DATE AS order_date,
+      |  dayofmonth(o_orderdate)::INT AS arrival_day,
+      |  weekofyear(o_orderdate)::INT AS arrival_week,
+      |  month(o_orderdate)::INT AS arrival_month,
+      |  year(o_orderdate)::INT AS arrival_year,
+      |  (dayofweek(o_orderdate) + 1)::INT AS arrival_weekday
+      |FROM orders ORDER BY order_date""".stripMargin
+
+  /** Conditional aggregation: when/otherwise inside agg (reference F4). */
+  def priorityBreakdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("n_urgent"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("n_high_or_urgent"),
+        round(avg(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))), 4).as("avg_urgent_price"))
+      .orderBy(col("o_orderstatus"))
+
+  private val priorityBreakdownSql =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_high_or_urgent,
+      |  round(avg(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 4) AS avg_urgent_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** String function family (reference P-family + D7 analog). */
+  def partStrings(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"))
+      .orderBy(col("p_partkey"))
+
+  private val partStringsSql =
+    """SELECT p_partkey, upper(p_name) AS name_upper, lower(p_brand) AS brand_lower,
+      |  substring(p_name, 1, 5) AS name_prefix, length(p_name)::INT AS name_len,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  replace(p_name, ' ', '_') AS name_snake
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** count(DISTINCT) per group. */
+  def nationSegmentDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("n_name"))
+
+  private val nationSegmentDiversitySql =
+    """SELECT n_name, count(DISTINCT c_mktsegment) AS n_segments, count(*) AS n_customers
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** GROUP BY + HAVING. */
+  def bigSegments(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), round(avg(col("c_acctbal")), 4).as("avg_acctbal"))
+      .filter(col("n_customers") > 20)
+      .orderBy(col("c_mktsegment"))
+
+  private val bigSegmentsSql =
+    """SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+      |FROM customer GROUP BY c_mktsegment HAVING count(*) > 20
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** JSON extraction from events.props (extension corpus — SURVEY §1.2). */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"),
+        round(sum(col("value")), 4).as("total_value"))
+      .orderBy(col("event_type"))
+
+  private val eventsJsonSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+      |  round(sum(value), 4) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Missing-value profile (reference A3/P2, utility.py:23–41): one pass,
+    * one output row, a null-or-NaN count per column.
+    */
+  def missingValueProfile(df: DataFrame): DataFrame = {
+    val aggs = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val miss = f.dataType match {
+        case DoubleType | FloatType => isnan(c) || c.isNull
+        case _ => c.isNull
+      }
+      sum(when(miss, 1).otherwise(0)).as(f.name)
+    }
+    df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+  }
+
+  def ordersProfile(spark: SparkSession, dir: String): DataFrame =
+    missingValueProfile(Tables.orders(spark, dir))
+
+  private val ordersProfileSql =
+    """SELECT
+      |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS o_orderkey,
+      |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS o_custkey,
+      |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS o_orderstatus,
+      |  sum(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) THEN 1 ELSE 0 END) AS o_totalprice,
+      |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS o_orderdate,
+      |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS o_orderpriority
+      |FROM orders""".stripMargin
+
+  /** lag() analytic — days between consecutive orders per customer. */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days", datediff(to_date(col("o_orderdate")), to_date(col("prev_date"))))
+      .groupBy(col("o_custkey"))
+      .agg(round(avg(col("gap_days")), 4).as("avg_gap_days"),
+        max(col("gap_days")).as("max_gap_days"),
+        count(col("gap_days")).as("n_gaps"))
+      .filter(col("n_gaps") > 0)
+      .orderBy(col("o_custkey"))
+  }
+
+  private val orderGapsSql =
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |    date_diff('day',
+      |      lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |      o_orderdate)::INT AS gap_days
+      |  FROM orders)
+      |SELECT o_custkey, round(avg(gap_days), 4) AS avg_gap_days,
+      |  max(gap_days) AS max_gap_days, count(gap_days) AS n_gaps
+      |FROM g GROUP BY o_custkey HAVING count(gap_days) > 0
+      |ORDER BY o_custkey""".stripMargin
+
+  /** ROLLUP hierarchy totals; group columns coalesced to a sentinel so the
+    * output is engine-orderable without NULLS FIRST/LAST divergence.
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 4).as("revenue"), count(lit(1)).as("n_orders"))
+      .select(coalesce(col("r_name"), lit("__ALL__")).as("region"),
+        coalesce(col("n_name"), lit("__ALL__")).as("nation"),
+        col("revenue"), col("n_orders"))
+      .orderBy(col("region"), col("nation"))
+
+  private val revenueRollupSql =
+    """SELECT coalesce(r_name, '__ALL__') AS region, coalesce(n_name, '__ALL__') AS nation,
+      |  round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** CUBE over two independent dimensions. */
+  def statusPriorityCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 4).as("revenue"))
+      .select(coalesce(col("o_orderstatus"), lit("__ALL__")).as("status"),
+        coalesce(col("o_orderpriority"), lit("__ALL__")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("status"), col("priority"))
+
+  private val statusPriorityCubeSql =
+    """SELECT coalesce(o_orderstatus, '__ALL__') AS status,
+      |  coalesce(o_orderpriority, '__ALL__') AS priority,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Exact percentiles (interpolating, = DuckDB quantile_cont). */
+  def pricePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+        round(min(col("o_totalprice")), 4).as("min_price"),
+        round(max(col("o_totalprice")), 4).as("max_price"))
+      .orderBy(col("o_orderstatus"))
+
+  private val pricePercentilesSql =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+      |  round(min(o_totalprice), 4) AS min_price,
+      |  round(max(o_totalprice), 4) AS max_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Tumbling-window (1h) aggregation over the events table — the batch
+    * form of the Structured Streaming query in graft.streaming.
+    */
+  def hourlyEventStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  private val hourlyEventStatsSql =
+    """SELECT date_trunc('hour', ts::TIMESTAMP) AS hour, event_type,
+      |  count(*) AS n_events, round(sum(value), 4) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), benchmark = true),
+    QueryDef("q02_revenue_filter", revenueFilter, Some(revenueFilterSql), benchmark = true),
+    QueryDef("q03_top_revenue_orders", topRevenueOrders, Some(topRevenueOrdersSql), benchmark = true),
+    QueryDef("q04_region_revenue", regionRevenue, Some(regionRevenueSql), benchmark = true),
+    QueryDef("q05_nation_customer_stats", nationCustomerStats, Some(nationCustomerStatsSql)),
+    QueryDef("q06_semi_join_big_spenders", bigSpenders, Some(bigSpendersSql)),
+    QueryDef("q07_anti_join_no_orders", customersWithoutOrders, Some(customersWithoutOrdersSql)),
+    QueryDef("q08_distinct_pairs", distinctSegmentNation, Some(distinctSegmentNationSql)),
+    QueryDef("q09_dedup_first_order", firstOrderPerCustomer, Some(firstOrderPerCustomerSql)),
+    QueryDef("q10_window_top3", top3PerPriority, Some(top3PerPrioritySql)),
+    QueryDef("q11_window_running_total", runningCustomerSpend, Some(runningCustomerSpendSql), benchmark = true),
+    QueryDef("q12_topk_orders", top20Orders, Some(top20OrdersSql)),
+    QueryDef("q13_union_distinct", unionSegments, Some(unionSegmentsSql)),
+    QueryDef("q14_except", exceptSegments, Some(exceptSegmentsSql)),
+    QueryDef("q15_calendar_dim", calendarDim, Some(calendarDimSql)),
+    QueryDef("q16_conditional_agg", priorityBreakdown, Some(priorityBreakdownSql)),
+    QueryDef("q17_string_funcs", partStrings, Some(partStringsSql)),
+    QueryDef("q18_count_distinct", nationSegmentDiversity, Some(nationSegmentDiversitySql)),
+    QueryDef("q19_having", bigSegments, Some(bigSegmentsSql)),
+    QueryDef("q20_json_events", eventsJson, Some(eventsJsonSql), benchmark = true),
+    QueryDef("q21_profile_orders", ordersProfile, Some(ordersProfileSql)),
+    QueryDef("q22_window_lag_gaps", orderGaps, Some(orderGapsSql)),
+    QueryDef("q23_rollup_revenue", revenueRollup, Some(revenueRollupSql)),
+    QueryDef("q24_cube_status_priority", statusPriorityCube, Some(statusPriorityCubeSql)),
+    QueryDef("q25_percentiles", pricePercentiles, Some(pricePercentilesSql)),
+    QueryDef("q26_hourly_events", hourlyEventStats, Some(hourlyEventStatsSql), benchmark = true),
+  )
+}
