@@ -12,6 +12,9 @@ object SparkEntry {
   /** All operator modules. Order is presentation-only. */
   def modules: Seq[QueryModule] = Seq(
     operators.Relational,
+    operators.TextAnalysis,
+    operators.Dedup,
+    operators.Similarity,
   )
 
   def allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for a training-data pipeline.
+  *
+  * Scale design: the naive all-pairs join is quadratic in corpus size —
+  * unusable at 100 TB. Both operators here are *candidate-generation*
+  * schemes that shuffle each document once on a bucket key (linear),
+  * join only within buckets, and then verify candidates exactly:
+  *
+  *  - MinHash + LSH banding: trigram-shingle MinHash signatures
+  *    (`numHashes` seeded xxhash64 mins), split into `bands`; documents
+  *    sharing any band bucket become candidates; candidates are verified
+  *    with exact Jaccard. Banding 64 hashes as 32×2 makes the miss
+  *    probability for j ≥ 0.5 below 1e-4 per pair (1-(1-j²)³²).
+  *  - SimHash: 64-bit signature from token-hash bit votes; pairs within
+  *    Hamming distance `maxHamming` found by pigeonhole banding — with
+  *    `maxHamming+1` bands a qualifying pair MUST collide in at least one
+  *    band, so candidate generation is *exact* (no recall loss).
+  *
+  * Everything is built from codegen'd Catalyst expressions (xxhash64,
+  * higher-order array functions) — no UDFs, no driver-side loops.
+  */
+object Dedup extends QueryModule {
+
+  /** Exact duplicate removal by key columns, deterministic keep-min-id
+    * (reference A5 `dropDuplicates(subset)` with the explicit tiebreak
+    * the hash-oracle requires — SURVEY §7.4).
+    */
+  def dedupExact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // --- MinHash ---------------------------------------------------------
+
+  /** MinHash signature of a (string-array) shingle column: for each seed,
+    * the minimum xxhash64(seed, shingle). Array-typed, length = seeds.
+    */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val seeds = Seq.tabulate(numHashes)(i => i * 2654435761L + 0x9e3779b9L)
+    transform(
+      array(seeds.map(lit): _*),
+      s => array_min(transform(shingleCol, x => xxhash64(s, x))))
+  }
+
+  /** Explode a signature into (band, band_key) rows: `bands` buckets of
+    * rowsPerBand consecutive signature slots, keyed by xxhash64.
+    */
+  private def bandRows(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandStructs = array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64((lit(b) +: (1 to rowsPerBand).map(r =>
+          element_at(col(sigCol), b * rowsPerBand + r))): _*).as("bkey"))
+    }: _*)
+    df.select(col(idCol), explode(bandStructs).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Candidate pairs from LSH banding: ids sharing any (band, band_key)
+    * bucket. One shuffle on the bucket key; join only within buckets.
+    */
+  def lshCandidates(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val buckets = bandRows(df, idCol, sigCol, bands, rowsPerBand)
+    val a = buckets.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val b = buckets.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-duplicate pipeline over a text corpus:
+    * shingle → sign → band → bucket-join → exact-Jaccard verification.
+    * Returns (doc_a, doc_b, jaccard) for verified pairs ≥ threshold.
+    */
+  def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, bands: Int = 32, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val toks = split(col(textCol), " ")
+    val shingled = docs
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) >= 3)
+      .select(col(idCol), TextAnalysis.shingles3(col("__toks")).as("__sh"))
+    val signed = shingled.withColumn("__sig", minHashSignature(col("__sh"), numHashes))
+
+    val candidates = lshCandidates(signed, idCol, "__sig", bands, rowsPerBand)
+    val sets = shingled.select(col(idCol), col("__sh"))
+    candidates
+      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q40: MinHash-LSH near-dups on `documents`. The oracle is the exact
+    * global all-pairs Jaccard ≥ 0.5 (SQL) — valid because 32×2 banding's
+    * per-pair miss probability at j ≥ 0.5 is ≤ 1e-4 and the output was
+    * cross-checked against the exact result at every sf (see
+    * DedupSpec): on this corpus LSH recall is exactly 1.
+    */
+  def minHashQuery(spark: SparkSession, dir: String): DataFrame =
+    minHashLsh(Tables.documents(spark, dir), "doc_id", "text")
+
+  private val minHashOracleSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      |  FROM t WHERE len(toks) >= 3
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // --- SimHash ---------------------------------------------------------
+
+  /** 64-bit SimHash of a token array: per-bit majority vote of token
+    * xxhash64 bits. Bit i of the result is 1 iff the sum over tokens of
+    * (bit i of xxhash64(token) ? +1 : -1) is positive.
+    */
+  def simHash(toksCol: Column): Column = {
+    val hashes = transform(toksCol, t => xxhash64(t))
+    val bitExprs = (0 until 64).map { i =>
+      val votes = aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitExprs.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming ≤ maxHamming, found via
+    * pigeonhole banding (maxHamming+1 bands → exact recall): a pair
+    * within distance k must agree exactly on ≥1 of k+1 disjoint bit
+    * bands, so bucket-joining on band values finds every qualifying pair
+    * with one linear shuffle.
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 7): DataFrame = {
+    val nBands = maxHamming + 1
+    val bitsPerBand = 64 / nBands // 8 bands of 8 bits for maxHamming=7
+    val signed = docs
+      .withColumn("__toks", split(col(textCol), " "))
+      .filter(size(col("__toks")) >= 1)
+      .select(col(idCol), simHash(col("__toks")).as("__sim"))
+
+    val bandStructs = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        // band value: bitsPerBand-bit slice of the signature
+        shiftrightunsigned(col("__sim"), b * bitsPerBand)
+          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bkey"))
+    }: _*)
+    val buckets = signed.select(col(idCol), col("__sim"), explode(bandStructs).as("bb"))
+      .select(col(idCol), col("__sim"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+    val a = buckets.select(col("band"), col("bkey"), col(idCol).as("id_a"), col("__sim").as("sim_a"))
+    val b = buckets.select(col("band"), col("bkey"), col(idCol).as("id_b"), col("__sim").as("sim_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        hamming(col("sim_a"), col("sim_b")).as("hamming_dist"))
+      .distinct()
+      .filter(col("hamming_dist") <= maxHamming)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q41: SimHash near-dups on `documents` (no SQL oracle — xxhash64 is
+    * not expressible in the oracle engine; covered by DedupSpec, which
+    * checks the banding result equals the brute-force all-pairs result).
+    */
+  def simHashQuery(spark: SparkSession, dir: String): DataFrame =
+    simHashPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q40_minhash_lsh", minHashQuery, Some(minHashOracleSql), benchmark = true),
+    QueryDef("q41_simhash", simHashQuery, None, benchmark = true),
+  )
+}

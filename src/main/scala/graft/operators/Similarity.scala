@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (array<float>, unit-norm,
+  * dim 64).
+  *
+  * Two paths:
+  *  - `knnBruteForce` — exact top-k by cosine: broadcast the (small) query
+  *    set against the corpus; one pass, no corpus shuffle, window top-k
+  *    per query. The right baseline at any scale when |queries| is small:
+  *    at 100 TB the corpus stays put and each partition scores its rows
+  *    against the broadcast queries (a TakeOrdered per query, no N²).
+  *  - `annHyperplane` — random-hyperplane LSH: 16-bit sign signatures from
+  *    seeded deterministic hyperplanes; candidates share a signature
+  *    bucket (with multi-probe via `probes` extra tables); exact cosine
+  *    re-ranking within buckets. Linear shuffle on the bucket key —
+  *    the scale path when |queries| is large or for all-pairs search.
+  *
+  * Cosine is computed with higher-order functions (zip_with + aggregate)
+  * in double precision — stays inside codegen, no UDF.
+  */
+object Similarity extends QueryModule {
+
+  /** Dot product of two array<double> columns (left-to-right fold —
+    * matches the oracle engine's sequential list accumulation).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k nearest neighbors by cosine for each query vector.
+    * Queries: the `nQueries` lowest vec_ids (deterministic).
+    */
+  def knnBruteForce(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val queries = corpus
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_exact").desc, col("vec_id"))
+    corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("sim_exact", cosine(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("sim_exact"), 4).as("cosine_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def knnQuery(spark: SparkSession, dir: String): DataFrame =
+    knnBruteForce(Tables.embeddings(spark, dir))
+
+  private val knnOracleSql =
+    """WITH c AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 5
+      |), scored AS (
+      |  SELECT q.query_id, c.vec_id,
+      |    list_cosine_similarity(c.vec, q.qvec) AS sim,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |                       ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id) AS rank
+      |  FROM c JOIN q ON c.vec_id <> q.query_id)
+      |SELECT query_id, rank, vec_id AS neighbor_id, round(sim, 4) AS cosine_sim
+      |FROM scored WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // --- Random-hyperplane LSH (ANN) --------------------------------------
+
+  /** Deterministic pseudo-random hyperplanes: `nBits` vectors of `dim`
+    * components in [-1, 1), derived from a splitmix64-style hash so every
+    * run (and every executor) sees identical planes — no RNG state.
+    */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (i, j) =>
+      var z = seed + (i.toLong * dim + j + 1) * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble) // in (-1, 1)
+    }
+
+  /** Sign-bit signature of a vector column against fixed hyperplanes. */
+  def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** ANN top-k via hyperplane-LSH bucketing: candidates = corpus vectors
+    * whose signature is within Hamming ≤ 2 of the query signature
+    * (multi-probe by banding the signature into 3 sub-bands — pigeonhole:
+    * Hamming ≤ 2 ⇒ ≥1 identical band), re-ranked by exact cosine.
+    */
+  def annHyperplane(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      nBits: Int = 18, seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(nBits, dim, seed)
+    val bandBits = nBits / 3
+
+    val corpus = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("sig", hyperplaneSignature(col("vec"), planes))
+    val banded = corpus.select(col("vec_id"), col("vec"), col("sig"),
+      explode(array((0 until 3).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("vec"), col("sig"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+
+    val queries = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("band"), col("bkey"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_exact").desc, col("vec_id"))
+    banded.join(queries, Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qvec"), col("vec_id"), col("vec")).distinct()
+      .withColumn("sim_exact", cosine(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("sim_exact"), 4).as("cosine_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q43: ANN — no SQL oracle (bucketing depends on engine-side hashing);
+    * SimilaritySpec asserts recall vs. the exact brute-force result.
+    */
+  def annQuery(spark: SparkSession, dir: String): DataFrame =
+    annHyperplane(Tables.embeddings(spark, dir))
+
+  /** Embedding near-duplicate pairs above a cosine threshold, all-pairs
+    * (exact, for oracle parity — bounded corpora only; the LSH variant is
+    * the scale path). Threshold low enough to produce rows on the random
+    * test corpus.
+    */
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val a = c.select(col("vec_id").as("id_a"), col("vec").as("vec_a"))
+    val b = c.select(col("vec_id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= 0.45)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("cosine_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val cosinePairsSql =
+    """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_cosine_similarity(a.vec, b.vec), 4) AS cosine_sim
+      |FROM c a JOIN c b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.45
+      |ORDER BY id_a, id_b""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q42_knn_bruteforce", knnQuery, Some(knnOracleSql), benchmark = true),
+    QueryDef("q43_ann_hyperplane", annQuery, None, benchmark = true),
+    QueryDef("q44_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
+  )
+}

@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface for a large-scale training-data pipeline over the
+  * `documents` table: token counting, vocabulary stats, quality scoring,
+  * language-ID heuristic, document fingerprinting, n-gram Jaccard
+  * similarity.
+  *
+  * All operators are pure Catalyst expressions (regexp/array/higher-order
+  * functions) — no UDFs, so everything stays inside whole-stage codegen
+  * and distributes embarrassingly: per-document work is map-side only;
+  * shuffles appear only at the final aggregations and at the pair-join,
+  * which is blocked (by `lang`) so it never goes quadratic in the corpus.
+  */
+object TextAnalysis extends QueryModule {
+
+  /** Whitespace token count — one regexp pass, no array materialization. */
+  def tokenCount(text: Column): Column = regexp_count(text, lit("\\S+"))
+
+  /** Literal-space tokenization (corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word-trigram shingles of a token array (≥3 tokens assumed). */
+  def shingles3(toks: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+
+  /** Per-language token statistics. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"))
+
+  private val tokenStatsSql =
+    """SELECT lang, count(*) AS n_docs,
+      |  round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens,
+      |  min(len(regexp_extract_all(text, '\S+')))::INT AS min_tokens,
+      |  max(len(regexp_extract_all(text, '\S+')))::INT AS max_tokens,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Vocabulary size per language (explode → distinct — the shuffle is on
+    * (lang, word), so it scales with vocabulary, not corpus size).
+    */
+  def vocabulary(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("word")).as("n_distinct_words"),
+        count(lit(1)).as("total_words"))
+      .orderBy(col("lang"))
+
+  private val vocabularySql =
+    """SELECT lang, count(DISTINCT w) AS n_distinct_words, count(*) AS total_words
+      |FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val stopwordPattern = "\\b(the|a)\\b"
+
+  /** Per-document quality signals (length, stopword ratio, mean word
+    * length) folded into a [0,1] score; aggregated per source.
+    * Score: length credit (saturating at 100 tokens) × non-stopword mass.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = tokenCount(col("text"))
+    val wordChars = length(regexp_replace(col("text"), "\\s", ""))
+    val stopHits = regexp_count(col("text"), lit(stopwordPattern))
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("stop_ratio", stopHits / col("n_tokens").cast("double"))
+      .withColumn("avg_word_len", wordChars / col("n_tokens").cast("double"))
+      .withColumn("quality", least(col("n_tokens") / lit(100.0), lit(1.0)) * (lit(1.0) - col("stop_ratio")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"),
+        round(avg(col("avg_word_len")), 4).as("avg_word_len"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        round(min(col("quality")), 4).as("min_quality"))
+      .orderBy(col("source"))
+  }
+
+  private val qualityScoreSql =
+    """WITH d AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |    len(regexp_extract_all(text, '\b(the|a)\b')) AS stop_hits,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS word_chars
+      |  FROM documents
+      |), q AS (
+      |  SELECT source,
+      |    stop_hits::DOUBLE / n_tokens AS stop_ratio,
+      |    word_chars::DOUBLE / n_tokens AS avg_word_len,
+      |    least(n_tokens / 100.0, 1.0) * (1.0 - stop_hits::DOUBLE / n_tokens) AS quality
+      |  FROM d)
+      |SELECT source, count(*) AS n_docs,
+      |  round(avg(stop_ratio), 4) AS avg_stop_ratio,
+      |  round(avg(avg_word_len), 4) AS avg_word_len,
+      |  round(avg(quality), 4) AS avg_quality,
+      |  round(min(quality), 4) AS min_quality
+      |FROM q GROUP BY source ORDER BY source""".stripMargin
+
+  /** Stopword-hit counts per candidate language. */
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and)\\b",
+    "de" -> "\\b(der|die|das|und)\\b",
+    "fr" -> "\\b(le|les|et|une)\\b",
+    "es" -> "\\b(el|los|las|y)\\b",
+    "zh" -> "[一-鿿]") // literal CJK range — portable to RE2
+
+  /** Language-ID heuristic: marker-stopword hit counts per language,
+    * argmax with a fixed preference order for ties. Compared against the
+    * corpus `lang` labels (synthetic corpus → mostly 'en' guesses; the
+    * query verifies the *operator*, determinism included, not the model).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val hits = langMarkers.map { case (l, p) => l -> regexp_count(col("text"), lit(p)) }
+    val guess = hits.foldRight(lit("und"): Column) { case ((l, h), rest) =>
+      val others = hits.filter(_._1 != l).map(_._2)
+      when(h > 0 && h >= greatest(others: _*), lit(l)).otherwise(rest)
+    }
+    Tables.documents(spark, dir)
+      .withColumn("lang_guess", guess)
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_guess"))
+  }
+
+  private val langIdSql = {
+    val hitExprs = langMarkers.map { case (l, p) =>
+      s"len(regexp_extract_all(text, '$p')) AS ${l}_hits"
+    }.mkString(",\n    ")
+    val whens = langMarkers.map { case (l, _) =>
+      val others = langMarkers.filter(_._1 != l).map(o => s"${o._1}_hits")
+      s"WHEN ${l}_hits > 0 AND ${l}_hits >= greatest(${others.mkString(", ")}) THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH h AS (
+       |  SELECT lang,
+       |    $hitExprs
+       |  FROM documents)
+       |SELECT lang,
+       |  CASE
+       |      $whens
+       |      ELSE 'und' END AS lang_guess,
+       |  count(*) AS n_docs
+       |FROM h GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin
+  }
+
+  /** Document fingerprinting: md5 of the normalized 100-char prefix →
+    * exact-prefix duplicate groups (group size + representative doc).
+    */
+  def fingerprintGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp", md5(lower(substring(col("text"), 1, 100))))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy(col("fp"))
+
+  private val fingerprintGroupsSql =
+    """SELECT md5(lower(substr(text, 1, 100))) AS fp,
+      |  count(*) AS n_docs, min(doc_id) AS keep_doc_id
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  /** Exact n-gram-Jaccard near-duplicate pairs, blocked by language.
+    * This is the *verification* (exact) arm; the scale path that avoids
+    * the quadratic block-join is Dedup.minHashLsh (same shingles,
+    * candidate generation via banded MinHash).
+    */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), shingles3(col("toks")).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val jaccardPairsSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      |  FROM t WHERE len(toks) >= 3
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_token_stats", tokenStats, Some(tokenStatsSql)),
+    QueryDef("q31_vocabulary", vocabulary, Some(vocabularySql)),
+    QueryDef("q32_quality_score", qualityScore, Some(qualityScoreSql), benchmark = true),
+    QueryDef("q33_lang_id", langId, Some(langIdSql)),
+    QueryDef("q34_fingerprint", fingerprintGroups, Some(fingerprintGroupsSql)),
+    QueryDef("q35_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql), benchmark = true),
+  )
+}
