@@ -1,24 +1,49 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries (QueryDef.benchmark) on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line for the driver.
+  *
+  * Each query is forced with a full-result noop action (count over the
+  * final plan) after a JVM/session warmup pass so codegen + classloading
+  * don't land in the first measured query.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString).toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Warmup: touch every table + exercise codegen/shuffle machinery once.
+    Tables.names.foreach { n =>
+      val df = if (n == "events") Tables.events(spark, sfDir)
+               else Tables.load(spark, sfDir, n)
+      df.count()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    operators.Relational.pricingSummary(spark, sfDir).count()
+
+    val results = SparkEntry.benchQueries.map { d =>
+      val t0 = System.nanoTime()
+      try d.build(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
+      }
+      d.name -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
