@@ -86,11 +86,20 @@ object Dedup extends QueryModule {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val toks = split(col(textCol), " ")
+    // The signature table is referenced by both sides of the bucket
+    // self-join and the shingle sets by both verification joins; persist
+    // so the (expensive, 64-hash) signature computation runs once per
+    // document — the same compute-once design a cluster run would use
+    // (materialize signatures, then join).
     val shingled = docs
       .withColumn("__toks", toks)
       .filter(size(col("__toks")) >= 3)
       .select(col(idCol), TextAnalysis.shingles3(col("__toks")).as("__sh"))
-    val signed = shingled.withColumn("__sig", minHashSignature(col("__sh"), numHashes))
+      .persist()
+    val signed = shingled
+      .withColumn("__sig", minHashSignature(col("__sh"), numHashes))
+      .select(col(idCol), col("__sig"))
+      .persist()
 
     val candidates = lshCandidates(signed, idCol, "__sig", bands, rowsPerBand)
     val sets = shingled.select(col(idCol), col("__sh"))
@@ -163,10 +172,14 @@ object Dedup extends QueryModule {
       maxHamming: Int = 7): DataFrame = {
     val nBands = maxHamming + 1
     val bitsPerBand = 64 / nBands // 8 bands of 8 bits for maxHamming=7
+    // Persisted: the bucket self-join references the signature table on
+    // both sides; without persist the 64-bit-vote simHash expression
+    // would be evaluated twice per document.
     val signed = docs
       .withColumn("__toks", split(col(textCol), " "))
       .filter(size(col("__toks")) >= 1)
       .select(col(idCol), simHash(col("__toks")).as("__sim"))
+      .persist()
 
     val bandStructs = array((0 until nBands).map { b =>
       struct(lit(b).as("band"),

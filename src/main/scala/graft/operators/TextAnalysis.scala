@@ -175,22 +175,36 @@ object TextAnalysis extends QueryModule {
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
   /** Exact n-gram-Jaccard near-duplicate pairs, blocked by language.
-    * This is the *verification* (exact) arm; the scale path that avoids
-    * the quadratic block-join is Dedup.minHashLsh (same shingles,
-    * candidate generation via banded MinHash).
+    *
+    * Scale design: NOT an all-pairs join. Each document's distinct
+    * shingle set is exploded into an inverted index (one row per
+    * (lang, shingle-hash, doc)); a self-join on the posting key yields
+    * each co-occurring pair once per shared shingle, so
+    * `count(*) group by pair` IS the exact intersection size, and
+    * |A∪B| = |A|+|B|−|A∩B| finishes Jaccard without ever materializing
+    * pair × array. Cost is Σ_s df(s)² over shingles — linear-ish for
+    * natural text where shingles are near-unique — vs. Σ_block n² for
+    * the block join. Shingles are joined by xxhash64 (8-byte shuffle
+    * key instead of ~25-byte strings); a cross-shingle collision would
+    * need two distinct shingles of the same doc pair to collide in
+    * 2^64 — negligible.
     */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), shingles3(col("toks")).as("sh"))
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang"))
+    val posts = docs.select(col("doc_id"), col("lang"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("shingle"))
+      .select(col("lang"), xxhash64(col("shingle")).as("shash"), col("doc_id"), col("nsh"))
+    val a = posts.select(col("lang"), col("shash"), col("doc_id").as("doc_a"), col("nsh").as("nsh_a"))
+    val b = posts.select(col("lang"), col("shash"), col("doc_id").as("doc_b"), col("nsh").as("nsh_b"))
+    a.join(b, Seq("lang", "shash"))
       .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("inter").cast("double") / (col("nsh_a") + col("nsh_b") - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
