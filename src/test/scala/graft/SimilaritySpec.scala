@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    import TestSpark.spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0), 1.0),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0), -1.0),
+      (Seq(3.0, 4.0), Seq(3.0, 4.0), 1.0),
+    ).toDF("a", "b", "expected")
+    val bad = df.filter(abs(Similarity.cosine(col("a"), col("b")) - col("expected")) > 1e-12)
+    assert(bad.count() === 0)
+  }
+
+  test("knnBruteForce ranks a crafted corpus correctly") {
+    import TestSpark.spark.implicits._
+    // query 0 = (1,0); neighbors by cosine: 10 (1,0.1) > 11 (1,1) > 12 (0,1)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (10L, Seq(1.0f, 0.1f)),
+      (11L, Seq(1.0f, 1.0f)),
+      (12L, Seq(0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.knnBruteForce(emb, nQueries = 1, k = 3).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(out.toSeq === Seq((1, 10L), (2, 11L), (3, 12L)))
+  }
+
+  /** Clustered corpus where ANN is meaningful: 10 well-separated
+    * centroids, 50 members each (centroid + small deterministic noise).
+    * Query vectors are cluster members, so exact top-10 is same-cluster.
+    */
+  private lazy val clustered = {
+    import TestSpark.spark.implicits._
+    val rng = new scala.util.Random(7)
+    val dim = 64
+    val centroids = Array.fill(10)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = for (c <- 0 until 10; m <- 0 until 50) yield {
+      val v = centroids(c).map(_ + 0.15 * rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (c * 50L + m, v.map(x => (x / n).toFloat).toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("hyperplane ANN recall >= 0.8 on clustered data") {
+    val exact = Similarity.knnBruteForce(clustered).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.annHyperplane(clustered).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ANN recall $recall below 0.8 (exact=${exact.size} ann=${ann.size})")
+  }
+
+  test("IVF ANN recall >= 0.9 on clustered data") {
+    val exact = Similarity.knnBruteForce(clustered).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.annIvf(clustered).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall below 0.9")
+  }
+
+  /** The sf corpus is near-uniform on the sphere (top-10 cosine ≈ 0.3) —
+    * no ANN can prune hard AND recall well there. The meaningful property
+    * is *enrichment*: LSH candidates must contain true neighbors at a
+    * much higher rate than a random candidate set of the same size.
+    */
+  test("hyperplane ANN enriches true neighbors vs random candidates on sf0.001") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.count().toDouble
+    val exact = Similarity.knnBruteForce(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.annHyperplane(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    // a random same-size candidate set would land ~k/n ≈ 2% of neighbors
+    assert(recall >= 3 * (10 / n), s"recall $recall shows no enrichment")
+  }
+
+  test("ANN neighbors carry exact cosine scores (re-ranking is exact)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = Similarity.knnBruteForce(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cosine_sim")).toMap
+    val ann = Similarity.annHyperplane(emb).collect()
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exact.get(key).foreach(sim => assert(sim === r.getAs[Double]("cosine_sim")))
+    }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("tokenCount counts whitespace-separated tokens without materializing arrays") {
+    import TestSpark.spark.implicits._
+    val df = Seq("a b c", "one", "", "x  y").toDF("text")
+    val counts = df.select(TextAnalysis.tokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(counts.toSeq === Seq(3, 1, 0, 2))
+  }
+
+  test("shingles3 produces distinct word trigrams") {
+    import TestSpark.spark.implicits._
+    val df = Seq("the quick brown fox jumps").toDF("text")
+    val sh = df.select(TextAnalysis.shingles3(split(col("text"), " "))).head().getSeq[String](0)
+    assert(sh === Seq("the quick brown", "quick brown fox", "brown fox jumps"))
+    // repeated trigrams dedup
+    val rep = Seq("a b a b a b").toDF("text")
+      .select(TextAnalysis.shingles3(split(col("text"), " "))).head().getSeq[String](0)
+    assert(rep === Seq("a b a", "b a b"))
+  }
+
+  test("inverted-index jaccardPairs equals the all-pairs block join on sf0.001") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), TextAnalysis.shingles3(col("toks")).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("sh").as("sh_b"))
+    val blockJoin = a.join(b, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("j", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val inverted = TextAnalysis.jaccardPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inverted === blockJoin)
+    assert(inverted.nonEmpty)
+  }
+
+  test("fingerprint groups: group sizes sum to corpus size, representative is min doc_id") {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+    val groups = TextAnalysis.fingerprintGroups(spark, sfDir)
+    assert(groups.agg(sum(col("n_docs"))).head().getLong(0) === total)
+    // representative must belong to its own group
+    val joined = groups.join(
+      docs.withColumn("fp", md5(lower(substring(col("text"), 1, 100))))
+        .select(col("fp"), col("doc_id").as("keep_doc_id")),
+      Seq("fp", "keep_doc_id"), "left_anti")
+    assert(joined.count() === 0)
+  }
+
+  test("langId guesses are deterministic and cover every document") {
+    val out = graft.operators.TextAnalysis.langId(spark, sfDir)
+    val total = out.agg(sum(col("n_docs"))).head().getLong(0)
+    assert(total === Tables.documents(spark, sfDir).count())
+  }
+}
