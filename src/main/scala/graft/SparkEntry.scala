@@ -12,9 +12,11 @@ object SparkEntry {
   /** All operator modules. Order is presentation-only. */
   def modules: Seq[QueryModule] = Seq(
     operators.Relational,
+    streaming.EventStreams,
     operators.TextAnalysis,
     operators.Dedup,
     operators.Similarity,
+    multimodal.Multimodal,
   )
 
   def allDefs: Seq[QueryDef] = modules.flatMap(_.defs)

@@ -1,0 +1,193 @@
+package graft.multimodal
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * payloads ride as opaque `binary` columns next to a typed metadata
+  * struct; all per-item compute is partition-local (map-side only, no
+  * shuffle), so the design scales to 100 TB by adding executors.
+  *
+  * The Spark-side plumbing — schema, batch iteration shape, partition
+  * sizing, frame slicing — is real and tested. The codec itself is a
+  * STUB (`StubDecoder`): this container has no image/audio libraries, so
+  * decode produces deterministic pseudo-features derived from the bytes.
+  * A production deployment swaps `MediaDecoder` for a JNI/ffi-backed
+  * implementation with the same signature; nothing else changes.
+  */
+object Multimodal extends QueryModule {
+
+  /** media(media_id, kind, bytes, meta) — meta is the typed side of the
+    * opaque payload (what you can know without decoding).
+    */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType), // image | audio | video
+    StructField("bytes", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType)))),
+  ))
+
+  /** Deterministic media table synthesized from `documents` (text bytes
+    * as payload) — the fixture generator for this container; real
+    * deployments read binary parquet/iceberg directly.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val kinds = Seq("image", "audio", "video")
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(kinds.map(lit): _*),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("bytes"),
+      struct(
+        lit("raw").as("format"),
+        lit(64).as("width"),
+        lit(64).as("height"),
+        lit(16000).as("sample_rate"),
+        (length(col("text")) / 256 + 1).cast("int").as("n_frames")).as("meta"))
+  }
+
+  /** Fixed-size frame slices of a binary payload, every `step`-th frame —
+    * pure Catalyst expressions (substring works on BinaryType), no UDF:
+    * video frame-sampling plumbing without a codec.
+    */
+  def sampleFrames(bytes: Column, frameSize: Int, step: Int): Column =
+    transform(
+      sequence(lit(0), ((length(bytes) - 1) / frameSize).cast("int"), lit(step)),
+      i => bytes.substr(i * frameSize + 1, lit(frameSize)))
+
+  /** q51: frame sampling — per-media frame counts and byte coverage,
+    * oracle-checked byte-exactly against the oracle engine's blob slicing.
+    */
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val frames = mediaFromDocuments(spark, dir)
+      .withColumn("frames", sampleFrames(col("bytes"), frameSize = 256, step = 2))
+    frames.select(
+      col("media_id"), col("kind"),
+      length(col("bytes")).as("n_bytes"),
+      size(col("frames")).as("n_sampled"),
+      aggregate(col("frames"), lit(0), (acc, f) => acc + length(f)).as("sampled_bytes"),
+      md5(element_at(col("frames"), 1)).as("first_frame_md5"))
+      .orderBy(col("media_id"))
+  }
+
+  /** DuckDB cannot slice BLOBs; the corpus is pure ASCII so character
+    * slices ARE byte slices and md5(varchar) hashes the same UTF-8 bytes
+    * as Spark's md5(binary).
+    */
+  private val frameSampleSql =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+      |    length(text) AS n_bytes,
+      |    list_transform(
+      |      generate_series(0, (length(text)-1)//256, 2),
+      |      i -> substring(text, (i*256+1)::INT, 256)) AS frames
+      |  FROM documents
+      |)
+      |SELECT media_id, kind, n_bytes::INT AS n_bytes,
+      |  len(frames)::INT AS n_sampled,
+      |  list_sum(list_transform(frames, x -> length(x)))::INT AS sampled_bytes,
+      |  md5(frames[1]) AS first_frame_md5
+      |FROM f ORDER BY media_id""".stripMargin
+
+  // --- decode seam (stubbed codec, real batch plumbing) -----------------
+
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Int, feature: Array[Float])
+
+  /** Decoder contract: bytes + metadata in, fixed-width feature out.
+    * Implementations must be deserializable on executors (no driver
+    * state) and cheap to construct per partition.
+    */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def decode(kind: String, bytes: Array[Byte], nFrames: Int): Array[Float]
+  }
+
+  /** STUB standing in for a real image/audio codec (none available in
+    * this container). Produces deterministic pseudo-features: byte
+    * histogram moments per 16-byte stripe. Swap with a JNI/ffm-backed
+    * decoder in production — same signature, same plumbing.
+    */
+  object StubDecoder extends MediaDecoder {
+    val featureDim = 16
+    def decode(kind: String, bytes: Array[Byte], nFrames: Int): Array[Float] = {
+      val acc = new Array[Double](featureDim) // double accumulate, float store
+      var i = 0
+      while (i < bytes.length) {
+        acc(i % featureDim) += (bytes(i) & 0xff) / 255.0
+        i += 1
+      }
+      val n = math.max(1, bytes.length / featureDim)
+      acc.map(x => (x / n).toFloat)
+    }
+  }
+
+  /** Batched decode: `mapPartitions` so a production decoder amortizes
+    * codec/model initialization per partition (the JVM analog of
+    * `mapInPandas` batching), emitting typed rows. Partition-local —
+    * no shuffle; partition byte-size is governed by
+    * `spark.sql.files.maxPartitionBytes` at scan time.
+    */
+  def decodeFeatures(media: DataFrame, decoder: MediaDecoder): Dataset[MediaFeatures] = {
+    val enc = Encoders.product[MediaFeatures]
+    media.select(col("media_id"), col("kind"), col("bytes"), col("meta.n_frames"))
+      .mapPartitions { rows: Iterator[Row] =>
+        // per-partition init would happen here (decoder.open() in prod)
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          MediaFeatures(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+            bytes.length, decoder.decode(r.getAs[String]("kind"), bytes,
+              r.getAs[Int]("n_frames")))
+        }
+      }(enc)
+  }
+
+  /** q52: decode-feature aggregation — per-kind feature statistics over
+    * the stub decoder. The stub is deterministic, so the first feature
+    * component has a closed form the oracle can reproduce: it is the
+    * mean of stripe-position-0 byte values / 255, i.e.
+    * sum(bytes[16k]) / (255 * (n_bytes div 16)).
+    */
+  def decodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    decodeFeatures(mediaFromDocuments(spark, dir), StubDecoder)
+      .toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(element_at(col("feature"), 1)), 4).as("avg_f0"))
+      .orderBy(col("kind"))
+  }
+
+  /** The corpus is pure ASCII (checked at every sf), so byte k of the
+    * payload == unicode code point of character k+1 — lets the oracle
+    * address bytes without blob bit-twiddling.
+    */
+  private val decodeSql =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+      |    length(text) AS n_bytes,
+      |    list_sum(list_transform(
+      |      generate_series(1, length(text), 16),
+      |      i -> unicode(substring(text, i::INT, 1))))
+      |      / 255.0 / greatest(length(text) // 16, 1) AS f0
+      |  FROM documents
+      |)
+      |SELECT kind, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+      |  round(avg(f0), 4) AS avg_f0
+      |FROM f GROUP BY kind ORDER BY kind""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q51_frame_sample", frameSampleQuery, Some(frameSampleSql)),
+    QueryDef("q52_media_decode", decodeQuery, Some(decodeSql)),
+  )
+}

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed analytics over the `events` table — the streaming
+  * surface SURVEY.md §2.8/§7.1.8 reserves for the extension corpus.
+  *
+  * Every transform here is defined on a plain DataFrame, so the SAME
+  * function runs in two modes:
+  *  - batch: `Tables.events` → the declared q27/q28/q29 oracle queries;
+  *  - streaming: `readStream` source → identical plan with watermarked
+  *    state (StreamingSpec drives it with Trigger.AvailableNow and
+  *    asserts the streaming result equals the batch result).
+  *
+  * That one-definition/two-modes shape is exactly Structured Streaming's
+  * contract: window()/session_window() aggregations are incremental-
+  * izable, the watermark bounds state (here 1 hour of event time — at
+  * production rates state size is O(active windows × groups), not
+  * O(stream length)).
+  */
+object EventStreams extends QueryModule {
+
+  /** Watermarked source wrapper: in streaming mode bounds lateness (and
+    * therefore state); a no-op for correctness in batch mode.
+    */
+  def withEventTime(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+
+  /** Tumbling 6-hour windows: count + value stats per event_type. */
+  def tumblingStats(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding windows (12h size, 6h slide): each event lands in 2 windows. */
+  def slidingStats(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .groupBy(window(col("ts"), "12 hours", "6 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_events"), col("avg_value"))
+
+  /** Per-user sessions with a 30-minute inactivity gap (session_window —
+    * the built-in gaps-and-islands operator; state per OPEN session only).
+    */
+  def userSessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    withEventTime(events)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming source over the events parquet directory — the readStream
+    * twin of Tables.events (same nanos→micros handling; file source needs
+    * an explicit schema). `maxFilesPerTrigger` is left to the caller's
+    * trigger; with Trigger.AvailableNow the whole directory drains in
+    * bounded batches.
+    */
+  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // file source takes a DIRECTORY of parquet files (new files = new
+    // micro-batch data — the production landing-zone shape)
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // --- declared batch queries (oracle-checked) --------------------------
+
+  def tumblingQuery(spark: SparkSession, dir: String): DataFrame =
+    tumblingStats(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val tumblingSql =
+    """SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start, event_type,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  def slidingQuery(spark: SparkSession, dir: String): DataFrame =
+    slidingStats(Tables.events(spark, dir))
+      .orderBy(col("window_start"))
+
+  /** Sliding 12h/6h: an event in 6h-bucket b is in windows starting at b
+    * and b-6h — unnest both (exact expansion of Spark's window slide).
+    */
+  private val slidingSql =
+    """WITH e AS (
+      |  SELECT time_bucket(INTERVAL '6 hours', ts) AS b, value FROM events
+      |), x AS (
+      |  SELECT unnest([b, b - INTERVAL '6 hours']) AS window_start, value FROM e
+      |)
+      |SELECT window_start, window_start + INTERVAL '12 hours' AS window_end,
+      |  count(*) AS n_events, round(avg(value), 4) AS avg_value
+      |FROM x GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  def sessionQuery(spark: SparkSession, dir: String): DataFrame =
+    userSessions(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Session windows via classic gaps-and-islands: a new session starts
+    * where the gap from the previous event (per user) is ≥ 30 min; the
+    * session id is the running count of starts.
+    */
+  private val sessionSql =
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              >= INTERVAL '30 minutes' OR
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM g
+      |)
+      |SELECT user_id, min(ts) AS session_start,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM s GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q27_tumbling_windows", tumblingQuery, Some(tumblingSql)),
+    QueryDef("q28_sliding_windows", slidingQuery, Some(slidingSql)),
+    QueryDef("q29_session_windows", sessionQuery, Some(sessionSql), benchmark = true),
+  )
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media table carries binary payloads with typed metadata") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    assert(media.schema("bytes").dataType.typeName === "binary")
+    assert(media.schema("meta").dataType.typeName === "struct")
+    val r = media.orderBy(col("media_id")).head()
+    val doc = Tables.documents(spark, sfDir).orderBy(col("doc_id")).head()
+    // payload round-trips the source text bytes
+    assert(new String(r.getAs[Array[Byte]]("bytes"), "UTF-8") === doc.getAs[String]("text"))
+  }
+
+  test("sampleFrames slices fixed-size frames with a step, expression-only") {
+    import TestSpark.spark.implicits._
+    val df = Seq(("x" * 1000)).toDF("text")
+      .select(Multimodal.sampleFrames(encode(col("text"), "UTF-8"), 256, 2).as("frames"))
+    val frames = df.head().getSeq[Array[Byte]](0)
+    // 1000 bytes -> frames 0..3; step 2 keeps frames 0 and 2
+    assert(frames.length === 2)
+    assert(frames(0).length === 256)
+    assert(frames(1).length === 256)
+  }
+
+  test("stub decoder is deterministic and partition-independent") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    val f1 = Multimodal.decodeFeatures(media.repartition(1), Multimodal.StubDecoder)
+      .collect().map(m => m.media_id -> m.feature.toSeq).toMap
+    val f8 = Multimodal.decodeFeatures(media.repartition(8), Multimodal.StubDecoder)
+      .collect().map(m => m.media_id -> m.feature.toSeq).toMap
+    assert(f1 === f8)
+    assert(f1.values.head.length === Multimodal.StubDecoder.featureDim)
+  }
+
+  test("decoded features flow into downstream aggregation") {
+    val out = Multimodal.decodeQuery(spark, sfDir).collect()
+    assert(out.map(_.getAs[String]("kind")).toSet === Set("image", "audio", "video"))
+    assert(out.map(_.getAs[Long]("n_media")).sum ===
+      Tables.documents(spark, sfDir).count())
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming/batch parity: the same windowed transforms produce the same
+  * results whether driven by a stream (file source, AvailableNow, memory
+  * sink, complete output) or a batch DataFrame. This is the property that
+  * makes the q27–q29 oracle checks meaningful for the streaming path too.
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** File-source landing zone: the sf events parquet staged into a
+    * directory (the source requires a dir, new files become batches).
+    */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events-0.parquet"))
+    dir.toString
+  }
+
+  private def runStream(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  private def canon(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("tumbling windows: streaming equals batch") {
+    val stream = EventStreams.tumblingStats(EventStreams.eventsStream(spark, eventsDir))
+    val got = runStream(stream, "tumbling_out")
+      .select(col("window_start"), col("event_type"), col("n_events"), col("sum_value"))
+    val want = EventStreams.tumblingQuery(spark, sfDir)
+    assert(canon(got) === canon(want))
+    assert(want.count() > 0)
+  }
+
+  test("sliding windows: streaming equals batch, each event in two windows") {
+    val stream = EventStreams.slidingStats(EventStreams.eventsStream(spark, eventsDir))
+    val got = runStream(stream, "sliding_out")
+    val want = EventStreams.slidingQuery(spark, sfDir)
+    assert(canon(got) === canon(want))
+    // events counted twice across sliding windows
+    val total = Tables.events(spark, sfDir).count()
+    assert(want.agg(sum(col("n_events"))).head().getLong(0) === 2 * total)
+  }
+
+  test("session windows: streaming equals batch; sessions respect the gap") {
+    val stream = EventStreams.userSessions(EventStreams.eventsStream(spark, eventsDir))
+    val got = runStream(stream, "session_out")
+    val want = EventStreams.sessionQuery(spark, sfDir)
+    assert(canon(got) === canon(want))
+    // every event lands in exactly one session
+    val total = Tables.events(spark, sfDir).count()
+    assert(want.agg(sum(col("n_events"))).head().getLong(0) === total)
+  }
+}
