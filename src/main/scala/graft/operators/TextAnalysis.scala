@@ -197,6 +197,13 @@ object TextAnalysis extends QueryModule {
     val posts = docs.select(col("doc_id"), col("lang"), size(col("sh")).as("nsh"),
       explode(col("sh")).as("shingle"))
       .select(col("lang"), xxhash64(col("shingle")).as("shash"), col("doc_id"), col("nsh"))
+      // a df=1 shingle can never produce a pair — drop the long tail of
+      // the index before the self-join (exact: intersections unchanged)
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"), col("shash"))))
+      .filter(col("__df") >= 2)
+      .drop("__df")
+      .persist()
     val a = posts.select(col("lang"), col("shash"), col("doc_id").as("doc_a"), col("nsh").as("nsh_a"))
     val b = posts.select(col("lang"), col("shash"), col("doc_id").as("doc_b"), col("nsh").as("nsh_b"))
     a.join(b, Seq("lang", "shash"))
