@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** One-pass signature kernels shared by the interpreted and codegen paths
+  * of the expressions below. Top-level object → static forwarders, so
+  * generated Java calls them directly.
+  *
+  * Hash semantics are bit-identical to the built-in `xxhash64`:
+  *  - `simHash64(toks)` ≡ per-bit majority vote over `xxhash64(tok)`
+  *    (seed 42, like the built-in single-arg form);
+  *  - `minHash(sh, seeds)[k]` ≡ `array_min(transform(sh, x ->
+  *    xxhash64(seed_k, x)))` — the chained long-then-bytes accumulation
+  *    the multi-arg built-in performs.
+  * The expression-tree forms walk the token array once per bit / per
+  * seed (64×); these kernels walk it once, total.
+  */
+object SigImpl {
+
+  def simHash64(arr: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def minHash(arr: ArrayData, seeds: Array[Long]): Array[Long] = {
+    val k = seeds.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          var acc = XXH64.hashLong(seeds(j), 42L)
+          acc = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, acc)
+          if (acc < mins(j)) mins(j) = acc
+          j += 1
+        }
+      }
+      i += 1
+    }
+    mins
+  }
+}
+
+/** 64-bit SimHash of an array<string> in a single pass — custom Catalyst
+  * expression with `doGenCode` (stays inside whole-stage codegen; the
+  * generated code is a static call into SigImpl).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigImpl.simHash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigImpl.simHash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHash signature (array<long>, length = seeds.length) of an
+  * array<string> in a single pass over the input.
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => i * 2654435761L + 0x9e3779b9L)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SigImpl.minHash(input.asInstanceOf[ArrayData], seeds))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.SigImpl.minHash($c, $seedsRef))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  /** Column API for the custom expressions. */
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+
+  def minhashSig(c: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), numHashes))
+}

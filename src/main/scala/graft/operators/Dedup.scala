@@ -39,14 +39,16 @@ object Dedup extends QueryModule {
   // --- MinHash ---------------------------------------------------------
 
   /** MinHash signature of a (string-array) shingle column: for each seed,
-    * the minimum xxhash64(seed, shingle). Array-typed, length = seeds.
+    * the minimum xxhash64(seed, shingle). Array-typed, length = numHashes.
+    *
+    * Implemented by the custom codegen'd expression
+    * [[graft.functions.MinHashSig]] — ONE pass over the shingles instead
+    * of the equivalent-but-64-pass expression tree
+    * `transform(seeds, s -> array_min(transform(sh, x -> xxhash64(s, x))))`
+    * (bit-identical results; DedupSpec pins the equivalence).
     */
-  def minHashSignature(shingleCol: Column, numHashes: Int): Column = {
-    val seeds = Seq.tabulate(numHashes)(i => i * 2654435761L + 0x9e3779b9L)
-    transform(
-      array(seeds.map(lit): _*),
-      s => array_min(transform(shingleCol, x => xxhash64(s, x))))
-  }
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    graft.functions.HashFunctions.minhashSig(shingleCol, numHashes)
 
   /** Explode a signature into (band, band_key) rows: `bands` buckets of
     * rowsPerBand consecutive signature slots, keyed by xxhash64.
@@ -146,18 +148,13 @@ object Dedup extends QueryModule {
   /** 64-bit SimHash of a token array: per-bit majority vote of token
     * xxhash64 bits. Bit i of the result is 1 iff the sum over tokens of
     * (bit i of xxhash64(token) ? +1 : -1) is positive.
+    *
+    * Implemented by the custom codegen'd expression
+    * [[graft.functions.SimHash64]] — one pass over the tokens instead of
+    * 64 `aggregate(...)` walks (bit-identical; DedupSpec pins it).
     */
-  def simHash(toksCol: Column): Column = {
-    val hashes = transform(toksCol, t => xxhash64(t))
-    val bitExprs = (0 until 64).map { i =>
-      val votes = aggregate(
-        hashes,
-        lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitExprs.reduce(_.bitwiseOR(_))
-  }
+  def simHash(toksCol: Column): Column =
+    graft.functions.HashFunctions.simhash64(toksCol)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

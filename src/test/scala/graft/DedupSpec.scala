@@ -26,6 +26,29 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) !== sigs(3L))
   }
 
+  test("custom SimHash64/MinHashSig expressions are bit-identical to the builtin-expression forms") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", TextAnalysis.shingles3(col("toks")))
+    // reference formulations built only from org.apache.spark.sql.functions
+    val seeds = Seq.tabulate(16)(i => i * 2654435761L + 0x9e3779b9L)
+    val minhashRef = transform(array(seeds.map(lit): _*),
+      s => array_min(transform(col("sh"), x => xxhash64(s, x))))
+    val hashes = transform(col("toks"), t => xxhash64(t))
+    val simhashRef = (0 until 64).map { i =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+    val mismatches = docs.select(
+      Dedup.minHashSignature(col("sh"), 16).as("mh"), minhashRef.as("mh_ref"),
+      Dedup.simHash(col("toks")).as("sim"), simhashRef.as("sim_ref"))
+      .filter(col("mh") =!= col("mh_ref") || col("sim") =!= col("sim_ref"))
+    assert(mismatches.count() === 0)
+  }
+
   test("minHashLsh equals the exact all-pairs Jaccard result on sf0.001") {
     // brute-force oracle computed in-spec (block-free all-pairs; fine at 500 docs)
     val docs = graft.Tables.documents(spark, sfDir)
