@@ -23,6 +23,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rep === Seq("a b a", "b a b"))
   }
 
+  test("WordNgrams expression equals the builtin array_distinct(transform(...)) form") {
+    val toks = split(col("text"), " ")
+    val builtinForm = array_distinct(transform(
+      sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+    val mismatches = Tables.documents(spark, sfDir)
+      .filter(size(toks) >= 3)
+      .select(TextAnalysis.shingles3(toks).as("custom"), builtinForm.as("builtin"))
+      .filter(col("custom") =!= col("builtin"))
+    assert(mismatches.count() === 0)
+  }
+
   test("inverted-index jaccardPairs equals the all-pairs block join on sf0.001") {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
