@@ -32,7 +32,13 @@ object Bench {
     }
     operators.Relational.pricingSummary(spark, sfDir).count()
 
+    // per-query warmup run (codegen compile, page cache), then measure.
+    // Caches are cleared in between so queries that persist intermediates
+    // (signature tables) re-pay that cost in the measured run.
     val results = SparkEntry.benchQueries.map { d =>
+      try d.build(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try d.build(spark, sfDir).count()
       catch { case e: Throwable =>

@@ -81,8 +81,11 @@ object Relational extends QueryModule {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    // apply the selective broadcast dim filter to orders BEFORE the
+    // fact-fact join: the lineitem shuffle then carries only matching
+    // orders' keys, and AQE may broadcast the reduced side outright
+    val buildingOrders = ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(buildingOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
