@@ -1,0 +1,67 @@
+package graft
+
+import java.time.LocalDate
+
+import graft.functions.NgramFunctions
+import graft.pipeline.{Clean, StarSchema}
+import org.apache.spark.sql.functions._
+
+/** Property tests (SURVEY §5): operator invariants over many generated
+  * inputs, checked through the real Spark expressions. Generation is
+  * seeded (deterministic runs); scalacheck's Gen is avoided only because
+  * the scalatest bridge artifact is not in the offline cache.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val rng = new scala.util.Random(20260812L)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+
+  test("WordNgrams equals a naive sliding-window reference on random token lists") {
+    import TestSpark.spark.implicits._
+    val docs = List.fill(200)(List.fill(rng.nextInt(15))(vocab(rng.nextInt(vocab.size))))
+      .filter(_.nonEmpty)
+    val df = docs.map(_.toSeq).toDF("toks")
+    val got = df.select(NgramFunctions.wordNgrams(col("toks"), 3))
+      .collect().map(_.getSeq[String](0).toList).toList
+    val want = docs.map(t => t.sliding(3).filter(_.size == 3)
+      .map(_.mkString(" ")).toList.distinct)
+    assert(got === want)
+  }
+
+  test("sasDate matches java.time for any day offset incl. negatives and zero") {
+    import TestSpark.spark.implicits._
+    val offsets = 0 :: List.fill(300)(rng.nextInt(60001) - 30000)
+    val got = offsets.map(_.toDouble).toDF("arrdate")
+      .select(StarSchema.sasDate(col("arrdate")))
+      .collect().map(_.getDate(0).toLocalDate)
+    val want = offsets.map(o => LocalDate.of(1960, 1, 1).plusDays(o.toLong))
+    assert(got.toList === want)
+  }
+
+  test("dedupKeepFirst: unique keys, minimum-tiebreak row kept, idempotent") {
+    import TestSpark.spark.implicits._
+    for (_ <- 1 to 10) {
+      val rows = List.fill(1 + rng.nextInt(60))((rng.nextInt(6), rng.nextInt(100)))
+      val df = rows.toDF("k", "v")
+      val out = Clean.dedupKeepFirst(df, Seq("k"), Seq("v"))
+      val collected = out.collect().map(r => (r.getInt(0), r.getInt(1)))
+      val want = rows.groupBy(_._1).map { case (k, g) => (k, g.map(_._2).min) }.toSet
+      assert(collected.toSet === want)
+      val again = Clean.dedupKeepFirst(out, Seq("k"), Seq("v"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      assert(again.toSet === collected.toSet)
+    }
+  }
+
+  test("simhash of similar token lists is closer than of dissimilar ones (metric sanity)") {
+    import TestSpark.spark.implicits._
+    val base = List.fill(40)(vocab(rng.nextInt(vocab.size)) + rng.nextInt(50))
+    val nearDup = base.updated(3, "changed3").updated(20, "changed20")
+    val unrelated = List.fill(40)("other" + rng.nextInt(100000))
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("id", "toks")
+      .select(col("id"), graft.operators.Dedup.simHash(col("toks")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+  }
+}
