@@ -205,8 +205,82 @@ object Dedup extends QueryModule {
   def simHashQuery(spark: SparkSession, dir: String): DataFrame =
     simHashPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  // --- duplicate-group clustering --------------------------------------
+
+  /** Connected components over a near-dup pair list: every document gets
+    * the minimum doc id reachable through pair edges as its `group_id`
+    * (so the group representative is `doc_id == group_id`).
+    *
+    * Iterative min-label propagation: each round joins current labels
+    * across edges and keeps the per-node minimum. Rounds needed =
+    * O(log(diameter)) for typical near-dup clusters (tiny diameters);
+    * each round is one join + one aggregation, both shuffling on ids.
+    * Labels are persisted per round and the previous round unpersisted —
+    * without that, iteration k would replay all k-1 prior joins
+    * (lineage growth is the classic iterative-algorithm trap at scale).
+    */
+  def dupGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(propagated)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+  }
+
+  /** q53: duplicate groups from the exact Jaccard≥0.5 pair graph; the
+    * oracle recomputes the same components with a recursive CTE.
+    */
+  def dupGroupsQuery(spark: SparkSession, dir: String): DataFrame =
+    dupGroups(TextAnalysis.jaccardPairs(spark, dir))
+      .orderBy(col("doc_id"))
+
+  private val dupGroupsSql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      |  FROM t WHERE len(toks) >= 3
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach AS (
+      |  SELECT src AS id, src AS label FROM edges
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+      |)
+      |SELECT id AS doc_id, min(label) AS group_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_minhash_lsh", minHashQuery, Some(minHashOracleSql), benchmark = true),
     QueryDef("q41_simhash", simHashQuery, None, benchmark = true),
+    QueryDef("q53_dup_groups", dupGroupsQuery, Some(dupGroupsSql)),
   )
 }

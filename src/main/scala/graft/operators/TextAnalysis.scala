@@ -193,8 +193,12 @@ object TextAnalysis extends QueryModule {
     * need two distinct shingles of the same doc pair to collide in
     * 2^64 — negligible.
     */
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsOn(Tables.documents(spark, dir))
+
+  /** Same operator over any (doc_id, lang, text) set. */
+  def jaccardPairsOn(input: DataFrame): DataFrame = {
+    val docs = input
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), shingles3(col("toks")).as("sh"))
@@ -238,7 +242,89 @@ object TextAnalysis extends QueryModule {
       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** End-to-end training-data corpus preparation — the composite a
+    * 100 TB pipeline runs nightly, chaining the individual operators:
+    *  1. quality gate: ≥10 tokens and quality score ≥ 0.3 (q32 scoring);
+    *  2. exact dedup: md5 prefix fingerprint, keep min doc_id (q34);
+    *  3. near-dup removal: exact-Jaccard pair graph → connected
+    *     components → keep only group representatives (q35 + q53).
+    * Returns the surviving corpus as (doc_id, lang, n_tokens).
+    * Every stage is individually oracle-checked; q36 checks the
+    * composition.
+    */
+  def corpusPrep(input: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = input
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("stop_ratio",
+        regexp_count(col("text"), lit(stopwordPattern)) / col("n_tokens").cast("double"))
+      .withColumn("quality",
+        least(col("n_tokens") / lit(100.0), lit(1.0)) * (lit(1.0) - col("stop_ratio")))
+      .filter(col("n_tokens") >= 10 && col("quality") >= 0.3)
+    val exactDeduped = scored
+      .withColumn("fp", md5(lower(substring(col("text"), 1, 100))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "fp")
+      .persist() // feeds both the pair graph and the final join
+    val groups = Dedup.dupGroups(jaccardPairsOn(exactDeduped))
+    exactDeduped.join(groups, Seq("doc_id"), "left")
+      .filter(col("group_id").isNull || col("group_id") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  def corpusPrepQuery(spark: SparkSession, dir: String): DataFrame =
+    corpusPrep(Tables.documents(spark, dir))
+
+  private val corpusPrepSql =
+    """WITH RECURSIVE scored AS (
+      |  SELECT doc_id, lang, text,
+      |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+      |    len(regexp_extract_all(text, '\b(the|a)\b')) AS stop_hits
+      |  FROM documents
+      |), kept AS (
+      |  SELECT doc_id, lang, text, n_tokens
+      |  FROM scored
+      |  WHERE n_tokens >= 10
+      |    AND least(n_tokens / 100.0, 1.0) * (1.0 - stop_hits::DOUBLE / n_tokens) >= 0.3
+      |), exact_dedup AS (
+      |  SELECT doc_id, lang, text, n_tokens
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY md5(lower(substr(text, 1, 100)))
+      |          ORDER BY doc_id) AS rn
+      |        FROM kept) z
+      |  WHERE rn = 1
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(
+      |      generate_series(1, len(string_split(text, ' '))-2),
+      |      i -> concat_ws(' ', string_split(text, ' ')[i],
+      |           string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS sh
+      |  FROM exact_dedup WHERE len(string_split(text, ' ')) >= 3
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs
+      |), reach AS (
+      |  SELECT src AS id, src AS label FROM edges
+      |  UNION
+      |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+      |), groups AS (
+      |  SELECT id AS doc_id, min(label) AS group_id FROM reach GROUP BY id
+      |)
+      |SELECT d.doc_id, d.lang, d.n_tokens::INT AS n_tokens
+      |FROM exact_dedup d LEFT JOIN groups g ON d.doc_id = g.doc_id
+      |WHERE g.group_id IS NULL OR g.group_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q36_corpus_prep", corpusPrepQuery, Some(corpusPrepSql), benchmark = true),
     QueryDef("q30_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("q31_vocabulary", vocabulary, Some(vocabularySql)),
     QueryDef("q32_quality_score", qualityScore, Some(qualityScoreSql), benchmark = true),

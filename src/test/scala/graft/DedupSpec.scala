@@ -70,6 +70,17 @@ class DedupSpec extends SparkSpec {
     assert(lsh.nonEmpty)  // corpus contains near-dups, test isn't vacuous
   }
 
+  test("dupGroups labels connected components with the minimum member id") {
+    import TestSpark.spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("simHash banding finds exactly the brute-force Hamming<=7 pairs on sf0.001") {
     val docs = graft.Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))

@@ -69,6 +69,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(joined.count() === 0)
   }
 
+  test("corpusPrep: survivors pass the gates, are fingerprint-unique, pair-free") {
+    val survivors = TextAnalysis.corpusPrep(Tables.documents(spark, sfDir))
+    val ids = survivors.collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.size < Tables.documents(spark, sfDir).count())
+    // no surviving near-dup pair: re-running the pair graph on the
+    // surviving docs yields nothing
+    val survivingDocs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isInCollection(ids))
+    assert(TextAnalysis.jaccardPairsOn(survivingDocs).count() === 0)
+    // fingerprint-unique
+    val fps = survivingDocs.select(md5(lower(substring(col("text"), 1, 100)))).collect()
+    assert(fps.map(_.getString(0)).distinct.length === fps.length)
+    // quality gate respected
+    val weak = survivingDocs.withColumn("n", TextAnalysis.tokenCount(col("text")))
+      .filter(col("n") < 10)
+    assert(weak.count() === 0)
+  }
+
   test("langId guesses are deterministic and cover every document") {
     val out = graft.operators.TextAnalysis.langId(spark, sfDir)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
