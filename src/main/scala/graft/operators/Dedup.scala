@@ -220,8 +220,12 @@ object Dedup extends QueryModule {
     * (lineage growth is the classic iterative-algorithm trap at scale).
     */
   def dupGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both edge directions from ONE evaluation of the (expensive) pair
+    // plan — a union of two selects would compute it twice
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
