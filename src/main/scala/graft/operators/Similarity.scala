@@ -207,14 +207,55 @@ object Similarity extends QueryModule {
     * the scale path). Threshold low enough to produce rows on the random
     * test corpus.
     */
-  def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame =
+    cosinePairsOn(Tables.embeddings(spark, dir), 0.45)
+
+  /** Exact all-pairs form over any embedding set. */
+  def cosinePairsOn(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val c = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
     val a = c.select(col("vec_id").as("id_a"), col("vec").as("vec_a"))
     val b = c.select(col("vec_id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
-      .filter(col("sim") >= 0.45)
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("cosine_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Embedding near-dup pairs via hyperplane-LSH bucketing — the scale
+    * path for q44's exact all-pairs form: vectors sharing any signature
+    * band become candidates (one linear shuffle on the band key), exact
+    * cosine verifies. Recall depends on how tight the near-dups are
+    * (p_band = (1-θ/π)^bandBits per band): ≈0.9 for cos≥0.95 clusters
+    * with the defaults (spec-checked on planted clusters + enrichment on
+    * the uniform corpus).
+    */
+  def cosinePairsLsh(embeddings: DataFrame, threshold: Double = 0.45,
+      nBits: Int = 18, nBands: Int = 3, seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val bandBits = nBits / nBands
+    val planes = hyperplanes(nBits, dim, seed)
+    val banded = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("sig", hyperplaneSignature(col("vec"), planes))
+      .select(col("vec_id"), col("vec"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), b * bandBits)
+              .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))
+        }: _*)).as("bb"))
+      .select(col("vec_id"), col("vec"),
+        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .persist()
+    val a = banded.select(col("band"), col("bkey"),
+      col("vec_id").as("id_a"), col("vec").as("vec_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("vec_id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b")).distinct()
+      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("cosine_sim"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -66,6 +66,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall below 0.9")
   }
 
+  test("LSH cosine pairs recover >= 0.85 of exact pairs on clustered data, exactly verified") {
+    val exact = Similarity.cosinePairsOn(clustered, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairsLsh(clustered, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // precision 1: candidates are exact-verified
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.85, s"LSH pair recall $recall (exact=${exact.size} lsh=${lsh.size})")
+  }
+
   /** The sf corpus is near-uniform on the sphere (top-10 cosine ≈ 0.3) —
     * no ANN can prune hard AND recall well there. The meaningful property
     * is *enrichment*: LSH candidates must contain true neighbors at a
