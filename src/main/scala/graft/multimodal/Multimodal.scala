@@ -97,6 +97,30 @@ object Multimodal extends QueryModule {
       |  md5(frames[1]) AS first_frame_md5
       |FROM f ORDER BY media_id""".stripMargin
 
+  /** Resize plumbing: recompute the metadata struct for a target
+    * geometry and derive the resized payload. The byte transform is the
+    * STUB half (deterministic proportional truncation standing in for a
+    * real scaler); the metadata/columnar plumbing — struct rewrite
+    * without touching other fields, expression-only byte math — is the
+    * real half a production scaler drops into.
+    */
+  def resizeImages(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val scaled = col("meta.width").isNotNull && col("meta.height").isNotNull
+    val ratio = (lit(targetW) * lit(targetH)).cast("double") /
+      (col("meta.width") * col("meta.height")).cast("double")
+    media
+      .withColumn("bytes",
+        when(col("kind") === "image" && scaled,
+          col("bytes").substr(lit(1),
+            greatest(lit(1), ceil(length(col("bytes")) * least(ratio, lit(1.0))).cast("int"))))
+          .otherwise(col("bytes")))
+      .withColumn("meta",
+        when(col("kind") === "image" && scaled,
+          col("meta").withField("width", lit(targetW))
+            .withField("height", lit(targetH)))
+          .otherwise(col("meta")))
+  }
+
   // --- decode seam (stubbed codec, real batch plumbing) -----------------
 
   final case class MediaFeatures(

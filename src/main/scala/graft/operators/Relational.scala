@@ -524,7 +524,51 @@ object Relational extends QueryModule {
       |  count(*) AS n_events, round(sum(value), 4) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Pivot: order counts per priority, statuses as columns (dynamic
+    * pivot with a fixed, sorted column set for determinism).
+    */
+  def priorityStatusPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  private val priorityStatusPivotSql =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Range-frame window: per customer, the trailing-30-day average order
+    * value at each order (RANGE frame over epoch days — value-based, not
+    * row-based, so irregular order spacing is handled correctly).
+    */
+  def trailingOrderAvg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("epoch_day"))
+      .rangeBetween(-29, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("epoch_day", (unix_timestamp(col("o_orderdate")) / 86400L).cast("long"))
+      .withColumn("trailing_avg_30d", round(avg(col("o_totalprice")).over(w), 4))
+      .select(col("o_orderkey"), col("o_custkey"), col("trailing_avg_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val trailingOrderAvgSql =
+    """SELECT o_orderkey, o_custkey,
+      |  round(avg(o_totalprice) OVER (
+      |    PARTITION BY o_custkey ORDER BY (epoch(o_orderdate) // 86400)
+      |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 4) AS trailing_avg_30d
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q54_pivot", priorityStatusPivot, Some(priorityStatusPivotSql)),
+    QueryDef("q55_range_frame", trailingOrderAvg, Some(trailingOrderAvgSql)),
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), benchmark = true),
     QueryDef("q02_revenue_filter", revenueFilter, Some(revenueFilterSql), benchmark = true),
     QueryDef("q03_top_revenue_orders", topRevenueOrders, Some(topRevenueOrdersSql), benchmark = true),

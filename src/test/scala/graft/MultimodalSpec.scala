@@ -36,6 +36,24 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.values.head.length === Multimodal.StubDecoder.featureDim)
   }
 
+  test("resizeImages rewrites image metadata and scales payloads, leaves audio/video untouched") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    val resized = Multimodal.resizeImages(media, 32, 32)
+    val images = resized.filter(col("kind") === "image")
+    assert(images.filter(col("meta.width") =!= 32 || col("meta.height") =!= 32).count() === 0)
+    // payload shrank proportionally (64x64 -> 32x32 = 1/4 the bytes)
+    val cmp = resized.alias("r").join(media.alias("m"), "media_id")
+      .filter(col("r.kind") === "image")
+      .select(length(col("r.bytes")).as("nb"), length(col("m.bytes")).as("ob"))
+    assert(cmp.filter(col("nb") > col("ob")).count() === 0)
+    assert(cmp.filter(col("nb") < col("ob")).count() > 0)
+    // non-image rows byte-identical
+    val others = resized.alias("r").join(media.alias("m"), "media_id")
+      .filter(col("r.kind") =!= "image")
+      .filter(col("r.bytes") =!= col("m.bytes") || col("r.meta.width") =!= col("m.meta.width"))
+    assert(others.count() === 0)
+  }
+
   test("decoded features flow into downstream aggregation") {
     val out = Multimodal.decodeQuery(spark, sfDir).collect()
     assert(out.map(_.getAs[String]("kind")).toSet === Set("image", "audio", "video"))
