@@ -23,6 +23,17 @@ object TextAnalysis extends QueryModule {
   /** Literal-space tokenization (corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** GPT-2-style pre-tokenizer pattern (contractions, letter runs,
+    * digit runs, punctuation runs, whitespace) — RE2-compatible (no
+    * lookarounds), so the Java-regex and oracle-regex token counts
+    * agree. Approximates LLM token counts far better than whitespace
+    * splitting (punctuation and digits tokenize separately).
+    */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpePattern))
+
   /** Distinct word-trigram shingles of a token array (≥3 tokens assumed).
     * Custom one-pass expression [[graft.functions.WordNgrams]] — same
     * results as the builtin `array_distinct(transform(sequence...))`
@@ -323,8 +334,36 @@ object TextAnalysis extends QueryModule {
       |WHERE g.group_id IS NULL OR g.group_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q37: whitespace vs BPE-ish token counts per source — the
+    * token-budget accounting a training pipeline runs over every shard.
+    */
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws_tokens", tokenCount(col("text")))
+      .withColumn("bpe_tokens", bpeTokenCount(col("text")))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_tokens")).as("total_bpe_tokens"),
+        round(avg(col("bpe_tokens").cast("double") / col("ws_tokens")), 4)
+          .as("avg_bpe_per_ws"))
+      .orderBy(col("source"))
+
+  private val bpeTokenStatsSql = {
+    // SQL literal: double the quotes; backslashes pass through (standard
+    // SQL strings are not backslash-escaped)
+    val pat = bpePattern.replace("'", "''")
+    s"""SELECT source,
+       |  sum(len(regexp_extract_all(text, '\\S+'))) AS total_ws_tokens,
+       |  sum(len(regexp_extract_all(text, '$pat'))) AS total_bpe_tokens,
+       |  round(avg(len(regexp_extract_all(text, '$pat'))::DOUBLE
+       |        / len(regexp_extract_all(text, '\\S+'))), 4) AS avg_bpe_per_ws
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_corpus_prep", corpusPrepQuery, Some(corpusPrepSql), benchmark = true),
+    QueryDef("q37_bpe_tokens", bpeTokenStats, Some(bpeTokenStatsSql)),
     QueryDef("q30_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("q31_vocabulary", vocabulary, Some(vocabularySql)),
     QueryDef("q32_quality_score", qualityScore, Some(qualityScoreSql), benchmark = true),

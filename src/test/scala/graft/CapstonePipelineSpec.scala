@@ -110,6 +110,22 @@ class CapstonePipelineSpec extends SparkSpec {
     assert(!QualityChecks.nonEmpty(t.visa.limit(0), "empty").passed)
   }
 
+  test("mergeMonthlyFact overwrites only the touched month partitions") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge_fact").toString
+    def batch(rows: Seq[(Long, String)]) = rows
+      .toDF("record_id", "d").select(col("record_id"), col("d").cast("date").as("arrdate"))
+    // initial load: Jan + Feb
+    CapstoneEtl.mergeMonthlyFact(spark,
+      batch(Seq((1L, "2016-01-10"), (2L, "2016-02-05"), (3L, "2016-02-20"))), dir)
+    // monthly refresh: corrected Feb (one row) — Jan must survive
+    CapstoneEtl.mergeMonthlyFact(spark, batch(Seq((9L, "2016-02-15"))), dir)
+    val out = spark.read.parquet(dir)
+      .select(col("record_id"), col("arrival_month"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 1, 9L -> 2)) // Feb replaced, Jan intact
+  }
+
   test("end-to-end: CSV in, partitioned star-schema parquet out") {
     val dir = java.nio.file.Files.createTempDirectory("capstone_e2e").toString
     // write raw fixtures as the CSVs etl.py expects (S2-S4 readers)
