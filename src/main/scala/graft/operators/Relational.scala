@@ -566,8 +566,24 @@ object Relational extends QueryModule {
       |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 4) AS trailing_avg_30d
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Approximate percentiles — the 100 TB quantile path: a mergeable
+    * KLL-style sketch per partition instead of q25's exact
+    * sort-and-select (which needs the full value set per group). No SQL
+    * oracle (sketch internals are engine-specific); RelationalSpec
+    * bounds the error against the exact result.
+    */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"),
+        approx_percentile(col("o_totalprice"), lit(0.99), lit(10000)).as("p99_approx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q54_pivot", priorityStatusPivot, Some(priorityStatusPivotSql)),
+    QueryDef("q56_approx_percentiles", approxPercentiles, None),
     QueryDef("q55_range_frame", trailingOrderAvg, Some(trailingOrderAvgSql)),
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), benchmark = true),
     QueryDef("q02_revenue_filter", revenueFilter, Some(revenueFilterSql), benchmark = true),

@@ -268,8 +268,42 @@ object Similarity extends QueryModule {
       |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q57: semantic document search — KNN over embeddings joined back to
+    * the documents table (vec_id ≡ doc_id in the corpus): for each query
+    * document, its top-5 nearest documents with language/source. The
+    * cross-table shape of retrieval-augmented pipelines: ANN index side
+    * joined to the payload side by key, never shuffling the payloads
+    * into the similarity computation.
+    */
+  def semanticSearch(spark: SparkSession, dir: String): DataFrame = {
+    val hits = knnBruteForce(Tables.embeddings(spark, dir), nQueries = 5, k = 5)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    hits.join(docs, hits("neighbor_id") === docs("doc_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cosine_sim"), col("lang"), col("source"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val semanticSearchSql =
+    """WITH c AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 5
+      |), scored AS (
+      |  SELECT q.query_id, c.vec_id,
+      |    list_cosine_similarity(c.vec, q.qvec) AS sim,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |                       ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id) AS rank
+      |  FROM c JOIN q ON c.vec_id <> q.query_id)
+      |SELECT s.query_id, s.rank, s.vec_id AS neighbor_id,
+      |  round(s.sim, 4) AS cosine_sim, d.lang, d.source
+      |FROM scored s JOIN documents d ON s.vec_id = d.doc_id
+      |WHERE s.rank <= 5 ORDER BY s.query_id, s.rank""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_knn_bruteforce", knnQuery, Some(knnOracleSql), benchmark = true),
+    QueryDef("q57_semantic_search", semanticSearch, Some(semanticSearchSql)),
     QueryDef("q43_ann_hyperplane", annQuery, None, benchmark = true),
     QueryDef("q44_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     QueryDef("q45_ann_ivf", ivfQuery, None),

@@ -44,6 +44,20 @@ class RelationalSpec extends SparkSpec {
       Tables.orders(spark, sfDir).select(col("o_custkey")).distinct().count())
   }
 
+  test("approx percentiles track the exact percentiles within sketch error") {
+    val approx = Relational.approxPercentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.99)).as("p99"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (p50, p99)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 < 0.05, s"$k p50")
+      assert(math.abs(approx(k)._2 - p99) / p99 < 0.05, s"$k p99")
+    }
+  }
+
   test("pricing summary groups equal distinct (returnflag, linestatus) pairs") {
     val li = Tables.lineitem(spark, sfDir)
     val pairs = li.select(col("l_returnflag"), col("l_linestatus")).distinct().count()
