@@ -61,7 +61,8 @@ object EventStreams extends QueryModule {
     * trigger; with Trigger.AvailableNow the whole directory drains in
     * bounded batches.
     */
-  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = StructType(Seq(
@@ -70,9 +71,33 @@ object EventStreams extends QueryModule {
       StructField("value", DoubleType), StructField("props", StringType)))
     // file source takes a DIRECTORY of parquet files (new files = new
     // micro-batch data — the production landing-zone shape)
-    spark.readStream.schema(schema).parquet(eventsDir)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(eventsDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Exactly-once event dedup across micro-batches: state holds event
+    * ids only within the watermark horizon, so at-least-once upstream
+    * delivery (reprocessed files, producer retries) collapses to
+    * exactly-once downstream with BOUNDED state — the
+    * `dropDuplicatesWithinWatermark` contract. Batch mode: plain
+    * distinct-by-id.
+    */
+  def dedupedEvents(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: the event stream joined to a static
+    * dimension snapshot (re-read per micro-batch, broadcast by the
+    * planner) — no stream-side state, the standard dimension-enrichment
+    * shape.
+    */
+  def enrichedEvents(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      customers.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment")),
+      Seq("user_id"), "left")
 
   // --- declared batch queries (oracle-checked) --------------------------
 

@@ -55,6 +55,46 @@ class StreamingSpec extends SparkSpec {
     assert(want.agg(sum(col("n_events"))).head().getLong(0) === 2 * total)
   }
 
+  test("dropDuplicatesWithinWatermark collapses redelivered events across batches") {
+    // landing zone with the SAME file twice (upstream redelivery)
+    val dir = java.nio.file.Files.createTempDirectory("dedup_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dir.resolve("b.parquet"))
+    val stream = EventStreams.dedupedEvents(
+      EventStreams.eventsStream(spark, dir.toString, maxFilesPerTrigger = Some(1)))
+    val q = stream.writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val total = Tables.events(spark, sfDir).count()
+    val got = spark.table("dedup_out")
+    assert(got.select(col("event_id")).distinct().count() === got.count())
+    assert(got.count() === total) // each event exactly once despite double delivery
+  }
+
+  test("stream-static join enriches events with the customer dimension") {
+    val stream = EventStreams.enrichedEvents(
+      EventStreams.eventsStream(spark, eventsDir),
+      Tables.customer(spark, sfDir))
+    val q = stream.writeStream
+      .format("memory").queryName("enriched_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("enriched_out")
+    val want = EventStreams.enrichedEvents(
+      Tables.events(spark, sfDir), Tables.customer(spark, sfDir))
+    assert(got.count() === want.count())
+    assert(got.filter(col("segment").isNotNull).count() ===
+      want.filter(col("segment").isNotNull).count())
+    assert(got.filter(col("segment").isNotNull).count() > 0)
+  }
+
   test("session windows: streaming equals batch; sessions respect the gap") {
     val stream = EventStreams.userSessions(EventStreams.eventsStream(spark, eventsDir))
     val got = runStream(stream, "session_out")
