@@ -95,6 +95,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(col("segment").isNotNull).count() > 0)
   }
 
+  test("checkpointed parquet sink recovers across restarts without reprocessing") {
+    val base = java.nio.file.Files.createTempDirectory("ckpt_stream")
+    val landing = base.resolve("landing"); java.nio.file.Files.createDirectories(landing)
+    val sink = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    val all = Tables.events(spark, sfDir)
+    def runOnce(): Unit = {
+      // landing files are written by Spark (micros timestamps), so the
+      // stream schema is the written schema — not the raw-nanos one
+      val q = spark.readStream.schema(all.schema).parquet(landing.toString)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // run 1: first half of the corpus
+    val mid = all.agg(avg(col("event_id"))).head().getDouble(0)
+    all.filter(col("event_id") < mid).coalesce(1).write.parquet(s"$base/h1")
+    java.nio.file.Files.copy(
+      new java.io.File(s"$base/h1").listFiles().find(_.getName.endsWith(".parquet")).get.toPath,
+      landing.resolve("h1.parquet"))
+    runOnce()
+    val afterFirst = spark.read.parquet(sink).count()
+    assert(afterFirst === all.filter(col("event_id") < mid).count())
+    // "restart": second half arrives, same checkpoint — only the new file
+    // is processed, nothing duplicated
+    all.filter(col("event_id") >= mid).coalesce(1).write.parquet(s"$base/h2")
+    java.nio.file.Files.copy(
+      new java.io.File(s"$base/h2").listFiles().find(_.getName.endsWith(".parquet")).get.toPath,
+      landing.resolve("h2.parquet"))
+    runOnce()
+    val out = spark.read.parquet(sink)
+    assert(out.count() === all.count())
+    assert(out.select(col("event_id")).distinct().count() === all.count())
+  }
+
   test("session windows: streaming equals batch; sessions respect the gap") {
     val stream = EventStreams.userSessions(EventStreams.eventsStream(spark, eventsDir))
     val got = runStream(stream, "session_out")
