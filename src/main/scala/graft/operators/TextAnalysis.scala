@@ -361,9 +361,48 @@ object TextAnalysis extends QueryModule {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Deterministic stratified downsampling — corpus curation's mixture
+    * control (cap over-represented sources). A document survives iff its
+    * id-hash bucket falls under the stratum's per-mille rate, so the
+    * sample is reproducible under any partitioning, retries included
+    * (`df.sample`/`sampleBy` are seed+partitioning-dependent — useless
+    * for an auditable pipeline). The bucket here is `doc_id % 1000` so
+    * the oracle can replicate it; production buckets by
+    * `pmod(xxhash64(uid), 1000)` — same shape, uniform for arbitrary
+    * keys.
+    */
+  def stratifiedSample(docs: DataFrame, ratesPerMille: Map[String, Int]): DataFrame = {
+    val rate = ratesPerMille.foldLeft(lit(0)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    docs.filter(pmod(col("doc_id"), lit(1000)) < rate)
+  }
+
+  /** Mixture targets for the corpus's sources (src0..src19): cap the
+    * even-numbered sources hard, keep most of the odd ones.
+    */
+  private val sampleRates: Map[String, Int] =
+    (0 until 20).map(i => s"src$i" -> (if (i % 2 == 0) 250 else 900)).toMap
+
+  def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir), sampleRates)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"))
+      .orderBy(col("source"))
+
+  private val stratifiedSampleSql = {
+    val cases = sampleRates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }.mkString(" ")
+    s"""SELECT source, count(*) AS n_sampled, sum(n_chars) AS sampled_chars
+       |FROM documents
+       |WHERE doc_id % 1000 < (CASE $cases ELSE 0 END)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_corpus_prep", corpusPrepQuery, Some(corpusPrepSql), benchmark = true),
     QueryDef("q37_bpe_tokens", bpeTokenStats, Some(bpeTokenStatsSql)),
+    QueryDef("q38_stratified_sample", stratifiedSampleQuery, Some(stratifiedSampleSql)),
     QueryDef("q30_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("q31_vocabulary", vocabulary, Some(vocabularySql)),
     QueryDef("q32_quality_score", qualityScore, Some(qualityScoreSql), benchmark = true),
