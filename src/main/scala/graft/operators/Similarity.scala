@@ -56,8 +56,40 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact KNN via the typed top-k Aggregator — same results as
+    * `knnBruteForce`, but the scored rows never all shuffle to
+    * |queries| reducers: partial aggregation keeps a k-bounded buffer
+    * per query on every map task, so only |queries|×k×partitions rows
+    * cross the wire (SURVEY §7.3; the window form is the
+    * low-cardinality-partition bottleneck at corpus scale).
+    */
+  def knnTopKAgg(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val corpus = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val queries = corpus
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("vec"), col("qvec")).as("sim"))
+    val rowEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+    val hitEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    val topK = new graft.functions.TopKBySim(k)
+    scored.select(col("query_id"), struct(col("vec_id"), col("sim")).as("hit"))
+      .as[(Long, (Long, Double))](rowEnc)
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .mapValues(_._2)(hitEnc)
+      .agg(topK.toColumn.name("hits"))
+      .toDF("query_id", "hits")
+      .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("hit._1").as("neighbor_id"), round(col("hit._2"), 4).as("cosine_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def knnQuery(spark: SparkSession, dir: String): DataFrame =
-    knnBruteForce(Tables.embeddings(spark, dir))
+    knnTopKAgg(Tables.embeddings(spark, dir))
 
   private val knnOracleSql =
     """WITH c AS (

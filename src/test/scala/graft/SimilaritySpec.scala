@@ -94,6 +94,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 3 * (10 / n), s"recall $recall shows no enrichment")
   }
 
+  test("top-k Aggregator KNN equals the window formulation exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val window = Similarity.knnBruteForce(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine_sim"))).toSeq
+    val agg = Similarity.knnTopKAgg(emb).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine_sim"))).toSeq
+    assert(agg === window)
+  }
+
   test("ANN neighbors carry exact cosine scores (re-ranking is exact)") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Similarity.knnBruteForce(emb).collect()
