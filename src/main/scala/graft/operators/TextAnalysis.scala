@@ -399,6 +399,21 @@ object TextAnalysis extends QueryModule {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Shard writer — the output stage of a curation run: hash-balanced
+    * shards (id-hash partitioning, so shard sizes stay even regardless
+    * of source/length skew and re-runs land identical shard contents),
+    * one parquet file per shard capped by maxRecordsPerFile.
+    */
+  def writeShards(docs: DataFrame, path: String, nShards: Int,
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    docs
+      .withColumn("shard", pmod(xxhash64(col("doc_id")), lit(nShards)).cast("int"))
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(path)
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_corpus_prep", corpusPrepQuery, Some(corpusPrepSql), benchmark = true),
     QueryDef("q37_bpe_tokens", bpeTokenStats, Some(bpeTokenStatsSql)),

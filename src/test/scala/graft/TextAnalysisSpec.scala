@@ -87,6 +87,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(weak.count() === 0)
   }
 
+  test("writeShards produces hash-balanced, lossless, re-run-stable shards") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    TextAnalysis.writeShards(docs, s"$dir/out", nShards = 8)
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() === docs.count())
+    assert(back.select(col("doc_id")).distinct().count() === docs.count())
+    val sizes = back.groupBy(col("shard")).count().collect().map(_.getLong(1))
+    assert(sizes.length === 8)
+    // hash balancing: no shard more than 2x the mean
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(sizes.forall(_ < 2 * mean), sizes.mkString(","))
+    // re-run lands identical shard assignments (deterministic hash)
+    TextAnalysis.writeShards(docs, s"$dir/out2", nShards = 8)
+    val a = back.select(col("doc_id"), col("shard")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = spark.read.parquet(s"$dir/out2").select(col("doc_id"), col("shard"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b)
+  }
+
   test("langId guesses are deterministic and cover every document") {
     val out = graft.operators.TextAnalysis.langId(spark, sfDir)
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
