@@ -399,6 +399,23 @@ object TextAnalysis extends QueryModule {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q39: winnowing-style rolling-hash fingerprint groups — unlike the
+    * q34 prefix digest, the min-rolling-hash fingerprint survives edits
+    * outside the minimizing 64-byte window, so shifted/near-identical
+    * payloads still collide. Custom one-pass expression
+    * [[graft.functions.MinRollingHash]]; no SQL oracle (61-bit modular
+    * rolling arithmetic isn't portable) — spec covers the kernel
+    * against a reference implementation and the shift-invariance
+    * property.
+    */
+  def rollingFingerprintQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("rfp",
+        graft.functions.RollingHashFunctions.minRollingHash(col("text"), 64))
+      .groupBy(col("rfp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy(col("rfp"))
+
   /** Shard writer — the output stage of a curation run: hash-balanced
     * shards (id-hash partitioning, so shard sizes stay even regardless
     * of source/length skew and re-runs land identical shard contents),
@@ -418,6 +435,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("q36_corpus_prep", corpusPrepQuery, Some(corpusPrepSql), benchmark = true),
     QueryDef("q37_bpe_tokens", bpeTokenStats, Some(bpeTokenStatsSql)),
     QueryDef("q38_stratified_sample", stratifiedSampleQuery, Some(stratifiedSampleSql)),
+    QueryDef("q39_rolling_fingerprint", rollingFingerprintQuery, None),
     QueryDef("q30_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("q31_vocabulary", vocabulary, Some(vocabularySql)),
     QueryDef("q32_quality_score", qualityScore, Some(qualityScoreSql), benchmark = true),

@@ -87,6 +87,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(weak.count() === 0)
   }
 
+  test("MinRollingHash matches a reference implementation and is shift-invariant") {
+    import TestSpark.spark.implicits._
+    // reference: hash every 64-byte window naively, take the min
+    def ref(s: String, w0: Int): Long = {
+      val mod = BigInt((1L << 61) - 1)
+      val bytes = s.getBytes("UTF-8")
+      val w = math.min(w0, bytes.length)
+      if (bytes.length == 0) 0L
+      else bytes.sliding(w).map { win =>
+        win.foldLeft(BigInt(0))((h, b) => (h * 257 + (b & 0xff)) mod mod)
+      }.min.toLong
+    }
+    val samples = Seq("hello world, this is a rolling hash fingerprint test " * 3,
+      "short", "", "x" * 64, "x" * 200)
+    val got = samples.toDF("text")
+      .select(graft.functions.RollingHashFunctions.minRollingHash(col("text"), 64))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === samples.map(ref(_, 64)))
+    // containment property (the basis of winnowing): every window of a
+    // substring is a window of the superstring, so the fingerprint can
+    // only decrease when text is added around a shared core — shifted
+    // near-identical payloads keep the core's fingerprint as a collision
+    // candidate (a prefix digest loses it on any first-byte edit)
+    val core = "the quick brown fox jumps over the lazy dog and keeps running onward " * 4
+    val variants = Seq(core, "PREFIX-EDIT " + core, core + " SUFFIX-EDIT",
+      "X " + core + " Y")
+    val fps = variants.toDF("text")
+      .select(graft.functions.RollingHashFunctions.minRollingHash(col("text"), 64))
+      .collect().map(_.getLong(0))
+    val coreFp = fps(0)
+    assert(fps.forall(_ <= coreFp), fps.mkString(","))
+  }
+
   test("writeShards produces hash-balanced, lossless, re-run-stable shards") {
     val docs = Tables.documents(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
