@@ -75,9 +75,37 @@ object SqlSurface extends QueryModule {
       |  ON g.r_name = rr.r_name AND g.o_orderstatus = rr.o_orderstatus
       |ORDER BY g.r_name, g.o_orderstatus""".stripMargin
 
+  /** q58: correlated scalar subquery — orders at >2× their customer's
+    * average. Catalyst decorrelates this into an aggregate + join (no
+    * per-row re-execution); the plan is the proof that declarative
+    * correlation scales.
+    */
+  private val correlatedScalarSql =
+    """SELECT o.o_orderkey, o.o_custkey,
+      |  round(o.o_totalprice, 4) AS o_totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice > 2 * (
+      |  SELECT avg(o2.o_totalprice) FROM orders o2
+      |  WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** q59: EXISTS / NOT EXISTS — customers with a filed (F) order but no
+    * open (O) order; both subqueries decorrelate to semi/anti joins.
+    */
+  private val existsSql =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q48_full_outer", (s, d) => withViews(s, d)(fullOuterSql), Some(fullOuterSql)),
     QueryDef("q49_grouping_sets", (s, d) => withViews(s, d)(groupingSetsSql), Some(groupingSetsSql)),
     QueryDef("q50_cross_grid", (s, d) => withViews(s, d)(crossSql), Some(crossSql)),
+    QueryDef("q58_correlated_scalar", (s, d) => withViews(s, d)(correlatedScalarSql), Some(correlatedScalarSql)),
+    QueryDef("q59_exists_subquery", (s, d) => withViews(s, d)(existsSql), Some(existsSql)),
   )
 }
