@@ -63,15 +63,13 @@ object Similarity extends QueryModule {
     * cross the wire (SURVEY §7.3; the window form is the
     * low-cardinality-partition bottleneck at corpus scale).
     */
-  def knnTopKAgg(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+  /** Top-k ranking of a (query_id, vec_id, sim) scored set via the
+    * partial-aggregating TopKBySim (shared by KNN and both ANN paths —
+    * see the Aggregator's scaladoc for why this beats the row_number
+    * window at scale).
+    */
+  private[operators] def topKRanked(scored: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.Encoders
-    val corpus = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    val queries = corpus
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        cosine(col("vec"), col("qvec")).as("sim"))
     val rowEnc = Encoders.tuple(Encoders.scalaLong,
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     val hitEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
@@ -86,6 +84,17 @@ object Similarity extends QueryModule {
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("hit._1").as("neighbor_id"), round(col("hit._2"), 4).as("cosine_sim"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  def knnTopKAgg(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val queries = corpus
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("vec"), col("qvec")).as("sim"))
+    topKRanked(scored, k)
   }
 
   def knnQuery(spark: SparkSession, dir: String): DataFrame =
@@ -151,20 +160,24 @@ object Similarity extends QueryModule {
         col("bb.band").as("band"), col("bb.bkey").as("bkey"))
 
     val queries = banded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
-        col("band"), col("bkey"))
+      .select(col("vec_id").as("query_id"), col("band"), col("bkey"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_exact").desc, col("vec_id"))
-    banded.join(queries, Seq("band", "bkey"))
+    // candidate dedup on IDS ONLY (a pair can collide in several bands);
+    // vectors join back after — distinct over the id pair shuffles 16
+    // bytes/row, not the embedding payloads
+    val candidates = banded.select(col("vec_id"), col("band"), col("bkey"))
+      .join(queries, Seq("band", "bkey"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qvec"), col("vec_id"), col("vec")).distinct()
-      .withColumn("sim_exact", cosine(col("vec"), col("qvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("sim_exact"), 4).as("cosine_sim"))
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("vec_id")).distinct()
+
+    val vectors = corpus.select(col("vec_id"), col("vec"))
+    val qvecs = vectors.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val scored = candidates
+      .join(vectors, Seq("vec_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("vec"), col("qvec")).as("sim"))
+    topKRanked(scored, k)
   }
 
   /** q43: ANN — no SQL oracle (bucketing depends on engine-side hashing);
@@ -215,16 +228,11 @@ object Similarity extends QueryModule {
       .filter(col("prank") <= nProbe)
       .select(col("query_id"), col("qvec"), col("centroid_id").as("list_id"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_exact").desc, col("vec_id"))
-    assigned.join(probes, Seq("list_id"))
+    val scored = assigned.join(probes, Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("sim_exact", cosine(col("vec"), col("qvec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("sim_exact"), 4).as("cosine_sim"))
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("vec"), col("qvec")).as("sim"))
+    topKRanked(scored, k) // each vector lives in exactly one list — no dedup needed
   }
 
   /** q45: IVF ANN — no SQL oracle (centroid choice is engine-side);
