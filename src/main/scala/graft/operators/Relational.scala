@@ -581,9 +581,58 @@ object Relational extends QueryModule {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 
+  /** INTERSECT set op (completes union/except from q13/q14): nations
+    * that have both a customer with >9k balance and a supplier with
+    * >9k balance.
+    */
+  def intersectNations(spark: SparkSession, dir: String): DataFrame = {
+    val fromCust = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_nationkey").as("nationkey"))
+    val fromSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 9000)
+      .select(col("s_nationkey").as("nationkey"))
+    fromCust.intersect(fromSupp).orderBy(col("nationkey"))
+  }
+
+  private val intersectNationsSql =
+    """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+      |ORDER BY nationkey""".stripMargin
+
+  /** Numeric-array aggregation over embeddings: per-label count, mean
+    * vector norm, and mean component sum — higher-order array functions
+    * (aggregate) inside a hash aggregate, no UDFs.
+    */
+  def vectorStats(spark: SparkSession, dir: String): DataFrame = {
+    val vec = col("embedding").cast("array<double>")
+    val dot = aggregate(zip_with(vec, vec, (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+    val compSum = aggregate(vec, lit(0.0), (acc, x) => acc + x)
+    Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(dot))
+      .withColumn("comp_sum", compSum)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("norm")), 4).as("avg_norm"),
+        round(avg(col("comp_sum")), 4).as("avg_comp_sum"))
+      .orderBy(col("label"))
+  }
+
+  private val vectorStatsSql =
+    """WITH v AS (
+      |  SELECT label, embedding::DOUBLE[] AS vec FROM embeddings
+      |)
+      |SELECT label, count(*) AS n_vecs,
+      |  round(avg(sqrt(list_sum(list_transform(vec, x -> x * x)))), 4) AS avg_norm,
+      |  round(avg(list_sum(vec)), 4) AS avg_comp_sum
+      |FROM v GROUP BY label ORDER BY label""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q54_pivot", priorityStatusPivot, Some(priorityStatusPivotSql)),
     QueryDef("q56_approx_percentiles", approxPercentiles, None),
+    QueryDef("q60_intersect", intersectNations, Some(intersectNationsSql)),
+    QueryDef("q61_vector_stats", vectorStats, Some(vectorStatsSql)),
     QueryDef("q55_range_frame", trailingOrderAvg, Some(trailingOrderAvgSql)),
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), benchmark = true),
     QueryDef("q02_revenue_filter", revenueFilter, Some(revenueFilterSql), benchmark = true),
