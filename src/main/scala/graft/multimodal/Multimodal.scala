@@ -206,7 +206,7 @@ object Multimodal extends QueryModule {
       |      / 255.0 / greatest(length(text) // 16, 1) AS f0
       |  FROM documents
       |)
-      |SELECT kind, count(*) AS n_media, sum(n_bytes) AS total_bytes,
+      |SELECT kind, count(*) AS n_media, sum(n_bytes)::BIGINT AS total_bytes,
       |  round(avg(f0), 4) AS avg_f0
       |FROM f GROUP BY kind ORDER BY kind""".stripMargin
 

@@ -324,8 +324,8 @@ object Relational extends QueryModule {
 
   private val priorityBreakdownSql =
     """SELECT o_orderstatus, count(*) AS n_orders,
-      |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS n_high_or_urgent,
+      |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n_urgent,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS n_high_or_urgent,
       |  round(avg(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 4) AS avg_urgent_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
@@ -414,12 +414,12 @@ object Relational extends QueryModule {
 
   private val ordersProfileSql =
     """SELECT
-      |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS o_orderkey,
-      |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS o_custkey,
-      |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS o_orderstatus,
-      |  sum(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) THEN 1 ELSE 0 END) AS o_totalprice,
-      |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS o_orderdate,
-      |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS o_orderpriority
+      |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS o_orderkey,
+      |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS o_custkey,
+      |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)::BIGINT AS o_orderstatus,
+      |  sum(CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) THEN 1 ELSE 0 END)::BIGINT AS o_totalprice,
+      |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS o_orderdate,
+      |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)::BIGINT AS o_orderpriority
       |FROM orders""".stripMargin
 
   /** lag() analytic — days between consecutive orders per customer. */

@@ -180,33 +180,86 @@ object Similarity extends QueryModule {
     topKRanked(scored, k)
   }
 
-  /** q43: ANN — no SQL oracle (bucketing depends on engine-side hashing);
-    * SimilaritySpec asserts recall vs. the exact brute-force result.
+  /** q43: ANN over hyperplane-LSH buckets. The hyperplanes are
+    * deterministic constants (seeded splitmix64, see `hyperplanes`), so
+    * the SQL oracle replicates the whole path — signatures, banding,
+    * candidate join, exact re-rank — by inlining the same plane
+    * coefficients as double literals.
     */
   def annQuery(spark: SparkSession, dir: String): DataFrame =
     annHyperplane(Tables.embeddings(spark, dir))
 
+  private def planeLiteral(p: Array[Double]): String =
+    p.map(_.toString).mkString("[", ", ", "]")
+
+  /** DuckDB replica of `annHyperplane(nQueries=5, k=10, nBits=18)`:
+    * signature = Σ 2^i over planes with dot ≥ 0, three 6-bit bands,
+    * bucket-join candidates, exact cosine top-10. Plane literals are the
+    * exact same doubles the Spark expression uses (Double.toString
+    * round-trips), so both engines compute identical signatures; the only
+    * cross-engine risk is a dot product within an ulp of 0, which the
+    * seeded random planes make vanishingly unlikely.
+    */
+  private[operators] lazy val annOracleSql: String = {
+    val planes = hyperplanes(18, 64, 42L)
+    val sigTerms = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(vec, ${planeLiteral(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH c AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+       |), sigs AS (
+       |  SELECT vec_id,
+       |      $sigTerms AS sig
+       |  FROM c
+       |), banded AS (
+       |  SELECT s.vec_id, b.band, (s.sig >> (b.band * 6)) & 63 AS bkey
+       |  FROM sigs s CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS band) b
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, x.vec_id
+       |  FROM banded x JOIN banded q ON x.band = q.band AND x.bkey = q.bkey
+       |  WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id
+       |), scored AS (
+       |  SELECT cand.query_id, cand.vec_id,
+       |    list_cosine_similarity(cv.vec, qv.vec) AS sim,
+       |    row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY list_cosine_similarity(cv.vec, qv.vec) DESC, cand.vec_id) AS rank
+       |  FROM cand JOIN c cv ON cand.vec_id = cv.vec_id
+       |            JOIN c qv ON cand.query_id = qv.vec_id)
+       |SELECT query_id, rank, vec_id AS neighbor_id, round(sim, 4) AS cosine_sim
+       |FROM scored WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   // --- IVF (inverted-file) ANN ------------------------------------------
 
   /** Assign every vector to its nearest of `nLists` centroids. Centroids
-    * are a deterministic corpus sample (lowest `nLists` values of
-    * xxhash64(vec_id) — uniform, reproducible, no RNG state); assignment
-    * is a broadcast of the centroid table + a single max_by over the
-    * per-centroid cosines, so the corpus never shuffles. At 100 TB this
-    * is the standard IVF build: one broadcast pass to partition the
-    * corpus into lists, then queries probe only the nearest lists.
+    * are a deterministic corpus sample (the `nLists` lowest values of
+    * md5(vec_id) — uniform like a hash pick, and md5 is portable so the
+    * SQL oracle engine replays the exact same sample);
+    * assignment is a per-row argmax expression over the centroid vectors
+    * inlined as literals (they are tiny — nLists rows collected once), so
+    * the corpus NEVER shuffles and never even joins: one narrow map pass
+    * computes every row's list. At 100 TB this is the standard IVF build.
     */
   def ivfAssign(corpus: DataFrame, nLists: Int): (DataFrame, DataFrame) = {
     val centroids = corpus
-      .withColumn("__h", xxhash64(col("vec_id")))
-      .orderBy(col("__h"), col("vec_id")).limit(nLists)
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(nLists)
       .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"))
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("vec"), col("cvec")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("list_id"),
-        first(col("vec")).as("vec"))
-    (scored, centroids)
+    // nLists rows — a driver collect of the centroid table is the cheap,
+    // standard way to turn them into literals for the argmax expression.
+    val cents: Array[(Long, Seq[Double])] = centroids.collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1))
+    }
+    // argmax by (csim, then lower centroid_id): array_max over structs
+    // compares fields left-to-right, so (csim, -cid) picks the highest
+    // similarity and breaks ties toward the smaller centroid id.
+    val best = array_max(array(cents.map { case (cid, cvec) =>
+      struct(cosine(col("vec"), array(cvec.map(lit): _*)).as("csim"),
+        lit(-cid).as("negid"))
+    }: _*))
+    val assigned = corpus
+      .withColumn("list_id", -best.getField("negid"))
+      .select(col("vec_id"), col("list_id"), col("vec"))
+    (assigned, centroids)
   }
 
   /** IVF ANN top-k: probe the `nProbe` centroids nearest to each query,
@@ -235,12 +288,46 @@ object Similarity extends QueryModule {
     topKRanked(scored, k) // each vector lives in exactly one list — no dedup needed
   }
 
-  /** q45: IVF ANN — no SQL oracle (centroid choice is engine-side);
-    * SimilaritySpec asserts near-perfect recall on clustered data and
-    * candidate-enrichment on the uniform corpus.
+  /** q45: IVF ANN — centroids are the 16 lowest md5(vec_id) picks, so
+    * the SQL oracle replays the full build/probe/scan path; SimilaritySpec
+    * additionally asserts recall on clustered data.
     */
   def ivfQuery(spark: SparkSession, dir: String): DataFrame =
     annIvf(Tables.embeddings(spark, dir))
+
+  /** DuckDB replica of `annIvf(nQueries=5, k=10, nLists=16, nProbe=4)`:
+    * same centroid sample (lowest 16 by md5(vec_id)), argmax list
+    * assignment, top-4 probes per query, exact cosine top-10 over the
+    * probed lists.
+    */
+  private val ivfOracleSql =
+    """WITH c AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+      |), cents AS (
+      |  SELECT vec_id AS centroid_id, vec AS cvec FROM c
+      |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+      |), asg AS (
+      |  SELECT vec_id, vec, centroid_id AS list_id FROM (
+      |    SELECT c.vec_id, c.vec, t.centroid_id,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.centroid_id) AS rn
+      |    FROM c CROSS JOIN cents t) WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 5
+      |), probes AS (
+      |  SELECT query_id, qvec, centroid_id AS list_id FROM (
+      |    SELECT q.query_id, q.qvec, t.centroid_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_cosine_similarity(q.qvec, t.cvec) DESC, t.centroid_id) AS prank
+      |    FROM q CROSS JOIN cents t) WHERE prank <= 4
+      |), scored AS (
+      |  SELECT p.query_id, a.vec_id,
+      |    list_cosine_similarity(a.vec, p.qvec) AS sim,
+      |    row_number() OVER (PARTITION BY p.query_id
+      |      ORDER BY list_cosine_similarity(a.vec, p.qvec) DESC, a.vec_id) AS rank
+      |  FROM asg a JOIN probes p ON a.list_id = p.list_id AND a.vec_id <> p.query_id)
+      |SELECT query_id, rank, vec_id AS neighbor_id, round(sim, 4) AS cosine_sim
+      |FROM scored WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** Embedding near-duplicate pairs above a cosine threshold, all-pairs
     * (exact, for oracle parity — bounded corpora only; the LSH variant is
@@ -316,7 +403,7 @@ object Similarity extends QueryModule {
     * into the similarity computation.
     */
   def semanticSearch(spark: SparkSession, dir: String): DataFrame = {
-    val hits = knnBruteForce(Tables.embeddings(spark, dir), nQueries = 5, k = 5)
+    val hits = knnTopKAgg(Tables.embeddings(spark, dir), nQueries = 5, k = 5)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"))
     hits.join(docs, hits("neighbor_id") === docs("doc_id"))
@@ -344,8 +431,8 @@ object Similarity extends QueryModule {
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_knn_bruteforce", knnQuery, Some(knnOracleSql), benchmark = true),
     QueryDef("q57_semantic_search", semanticSearch, Some(semanticSearchSql)),
-    QueryDef("q43_ann_hyperplane", annQuery, None, benchmark = true),
+    QueryDef("q43_ann_hyperplane", annQuery, Some(annOracleSql), benchmark = true),
     QueryDef("q44_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
-    QueryDef("q45_ann_ivf", ivfQuery, None),
+    QueryDef("q45_ann_ivf", ivfQuery, Some(ivfOracleSql)),
   )
 }

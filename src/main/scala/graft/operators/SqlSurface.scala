@@ -65,12 +65,12 @@ object SqlSurface extends QueryModule {
       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
       |  GROUP BY 1, 2
       |), rollup_region AS (
-      |  SELECT r.r_name, obs.o_orderstatus, sum(obs.n) AS n_orders
+      |  SELECT r.r_name, obs.o_orderstatus, sum(obs.n)::BIGINT AS n_orders
       |  FROM obs JOIN region r ON obs.n_regionkey = r.r_regionkey
       |  GROUP BY 1, 2
       |)
       |SELECT g.r_name, g.o_orderstatus,
-      |  coalesce(rr.n_orders, 0) AS n_orders
+      |  coalesce(rr.n_orders, 0)::BIGINT AS n_orders
       |FROM grid g LEFT JOIN rollup_region rr
       |  ON g.r_name = rr.r_name AND g.o_orderstatus = rr.o_orderstatus
       |ORDER BY g.r_name, g.o_orderstatus""".stripMargin

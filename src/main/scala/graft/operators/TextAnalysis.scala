@@ -64,7 +64,7 @@ object TextAnalysis extends QueryModule {
       |  min(len(regexp_extract_all(text, '\S+')))::INT AS min_tokens,
       |  max(len(regexp_extract_all(text, '\S+')))::INT AS max_tokens,
       |  round(avg(n_chars), 4) AS avg_chars,
-      |  sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens
+      |  sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS total_tokens
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Vocabulary size per language (explode → distinct — the shuffle is on
@@ -354,8 +354,8 @@ object TextAnalysis extends QueryModule {
     // SQL strings are not backslash-escaped)
     val pat = bpePattern.replace("'", "''")
     s"""SELECT source,
-       |  sum(len(regexp_extract_all(text, '\\S+'))) AS total_ws_tokens,
-       |  sum(len(regexp_extract_all(text, '$pat'))) AS total_bpe_tokens,
+       |  sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS total_ws_tokens,
+       |  sum(len(regexp_extract_all(text, '$pat')))::BIGINT AS total_bpe_tokens,
        |  round(avg(len(regexp_extract_all(text, '$pat'))::DOUBLE
        |        / len(regexp_extract_all(text, '\\S+'))), 4) AS avg_bpe_per_ws
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
@@ -393,7 +393,7 @@ object TextAnalysis extends QueryModule {
   private val stratifiedSampleSql = {
     val cases = sampleRates.toSeq.sortBy(_._1)
       .map { case (s, r) => s"WHEN source = '$s' THEN $r" }.mkString(" ")
-    s"""SELECT source, count(*) AS n_sampled, sum(n_chars) AS sampled_chars
+    s"""SELECT source, count(*) AS n_sampled, sum(n_chars)::BIGINT AS sampled_chars
        |FROM documents
        |WHERE doc_id % 1000 < (CASE $cases ELSE 0 END)
        |GROUP BY source ORDER BY source""".stripMargin

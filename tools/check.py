@@ -25,7 +25,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
             df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    # Sort by non-float (key) columns only: float columns can differ by an
+    # ulp between engines, and including them in the sort key would misalign
+    # the row pairing between 'mine' and 'oracle' (see ADVICE r01).
+    keys = [c for c in df.columns if not pd.api.types.is_float_dtype(df[c])]
+    df = df.sort_values(by=keys or list(df.columns), ignore_index=True)
     return df
 
 
@@ -38,6 +42,12 @@ def compare(name, mine: pd.DataFrame, oracle: pd.DataFrame):
     bad = []
     for c in a.columns:
         av, bv = a[c], b[c]
+        # dtype-strict: the driver hashes typed values, so an int64 vs
+        # float64 mismatch (e.g. DuckDB HUGEINT sum -> float64) is a real
+        # fail even when the numbers are equal. Match its behavior.
+        if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv):
+            bad.append((c, "dtype-DIFF", f"mine={av.dtype} oracle={bv.dtype}"))
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             aa = av.astype(float).to_numpy()
             bb = bv.astype(float).to_numpy()
