@@ -47,6 +47,53 @@ object SigImpl {
     out
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit token hash = first 15 hex chars of md5, parsed base-16
+    * (= first 7 bytes + the high nibble of byte 7, big-endian). 60 bits
+    * instead of 64 keeps the value in signed-long range for every SQL
+    * engine, which is what makes the q41 oracle replicable.
+    */
+  def hash60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** SimHash over the portable 60-bit md5 token hash — same per-bit
+    * majority vote as [[simHash64]], one pass over the tokens.
+    */
+  def simHashMd5(arr: ArrayData): Long = {
+    val votes = new Array[Int](60)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = hash60(arr.getUTF8String(i))
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   def minHash(arr: ArrayData, seeds: Array[Long]): Array[Long] = {
     val k = seeds.length
     val mins = new Array[Long](k)
@@ -88,6 +135,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 60-bit md5-based SimHash of an array<string> in a single pass — the
+  * portable sibling of [[SimHash64]] (md5 is implemented identically in
+  * every engine, so a SQL oracle can replay the signature bit-for-bit).
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5_60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SigImpl.simHashMd5(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SigImpl.simHashMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+}
+
 /** MinHash signature (array<long>, length = seeds.length) of an
   * array<string> in a single pass over the input.
   */
@@ -116,6 +181,9 @@ object HashFunctions {
   /** Column API for the custom expressions. */
   def simhash64(c: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+
+  def simhashMd5(c: Column): Column =
+    ColumnBridge.column(SimHashMd5(ColumnBridge.expression(c)))
 
   def minhashSig(c: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), numHashes))

@@ -166,16 +166,33 @@ object Dedup extends QueryModule {
     * with one linear shuffle.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 7): DataFrame = {
+      maxHamming: Int = 7): DataFrame =
+    simHashPairsWith(docs, idCol, textCol, simHash, 64, maxHamming)
+
+  /** q41 declared variant: SimHash over the portable 60-bit md5 token
+    * hash ([[graft.functions.SimHashMd5]] — same one-pass vote kernel),
+    * 6 bands × 10 bits, so the SQL oracle replays signature, banding and
+    * Hamming check exactly. The xxhash64 form above is the faster
+    * default for engine-internal runs; both have exact pigeonhole
+    * recall.
+    */
+  def simHashPairsMd5(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 5): DataFrame =
+    simHashPairsWith(docs, idCol, textCol,
+      graft.functions.HashFunctions.simhashMd5, 60, maxHamming)
+
+  private def simHashPairsWith(docs: DataFrame, idCol: String, textCol: String,
+      sigFn: Column => Column, nBits: Int, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
-    val bitsPerBand = 64 / nBands // 8 bands of 8 bits for maxHamming=7
+    require(nBits % nBands == 0, s"$nBits bits not divisible into $nBands bands")
+    val bitsPerBand = nBits / nBands // e.g. 8 bands of 8 bits for maxHamming=7
     // Persisted: the bucket self-join references the signature table on
-    // both sides; without persist the 64-bit-vote simHash expression
+    // both sides; without persist the bit-vote signature expression
     // would be evaluated twice per document.
     val signed = docs
       .withColumn("__toks", split(col(textCol), " "))
       .filter(size(col("__toks")) >= 1)
-      .select(col(idCol), simHash(col("__toks")).as("__sim"))
+      .select(col(idCol), sigFn(col("__toks")).as("__sim"))
       .persist()
 
     val bandStructs = array((0 until nBands).map { b =>
@@ -198,12 +215,47 @@ object Dedup extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** q41: SimHash near-dups on `documents` (no SQL oracle — xxhash64 is
-    * not expressible in the oracle engine; covered by DedupSpec, which
-    * checks the banding result equals the brute-force all-pairs result).
+  /** q41: SimHash near-dups on `documents` via the portable md5 variant
+    * — hash-checked against a full SQL replay of the signature/banding
+    * path; DedupSpec additionally checks banding ≡ brute-force all-pairs.
     */
   def simHashQuery(spark: SparkSession, dir: String): DataFrame =
-    simHashPairs(Tables.documents(spark, dir), "doc_id", "text")
+    simHashPairsMd5(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** DuckDB replica of `simHashPairsMd5(maxHamming=5)`: 60-bit token
+    * hash = first 15 md5 hex chars parsed base-16, per-bit majority vote
+    * (> 0 → 1), 6 bands × 10 bits pigeonhole candidates, exact Hamming
+    * filter.
+    */
+  private val simHashOracleSql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), hashed AS (
+      |  SELECT doc_id, list_reduce(list_transform(generate_series(1, 15),
+      |      i -> strpos('0123456789abcdef', substring(md5(tok), i, 1)) - 1),
+      |    (acc, d) -> acc * 16 + d) AS h
+      |  FROM toks
+      |), votes AS (
+      |  SELECT doc_id, bb.b AS b,
+      |    sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bb
+      |  GROUP BY doc_id, bb.b
+      |), sigs AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig
+      |  FROM votes GROUP BY doc_id
+      |), banded AS (
+      |  SELECT s.doc_id, s.sig, bb.band, (s.sig >> (bb.band * 10)) & 1023 AS bkey
+      |  FROM sigs s CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS band) bb
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, a.sig AS sig_a,
+      |                  b.doc_id AS doc_b, b.sig AS sig_b
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+      |  WHERE a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::INT AS hamming_dist
+      |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 5
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- duplicate-group clustering --------------------------------------
 
@@ -284,7 +336,7 @@ object Dedup extends QueryModule {
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_minhash_lsh", minHashQuery, Some(minHashOracleSql), benchmark = true),
-    QueryDef("q41_simhash", simHashQuery, None, benchmark = true),
+    QueryDef("q41_simhash", simHashQuery, Some(simHashOracleSql), benchmark = true),
     QueryDef("q53_dup_groups", dupGroupsQuery, Some(dupGroupsSql)),
   )
 }

@@ -399,22 +399,36 @@ object TextAnalysis extends QueryModule {
        |GROUP BY source ORDER BY source""".stripMargin
   }
 
-  /** q39: winnowing-style rolling-hash fingerprint groups — unlike the
-    * q34 prefix digest, the min-rolling-hash fingerprint survives edits
-    * outside the minimizing 64-byte window, so shifted/near-identical
-    * payloads still collide. Custom one-pass expression
-    * [[graft.functions.MinRollingHash]]; no SQL oracle (61-bit modular
-    * rolling arithmetic isn't portable) — spec covers the kernel
-    * against a reference implementation and the shift-invariance
-    * property.
+  /** q39: winnowing-style fingerprint groups — unlike the q34 prefix
+    * digest, the min-over-all-64-char-windows fingerprint survives edits
+    * outside the minimizing window, so shifted/near-identical payloads
+    * still collide. The declared form hashes each window with md5 and
+    * takes the lexicographic min (same winnowing semantics, and md5 is
+    * portable so the SQL oracle replays it exactly). Linear, map-only,
+    * no shuffle beyond the group-by; the constant factor (one md5 per
+    * window) is what [[graft.functions.MinRollingHash]] removes — that
+    * one-pass rolling kernel is the high-throughput variant for 100 TB
+    * runs and stays spec-covered against a reference implementation.
     */
   def rollingFingerprintQuery(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("rfp",
-        graft.functions.RollingHashFunctions.minRollingHash(col("text"), 64))
+      .withColumn("rfp", expr(
+        "array_min(transform(sequence(1, greatest(length(text) - 63, 1))," +
+          " i -> md5(substring(text, i, 64))))"))
       .groupBy(col("rfp"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
       .orderBy(col("rfp"))
+
+  /** DuckDB replica of the q39 min-md5-window fingerprint. */
+  private val rollingFingerprintSql =
+    """SELECT rfp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+      |FROM (
+      |  SELECT doc_id,
+      |    list_min(list_transform(
+      |      generate_series(1, greatest(length(text) - 63, 1)),
+      |      i -> md5(substring(text, i, 64)))) AS rfp
+      |  FROM documents)
+      |GROUP BY rfp ORDER BY rfp""".stripMargin
 
   /** Shard writer — the output stage of a curation run: hash-balanced
     * shards (id-hash partitioning, so shard sizes stay even regardless
@@ -435,7 +449,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("q36_corpus_prep", corpusPrepQuery, Some(corpusPrepSql), benchmark = true),
     QueryDef("q37_bpe_tokens", bpeTokenStats, Some(bpeTokenStatsSql)),
     QueryDef("q38_stratified_sample", stratifiedSampleQuery, Some(stratifiedSampleSql)),
-    QueryDef("q39_rolling_fingerprint", rollingFingerprintQuery, None),
+    QueryDef("q39_rolling_fingerprint", rollingFingerprintQuery, Some(rollingFingerprintSql)),
     QueryDef("q30_token_stats", tokenStats, Some(tokenStatsSql)),
     QueryDef("q31_vocabulary", vocabulary, Some(vocabularySql)),
     QueryDef("q32_quality_score", qualityScore, Some(qualityScoreSql), benchmark = true),

@@ -81,22 +81,38 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
-  test("simHash banding finds exactly the brute-force Hamming<=7 pairs on sf0.001") {
+  /** Brute-force Hamming≤k pairs for a given signature column builder. */
+  private def bruteForcePairs(sigFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      maxHamming: Int): Set[(Long, Long, Int)] = {
     val docs = graft.Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), Dedup.simHash(col("toks")).as("sim"))
+      .select(col("doc_id"), sigFn(col("toks")).as("sim"))
     val a = docs.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"))
-    val exact = a.join(b, col("doc_a") < col("doc_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
       .withColumn("hd", Dedup.hamming(col("sim_a"), col("sim_b")).cast("int"))
-      .filter(col("hd") <= 7)
+      .filter(col("hd") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hd"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+  }
 
-    val banded = Dedup.simHashQuery(spark, sfDir)
+  test("simHash banding finds exactly the brute-force Hamming<=7 pairs on sf0.001") {
+    val exact = bruteForcePairs(Dedup.simHash, 7)
+    val banded = Dedup.simHashPairs(
+        graft.Tables.documents(spark, sfDir), "doc_id", "text")
       .select(col("doc_a"), col("doc_b"), col("hamming_dist").cast("int"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(banded === exact, // pigeonhole banding is lossless
+      s"missing=${(exact diff banded).take(5)} extra=${(banded diff exact).take(5)}")
+    assert(banded.nonEmpty)
+  }
+
+  test("md5-60 simHash banding (q41) equals brute-force Hamming<=5 on sf0.001") {
+    val exact = bruteForcePairs(graft.functions.HashFunctions.simhashMd5, 5)
+    val banded = Dedup.simHashQuery(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("hamming_dist").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === exact,
       s"missing=${(exact diff banded).take(5)} extra=${(banded diff exact).take(5)}")
     assert(banded.nonEmpty)
   }
