@@ -35,21 +35,27 @@ object Bench {
     // per-query warmup run (codegen compile, page cache), then measure.
     // Caches are cleared in between so queries that persist intermediates
     // (signature tables) re-pay that cost in the measured run.
+    // a failed query records -1 (not its near-zero elapsed time) so a
+    // broken benchmark can't silently read as fast-and-successful
     val results = SparkEntry.benchQueries.map { d =>
       try d.build(spark, sfDir).count()
       catch { case _: Throwable => () }
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try d.build(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
-      }
-      d.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { d.build(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
+          false
+        }
+      d.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val errsJson = if (errors.isEmpty) "" else errors.mkString(""","errors":[""", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

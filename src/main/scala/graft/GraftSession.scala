@@ -20,8 +20,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-      // events.parquet stores timestamp[ns]; read as micros, not long.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+      // events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects
+      // outright unless it's read as a raw long — Tables.events requires
+      // this conf and converts long nanos → timestamp_micros itself.
+      // Setting it here (rather than mutating the conf inside
+      // Tables.events) keeps session state consistent for the whole run.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -263,13 +263,21 @@ object Dedup extends QueryModule {
     * the minimum doc id reachable through pair edges as its `group_id`
     * (so the group representative is `doc_id == group_id`).
     *
-    * Iterative min-label propagation: each round joins current labels
-    * across edges and keeps the per-node minimum. Rounds needed =
-    * O(log(diameter)) for typical near-dup clusters (tiny diameters);
-    * each round is one join + one aggregation, both shuffling on ids.
-    * Labels are persisted per round and the previous round unpersisted —
-    * without that, iteration k would replay all k-1 prior joins
-    * (lineage growth is the classic iterative-algorithm trap at scale).
+    * Iterative min-label propagation with pointer doubling: each round
+    * (a) joins current labels across edges and keeps the per-node
+    * minimum (one hop), then (b) replaces every label by its label's own
+    * label (label values are always member ids, and label(label(x)) ≤
+    * label(x)), so label chains halve each round — true O(log diameter)
+    * convergence, which one-hop propagation alone does NOT give (it
+    * advances one edge per round). If the loop still hasn't converged at
+    * `maxIter` it throws instead of returning silently-split groups.
+    * Each round's labels are eagerly localCheckpoint-ed (and the prior
+    * round unpersisted): persist alone caches data but leaves the
+    * LOGICAL plan growing — with doubling it nests geometrically and
+    * plan rendering alone OOMs after ~8 rounds; checkpointing truncates
+    * lineage so every round starts from a flat plan. (On a cluster with
+    * an HDFS checkpoint dir, `checkpoint()` gives the fault-tolerant
+    * equivalent.)
     */
   def dupGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // both edge directions from ONE evaluation of the (expensive) pair
@@ -288,18 +296,28 @@ object Dedup extends QueryModule {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label"))
+      val hop = labels.select(col("id"), col("label"))
         .union(propagated)
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"))
-        .persist()
+        .persist() // read twice by the doubling self-join below
+      // pointer doubling: follow the label's own label
+      val next = hop.join(
+          hop.select(col("id").as("label"), col("label").as("plabel")), Seq("label"))
+        .select(col("id"), col("plabel").as("label"))
+        .localCheckpoint() // eager: materializes + truncates lineage
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).count()
+      hop.unpersist()
       labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dupGroups did not converge within $maxIter pointer-doubling rounds " +
+          "(component diameter > 2^" + maxIter + "?)")
     labels.select(col("id").as("doc_id"), col("label").as("group_id"))
   }
 

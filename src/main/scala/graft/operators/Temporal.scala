@@ -29,6 +29,16 @@ object Temporal extends QueryModule {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       rightVals: Seq[String]): DataFrame = {
+    // name-collision guard: a left column named like a rightVal would be
+    // shadowed by the lit(null) placeholder, and the internal tag
+    // columns must not exist on either side — fail loudly instead
+    val reserved = Set("__t", "__is_left")
+    val overlap = left.columns.toSet intersect rightVals.toSet
+    require(overlap.isEmpty,
+      s"asOfJoin: left columns ${overlap.mkString(", ")} collide with rightVals")
+    val tagClash = (left.columns.toSet ++ right.columns.toSet) intersect reserved
+    require(tagClash.isEmpty,
+      s"asOfJoin: ${tagClash.mkString(", ")} are reserved internal column names")
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))

@@ -107,6 +107,17 @@ class DedupSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("dupGroups converges on a 200-node chain (pointer doubling)") {
+    // diameter 199 — one-hop propagation would need 199 rounds and the
+    // old maxIter=10 silently returned split groups; pointer doubling
+    // reaches it in <= 10 rounds
+    import TestSpark.spark.implicits._
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val groups = Dedup.dupGroups(pairs)
+    assert(groups.count() === 200)
+    assert(groups.filter(col("group_id") =!= 0L).count() === 0)
+  }
+
   test("md5-60 simHash banding (q41) equals brute-force Hamming<=5 on sf0.001") {
     val exact = bruteForcePairs(graft.functions.HashFunctions.simhashMd5, 5)
     val banded = Dedup.simHashQuery(spark, sfDir)
