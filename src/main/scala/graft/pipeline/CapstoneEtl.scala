@@ -28,10 +28,21 @@ object CapstoneEtl {
       fact: DataFrame, visa: DataFrame, calendar: DataFrame,
       country: DataFrame, demographics: DataFrame)
 
-  /** Readers mirroring SURVEY §2.1 S2–S4, with explicit schemas. */
-  def readImmigration(spark: SparkSession, path: String): DataFrame =
+  /** Readers mirroring SURVEY §2.1 S2–S4, with explicit schemas.
+    *
+    * `readImmigration` is format-parameterized: the reference ingests
+    * `i94_apr16_sub.sas7bdat` through a SAS DataSource (etl.py:24,
+    * etl.py:42); no SAS reader exists for Spark 4 in this offline
+    * environment, so the default is the CSV fixture seam — but a SAS
+    * package drops in as
+    * `readImmigration(spark, path, "com.github.saurfang.sas.spark",
+    * Map.empty)` with no other code change.
+    */
+  def readImmigration(spark: SparkSession, path: String,
+      format: String = "csv",
+      options: Map[String, String] = Map("header" -> "true")): DataFrame =
     spark.read.schema(CapstoneSchemas.immigration)
-      .option("header", "true").csv(path)
+      .format(format).options(options).load(path)
 
   def readTemperature(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(CapstoneSchemas.temperature)
@@ -45,19 +56,23 @@ object CapstoneEtl {
     spark.read.schema(CapstoneSchemas.countryCodes)
       .option("header", "true").csv(path)
 
-  /** Build all five star-schema tables from raw inputs. */
+  /** Build all five star-schema tables from raw inputs. `compat`
+    * replays the reference's literal quirks (see [[Compat]]); the
+    * default is intended semantics.
+    */
   def buildStarSchema(immigrationRaw: DataFrame, temperatureRaw: DataFrame,
-      demographicsRaw: DataFrame, countryCodes: DataFrame): StarSchemaTables = {
+      demographicsRaw: DataFrame, countryCodes: DataFrame,
+      compat: Compat = Compat.default): StarSchemaTables = {
     val immigration = Clean.cleanImmigration(immigrationRaw).cache()
     val temperature = Clean.cleanTemperature(temperatureRaw)
     val demographics = Clean.cleanDemographics(demographicsRaw)
 
     val visa = StarSchema.visaTypeDim(immigration)
     StarSchemaTables(
-      fact = StarSchema.immigrationFact(immigration, visa),
+      fact = StarSchema.immigrationFact(immigration, visa, compat),
       visa = visa,
-      calendar = StarSchema.calendarDim(immigration),
-      country = StarSchema.countryDim(immigration, countryCodes, temperature),
+      calendar = StarSchema.calendarDim(immigration, compat),
+      country = StarSchema.countryDim(immigration, countryCodes, temperature, compat),
       demographics = StarSchema.demographicsDim(demographics))
   }
 

@@ -28,9 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object StarSchema {
 
-  /** SAS date (days since 1960-01-01, nullable double) → DateType. */
-  def sasDate(days: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(days.isNotNull, date_add(to_date(lit("1960-01-01")), days.cast("int")))
+  /** SAS date (days since 1960-01-01, nullable double) → DateType.
+    * With `compat.epochZeroNullDate`, day 0 maps to NULL like the
+    * reference's truthiness guard (etl_functions.py:24) instead of the
+    * correct 1960-01-01.
+    */
+  def sasDate(days: org.apache.spark.sql.Column,
+      compat: Compat = Compat.default): org.apache.spark.sql.Column = {
+    val defined =
+      if (compat.epochZeroNullDate) days.isNotNull && days =!= 0.0
+      else days.isNotNull
+    when(defined, date_add(to_date(lit("1960-01-01")), days.cast("int")))
+  }
 
   /** visa_type_dim(visatype, visa_type_key) — distinct visatypes with a
     * deterministic surrogate key (etl_functions.py:62–71).
@@ -45,13 +54,15 @@ object StarSchema {
     * calendar attributes (etl_functions.py:115–131). `id` is the SAS day
     * offset itself: already unique per row, naturally deterministic.
     */
-  def calendarDim(immigration: DataFrame): DataFrame =
+  def calendarDim(immigration: DataFrame,
+      compat: Compat = Compat.default): DataFrame =
     immigration.select(col("arrdate"))
       .where(col("arrdate").isNotNull)
       .distinct()
       .select(
-        sasDate(col("arrdate")).as("arrdate"),
+        sasDate(col("arrdate"), compat).as("arrdate"),
         col("arrdate").cast("long").as("id"))
+      .where(col("arrdate").isNotNull)
       .select(
         col("arrdate"),
         dayofmonth(col("arrdate")).as("arrival_day"),
@@ -66,16 +77,25 @@ object StarSchema {
     * temperature (etl_functions.py:80–111, intended semantics).
     */
   def countryDim(immigration: DataFrame, countryCodes: DataFrame,
-      temperature: DataFrame): DataFrame = {
+      temperature: DataFrame, compat: Compat = Compat.default): DataFrame = {
     val avgTemp = Clean.aggregateTemperature(temperature)
+    // compat mode replays the reference's raw equi-join: UPPERCASE
+    // i94res names vs Title Case temperature countries ⇒ almost every
+    // average_temperature comes out NULL, byte-faithfully
+    val codeName =
+      if (compat.caseSensitiveCountryJoin) col("Name")
+      else initcap(lower(col("Name")))
+    val tempName =
+      if (compat.caseSensitiveCountryJoin) col("Country")
+      else initcap(col("Country"))
     immigration.select(col("i94res").cast("long").as("country_code"))
       .where(col("country_code").isNotNull)
       .distinct()
       .join(broadcast(countryCodes.select(
         col("code").cast("long").as("country_code"),
-        initcap(lower(col("Name"))).as("country_name"))), Seq("country_code"), "left")
+        codeName.as("country_name"))), Seq("country_code"), "left")
       .join(broadcast(avgTemp.select(
-        initcap(col("Country")).as("country_name"),
+        tempName.as("country_name"),
         col("average_temperature"))), Seq("country_name"), "left")
       .select(col("country_code"), col("country_name"), col("average_temperature"))
   }
@@ -105,12 +125,13 @@ object StarSchema {
   /** immigration_fact — FK renames, visa-type key joined in (broadcast),
     * SAS arrival date converted (etl_functions.py:13–38).
     */
-  def immigrationFact(immigration: DataFrame, visaDim: DataFrame): DataFrame =
+  def immigrationFact(immigration: DataFrame, visaDim: DataFrame,
+      compat: Compat = Compat.default): DataFrame =
     immigration
       .withColumnRenamed("cicid", "record_id")
       .withColumnRenamed("i94res", "country_residence_code")
       .withColumnRenamed("i94addr", "state_code")
       .join(broadcast(visaDim), Seq("visatype"), "left")
-      .withColumn("arrdate", sasDate(col("arrdate")))
+      .withColumn("arrdate", sasDate(col("arrdate"), compat))
       .drop("visatype")
 }

@@ -100,6 +100,34 @@ class CapstonePipelineSpec extends SparkSpec {
     assert(fact.filter(col("record_id") === 5.0).head().getAs[java.sql.Date]("arrdate") === null)
   }
 
+  test("compat mode reproduces the reference's literal outputs") {
+    // Compat.reference replays the two documented quirks:
+    // etl_functions.py:24 (truthiness nulls epoch-zero dates) and
+    // etl_functions.py:102-109 (case-sensitive country⋈temperature join)
+    val t = CapstoneEtl.buildStarSchema(imm, temp, demo, codes, Compat.reference)
+
+    // epoch-zero arrdate (cicid 4, arrdate=0.0) -> NULL, not 1960-01-01
+    val fact4 = t.fact.filter(col("record_id") === 4.0).collect()
+    assert(fact4.length === 1)
+    assert(fact4.head.getAs[java.sql.Date]("arrdate") === null)
+    assert(t.fact.filter(col("arrdate") === "1960-01-01").count() === 0)
+    // and the calendar has no 1960-01-01 / id=0 row either
+    assert(t.calendar.filter(col("id") === 0L).count() === 0)
+
+    // UPPERCASE mapping names never match Title Case temperature
+    // countries -> every average_temperature is NULL
+    assert(t.country.filter(col("average_temperature").isNotNull).count() === 0)
+    // while names themselves stay raw UPPERCASE
+    val names = t.country.filter(col("country_name").isNotNull)
+      .select("country_name").collect().map(_.getString(0)).toSet
+    assert(names === Set("MEXICO", "AFGHANISTAN"))
+
+    // default mode on the same inputs keeps the intended semantics
+    val d = CapstoneEtl.buildStarSchema(imm, temp, demo, codes)
+    assert(d.fact.filter(col("arrdate") === "1960-01-01").count() === 1)
+    assert(d.country.filter(col("average_temperature").isNotNull).count() > 0)
+  }
+
   test("quality checks: star schema passes; duplicate keys fail") {
     val t = CapstoneEtl.buildStarSchema(imm, temp, demo, codes)
     val results = QualityChecks.checkAll(t.fact, t.visa, t.calendar, t.country, t.demographics)

@@ -1,9 +1,29 @@
 package graft
 
+import graft.pipeline.CapstoneEtl
 import graft.sources.Formats
 import org.apache.spark.sql.functions._
 
 class FormatsSpec extends SparkSpec {
+
+  test("readImmigration's format seam: the same data reads identically through csv and parquet") {
+    // The reference ingests SAS (etl.py:24); no SAS reader exists for
+    // Spark 4 offline, so the seam is exercised with two formats the
+    // environment does have — proving a SAS DataSource would drop in
+    // via the format parameter with no other code change.
+    val fixture = CapstoneFixtures.immigration(spark)
+    val dir = java.nio.file.Files.createTempDirectory("immseam").toString
+    fixture.write.option("header", "true").csv(s"$dir/csv")
+    fixture.write.parquet(s"$dir/parquet")
+
+    val viaCsv = CapstoneEtl.readImmigration(spark, s"$dir/csv")
+    val viaParquet = CapstoneEtl.readImmigration(spark, s"$dir/parquet",
+      format = "parquet", options = Map.empty)
+    assert(viaCsv.schema === viaParquet.schema)
+    val key = (r: org.apache.spark.sql.Row) => Option(r.getAs[Double]("cicid"))
+    assert(viaCsv.collect().sortBy(key).map(_.mkString("|")).toSeq ===
+      viaParquet.collect().sortBy(key).map(_.mkString("|")).toSeq)
+  }
 
   test("orders round-trips through every supported format byte-equally") {
     val orders = Tables.orders(spark, sfDir).orderBy(col("o_orderkey"))
