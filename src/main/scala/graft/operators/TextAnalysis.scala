@@ -228,7 +228,7 @@ object TextAnalysis extends QueryModule {
     * dfs are small and the output is exact, matching the all-pairs
     * oracle.
     */
-  def jaccardPairsOn(input: DataFrame): DataFrame = {
+  def jaccardPairsOn(input: DataFrame, maxDf: Option[Int] = None): DataFrame = {
     val docs = input
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 3)
@@ -236,9 +236,17 @@ object TextAnalysis extends QueryModule {
     val posts = docs.select(col("doc_id"), col("lang"), size(col("sh")).as("nsh"),
       explode(col("sh")).as("shingle"))
       .select(col("lang"), xxhash64(col("shingle")).as("shash"), col("doc_id"), col("nsh"))
+    // maxDf: the 100 TB boilerplate guard — drop shingles shared by more
+    // than maxDf docs before pair expansion. Such shingles ("one of the")
+    // are non-discriminative: each adds ≤1 to every affected pair's
+    // intersection while costing df² expansions and an O(df) in-memory
+    // posting list. Off (None) = exact, matching the all-pairs oracle;
+    // capped = Jaccard is under-counted by at most (dropped shingles
+    // shared)/(union), a bounded, documented approximation.
     val grouped = posts.groupBy(col("lang"), col("shash"))
       .agg(collect_list(struct(col("doc_id"), col("nsh"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
+      .filter(size(col("ds")) >= 2 &&
+        maxDf.map(k => size(col("ds")) <= k).getOrElse(lit(true)))
     // each doc appears at most once per posting (shingle sets are
     // distinct per doc); the codegen'd kernel sorts and emits pairs
     // with doc_a < doc_b in one pass

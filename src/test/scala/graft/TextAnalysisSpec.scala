@@ -56,6 +56,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(inverted.nonEmpty)
   }
 
+  test("jaccardPairs maxDf cap only under-counts: subset of exact pairs, same pairs at a loose cap") {
+    val exact = TextAnalysis.jaccardPairsOn(Tables.documents(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a cap far above any real df on this corpus changes nothing
+    val loose = TextAnalysis.jaccardPairsOn(Tables.documents(spark, sfDir), maxDf = Some(1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === exact)
+    // a tight cap can only shrink intersections -> pairs are a subset
+    val tight = TextAnalysis.jaccardPairsOn(Tables.documents(spark, sfDir), maxDf = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(exact))
+  }
+
   test("fingerprint groups: group sizes sum to corpus size, representative is min doc_id") {
     val docs = Tables.documents(spark, sfDir)
     val total = docs.count()
