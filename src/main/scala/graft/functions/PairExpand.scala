@@ -68,6 +68,17 @@ case class PairExpand(child: Expression) extends UnaryExpression {
     StructField("nsh_b", IntegerType, nullable = false))), containsNull = false)
   override def prettyName: String = "pair_expand"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(fields), _)
+          if fields.length == 2 && fields(0).dataType == LongType &&
+            fields(1).dataType == IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pair_expand expects array<struct<bigint, int>>, got ${other.sql}")
+    }
+
   override protected def nullSafeEval(input: Any): Any =
     PairExpandImpl.pairExpand(input.asInstanceOf[ArrayData])
 
