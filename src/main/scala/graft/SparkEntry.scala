@@ -18,6 +18,7 @@ object SparkEntry {
     operators.TextAnalysis,
     operators.Dedup,
     operators.Similarity,
+    operators.Curation,
     multimodal.Multimodal,
   )
 

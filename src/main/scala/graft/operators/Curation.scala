@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: eval-set decontamination, context-window
+  * sequence packing, and embedding quantization QA.
+  */
+object Curation extends QueryModule {
+
+  // --- train/eval decontamination ---------------------------------------
+
+  /** q62: contamination check of the training corpus against a benchmark
+    * set (here: the `src0` slice, standing in for an eval suite). A
+    * corpus document is contaminated if it shares at least one distinct
+    * word 8-gram with any benchmark document — the n-gram-overlap
+    * decontamination rule used by LLM pretraining pipelines. Output per
+    * contaminated doc: how many distinct 8-grams are shared and how many
+    * benchmark docs are hit.
+    *
+    * Scale shape: both sides explode to (8-gram, doc) postings; the
+    * benchmark side is tiny relative to the corpus (an eval suite vs a
+    * 100 TB crawl) and is broadcast, so the corpus never shuffles —
+    * one map-side join + one aggregation on the (rare) hits.
+    */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), col("source"),
+        graft.functions.NgramFunctions.wordNgrams(col("toks"), 8).as("sh"))
+    val bench = docs.filter(col("source") === "src0")
+      .select(explode(col("sh")).as("gram"), col("doc_id").as("bench_doc"))
+    val corpus = docs.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+    corpus.join(broadcast(bench), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_shared_grams"),
+        count_distinct(col("bench_doc")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontaminationSql = {
+    val terms = (0 until 8).map(j => s"toks[i+$j]").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+       |), s AS (
+       |  SELECT doc_id, source,
+       |    list_distinct(list_transform(generate_series(1, len(toks)-7),
+       |      i -> concat_ws(' ', $terms))) AS sh
+       |  FROM t WHERE len(toks) >= 8
+       |), bench AS (
+       |  SELECT unnest(sh) AS gram, doc_id AS bench_doc FROM s WHERE source = 'src0'
+       |), corp AS (
+       |  SELECT doc_id, unnest(sh) AS gram FROM s WHERE source <> 'src0'
+       |)
+       |SELECT corp.doc_id,
+       |  count(DISTINCT corp.gram) AS n_shared_grams,
+       |  count(DISTINCT bench.bench_doc) AS n_bench_docs
+       |FROM corp JOIN bench ON corp.gram = bench.gram
+       |GROUP BY corp.doc_id ORDER BY corp.doc_id""".stripMargin
+  }
+
+  // --- sequence packing -------------------------------------------------
+
+  private val contextTokens = 2048
+
+  /** q63: context-window sequence packing — the "concatenate and chunk"
+    * layout pretraining uses: documents are laid out in deterministic
+    * order (doc_id) within each source shard, token offsets accumulate,
+    * and a document's chunk is its start offset divided by the context
+    * budget. Per-shard (not global) packing is deliberate: the window
+    * partitions by source, so shards pack in parallel and no global
+    * single-partition window exists — exactly how a 100 TB corpus is
+    * packed shard-by-shard.
+    */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("int"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("start_off") / contextTokens).as("chunk_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sequencePackingSql =
+    s"""SELECT doc_id, source,
+       |  len(regexp_extract_all(text, '\\S+'))::INT AS n_tokens,
+       |  ((sum(len(regexp_extract_all(text, '\\S+')))
+       |      OVER (PARTITION BY source ORDER BY doc_id)
+       |    - len(regexp_extract_all(text, '\\S+'))) // $contextTokens)::BIGINT
+       |    AS chunk_id
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- embedding quantization QA ----------------------------------------
+
+  /** q64: int8 symmetric quantization round-trip QA over the embedding
+    * corpus — the check a pipeline runs before shipping a quantized ANN
+    * index: per vector, scale = max|x|/127, quantize-dequantize, report
+    * the worst absolute reconstruction error and the cosine between the
+    * original and reconstructed vector. Map-only, no shuffle except the
+    * final ordering.
+    */
+  def quantizationQa(spark: SparkSession, dir: String): DataFrame = {
+    val vec = col("vec")
+    val absMax = array_max(transform(vec, x => abs(x)))
+    val scale = greatest(absMax, lit(1e-12)) / 127.0
+    val dq = transform(vec, x => round(x / col("__scale")) * col("__scale"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+      .withColumn("__scale", scale)
+      .withColumn("__dq", dq)
+      .select(col("vec_id"),
+        round(col("__scale"), 6).as("scale"),
+        round(array_max(zip_with(vec, col("__dq"), (a, b) => abs(a - b))), 6)
+          .as("max_abs_err"),
+        round(Similarity.cosine(vec, col("__dq")), 4).as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val quantizationQaSql =
+    """WITH c AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, vec,
+      |    greatest(list_max(list_transform(vec, x -> abs(x))), 1e-12) / 127.0 AS scale
+      |  FROM c
+      |), d AS (
+      |  SELECT vec_id, vec, scale,
+      |    list_transform(vec, x -> round(x / scale) * scale) AS dq
+      |  FROM s
+      |)
+      |SELECT vec_id, round(scale, 6) AS scale,
+      |  round(list_max(list_transform(list_zip(vec, dq),
+      |    p -> abs(p[1] - p[2]))), 6) AS max_abs_err,
+      |  round(list_cosine_similarity(vec, dq), 4) AS cos_sim
+      |FROM d ORDER BY vec_id""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q62_decontamination", decontamination, Some(decontaminationSql)),
+    QueryDef("q63_sequence_packing", sequencePacking, Some(sequencePackingSql)),
+    QueryDef("q64_quantization_qa", quantizationQa, Some(quantizationQaSql)),
+  )
+}

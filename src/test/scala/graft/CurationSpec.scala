@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  test("decontamination flags exactly the docs sharing an 8-gram with the benchmark slice") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"), col("source"),
+        graft.functions.NgramFunctions.wordNgrams(col("toks"), 8).as("sh"))
+    // brute force: corpus x benchmark array intersection
+    val bench = docs.filter(col("source") === "src0")
+      .select(col("sh").as("bsh"))
+    val brute = docs.filter(col("source") =!= "src0").crossJoin(bench)
+      .filter(size(array_intersect(col("sh"), col("bsh"))) >= 1)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+
+    val flagged = Curation.decontamination(spark, sfDir)
+    val ids = flagged.collect().map(_.getLong(0)).toSet
+    assert(ids === brute)
+    assert(flagged.filter(col("n_shared_grams") < 1).count() === 0)
+    assert(ids.nonEmpty)
+  }
+
+  test("sequencePacking: offsets accumulate per source and chunks are start/budget") {
+    val packed = Curation.sequencePacking(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("chunk_id")))
+    assert(packed.nonEmpty)
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      var off = 0L
+      rows.sortBy(_._1).foreach { case (_, _, n, chunk) =>
+        assert(chunk === off / 2048, s"chunk mismatch at offset $off")
+        off += n
+      }
+    }
+    // chunk ids are nondecreasing in doc order within a source
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val chunks = rows.sortBy(_._1).map(_._4)
+      assert(chunks.sameElements(chunks.sorted))
+    }
+  }
+
+  test("quantizationQa: reconstruction error bounded by scale/2, cosine stays high") {
+    val qa = Curation.quantizationQa(spark, sfDir).collect()
+    assert(qa.length === Tables.embeddings(spark, sfDir).count())
+    qa.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val err = r.getAs[Double]("max_abs_err")
+      // |dq - x| <= scale/2 for symmetric round-to-nearest (+ rounding slack)
+      assert(err <= scale / 2 + 1e-6, s"err $err > scale/2 ${scale / 2}")
+      assert(r.getAs[Double]("cos_sim") >= 0.99)
+    }
+  }
+}
