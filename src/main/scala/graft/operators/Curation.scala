@@ -141,9 +141,53 @@ object Curation extends QueryModule {
       |  round(list_cosine_similarity(vec, dq), 4) AS cos_sim
       |FROM d ORDER BY vec_id""".stripMargin
 
+  // --- repetition filter --------------------------------------------------
+
+  /** q65: repetition quality filter — the top-bigram-fraction rule from
+    * published web-curation pipelines: a document whose single most
+    * frequent word bigram accounts for a large share of all its bigrams
+    * is boilerplate/gibberish. Emits the per-doc fraction (the filter
+    * threshold is a consumer choice). Bigrams here are NON-distinct
+    * (unlike the dedup shingles) because repetition is the signal.
+    * Cost: one explode + two aggregations keyed by doc — linear, and
+    * the heavy explode never leaves the map stage thanks to partial
+    * aggregation on (doc_id, bigram).
+    */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("source"), col("bg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(col("n")).as("top_n"), sum(col("n")).as("n_bigrams"))
+      .select(col("doc_id"), col("source"),
+        col("n_bigrams").cast("bigint").as("n_bigrams"),
+        round(col("top_n").cast("double") / col("n_bigrams"), 4).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+
+  private val repetitionFilterSql =
+    """WITH t AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+      |), bg AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(generate_series(2, len(toks)),
+      |      i -> toks[i-1] || ' ' || toks[i])) AS bg
+      |  FROM t WHERE len(toks) >= 2
+      |), counts AS (
+      |  SELECT doc_id, source, bg, count(*) AS n FROM bg GROUP BY 1, 2, 3
+      |)
+      |SELECT doc_id, source, sum(n)::BIGINT AS n_bigrams,
+      |  round(max(n)::DOUBLE / sum(n), 4) AS top_bigram_frac
+      |FROM counts GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q62_decontamination", decontamination, Some(decontaminationSql)),
     QueryDef("q63_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("q64_quantization_qa", quantizationQa, Some(quantizationQaSql)),
+    QueryDef("q65_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
   )
 }

@@ -99,6 +99,30 @@ object EventStreams extends QueryModule {
         col("c_mktsegment").as("segment")),
       Seq("user_id"), "left")
 
+  /** Stream-stream interval join — click→purchase attribution: each
+    * purchase joined to the same user's clicks in the preceding hour.
+    * Both inputs must carry a watermark in streaming mode; the
+    * time-interval condition then lets Spark expire join state past
+    * `purchase_ts − 1h` on the click side (and symmetrically), so state
+    * is bounded by one hour of traffic per side, not stream length —
+    * the canonical watermarked stream-stream join. Batch mode: the same
+    * plan is an equi-join on user_id with a range post-filter.
+    */
+  def clickAttribution(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("lag_micros"))
+  }
+
   // --- declared batch queries (oracle-checked) --------------------------
 
   def tumblingQuery(spark: SparkSession, dir: String): DataFrame =
@@ -154,9 +178,23 @@ object EventStreams extends QueryModule {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
 
+  def attributionQuery(spark: SparkSession, dir: String): DataFrame =
+    clickAttribution(Tables.events(spark, dir))
+      .orderBy(col("purchase_id"), col("click_id"))
+
+  private val attributionSql =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_micros
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour'
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q27_tumbling_windows", tumblingQuery, Some(tumblingSql)),
     QueryDef("q28_sliding_windows", slidingQuery, Some(slidingSql)),
     QueryDef("q29_session_windows", sessionQuery, Some(sessionSql), benchmark = true),
+    QueryDef("q66_stream_stream_join", attributionQuery, Some(attributionSql)),
   )
 }

@@ -133,6 +133,29 @@ class StreamingSpec extends SparkSpec {
     assert(out.select(col("event_id")).distinct().count() === all.count())
   }
 
+  test("stream-stream interval join: streaming equals batch, lags within the hour") {
+    // one watermarked reader, split into the two join sides by filter —
+    // Spark treats the branches as two streams (append output mode:
+    // stream-stream inner joins emit rows exactly once)
+    val purchasesSide = EventStreams.withEventTime(
+      EventStreams.eventsStream(spark, eventsDir))
+    val got = {
+      val q = EventStreams.clickAttribution(purchasesSide)
+        .writeStream.format("memory").queryName("attr_out")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      spark.table("attr_out")
+    }
+    val want = EventStreams.attributionQuery(spark, sfDir)
+    assert(canon(got) === canon(want))
+    assert(want.count() > 0)
+    // every attributed click is within [0, 1h] of its purchase
+    assert(want.filter(col("lag_micros") < 0 ||
+      col("lag_micros") > 3600L * 1000000L).count() === 0)
+  }
+
   test("session windows: streaming equals batch; sessions respect the gap") {
     val stream = EventStreams.userSessions(EventStreams.eventsStream(spark, eventsDir))
     val got = runStream(stream, "session_out")
