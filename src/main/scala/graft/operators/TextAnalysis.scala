@@ -457,6 +457,61 @@ object TextAnalysis extends QueryModule {
       |  FROM documents)
       |GROUP BY rfp ORDER BY rfp""".stripMargin
 
+  /** q67: per-document top-3 TF-IDF terms within each language — the
+    * classic content-signature / keyword-extraction operator.
+    * tf = term occurrences in the doc, idf = ln(docs-in-lang / docs
+    * containing the term); ties broken by word for determinism.
+    *
+    * Scale shape: one explode → tf aggregation on (lang, doc, word);
+    * the df aggregation groups the (already partially combined) tf
+    * table and joins back on the same (lang, word) key, so the exchange
+    * is reused; the per-language doc counts are a broadcast of ≤
+    * |languages| rows; the final top-k window partitions by (lang,
+    * doc_id) — millions of small partitions, never a global sort.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("lang"), col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(df_, Seq("lang", "word"))
+      .join(broadcast(nDocs), Seq("lang"))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("lang"), col("rank"), col("word"),
+        round(col("score"), 4).as("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val tfidfTopTermsSql =
+    """WITH words AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+      |), tf AS (
+      |  SELECT lang, doc_id, word, count(*) AS tf FROM words GROUP BY 1, 2, 3
+      |), idf AS (
+      |  SELECT lang, word, count(*) AS df FROM tf GROUP BY 1, 2
+      |), nd AS (
+      |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+      |), scored AS (
+      |  SELECT tf.lang, tf.doc_id, tf.word,
+      |    tf.tf * ln(nd.n_docs::DOUBLE / idf.df) AS score
+      |  FROM tf JOIN idf USING (lang, word) JOIN nd USING (lang)
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang, doc_id
+      |    ORDER BY score DESC, word) AS rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, lang, rank::INT AS rank, word, round(score, 4) AS tfidf
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** Shard writer — the output stage of a curation run: hash-balanced
     * shards (id-hash partitioning, so shard sizes stay even regardless
     * of source/length skew and re-runs land identical shard contents),
@@ -483,5 +538,6 @@ object TextAnalysis extends QueryModule {
     QueryDef("q33_lang_id", langId, Some(langIdSql)),
     QueryDef("q34_fingerprint", fingerprintGroups, Some(fingerprintGroupsSql)),
     QueryDef("q35_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql), benchmark = true),
+    QueryDef("q67_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
   )
 }
