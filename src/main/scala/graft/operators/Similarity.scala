@@ -132,7 +132,7 @@ object Similarity extends QueryModule {
   /** Sign-bit signature of a vector column against fixed hyperplanes. */
   def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      val planeCol = array(p.toIndexedSeq.map(lit): _*)
       when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
 
@@ -260,7 +260,7 @@ object Similarity extends QueryModule {
     // argmax by (csim, then lower centroid_id): array_max over structs
     // compares fields left-to-right, so (csim, -cid) picks the highest
     // similarity and breaks ties toward the smaller centroid id.
-    val best = array_max(array(cents.map { case (cid, cvec) =>
+    val best = array_max(array(cents.toIndexedSeq.map { case (cid, cvec) =>
       struct(cosine(col("vec"), array(cvec.map(lit): _*)).as("csim"),
         lit(-cid).as("negid"))
     }: _*))
