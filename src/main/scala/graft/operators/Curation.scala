@@ -184,10 +184,106 @@ object Curation extends QueryModule {
       |  round(max(n)::DOUBLE / sum(n), 4) AS top_bigram_frac
       |FROM counts GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
 
+  // --- incremental-batch dedup -----------------------------------------
+
+  /** q68: incremental ingest dedup — the nightly shape: a NEW batch of
+    * documents (here the `src1` slice) deduped against the EXISTING
+    * corpus (everything else), not against itself:
+    *  1. exact: drop new docs whose md5-prefix fingerprint already
+    *     exists in the store (anti-join on the fingerprint — one linear
+    *     shuffle; at 100 TB the store side is a pre-materialized
+    *     fingerprint table, not a rescan);
+    *  2. near-dup: drop survivors with word-trigram Jaccard ≥ 0.5
+    *     against ANY store doc. Candidates come from the same inverted
+    *     index as q35, but posting lists are collected per SIDE and
+    *     only new×store pairs are expanded — store×store work, the
+    *     overwhelming bulk at scale, is never generated.
+    * Returns the surviving new docs.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fp = md5(lower(substring(col("text"), 1, 100)))
+    val store = docs.filter(col("source") =!= "src1")
+    val fresh = docs.filter(col("source") === "src1")
+
+    val exactSurvivors = fresh.withColumn("__fp", fp)
+      .join(store.select(fp.as("__fp")).distinct(), Seq("__fp"), "left_anti")
+      .drop("__fp")
+      .persist() // feeds the near-dup index AND the final anti-join
+
+    def shingled(df: DataFrame, isNew: Int): DataFrame = df
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), lit(isNew).as("is_new"),
+        graft.functions.NgramFunctions.wordNgrams(col("toks"), 3).as("sh"))
+    val posts = shingled(store, 0).unionByName(shingled(exactSurvivors, 1))
+      .select(col("doc_id"), col("lang"), col("is_new"),
+        size(col("sh")).as("nsh"), explode(col("sh")).as("shingle"))
+      .select(col("lang"), xxhash64(col("shingle")).as("shash"),
+        col("doc_id"), col("nsh"), col("is_new"))
+    val crossPairs = posts.groupBy(col("lang"), col("shash"))
+      .agg(
+        collect_list(when(col("is_new") === 1,
+          struct(col("doc_id"), col("nsh")))).as("new_ds"),
+        collect_list(when(col("is_new") === 0,
+          struct(col("doc_id"), col("nsh")))).as("store_ds"))
+      .filter(size(col("new_ds")) >= 1 && size(col("store_ds")) >= 1)
+      .select(explode(expr(
+        "flatten(transform(new_ds, x -> transform(store_ds, " +
+          "y -> struct(x.doc_id AS new_id, x.nsh AS nsh_n, " +
+          "y.doc_id AS store_id, y.nsh AS nsh_s))))")).as("p"))
+      .select(col("p.*"))
+    val hits = crossPairs
+      .groupBy(col("new_id"), col("store_id"), col("nsh_n"), col("nsh_s"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast("double") /
+        (col("nsh_n") + col("nsh_s") - col("inter")) >= 0.5)
+      .select(col("new_id").as("doc_id")).distinct()
+
+    exactSurvivors.join(hits, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("int").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalDedupSql =
+    """WITH newb AS (
+      |  SELECT doc_id, lang, text, md5(lower(substr(text, 1, 100))) AS fp
+      |  FROM documents WHERE source = 'src1'
+      |), store AS (
+      |  SELECT doc_id, lang, text, md5(lower(substr(text, 1, 100))) AS fp
+      |  FROM documents WHERE source <> 'src1'
+      |), ex AS (
+      |  SELECT n.* FROM newb n
+      |  WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fp = n.fp)
+      |), shn AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM ex)
+      |  WHERE len(toks) >= 3
+      |), shs AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM store)
+      |  WHERE len(toks) >= 3
+      |), hits AS (
+      |  SELECT DISTINCT a.doc_id
+      |  FROM shn a JOIN shs b ON a.lang = b.lang
+      |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |)
+      |SELECT doc_id, lang,
+      |  len(regexp_extract_all(text, '\S+'))::INT AS n_tokens
+      |FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+      |ORDER BY doc_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q62_decontamination", decontamination, Some(decontaminationSql)),
     QueryDef("q63_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("q64_quantization_qa", quantizationQa, Some(quantizationQaSql)),
     QueryDef("q65_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
+    QueryDef("q68_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
   )
 }

@@ -45,6 +45,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedup: survivors are new-batch docs with no exact or near match in the store") {
+    val docs = Tables.documents(spark, sfDir)
+    val survivors = Curation.incrementalDedup(spark, sfDir)
+    val ids = survivors.collect().map(_.getLong(0)).toSet
+    val newIds = docs.filter(col("source") === "src1")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.nonEmpty && ids.subsetOf(newIds))
+    // no survivor shares an exact fingerprint with the store
+    val fp = md5(lower(substring(col("text"), 1, 100)))
+    val storeFps = docs.filter(col("source") =!= "src1")
+      .select(fp.as("f")).distinct().collect().map(_.getString(0)).toSet
+    val survivorFps = docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(fp.as("f")).collect().map(_.getString(0))
+    assert(survivorFps.forall(f => !storeFps.contains(f)))
+  }
+
   test("quantizationQa: reconstruction error bounded by scale/2, cosine stays high") {
     val qa = Curation.quantizationQa(spark, sfDir).collect()
     assert(qa.length === Tables.embeddings(spark, sfDir).count())
