@@ -53,6 +53,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pair_expand emits exactly the sorted C(n,2) pairs of random posting lists") {
+    import TestSpark.spark.implicits._
+    val lists = List.fill(150)(
+      rng.shuffle((0L until 40L).toList).take(rng.nextInt(8) + 2)
+        .map(id => (id, rng.nextInt(100) + 1)))
+    val df = lists.map(_.toSeq).toDF("ds")
+      .select(col("ds").cast("array<struct<doc_id:bigint,nsh:int>>").as("ds"))
+    val got = df.select(graft.functions.PairExpandFunctions.pairExpand(col("ds")))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toList)
+      .toList
+    val want = lists.map { l =>
+      val s = l.sortBy(_._1)
+      (for { i <- s.indices; j <- (i + 1) until s.size }
+        yield (s(i)._1, s(i)._2, s(j)._1, s(j)._2)).toList
+    }
+    assert(got === want)
+  }
+
+  test("simHashMd5 equals a 60-pass reference over random token lists") {
+    import TestSpark.spark.implicits._
+    val docs = List.fill(100)(
+      List.fill(rng.nextInt(20) + 1)(vocab(rng.nextInt(vocab.size))))
+    val got = docs.map(_.toSeq).toDF("toks")
+      .select(graft.functions.HashFunctions.simhashMd5(col("toks")))
+      .collect().map(_.getLong(0)).toList
+    def hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val v = (0 until 7).foldLeft(0L)((a, i) => (a << 8) | (d(i) & 0xffL))
+      (v << 4) | ((d(7) & 0xf0L) >>> 4)
+    }
+    val want = docs.map { toks =>
+      (0 until 60).foldLeft(0L) { (acc, b) =>
+        val vote = toks.map(t => if (((hash60(t) >>> b) & 1L) == 1L) 1 else -1).sum
+        if (vote > 0) acc | (1L << b) else acc
+      }
+    }
+    assert(got === want)
+  }
+
   test("simhash of similar token lists is closer than of dissimilar ones (metric sanity)") {
     import TestSpark.spark.implicits._
     val base = List.fill(40)(vocab(rng.nextInt(vocab.size)) + rng.nextInt(50))
