@@ -88,20 +88,20 @@ object Dedup extends QueryModule {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val toks = split(col(textCol), " ")
-    // The signature table is referenced by both sides of the bucket
-    // self-join and the shingle sets by both verification joins; persist
-    // so the (expensive, 64-hash) signature computation runs once per
+    // One cached table carries both the shingle set (for exact verify)
+    // and the signature (for banding): the bucket self-join reads it
+    // twice and the verification joins twice more, so persisting once
+    // means the (expensive, 64-hash) signature computation runs once per
     // document — the same compute-once design a cluster run would use
-    // (materialize signatures, then join).
+    // (materialize signatures, then join). A separate persist per
+    // intermediate would double the cache footprint for no reuse gain.
     val shingled = docs
       .withColumn("__toks", toks)
       .filter(size(col("__toks")) >= 3)
       .select(col(idCol), TextAnalysis.shingles3(col("__toks")).as("__sh"))
-      .persist()
-    val signed = shingled
       .withColumn("__sig", minHashSignature(col("__sh"), numHashes))
-      .select(col(idCol), col("__sig"))
       .persist()
+    val signed = shingled.select(col(idCol), col("__sig"))
 
     val candidates = lshCandidates(signed, idCol, "__sig", bands, rowsPerBand)
     val sets = shingled.select(col(idCol), col("__sh"))
