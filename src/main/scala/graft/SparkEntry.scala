@@ -19,6 +19,7 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.Curation,
+    operators.BloomJoin,
     multimodal.Multimodal,
   )
 
