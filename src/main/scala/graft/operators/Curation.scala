@@ -184,6 +184,81 @@ object Curation extends QueryModule {
       |  round(max(n)::DOUBLE / sum(n), 4) AS top_bigram_frac
       |FROM counts GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
 
+  // --- boilerplate chunk removal ---------------------------------------
+
+  private val chunkW = 8
+
+  /** q70: line-level dedup adapted to the chunk granularity pretraining
+    * pipelines use — the corpus-wide analog of removing duplicated lines:
+    * each document is cut into consecutive non-overlapping 8-token
+    * chunks; a chunk whose exact text occurs in ≥2 distinct documents is
+    * boilerplate and is removed; the document is reassembled from its
+    * surviving chunks (plus the <8-token tail, always kept) in original
+    * order. Output: per-doc chunk counts and the md5 of the cleaned text.
+    *
+    * Scale shape: one explode + one aggregation finds the hot-chunk set,
+    * which is SMALL (bounded by boilerplate diversity, not corpus size)
+    * and broadcasts into a map-side anti-join — the corpus shuffles once
+    * on doc_id for reassembly and never joins against itself.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("k", expr(s"size(toks) div $chunkW"))
+    // sequence(0, k-1) DESCENDS for k=0, so chunkless docs must not
+    // reach the transform; they rejoin via the left join below.
+    val chunked = docs.filter(col("k") >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, k - 1), i -> concat_ws(' ', slice(toks, i * $chunkW + 1, $chunkW)))")))
+      .withColumnRenamed("col", "chunk")
+    val hot = chunked.groupBy(col("chunk"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("chunk"))
+    val kept = chunked.join(broadcast(hot), Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x("chunk"))).as("kept_text"))
+    docs.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("k").cast("int").as("n_chunks"),
+        (col("k") - coalesce(col("n_kept"), lit(0))).cast("int").as("n_removed"),
+        md5(trim(concat_ws(" ",
+          coalesce(col("kept_text"), lit("")),
+          concat_ws(" ", slice(col("toks"), col("k") * chunkW + 1, lit(chunkW))))))
+          .as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val chunkDedupSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), c AS (
+       |  SELECT doc_id, len(toks) AS n, len(toks) // $chunkW AS k, toks FROM t
+       |), posting AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, k - 1)) AS pos,
+       |    unnest(list_transform(generate_series(0, k - 1),
+       |      i -> array_to_string(toks[i * $chunkW + 1 : i * $chunkW + $chunkW], ' '))) AS chunk
+       |  FROM c WHERE k >= 1
+       |), hot AS (
+       |  SELECT chunk FROM posting GROUP BY chunk
+       |  HAVING count(DISTINCT doc_id) >= 2
+       |), kept AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |    string_agg(chunk, ' ' ORDER BY pos) AS kept_text
+       |  FROM posting WHERE chunk NOT IN (SELECT chunk FROM hot)
+       |  GROUP BY doc_id
+       |)
+       |SELECT c.doc_id, c.k::INT AS n_chunks,
+       |  (c.k - coalesce(kept.n_kept, 0))::INT AS n_removed,
+       |  md5(trim(concat_ws(' ', coalesce(kept.kept_text, ''),
+       |    array_to_string(toks[c.k * $chunkW + 1 : c.n], ' ')))) AS clean_md5
+       |FROM c LEFT JOIN kept ON c.doc_id = kept.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   // --- incremental-batch dedup -----------------------------------------
 
   /** q68: incremental ingest dedup — the nightly shape: a NEW batch of
@@ -285,5 +360,6 @@ object Curation extends QueryModule {
     QueryDef("q64_quantization_qa", quantizationQa, Some(quantizationQaSql)),
     QueryDef("q65_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     QueryDef("q68_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    QueryDef("q70_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
   )
 }

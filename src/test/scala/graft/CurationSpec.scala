@@ -61,6 +61,27 @@ class CurationSpec extends SparkSpec {
     assert(survivorFps.forall(f => !storeFps.contains(f)))
   }
 
+  test("chunkDedup: untouched docs reassemble to their original text") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("orig_md5"))
+    val out = Curation.chunkDedup(spark, sfDir)
+    assert(out.count() === docs.count())
+    val untouched = out.filter(col("n_removed") === 0)
+      .join(docs, Seq("doc_id"))
+    assert(untouched.count() > 0)
+    assert(untouched.filter(col("clean_md5") =!= col("orig_md5")).count() === 0L)
+  }
+
+  test("chunkDedup: some boilerplate is removed and counts are consistent") {
+    val out = Curation.chunkDedup(spark, sfDir).collect()
+    assert(out.exists(_.getAs[Int]("n_removed") > 0))
+    out.foreach { r =>
+      val k = r.getAs[Int]("n_chunks")
+      val rm = r.getAs[Int]("n_removed")
+      assert(rm >= 0 && rm <= k)
+    }
+  }
+
   test("quantizationQa: reconstruction error bounded by scale/2, cosine stays high") {
     val qa = Curation.quantizationQa(spark, sfDir).collect()
     assert(qa.length === Tables.embeddings(spark, sfDir).count())
