@@ -259,6 +259,70 @@ object Curation extends QueryModule {
        |FROM c LEFT JOIN kept ON c.doc_id = kept.doc_id
        |ORDER BY c.doc_id""".stripMargin
 
+  // --- temperature mixture resampling ----------------------------------
+
+  /** q72: data-driven domain mixture — the temperature-reweighting step
+    * LLM pipelines run before training: per-source token mass is
+    * smoothed with a sqrt "temperature" (w_s = √tokens_s), the token
+    * budget (30% of the corpus) is split ∝ w_s, and each source's
+    * per-mille document sampling rate follows from its target tokens.
+    * Sampling itself reuses the q38 mechanism — a partition-independent
+    * id-hash bucket, reproducible under retries and any partitioning.
+    *
+    * Oracle-parity note: the weights are FLOORED TO BIGINT before
+    * summing, so every cross-engine sum is an integer sum (order-
+    * independent); the one double expression (the rate) is written with
+    * identical operation order in both engines. Output: per-source rate
+    * and realized sample.
+    *
+    * Scale shape: the stats/rates table has one row per SOURCE (tiny at
+    * any corpus size) — it broadcasts back onto the corpus for the
+    * bucket filter; the corpus itself is touched by two map passes and
+    * one partial-aggregated groupBy.
+    */
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+    val stats = docs.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("toks"))
+      .withColumn("w", floor(sqrt(col("toks"))).cast("bigint"))
+    val totals = stats.agg(sum(col("toks")).as("total_toks"), sum(col("w")).as("total_w"))
+    val rates = stats.crossJoin(broadcast(totals))
+      .withColumn("rate", least(lit(1000L),
+        floor(lit(300.0) * col("total_toks") * col("w") / col("total_w") / col("toks"))
+          .cast("bigint")))
+      .select(col("source"), col("rate"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(pmod(col("doc_id"), lit(1000)) < col("rate"))
+      .groupBy(col("source"), col("rate"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_tokens")).as("sampled_tokens"))
+      .select(col("source"), col("rate").cast("int").as("rate"),
+        col("n_sampled").cast("bigint").as("n_sampled"),
+        col("sampled_tokens").cast("bigint").as("sampled_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val mixtureResampleSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS n_tokens
+      |  FROM documents
+      |), stats AS (
+      |  SELECT source, sum(n_tokens)::BIGINT AS toks,
+      |    floor(sqrt(sum(n_tokens)))::BIGINT AS w
+      |  FROM d GROUP BY source
+      |), totals AS (
+      |  SELECT sum(toks)::BIGINT AS total_toks, sum(w)::BIGINT AS total_w FROM stats
+      |), rates AS (
+      |  SELECT source,
+      |    least(1000, floor(300.0 * total_toks * w / total_w / toks))::BIGINT AS rate
+      |  FROM stats CROSS JOIN totals
+      |)
+      |SELECT d.source, min(r.rate)::INT AS rate,
+      |  count(*)::BIGINT AS n_sampled, sum(d.n_tokens)::BIGINT AS sampled_tokens
+      |FROM d JOIN rates r ON d.source = r.source
+      |WHERE d.doc_id % 1000 < r.rate
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // --- incremental-batch dedup -----------------------------------------
 
   /** q68: incremental ingest dedup — the nightly shape: a NEW batch of
@@ -361,5 +425,6 @@ object Curation extends QueryModule {
     QueryDef("q65_repetition_filter", repetitionFilter, Some(repetitionFilterSql)),
     QueryDef("q68_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("q70_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
+    QueryDef("q72_mixture_resample", mixtureResample, Some(mixtureResampleSql)),
   )
 }

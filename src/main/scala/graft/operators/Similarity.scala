@@ -431,6 +431,63 @@ object Similarity extends QueryModule {
       |WHERE list_cosine_similarity(ca.vec, cb.vec) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Cluster-bucketed semantic (embedding-cosine) deduplication — the
+    * SemDeDup shape: assign every vector to its nearest of `nLists`
+    * centroids (shuffle-free argmax over broadcast centroid literals,
+    * same build as q45's IVF), then find near-duplicate pairs ONLY
+    * within a cluster and drop the higher id of each pair. The
+    * within-cluster join is quadratic in cluster size, not corpus size —
+    * at 100 TB you scale `nLists` so clusters stay bounded (~N/nLists),
+    * which is exactly why the published pipelines cluster first. Pairs
+    * split across clusters are missed by design (the method's documented
+    * recall trade-off); the kept set is deterministic.
+    */
+  def semanticDedup(embeddings: DataFrame, nLists: Int = 16,
+      threshold: Double = 0.45): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val (assigned, _) = ivfAssign(corpus, nLists)
+    val byList = assigned.persist() // read by both sides of the in-cluster join
+    val a = byList.select(col("list_id"), col("vec_id").as("id_a"), col("vec").as("vec_a"))
+    val b = byList.select(col("list_id"), col("vec_id").as("id_b"), col("vec").as("vec_b"))
+    val dropped = a.join(b, Seq("list_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    byList.join(dropped.withColumn("__drop", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        when(col("__drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q71: semantic dedup over the embedding corpus; the SQL oracle
+    * replays the md5-picked centroids, argmax assignment, in-cluster
+    * pair scan and keep-min-id rule.
+    */
+  def semanticDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(Tables.embeddings(spark, dir))
+
+  private val semanticDedupSql =
+    """WITH c AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+      |), cents AS (
+      |  SELECT vec_id AS centroid_id, vec AS cvec FROM c
+      |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+      |), asg AS (
+      |  SELECT vec_id, vec, centroid_id AS list_id FROM (
+      |    SELECT c.vec_id, c.vec, t.centroid_id,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.centroid_id) AS rn
+      |    FROM c CROSS JOIN cents t) WHERE rn = 1
+      |), dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM asg a JOIN asg b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+      |  WHERE list_cosine_similarity(a.vec, b.vec) >= 0.45
+      |)
+      |SELECT asg.vec_id, asg.list_id,
+      |  (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::INT AS kept
+      |FROM asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
+      |ORDER BY asg.vec_id""".stripMargin
+
   /** q57: semantic document search — KNN over embeddings joined back to
     * the documents table (vec_id ≡ doc_id in the corpus): for each query
     * document, its top-5 nearest documents with language/source. The
@@ -470,5 +527,6 @@ object Similarity extends QueryModule {
     QueryDef("q43_ann_hyperplane", annQuery, Some(annOracleSql), benchmark = true),
     QueryDef("q44_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     QueryDef("q45_ann_ivf", ivfQuery, Some(ivfOracleSql)),
+    QueryDef("q71_semantic_dedup", semanticDedupQuery, Some(semanticDedupSql)),
   )
 }

@@ -82,6 +82,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixtureResample: temperature flattens the mixture (heavier sources sample at lower rates)") {
+    val rows = Curation.mixtureResample(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val bySrc = rows.map(r => r.getAs[String]("source") ->
+      (r.getAs[Int]("rate"), r.getAs[Long]("n_sampled"), r.getAs[Long]("sampled_tokens"))).toMap
+    bySrc.values.foreach { case (rate, n, toks) =>
+      assert(rate >= 0 && rate <= 1000 && n > 0 && toks > 0)
+    }
+    // rate ∝ toks^-1/2: the heaviest source must not out-rate the lightest
+    val stats = Tables.documents(spark, sfDir)
+      .withColumn("n_tokens", operators.TextAnalysis.tokenCount(col("text")))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("toks"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("toks")).toMap
+    val heaviest = stats.maxBy(_._2)._1
+    val lightest = stats.minBy(_._2)._1
+    assert(bySrc(heaviest)._1 <= bySrc(lightest)._1)
+  }
+
   test("quantizationQa: reconstruction error bounded by scale/2, cosine stays high") {
     val qa = Curation.quantizationQa(spark, sfDir).collect()
     assert(qa.length === Tables.embeddings(spark, sfDir).count())

@@ -105,6 +105,29 @@ class SimilaritySpec extends SparkSpec {
     assert(agg === window)
   }
 
+  test("semanticDedup: drops exactly the higher id of every in-cluster near-dup pair") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.semanticDedup(emb).collect()
+    assert(out.length === emb.count())
+    val cluster = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("list_id")).toMap
+    val kept = out.filter(_.getAs[Int]("kept") == 1).map(_.getAs[Long]("vec_id")).toSet
+    // brute-force replica of the in-cluster rule
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expectedDropped = (for {
+      i <- ids; j <- ids if i < j
+      if cluster(i) == cluster(j) && cos(vecs(i), vecs(j)) >= 0.45
+    } yield j).toSet
+    assert(kept === ids.toSet -- expectedDropped)
+  }
+
   test("ANN neighbors carry exact cosine scores (re-ranking is exact)") {
     val emb = Tables.embeddings(spark, sfDir)
     val exact = Similarity.knnBruteForce(emb).collect()
