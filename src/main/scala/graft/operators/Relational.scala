@@ -641,7 +641,46 @@ object Relational extends QueryModule {
       |  round(avg(list_sum(vec)), 4) AS avg_comp_sum
       |FROM v GROUP BY label ORDER BY label""".stripMargin
 
+  /** q73: unpivot (melt) — the inverse of q54's pivot and the other half
+    * of the wide↔long reshaping surface: a wide per-nation metrics table
+    * turns into (nation, metric, value) rows with the built-in
+    * `Dataset.unpivot` (constant-folded projection + generator — no
+    * shuffle beyond the source aggregation). Metric values share one
+    * DOUBLE type, as unpivot requires.
+    */
+  def nationMetricsUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("total_revenue"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+    wide.unpivot(
+        Array(col("n_name")),
+        Array(col("n_orders"), col("total_revenue"), col("avg_price")),
+        "metric", "value")
+      .orderBy(col("n_name"), col("metric"))
+  }
+
+  private val nationMetricsUnpivotSql =
+    """WITH wide AS (
+      |  SELECT n_name, count(*)::DOUBLE AS n_orders,
+      |    round(sum(o_totalprice), 4) AS total_revenue,
+      |    round(avg(o_totalprice), 4) AS avg_price
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name
+      |)
+      |SELECT n_name, metric, value FROM (
+      |  SELECT n_name, 'n_orders' AS metric, n_orders AS value FROM wide
+      |  UNION ALL SELECT n_name, 'total_revenue', total_revenue FROM wide
+      |  UNION ALL SELECT n_name, 'avg_price', avg_price FROM wide
+      |) ORDER BY n_name, metric""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q73_unpivot", nationMetricsUnpivot, Some(nationMetricsUnpivotSql)),
     QueryDef("q54_pivot", priorityStatusPivot, Some(priorityStatusPivotSql)),
     QueryDef("q56_approx_percentiles", approxPercentiles, Some(approxPercentilesSql)),
     QueryDef("q60_intersect", intersectNations, Some(intersectNationsSql)),

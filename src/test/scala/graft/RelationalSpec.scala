@@ -58,6 +58,20 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("unpivot emits 3 metric rows per nation and round-trips the wide values") {
+    val long = Relational.nationMetricsUnpivot(spark, sfDir).collect()
+    val nations = long.map(_.getString(0)).distinct
+    assert(long.length === nations.length * 3)
+    val byNation = long.groupBy(_.getString(0))
+    byNation.values.foreach { rows =>
+      assert(rows.map(_.getString(1)).sorted.toSeq ===
+        Seq("avg_price", "n_orders", "total_revenue"))
+      val m = rows.map(r => r.getString(1) -> r.getDouble(2)).toMap
+      assert(m("n_orders") > 0 &&
+        m("total_revenue") >= m("avg_price") * m("n_orders") - 1.0)
+    }
+  }
+
   test("pricing summary groups equal distinct (returnflag, linestatus) pairs") {
     val li = Tables.lineitem(spark, sfDir)
     val pairs = li.select(col("l_returnflag"), col("l_linestatus")).distinct().count()
