@@ -488,6 +488,99 @@ object Similarity extends QueryModule {
       |FROM asg LEFT JOIN dropped d ON asg.vec_id = d.vec_id
       |ORDER BY asg.vec_id""".stripMargin
 
+  /** K-means (Lloyd's) clustering of the embedding corpus by cosine,
+    * with the distributed shape real pipelines use: centroids live on
+    * the driver (k×dim doubles — tiny), each iteration is one map pass
+    * (argmax over centroid literals, shuffle-free — same kernel as
+    * `ivfAssign`) plus one partial-aggregated component-mean reduce
+    * (posexplode to (cluster, dim) rows: map-side combine collapses the
+    * N×dim explosion to k×dim per partition before the shuffle).
+    * Deterministic end to end: md5-picked init, FIXED `iters` rounds (no
+    * data-dependent stopping), ties broken toward the lower cluster id.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val corpus = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .persist() // scanned once per iteration + once for the final assign
+    val init: Array[(Long, Seq[Double])] = corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // cluster ids are 0..k-1 in the init pick's order
+    var cents: Array[(Long, Seq[Double])] =
+      init.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+
+    def assignTo(cs: Array[(Long, Seq[Double])]): Column =
+      -array_max(array(cs.toIndexedSeq.map { case (cid, cvec) =>
+        struct(cosine(col("vec"), array(cvec.map(lit): _*)).as("csim"),
+          lit(-cid).as("negid"))
+      }: _*)).getField("negid")
+
+    for (_ <- 1 to iters) {
+      val assigned = corpus.withColumn("cluster_id", assignTo(cents))
+      val means = assigned
+        .select(col("cluster_id"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cluster_id"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster_id"))
+        .agg(map_from_arrays(collect_list(col("dim")), collect_list(col("m"))).as("mm"))
+        .collect()
+      cents = means.map { r =>
+        val mm = r.getMap[Int, Double](1)
+        (r.getLong(0), (0 until mm.size).map(mm): Seq[Double])
+      }.sortBy(_._1)
+    }
+    corpus.withColumn("cluster_id", assignTo(cents))
+      .select(col("vec_id"), col("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q74: k-means over `embeddings` (k=8, 2 Lloyd rounds). The SQL
+    * oracle replays init, both assign/mean rounds and the final
+    * assignment. (Float caveat: component means are summed in engine-
+    * specific order; an assignment could only diverge if two centroid
+    * cosines tie within ~1e-13 — the same exposure q45's argmax already
+    * carries.)
+    */
+  def kmeansQuery(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssign(Tables.embeddings(spark, dir))
+
+  private val kmeansOracleSql =
+    """WITH c AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+      |), cents0 AS (
+      |  SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)) - 1
+      |      AS cluster_id, vec AS cvec
+      |  FROM c ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8
+      |), asg1 AS (
+      |  SELECT vec_id, vec, cluster_id FROM (
+      |    SELECT c.vec_id, c.vec, t.cluster_id,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cluster_id) AS rn
+      |    FROM c CROSS JOIN cents0 t) WHERE rn = 1
+      |), cents1 AS (
+      |  SELECT cluster_id, list(m ORDER BY i) AS cvec FROM (
+      |    SELECT cluster_id, i, avg(vec[i]) AS m
+      |    FROM asg1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+      |    GROUP BY cluster_id, i) GROUP BY cluster_id
+      |), asg2 AS (
+      |  SELECT vec_id, vec, cluster_id FROM (
+      |    SELECT c.vec_id, c.vec, t.cluster_id,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cluster_id) AS rn
+      |    FROM c CROSS JOIN cents1 t) WHERE rn = 1
+      |), cents2 AS (
+      |  SELECT cluster_id, list(m ORDER BY i) AS cvec FROM (
+      |    SELECT cluster_id, i, avg(vec[i]) AS m
+      |    FROM asg2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+      |    GROUP BY cluster_id, i) GROUP BY cluster_id
+      |)
+      |SELECT vec_id, cluster_id FROM (
+      |  SELECT c.vec_id, t.cluster_id,
+      |    row_number() OVER (PARTITION BY c.vec_id
+      |      ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.cluster_id) AS rn
+      |  FROM c CROSS JOIN cents2 t) WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   /** q57: semantic document search — KNN over embeddings joined back to
     * the documents table (vec_id ≡ doc_id in the corpus): for each query
     * document, its top-5 nearest documents with language/source. The
@@ -528,5 +621,6 @@ object Similarity extends QueryModule {
     QueryDef("q44_cosine_pairs", cosinePairs, Some(cosinePairsSql)),
     QueryDef("q45_ann_ivf", ivfQuery, Some(ivfOracleSql)),
     QueryDef("q71_semantic_dedup", semanticDedupQuery, Some(semanticDedupSql)),
+    QueryDef("q74_kmeans", kmeansQuery, Some(kmeansOracleSql)),
   )
 }
