@@ -11,6 +11,35 @@ import org.apache.spark.sql.SparkSession
   * so the same code scales from sf0.001 to 100 TB.
   */
 object GraftSession {
+
+  /** Object-store (s3a://) session configuration — the concrete form of
+    * the reference's S3-targeted session (etl.py:22–26 configures the
+    * Hadoop-AWS package and writes the star schema to an S3 bucket).
+    * Pure config seam: applies the standard s3a client settings to a
+    * session builder so the SAME pipeline code reads/writes
+    * `s3a://bucket/...` paths on a cluster where the hadoop-aws jars are
+    * on the classpath (this container has none, so the seam is
+    * spec-covered at the conf level only, like the SAS reader seam).
+    *
+    * The magic committer matters at 100 TB: the default file-rename
+    * committer turns a job commit into an O(files) sequential copy on
+    * S3; the magic committer makes task commit a metadata operation.
+    */
+  val objectStoreConf: Map[String, String] = Map(
+    "spark.hadoop.fs.s3a.impl" -> "org.apache.hadoop.fs.s3a.S3AFileSystem",
+    "spark.hadoop.fs.s3a.aws.credentials.provider" ->
+      "org.apache.hadoop.fs.s3a.auth.IAMInstanceCredentialsProvider",
+    "spark.hadoop.fs.s3a.committer.name" -> "magic",
+    "spark.sql.sources.commitProtocolClass" ->
+      "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    "spark.sql.parquet.output.committer.class" ->
+      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+    "spark.hadoop.fs.s3a.connection.maximum" -> "96",
+    "spark.hadoop.fs.s3a.fast.upload" -> "true")
+
+  def withObjectStore(b: SparkSession.Builder): SparkSession.Builder =
+    objectStoreConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -128,6 +128,17 @@ class CapstonePipelineSpec extends SparkSpec {
     assert(d.country.filter(col("average_temperature").isNotNull).count() > 0)
   }
 
+  test("withObjectStore seam carries the s3a client + committer configuration") {
+    val c = GraftSession.objectStoreConf
+    assert(c("spark.hadoop.fs.s3a.impl") === "org.apache.hadoop.fs.s3a.S3AFileSystem")
+    assert(c("spark.hadoop.fs.s3a.committer.name") === "magic")
+    assert(c.contains("spark.sql.parquet.output.committer.class"))
+    // applying the seam to a builder must not throw (jars absent here;
+    // the classes only load when an s3a:// path is actually opened)
+    import org.apache.spark.sql.SparkSession
+    GraftSession.withObjectStore(SparkSession.builder())
+  }
+
   test("quality checks: star schema passes; duplicate keys fail") {
     val t = CapstoneEtl.buildStarSchema(imm, temp, demo, codes)
     val results = QualityChecks.checkAll(t.fact, t.visa, t.calendar, t.country, t.demographics)
