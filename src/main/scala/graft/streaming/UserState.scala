@@ -50,4 +50,44 @@ object UserState {
   }
 
   val outputMode: OutputMode = OutputMode.Update()
+
+  // --- flatMapGroupsWithState: 0..n outputs per group per batch ---------
+
+  final case class SpendAlert(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Alert emission — the `flatMapGroupsWithState` half of the arbitrary-
+    * state surface: unlike `mapGroupsWithState` (exactly one output per
+    * group per batch), a group emits ZERO or more records — here, one
+    * alert each time a user's lifetime value sum crosses another
+    * multiple of `step`, and silence otherwise. The state record stays
+    * O(1) per user; emission volume tracks alerts, not stream volume —
+    * the shape of anomaly/threshold detectors over unbounded streams.
+    */
+  def spendAlerts(userId: Long, events: Iterator[UserEvent],
+      state: GroupState[UserProfile], step: Double): Iterator[SpendAlert] = {
+    val batch = events.toSeq
+    if (batch.isEmpty) return Iterator.empty
+    val prev = state.getOption
+    val prevSum = prev.map(_.sum_value).getOrElse(0.0)
+    val n = prev.map(_.n_events).getOrElse(0L) + batch.size
+    val sum = prevSum + batch.map(_.value).sum
+    val firstSeen = (prev.map(_.first_seen) ++ batch.map(_.ts)).minBy(_.getTime)
+    val lastSeen = (prev.map(_.last_seen) ++ batch.map(_.ts)).maxBy(_.getTime)
+    state.update(UserProfile(userId, n, sum, firstSeen, lastSeen))
+    val crossed = math.floor(sum / step).toLong - math.floor(prevSum / step).toLong
+    if (crossed > 0) Iterator.single(SpendAlert(userId, n, sum)) else Iterator.empty
+  }
+
+  /** Streaming alert feed (Append sinks): one row per threshold crossing. */
+  def userAlerts(events: DataFrame, step: Double = 500.0): Dataset[SpendAlert] = {
+    implicit val eventEnc = Encoders.product[UserEvent]
+    implicit val profileEnc = Encoders.product[UserProfile]
+    implicit val alertEnc = Encoders.product[SpendAlert]
+    implicit val keyEnc = Encoders.scalaLong
+    events.select(col("user_id"), col("ts"), col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (k: Long, it: Iterator[UserEvent], s: GroupState[UserProfile]) =>
+          spendAlerts(k, it, s, step))
+  }
 }

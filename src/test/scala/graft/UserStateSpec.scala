@@ -53,4 +53,52 @@ class UserStateSpec extends SparkSpec {
         (r.getLong(1), math.round(r.getDouble(2) * 100), r.getTimestamp(3), r.getTimestamp(4))).toMap
     assert(finals === truth)
   }
+
+  test("flatMapGroupsWithState emits one alert per threshold crossing, silence otherwise") {
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val step = 500.0
+
+    val dir = java.nio.file.Files.createTempDirectory("user_alerts").toString
+    events.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/stage/b0")
+    events.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/stage/b1")
+    val landing = new java.io.File(s"$dir/landing"); landing.mkdirs()
+    Seq("b0", "b1").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$dir/stage/$b").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(landing, f"$i%02d.parquet").toPath)
+    }
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing.toString)
+    val q = UserState.userAlerts(stream, step).writeStream
+      .format("memory").queryName("user_alerts")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val alerts = spark.table("user_alerts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("sum_value")))
+    // batch ground truth: per user, final sum and the two batch sums
+    val perBatch = events
+      .withColumn("batch", (col("event_id") % 2).cast("int"))
+      .groupBy(col("user_id"), col("batch")).agg(sum(col("value")).as("s"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        val m = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+        u -> (m.getOrElse(0, 0.0), m.getOrElse(1, 0.0))
+      }
+    // expected alerts: crossing count from 0→s0, then s0→s0+s1
+    val expected = perBatch.flatMap { case (u, (s0, s1)) =>
+      val c1 = math.floor(s0 / step).toLong
+      val c2 = math.floor((s0 + s1) / step).toLong - c1
+      Seq.fill(if (c1 > 0) 1 else 0)(u) ++ Seq.fill(if (c2 > 0) 1 else 0)(u)
+    }.toSeq
+    assert(alerts.length === expected.size)
+    assert(alerts.map(_._1).sorted.toSeq === expected.sorted)
+    assert(alerts.nonEmpty, "test corpus produced no crossings — lower step")
+  }
 }
