@@ -201,16 +201,23 @@ object Curation extends QueryModule {
     * and broadcasts into a map-side anti-join — the corpus shuffles once
     * on doc_id for reassembly and never joins against itself.
     */
-  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("k", expr(s"size(toks) div $chunkW"))
-    // sequence(0, k-1) DESCENDS for k=0, so chunkless docs must not
-    // reach the transform; they rejoin via the left join below.
-    val chunked = docs.filter(col("k") >= 1)
+  /** (doc_id, pos, chunk): every full non-overlapping `chunkW`-token
+    * chunk of every document. sequence(0, k-1) DESCENDS for k=0, so
+    * chunkless docs are filtered out here (callers re-join them).
+    */
+  private def chunkPostings(docs: DataFrame): DataFrame =
+    docs.filter(col("k") >= 1)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, k - 1), i -> concat_ws(' ', slice(toks, i * $chunkW + 1, $chunkW)))")))
       .withColumnRenamed("col", "chunk")
+
+  private def withChunkCols(docs: DataFrame): DataFrame = docs
+    .withColumn("toks", split(col("text"), " "))
+    .withColumn("k", expr(s"size(toks) div $chunkW"))
+
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withChunkCols(Tables.documents(spark, dir))
+    val chunked = chunkPostings(docs)
     val hot = chunked.groupBy(col("chunk"))
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
@@ -258,6 +265,83 @@ object Curation extends QueryModule {
        |    array_to_string(toks[c.k * $chunkW + 1 : c.n], ' ')))) AS clean_md5
        |FROM c LEFT JOIN kept ON c.doc_id = kept.doc_id
        |ORDER BY c.doc_id""".stripMargin
+
+  // --- similarity-graph centrality --------------------------------------
+
+  /** q75: document centrality — fixed-iteration PageRank over the
+    * chunk-sharing graph (docs are linked when they share a boilerplate
+    * chunk), the graph-quality-signal shape web-curation pipelines use
+    * (centrality over link/similarity graphs) and the iterative-graph
+    * capability beyond q53's connected components. Deterministic: edges
+    * from exact chunk equality, EXACTLY two damped iterations (no
+    * data-dependent stopping), uniform init.
+    *
+    * Scale shape: edge generation is the q35 posting-pair expansion with
+    * a df cap (2..64) so Σdf² stays bounded; each iteration is one
+    * join + one partial-aggregated groupBy on the edge list — the
+    * standard message-passing round, linear in |edges|.
+    */
+  def docCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withChunkCols(Tables.documents(spark, dir))
+    val p = chunkPostings(docs).select(col("doc_id"), col("chunk")).distinct()
+    val hot = p.groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 64)).select(col("chunk"))
+    val e = p.join(broadcast(hot), Seq("chunk"))
+    val pairs = e.join(e.withColumnRenamed("doc_id", "dst"), Seq("chunk"))
+      .filter(col("doc_id") =!= col("dst"))
+      .select(col("doc_id").as("src"), col("dst")).distinct()
+      .persist() // read by deg + both message-passing rounds
+    val deg = pairs.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var pr = deg.select(col("src").as("doc_id"), lit(1.0).as("pr"))
+    for (_ <- 1 to 2) {
+      pr = pairs
+        .join(pr.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("doc_id"), (col("pr") / col("deg")).as("c"))
+        .groupBy(col("doc_id"))
+        .agg((lit(0.15) + lit(0.85) * sum(col("c"))).as("pr"))
+    }
+    pr.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("deg").cast("bigint").as("degree"),
+        round(col("pr"), 4).as("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docCentralitySql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), c AS (
+       |  SELECT doc_id, len(toks) // $chunkW AS k, toks FROM t
+       |), posting AS (
+       |  SELECT DISTINCT doc_id, chunk FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(0, k - 1),
+       |        i -> array_to_string(toks[i * $chunkW + 1 : i * $chunkW + $chunkW], ' '))) AS chunk
+       |    FROM c WHERE k >= 1)
+       |), hot AS (
+       |  SELECT chunk FROM posting GROUP BY chunk
+       |  HAVING count(*) BETWEEN 2 AND 64
+       |), e AS (
+       |  SELECT p.chunk, p.doc_id FROM posting p JOIN hot USING (chunk)
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM e a JOIN e b ON a.chunk = b.chunk AND a.doc_id <> b.doc_id
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM pairs GROUP BY src
+       |), pr0 AS (
+       |  SELECT src AS doc_id, 1.0 AS pr FROM deg
+       |), pr1 AS (
+       |  SELECT p.dst AS doc_id, 0.15 + 0.85 * sum(x.pr / d.deg) AS pr
+       |  FROM pairs p JOIN pr0 x ON p.src = x.doc_id JOIN deg d ON p.src = d.src
+       |  GROUP BY p.dst
+       |), pr2 AS (
+       |  SELECT p.dst AS doc_id, 0.15 + 0.85 * sum(x.pr / d.deg) AS pr
+       |  FROM pairs p JOIN pr1 x ON p.src = x.doc_id JOIN deg d ON p.src = d.src
+       |  GROUP BY p.dst
+       |)
+       |SELECT pr2.doc_id, d.deg::BIGINT AS degree, round(pr2.pr, 4) AS pagerank
+       |FROM pr2 JOIN deg d ON pr2.doc_id = d.src
+       |ORDER BY pr2.doc_id""".stripMargin
 
   // --- temperature mixture resampling ----------------------------------
 
@@ -426,5 +510,6 @@ object Curation extends QueryModule {
     QueryDef("q68_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("q70_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
     QueryDef("q72_mixture_resample", mixtureResample, Some(mixtureResampleSql)),
+    QueryDef("q75_doc_centrality", docCentrality, Some(docCentralitySql)),
   )
 }

@@ -82,6 +82,18 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("docCentrality: symmetric graph, rank mass concentrates on high-degree docs") {
+    val out = Curation.docCentrality(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val ranks = out.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("degree"), r.getAs[Double]("pagerank")))
+    ranks.foreach { case (_, deg, pr) => assert(deg >= 1 && pr > 0.14) }
+    // rank correlates with degree at the extremes: the max-degree doc
+    // outranks the min-degree doc (uniform init, 2 damped rounds)
+    val byDeg = ranks.sortBy(_._2)
+    assert(byDeg.last._3 >= byDeg.head._3)
+  }
+
   test("mixtureResample: temperature flattens the mixture (heavier sources sample at lower rates)") {
     val rows = Curation.mixtureResample(spark, sfDir).collect()
     assert(rows.length === 20)
