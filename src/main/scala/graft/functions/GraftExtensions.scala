@@ -37,6 +37,9 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head,
         if (exprs.size > 1) intArg(exprs(1), "minhash_sig numHashes") else 64)),
+    ("deflate_ratio",
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (exprs: Seq[Expression]) => DeflateRatio(exprs.head)),
   )
 
   def register(spark: SparkSession): Unit =

@@ -24,6 +24,34 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.head.getSeq[Long](2).length === 8)
   }
 
+  test("deflate_ratio: bounds, repetition monotonicity, codegen ≡ kernel") {
+    import graft.functions.{CompressFunctions, CompressImpl}
+    // corpus-wide bounds (map-side expression over real documents)
+    val ratios = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), CompressFunctions.deflateRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ratios.nonEmpty)
+    // worst case is raw + ~11 bytes header/block overhead, so short
+    // incompressible docs can land slightly above 1
+    ratios.foreach { case (id, r) => assert(r > 0 && r <= 1.3, s"doc $id ratio $r") }
+    // planted repetition compresses far better than varied text
+    val rep = ("spam " * 200).trim
+    val varied = (0 until 200).map(i => s"tok${i * 7919 % 1000}").mkString(" ")
+    val Seq(rRep, rVar) = spark.range(1)
+      .select(
+        CompressFunctions.deflateRatio(lit(rep)).as("a"),
+        CompressFunctions.deflateRatio(lit(varied)).as("b"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toSeq
+    assert(rRep < rVar / 2, s"repetitive $rRep not << varied $rVar")
+    // DataFrame (codegen) path equals the kernel directly
+    val direct = CompressImpl.deflateRatio(
+      org.apache.spark.unsafe.types.UTF8String.fromString(rep))
+    assert(rRep === direct)
+    // SQL registration path
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql(s"SELECT deflate_ratio('ababababab') AS r").head().getDouble(0) > 0)
+  }
+
   test("config-driven extensions path registers the same functions at session build") {
     // a sibling session on the same SparkContext, built WITH extensions
     val prevDefault = SparkSession.getDefaultSession
