@@ -679,8 +679,112 @@ object Relational extends QueryModule {
       |  UNION ALL SELECT n_name, 'avg_price', avg_price FROM wide
       |) ORDER BY n_name, metric""".stripMargin
 
+  /** q77: distribution-rank window battery — ntile / percent_rank /
+    * cume_dist / first_value over one (partition, order) spec, the
+    * analyst staples not covered by q10/q11/q22/q55. One window sort per
+    * partition; the unique (totalprice DESC, orderkey) order makes every
+    * rank deterministic.
+    */
+  def windowRankBattery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"),
+        first_value(col("o_orderkey")).over(w).as("richest_order"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val windowRankBatterySql =
+    """SELECT o_orderkey, o_orderpriority,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 4) AS pct_rank,
+      |  round(cume_dist() OVER w, 4) AS cume,
+      |  first_value(o_orderkey) OVER w AS richest_order
+      |FROM orders WHERE o_totalprice > 400000
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q79: date-spine gap filling — the reporting-table pattern: a dense
+    * daily calendar spanning the order history (generated, not scanned),
+    * left-joined to per-day aggregates, gaps filled with zero. The spine
+    * is one `sequence()` explode over a 2-row aggregate — O(days), never
+    * O(orders); the daily aggregate is one partial-agged groupBy.
+    */
+  def dateSpineDaily(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val bounds = orders.agg(min(col("o_orderdate")).as("lo"), max(col("o_orderdate")).as("hi"))
+    // sequence(date, date, interval) yields timestamp_ntz in Spark 4;
+    // cast back (after the generator — casts can't wrap explode) so the
+    // spine joins and hashes as a true DATE
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("ts"))
+      .select(col("ts").cast("date").as("day"))
+    val daily = orders.groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("rev"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n"), lit(0L)).cast("bigint").as("n_orders"),
+        coalesce(col("rev"), lit(0.0)).as("revenue"))
+      .orderBy(col("day"))
+  }
+
+  private val dateSpineDailySql =
+    """WITH bounds AS (
+      |  SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+      |), spine AS (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+      |), daily AS (
+      |  SELECT o_orderdate AS day, count(*) AS n,
+      |    round(sum(o_totalprice), 4) AS rev
+      |  FROM orders GROUP BY o_orderdate
+      |)
+      |SELECT s.day, coalesce(d.n, 0)::BIGINT AS n_orders,
+      |  coalesce(d.rev, 0.0) AS revenue
+      |FROM spine s LEFT JOIN daily d ON s.day = d.day
+      |ORDER BY s.day""".stripMargin
+
+  /** q78: fuzzy string matching — nearest neighbor by Levenshtein edit
+    * distance (the dirty-dimension reconciliation the capstone's country
+    * join needed: codebook names vs free-text names). Here: each nation's
+    * closest other nation name. The candidate side is a broadcast-able
+    * dimension, so the cross join is map-side; at scale the pattern is
+    * always "fuzzy-match INTO a broadcast codebook", never fact×fact.
+    */
+  def fuzzyNationMatch(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.nation(spark, dir).select(col("n_name"))
+    val cand = names.select(col("n_name").as("candidate"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("dist"), col("candidate"))
+    names.crossJoin(broadcast(cand))
+      .filter(col("n_name") =!= col("candidate"))
+      .withColumn("dist", levenshtein(col("n_name"), col("candidate")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("n_name"), col("candidate").as("closest_name"),
+        col("dist").cast("int").as("edit_distance"))
+      .orderBy(col("n_name"))
+  }
+
+  private val fuzzyNationMatchSql =
+    """SELECT n_name, closest_name, edit_distance FROM (
+      |  SELECT a.n_name, b.n_name AS closest_name,
+      |    levenshtein(a.n_name, b.n_name)::INT AS edit_distance,
+      |    row_number() OVER (PARTITION BY a.n_name
+      |      ORDER BY levenshtein(a.n_name, b.n_name), b.n_name) AS rn
+      |  FROM nation a CROSS JOIN nation b
+      |  WHERE a.n_name <> b.n_name
+      |) WHERE rn = 1 ORDER BY n_name""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q73_unpivot", nationMetricsUnpivot, Some(nationMetricsUnpivotSql)),
+    QueryDef("q77_window_rank_battery", windowRankBattery, Some(windowRankBatterySql)),
+    QueryDef("q78_fuzzy_match", fuzzyNationMatch, Some(fuzzyNationMatchSql)),
+    QueryDef("q79_date_spine", dateSpineDaily, Some(dateSpineDailySql)),
     QueryDef("q54_pivot", priorityStatusPivot, Some(priorityStatusPivotSql)),
     QueryDef("q56_approx_percentiles", approxPercentiles, Some(approxPercentilesSql)),
     QueryDef("q60_intersect", intersectNations, Some(intersectNationsSql)),

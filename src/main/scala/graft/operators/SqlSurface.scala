@@ -101,7 +101,24 @@ object SqlSurface extends QueryModule {
       |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
       |ORDER BY c_custkey""".stripMargin
 
+  /** q76: ANSI LATERAL correlated derived table — per nation, its top-2
+    * customers by balance, expressed as a lateral subquery with inner
+    * ORDER BY/LIMIT (the "top-N per outer row" join shape; Catalyst
+    * decorrelates it to a ranked join rather than re-running the inner
+    * query per row). Deterministic: unique (acctbal DESC, name) order.
+    */
+  private val lateralSql =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+      |  FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c.c_acctbal DESC, c.c_name LIMIT 2
+      |) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q76_lateral_topn", (s, d) => withViews(s, d)(lateralSql), Some(lateralSql)),
     QueryDef("q48_full_outer", (s, d) => withViews(s, d)(fullOuterSql), Some(fullOuterSql)),
     QueryDef("q49_grouping_sets", (s, d) => withViews(s, d)(groupingSetsSql), Some(groupingSetsSql)),
     QueryDef("q50_cross_grid", (s, d) => withViews(s, d)(crossSql), Some(crossSql)),

@@ -72,6 +72,40 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("window rank battery: quartiles 1..4, ranks in [0,1], one richest per priority") {
+    val rows = Relational.windowRankBattery(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert((1 to 4).contains(r.getAs[Int]("quartile")))
+      assert(r.getAs[Double]("pct_rank") >= 0.0 && r.getAs[Double]("pct_rank") <= 1.0)
+      assert(r.getAs[Double]("cume") > 0.0 && r.getAs[Double]("cume") <= 1.0)
+    }
+    val richestPerPriority = rows.groupBy(_.getString(1))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("richest_order")).distinct.length }
+    assert(richestPerPriority.forall(_ === 1))
+  }
+
+  test("fuzzy match: every nation gets exactly one closest other nation") {
+    val rows = Relational.fuzzyNationMatch(spark, sfDir).collect()
+    val n = Tables.nation(spark, sfDir).count()
+    assert(rows.length === n)
+    rows.foreach { r =>
+      assert(r.getString(0) !== r.getString(1))
+      assert(r.getAs[Int]("edit_distance") > 0)
+    }
+  }
+
+  test("date spine is dense and gap days carry zeros") {
+    val rows = Relational.dateSpineDaily(spark, sfDir).collect()
+    val days = rows.map(_.getDate(0).toLocalDate)
+    assert(java.time.temporal.ChronoUnit.DAYS.between(days.head, days.last) + 1 === rows.length)
+    assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+    // the spine must be a superset of observed order dates
+    val observed = Tables.orders(spark, sfDir)
+      .select(col("o_orderdate")).distinct().count()
+    assert(rows.count(_.getLong(1) > 0) === observed)
+  }
+
   test("pricing summary groups equal distinct (returnflag, linestatus) pairs") {
     val li = Tables.lineitem(spark, sfDir)
     val pairs = li.select(col("l_returnflag"), col("l_linestatus")).distinct().count()
