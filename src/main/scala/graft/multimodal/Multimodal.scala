@@ -210,8 +210,44 @@ object Multimodal extends QueryModule {
       |  round(avg(f0), 4) AS avg_f0
       |FROM f GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** q80: media dedup by payload head hash — the binary-asset dedup
+    * pattern at blob scale: hashing a fixed-size HEAD of the payload
+    * (here 256 bytes) instead of whole multi-MB blobs keeps the dedup
+    * scan IO-bound on metadata, and collisions on the head are then
+    * verified (or, as in common crawl-media pipelines, accepted as the
+    * dedup key for same-source assets). One groupBy on a 16-byte hash;
+    * keep-min-id, emit group sizes. Works on any `binary` column — the
+    * ASCII fixture corpus lets the oracle replay md5 over text.
+    */
+  def mediaDedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromDocuments(spark, dir)
+      .withColumn("head_md5", md5(col("bytes").substr(lit(1), lit(256))))
+    val groups = media.groupBy(col("head_md5"))
+      .agg(count(lit(1)).as("group_n"), min(col("media_id")).as("keeper"))
+    media.join(groups, Seq("head_md5"))
+      .select(col("media_id"), col("head_md5"),
+        col("group_n").cast("bigint").as("group_n"),
+        when(col("media_id") === col("keeper"), lit(1)).otherwise(lit(0))
+          .cast("int").as("kept"))
+      .orderBy(col("media_id"))
+  }
+
+  private val mediaDedupSql =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, md5(substring(text, 1, 256)) AS head_md5
+      |  FROM documents
+      |), g AS (
+      |  SELECT head_md5, count(*) AS group_n, min(media_id) AS keeper
+      |  FROM m GROUP BY head_md5
+      |)
+      |SELECT m.media_id, m.head_md5, g.group_n::BIGINT AS group_n,
+      |  (CASE WHEN m.media_id = g.keeper THEN 1 ELSE 0 END)::INT AS kept
+      |FROM m JOIN g ON m.head_md5 = g.head_md5
+      |ORDER BY m.media_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q51_frame_sample", frameSampleQuery, Some(frameSampleSql)),
     QueryDef("q52_media_decode", decodeQuery, Some(decodeSql)),
+    QueryDef("q80_media_dedup", mediaDedupQuery, Some(mediaDedupSql)),
   )
 }

@@ -60,4 +60,15 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_media")).sum ===
       Tables.documents(spark, sfDir).count())
   }
+
+  test("media dedup: exactly one min-id keeper per head-hash group") {
+    val out = Multimodal.mediaDedupQuery(spark, sfDir).collect()
+    assert(out.length === Tables.documents(spark, sfDir).count())
+    out.groupBy(_.getString(1)).values.foreach { rows =>
+      assert(rows.count(_.getAs[Int]("kept") == 1) === 1)
+      assert(rows.forall(_.getAs[Long]("group_n") === rows.length.toLong))
+      val keeper = rows.find(_.getAs[Int]("kept") == 1).get.getAs[Long]("media_id")
+      assert(keeper === rows.map(_.getAs[Long]("media_id")).min)
+    }
+  }
 }
