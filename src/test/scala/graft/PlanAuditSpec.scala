@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Pins the plan properties the 100 TB design depends on — pushdown,
+  * pruning, broadcast placement, codegen, partial aggregation — so a
+  * refactor that silently regresses one of them fails the suite instead
+  * of only showing up in a bench run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Final (post-AQE) physical plan: execute, then unwrap the adaptive
+    * wrapper — codegen stages only exist in the finalized plan.
+    */
+  private def finalPlan(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def formatted(df: DataFrame): String =
+    org.apache.spark.sql.execution.debug.codegenString(finalPlan(df))
+
+  private def explainText(df: DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString("UTF-8")
+  }
+
+  test("filter + projection reach the parquet scan (pushdown and pruning)") {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val plan = explainText(li)
+    assert(plan.contains("PushedFilters"), "no PushedFilters section")
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(l_quantity,45.*"),
+      s"quantity filter not pushed:\n$plan")
+    // pruned read schema: exactly the two referenced columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"scan reads more than the projection needs:\n$plan")
+  }
+
+  test("star join broadcasts every dimension (no shuffle on the dim side)") {
+    val plan = explainText(operators.Relational.regionRevenue(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$plan")
+  }
+
+  test("hot aggregation paths stay inside whole-stage codegen") {
+    val q = operators.TextAnalysis.qualityScore(spark, sfDir)
+    val cg = formatted(q)
+    val m = "Found (\\d+) WholeStageCodegen subtrees".r.findFirstMatchIn(cg)
+    assert(m.exists(_.group(1).toInt >= 1), s"no codegen subtree:\n${cg.take(400)}")
+  }
+
+  test("KNN plan partially aggregates top-k map-side (no full corpus to one reducer)") {
+    val plan = explainText(operators.Similarity.knnQuery(spark, sfDir))
+    assert(plan.toLowerCase.contains("partial_topkbysim"),
+      s"partial top-k aggregation missing:\n$plan")
+  }
+
+  test("bloom probe filters the fact scan before any join") {
+    val plan = explainText(operators.BloomJoin.bloomSemiJoinQuery(spark, sfDir))
+    // the might_contain probe must appear in a Filter, and the plan keeps
+    // an exact LeftSemi join after it
+    assert(plan.contains("might_contain"), s"bloom probe missing:\n$plan")
+    assert(plan.contains("LeftSemi"), s"exact semi-join missing:\n$plan")
+  }
+
+  test("IVF assignment is shuffle-free (no Exchange between scan and list argmax)") {
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+    val (assigned, _) = operators.Similarity.ivfAssign(corpus, 16)
+    val plan = explainText(assigned)
+    assert(!plan.contains("Exchange"), s"IVF assignment shuffles:\n$plan")
+  }
+}
