@@ -15,6 +15,7 @@ object SparkEntry {
     operators.SqlSurface,
     operators.Temporal,
     streaming.EventStreams,
+    operators.EventAnalytics,
     operators.TextAnalysis,
     operators.Dedup,
     operators.Similarity,

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch event analytics — the sessionization/funnel/cohort battery
+  * every clickstream user of an analytics engine runs (the batch
+  * complements of `streaming.EventStreams`' windowed forms).
+  *
+  * Time parity note: `events.ts` is TIMESTAMP(NANOS) at rest; the Spark
+  * side truncates to micros (Tables.events) and all cross-engine
+  * comparisons here use integer epoch MICROSECONDS (`unix_micros` /
+  * DuckDB `epoch_us`), so both engines compare identical integers —
+  * no float seconds, no sub-micro drift.
+  */
+object EventAnalytics extends QueryModule {
+
+  private val sessionGapUs = 30L * 60 * 1000000 // 30 min
+
+  /** q81: lag-gap sessionization — the classic batch session-id
+    * assignment: order each user's events, open a new session when the
+    * gap to the previous event exceeds 30 min, session_id = running sum
+    * of the break flags. Two window passes over the same (user, time)
+    * sort order — one partition sort total — then one aggregation.
+    * Scale: windows partition by user (millions of small partitions),
+    * never a global sort.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(w) > sessionGapUs, 1)
+          .when(lag(col("us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .select(col("user_id"), col("session_id").cast("bigint").as("session_id"),
+        col("n_events").cast("bigint").as("n_events"),
+        col("start_us"), col("end_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val sessionizeSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+       |), b AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN lag(us) OVER w IS NULL THEN 1
+       |         WHEN us - lag(us) OVER w > $sessionGapUs THEN 1
+       |         ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), s AS (
+       |  SELECT user_id, us,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                   ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM b
+       |)
+       |SELECT user_id, session_id::BIGINT AS session_id,
+       |  count(*)::BIGINT AS n_events,
+       |  min(us) AS start_us, max(us) AS end_us
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** q82: ordered conversion funnel — view → click-after-view →
+    * purchase-after-click, the strictly-sequenced funnel (a click
+    * BEFORE the first view doesn't count). Three stage aggregates, each
+    * a semi-join of the event table against the (tiny, per-user) prior
+    * stage — broadcast at any corpus size because rows-per-stage is
+    * bounded by |users|.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(broadcast(v), Seq("user_id"))
+      .filter(col("us") >= col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(broadcast(c), Seq("user_id"))
+      .filter(col("us") >= col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    v.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
+      .select(col("n_view_users").cast("bigint").as("n_view_users"),
+        col("n_click_users").cast("bigint").as("n_click_users"),
+        col("n_purchase_users").cast("bigint").as("n_purchase_users"))
+  }
+
+  private val funnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |), v AS (
+      |  SELECT user_id, min(us) AS v_us FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(e.us) AS c_us
+      |  FROM e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.us >= v.v_us
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(e.us) AS p_us
+      |  FROM e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us >= c.c_us
+      |  GROUP BY e.user_id
+      |)
+      |SELECT (SELECT count(*) FROM v)::BIGINT AS n_view_users,
+      |       (SELECT count(*) FROM c)::BIGINT AS n_click_users,
+      |       (SELECT count(*) FROM p)::BIGINT AS n_purchase_users""".stripMargin
+
+  /** q83: weekly cohort retention — users grouped by first-seen ISO
+    * week, counted per subsequent activity week (the retention matrix in
+    * long form). Two aggregations: first-seen per user, then distinct
+    * (user, week) activity joined back — both partial-aggregated, keyed
+    * by user then by (cohort, offset).
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
+    val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    e.join(first, Seq("user_id"))
+      .withColumn("offset_weeks", (datediff(col("wk"), col("cohort_wk")) / 7).cast("int"))
+      .groupBy(col("cohort_wk"), col("offset_weeks"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .select(col("cohort_wk"), col("offset_weeks"),
+        col("n_users").cast("bigint").as("n_users"))
+      .orderBy(col("cohort_wk"), col("offset_weeks"))
+  }
+
+  private val cohortRetentionSql =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk FROM events
+      |), f AS (
+      |  SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id
+      |)
+      |SELECT f.cohort_wk, ((a.wk - f.cohort_wk) // 7)::INT AS offset_weeks,
+      |  count(DISTINCT a.user_id)::BIGINT AS n_users
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY f.cohort_wk, offset_weeks
+      |ORDER BY f.cohort_wk, offset_weeks""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
+    QueryDef("q82_funnel", funnel, Some(funnelSql)),
+    QueryDef("q83_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
+  )
+}

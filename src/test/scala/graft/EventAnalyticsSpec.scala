@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.EventAnalytics
+import org.apache.spark.sql.functions._
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  test("sessionize: sessions cover every event, bounded by the 30-min gap rule") {
+    val sessions = EventAnalytics.sessionize(spark, sfDir).collect()
+    val total = Tables.events(spark, sfDir).count()
+    assert(sessions.map(_.getAs[Long]("n_events")).sum === total)
+    // per user: session ids are 1..k, intervals are ordered and separated
+    // by more than the gap (session k ends > 30 min before k+1 starts)
+    sessions.groupBy(_.getAs[Long]("user_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("session_id"))
+      assert(sorted.map(_.getAs[Long]("session_id")).toSeq ===
+        (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_us") - a.getAs[Long]("end_us") >
+            30L * 60 * 1000000)
+        case _ =>
+      }
+    }
+  }
+
+  test("funnel stages are monotone non-increasing") {
+    val r = EventAnalytics.funnel(spark, sfDir).head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p && v > 0)
+  }
+
+  test("cohort retention never exceeds the cohort's base size") {
+    val rows = EventAnalytics.cohortRetention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getDate(0)).values.foreach { cohort =>
+      val base = cohort.find(_.getAs[Int]("offset_weeks") == 0)
+        .map(_.getAs[Long]("n_users"))
+      assert(base.nonEmpty, "cohort missing its offset-0 row")
+      cohort.foreach(r => assert(r.getAs[Long]("n_users") <= base.get))
+    }
+  }
+}
