@@ -780,11 +780,103 @@ object Relational extends QueryModule {
       |  WHERE a.n_name <> b.n_name
       |) WHERE rn = 1 ORDER BY n_name""".stripMargin
 
+  /** q84: fixed-width histogram of order totals — the profiling staple:
+    * bucket index = floor((x - lo) / width) over a fixed [0, 600k) range
+    * in 24 buckets, zero rows for empty buckets included via a generated
+    * bucket spine (so the histogram shape is complete, not sparse).
+    * Map-side bucketing + one small aggregation; the spine is O(buckets).
+    */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val width = 25000
+    val nBuckets = 24
+    val observed = Tables.orders(spark, dir)
+      .withColumn("bucket",
+        least(floor(col("o_totalprice") / width), lit(nBuckets - 1L)).cast("int"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val spine = spark.range(nBuckets).select(col("id").cast("int").as("bucket"))
+    spine.join(observed, Seq("bucket"), "left")
+      .select(col("bucket"), (col("bucket").cast("bigint") * width).as("lo"),
+        coalesce(col("n"), lit(0L)).cast("bigint").as("n_orders"))
+      .orderBy(col("bucket"))
+  }
+
+  private val priceHistogramSql =
+    """WITH observed AS (
+      |  SELECT least(floor(o_totalprice / 25000), 23)::INT AS bucket, count(*) AS n
+      |  FROM orders GROUP BY 1
+      |), spine AS (
+      |  SELECT unnest(generate_series(0, 23))::INT AS bucket
+      |)
+      |SELECT s.bucket, (s.bucket::BIGINT * 25000) AS lo,
+      |  coalesce(o.n, 0)::BIGINT AS n_orders
+      |FROM spine s LEFT JOIN observed o ON s.bucket = o.bucket
+      |ORDER BY s.bucket""".stripMargin
+
+  /** q85: IQR outlier detection — Tukey fences (Q1/Q3 ± 1.5·IQR over
+    * exact discrete quantiles) on per-customer lifetime spend; emits the
+    * out-of-fence customers. (Raw order prices are uniform, so fences on
+    * them are never exceeded — spend AGGREGATES have real tails.) The
+    * fence is a 1-row aggregate broadcast into a map-side filter; at
+    * 100 TB the exact percentile swaps for the q56 sketch with the same
+    * downstream shape.
+    */
+  def spendOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("total"))
+    val fences = spend
+      .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY total)").as("q1"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY total)").as("q3"))
+      .select((col("q1") - (col("q3") - col("q1")) * 1.5).as("lo_fence"),
+        (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi_fence"))
+    spend.crossJoin(broadcast(fences))
+      .filter(col("total") < col("lo_fence") || col("total") > col("hi_fence"))
+      .select(col("o_custkey"), round(col("total"), 2).as("total_spend"),
+        when(col("total") > col("hi_fence"), lit("high")).otherwise(lit("low"))
+          .as("side"))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val spendOutliersSql =
+    """WITH spend AS (
+      |  SELECT o_custkey, sum(o_totalprice) AS total FROM orders GROUP BY o_custkey
+      |), f AS (
+      |  SELECT quantile_disc(total, 0.25) AS q1, quantile_disc(total, 0.75) AS q3
+      |  FROM spend
+      |)
+      |SELECT s.o_custkey, round(s.total, 2) AS total_spend,
+      |  CASE WHEN s.total > f.q3 + (f.q3 - f.q1) * 1.5 THEN 'high'
+      |       ELSE 'low' END AS side
+      |FROM spend s CROSS JOIN f
+      |WHERE s.total < f.q1 - (f.q3 - f.q1) * 1.5
+      |   OR s.total > f.q3 + (f.q3 - f.q1) * 1.5
+      |ORDER BY s.o_custkey""".stripMargin
+
+  /** q86: skew-safe exact count-distinct — `Skew.saltedDistinctCount`
+    * promoted to a driver-checked query: distinct customers per
+    * priority, computed with the two-phase value-salt so no single
+    * reducer ever sees a hot key's whole value set. The oracle is the
+    * plain COUNT(DISTINCT) — the salted plan must be result-identical.
+    */
+  def saltedCustomerCount(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedDistinctCount(Tables.orders(spark, dir),
+        "o_orderpriority", "o_custkey", buckets = 8)
+      .select(col("o_orderpriority"),
+        col("n_distinct").cast("bigint").as("n_distinct_custs"))
+      .orderBy(col("o_orderpriority"))
+
+  private val saltedCustomerCountSql =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey)::BIGINT AS n_distinct_custs
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q73_unpivot", nationMetricsUnpivot, Some(nationMetricsUnpivotSql)),
     QueryDef("q77_window_rank_battery", windowRankBattery, Some(windowRankBatterySql)),
     QueryDef("q78_fuzzy_match", fuzzyNationMatch, Some(fuzzyNationMatchSql)),
     QueryDef("q79_date_spine", dateSpineDaily, Some(dateSpineDailySql)),
+    QueryDef("q84_histogram", priceHistogram, Some(priceHistogramSql)),
+    QueryDef("q85_iqr_outliers", spendOutliers, Some(spendOutliersSql)),
+    QueryDef("q86_salted_distinct", saltedCustomerCount, Some(saltedCustomerCountSql)),
     QueryDef("q54_pivot", priorityStatusPivot, Some(priorityStatusPivotSql)),
     QueryDef("q56_approx_percentiles", approxPercentiles, Some(approxPercentilesSql)),
     QueryDef("q60_intersect", intersectNations, Some(intersectNationsSql)),

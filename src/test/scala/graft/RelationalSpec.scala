@@ -106,6 +106,42 @@ class RelationalSpec extends SparkSpec {
     assert(rows.count(_.getLong(1) > 0) === observed)
   }
 
+  test("histogram: complete bucket spine, counts sum to row count") {
+    val rows = Relational.priceHistogram(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("bucket")).toSeq === (0 until 24))
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ===
+      Tables.orders(spark, sfDir).count())
+  }
+
+  test("IQR outliers are exactly the out-of-fence spenders") {
+    val rows = Relational.spendOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // local replica
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sorted = spend.values.toArray.sorted
+    def qdisc(p: Double): Double = sorted(math.ceil(p * sorted.length).toInt - 1)
+    val (q1, q3) = (qdisc(0.25), qdisc(0.75))
+    val (lo, hi) = (q1 - (q3 - q1) * 1.5, q3 + (q3 - q1) * 1.5)
+    val expected = spend.filter { case (_, t) => t < lo || t > hi }.keySet
+    assert(rows.map(_.getLong(0)).toSet === expected)
+    rows.foreach { r =>
+      val t = spend(r.getLong(0))
+      assert(r.getString(2) === (if (t > hi) "high" else "low"))
+    }
+  }
+
+  test("salted distinct count equals the plain count_distinct") {
+    val salted = Relational.saltedCustomerCount(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count_distinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
   test("pricing summary groups equal distinct (returnflag, linestatus) pairs") {
     val li = Tables.lineitem(spark, sfDir)
     val pairs = li.select(col("l_returnflag"), col("l_linestatus")).distinct().count()
