@@ -824,6 +824,7 @@ object Relational extends QueryModule {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice")).as("total"))
+      .persist() // read by the fence aggregate AND the filter side
     val fences = spend
       .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY total)").as("q1"),
         expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY total)").as("q3"))
