@@ -287,8 +287,13 @@ object Dedup extends QueryModule {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // init = identity + first hop fused: label(v) = min(v, min neighbor).
+    // Saves one full propagation round (≈6 fixed-overhead jobs) — for
+    // the shallow star/pair components near-dup graphs mostly contain,
+    // that is half the loop.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("id"), least(col("src"), col("__mn")).as("label"))
       .persist()
     var changed = 1L
     var iter = 0
