@@ -870,7 +870,37 @@ object Relational extends QueryModule {
     """SELECT o_orderpriority, count(DISTINCT o_custkey)::BIGINT AS n_distinct_custs
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q87: statistical aggregates — stddev/variance/correlation per
+    * group (the profiling family beyond plain sums): per order
+    * priority, the price spread and the price↔time correlation (days
+    * since epoch as the time axis, so both engines correlate identical
+    * integers). All are single-pass partial-aggregated moments.
+    */
+  def statAggs(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast("date"),
+      lit("1970-01-01").cast("date")).cast("double")
+    Tables.orders(spark, dir)
+      .withColumn("day", day)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(stddev_samp(col("o_totalprice")), 4).as("price_stddev"),
+        round(var_samp(col("o_totalprice")), 4).as("price_var"),
+        round(corr(col("o_totalprice"), col("day")), 4).as("price_time_corr"))
+      .select(col("o_orderpriority"), col("n").cast("bigint").as("n"),
+        col("price_stddev"), col("price_var"), col("price_time_corr"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val statAggsSql =
+    """SELECT o_orderpriority, count(*)::BIGINT AS n,
+      |  round(stddev_samp(o_totalprice), 4) AS price_stddev,
+      |  round(var_samp(o_totalprice), 4) AS price_var,
+      |  round(corr(o_totalprice,
+      |    (o_orderdate::DATE - DATE '1970-01-01')::DOUBLE), 4) AS price_time_corr
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q87_stat_aggs", statAggs, Some(statAggsSql)),
     QueryDef("q73_unpivot", nationMetricsUnpivot, Some(nationMetricsUnpivotSql)),
     QueryDef("q77_window_rank_battery", windowRankBattery, Some(windowRankBatterySql)),
     QueryDef("q78_fuzzy_match", fuzzyNationMatch, Some(fuzzyNationMatchSql)),

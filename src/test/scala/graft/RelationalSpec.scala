@@ -142,6 +142,18 @@ class RelationalSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("stat aggs: variance is stddev squared, correlation bounded") {
+    val rows = Relational.statAggs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sd = r.getAs[Double]("price_stddev")
+      val v = r.getAs[Double]("price_var")
+      assert(math.abs(sd * sd - v) / v < 1e-3)
+      val c = r.getAs[Double]("price_time_corr")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
+
   test("pricing summary groups equal distinct (returnflag, linestatus) pairs") {
     val li = Tables.lineitem(spark, sfDir)
     val pairs = li.select(col("l_returnflag"), col("l_linestatus")).distinct().count()
