@@ -12,6 +12,7 @@ object SparkEntry {
   /** All operator modules. Order is presentation-only. */
   def modules: Seq[QueryModule] = Seq(
     operators.Relational,
+    operators.TradeAnalytics,
     operators.SqlSurface,
     operators.Temporal,
     streaming.EventStreams,

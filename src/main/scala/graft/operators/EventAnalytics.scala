@@ -148,9 +148,52 @@ object EventAnalytics extends QueryModule {
       |GROUP BY f.cohort_wk, offset_weeks
       |ORDER BY f.cohort_wk, offset_weeks""".stripMargin
 
+  /** q92: gaps-and-islands — consecutive-day activity streaks per user.
+    * Classic island id: day_number − row_number is constant within a
+    * run of consecutive days. Two user-partitioned window passes over
+    * one sort order, then two aggregations; day arithmetic is integer
+    * (days since a fixed epoch) so cross-engine parity is exact.
+    * Scale: everything is partitioned by user — no global sort, and the
+    * distinct-days relation is ≤ users × days regardless of event count.
+    */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1995-01-01").cast("date")).as("day_num"))
+      .distinct()
+    days
+      .withColumn("island", col("day_num") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("streak_len"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("streak_len")).cast("bigint").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("streak_len")).cast("bigint").as("max_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  private val activityStreaksSql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, date_diff('day', DATE '1995-01-01', ts::DATE) AS day_num
+      |  FROM events
+      |), isl AS (
+      |  SELECT user_id,
+      |    day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num) AS island
+      |  FROM days
+      |), s AS (
+      |  SELECT user_id, island, count(*) AS streak_len
+      |  FROM isl GROUP BY user_id, island
+      |)
+      |SELECT user_id, sum(streak_len)::BIGINT AS n_active_days,
+      |  count(*) AS n_streaks, max(streak_len)::BIGINT AS max_streak
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
     QueryDef("q83_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
+    QueryDef("q92_activity_streaks", activityStreaks, Some(activityStreaksSql)),
   )
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-hop star-join analytics — the TPC-H Q7/Q8/Q9 family plus the
+  * regression-aggregate battery. These are the deep join pipelines a
+  * warehouse engine must plan well: 5–6 way joins where everything but
+  * the two fact tables is a broadcast dimension.
+  *
+  * Scale notes (100 TB design):
+  *  - exactly ONE shuffle per query — the lineitem⋈orders fact-fact
+  *    join; every dimension hop (supplier, customer, part, nation,
+  *    region) is an explicit broadcast;
+  *  - selective dimension filters (nation pair, region, part type) are
+  *    applied INSIDE the broadcast build side, so the fact scan is
+  *    semi-reduced before it ever shuffles;
+  *  - aggregates are declarative groupBy → partial map-side combine.
+  */
+object TradeAnalytics extends QueryModule {
+
+  private val tradeNations = Seq("NATION_3", "NATION_8")
+
+  /** q88: TPC-H Q7 shape — cross-nation trade flow. Revenue shipped
+    * between the two nations (both directions), by year. The nation
+    * pair filter lands in both broadcast builds, cutting the fact side
+    * ~12× (2/25 nations) before the single fact-fact shuffle.
+    */
+  def nationTradeFlow(spark: SparkSession, dir: String): DataFrame = {
+    val suppNat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(tradeNations: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val custNat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(tradeNations: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  private val nationTradeFlowSql =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |  year(l_shipdate) AS l_year,
+       |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |WHERE sn.n_name IN ('NATION_3', 'NATION_8')
+       |  AND cn.n_name IN ('NATION_3', 'NATION_8')
+       |  AND sn.n_name <> cn.n_name
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** q89: TPC-H Q8 shape — market share. Among lineitems sold to
+    * EUROPE customers, the fraction of discounted revenue supplied by
+    * NATION_19, per order year. The share is a conditional-sum ratio
+    * inside one aggregation — no second pass, no self-join.
+    */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val custNat = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(custNat), col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"))
+    val suppNat = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val volume = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_19", volume).otherwise(lit(0.0))), 4).as("nation_volume"),
+        round(sum(volume), 4).as("total_volume"),
+        round(sum(when(col("supp_nation") === "NATION_19", volume).otherwise(lit(0.0))) / sum(volume), 4).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  private val marketShareSql =
+    """WITH sales AS (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    l_extendedprice * (1 - l_discount) AS volume,
+      |    sn.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  WHERE r_name = 'EUROPE')
+      |SELECT o_year,
+      |  round(sum(CASE WHEN supp_nation = 'NATION_19' THEN volume ELSE 0 END), 4) AS nation_volume,
+      |  round(sum(volume), 4) AS total_volume,
+      |  round(sum(CASE WHEN supp_nation = 'NATION_19' THEN volume ELSE 0 END) / sum(volume), 4) AS mkt_share
+      |FROM sales GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** q90: TPC-H Q9 shape — product-line profit by supplier nation and
+    * year. Profit analogue (no partsupp table in the corpus): revenue
+    * minus a 10%-of-retail unit cost. The p_type filter prunes the
+    * broadcast part build; lineitem⋈orders is again the only shuffle.
+    */
+  def productProfit(spark: SparkSession, dir: String): DataFrame = {
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"), col("p_retailprice"))
+    val suppNat = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("nation"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(suppNat), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("nation"))
+    val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      lit(0.1) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(profit), 4).as("sum_profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  private val productProfitSql =
+    """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |  round(sum(l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity), 4) AS sum_profit,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_type = 'PROMO'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q91: linear-regression aggregate battery — slope / intercept / R²
+    * of extendedprice on quantity, per return flag. One partial-agg
+    * pass (each regr_* is a second-moment combine, mergeable at any
+    * parallelism, same shape as q87's corr).
+    */
+  def regressionBattery(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val regressionBatterySql =
+    """SELECT l_returnflag,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+      |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
+    QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
+    QueryDef("q90_product_profit", productProfit, Some(productProfitSql)),
+    QueryDef("q91_regression_battery", regressionBattery, Some(regressionBatterySql)),
+  )
+}

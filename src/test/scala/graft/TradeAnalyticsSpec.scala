@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.TradeAnalytics
+import org.apache.spark.sql.functions._
+
+class TradeAnalyticsSpec extends SparkSpec {
+
+  test("nation trade flow: both directions, disjoint nations, positive revenue") {
+    val rows = TradeAnalytics.nationTradeFlow(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    pairs.foreach { case (s, c) =>
+      assert(s != c)
+      assert(Set("NATION_3", "NATION_8")(s) && Set("NATION_3", "NATION_8")(c))
+    }
+    assert(pairs.size === 2, "expected trade in both directions")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("revenue") > 0)
+      assert(r.getAs[Long]("n_items") > 0)
+    }
+  }
+
+  test("market share: ratio in [0,1] and nation volume bounded by total") {
+    val rows = TradeAnalytics.marketShare(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (natV, totV, share) = (r.getAs[Double]("nation_volume"),
+        r.getAs[Double]("total_volume"), r.getAs[Double]("mkt_share"))
+      assert(natV >= 0 && natV <= totV)
+      assert(share >= 0.0 && share <= 1.0)
+      assert(math.abs(share - natV / totV) < 1e-3)
+    }
+  }
+
+  test("product profit: item counts reconcile with the PROMO lineitem join") {
+    val rows = TradeAnalytics.productProfit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val expected = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir).filter(col("p_type") === "PROMO"),
+        col("l_partkey") === col("p_partkey"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum === expected)
+  }
+
+  test("regression battery: slope equals covar/var and r2 equals corr^2") {
+    val mine = TradeAnalytics.regressionBattery(spark, sfDir).collect()
+    assert(mine.length === 3)
+    val ref = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (covar_samp(col("l_quantity"), col("l_extendedprice")) /
+          var_samp(col("l_quantity"))).as("slope"),
+        pow(corr(col("l_quantity"), col("l_extendedprice")), 2).as("r2"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    mine.foreach { r =>
+      val (slope, r2) = ref(r.getString(0))
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-3)
+      assert(math.abs(r.getAs[Double]("r2") - r2) < 1e-3)
+      assert(r.getAs[Double]("r2") >= 0 && r.getAs[Double]("r2") <= 1)
+    }
+  }
+
+  test("activity streaks: day totals reconcile and streak bounds hold") {
+    val rows = operators.EventAnalytics.activityStreaks(spark, sfDir).collect()
+    val distinctDays = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_active_days")).sum === distinctDays)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_streak") <= r.getAs[Long]("n_active_days"))
+      assert(r.getAs[Long]("n_streaks") <= r.getAs[Long]("n_active_days"))
+      assert(r.getAs[Long]("max_streak") >= 1 && r.getAs[Long]("n_streaks") >= 1)
+    }
+  }
+}
