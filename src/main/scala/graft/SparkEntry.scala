@@ -18,6 +18,7 @@ object SparkEntry {
     streaming.EventStreams,
     operators.EventAnalytics,
     operators.TextAnalysis,
+    operators.CorpusStats,
     operators.Dedup,
     operators.Similarity,
     operators.Curation,

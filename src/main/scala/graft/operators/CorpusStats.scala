@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistical text analysis — the distribution-aware
+  * layer of a training-data pipeline: collocation mining (PMI),
+  * source-level word-entropy profiling, vocabulary-novelty tracking,
+  * and DSIR-style importance weighting of documents against a target
+  * domain.
+  *
+  * Scale notes (100 TB design):
+  *  - every operator reduces the corpus to WORD-keyed aggregates first
+  *    (vocabulary-sized, not corpus-sized) before any join — the only
+  *    shuffles are on word / (doc, word) keys with map-side partial
+  *    aggregation;
+  *  - corpus-wide scalars (token totals, vocab size) ride along as
+  *    broadcast single-row cross joins, never a driver collect;
+  *  - log-space math keeps one fixed expression shape on both engines
+  *    so float parity survives `round(…, 4)`.
+  */
+object CorpusStats extends QueryModule {
+
+  private val minBigramCount = 20
+
+  /** q93: bigram collocations by pointwise mutual information.
+    * PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ), computed from unigram and
+    * bigram count tables; frequency floor keeps rare-pair noise out.
+    * The bigram expansion is one pass over each document's token array;
+    * counts shuffle on the (w1, w2) key.
+    */
+  def bigramPmi(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir).select(split(col("text"), " ").as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val uniTot = uni.agg(sum(col("c")).as("n_uni"))
+    val bigrams = toks.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("w1"),
+          element_at(col("t"), i + 2).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+    val bigTot = bigrams.agg(sum(col("n_ab")).as("n_big"))
+    bigrams.filter(col("n_ab") >= minBigramCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(uniTot))
+      .crossJoin(broadcast(bigTot))
+      .withColumn("pmi", round(log(
+        (col("n_ab").cast("double") * col("n_uni") * col("n_uni")) /
+          (col("n_big").cast("double") * col("c_a") * col("c_b"))), 4))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("n_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(15)
+  }
+
+  private val bigramPmiSql =
+    s"""WITH toks AS (
+       |  SELECT string_split(text, ' ') AS t FROM documents
+       |), uni AS (
+       |  SELECT unnest(t) AS w FROM toks
+       |), uc AS (
+       |  SELECT w, count(*) AS c FROM uni GROUP BY w
+       |), bg AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1])) AS bigram
+       |  FROM toks
+       |), bc AS (
+       |  SELECT bigram, count(*) AS n_ab FROM bg GROUP BY bigram
+       |), tot AS (
+       |  SELECT (SELECT sum(c) FROM uc) AS n_uni, (SELECT sum(n_ab) FROM bc) AS n_big
+       |)
+       |SELECT bc.bigram, bc.n_ab,
+       |  round(ln((bc.n_ab::DOUBLE * tot.n_uni * tot.n_uni) /
+       |    (tot.n_big::DOUBLE * a.c * b.c)), 4) AS pmi
+       |FROM bc
+       |JOIN uc a ON a.w = string_split(bc.bigram, ' ')[1]
+       |JOIN uc b ON b.w = string_split(bc.bigram, ' ')[2]
+       |CROSS JOIN tot
+       |WHERE bc.n_ab >= $minBigramCount
+       |ORDER BY pmi DESC, bigram LIMIT 15""".stripMargin
+
+  /** q94: per-source word-distribution profile — Shannon entropy (nats),
+    * token mass, vocabulary size. Entropy uses the closed form
+    * H = ln(N) − Σ c·ln(c) / N over the per-source word-count table, so
+    * it is one aggregation over a vocabulary-sized relation.
+    */
+  def sourceEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).cast("bigint").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 4)
+          .as("entropy_nats"))
+      .orderBy(col("source"))
+
+  private val sourceEntropySql =
+    """WITH wc AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+      |), c AS (
+      |  SELECT source, w, count(*) AS c FROM wc GROUP BY source, w
+      |)
+      |SELECT source, sum(c)::BIGINT AS n_tokens, count(*) AS vocab_size,
+      |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy_nats
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
+  /** q95: vocabulary novelty — for each document (in doc_id order), how
+    * many word types appear there for the FIRST time in the corpus.
+    * One word-keyed min-aggregation; the result is integer-exact and
+    * vocabulary-sized.
+    */
+  def noveltyScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("novel_words"))
+      .orderBy(col("doc_id"))
+
+  private val noveltyScanSql =
+    """WITH f AS (
+      |  SELECT w, min(doc_id) AS doc_id FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w
+      |)
+      |SELECT doc_id, count(*) AS novel_words
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val targetSource = "src0"
+
+  /** q96: DSIR-style importance weights — score every document by how
+    * much its unigram distribution resembles a target domain (source
+    * `src0`) versus the corpus background:
+    *   weight(d) = Σ_w c_d(w) · [ ln p_t(w) − ln p_g(w) ]
+    * with add-one smoothing over the joint vocabulary. The per-word
+    * log-ratio table is vocabulary-sized; documents join it on the word
+    * key and reduce — two shuffles total (word, then doc), both with
+    * partial aggregation. Reported per source for a stable, ranking-
+    * free comparison (the target source should score highest).
+    */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+    val global = words.groupBy(col("w")).agg(count(lit(1)).as("c_g"))
+    val target = words.filter(col("source") === targetSource)
+      .groupBy(col("w")).agg(count(lit(1)).as("c_t"))
+    val globTot = global.agg(sum(col("c_g")).as("n_g"), count(lit(1)).as("v"))
+    val targTot = target.agg(sum(col("c_t")).as("n_t"))
+    val logRatio = global.join(target, Seq("w"), "left")
+      .withColumn("c_t", coalesce(col("c_t"), lit(0L)))
+      .crossJoin(broadcast(globTot))
+      .crossJoin(broadcast(targTot))
+      .withColumn("lw",
+        log((col("c_t") + 1).cast("double") / (col("n_t") + col("v"))) -
+          log((col("c_g") + 1).cast("double") / (col("n_g") + col("v"))))
+      .select(col("w"), col("lw"))
+    words.groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("c_dw"))
+      .join(logRatio, "w")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c_dw") * col("lw")).as("weight"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("weight")), 4).as("avg_weight"),
+        round(max(col("weight")), 4).as("max_weight"))
+      .orderBy(col("source"))
+  }
+
+  private val importanceWeightsSql =
+    s"""WITH words AS (
+       |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents
+       |), g AS (
+       |  SELECT w, count(*) AS c_g FROM words GROUP BY w
+       |), t AS (
+       |  SELECT w, count(*) AS c_t FROM words WHERE source = '$targetSource' GROUP BY w
+       |), tot AS (
+       |  SELECT (SELECT sum(c_g) FROM g) AS n_g, (SELECT count(*) FROM g) AS v,
+       |         (SELECT sum(c_t) FROM t) AS n_t
+       |), lw AS (
+       |  SELECT g.w,
+       |    ln((coalesce(t.c_t, 0) + 1)::DOUBLE / (tot.n_t + tot.v)) -
+       |      ln((g.c_g + 1)::DOUBLE / (tot.n_g + tot.v)) AS lw
+       |  FROM g LEFT JOIN t ON g.w = t.w CROSS JOIN tot
+       |), dw AS (
+       |  SELECT doc_id, source, w, count(*) AS c_dw FROM words GROUP BY 1, 2, 3
+       |), docw AS (
+       |  SELECT dw.doc_id, dw.source, sum(dw.c_dw * lw.lw) AS weight
+       |  FROM dw JOIN lw ON dw.w = lw.w GROUP BY 1, 2
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  round(avg(weight), 4) AS avg_weight,
+       |  round(max(weight), 4) AS max_weight
+       |FROM docw GROUP BY source ORDER BY source""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q93_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
+    QueryDef("q94_source_entropy", sourceEntropy, Some(sourceEntropySql)),
+    QueryDef("q95_novelty_scan", noveltyScan, Some(noveltyScanSql)),
+    QueryDef("q96_importance_weights", importanceWeights, Some(importanceWeightsSql)),
+  )
+}
