@@ -72,6 +72,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"exact semi-join missing:\n$plan")
   }
 
+  test("trade-flow 6-way join: every dimension broadcast, one fact-fact shuffle") {
+    val plan = explainText(operators.TradeAnalytics.nationTradeFlow(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"expected supplier+customer broadcast joins:\n$plan")
+    // shuffles: at most the fact-fact join key + the final aggregation —
+    // the dimension hops must not add exchanges
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"dimension hops added shuffles ($shuffles):\n$plan")
+  }
+
+  test("product-profit plan reads only the filtered PROMO part build side") {
+    val plan = explainText(operators.TradeAnalytics.productProfit(spark, sfDir))
+    assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(p_type,PROMO.*"),
+      s"p_type filter not pushed into the part scan:\n$plan")
+  }
+
+  test("corpus stats reduce to word-keyed aggregates before joining (partial aggs)") {
+    val plan = explainText(operators.CorpusStats.importanceWeights(spark, sfDir))
+    // both count tables must partial-aggregate map-side before their shuffle
+    assert("partial_count".r.findAllIn(plan.toLowerCase).length >= 2 ||
+      "HashAggregate".r.findAllIn(plan).length >= 4,
+      s"expected map-side partial aggregation on the word tables:\n$plan")
+  }
+
   test("IVF assignment is shuffle-free (no Exchange between scan and list argmax)") {
     val corpus = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
