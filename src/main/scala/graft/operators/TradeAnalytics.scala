@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * the two fact tables is a broadcast dimension.
   *
   * Scale notes (100 TB design):
-  *  - exactly ONE shuffle per query — the lineitem⋈orders fact-fact
-  *    join; every dimension hop (supplier, customer, part, nation,
-  *    region) is an explicit broadcast;
+  *  - one fact-fact join shuffle (lineitem⋈orders) plus the final
+  *    aggregation exchange — every dimension hop (supplier, customer,
+  *    part, nation, region) is an explicit broadcast, so no dimension
+  *    adds an exchange (pinned by PlanAuditSpec for q88/q89/q90);
   *  - selective dimension filters (nation pair, region, part type) are
   *    applied INSIDE the broadcast build side, so the fact scan is
   *    semi-reduced before it ever shuffles;

@@ -40,9 +40,9 @@ class CorpusStatsSpec extends SparkSpec {
   test("novelty scan: novel-word counts partition the vocabulary") {
     val rows = CorpusStats.noveltyScan(spark, sfDir).collect()
     val vocab = words.select("w").distinct().count()
+    // every vocabulary type is novel in exactly one document: the per-doc
+    // novel counts must partition the vocabulary regardless of corpus shape
     assert(rows.map(_.getAs[Long]("novel_words")).sum === vocab)
-    // the earliest document introduces the most types of any single doc
-    assert(rows.head.getAs[Long]("novel_words") === rows.map(_.getAs[Long]("novel_words")).max)
   }
 
   test("importance weights: target source scores highest on average") {

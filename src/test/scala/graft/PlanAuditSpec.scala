@@ -82,6 +82,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 3, s"dimension hops added shuffles ($shuffles):\n$plan")
   }
 
+  test("market-share 6-way join: dimensions broadcast, bounded exchanges") {
+    val plan = explainText(operators.TradeAnalytics.marketShare(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected part+supplier-nation+customer-path broadcasts:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"dimension hops added shuffles ($shuffles):\n$plan")
+  }
+
+  test("product-profit join: dimensions broadcast, one fact-fact shuffle + agg") {
+    val plan = explainText(operators.TradeAnalytics.productProfit(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"expected part+supplier broadcasts:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"dimension hops added shuffles ($shuffles):\n$plan")
+  }
+
   test("product-profit plan reads only the filtered PROMO part build side") {
     val plan = explainText(operators.TradeAnalytics.productProfit(spark, sfDir))
     assert(plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(p_type,PROMO.*"),
@@ -90,9 +106,9 @@ class PlanAuditSpec extends SparkSpec {
 
   test("corpus stats reduce to word-keyed aggregates before joining (partial aggs)") {
     val plan = explainText(operators.CorpusStats.importanceWeights(spark, sfDir))
-    // both count tables must partial-aggregate map-side before their shuffle
-    assert("partial_count".r.findAllIn(plan.toLowerCase).length >= 2 ||
-      "HashAggregate".r.findAllIn(plan).length >= 4,
+    // both count tables must partial-aggregate map-side before their shuffle —
+    // no fallback: a plan that shuffles raw words before counting fails here
+    assert("partial_count".r.findAllIn(plan.toLowerCase).length >= 2,
       s"expected map-side partial aggregation on the word tables:\n$plan")
   }
 

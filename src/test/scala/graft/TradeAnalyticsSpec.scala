@@ -61,15 +61,4 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
-  test("activity streaks: day totals reconcile and streak bounds hold") {
-    val rows = operators.EventAnalytics.activityStreaks(spark, sfDir).collect()
-    val distinctDays = Tables.events(spark, sfDir)
-      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().count()
-    assert(rows.map(_.getAs[Long]("n_active_days")).sum === distinctDays)
-    rows.foreach { r =>
-      assert(r.getAs[Long]("max_streak") <= r.getAs[Long]("n_active_days"))
-      assert(r.getAs[Long]("n_streaks") <= r.getAs[Long]("n_active_days"))
-      assert(r.getAs[Long]("max_streak") >= 1 && r.getAs[Long]("n_streaks") >= 1)
-    }
-  }
 }
