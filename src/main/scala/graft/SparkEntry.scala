@@ -22,6 +22,8 @@ object SparkEntry {
     operators.Dedup,
     operators.Similarity,
     operators.Curation,
+    operators.Governance,
+    operators.Sampling,
     operators.BloomJoin,
     multimodal.Multimodal,
   )

@@ -502,6 +502,48 @@ object Curation extends QueryModule {
       |FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM hits)
       |ORDER BY doc_id""".stripMargin
 
+  private val chunkSize = 32
+  private val chunkStride = 24
+
+  /** q100: RAG chunk spine — fixed-size sliding token chunks
+    * (32 tokens, stride 24 → 8-token overlap) with a content hash per
+    * chunk, the retrieval-indexing layout step. Chunk starts are
+    * 0, 24, 48, … while < n_tokens, so the tail chunk may be short;
+    * `floor((n-1)/stride)+1` chunks per document. Pure per-row array
+    * expressions (sequence → slice → md5) — the explode fans out
+    * ~n/stride rows per doc with zero shuffles; at 100 TB this is a
+    * map-only stage feeding a partitioned sink.
+    */
+  def chunkSpine(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("nw", size(col("t")))
+      .withColumn("nchunks", (floor((col("nw") - 1) / chunkStride) + 1).cast("int"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), col("nchunks") - 1)).as("ci"))
+      .withColumn("chunk", slice(col("t"), col("ci") * chunkStride + 1, lit(chunkSize)))
+      .select(col("doc_id"), col("ci").cast("bigint").as("chunk_idx"),
+        size(col("chunk")).cast("bigint").as("n_toks"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val chunkSpineSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    len(string_split(text, ' ')) AS nw
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, t, nw,
+       |    unnest(generate_series(0, (nw - 1) // $chunkStride)) AS ci
+       |  FROM d
+       |)
+       |SELECT doc_id, ci AS chunk_idx,
+       |  len(list_slice(t, ci * $chunkStride + 1,
+       |    least(ci * $chunkStride + $chunkSize, nw)))::BIGINT AS n_toks,
+       |  md5(array_to_string(list_slice(t, ci * $chunkStride + 1,
+       |    least(ci * $chunkStride + $chunkSize, nw)), ' ')) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q62_decontamination", decontamination, Some(decontaminationSql)),
     QueryDef("q63_sequence_packing", sequencePacking, Some(sequencePackingSql)),
@@ -511,5 +553,6 @@ object Curation extends QueryModule {
     QueryDef("q70_chunk_dedup", chunkDedup, Some(chunkDedupSql)),
     QueryDef("q72_mixture_resample", mixtureResample, Some(mixtureResampleSql)),
     QueryDef("q75_doc_centrality", docCentrality, Some(docCentralitySql)),
+    QueryDef("q100_chunk_spine", chunkSpine, Some(chunkSpineSql)),
   )
 }

@@ -190,10 +190,128 @@ object EventAnalytics extends QueryModule {
       |  count(*) AS n_streaks, max(streak_len)::BIGINT AS max_streak
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q103: SCD type-2 state dimension — compress each user's event
+    * stream into validity intervals of the current event type:
+    * change-row detection via `lag`, then `lead` over the change rows
+    * gives [valid_from, valid_to) in epoch micros (−1 = open / current
+    * version). The warehouse pattern for history-preserving dimension
+    * builds. Windows partition by user — no global sort at any scale —
+    * and the output is change-compressed, so it only grows with
+    * actual state churn.
+    */
+  def scd2UserState(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(w).cast("bigint"))
+      .withColumn("valid_to_us", coalesce(lead(col("us"), 1).over(w), lit(-1L)))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("us").as("valid_from_us"), col("valid_to_us"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val scd2UserStateSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+      |), c AS (
+      |  SELECT * FROM (
+      |    SELECT user_id, event_id, event_type, us,
+      |      lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      |    FROM e)
+      |  WHERE prev IS NULL OR prev <> event_type
+      |)
+      |SELECT user_id,
+      |  row_number() OVER w AS version,
+      |  event_type, us AS valid_from_us,
+      |  coalesce(lead(us) OVER w, -1) AS valid_to_us
+      |FROM c
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  /** q104: event-type transition matrix — first-order Markov counts of
+    * (previous → current) event-type pairs plus row-normalized
+    * transition probabilities, the behavioral fingerprint used for
+    * anomaly and bot detection. One user-partitioned window pass, then
+    * a 25-cell aggregate; the probability normalization runs over the
+    * type×type relation, which is constant-sized at any event volume.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("prev"))).cast("bigint"))
+      .withColumn("p", round(col("n").cast("double") / col("row_total"), 4))
+      .select(col("prev").as("from_type"), col("event_type").as("to_type"),
+        col("n"), col("row_total"), col("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val transitionMatrixSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+      |), p AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      |  FROM e
+      |), c AS (
+      |  SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+      |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT from_type, to_type, n,
+      |  sum(n) OVER (PARTITION BY from_type)::BIGINT AS row_total,
+      |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 4) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  private val decayTauUs = 7.0 * 24 * 3600 * 1000000 // 7-day half-life-ish scale
+
+  /** q105: exponentially time-decayed engagement — per-user decayed
+    * value mass anchored at the corpus max timestamp,
+    * Σ value·exp(−Δt/τ) with τ = 7 days: the recency-weighted score
+    * that powers freshness-aware ranking. The anchor is a single-row
+    * broadcast aggregate (never a driver collect), the decay is a
+    * map-side expression, and the per-user reduce partially
+    * aggregates — one shuffle total.
+    */
+  def decayedEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+    val anchor = e.agg(max(col("us")).as("tmax"))
+    e.crossJoin(broadcast(anchor))
+      .withColumn("wt", col("value") *
+        exp(-((col("tmax") - col("us")).cast("double") / lit(decayTauUs))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("raw_sum"),
+        round(sum(col("wt")), 4).as("decayed_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  private val decayedEngagementSql =
+    s"""WITH e AS (
+       |  SELECT user_id, value, epoch_us(ts) AS us FROM events
+       |), t AS (SELECT max(us) AS tmax FROM e)
+       |SELECT user_id, count(*) AS n_events,
+       |  round(sum(value), 4) AS raw_sum,
+       |  round(sum(value * exp(-((tmax - us)::DOUBLE / $decayTauUs))), 4) AS decayed_sum
+       |FROM e CROSS JOIN t
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
     QueryDef("q83_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q92_activity_streaks", activityStreaks, Some(activityStreaksSql)),
+    QueryDef("q103_scd2_user_state", scd2UserState, Some(scd2UserStateSql)),
+    QueryDef("q104_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
+    QueryDef("q105_decayed_engagement", decayedEngagement, Some(decayedEngagementSql)),
   )
 }

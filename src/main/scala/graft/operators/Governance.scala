@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-governance operators — the compliance / quality-gate layer of a
+  * training-data pipeline: PII-style pattern scrubbing, rule-based
+  * document quality filtering (Gopher-style repetition / length /
+  * stop-word heuristics), and winsorized robust aggregation.
+  *
+  * Scale notes (100 TB design):
+  *  - scrubbing is a pure per-row map (codegen'd `regexp_replace` /
+  *    `regexp_extract_all`) — no shuffle, no UDF, embarrassingly
+  *    parallel over any partitioning;
+  *  - quality rules reduce each document to a handful of word-keyed
+  *    aggregates (vocabulary-sized per doc) before any verdict — the
+  *    only shuffles are (doc, word) then doc, both partially aggregated
+  *    map-side;
+  *  - winsorization computes per-group exact percentile bounds on the
+  *    SMALL aggregated relation (customers, not orders), broadcasts
+  *    them back, and clips in a map — the fact table shuffles once.
+  */
+object Governance extends QueryModule {
+
+  /** One scrub rule: (name, java-regex, replacement token). */
+  type ScrubRule = (String, String, String)
+
+  /** The default PII rule set. Order matters: structured patterns
+    * (email, IPv4, phone) are scrubbed before the bare-number
+    * fallback so a phone number is tagged `[PHONE]`, not `#`.
+    */
+  val piiRules: Seq[ScrubRule] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{6,}[0-9]", "[PHONE]"),
+    ("number", "[0-9]+", "#"))
+
+  /** Applies `rules` to `column` in order, replacing matches and
+    * accumulating the total match count in `n_hits`. Pure expression
+    * pipeline: every rule is a codegen'd regexp over the row, so the
+    * operator runs at scan speed with zero shuffles at any scale.
+    */
+  def scrub(df: DataFrame, column: String, rules: Seq[ScrubRule] = piiRules): DataFrame =
+    rules.foldLeft(df.withColumn("n_hits", lit(0L))) { case (acc, (_, re, repl)) =>
+      acc
+        .withColumn("n_hits",
+          col("n_hits") + size(regexp_extract_all(col(column), lit(re), lit(0))))
+        .withColumn(column, regexp_replace(col(column), re, repl))
+    }
+
+  /** q97: scrub numeric tokens from the event `props` payload and
+    * profile the result per event type — hit volume plus the count of
+    * distinct scrubbed shapes (a collapse to few shapes proves the
+    * scrub normalized the payloads). The synthetic corpus carries no
+    * real PII, so the declared query instantiates the number rule;
+    * GovernanceSpec exercises the email/IP/phone rules on a fixture.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    scrub(Tables.events(spark, dir).select(col("event_type"), col("props")),
+        "props", Seq(("number", "[0-9]+", "#")))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("n_hits")).cast("bigint").as("n_hits"),
+        countDistinct(col("props")).as("n_shapes"))
+      .orderBy(col("event_type"))
+
+  private val piiScrubSql =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    len(regexp_extract_all(props, '[0-9]+')) AS n_hits,
+      |    regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed
+      |  FROM events
+      |)
+      |SELECT event_type, count(*) AS n_events,
+      |  sum(n_hits)::BIGINT AS n_hits,
+      |  count(DISTINCT scrubbed) AS n_shapes
+      |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // Gopher-style rule thresholds, tuned so each rule is non-trivial on
+  // the synthetic corpus (doc lengths 10..99 words, median max-word-
+  // frequency 0.093, stop-word fraction 0..0.22).
+  private val minWords = 30
+  private val maxWords = 1000
+  private val minMeanWordLen = 3.0
+  private val maxMeanWordLen = 8.0
+  private val maxRepFrac = 0.12
+  private val stopWords = Seq("the", "a")
+
+  /** q98: rule-based document quality gate — word-count bounds, mean
+    * word length, dominant-word repetition cap, stop-word presence —
+    * reported as per-source pass/fail tallies. Mirrors the published
+    * Gopher/C4 heuristic filters; every rule derives from the per-doc
+    * word-count table, so the corpus reduces before any verdict.
+    */
+  def qualityRules(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val wc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val per = wc.groupBy(col("doc_id")).agg(
+      sum(col("c")).cast("bigint").as("nw"),
+      max(col("c")).as("maxc"),
+      sum(when(col("w").isin(stopWords: _*), col("c")).otherwise(lit(0L))).as("stopc"))
+    val failCount = (c: Column) => sum(when(!c, 1L).otherwise(0L)).cast("bigint")
+    docs.join(per, "doc_id")
+      .withColumn("r_len", col("nw").between(minWords, maxWords))
+      .withColumn("mwl", (col("n_chars") - col("nw") + 1).cast("double") / col("nw"))
+      .withColumn("r_wordlen", col("mwl").between(minMeanWordLen, maxMeanWordLen))
+      .withColumn("r_rep", col("maxc").cast("double") / col("nw") <= maxRepFrac)
+      .withColumn("r_stop", col("stopc") > 0)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("r_len") && col("r_wordlen") && col("r_rep") && col("r_stop"), 1L)
+          .otherwise(0L)).cast("bigint").as("n_pass"),
+        failCount(col("r_len")).as("fail_len"),
+        failCount(col("r_rep")).as("fail_rep"),
+        failCount(col("r_stop")).as("fail_stop"))
+      .orderBy(col("source"))
+  }
+
+  private val qualityRulesSql =
+    s"""WITH wc AS (
+       |  SELECT doc_id, w, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY doc_id, w
+       |), per AS (
+       |  SELECT doc_id, sum(c)::BIGINT AS nw, max(c) AS maxc,
+       |    sum(CASE WHEN w IN ('${stopWords.mkString("', '")}') THEN c ELSE 0 END) AS stopc
+       |  FROM wc GROUP BY doc_id
+       |), r AS (
+       |  SELECT d.source,
+       |    (p.nw BETWEEN $minWords AND $maxWords) AS r_len,
+       |    ((d.n_chars - p.nw + 1)::DOUBLE / p.nw
+       |       BETWEEN $minMeanWordLen AND $maxMeanWordLen) AS r_wordlen,
+       |    (p.maxc::DOUBLE / p.nw <= $maxRepFrac) AS r_rep,
+       |    (p.stopc > 0) AS r_stop
+       |  FROM documents d JOIN per p USING (doc_id)
+       |)
+       |SELECT source, count(*) AS n_docs,
+       |  sum(CASE WHEN r_len AND r_wordlen AND r_rep AND r_stop
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       |  sum(CASE WHEN NOT r_len THEN 1 ELSE 0 END)::BIGINT AS fail_len,
+       |  sum(CASE WHEN NOT r_rep THEN 1 ELSE 0 END)::BIGINT AS fail_rep,
+       |  sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END)::BIGINT AS fail_stop
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  /** q99: winsorized per-nation spend — per-customer order totals
+    * clipped to the nation's [P05, P95] before averaging, the
+    * robust-mean pattern that keeps whale customers from dominating a
+    * metric. Bounds are DISCRETE percentiles picked by exact integer
+    * rank (rank = ⌈n·p⌉ in spend order) so both engines select the
+    * same actual data value — interpolated percentiles differ by an
+    * ulp across engines and can flip a rounding boundary. Ranking runs
+    * on the aggregated customer-level relation (|customers| rows, not
+    * |orders|); bounds broadcast back for a map-side clip.
+    */
+  def winsorizedSpend(spark: SparkSession, dir: String): DataFrame = {
+    // exact integer cents: sums become order-independent, so every
+    // aggregate is bit-identical across engines and partitionings
+    val spend = Tables.orders(spark, dir)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy(col("o_custkey")).agg(sum(col("c")).as("spend_c"))
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val bySpend = spend
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("spend_c"))
+    val byNation = Window.partitionBy(col("n_name"))
+    // ⌈n·p/100⌉ via integer arithmetic: (n·p + 99) div 100 — no float index
+    val ranked = bySpend
+      .withColumn("rn", row_number().over(byNation.orderBy(col("spend_c"))))
+      .withColumn("n", count(lit(1)).over(byNation))
+    val bounds = ranked
+      .filter(col("rn") === ((col("n") * 5 + 99) / 100).cast("long") ||
+        col("rn") === ((col("n") * 95 + 99) / 100).cast("long"))
+      .groupBy(col("n_name"))
+      .agg(min(col("spend_c")).as("p05_c"), max(col("spend_c")).as("p95_c"))
+    bySpend.join(broadcast(bounds), "n_name")
+      .withColumn("w", least(greatest(col("spend_c"), col("p05_c")), col("p95_c")))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("spend_c")).cast("double") / (count(lit(1)) * 100), 2).as("avg_raw"),
+        round(sum(col("w")).cast("double") / (count(lit(1)) * 100), 2).as("avg_winsorized"),
+        round(max(col("p95_c")).cast("double") / 100, 2).as("p95"))
+      .orderBy(col("n_name"))
+  }
+
+  private val winsorizedSpendSql =
+    """WITH spend AS (
+      |  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT) AS spend_c
+      |  FROM orders GROUP BY o_custkey
+      |), s AS (
+      |  SELECT n.n_name, spend.spend_c
+      |  FROM spend
+      |  JOIN customer c ON spend.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |), ranked AS (
+      |  SELECT n_name, spend_c,
+      |    row_number() OVER (PARTITION BY n_name ORDER BY spend_c) AS rn,
+      |    count(*) OVER (PARTITION BY n_name) AS n
+      |  FROM s
+      |), b AS (
+      |  SELECT n_name, min(spend_c) AS p05_c, max(spend_c) AS p95_c
+      |  FROM ranked
+      |  WHERE rn = (n * 5 + 99) // 100 OR rn = (n * 95 + 99) // 100
+      |  GROUP BY n_name
+      |)
+      |SELECT s.n_name, count(*) AS n_customers,
+      |  round(sum(s.spend_c)::DOUBLE / (count(*) * 100), 2) AS avg_raw,
+      |  round(sum(least(greatest(s.spend_c, b.p05_c), b.p95_c))::DOUBLE
+      |    / (count(*) * 100), 2) AS avg_winsorized,
+      |  round(max(b.p95_c)::DOUBLE / 100, 2) AS p95
+      |FROM s JOIN b USING (n_name) GROUP BY s.n_name ORDER BY s.n_name""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q97_pii_scrub", piiScrub, Some(piiScrubSql)),
+    QueryDef("q98_quality_rules", qualityRules, Some(qualityRulesSql)),
+    QueryDef("q99_winsorized_spend", winsorizedSpend, Some(winsorizedSpendSql)),
+  )
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling / data-mixing operators — deterministic weighted
+  * sampling (Efraimidis–Spirakis A-ES keys over an md5-derived
+  * uniform) and nucleus (top-p) source truncation, the two selection
+  * primitives a data-mixing pipeline runs before training.
+  *
+  * Scale notes (100 TB design):
+  *  - the A-ES key is a pure per-row expression (md5 → 60-bit uniform
+  *    → ln(u)/w), so candidate scoring is map-side; the global top-k
+  *    lands in `TakeOrderedAndProject` — partial per-partition top-k,
+  *    k rows to one reducer, never a full sort;
+  *  - portable determinism: the uniform derives from md5(doc_id), not
+  *    `rand()`, so the same sample comes back on any cluster, any
+  *    partitioning, any retry — auditable sampling, and the whole
+  *    path is SQL-replayable for the oracle;
+  *  - nucleus truncation runs its window over the SOURCE-level
+  *    aggregate (hundreds of rows at any corpus size), and the
+  *    in-nucleus verdict is integer math (10·cum_prev < 9·total) —
+  *    no float boundary to disagree across engines.
+  */
+object Sampling extends QueryModule {
+
+  private val sampleK = 50
+  private val two60 = 1152921504606846976L // 2^60, exact in double
+
+  /** q101: weighted sample without replacement — Efraimidis–Spirakis
+    * A-ES: key(d) = ln(u_d) / w_d with u_d ∈ (0,1] uniform and
+    * w_d = n_chars; the k largest keys are a proper weighted sample.
+    * One scan + partial top-k; reported key is scaled ×1000 so the
+    * 4-decimal round keeps signal.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"))
+      .withColumn("u", (col("h") + 1).cast("double") / lit(two60).cast("double"))
+      .withColumn("k", log(col("u")) / col("n_chars"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(sampleK)
+      .select(col("doc_id"), col("n_chars"),
+        round(col("k") * 1000, 4).as("key_x1000"))
+
+  private val weightedSampleSql =
+    s"""WITH h AS (
+       |  SELECT doc_id, n_chars,
+       |    list_reduce(list_transform(generate_series(1, 15),
+       |        i -> strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), i, 1)) - 1),
+       |      (acc, d) -> acc * 16 + d) AS h
+       |  FROM documents
+       |), k AS (
+       |  SELECT doc_id, n_chars,
+       |    ln((h + 1)::DOUBLE / $two60) / n_chars AS k
+       |  FROM h
+       |)
+       |SELECT doc_id, n_chars, round(k * 1000, 4) AS key_x1000
+       |FROM k ORDER BY k DESC, doc_id LIMIT $sampleK""".stripMargin
+
+  /** q102: nucleus (top-p) source truncation at p = 0.9 — rank sources
+    * by token mass and keep the smallest prefix whose cumulative mass
+    * reaches 90% of the corpus; the data-mixing step that drops
+    * long-tail sources. The verdict is exact integer arithmetic:
+    * a source is in the nucleus iff the mass BEFORE it is < 0.9·total.
+    */
+  def topPSources(spark: SparkSession, dir: String): DataFrame = {
+    val mass = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).cast("bigint").as("n_tokens"))
+    val tot = mass.agg(sum(col("n_tokens")).as("total"))
+    val w = Window.orderBy(col("n_tokens").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mass.crossJoin(broadcast(tot))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("share", round(col("n_tokens").cast("double") / col("total"), 4))
+      .withColumn("in_nucleus",
+        (col("cum_tokens") - col("n_tokens")) * 10 < col("total") * 9)
+      .select(col("source"), col("n_tokens"), col("cum_tokens"),
+        col("share"), col("in_nucleus"))
+      .orderBy(col("cum_tokens"))
+  }
+
+  private val topPSourcesSql =
+    """WITH m AS (
+      |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+      |  FROM documents GROUP BY source
+      |), t AS (SELECT sum(n_tokens)::BIGINT AS total FROM m),
+      |c AS (
+      |  SELECT source, n_tokens, total,
+      |    sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+      |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+      |  FROM m CROSS JOIN t
+      |)
+      |SELECT source, n_tokens, cum_tokens,
+      |  round(n_tokens::DOUBLE / total, 4) AS share,
+      |  ((cum_tokens - n_tokens) * 10 < total * 9) AS in_nucleus
+      |FROM c ORDER BY cum_tokens""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q101_weighted_sample", weightedSample, Some(weightedSampleSql)),
+    QueryDef("q102_top_p_sources", topPSources, Some(topPSourcesSql)),
+  )
+}

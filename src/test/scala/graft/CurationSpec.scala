@@ -112,6 +112,38 @@ class CurationSpec extends SparkSpec {
     assert(bySrc(heaviest)._1 <= bySrc(lightest)._1)
   }
 
+  test("q100 chunk spine: chunk counts, sizes, and overlap follow the stride rule") {
+    val chunks = Curation.chunkSpine(spark, sfDir).collect()
+    val docLens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === docLens.keySet, "every document gets chunks")
+    byDoc.foreach { case (docId, rows) =>
+      val nw = docLens(docId)
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(sorted.length === (nw - 1) / 24 + 1)
+      assert(sorted.map(_.getAs[Long]("chunk_idx")).toSeq === (0L until sorted.length).toSeq)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val expected = math.min(32, nw - i * 24)
+        assert(r.getAs[Long]("n_toks") === expected, s"doc $docId chunk $i")
+      }
+    }
+    // hash is content-derived: recompute one document's chunks by hand
+    val (docId, nw) = docLens.head
+    val text = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === docId).head().getAs[String]("text")
+    val toks = text.split(" ")
+    val mine = byDoc(docId).sortBy(_.getAs[Long]("chunk_idx"))
+      .map(_.getAs[String]("chunk_hash")).toSeq
+    val expected = (0 until (nw - 1) / 24 + 1).map { i =>
+      val s = toks.slice(i * 24, math.min(i * 24 + 32, nw)).mkString(" ")
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(mine === expected)
+  }
+
   test("quantizationQa: reconstruction error bounded by scale/2, cosine stays high") {
     val qa = Curation.quantizationQa(spark, sfDir).collect()
     assert(qa.length === Tables.embeddings(spark, sfDir).count())

@@ -42,6 +42,50 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q103 SCD2: versions are sequential and intervals chain without gaps") {
+    val rows = EventAnalytics.scd2UserState(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { hist =>
+      val sorted = hist.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq === (1L to sorted.length).toSeq)
+      // consecutive versions differ in state, and intervals chain exactly
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("event_type") !== b.getAs[String]("event_type"))
+          assert(a.getAs[Long]("valid_to_us") === b.getAs[Long]("valid_from_us"))
+        case _ =>
+      }
+      // exactly one open (current) interval per user, and it is the last
+      assert(sorted.count(_.getAs[Long]("valid_to_us") == -1L) === 1)
+      assert(sorted.last.getAs[Long]("valid_to_us") === -1L)
+    }
+  }
+
+  test("q104 transitions: counts reconcile with events minus stream heads") {
+    val rows = EventAnalytics.transitionMatrix(spark, sfDir).collect()
+    val totalEvents = Tables.events(spark, sfDir).count()
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    // every event except each user's first contributes one transition
+    assert(rows.map(_.getAs[Long]("n")).sum === totalEvents - nUsers)
+    // probabilities are a row-stochastic matrix (each row sums to ~1)
+    rows.groupBy(_.getAs[String]("from_type")).values.foreach { row =>
+      assert(math.abs(row.map(_.getAs[Double]("p")).sum - 1.0) < 1e-2)
+      assert(row.map(_.getAs[Long]("n")).sum === row.head.getAs[Long]("row_total"))
+    }
+  }
+
+  test("q105 decay: decayed mass is positive and strictly below raw mass") {
+    val rows = EventAnalytics.decayedEngagement(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, dec) = (r.getAs[Double]("raw_sum"), r.getAs[Double]("decayed_sum"))
+      assert(dec >= 0 && dec <= raw + 1e-3,
+        s"decay must shrink positive mass: raw=$raw decayed=$dec")
+    }
+    val totalEvents = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === totalEvents)
+  }
+
   test("cohort retention never exceeds the cohort's base size") {
     val rows = EventAnalytics.cohortRetention(spark, sfDir).collect()
     assert(rows.nonEmpty)

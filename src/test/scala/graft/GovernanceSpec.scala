@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Governance
+import org.apache.spark.sql.functions._
+
+class GovernanceSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  test("scrub: email/IP/phone/number rules redact a dirty fixture in order") {
+    val dirty = Seq(
+      (1L, "contact alice@example.com or 10.0.0.1 now"),
+      (2L, "call +1 555-867-5309 ref 42"),
+      (3L, "clean text, nothing here"),
+      (4L, "bob.smith+tag@sub.domain.org and 192.168.001.255 and 7")
+    ).toDF("id", "payload")
+    val out = Governance.scrub(dirty, "payload").orderBy("id").collect()
+
+    assert(out(0).getAs[String]("payload") === "contact [EMAIL] or [IP] now")
+    assert(out(1).getAs[String]("payload") === "call [PHONE] ref #")
+    assert(out(2).getAs[String]("payload") === "clean text, nothing here")
+    assert(out(2).getAs[Long]("n_hits") === 0L)
+    assert(out(3).getAs[String]("payload") === "[EMAIL] and [IP] and #")
+    // each redaction counted once, by the rule that consumed it
+    assert(out(0).getAs[Long]("n_hits") === 2L)
+    assert(out(1).getAs[Long]("n_hits") === 2L)
+    assert(out(3).getAs[Long]("n_hits") === 3L)
+  }
+
+  test("q97: scrubbed payloads leave no digits and hit counts reconcile") {
+    val rows = Governance.piiScrub(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalEvents = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === totalEvents)
+    // every props payload is {"k": <int>} → exactly one digit-run each
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") === r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("n_shapes") === 1L, "scrub should collapse all payloads to one shape")
+    }
+  }
+
+  test("q98: per-rule failures bound n_pass and doc counts reconcile") {
+    val rows = Governance.qualityRules(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      val (n, pass) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_pass"))
+      val maxFail = Seq("fail_len", "fail_rep", "fail_stop").map(r.getAs[Long]).max
+      assert(pass <= n - maxFail, "a doc failing any rule cannot pass")
+      assert(pass >= 0 && pass <= n)
+    }
+    // thresholds are tuned to be non-trivial: both verdicts must occur
+    assert(rows.map(_.getAs[Long]("n_pass")).sum > 0)
+    assert(rows.map(r => r.getAs[Long]("n_docs") - r.getAs[Long]("n_pass")).sum > 0)
+  }
+
+  test("q99: winsorized mean moves toward the median and bounds hold") {
+    val rows = Governance.winsorizedSpend(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, win, p95) = (r.getAs[Double]("avg_raw"),
+        r.getAs[Double]("avg_winsorized"), r.getAs[Double]("p95"))
+      assert(win <= p95 + 1e-9, "winsorized mean cannot exceed the upper clip")
+      // clipping both tails keeps the mean within the raw tails' reach
+      assert(math.abs(win - raw) < raw, s"winsorized mean implausible: $win vs $raw")
+      assert(r.getAs[Long]("n_customers") > 0)
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("q101: A-ES sample is deterministic, size-k, and favors heavy docs") {
+    val a = Sampling.weightedSample(spark, sfDir).collect()
+    val b = Sampling.weightedSample(spark, sfDir).collect()
+    assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq,
+      "md5-keyed sample must be identical across runs")
+    assert(a.length === 50)
+    assert(a.map(_.getLong(0)).distinct.length === 50, "without replacement")
+    // keys are sorted descending (largest A-ES keys win)
+    val keys = a.map(_.getAs[Double]("key_x1000")).toSeq
+    assert(keys === keys.sorted.reverse)
+    // weighting pulls the sample toward longer documents
+    val corpusAvg = Tables.documents(spark, sfDir)
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    val sampleAvg = a.map(_.getAs[Long]("n_chars")).sum.toDouble / a.length
+    assert(sampleAvg > corpusAvg,
+      s"length-weighted sample should over-represent long docs: $sampleAvg vs $corpusAvg")
+  }
+
+  test("q102: nucleus is the minimal prefix reaching 90% token mass") {
+    val rows = Sampling.topPSources(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    // cumulative column is consistent with the ordering
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("cum_tokens") === cum)
+    }
+    val nucleus = rows.filter(_.getAs[Boolean]("in_nucleus"))
+    assert(nucleus.nonEmpty && nucleus.length < rows.length,
+      "nucleus must be a proper non-empty prefix on this corpus")
+    // nucleus covers >= 90% of mass; dropping its last member falls below
+    val nucMass = nucleus.map(_.getAs[Long]("n_tokens")).sum
+    assert(nucMass * 10 >= total * 9)
+    assert((nucMass - nucleus.last.getAs[Long]("n_tokens")) * 10 < total * 9)
+    // and it is a prefix: every non-member ranks after every member
+    assert(rows.takeWhile(_.getAs[Boolean]("in_nucleus")).length === nucleus.length)
+  }
+}
