@@ -112,6 +112,24 @@ class PlanAuditSpec extends SparkSpec {
       s"expected map-side partial aggregation on the word tables:\n$plan")
   }
 
+  test("chunk spine is map-only: no hash shuffle, only the output sort") {
+    val plan = explainText(operators.Curation.chunkSpine(spark, sfDir))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n$plan")
+  }
+
+  test("weighted sample lands in a partial top-k (TakeOrderedAndProject)") {
+    val plan = explainText(operators.Sampling.weightedSample(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global sort instead of partial top-k:\n$plan")
+  }
+
+  test("winsorize broadcasts the nation dim and the percentile bounds") {
+    val plan = explainText(operators.Governance.winsorizedSpend(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"expected nation + bounds broadcasts:\n$plan")
+  }
+
   test("IVF assignment is shuffle-free (no Exchange between scan and list argmax)") {
     val corpus = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
