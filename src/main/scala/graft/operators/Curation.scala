@@ -502,6 +502,90 @@ object Curation extends QueryModule {
       |FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM hits)
       |ORDER BY doc_id""".stripMargin
 
+  /** q107: triangle census of the chunk-share graph — triangle count,
+    * wedge count, and global clustering coefficient, the graph-shape
+    * diagnostics that complement q75's PageRank on the same graph.
+    * Edges are oriented `src < dst`, so each triangle is enumerated
+    * exactly once by the two-hop join (a<b<c) plus a closing-edge
+    * probe. Wedges come from the degree table in closed form
+    * (Σ deg·(deg−1)/2) — no join at all. The df cap [2, 64] on shared
+    * chunks bounds per-chunk fanout, keeping the edge relation linear
+    * in the corpus; at cluster scale the standard refinement is
+    * degree-based orientation (low-degree endpoint first), which
+    * bounds the two-hop join fanout under power-law skew — id
+    * orientation keeps the oracle exact here.
+    */
+  def triangleCensus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withChunkCols(Tables.documents(spark, dir))
+    val p = chunkPostings(docs).select(col("doc_id"), col("chunk")).distinct()
+    val hot = p.groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 64)).select(col("chunk"))
+    val e = p.join(broadcast(hot), Seq("chunk"))
+    val edges = e.join(e.withColumnRenamed("doc_id", "dst"), Seq("chunk"))
+      .filter(col("doc_id") < col("dst"))
+      .select(col("doc_id").as("src"), col("dst")).distinct()
+      .persist()
+    val deg = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val tri = edges.as("ab")
+      .join(edges.as("bc"), col("ab.dst") === col("bc.src"))
+      .join(edges.as("ac"),
+        col("ab.src") === col("ac.src") && col("bc.dst") === col("ac.dst"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(col("deg")).cast("bigint").as("deg_sum"),
+      max(col("deg")).cast("bigint").as("max_degree"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast("bigint").as("n_wedges"))
+    stats.crossJoin(tri)
+      .select(
+        col("n_nodes"),
+        (col("deg_sum") / 2).cast("bigint").as("n_edges"),
+        col("max_degree"),
+        col("n_wedges"),
+        col("n_triangles"),
+        round(col("n_triangles") * 3.0 / col("n_wedges"), 4).as("clustering"))
+  }
+
+  private val triangleCensusSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), c AS (
+       |  SELECT doc_id, len(toks) // $chunkW AS k, toks FROM t
+       |), posting AS (
+       |  SELECT DISTINCT doc_id, chunk FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(0, k - 1),
+       |        i -> array_to_string(toks[i * $chunkW + 1 : i * $chunkW + $chunkW], ' '))) AS chunk
+       |    FROM c WHERE k >= 1)
+       |), hot AS (
+       |  SELECT chunk FROM posting GROUP BY chunk
+       |  HAVING count(*) BETWEEN 2 AND 64
+       |), ep AS (
+       |  SELECT p.chunk, p.doc_id FROM posting p JOIN hot USING (chunk)
+       |), edges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM ep a JOIN ep b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |), deg AS (
+       |  SELECT v, count(*) AS deg FROM (
+       |    SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges)
+       |  GROUP BY v
+       |), tri AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM edges ab
+       |  JOIN edges bc ON ab.dst = bc.src
+       |  JOIN edges ac ON ab.src = ac.src AND bc.dst = ac.dst
+       |), stats AS (
+       |  SELECT count(*) AS n_nodes, sum(deg)::BIGINT AS deg_sum,
+       |    max(deg)::BIGINT AS max_degree,
+       |    sum(deg * (deg - 1) / 2)::BIGINT AS n_wedges
+       |  FROM deg
+       |)
+       |SELECT n_nodes, (deg_sum / 2)::BIGINT AS n_edges, max_degree, n_wedges,
+       |  n_triangles, round(n_triangles * 3.0 / n_wedges, 4) AS clustering
+       |FROM stats CROSS JOIN tri""".stripMargin
+
   private val chunkSize = 32
   private val chunkStride = 24
 
@@ -554,5 +638,6 @@ object Curation extends QueryModule {
     QueryDef("q72_mixture_resample", mixtureResample, Some(mixtureResampleSql)),
     QueryDef("q75_doc_centrality", docCentrality, Some(docCentralitySql)),
     QueryDef("q100_chunk_spine", chunkSpine, Some(chunkSpineSql)),
+    QueryDef("q107_triangle_census", triangleCensus, Some(triangleCensusSql)),
   )
 }

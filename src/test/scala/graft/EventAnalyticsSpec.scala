@@ -86,6 +86,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).sum === totalEvents)
   }
 
+  test("q106 conversion latency: percentile ordering and funnel consistency") {
+    val rows = EventAnalytics.conversionLatency(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, mx) = (r.getAs[Long]("p50_delay_us"),
+        r.getAs[Long]("p90_delay_us"), r.getAs[Long]("max_delay_us"))
+      assert(p50 > 0 && p50 <= p90 && p90 <= mx,
+        s"percentiles must be ordered: $p50 <= $p90 <= $mx")
+      assert(r.getAs[Long]("n_converted") > 0)
+    }
+    // conversions cannot exceed the funnel's purchase stage
+    val funnelPurchasers = EventAnalytics.funnel(spark, sfDir).head().getLong(2)
+    assert(rows.map(_.getAs[Long]("n_converted")).sum <= funnelPurchasers)
+  }
+
   test("cohort retention never exceeds the cohort's base size") {
     val rows = EventAnalytics.cohortRetention(spark, sfDir).collect()
     assert(rows.nonEmpty)
