@@ -24,6 +24,7 @@ object SparkEntry {
     operators.Curation,
     operators.Governance,
     operators.Sampling,
+    operators.Physical,
     operators.BloomJoin,
     multimodal.Multimodal,
   )

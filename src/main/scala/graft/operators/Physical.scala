@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.functions.ZOrderFunctions.zorder2
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-design operators — the storage-layout and optimizer-stats
+  * surface of the engine: Z-order clustering keys for multi-dimension
+  * scan pruning, and ANALYZE-style table statistics.
+  *
+  * Scale notes (100 TB design):
+  *  - the Morton key is a codegen'd per-row expression; writing
+  *    Z-clustered data is `repartitionByRange(zkey) + sortWithin` —
+  *    one range shuffle, after which a predicate on EITHER dimension
+  *    prunes parquet files by footer min/max (`Layout.
+  *    writeZOrderClustered`, asserted by LayoutSpec);
+  *  - table stats reduce the fact table in one pass (count-distinct
+  *    uses Spark's expand, partially aggregated map-side); at 100 TB
+  *    the NDV columns swap to `approx_count_distinct` (HLL) with the
+  *    same query shape — exact NDV here keeps the oracle checkable.
+  */
+object Physical extends QueryModule {
+
+  private val zBits = 16
+
+  /** q108: Z-order bucket profile — Morton-interleave (partkey,
+    * suppkey), bucket by the key's high bits, and report each bucket's
+    * row count and per-dimension key ranges. The point of the layout:
+    * every bucket (→ file, at write time) spans a NARROW range of BOTH
+    * dimensions, so single-dimension predicates prune multi-dimension
+    * layouts — visible here as per-bucket ranges ≪ the key domain.
+    */
+  def zorderProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        zorder2(col("l_partkey"), col("l_suppkey"), zBits).as("zkey"))
+      .withColumn("bucket", shiftrightunsigned(col("zkey"), 24))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+      .orderBy(col("bucket"))
+
+  private val zorderProfileSql =
+    s"""WITH z AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    list_sum(list_transform(generate_series(0, ${zBits - 1}),
+       |      i -> (((l_partkey >> i) & 1) << (2 * i))
+       |         + (((l_suppkey >> i) & 1) << (2 * i + 1))))::BIGINT AS zkey
+       |  FROM lineitem
+       |)
+       |SELECT zkey >> 24 AS bucket, count(*) AS n_rows,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** q109: ANALYZE-style table statistics for `orders` — row count,
+    * per-column exact NDV, numeric and temporal min/max — the stats a
+    * cost-based optimizer feeds on (join ordering, broadcast
+    * thresholds, selectivity). One scan; see scale note for the HLL
+    * swap at cluster scale.
+    */
+  def tableStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("ndv_custkey"),
+        countDistinct(col("o_orderstatus")).as("ndv_status"),
+        countDistinct(col("o_orderpriority")).as("ndv_priority"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        min(col("o_orderdate").cast("date")).as("min_date"),
+        max(col("o_orderdate").cast("date")).as("max_date"))
+
+  private val tableStatsSql =
+    """SELECT count(*) AS n_rows,
+      |  count(DISTINCT o_custkey) AS ndv_custkey,
+      |  count(DISTINCT o_orderstatus) AS ndv_status,
+      |  count(DISTINCT o_orderpriority) AS ndv_priority,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price,
+      |  min(o_orderdate::DATE) AS min_date,
+      |  max(o_orderdate::DATE) AS max_date
+      |FROM orders""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q108_zorder_profile", zorderProfile, Some(zorderProfileSql)),
+    QueryDef("q109_table_stats", tableStats, Some(tableStatsSql)),
+  )
+}

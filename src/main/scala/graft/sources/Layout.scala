@@ -27,4 +27,20 @@ object Layout {
     df.repartitionByRange(nFiles, col(key))
       .sortWithinPartitions(col(key))
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Write `df` Z-order clustered on two keys: range-partition + sort
+    * on the Morton interleave, so every file's footer min/max is narrow
+    * in BOTH dimensions and a predicate on either key prunes files —
+    * single-key range clustering only ever prunes on its one key.
+    * The zkey is dropped before writing; it exists only to order rows.
+    */
+  def writeZOrderClustered(df: DataFrame, path: String, keyA: String,
+      keyB: String, nFiles: Int, bits: Int = 16): Unit = {
+    val zkey = graft.functions.ZOrderFunctions.zorder2(col(keyA), col(keyB), bits)
+    df.withColumn("__zkey", zkey)
+      .repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -52,6 +52,28 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql(s"SELECT deflate_ratio('ababababab') AS r").head().getDouble(0) > 0)
   }
 
+  test("zorder2: interleave matches a hand computation and is order-sensitive") {
+    import graft.functions.{ZOrderFunctions, ZOrderImpl}
+    // a=0b1010, b=0b0110 → bits pairwise interleaved → 0b01101100 = 108
+    assert(ZOrderImpl.interleave(0xAL, 0x6L, 4) === 108L)
+    assert(ZOrderImpl.interleave(0L, 0L, 16) === 0L)
+    // full-width: 16 one-bits in each input fill all 32 output bits
+    assert(ZOrderImpl.interleave(0xFFFFL, 0xFFFFL, 16) === 0xFFFFFFFFL)
+    // codegen path agrees with the reference impl
+    import TestSpark.spark.implicits._
+    val rows = Seq((3L, 5L), (100L, 200L), (65535L, 1L)).toDF("a", "b")
+      .select(col("a"), col("b"), ZOrderFunctions.zorder2(col("a"), col("b"), 16).as("z"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) === ZOrderImpl.interleave(r.getLong(0), r.getLong(1), 16))
+    }
+    // locality: adjacent points differ less in z than distant ones (spot check)
+    val z00 = ZOrderImpl.interleave(10, 10, 8)
+    val z01 = ZOrderImpl.interleave(10, 11, 8)
+    val zFar = ZOrderImpl.interleave(10, 200, 8)
+    assert(math.abs(z01 - z00) < math.abs(zFar - z00))
+  }
+
   test("config-driven extensions path registers the same functions at session build") {
     // a sibling session on the same SparkContext, built WITH extensions
     val prevDefault = SparkSession.getDefaultSession

@@ -31,4 +31,35 @@ class LayoutSpec extends SparkSpec {
     // and nothing was lost in the rewrite
     assert(spark.read.parquet(dir).count() === Tables.orders(spark, sfDir).count())
   }
+
+  test("z-order write narrows per-file ranges on BOTH dimensions") {
+    // balanced-width dims (a 64×64 grid): z-order assumes keys are
+    // bucketized to comparable bit widths — with lopsided widths the
+    // Morton key degenerates to single-key clustering on the wide dim
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"),
+      (col("id") / 64).cast("long").as("y"),
+      col("id").as("payload"))
+    Layout.writeZOrderClustered(grid, s"$base/z", "x", "y", nFiles = 16, bits = 6)
+    Layout.writeRangeClustered(grid, s"$base/r", "x", nFiles = 16)
+
+    def meanSpan(path: String, key: String): Double = {
+      val spans = spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy(col("f"))
+        .agg((max(col(key)) - min(col(key))).as("span"))
+        .collect().map(_.getAs[Long]("span"))
+      spans.sum.toDouble / spans.length
+    }
+
+    // single-key range clustering leaves the OTHER dimension unclustered:
+    // every file spans ~the whole y domain (63)
+    assert(meanSpan(s"$base/r", "y") > 0.8 * 63)
+    // z-order narrows both dimensions well below their 63-wide domains
+    assert(meanSpan(s"$base/z", "x") < 0.5 * 63)
+    assert(meanSpan(s"$base/z", "y") < 0.5 * 63)
+    // lossless rewrite
+    assert(spark.read.parquet(s"$base/z").count() === 4096)
+  }
 }
