@@ -25,6 +25,7 @@ object SparkEntry {
     operators.Governance,
     operators.Sampling,
     operators.Physical,
+    operators.Expectations,
     operators.BloomJoin,
     multimodal.Multimodal,
   )

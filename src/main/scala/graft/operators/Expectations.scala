@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the Deequ/dbt-test layer: a
+  * battery of named checks (referential integrity, key uniqueness,
+  * range and sign constraints) evaluated in one run, emitting a
+  * violations ledger instead of a boolean, so pipelines can gate on
+  * severity. Complements the capstone's pipeline-specific
+  * QualityChecks with a reusable relational surface.
+  *
+  * Scale notes (100 TB design):
+  *  - referential checks are anti-joins against the (small) parent key
+  *    set — broadcast at dimension scale, shuffle-hash at fact scale;
+  *  - uniqueness is one key-partial-aggregated groupBy;
+  *  - range checks are map-side predicates folded into one scan-level
+  *    conditional aggregation per table (no per-check pass);
+  *  - the output is check-count-sized: constant, whatever the input.
+  */
+object Expectations extends QueryModule {
+
+  /** q110: the expectations ledger over the TPC-H-ish corpus. Six
+    * checks: two referential (orphan facts), one key-uniqueness, three
+    * value-domain (one tuned to yield real violations on this corpus,
+    * proving the ledger reports, not just passes).
+    */
+  def expectationsLedger(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val customer = Tables.customer(spark, dir)
+
+    val orphanOrders = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders_custkey_in_customer").as("check"), col("n_violations"))
+    val orphanLineitems = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("lineitem_orderkey_in_orders").as("check"), col("n_violations"))
+    val dupKeys = orders.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders_orderkey_unique").as("check"), col("n_violations"))
+    // the three value-domain checks fold into ONE scan of each table
+    val orderDomains = orders.agg(
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).cast("bigint")
+        .as("neg_price"))
+    val liDomains = lineitem.agg(
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+        .cast("bigint").as("qty_range"),
+      sum(when(col("l_discount") > 0.08, 1L).otherwise(0L)).cast("bigint")
+        .as("high_discount"))
+
+    val domainChecks = orderDomains.crossJoin(liDomains)
+      .select(array(
+        struct(lit("orders_totalprice_positive").as("check"),
+          col("neg_price").as("n_violations")),
+        struct(lit("lineitem_quantity_in_1_50").as("check"),
+          col("qty_range").as("n_violations")),
+        struct(lit("lineitem_discount_le_8pct").as("check"),
+          col("high_discount").as("n_violations"))).as("cs"))
+      .select(explode(col("cs")).as("c"))
+      .select(col("c.check").as("check"), col("c.n_violations").as("n_violations"))
+
+    orphanOrders.union(orphanLineitems).union(dupKeys).union(domainChecks)
+      .withColumn("status", when(col("n_violations") === 0, "pass").otherwise("fail"))
+      .orderBy(col("check"))
+  }
+
+  private val expectationsLedgerSql =
+    """WITH checks AS (
+      |  SELECT 'orders_custkey_in_customer' AS check,
+      |    (SELECT count(*) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |    AS n_violations
+      |  UNION ALL
+      |  SELECT 'lineitem_orderkey_in_orders',
+      |    (SELECT count(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL
+      |  SELECT 'orders_orderkey_unique',
+      |    (SELECT count(*) FROM (
+      |       SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1))
+      |  UNION ALL
+      |  SELECT 'orders_totalprice_positive',
+      |    (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+      |  UNION ALL
+      |  SELECT 'lineitem_quantity_in_1_50',
+      |    (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+      |  UNION ALL
+      |  SELECT 'lineitem_discount_le_8pct',
+      |    (SELECT count(*) FROM lineitem WHERE l_discount > 0.08)
+      |)
+      |SELECT "check", n_violations::BIGINT AS n_violations,
+      |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM checks ORDER BY "check"""".stripMargin
+
+  /** q111: last-touch attribution — each purchase is credited to the
+    * user's most recent preceding non-purchase event type (the
+    * "channel"), via an IGNORE NULLS last-value window; purchases with
+    * no preceding touch fall into the 'direct' bucket. Value mass is
+    * summed in exact integer cents (q99/q72 pattern) so the per-channel
+    * totals are order-independent across engines and partitionings.
+    * One user-partitioned window pass; the aggregate is channel-sized.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("value_c"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel", coalesce(col("touch"), lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value_c")).cast("double") / 100, 2).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
+  private val lastTouchAttributionSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    round(value * 100)::BIGINT AS value_c
+      |  FROM events
+      |), t AS (
+      |  SELECT event_type, value_c,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |  FROM e
+      |)
+      |SELECT coalesce(touch, 'direct') AS channel,
+      |  count(*) AS n_purchases,
+      |  round(sum(value_c)::DOUBLE / 100, 2) AS attributed_value
+      |FROM t WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q110_expectations", expectationsLedger, Some(expectationsLedgerSql)),
+    QueryDef("q111_last_touch", lastTouchAttribution, Some(lastTouchAttributionSql)),
+  )
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Expectations
+import org.apache.spark.sql.functions._
+
+class ExpectationsSpec extends SparkSpec {
+
+  test("q110: ledger covers every check, statuses agree with counts") {
+    val rows = Expectations.expectationsLedger(spark, sfDir).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val (n, status) = (r.getAs[Long]("n_violations"), r.getAs[String]("status"))
+      assert(n >= 0)
+      assert(status === (if (n == 0) "pass" else "fail"))
+    }
+    val byName = rows.map(r => r.getAs[String]("check") -> r.getAs[Long]("n_violations")).toMap
+    // the corpus is referentially clean...
+    assert(byName("orders_custkey_in_customer") === 0)
+    assert(byName("lineitem_orderkey_in_orders") === 0)
+    assert(byName("orders_orderkey_unique") === 0)
+    // ...but the tuned distribution check reports real violations
+    assert(byName("lineitem_discount_le_8pct") > 0,
+      "the ledger must prove it can report, not just pass")
+    // violation count is reproducible directly
+    val direct = Tables.lineitem(spark, sfDir).filter(col("l_discount") > 0.08).count()
+    assert(byName("lineitem_discount_le_8pct") === direct)
+  }
+
+  test("q111: attribution conserves purchases and excludes self-credit") {
+    val rows = Expectations.lastTouchAttribution(spark, sfDir).collect()
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === purchases,
+      "every purchase attributed exactly once")
+    // a purchase never credits the purchase channel itself
+    assert(!rows.map(_.getAs[String]("channel")).contains("purchase"))
+    rows.foreach(r => assert(r.getAs[Double]("attributed_value") >= 0))
+    // 'direct' bucket exists only if some user's first event is a purchase;
+    // either way every channel is a known event type or 'direct'
+    val valid = Set("view", "click", "signup", "error", "direct")
+    rows.foreach(r => assert(valid(r.getAs[String]("channel"))))
+  }
+}
