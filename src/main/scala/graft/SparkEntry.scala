@@ -26,6 +26,7 @@ object SparkEntry {
     operators.Sampling,
     operators.Physical,
     operators.Expectations,
+    operators.Incremental,
     operators.BloomJoin,
     multimodal.Multimodal,
   )

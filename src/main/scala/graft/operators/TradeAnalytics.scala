@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-hop star-join analytics — the TPC-H Q7/Q8/Q9 family plus the
@@ -182,10 +183,107 @@ object TradeAnalytics extends QueryModule {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** q113: cumulative distinct buyers per nation by month — the
+    * running count-distinct analytic, computed WITHOUT a distinct
+    * window (Spark has none): each (nation, customer) contributes at
+    * its FIRST order month, and a running sum of new-buyer counts over
+    * the month spine gives the cumulative distinct total. One
+    * (nation, customer) aggregate + one month-level window — the fact
+    * table never sorts. The oracle recomputes every cell with an
+    * independent correlated `count(DISTINCT …)` — a true cross-check,
+    * not a replay of the same trick.
+    */
+  def cumulativeBuyers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    val om = Tables.orders(spark, dir)
+      .select(col("o_custkey"), trunc(col("o_orderdate").cast("date"), "month").as("m"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("m"))
+    val monthsPresent = om.select(col("n_name"), col("m")).distinct()
+    val newPerMonth = om.groupBy(col("n_name"), col("c_custkey"))
+      .agg(min(col("m")).as("m"))
+      .groupBy(col("n_name"), col("m")).agg(count(lit(1)).as("new_buyers"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthsPresent.join(newPerMonth, Seq("n_name", "m"), "left")
+      .withColumn("new_buyers", coalesce(col("new_buyers"), lit(0L)))
+      .withColumn("cum_buyers", sum(col("new_buyers")).over(w))
+      .select(col("n_name"), col("m"), col("new_buyers"), col("cum_buyers"))
+      .orderBy(col("n_name"), col("m"))
+  }
+
+  private val cumulativeBuyersSql =
+    """WITH om AS (
+      |  SELECT n.n_name, o.o_custkey,
+      |    date_trunc('month', o.o_orderdate::DATE)::DATE AS m
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |), mp AS (
+      |  SELECT DISTINCT n_name, m FROM om
+      |), cum AS (
+      |  SELECT mp.n_name, mp.m,
+      |    (SELECT count(DISTINCT o2.o_custkey) FROM om o2
+      |     WHERE o2.n_name = mp.n_name AND o2.m <= mp.m) AS cum_buyers
+      |  FROM mp
+      |)
+      |SELECT n_name, m,
+      |  cum_buyers - coalesce(lag(cum_buyers)
+      |    OVER (PARTITION BY n_name ORDER BY m), 0) AS new_buyers,
+      |  cum_buyers
+      |FROM cum ORDER BY n_name, m""".stripMargin
+
+  /** q114: chi-square independence test of order priority × status —
+    * the contingency-table stat test an analyst runs before trusting a
+    * segmentation. The observed table is one partially-aggregated
+    * groupBy (priority×status rows — constant-sized); margins come
+    * from windows over that tiny relation; the statistic is
+    * Σ (O−E)²/E with E = row·col/N.
+    */
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("o"))
+    val wp = Window.partitionBy(col("o_orderpriority"))
+    val ws = Window.partitionBy(col("o_orderstatus"))
+    val wAll = Window.partitionBy()
+    obs
+      .withColumn("rt", sum(col("o")).over(wp))
+      .withColumn("ct", sum(col("o")).over(ws))
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("e", (col("rt") * col("ct")).cast("double") / col("n"))
+      .agg(
+        round(sum(pow(col("o") - col("e"), 2) / col("e")), 4).as("chi2"),
+        ((countDistinct(col("o_orderpriority")) - 1) *
+          (countDistinct(col("o_orderstatus")) - 1)).as("dof"),
+        max(col("n")).as("n"))
+  }
+
+  private val chiSquareSql =
+    """WITH obs AS (
+      |  SELECT o_orderpriority, o_orderstatus, count(*) AS o
+      |  FROM orders GROUP BY 1, 2
+      |), m AS (
+      |  SELECT o_orderpriority, o_orderstatus, o,
+      |    sum(o) OVER (PARTITION BY o_orderpriority) AS rt,
+      |    sum(o) OVER (PARTITION BY o_orderstatus) AS ct,
+      |    sum(o) OVER () AS n
+      |  FROM obs
+      |)
+      |SELECT
+      |  round(sum(pow(o - (rt * ct)::DOUBLE / n, 2) / ((rt * ct)::DOUBLE / n)), 4) AS chi2,
+      |  (count(DISTINCT o_orderpriority) - 1) * (count(DISTINCT o_orderstatus) - 1) AS dof,
+      |  max(n)::BIGINT AS n
+      |FROM m""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
     QueryDef("q90_product_profit", productProfit, Some(productProfitSql)),
     QueryDef("q91_regression_battery", regressionBattery, Some(regressionBatterySql)),
+    QueryDef("q113_cumulative_buyers", cumulativeBuyers, Some(cumulativeBuyersSql)),
+    QueryDef("q114_chi_square", chiSquare, Some(chiSquareSql)),
   )
 }

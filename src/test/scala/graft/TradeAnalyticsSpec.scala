@@ -42,6 +42,35 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_items")).sum === expected)
   }
 
+  test("q113: cumulative buyers are monotone and end at the nation's distinct total") {
+    val rows = TradeAnalytics.cumulativeBuyers(spark, sfDir).collect()
+    val totals = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(countDistinct(col("o_custkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[String]("n_name")).foreach { case (nation, hist) =>
+      val sorted = hist.sortBy(_.getAs[java.sql.Date]("m").toString)
+      // running total is non-decreasing and reconciles with new-buyer mass
+      sorted.foldLeft(0L) { (prev, r) =>
+        val cum = r.getAs[Long]("cum_buyers")
+        assert(cum >= prev)
+        assert(cum - prev === r.getAs[Long]("new_buyers"))
+        cum
+      }
+      assert(sorted.last.getAs[Long]("cum_buyers") === totals(nation))
+    }
+  }
+
+  test("q114: chi-square is non-negative with the right degrees of freedom") {
+    val r = TradeAnalytics.chiSquare(spark, sfDir).head()
+    assert(r.getAs[Double]("chi2") >= 0)
+    val prios = Tables.orders(spark, sfDir).select("o_orderpriority").distinct().count()
+    val stats = Tables.orders(spark, sfDir).select("o_orderstatus").distinct().count()
+    assert(r.getAs[Long]("dof") === (prios - 1) * (stats - 1))
+    assert(r.getAs[Long]("n") === Tables.orders(spark, sfDir).count())
+  }
+
   test("regression battery: slope equals covar/var and r2 equals corr^2") {
     val mine = TradeAnalytics.regressionBattery(spark, sfDir).collect()
     assert(mine.length === 3)
