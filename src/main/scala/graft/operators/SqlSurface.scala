@@ -117,6 +117,86 @@ object SqlSurface extends QueryModule {
       |) t
       |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin
 
+  /** q115: banded classification via a deliberate broadcast non-equi
+    * join — a tiny interval dimension (rate card / tax bracket shape)
+    * joined on `lo <= x < hi`. This is the one place a
+    * BroadcastNestedLoopJoin is the RIGHT plan: the build side is
+    * constant-sized (4 rows), so the "nested loop" is 4 comparisons
+    * per row, map-side, at any fact scale. Revenue in exact integer
+    * cents.
+    */
+  def bandJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bands = spark.createDataFrame(Seq(
+      (0d, 150000d, "band1_lt150k"),
+      (150000d, 300000d, "band2_150k_300k"),
+      (300000d, 450000d, "band3_300k_450k"),
+      (450000d, 1e18, "band4_ge450k"))).toDF("lo", "hi", "band")
+    Tables.orders(spark, dir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("revenue_c"))
+      .orderBy(col("band"))
+  }
+
+  private val bandJoinSql =
+    """WITH bands(lo, hi, band) AS (VALUES
+      |  (0, 150000, 'band1_lt150k'),
+      |  (150000, 300000, 'band2_150k_300k'),
+      |  (300000, 450000, 'band3_300k_450k'),
+      |  (450000, 1e18, 'band4_ge450k'))
+      |SELECT band, count(*) AS n_orders,
+      |  sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_c
+      |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  /** q116: null-safe join semantics — Spark's `<=>` (≡ SQL
+    * `IS NOT DISTINCT FROM`) versus plain `=` on a key with nulls:
+    * the null-safe join matches the null bucket to the null bucket,
+    * the regular join drops it. Counts are computed on pre-aggregated
+    * key tables (≤ 5 rows each), so the demonstration is exact and
+    * constant-sized at any event volume.
+    */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, dir).select(col("event_id"), col("user_id"))
+    def keyed(parity: Int) = e.filter(pmod(col("event_id"), lit(2)) === parity)
+      .withColumn("k",
+        when(pmod(col("user_id"), lit(5)) =!= 0, pmod(col("user_id"), lit(5))))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val a = keyed(0).select(col("k").as("ka"), col("c").as("ca"))
+    val b = keyed(1).select(col("k").as("kb"), col("c").as("cb"))
+    val nullsafe = a.join(b, col("ka") <=> col("kb"))
+      .agg(count(lit(1)).as("n_keys_nullsafe"),
+        sum(col("ca") * col("cb")).cast("bigint").as("pairs_nullsafe"))
+    val regular = a.join(b, col("ka") === col("kb"))
+      .agg(count(lit(1)).as("n_keys_regular"),
+        sum(col("ca") * col("cb")).cast("bigint").as("pairs_regular"))
+    nullsafe.crossJoin(regular)
+  }
+
+  private val nullSafeJoinSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN user_id % 5 <> 0 THEN user_id % 5 END AS k
+      |  FROM events
+      |), a AS (
+      |  SELECT k AS ka, count(*) AS ca FROM e WHERE event_id % 2 = 0 GROUP BY k
+      |), b AS (
+      |  SELECT k AS kb, count(*) AS cb FROM e WHERE event_id % 2 = 1 GROUP BY k
+      |), ns AS (
+      |  SELECT count(*) AS n_keys_nullsafe,
+      |    sum(ca * cb)::BIGINT AS pairs_nullsafe
+      |  FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+      |), rg AS (
+      |  SELECT count(*) AS n_keys_regular,
+      |    sum(ca * cb)::BIGINT AS pairs_regular
+      |  FROM a JOIN b ON ka = kb
+      |)
+      |SELECT * FROM ns CROSS JOIN rg""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q76_lateral_topn", (s, d) => withViews(s, d)(lateralSql), Some(lateralSql)),
     QueryDef("q48_full_outer", (s, d) => withViews(s, d)(fullOuterSql), Some(fullOuterSql)),
@@ -124,5 +204,7 @@ object SqlSurface extends QueryModule {
     QueryDef("q50_cross_grid", (s, d) => withViews(s, d)(crossSql), Some(crossSql)),
     QueryDef("q58_correlated_scalar", (s, d) => withViews(s, d)(correlatedScalarSql), Some(correlatedScalarSql)),
     QueryDef("q59_exists_subquery", (s, d) => withViews(s, d)(existsSql), Some(existsSql)),
+    QueryDef("q115_band_join", bandJoin, Some(bandJoinSql)),
+    QueryDef("q116_null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
   )
 }

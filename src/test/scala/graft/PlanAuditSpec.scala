@@ -130,6 +130,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(broadcasts >= 2, s"expected nation + bounds broadcasts:\n$plan")
   }
 
+  test("band join broadcasts the 4-row interval dim (deliberate BNLJ)") {
+    val plan = explainText(operators.SqlSurface.bandJoin(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"interval dim should broadcast-nested-loop, not shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side must not sort:\n$plan")
+  }
+
   test("IVF assignment is shuffle-free (no Exchange between scan and list argmax)") {
     val corpus = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))

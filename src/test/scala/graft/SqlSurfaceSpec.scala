@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.SqlSurface
+import org.apache.spark.sql.functions._
+
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("q115: bands partition the orders exactly and revenue reconciles") {
+    val rows = SqlSurface.bandJoin(spark, sfDir).collect()
+    val total = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === total,
+      "every order must land in exactly one band")
+    val cents = Tables.orders(spark, sfDir)
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("revenue_c")).sum === cents)
+  }
+
+  test("q116: null-safe join keeps exactly the null bucket the regular join drops") {
+    val r = SqlSurface.nullSafeJoin(spark, sfDir).head()
+    val (nsKeys, rgKeys) = (r.getAs[Long]("n_keys_nullsafe"), r.getAs[Long]("n_keys_regular"))
+    val (nsPairs, rgPairs) = (r.getAs[Long]("pairs_nullsafe"), r.getAs[Long]("pairs_regular"))
+    // user_id % 5 == 0 exists in both slices on this corpus → one null key
+    assert(nsKeys === rgKeys + 1)
+    assert(nsPairs > rgPairs)
+    // the difference is exactly the null×null bucket product
+    val e = Tables.events(spark, sfDir)
+      .filter(pmod(col("user_id"), lit(5)) === 0)
+    val ca = e.filter(pmod(col("event_id"), lit(2)) === 0).count()
+    val cb = e.filter(pmod(col("event_id"), lit(2)) === 1).count()
+    assert(nsPairs - rgPairs === ca * cb)
+  }
+}
