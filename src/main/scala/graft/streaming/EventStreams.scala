@@ -178,6 +178,29 @@ object EventStreams extends QueryModule {
       |FROM s GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Idempotent `foreachBatch` writer for sinks without transactional
+    * semantics (plain object stores, external services). Structured
+    * Streaming guarantees each micro-batch a stable `batchId` and MAY
+    * replay a batch after failure — exactly-once therefore requires
+    * the writer to be idempotent in `batchId`. Each batch lands in a
+    * `batch=<id>` directory and is sealed with a commit marker written
+    * AFTER the data; a replayed id short-circuits on the marker, so
+    * retries at any point (mid-write, pre-marker, post-marker) converge
+    * to exactly one committed copy. At cluster scale the same pattern
+    * targets a partitioned table path per batch; the marker plays the
+    * role of the manifest commit in table formats.
+    */
+  def idempotentBatchWriter(sinkDir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val dir = new java.io.File(sinkDir, s"batch=$batchId")
+      val marker = new java.io.File(dir, "_COMMITTED")
+      if (!marker.exists()) {
+        batch.write.mode("overwrite").parquet(dir.toString)
+        marker.createNewFile()
+        ()
+      }
+    }
+
   def attributionQuery(spark: SparkSession, dir: String): DataFrame =
     clickAttribution(Tables.events(spark, dir))
       .orderBy(col("purchase_id"), col("click_id"))

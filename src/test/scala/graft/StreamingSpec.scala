@@ -165,4 +165,38 @@ class StreamingSpec extends SparkSpec {
     val total = Tables.events(spark, sfDir).count()
     assert(want.agg(sum(col("n_events"))).head().getLong(0) === total)
   }
+
+  test("idempotent foreachBatch sink: batch replays converge to one copy") {
+    val base = java.nio.file.Files.createTempDirectory("idem").toString
+    val writer = EventStreams.idempotentBatchWriter(s"$base/sink")
+    val batch = Tables.events(spark, sfDir).limit(100)
+
+    // the foreachBatch contract: the same batchId may be delivered again
+    // after a failure — first delivery writes, replays short-circuit
+    writer(batch, 7L)
+    val once = spark.read.parquet(s"$base/sink/batch=7").count()
+    writer(batch, 7L)
+    writer(batch, 7L)
+    assert(spark.read.parquet(s"$base/sink/batch=7").count() === once)
+    assert(once === 100)
+
+    // a crash BEFORE the marker (data present, no _COMMITTED) must be
+    // repaired by the replay, not skipped
+    new java.io.File(s"$base/sink/batch=7/_COMMITTED").delete()
+    writer(batch, 7L)
+    assert(new java.io.File(s"$base/sink/batch=7/_COMMITTED").exists())
+    assert(spark.read.parquet(s"$base/sink/batch=7").count() === 100)
+
+    // wired end-to-end: a real stream through foreachBatch, AvailableNow
+    val landing = s"$base/landing"
+    batch.coalesce(1).write.parquet(landing)
+    val q = spark.readStream.schema(batch.schema).parquet(landing)
+      .writeStream.foreachBatch(EventStreams.idempotentBatchWriter(s"$base/sink2"))
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$base/sink2/batch=0")
+    assert(out.count() === 100)
+  }
 }
