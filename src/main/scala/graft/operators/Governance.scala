@@ -219,9 +219,92 @@ object Governance extends QueryModule {
       |  round(max(b.p95_c)::DOUBLE / 100, 2) AS p95
       |FROM s JOIN b USING (n_name) GROUP BY s.n_name ORDER BY s.n_name""".stripMargin
 
+  private val psiBins = 10
+
+  /** q118: population stability index — distribution drift of the event
+    * `value` between the first and second half of the time range,
+    * PSI = Σ (q−p)·ln(q/p) over 10 fixed-width bins with add-one
+    * smoothing (so empty bins stay finite). The ML-observability
+    * staple for "did my feature distribution move". One scan to bin
+    * and split (map-side conditional aggregation), a 10-row spine
+    * join, and a constant-sized window for the total — cost is one
+    * pass at any event volume; the global min/max/mid anchors ride as
+    * a broadcast single-row aggregate.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("value"), unix_micros(col("ts")).as("us"))
+    val anchors = e.agg(
+      min(col("value")).as("lo"), max(col("value")).as("hi"),
+      ((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid_us"))
+    val binned = e.crossJoin(broadcast(anchors))
+      .withColumn("bin",
+        least(floor((col("value") - col("lo")) * psiBins / (col("hi") - col("lo"))),
+          lit(psiBins - 1)).cast("long"))
+      .withColumn("is_ref", col("us") < col("mid_us"))
+    val counts = binned.groupBy(col("bin")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("n_ref"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("n_cur"))
+    val totals = binned.agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("t_ref"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).cast("bigint").as("t_cur"))
+    val spine = spark.range(psiBins).select(col("id").as("bin"))
+    val p = (col("n_ref") + 1).cast("double") / (col("t_ref") + psiBins)
+    val q = (col("n_cur") + 1).cast("double") / (col("t_cur") + psiBins)
+    spine.join(counts, Seq("bin"), "left")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("psi_term", round((q - p) * log(q / p), 6))
+      .withColumn("psi_total",
+        round(sum((q - p) * log(q / p)).over(Window.partitionBy()), 4))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        col("psi_term"), col("psi_total"))
+      .orderBy(col("bin"))
+  }
+
+  private val psiDriftSql =
+    s"""WITH e AS (
+       |  SELECT value, epoch_us(ts) AS us FROM events
+       |), a AS (
+       |  SELECT min(value) AS lo, max(value) AS hi,
+       |    (min(us) + max(us)) // 2 AS mid_us
+       |  FROM e
+       |), binned AS (
+       |  SELECT least(floor((value - lo) * $psiBins / (hi - lo)), ${psiBins - 1})::BIGINT AS bin,
+       |    (us < mid_us) AS is_ref
+       |  FROM e CROSS JOIN a
+       |), counts AS (
+       |  SELECT bin,
+       |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+       |    sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)::BIGINT AS n_cur
+       |  FROM binned GROUP BY bin
+       |), totals AS (
+       |  SELECT sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS t_ref,
+       |    sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END)::BIGINT AS t_cur
+       |  FROM binned
+       |), spine AS (
+       |  SELECT unnest(generate_series(0, ${psiBins - 1})) AS bin
+       |), rows_ AS (
+       |  SELECT s.bin, coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur,
+       |    t.t_ref, t.t_cur
+       |  FROM spine s LEFT JOIN counts c ON s.bin = c.bin CROSS JOIN totals t
+       |)
+       |SELECT bin, n_ref, n_cur,
+       |  round(((n_cur + 1)::DOUBLE / (t_cur + $psiBins)
+       |         - (n_ref + 1)::DOUBLE / (t_ref + $psiBins))
+       |    * ln(((n_cur + 1)::DOUBLE / (t_cur + $psiBins))
+       |         / ((n_ref + 1)::DOUBLE / (t_ref + $psiBins))), 6) AS psi_term,
+       |  round(sum(((n_cur + 1)::DOUBLE / (t_cur + $psiBins)
+       |         - (n_ref + 1)::DOUBLE / (t_ref + $psiBins))
+       |    * ln(((n_cur + 1)::DOUBLE / (t_cur + $psiBins))
+       |         / ((n_ref + 1)::DOUBLE / (t_ref + $psiBins)))) OVER (), 4) AS psi_total
+       |FROM rows_ ORDER BY bin""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q97_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("q98_quality_rules", qualityRules, Some(qualityRulesSql)),
     QueryDef("q99_winsorized_spend", winsorizedSpend, Some(winsorizedSpendSql)),
+    QueryDef("q118_psi_drift", psiDrift, Some(psiDriftSql)),
   )
 }

@@ -278,6 +278,35 @@ object TradeAnalytics extends QueryModule {
       |  max(n)::BIGINT AS n
       |FROM m""".stripMargin
 
+  /** q117: market-basket part pairs — parts co-purchased in the same
+    * order, top-20 by support. The self-join is keyed on the order (avg
+    * basket ≈ 4 items, so pair fanout is a small constant per order —
+    * linear in lineitem, never all-pairs over parts); `p1 < p2`
+    * canonicalizes the pair. Distinct-per-order first, so multi-line
+    * duplicates of the same part count once per basket. At heavy-tail
+    * basket sizes the standard guard is a per-order item cap — basket
+    * size here is schema-bounded (≤ 7 lines/order in TPC-H).
+    */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  private val basketPairsSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |)
+      |SELECT a.pk AS p1, b.pk AS p2, count(*) AS support
+      |FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |GROUP BY 1, 2
+      |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -285,5 +314,6 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q91_regression_battery", regressionBattery, Some(regressionBatterySql)),
     QueryDef("q113_cumulative_buyers", cumulativeBuyers, Some(cumulativeBuyersSql)),
     QueryDef("q114_chi_square", chiSquare, Some(chiSquareSql)),
+    QueryDef("q117_basket_pairs", basketPairs, Some(basketPairsSql)),
   )
 }

@@ -53,6 +53,26 @@ class GovernanceSpec extends SparkSpec {
     assert(rows.map(r => r.getAs[Long]("n_docs") - r.getAs[Long]("n_pass")).sum > 0)
   }
 
+  test("q118: PSI bins cover all events and terms sum to the total") {
+    val rows = Governance.psiDrift(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.map(r => r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")).sum === total)
+    // psi_total is constant across rows, non-negative-ish (PSI >= 0 exactly
+    // when p,q are true distributions; smoothing keeps it finite)
+    val totals = rows.map(_.getAs[Double]("psi_total")).distinct
+    assert(totals.length === 1)
+    // recompute from smoothed shares
+    val (tRef, tCur) = (rows.map(_.getAs[Long]("n_ref")).sum, rows.map(_.getAs[Long]("n_cur")).sum)
+    val psi = rows.map { r =>
+      val p = (r.getAs[Long]("n_ref") + 1).toDouble / (tRef + 10)
+      val q = (r.getAs[Long]("n_cur") + 1).toDouble / (tCur + 10)
+      (q - p) * math.log(q / p)
+    }.sum
+    assert(math.abs(psi - totals.head) < 1e-3)
+    assert(psi >= 0, "PSI of smoothed distributions is a KL-symmetrized sum, >= 0")
+  }
+
   test("q99: winsorized mean moves toward the median and bounds hold") {
     val rows = Governance.winsorizedSpend(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -71,6 +71,24 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n") === Tables.orders(spark, sfDir).count())
   }
 
+  test("q117: basket pairs are canonical, supported, and bounded by basket math") {
+    val rows = TradeAnalytics.basketPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p1") < r.getAs[Long]("p2"), "pairs must be canonical")
+      assert(r.getAs[Long]("support") >= 1)
+    }
+    // support ordering is non-increasing
+    val supports = rows.map(_.getAs[Long]("support")).toSeq
+    assert(supports === supports.sorted.reverse)
+    // total pair mass reconciles: sum over orders of C(basket,2)
+    val pairMass = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("k"))
+      .agg(sum(col("k") * (col("k") - 1) / 2)).head().getDouble(0).toLong
+    assert(supports.head <= pairMass)
+  }
+
   test("regression battery: slope equals covar/var and r2 equals corr^2") {
     val mine = TradeAnalytics.regressionBattery(spark, sfDir).collect()
     assert(mine.length === 3)
