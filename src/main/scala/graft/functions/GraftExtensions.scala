@@ -6,19 +6,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 
 /** SQL registration for the engine's custom expressions, so
   * `spark.sql("SELECT simhash64(tokens) ...")` works alongside the
-  * Column API.
+  * Column API, plus the engine's planner fixes (band-join de-BNLJ).
   *
   * Two entry points:
   *  - `spark.sql.extensions=graft.functions.GraftExtensions` — the
   *    standard config-driven path, applied at session build;
   *  - `GraftFunctions.register(spark)` — runtime registration on a live
-  *    session (tests, notebooks).
+  *    session (tests, notebooks); the optimizer rule's runtime
+  *    equivalent is `spark.experimental.extraOptimizations ++=
+  *    Seq(graft.plans.RangeJoinRewrite)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftFunctions {

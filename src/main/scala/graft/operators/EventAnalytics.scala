@@ -364,6 +364,120 @@ object EventAnalytics extends QueryModule {
        |FROM e CROSS JOIN t
        |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q120: EWMA anomaly detection — flag hours whose event count spikes
+    * above an exponentially-weighted moving average of the trailing 16
+    * hours (α = 1/2). The ops-monitoring pattern: dense per-type hourly
+    * series (integer-hour spine, zeros filled), then a lag battery.
+    *
+    * Cross-engine determinism: α = 1/2 makes every EWMA weight a power
+    * of two, so the weighted sum S = Σ_{k=1..16} x_{t-k}·2^(16-k) and
+    * the anomaly verdict x > (3/2)·ewma + 2, cross-multiplied to
+    * 2·x·65535 > 3·S + 4·65535, are EXACT integer arithmetic — no float
+    * accumulation order anywhere; the reported ewma divides the exact S
+    * once at output. Scale: the series is
+    * |types|×|hours| (aggregate-sized, not event-sized); windows
+    * partition by type — no global sort; the 16 lags share one sort.
+    */
+  def ewmaAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hrs = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+    val counts = hrs.groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("n"))
+    val bounds = hrs.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+      .crossJoin(hrs.select(col("event_type")).distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val weighted = (1 to 16).map(k => lag(col("x"), k).over(w) * lit(1L << (16 - k)))
+      .reduce(_ + _)
+    spine.join(counts, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"), coalesce(col("n"), lit(0L)).cast("long").as("x"))
+      .withColumn("s", weighted)
+      .filter(col("s").isNotNull &&
+        col("x") * 131070L > col("s") * 3L + 262140L)
+      .select(col("event_type"), col("hr"), col("x"),
+        round(col("s").cast("double") / 65535.0, 4).as("ewma"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  private val ewmaAnomalySql = {
+    val weighted = (1 to 16).map(k => s"lag(x, $k) OVER w * ${1L << (16 - k)}")
+      .mkString(" + ")
+    s"""WITH hrs AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr FROM events
+       |), counts AS (
+       |  SELECT event_type, hr, count(*) AS n FROM hrs GROUP BY 1, 2
+       |), bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hrs),
+       |spine AS (
+       |  SELECT t.event_type, unnest(generate_series(b.lo, b.hi)) AS hr
+       |  FROM (SELECT DISTINCT event_type FROM hrs) t CROSS JOIN bounds b
+       |), series AS (
+       |  SELECT s.event_type, s.hr, coalesce(c.n, 0)::BIGINT AS x
+       |  FROM spine s LEFT JOIN counts c
+       |    ON s.event_type = c.event_type AND s.hr = c.hr
+       |), lagged AS (
+       |  SELECT event_type, hr, x, $weighted AS s
+       |  FROM series
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+       |)
+       |SELECT event_type, hr, x, round(s::DOUBLE / 65535.0, 4) AS ewma
+       |FROM lagged
+       |WHERE s IS NOT NULL AND x * 131070 > s * 3 + 262140
+       |ORDER BY event_type, hr""".stripMargin
+  }
+
+  /** q127: session path mining — the most common 3-step event-type
+    * sequences WITHIN a session (q81's gap rule), the navigation-pattern
+    * query behind "how do users actually reach purchase". Trigrams come
+    * from two lead() passes on the same (user, time) sort order the
+    * sessionization already needs — no self-joins, no explode of
+    * per-session arrays; the aggregate is |type|³-bounded.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val ws = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(w) > sessionGapUs, 1)
+          .when(lag(col("us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t2", lead(col("event_type"), 1).over(ws))
+      .withColumn("t3", lead(col("event_type"), 2).over(ws))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
+  private val sessionPathsSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+       |), b AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |    CASE WHEN lag(us) OVER w IS NULL THEN 1
+       |         WHEN us - lag(us) OVER w > $sessionGapUs THEN 1
+       |         ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), s AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                   ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM b
+       |), tri AS (
+       |  SELECT event_type || '>' || lead(event_type, 1) OVER ws
+       |      || '>' || lead(event_type, 2) OVER ws AS path,
+       |    lead(event_type, 2) OVER ws AS t3
+       |  FROM s
+       |  WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY us, event_id)
+       |)
+       |SELECT path, count(*) AS n FROM tri
+       |WHERE t3 IS NOT NULL
+       |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -373,5 +487,8 @@ object EventAnalytics extends QueryModule {
     QueryDef("q104_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     QueryDef("q105_decayed_engagement", decayedEngagement, Some(decayedEngagementSql)),
     QueryDef("q106_conversion_latency", conversionLatency, Some(conversionLatencySql)),
+    QueryDef("q120_ewma_anomaly", ewmaAnomaly, Some(ewmaAnomalySql)),
+    QueryDef("q127_session_paths", sessionPaths, Some(sessionPathsSql)),
   )
+
 }

@@ -142,8 +142,74 @@ object Expectations extends QueryModule {
       |FROM t WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q122: multi-touch LINEAR attribution — every non-purchase touch in
+    * the 7 days before a purchase shares that purchase's value equally
+    * (q111's last-touch counterpart). The candidate (touch, purchase)
+    * pairs come from `Temporal.rangeJoin`, so the inequality lives in a
+    * bucketed equi-join (one linear shuffle), never a BNLJ.
+    *
+    * Exact integer cent splitting (largest-remainder): each of the n
+    * touches gets value_c div n cents and the earliest value_c mod n
+    * touches get one extra cent — credit mass is conserved PER PURCHASE
+    * in integer arithmetic, so channel totals are bit-identical across
+    * engines, partitionings, and retries (a float 1/n split would not
+    * be). Windows partition by purchase id; aggregates are channel-sized.
+    */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("value_c"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), col("ts").as("touch_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"), col("value_c"))
+    val pairs = Temporal.rangeJoin(touches, purchases, "user_id",
+      "touch_ts", "p_ts", windowSec = 7L * 86400)
+    val wn = Window.partitionBy(col("p_id"))
+    val wr = Window.partitionBy(col("p_id")).orderBy(col("touch_ts"), col("touch_id"))
+    pairs
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("credit_c", expr("value_c div n") +
+        when(col("rn") <= expr("value_c % n"), 1L).otherwise(0L))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("credit_c")).cast("long").as("credited_c"))
+      .orderBy(col("channel"))
+  }
+
+  private val linearAttributionSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    round(value * 100)::BIGINT AS value_c
+      |  FROM events
+      |), t AS (
+      |  SELECT user_id, event_id AS touch_id, event_type AS channel, ts AS touch_ts
+      |  FROM e WHERE event_type <> 'purchase'
+      |), p AS (
+      |  SELECT user_id, event_id AS p_id, ts AS p_ts, value_c
+      |  FROM e WHERE event_type = 'purchase'
+      |), pairs AS (
+      |  SELECT t.channel, t.touch_id, t.touch_ts, p.p_id, p.value_c
+      |  FROM t JOIN p ON t.user_id = p.user_id
+      |   AND p.p_ts > t.touch_ts
+      |   AND p.p_ts <= t.touch_ts + INTERVAL 604800 SECONDS
+      |), ranked AS (
+      |  SELECT channel, value_c,
+      |    count(*) OVER (PARTITION BY p_id) AS n,
+      |    row_number() OVER (PARTITION BY p_id ORDER BY touch_ts, touch_id) AS rn
+      |  FROM pairs
+      |)
+      |SELECT channel, count(*) AS n_credits,
+      |  sum(value_c // n + CASE WHEN rn <= value_c % n THEN 1 ELSE 0 END)::BIGINT
+      |    AS credited_c
+      |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q110_expectations", expectationsLedger, Some(expectationsLedgerSql)),
     QueryDef("q111_last_touch", lastTouchAttribution, Some(lastTouchAttributionSql)),
+    QueryDef("q122_linear_attribution", linearAttribution, Some(linearAttributionSql)),
   )
 }

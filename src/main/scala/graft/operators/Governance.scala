@@ -301,10 +301,48 @@ object Governance extends QueryModule {
        |         / ((n_ref + 1)::DOUBLE / (t_ref + $psiBins)))) OVER (), 4) AS psi_total
        |FROM rows_ ORDER BY bin""".stripMargin
 
+  /** q126: Benford first-digit audit — the classic fabricated-numbers
+    * screen: the distribution of leading digits of order totals vs
+    * Benford's law P(d) = log10(1 + 1/d). Counts are exact integers
+    * from a substring of the integer-cent string (never float math on
+    * the value); shares and the Benford reference derive in one fixed
+    * double expression per column, rounded once. Map-side digit
+    * extraction, a 9-row aggregate, zero shuffles beyond it.
+    */
+  def benfordProfile(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(substring(round(col("o_totalprice") * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy()
+    digits
+      .withColumn("total", sum(col("n")).over(wAll))
+      .select(col("digit"), col("n").cast("long").as("n"),
+        round(col("n").cast("double") / col("total"), 4).as("obs_share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("benford_share"),
+        round(abs(col("n").cast("double") / col("total") -
+          log10(lit(1.0) + lit(1.0) / col("digit"))), 4).as("abs_dev"))
+      .orderBy(col("digit"))
+  }
+
+  private val benfordProfileSql =
+    """WITH d AS (
+      |  SELECT substring((round(o_totalprice * 100)::BIGINT)::VARCHAR, 1, 1)::INT AS digit
+      |  FROM orders
+      |), c AS (
+      |  SELECT digit, count(*) AS n FROM d GROUP BY 1
+      |)
+      |SELECT digit, n::BIGINT AS n,
+      |  round(n::DOUBLE / sum(n) OVER (), 4) AS obs_share,
+      |  round(log10(1.0 + 1.0 / digit), 4) AS benford_share,
+      |  round(abs(n::DOUBLE / sum(n) OVER () - log10(1.0 + 1.0 / digit)), 4) AS abs_dev
+      |FROM c ORDER BY digit""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q97_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("q98_quality_rules", qualityRules, Some(qualityRulesSql)),
     QueryDef("q99_winsorized_spend", winsorizedSpend, Some(winsorizedSpendSql)),
     QueryDef("q118_psi_drift", psiDrift, Some(psiDriftSql)),
+    QueryDef("q126_benford_profile", benfordProfile, Some(benfordProfileSql)),
   )
 }

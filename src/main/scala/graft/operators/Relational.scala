@@ -899,8 +899,58 @@ object Relational extends QueryModule {
       |    (o_orderdate::DATE - DATE '1970-01-01')::DOUBLE), 4) AS price_time_corr
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** q123: exact weighted median — per return flag, the smallest price
+    * whose cumulative quantity weight reaches half the total (the
+    * lower weighted median; quantity-weighted it answers "the price of
+    * the middle UNIT shipped", which a plain median of rows does not).
+    * q25's percentiles are row-weighted; this is the mass-weighted form.
+    *
+    * Shape: pre-aggregate to (flag, price) — value-domain-sized, the
+    * same collapse that makes exact quantiles feasible at 100 TB — then
+    * one cumulative-sum window per flag and a 2·cum ≥ total integer
+    * verdict: exact integer cents and weights end to end, no
+    * interpolation, no float accumulation.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("price_c"),
+        round(col("l_quantity"), 0).cast("long").as("w"))
+      .groupBy(col("l_returnflag"), col("price_c"))
+      .agg(sum(col("w")).as("w"))
+    val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("l_returnflag"))
+    base
+      .withColumn("cum", sum(col("w")).over(wc))
+      .withColumn("tot", sum(col("w")).over(wt))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("price_c")).cast("long").as("wmedian_price_c"),
+        max(col("tot")).cast("long").as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val weightedMedianSql =
+    """WITH base AS (
+      |  SELECT l_returnflag, round(l_extendedprice * 100)::BIGINT AS price_c,
+      |    sum(round(l_quantity)::BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2
+      |), c AS (
+      |  SELECT l_returnflag, price_c, w,
+      |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM base
+      |)
+      |SELECT l_returnflag, min(price_c)::BIGINT AS wmedian_price_c,
+      |  max(tot)::BIGINT AS total_weight
+      |FROM c WHERE cum * 2 >= tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q87_stat_aggs", statAggs, Some(statAggsSql)),
+    QueryDef("q123_weighted_median", weightedMedian, Some(weightedMedianSql)),
     QueryDef("q73_unpivot", nationMetricsUnpivot, Some(nationMetricsUnpivotSql)),
     QueryDef("q77_window_rank_battery", windowRankBattery, Some(windowRankBatterySql)),
     QueryDef("q78_fuzzy_match", fuzzyNationMatch, Some(fuzzyNationMatchSql)),

@@ -101,8 +101,37 @@ object Sampling extends QueryModule {
       |  ((cum_tokens - n_tokens) * 10 < total * 9) AS in_nucleus
       |FROM c ORDER BY cum_tokens""".stripMargin
 
+  /** q125: fixed-k per-group sample — exactly 3 documents per source,
+    * chosen by an md5-derived per-doc uniform (the distributed,
+    * re-run-stable replacement for per-group reservoir sampling:
+    * same rows under any partitioning, any retry, any cluster size).
+    * Complements q38 (rate-stratified) and q101 (global weighted):
+    * this is the fixed-quota-per-stratum shape. Per-group partial
+    * top-k via the ranking window on a group-partitioned sort.
+    */
+  def fixedKSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("u"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("u"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk").cast("int").as("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val fixedKSampleSql =
+    """SELECT source, rk::INT AS rk, doc_id FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents
+      |) WHERE rk <= 3 ORDER BY source, rk""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q101_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q102_top_p_sources", topPSources, Some(topPSourcesSql)),
+    QueryDef("q125_fixed_k_sample", fixedKSample, Some(fixedKSampleSql)),
   )
 }

@@ -134,8 +134,144 @@ object Temporal extends QueryModule {
       | AND x.ts > c.ts AND x.ts <= c.ts + INTERVAL 600 SECONDS
       |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin
 
+  /** q121: time-series gap fill by linear interpolation — per-nation
+    * daily revenue on a dense date spine; days with no orders get the
+    * straight-line value between the nearest surrounding actual days
+    * (edge days outside the first/last actual stay empty and are
+    * dropped). The sensor/metric repair primitive: spine join + two
+    * IGNORE-NULLS window passes (carry-back / carry-forward), never a
+    * per-gap self-join.
+    *
+    * Determinism: actuals are exact integer cents; an interpolated value
+    * is prev + (next−prev)·Δ/span rounded half-up IN INTEGER ARITHMETIC
+    * ((2·num + span) div (2·span)) — no float touches the value on
+    * either engine. Scale: the series is |nations|×|days|
+    * (aggregate-sized); windows partition by nation.
+    */
+  def gapFillInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_c"))
+    val bounds = Tables.orders(spark, dir)
+      .agg(min(col("o_orderdate")).cast("date").as("lo"), max(col("o_orderdate")).cast("date").as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("ts"))
+      .select(col("ts").cast("date").as("day"))
+      .crossJoin(Tables.nation(spark, dir).select(col("n_name")))
+    val wb = Window.partitionBy(col("n_name")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("n_name")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("n_name", "day"), "left")
+      .withColumn("pv", last(col("rev_c"), ignoreNulls = true).over(wb))
+      .withColumn("pd", last(when(col("rev_c").isNotNull, col("day")), ignoreNulls = true).over(wb))
+      .withColumn("nv", first(col("rev_c"), ignoreNulls = true).over(wf))
+      .withColumn("nd", first(when(col("rev_c").isNotNull, col("day")), ignoreNulls = true).over(wf))
+      .withColumn("dd", datediff(col("day"), col("pd")).cast("long"))
+      .withColumn("span", datediff(col("nd"), col("pd")).cast("long"))
+      // exact integer round-half-up of (pv·span + (nv−pv)·dd)/span: no
+      // float ever touches the value, so both engines agree bit-for-bit
+      .withColumn("filled_c", when(col("rev_c").isNotNull, col("rev_c"))
+        .otherwise(expr("(2 * (pv * span + (nv - pv) * dd) + span) div (2 * span)")))
+      .filter(col("pv").isNotNull && col("nv").isNotNull)
+      .select(col("n_name"), col("day"),
+        col("filled_c").cast("long").as("revenue_c"),
+        when(col("rev_c").isNotNull, lit("actual")).otherwise(lit("interp")).as("kind"))
+      .orderBy(col("n_name"), col("day"))
+  }
+
+  private val gapFillInterpolateSql =
+    """WITH daily AS (
+      |  SELECT n.n_name, o.o_orderdate::DATE AS day,
+      |    sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS rev_c
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT min(o_orderdate)::DATE AS lo, max(o_orderdate)::DATE AS hi FROM orders
+      |), spine AS (
+      |  SELECT n.n_name, unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY))::DATE AS day
+      |  FROM nation n CROSS JOIN bounds b
+      |), marked AS (
+      |  SELECT s.n_name, s.day, d.rev_c,
+      |    last_value(d.rev_c IGNORE NULLS) OVER wb AS pv,
+      |    last_value(CASE WHEN d.rev_c IS NOT NULL THEN s.day END IGNORE NULLS) OVER wb AS pd,
+      |    first_value(d.rev_c IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN d.rev_c IS NOT NULL THEN s.day END IGNORE NULLS) OVER wf AS nd
+      |  FROM spine s LEFT JOIN daily d ON s.n_name = d.n_name AND s.day = d.day
+      |  WINDOW
+      |    wb AS (PARTITION BY s.n_name ORDER BY s.day
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY s.n_name ORDER BY s.day
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT n_name, day,
+      |  (CASE WHEN rev_c IS NOT NULL THEN rev_c
+      |    ELSE (2 * (pv * (nd - pd) + (nv - pv) * (day - pd)) + (nd - pd))
+      |      // (2 * (nd - pd)) END)::BIGINT AS revenue_c,
+      |  CASE WHEN rev_c IS NOT NULL THEN 'actual' ELSE 'interp' END AS kind
+      |FROM marked
+      |WHERE pv IS NOT NULL AND nv IS NOT NULL
+      |ORDER BY n_name, day""".stripMargin
+
+  /** q124: time-weighted average price (TWAP) — per nation, the daily
+    * revenue level weighted by how long it persisted (days until the
+    * nation's next active day; the last observation carries weight 1).
+    * The finance/metering aggregate where irregular sampling would bias
+    * a plain mean toward busy periods.
+    *
+    * Determinism: numerator Σ vᵢ·wᵢ and denominator Σ wᵢ accumulate as
+    * exact BIGINTs (cents × whole days); one double division at output.
+    * One lead() pass over the nation-day aggregate (nation-partitioned,
+    * aggregate-sized), then a partial-agged groupBy.
+    */
+  def twapByNation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("v"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("day"))
+    daily
+      .withColumn("nd", lead(col("day"), 1).over(w))
+      .withColumn("wt", when(col("nd").isNotNull,
+        datediff(col("nd"), col("day"))).otherwise(lit(1)).cast("long"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("v") * col("wt")).as("wsum"),
+        sum(col("wt")).cast("long").as("weight_days"),
+        count(lit(1)).cast("long").as("n_active_days"))
+      .select(col("n_name"),
+        round(col("wsum").cast("double") / col("weight_days") / 100, 4).as("twap_d"),
+        col("weight_days"), col("n_active_days"))
+      .orderBy(col("n_name"))
+  }
+
+  private val twapByNationSql =
+    """WITH daily AS (
+      |  SELECT n.n_name, o.o_orderdate::DATE AS day,
+      |    sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS v
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2
+      |), weighted AS (
+      |  SELECT n_name, v,
+      |    coalesce(lead(day) OVER (PARTITION BY n_name ORDER BY day) - day, 1)::BIGINT AS wt
+      |  FROM daily
+      |)
+      |SELECT n_name,
+      |  round(sum(v * wt)::DOUBLE / sum(wt)::BIGINT / 100, 4) AS twap_d,
+      |  sum(wt)::BIGINT AS weight_days,
+      |  count(*)::BIGINT AS n_active_days
+      |FROM weighted GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_asof_join", asOfQuery, Some(asOfSql), benchmark = true),
     QueryDef("q47_range_join", rangeQuery, Some(rangeSql)),
+    QueryDef("q121_gap_fill_interpolate", gapFillInterpolate, Some(gapFillInterpolateSql)),
+    QueryDef("q124_twap", twapByNation, Some(twapByNationSql)),
   )
 }

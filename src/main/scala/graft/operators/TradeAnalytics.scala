@@ -307,6 +307,76 @@ object TradeAnalytics extends QueryModule {
       |GROUP BY 1, 2
       |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin
 
+  /** q119: Welch two-sample t-test — does order value differ between
+    * URGENT and LOW priority orders? The inference counterpart to q114's
+    * chi-square: unequal variances, Welch–Satterthwaite dof.
+    *
+    * Cross-engine determinism: both samples reduce to exact integer
+    * moments first — n, Σcents (BIGINT), Σcents² (decimal(38,0) on the
+    * Spark side, HUGEINT in DuckDB; the value overflows int64 at
+    * sf≥0.1) — then mean/variance/t are derived in double arithmetic
+    * with an identical operand order on both engines, so the rounded
+    * outputs agree bit-for-bit. One conditional aggregation, one
+    * exchange; the moment pass is map-side partial everywhere.
+    */
+  def welchTTest(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select((col("o_orderpriority") === "1-URGENT").as("is_a"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .withColumn("c2", (col("c") * col("c")).cast("decimal(38,0)"))
+    val g = s.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).cast("bigint").as("n1"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).cast("bigint").as("n2"),
+      sum(when(col("is_a"), col("c"))).cast("double").as("s1"),
+      sum(when(!col("is_a"), col("c"))).cast("double").as("s2"),
+      sum(when(col("is_a"), col("c2"))).cast("double").as("q1"),
+      sum(when(!col("is_a"), col("c2"))).cast("double").as("q2"))
+    g
+      .withColumn("m1", col("s1") / col("n1"))
+      .withColumn("m2", col("s2") / col("n2"))
+      .withColumn("v1", (col("q1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1))
+      .withColumn("v2", (col("q2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1))
+      .withColumn("u1", col("v1") / col("n1"))
+      .withColumn("u2", col("v2") / col("n2"))
+      .select(
+        col("n1").as("n_urgent"), col("n2").as("n_low"),
+        round(col("m1") / 100, 2).as("mean_urgent_d"),
+        round(col("m2") / 100, 2).as("mean_low_d"),
+        round((col("m1") - col("m2")) / sqrt(col("u1") + col("u2")), 4).as("t_stat"),
+        round((col("u1") + col("u2")) * (col("u1") + col("u2")) /
+          (col("u1") * col("u1") / (col("n1") - 1) +
+            col("u2") * col("u2") / (col("n2") - 1)), 2).as("welch_dof"))
+  }
+
+  private val welchTTestSql =
+    """WITH s AS (
+      |  SELECT o_orderpriority = '1-URGENT' AS is_a,
+      |    round(o_totalprice * 100)::BIGINT AS c
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |), g AS (
+      |  SELECT
+      |    sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS n2,
+      |    sum(CASE WHEN is_a THEN c END)::DOUBLE AS s1,
+      |    sum(CASE WHEN NOT is_a THEN c END)::DOUBLE AS s2,
+      |    sum(CASE WHEN is_a THEN c * c END)::DOUBLE AS q1,
+      |    sum(CASE WHEN NOT is_a THEN c * c END)::DOUBLE AS q2
+      |  FROM s
+      |), d AS (
+      |  SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+      |    (q1 - s1 * s1 / n1) / (n1 - 1) / n1 AS u1,
+      |    (q2 - s2 * s2 / n2) / (n2 - 1) / n2 AS u2
+      |  FROM g
+      |)
+      |SELECT n1 AS n_urgent, n2 AS n_low,
+      |  round(m1 / 100, 2) AS mean_urgent_d,
+      |  round(m2 / 100, 2) AS mean_low_d,
+      |  round((m1 - m2) / sqrt(u1 + u2), 4) AS t_stat,
+      |  round((u1 + u2) * (u1 + u2) /
+      |    (u1 * u1 / (n1 - 1) + u2 * u2 / (n2 - 1)), 2) AS welch_dof
+      |FROM d""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -315,5 +385,6 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q113_cumulative_buyers", cumulativeBuyers, Some(cumulativeBuyersSql)),
     QueryDef("q114_chi_square", chiSquare, Some(chiSquareSql)),
     QueryDef("q117_basket_pairs", basketPairs, Some(basketPairsSql)),
+    QueryDef("q119_welch_ttest", welchTTest, Some(welchTTestSql)),
   )
 }

@@ -111,4 +111,25 @@ class EventAnalyticsSpec extends SparkSpec {
       cohort.foreach(r => assert(r.getAs[Long]("n_users") <= base.get))
     }
   }
+
+  test("q120 EWMA anomalies equal an exact integer recompute of the rule") {
+    // brute-force the dense hourly series + integer EWMA rule on the driver
+    val byHr = Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val hrs = byHr.map(_._2)
+    val (lo, hi) = (hrs.min, hrs.max)
+    val counts = byHr.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = (for {
+      t <- byHr.map(_._1).distinct
+      series = (lo to hi).map(h => h -> counts.getOrElse((t, h), 0L))
+      i <- 16 until series.length
+      s = (1 to 16).map(k => series(i - k)._2 * (1L << (16 - k))).sum
+      if series(i)._2 * 131070L > s * 3L + 262140L
+    } yield (t, series(i)._1, series(i)._2)).toSet
+    val got = EventAnalytics.ewmaAnomaly(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }

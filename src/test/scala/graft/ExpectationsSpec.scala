@@ -40,4 +40,26 @@ class ExpectationsSpec extends SparkSpec {
     val valid = Set("view", "click", "signup", "error", "direct")
     rows.foreach(r => assert(valid(r.getAs[String]("channel"))))
   }
+
+  test("q122: linear attribution conserves credited cents exactly") {
+    val rows = Expectations.linearAttribution(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.map(_.getAs[String]("channel")).contains("purchase"))
+    // conservation: credited mass = Σ value_c over purchases with ≥1 touch
+    // in the 7-day window (naive inequality join as the independent path)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("value_c"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("touch_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("value_c"))
+    val touched = purchases.join(touches, Seq("user_id"))
+      .filter(col("p_ts") > col("touch_ts") &&
+        col("p_ts") <= col("touch_ts") + expr("INTERVAL 604800 SECONDS"))
+      .select(col("p_id"), col("value_c")).distinct()
+    val expected = touched.agg(sum(col("value_c"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("credited_c")).sum === expected)
+  }
 }

@@ -159,4 +159,24 @@ class RelationalSpec extends SparkSpec {
     val pairs = li.select(col("l_returnflag"), col("l_linestatus")).distinct().count()
     assert(Relational.pricingSummary(spark, sfDir).count() === pairs)
   }
+
+  test("q123: weighted median splits the quantity mass at one half") {
+    val rows = Relational.weightedMedian(spark, sfDir).collect()
+    assert(rows.length === 3)
+    val raw = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("p"),
+        round(col("l_quantity"), 0).cast("long").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { r =>
+      val (flag, med) = (r.getString(0), r.getAs[Long]("wmedian_price_c"))
+      val grp = raw.filter(_._1 == flag)
+      val tot = grp.map(_._3).sum
+      assert(r.getAs[Long]("total_weight") === tot)
+      val below = grp.filter(_._2 < med).map(_._3).sum
+      val atOrBelow = grp.filter(_._2 <= med).map(_._3).sum
+      assert(below * 2 < tot, "mass strictly below the median is under half")
+      assert(atOrBelow * 2 >= tot, "mass at or below the median reaches half")
+    }
+  }
 }

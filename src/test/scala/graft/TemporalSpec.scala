@@ -54,4 +54,34 @@ class TemporalSpec extends SparkSpec {
     assert(out.count() === Tables.events(spark, sfDir).count())
     assert(out.select(col("event_id")).distinct().count() === out.count())
   }
+
+  test("q121 gap fill: actuals untouched, interps exactly linear between neighbors") {
+    val rows = Temporal.gapFillInterpolate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).values.foreach { nation =>
+      val series = nation.sortBy(_.getDate(1).toLocalDate.toEpochDay)
+      // edges are actual: interpolation never extrapolates
+      assert(series.head.getAs[String]("kind") === "actual")
+      assert(series.last.getAs[String]("kind") === "actual")
+      // days are dense (every day between first and last actual present)
+      val days = series.map(_.getDate(1).toLocalDate.toEpochDay)
+      assert(days.last - days.head + 1 === days.length)
+      // each interp run is the exact integer-rounded line between its
+      // bracketing actuals
+      val actualIdx = series.zipWithIndex
+        .filter(_._1.getAs[String]("kind") == "actual").map(_._2)
+      actualIdx.sliding(2).foreach {
+        case Array(i, j) if j > i + 1 =>
+          val (pv, nv) = (series(i).getAs[Long]("revenue_c"),
+            series(j).getAs[Long]("revenue_c"))
+          val span = days(j) - days(i)
+          (i + 1 until j).foreach { m =>
+            val num = pv * span + (nv - pv) * (days(m) - days(i))
+            val want = (2 * num + span) / (2 * span)
+            assert(series(m).getAs[Long]("revenue_c") === want)
+          }
+        case _ =>
+      }
+    }
+  }
 }

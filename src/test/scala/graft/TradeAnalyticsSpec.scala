@@ -108,4 +108,30 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q119 Welch t-test matches a two-pass recompute and sign of the mean gap") {
+    val r = TradeAnalytics.welchTTest(spark, sfDir).head()
+    val n1 = r.getAs[Long]("n_urgent")
+    val n2 = r.getAs[Long]("n_low")
+    // independent two-pass recompute from raw cents on the driver
+    def cents(p: String): Array[Double] = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === p)
+      .select(round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(_.getLong(0).toDouble)
+    val (a, b) = (cents("1-URGENT"), cents("5-LOW"))
+    assert(a.length === n1 && b.length === n2)
+    def meanVar(x: Array[Double]): (Double, Double) = {
+      val m = x.sum / x.length
+      (m, x.map(v => (v - m) * (v - m)).sum / (x.length - 1))
+    }
+    val ((m1, v1), (m2, v2)) = (meanVar(a), meanVar(b))
+    val t = (m1 - m2) / math.sqrt(v1 / a.length + v2 / b.length)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-3)
+    assert(math.abs(r.getAs[Double]("mean_urgent_d") - m1 / 100) < 0.01)
+    assert(r.getAs[Double]("t_stat").sign ===
+      (r.getAs[Double]("mean_urgent_d") - r.getAs[Double]("mean_low_d")).sign)
+    // Welch dof is bounded by min(n)-1 below and n1+n2-2 above
+    val dof = r.getAs[Double]("welch_dof")
+    assert(dof >= math.min(n1, n2) - 1 && dof <= n1 + n2 - 2)
+  }
+
 }
