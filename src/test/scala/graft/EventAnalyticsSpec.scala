@@ -132,4 +132,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("q127 session paths equal a driver-side sessionize-and-count recompute") {
+    val gap = 30L * 60 * 1000000
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val counts = events.groupBy(_._1).values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e._4, e._2))
+      // session break when the gap to the previous event exceeds 30 min
+      var sid = 0L
+      val tagged = sorted.zipWithIndex.map { case (e, i) =>
+        if (i == 0 || e._4 - sorted(i - 1)._4 > gap) sid += 1
+        (sid, e._3)
+      }
+      tagged.groupBy(_._1).values.flatMap { s =>
+        s.map(_._2).sliding(3).filter(_.length == 3).map(_.mkString(">"))
+      }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val got = EventAnalytics.sessionPaths(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"))).toSeq
+    assert(got === want)
+  }
 }

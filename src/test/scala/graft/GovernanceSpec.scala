@@ -85,4 +85,15 @@ class GovernanceSpec extends SparkSpec {
       assert(r.getAs[Long]("n_customers") > 0)
     }
   }
+
+  test("q126: Benford profile counts every order once and shares sum to one") {
+    val rows = Governance.benfordProfile(spark, sfDir).collect()
+    val orders = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum === orders)
+    assert(rows.map(_.getAs[Int]("digit")).forall(d => d >= 1 && d <= 9))
+    assert(math.abs(rows.map(_.getAs[Double]("obs_share")).sum - 1.0) < 0.01)
+    // Benford reference is strictly decreasing in the digit
+    val bySorted = rows.sortBy(_.getAs[Int]("digit")).map(_.getAs[Double]("benford_share"))
+    assert(bySorted.sliding(2).forall { case Array(a, b) => a > b; case _ => true })
+  }
 }

@@ -42,4 +42,19 @@ class SamplingSpec extends SparkSpec {
     // and it is a prefix: every non-member ranks after every member
     assert(rows.takeWhile(_.getAs[Boolean]("in_nucleus")).length === nucleus.length)
   }
+
+  test("q125: fixed-k sample takes exactly min(k, group size) per source, rerun-stable") {
+    val rows = Sampling.fixedKSample(spark, sfDir).collect()
+    val sizes = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (src, picked) =>
+      assert(picked.length === math.min(3L, sizes(src)))
+      assert(picked.map(_.getAs[Int]("rk")).sorted.toSeq ===
+        (1 to picked.length).toSeq)
+    }
+    // determinism: a second run picks byte-identical rows
+    val again = Sampling.fixedKSample(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }

@@ -84,4 +84,26 @@ class TemporalSpec extends SparkSpec {
       }
     }
   }
+
+  test("q124 TWAP: bounded by daily extremes and weights cover the span") {
+    val rows = Temporal.twapByNation(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val daily = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
+      .agg((sum(round(col("o_totalprice") * 100, 0)) / 100).as("v"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val nation = r.getString(0)
+      val twap = r.getAs[Double]("twap_d")
+      val vs = daily(nation).map(_.getAs[Double]("v"))
+      assert(twap >= vs.min - 0.01 && twap <= vs.max + 0.01,
+        s"$nation twap $twap outside [${vs.min}, ${vs.max}]")
+      assert(r.getAs[Long]("n_active_days") === vs.length)
+      // weights: span between first/last active day, plus 1 for the last obs
+      val days = daily(nation).map(_.getDate(1).toLocalDate.toEpochDay)
+      assert(r.getAs[Long]("weight_days") === days.max - days.min + 1)
+    }
+  }
 }
