@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, QueryModule, Tables}
 import graft.functions.ZOrderFunctions.zorder2
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Physical-design operators — the storage-layout and optimizer-stats
@@ -85,8 +86,53 @@ object Physical extends QueryModule {
       |  max(o_orderdate::DATE) AS max_date
       |FROM orders""".stripMargin
 
+  /** q128: size-balanced shard plan — assign documents to a fixed
+    * number of output shards so byte sizes even out: size-descending
+    * round-robin (rank r → shard r mod k), the deterministic
+    * distributed stand-in for first-fit-decreasing (FFD needs a
+    * sequential scan; round-robin over a descending rank gets within
+    * max-item of FFD's balance and is one window pass). The manifest
+    * reports per-shard doc count, byte total, and each shard's
+    * deviation from the ideal mean in exact integer bytes — the plan a
+    * media/dataset exporter consults before writing (cf.
+    * `TextAnalysis.writeShards`, which hash-shards without balancing).
+    * At cluster scale the ranking runs over per-FILE metadata (listing
+    * sizes), not rows — the relation this query sorts is already
+    * metadata-sized; only the final assignment joins back to data.
+    */
+  def shardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+    val assigned = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("shard", ((row_number().over(w) - 1) % k).cast("int"))
+    assigned
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      .withColumn("ideal", expr(s"(sum(bytes) OVER ()) div $k"))
+      .select(col("shard"), col("n_docs").cast("long").as("n_docs"),
+        col("bytes").cast("long").as("bytes"),
+        (col("bytes") - col("ideal")).cast("long").as("dev_from_ideal"))
+      .orderBy(col("shard"))
+  }
+
+  private val shardPlanSql =
+    """WITH a AS (
+      |  SELECT doc_id, n_chars,
+      |    ((row_number() OVER (ORDER BY n_chars DESC, doc_id)) - 1) % 8 AS shard
+      |  FROM documents
+      |), s AS (
+      |  SELECT shard::INT AS shard, count(*)::BIGINT AS n_docs,
+      |    sum(n_chars)::BIGINT AS bytes
+      |  FROM a GROUP BY 1
+      |)
+      |SELECT shard, n_docs, bytes,
+      |  (bytes - (sum(bytes) OVER ()) // 8)::BIGINT AS dev_from_ideal
+      |FROM s ORDER BY shard""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_zorder_profile", zorderProfile, Some(zorderProfileSql)),
     QueryDef("q109_table_stats", tableStats, Some(tableStatsSql)),
+    QueryDef("q128_shard_plan", shardPlan, Some(shardPlanSql)),
   )
 }

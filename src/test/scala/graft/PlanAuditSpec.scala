@@ -144,4 +144,29 @@ class PlanAuditSpec extends SparkSpec {
     val plan = explainText(assigned)
     assert(!plan.contains("Exchange"), s"IVF assignment shuffles:\n$plan")
   }
+
+  test("linear attribution's 7-day band runs as an equi join, never a BNLJ") {
+    val plan = explainText(operators.Expectations.linearAttribution(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"touch×purchase band must stay bucketed:\n$plan")
+  }
+
+  test("Welch t-test is one aggregation pass (no join, bounded exchanges)") {
+    val plan = explainText(operators.TradeAnalytics.welchTTest(spark, sfDir))
+    assert(!plan.contains("Join"), s"moments must come from one scan:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected partial->final agg only, got $exchanges:\n$plan")
+  }
+
+  test("weighted median pre-aggregates to the value domain before its window") {
+    val plan = explainText(operators.Relational.weightedMedian(spark, sfDir))
+    // formatted output prints root-first, so the (flag, price) pre-agg
+    // that FEEDS the window must appear after the Window node, and its
+    // partial half must exist (map-side combine before the shuffle)
+    val win = plan.indexOf("Window")
+    assert(win >= 0, s"no window operator:\n$plan")
+    assert(plan.lastIndexOf("HashAggregate") > win,
+      s"window appears to consume raw lineitem rows:\n$plan")
+    assert(plan.contains("partial_sum"), s"pre-agg lost its partial half:\n$plan")
+  }
 }
