@@ -199,4 +199,52 @@ class StreamingSpec extends SparkSpec {
     val out = spark.read.parquet(s"$base/sink2/batch=0")
     assert(out.count() === 100)
   }
+
+  test("streaming EWMA anomaly feed equals the batch rule on closed hours") {
+    val all = Tables.events(spark, sfDir)
+    val hrs = all.select(expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi")).head()
+    val (lo, hi) = (hrs.getLong(0), hrs.getLong(1))
+    // three time-ordered landing files → three stateful micro-batches
+    val base = java.nio.file.Files.createTempDirectory("ewma_stream").toString
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * (hi - lo) / 3
+    val chunks = Seq(
+      all.filter(expr(s"unix_micros(ts) div 3600000000 <= $cut1")),
+      all.filter(expr(s"unix_micros(ts) div 3600000000 > $cut1 AND unix_micros(ts) div 3600000000 <= $cut2")),
+      all.filter(expr(s"unix_micros(ts) div 3600000000 > $cut2")))
+    val landing = new java.io.File(s"$base/landing"); landing.mkdirs()
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      c.coalesce(1).write.parquet(s"$base/stage/b$i")
+      val part = new java.io.File(s"$base/stage/b$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(landing, f"$i%02d.parquet").toPath)
+    }
+    val stream = spark.readStream
+      .schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(landing.toString)
+    val q = graft.streaming.AnomalyState.anomalies(stream, lo).writeStream
+      .format("memory").queryName("ewma_anomalies")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("ewma_anomalies").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hr"),
+        r.getAs[Long]("x"), r.getAs[Double]("ewma"))).toSet
+    // batch ground truth: q120 minus hours the stream can never close
+    // (a type's hour closes only once a later event of that type lands)
+    val typeMax = all
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type")).agg(max(col("hr")).as("mx")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = graft.operators.EventAnalytics.ewmaAnomaly(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hr"),
+        r.getAs[Long]("x"), r.getAs[Double]("ewma")))
+      .filter(t => t._2 < typeMax(t._1)).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "rule should fire at this sf")
+  }
 }
