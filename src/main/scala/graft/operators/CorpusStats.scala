@@ -196,10 +196,75 @@ object CorpusStats extends QueryModule {
        |  round(max(weight), 4) AS max_weight
        |FROM docw GROUP BY source ORDER BY source""".stripMargin
 
+  /** q129: vocabulary drift — smoothed KL divergence KL(cur ‖ ref) of
+    * unigram distributions between two corpus snapshots (here: the
+    * even/odd doc_id halves; in production, two crawl dates). The text
+    * twin of q118's numeric PSI — the monitor that catches a crawl
+    * whose language mix silently shifted. Emits the 20 words that
+    * contribute most to the divergence plus the total.
+    *
+    * Determinism: counts are exact integers; add-1 smoothing over the
+    * joint vocabulary makes every probability (n+1)/(t+V) with integer
+    * operands, each KL term is ONE fixed double expression rounded at
+    * output, and the top-20 ordering sorts by the ROUNDED term (then
+    * word), so cross-engine order agrees. Scale: everything reduces to
+    * the word-keyed count table before any math; the scalars (totals,
+    * V) broadcast.
+    */
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(pmod(col("doc_id"), lit(2)).as("side"),
+        explode(split(col("text"), " ")).as("w"))
+    val counts = words.groupBy(col("w"))
+      .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"), count(lit(1)).as("v"))
+    val term = (col("n_cur") + 1).cast("double") / (col("t_cur") + col("v")) *
+      log(((col("n_cur") + 1).cast("double") / (col("t_cur") + col("v"))) /
+        ((col("n_ref") + 1).cast("double") / (col("t_ref") + col("v"))))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts.crossJoin(broadcast(totals))
+      .withColumn("kl_term", round(term * 1000000, 4))
+      .withColumn("kl_total_x1k", round(sum(term).over(w) * 1000, 4))
+      .select(col("w"), col("n_ref").cast("long").as("n_ref"),
+        col("n_cur").cast("long").as("n_cur"),
+        col("kl_term"), col("kl_total_x1k"))
+      .orderBy(col("kl_term").desc, col("w"))
+      .limit(20)
+  }
+
+  private val vocabDriftSql =
+    """WITH words AS (
+      |  SELECT doc_id % 2 AS side, unnest(string_split(text, ' ')) AS w
+      |  FROM documents
+      |), counts AS (
+      |  SELECT w,
+      |    sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+      |    sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS n_cur
+      |  FROM words GROUP BY w
+      |), t AS (
+      |  SELECT sum(n_ref)::BIGINT AS t_ref, sum(n_cur)::BIGINT AS t_cur,
+      |    count(*)::BIGINT AS v
+      |  FROM counts
+      |), terms AS (
+      |  SELECT w, n_ref, n_cur,
+      |    (n_cur + 1)::DOUBLE / (t_cur + v) *
+      |      ln(((n_cur + 1)::DOUBLE / (t_cur + v))
+      |         / ((n_ref + 1)::DOUBLE / (t_ref + v))) AS term
+      |  FROM counts CROSS JOIN t
+      |)
+      |SELECT w, n_ref, n_cur,
+      |  round(term * 1000000, 4) AS kl_term,
+      |  round(sum(term) OVER () * 1000, 4) AS kl_total_x1k
+      |FROM terms
+      |ORDER BY kl_term DESC, w LIMIT 20""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q93_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
     QueryDef("q94_source_entropy", sourceEntropy, Some(sourceEntropySql)),
     QueryDef("q95_novelty_scan", noveltyScan, Some(noveltyScanSql)),
     QueryDef("q96_importance_weights", importanceWeights, Some(importanceWeightsSql)),
+    QueryDef("q129_vocab_drift", vocabDrift, Some(vocabDriftSql)),
   )
 }

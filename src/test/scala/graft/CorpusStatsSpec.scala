@@ -54,4 +54,32 @@ class CorpusStatsSpec extends SparkSpec {
     val nDocs = Tables.documents(spark, sfDir).count()
     assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
   }
+
+  test("q129 vocab drift equals a driver-side smoothed-KL recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+    val words = docs.flatMap(r => r.getString(1).split(" ")
+      .map(w => (r.getLong(0) % 2, w)))
+    val refC = words.filter(_._1 == 0).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val curC = words.filter(_._1 == 1).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val vocab = (refC.keySet ++ curC.keySet).toSeq
+    val (tRef, tCur, v) = (refC.values.sum, curC.values.sum, vocab.size.toLong)
+    def term(w: String): Double = {
+      val p = (curC.getOrElse(w, 0L) + 1).toDouble / (tCur + v)
+      val q = (refC.getOrElse(w, 0L) + 1).toDouble / (tRef + v)
+      p * math.log(p / q)
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = vocab
+      .map(w => (w, refC.getOrElse(w, 0L), curC.getOrElse(w, 0L), r4(term(w) * 1000000)))
+      .sortBy { case (w, _, _, t) => (-t, w) }.take(20)
+    val got = CorpusStats.vocabDrift(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_ref"),
+        r.getAs[Long]("n_cur"), r.getAs[Double]("kl_term"))).toSeq
+    assert(got === want)
+    val total = CorpusStats.vocabDrift(spark, sfDir).head().getAs[Double]("kl_total_x1k")
+    assert(math.abs(total - vocab.map(term).sum * 1000) < 1e-2)
+    assert(total > 0, "halves of a random split still differ under smoothing")
+  }
 }
