@@ -948,9 +948,110 @@ object Relational extends QueryModule {
       |FROM c WHERE cum * 2 >= tot
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q130: share-of-parent rollup — the drill-down report: revenue at
+    * (region, nation), region subtotal, and grand total in ONE rollup
+    * pass, each row carrying its share of its PARENT level (nation→its
+    * region, region→grand, grand→1). Shares divide exact integer cents;
+    * the level comes from null-ness of the rollup keys (both dims are
+    * non-null in the data), which sidesteps engine-specific GROUPING()
+    * bit orders entirely. One rollup aggregation + one level-partitioned
+    * window — no per-level re-aggregation joins.
+    */
+  def shareOfParentRollup(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+    val rolled = base.rollup(col("r_name"), col("n_name"))
+      .agg(sum(col("c")).as("rev_c"))
+      .withColumn("level",
+        when(col("r_name").isNull, 2).when(col("n_name").isNull, 1).otherwise(0))
+    val wParent = Window.partitionBy(col("level"), col("r_name"))
+    val wLevel = Window.partitionBy(col("level"))
+    rolled
+      .withColumn("parent_c",
+        when(col("level") === 0, sum(col("rev_c")).over(wParent))
+          .when(col("level") === 1, sum(col("rev_c")).over(wLevel))
+          .otherwise(col("rev_c")))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("level").cast("int").as("level"),
+        col("rev_c").cast("long").as("rev_c"),
+        round(col("rev_c").cast("double") / col("parent_c"), 4).as("share_of_parent"))
+      .orderBy(col("level"), col("region"), col("nation"))
+  }
+
+  private val shareOfParentRollupSql =
+    """WITH base AS (
+      |  SELECT r.r_name, n.n_name, round(o.o_totalprice * 100)::BIGINT AS c
+      |  FROM orders o
+      |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+      |  JOIN nation n ON cu.c_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |), rolled AS (
+      |  SELECT r_name, n_name, sum(c)::BIGINT AS rev_c,
+      |    CASE WHEN r_name IS NULL THEN 2
+      |         WHEN n_name IS NULL THEN 1 ELSE 0 END AS level
+      |  FROM base GROUP BY ROLLUP (r_name, n_name)
+      |), shared AS (
+      |  SELECT r_name, n_name, level, rev_c,
+      |    CASE WHEN level = 0 THEN sum(rev_c) OVER (PARTITION BY level, r_name)
+      |         WHEN level = 1 THEN sum(rev_c) OVER (PARTITION BY level)
+      |         ELSE rev_c END AS parent_c
+      |  FROM rolled
+      |)
+      |SELECT coalesce(r_name, 'ALL') AS region,
+      |  coalesce(n_name, 'ALL') AS nation,
+      |  level::INT AS level, rev_c,
+      |  round(rev_c::DOUBLE / parent_c, 4) AS share_of_parent
+      |FROM shared ORDER BY level, region, nation""".stripMargin
+
+  /** q131: key-sequence gap audit — contiguous runs of orderkeys that
+    * the lineitem fact never references (the missing-id report a data
+    * engineer runs after an ingest: "which id ranges got dropped?").
+    * Gaps-and-islands over the DISTINCT key sequence: one lead() pass,
+    * then the widest 10 gaps; corpus-wide totals ride along via a
+    * window so the report is self-describing. The distinct key relation
+    * is id-domain-sized; the sort is the inherent cost of sequence
+    * auditing (range-partitioned at scale).
+    */
+  def orderKeyGaps(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.lineitem(spark, dir).select(col("l_orderkey").as("k")).distinct()
+    val w = Window.orderBy(col("k"))
+    val wAll = Window.partitionBy()
+    keys
+      .withColumn("nk", lead(col("k"), 1).over(w))
+      .filter(col("nk") > col("k") + 1)
+      .select((col("k") + 1).as("gap_start"), (col("nk") - 1).as("gap_end"),
+        (col("nk") - col("k") - 1).as("n_missing"))
+      .withColumn("total_gaps", count(lit(1)).over(wAll).cast("long"))
+      .withColumn("total_missing", sum(col("n_missing")).over(wAll).cast("long"))
+      .orderBy(col("n_missing").desc, col("gap_start"))
+      .limit(10)
+  }
+
+  private val orderKeyGapsSql =
+    """WITH keys AS (
+      |  SELECT DISTINCT l_orderkey AS k FROM lineitem
+      |), g AS (
+      |  SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM keys
+      |), gaps AS (
+      |  SELECT k + 1 AS gap_start, nk - 1 AS gap_end, nk - k - 1 AS n_missing
+      |  FROM g WHERE nk > k + 1
+      |)
+      |SELECT gap_start, gap_end, n_missing,
+      |  count(*) OVER ()::BIGINT AS total_gaps,
+      |  sum(n_missing) OVER ()::BIGINT AS total_missing
+      |FROM gaps ORDER BY n_missing DESC, gap_start LIMIT 10""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q87_stat_aggs", statAggs, Some(statAggsSql)),
     QueryDef("q123_weighted_median", weightedMedian, Some(weightedMedianSql)),
+    QueryDef("q130_share_of_parent", shareOfParentRollup, Some(shareOfParentRollupSql)),
+    QueryDef("q131_key_gaps", orderKeyGaps, Some(orderKeyGapsSql)),
     QueryDef("q73_unpivot", nationMetricsUnpivot, Some(nationMetricsUnpivotSql)),
     QueryDef("q77_window_rank_battery", windowRankBattery, Some(windowRankBatterySql)),
     QueryDef("q78_fuzzy_match", fuzzyNationMatch, Some(fuzzyNationMatchSql)),

@@ -179,4 +179,38 @@ class RelationalSpec extends SparkSpec {
       assert(atOrBelow * 2 >= tot, "mass at or below the median reaches half")
     }
   }
+
+  test("q130: children's shares sum to one within every parent") {
+    val rows = Relational.shareOfParentRollup(spark, sfDir).collect()
+    val grand = rows.filter(_.getAs[Int]("level") == 2)
+    assert(grand.length === 1 && grand.head.getAs[Double]("share_of_parent") === 1.0)
+    val regions = rows.filter(_.getAs[Int]("level") == 1)
+    val details = rows.filter(_.getAs[Int]("level") == 0)
+    assert(math.abs(regions.map(_.getAs[Double]("share_of_parent")).sum - 1.0) < 0.01)
+    details.groupBy(_.getAs[String]("region")).foreach { case (_, kids) =>
+      assert(math.abs(kids.map(_.getAs[Double]("share_of_parent")).sum - 1.0) < 0.01)
+    }
+    // revenue reconciles up the hierarchy exactly (integer cents)
+    assert(details.map(_.getAs[Long]("rev_c")).sum === grand.head.getAs[Long]("rev_c"))
+    assert(regions.map(_.getAs[Long]("rev_c")).sum === grand.head.getAs[Long]("rev_c"))
+  }
+
+  test("q131: reported gaps are truly unreferenced and totals reconcile") {
+    val rows = Relational.orderKeyGaps(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val referenced = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey")).distinct().collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val (s, e) = (r.getAs[Long]("gap_start"), r.getAs[Long]("gap_end"))
+      assert(s <= e)
+      assert(r.getAs[Long]("n_missing") === e - s + 1)
+      (s to e).foreach(k => assert(!referenced(k), s"key $k inside a reported gap"))
+      // gap borders ARE referenced (gaps are maximal)
+      assert(referenced(s - 1) && referenced(e + 1))
+    }
+    // total_missing equals the interior keys absent from the sequence
+    val (lo, hi) = (referenced.min, referenced.max)
+    val absent = (hi - lo + 1) - referenced.size
+    assert(rows.head.getAs[Long]("total_missing") === absent)
+  }
 }
