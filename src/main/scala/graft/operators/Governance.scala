@@ -338,11 +338,92 @@ object Governance extends QueryModule {
       |  round(abs(n::DOUBLE / sum(n) OVER () - log10(1.0 + 1.0 / digit)), 4) AS abs_dev
       |FROM c ORDER BY digit""".stripMargin
 
+  /** q132: MAD (median absolute deviation) outlier screen — the robust
+    * complement of q85's IQR rule and q99's winsorizing: flag order
+    * values more than 3 scaled MADs from their priority's median
+    * (3·1.4826 ≈ 4.4478, the normal-consistency constant). Both medians
+    * use the exact lower-median rule (smallest value whose cumulative
+    * count reaches half) over value-domain aggregates, and the outlier
+    * verdict cross-multiplies to 10000·|c−med| > 44478·MAD — integer
+    * arithmetic end to end, no quantile interpolation, no float
+    * boundary. Two median passes, each one cum-window over a
+    * value-domain relation.
+    */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val counts = df.groupBy(col("p"), col(valueCol))
+        .agg(count(lit(1)).as("w"))
+      val wc = Window.partitionBy(col("p")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("p"))
+      counts
+        .withColumn("cum", sum(col("w")).over(wc))
+        .withColumn("tot", sum(col("w")).over(wt))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("p")).agg(min(col(valueCol)).as(out))
+    }
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("p"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+    val med = lowerMedian(base, "c", "med")
+    val dev = base.join(broadcast(med), Seq("p"))
+      .withColumn("d", abs(col("c") - col("med")))
+    val mad = lowerMedian(dev, "d", "mad")
+    dev.join(broadcast(mad), Seq("p"))
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("median_c"),
+        max(col("mad")).as("mad_c"),
+        sum(when(col("d") * 10000 > col("mad") * 44478, 1L).otherwise(0L))
+          .cast("long").as("n_outliers"))
+      .select(col("p").as("o_orderpriority"), col("n").cast("long").as("n"),
+        col("median_c").cast("long").as("median_c"),
+        col("mad_c").cast("long").as("mad_c"), col("n_outliers"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val madOutliersSql =
+    """WITH base AS (
+      |  SELECT o_orderpriority AS p, round(o_totalprice * 100)::BIGINT AS c
+      |  FROM orders
+      |), c1 AS (
+      |  SELECT p, c, count(*) AS w FROM base GROUP BY 1, 2
+      |), m1 AS (
+      |  SELECT p, min(c) AS med FROM (
+      |    SELECT p, c,
+      |      sum(w) OVER (PARTITION BY p ORDER BY c
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      sum(w) OVER (PARTITION BY p) AS tot
+      |    FROM c1
+      |  ) WHERE cum * 2 >= tot GROUP BY p
+      |), dev AS (
+      |  SELECT base.p, base.c, abs(base.c - m1.med) AS d, m1.med
+      |  FROM base JOIN m1 ON base.p = m1.p
+      |), c2 AS (
+      |  SELECT p, d, count(*) AS w FROM dev GROUP BY 1, 2
+      |), m2 AS (
+      |  SELECT p, min(d) AS mad FROM (
+      |    SELECT p, d,
+      |      sum(w) OVER (PARTITION BY p ORDER BY d
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |      sum(w) OVER (PARTITION BY p) AS tot
+      |    FROM c2
+      |  ) WHERE cum * 2 >= tot GROUP BY p
+      |)
+      |SELECT dev.p AS o_orderpriority, count(*)::BIGINT AS n,
+      |  max(dev.med)::BIGINT AS median_c,
+      |  max(m2.mad)::BIGINT AS mad_c,
+      |  sum(CASE WHEN dev.d * 10000 > m2.mad * 44478 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_outliers
+      |FROM dev JOIN m2 ON dev.p = m2.p
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q97_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("q98_quality_rules", qualityRules, Some(qualityRulesSql)),
     QueryDef("q99_winsorized_spend", winsorizedSpend, Some(winsorizedSpendSql)),
     QueryDef("q118_psi_drift", psiDrift, Some(psiDriftSql)),
     QueryDef("q126_benford_profile", benfordProfile, Some(benfordProfileSql)),
+    QueryDef("q132_mad_outliers", madOutliers, Some(madOutliersSql)),
   )
 }

@@ -130,9 +130,52 @@ object Physical extends QueryModule {
       |  (bytes - (sum(bytes) OVER ()) // 8)::BIGINT AS dev_from_ideal
       |FROM s ORDER BY shard""".stripMargin
 
+  /** q134: equi-depth histogram boundaries — the 8-bucket quantile
+    * histogram an optimizer stores per column (q84 is the equi-WIDTH
+    * form; equi-depth is what selectivity estimation actually wants).
+    * Boundary j is the smallest cent value whose cumulative row count
+    * reaches j/8 of the table — exact integer rank rule (cum·8 ≥ j·N)
+    * over the value-domain count relation, the same collapse that makes
+    * exact quantiles feasible at scale; the 8-row spine joins the
+    * cumulative table once.
+    */
+  def equiDepthBounds(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("w"))
+    val wc = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("cum", sum(col("w")).over(wc))
+      .crossJoin(broadcast(counts.agg(sum(col("w")).as("n"))))
+    val spine = spark.range(1, 9).select(col("id").cast("int").as("bin"))
+    spine.crossJoin(cum)
+      .filter(col("cum") * 8 >= col("bin") * col("n"))
+      .groupBy(col("bin"))
+      .agg(min(col("c")).cast("long").as("upper_c"), max(col("n")).cast("long").as("n_rows"))
+      .orderBy(col("bin"))
+  }
+
+  private val equiDepthBoundsSql =
+    """WITH counts AS (
+      |  SELECT round(o_totalprice * 100)::BIGINT AS c, count(*) AS w
+      |  FROM orders GROUP BY 1
+      |), cum AS (
+      |  SELECT c, sum(w) OVER (ORDER BY c
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(w) OVER () AS n
+      |  FROM counts
+      |)
+      |SELECT bin::INT AS bin, min(c)::BIGINT AS upper_c, max(n)::BIGINT AS n_rows
+      |FROM (SELECT unnest(generate_series(1, 8)) AS bin) s
+      |CROSS JOIN cum
+      |WHERE cum * 8 >= bin * n
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_zorder_profile", zorderProfile, Some(zorderProfileSql)),
     QueryDef("q109_table_stats", tableStats, Some(tableStatsSql)),
     QueryDef("q128_shard_plan", shardPlan, Some(shardPlanSql)),
+    QueryDef("q134_equi_depth", equiDepthBounds, Some(equiDepthBoundsSql)),
   )
 }

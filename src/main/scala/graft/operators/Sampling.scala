@@ -129,9 +129,60 @@ object Sampling extends QueryModule {
       |  FROM documents
       |) WHERE rk <= 3 ORDER BY source, rk""".stripMargin
 
+  private val tokenBudget = 100000L
+
+  /** q133: token-budget apportionment — split a fixed training-token
+    * budget across sources proportionally to their token mass, using
+    * LARGEST-REMAINDER rounding (Hamilton's method): every source gets
+    * floor(B·mᵢ/T), and the sources with the largest remainders split
+    * the leftover, one token each. The mixing-table builder that q72's
+    * resampler consumes. Σ quotas = B EXACTLY — integer division,
+    * integer remainder ranking, no float apportionment drift; bit-equal
+    * across engines and partitionings. Source-level relation throughout.
+    */
+  def tokenBudgetApportion(spark: SparkSession, dir: String): DataFrame = {
+    val mass = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).cast("long").as("n_tokens"))
+    val tot = mass.agg(sum(col("n_tokens")).as("t"),
+      count(lit(1)).cast("long").as("n_sources"))
+    val w = Window.orderBy(col("rem").desc, col("source"))
+    val wAll = Window.partitionBy()
+    mass.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"$tokenBudget * n_tokens div t"))
+      .withColumn("rem", expr(s"($tokenBudget * n_tokens) % t"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("deficit", lit(tokenBudget) - sum(col("base")).over(wAll))
+      .withColumn("quota",
+        col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+      .select(col("source"), col("n_tokens"), col("quota").cast("long").as("quota"))
+      .orderBy(col("source"))
+  }
+
+  private val tokenBudgetApportionSql =
+    s"""WITH m AS (
+       |  SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+       |  FROM documents GROUP BY source
+       |), t AS (SELECT sum(n_tokens)::BIGINT AS t FROM m),
+       |a AS (
+       |  SELECT source, n_tokens,
+       |    $tokenBudget * n_tokens // t AS base,
+       |    ($tokenBudget * n_tokens) % t AS rem
+       |  FROM m CROSS JOIN t
+       |), r AS (
+       |  SELECT source, n_tokens, base,
+       |    row_number() OVER (ORDER BY rem DESC, source) AS rk,
+       |    $tokenBudget - sum(base) OVER () AS deficit
+       |  FROM a
+       |)
+       |SELECT source, n_tokens,
+       |  (base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END)::BIGINT AS quota
+       |FROM r ORDER BY source""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q101_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q102_top_p_sources", topPSources, Some(topPSourcesSql)),
     QueryDef("q125_fixed_k_sample", fixedKSample, Some(fixedKSampleSql)),
+    QueryDef("q133_token_budget", tokenBudgetApportion, Some(tokenBudgetApportionSql)),
   )
 }

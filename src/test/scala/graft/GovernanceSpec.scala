@@ -96,4 +96,27 @@ class GovernanceSpec extends SparkSpec {
     val bySorted = rows.sortBy(_.getAs[Int]("digit")).map(_.getAs[Double]("benford_share"))
     assert(bySorted.sliding(2).forall { case Array(a, b) => a > b; case _ => true })
   }
+
+  test("q132: MAD outliers equal a driver-side sorted recompute") {
+    val rows = Governance.madOutliers(spark, sfDir).collect()
+    val cents = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      // smallest value whose cumulative count reaches half (2·cum ≥ n)
+      s((s.length - 1) / 2)
+    }
+    rows.foreach { r =>
+      val p = r.getString(0)
+      val xs = cents.filter(_._1 == p).map(_._2).toSeq
+      val med = lowerMedian(xs)
+      val mad = lowerMedian(xs.map(x => math.abs(x - med)))
+      assert(r.getAs[Long]("n") === xs.length)
+      assert(r.getAs[Long]("median_c") === med)
+      assert(r.getAs[Long]("mad_c") === mad)
+      val outliers = xs.count(x => math.abs(x - med) * 10000 > mad * 44478)
+      assert(r.getAs[Long]("n_outliers") === outliers)
+    }
+  }
 }

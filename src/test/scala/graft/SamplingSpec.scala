@@ -57,4 +57,17 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.fixedKSample(spark, sfDir).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("q133: quotas sum exactly to the budget and stay within 1 of proportional") {
+    val rows = Sampling.tokenBudgetApportion(spark, sfDir).collect()
+    val budget = 100000L
+    assert(rows.map(_.getAs[Long]("quota")).sum === budget)
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    rows.foreach { r =>
+      val exact = budget.toDouble * r.getAs[Long]("n_tokens") / total
+      val q = r.getAs[Long]("quota")
+      assert(q >= math.floor(exact).toLong && q <= math.floor(exact).toLong + 1,
+        s"${r.getString(0)}: quota $q vs proportional $exact")
+    }
+  }
 }
