@@ -260,11 +260,133 @@ object CorpusStats extends QueryModule {
       |FROM terms
       |ORDER BY kl_term DESC, w LIMIT 20""".stripMargin
 
+  private val zipfTopN = 200
+
+  /** q139: Zipf-law fit — per source, OLS regression of ln(count) on
+    * ln(rank) over the top-200 word types. The slope (≈ −1 for natural
+    * language) is the distribution-shape health check curation
+    * pipelines run on a new crawl: machine-generated or templated text
+    * bends the tail. Rank ties break by word for cross-engine
+    * determinism; the regression reduces to five exact-shape sums over
+    * a 200-row relation per source.
+    *
+    * Scale: ranks come from a window over the per-source word-count
+    * table — parallel across sources, vocabulary-sized within one; at
+    * extreme vocabularies the rank ≤ 200 filter would move into a
+    * partial top-k aggregation (q101's TakeOrdered shape) first.
+    */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val ranked = wc.withColumn("r", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("c").desc, col("w"))))
+      .filter(col("r") <= zipfTopN)
+      .withColumn("x", log(col("r")))
+      .withColumn("y", log(col("c")))
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("source"), col("n").cast("bigint").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_intercept"))
+      .orderBy(col("source"))
+  }
+
+  private val zipfSlopeSql =
+    s"""WITH wc AS (
+       |  SELECT source, w, count(*) AS c FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY source, w
+       |), ranked AS (
+       |  SELECT source, ln(row_number() OVER (PARTITION BY source
+       |      ORDER BY c DESC, w)) AS x, ln(c) AS y,
+       |    row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS r
+       |  FROM wc
+       |), s AS (
+       |  SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |    sum(x * x) AS sxx, sum(x * y) AS sxy
+       |  FROM ranked WHERE r <= $zipfTopN GROUP BY source
+       |)
+       |SELECT source, n::BIGINT AS n_terms,
+       |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+       |  round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 4) AS zipf_intercept
+       |FROM s ORDER BY source""".stripMargin
+
+  /** q140: two-sample Kolmogorov–Smirnov distance between the document
+    * LENGTH distributions of two sources — the nonparametric
+    * distribution-shift test completing the battery (χ² q114 for
+    * categories, Welch q119 for means, PSI q118 for binned drift): did
+    * a new crawl's length profile change shape anywhere, not just in
+    * mean? EXACT integer arithmetic: D = max |cum1·n2 − cum2·n1| over
+    * the value domain, divided by n1·n2 once at output — no float ECDFs
+    * to accumulate, so both engines agree bit-for-bit; the argmax
+    * location breaks ties toward the smallest length.
+    *
+    * Scale: reduces to the per-length count table (value-domain-sized)
+    * before the single cumulative window; at 100 TB the BIGINT products
+    * would promote to DECIMAL(38,0) (n1·n2 overflows int64 past ~3·10⁹
+    * rows per side).
+    */
+  def ksLengthTest(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .groupBy(col("n_chars"))
+      .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c2"))
+    val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val nums = counts
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("num", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+      .persist() // read by the max and the argmax passes
+    val mx = nums.agg(max(col("num")).as("d_num"))
+    nums.join(broadcast(mx), col("num") === col("d_num"))
+      .groupBy(col("n1"), col("n2"), col("d_num"))
+      .agg(min(col("n_chars")).as("ks_at"))
+      .select(col("n1"), col("n2"), col("ks_at"),
+        round(col("d_num").cast("double") / (col("n1") * col("n2")), 6).as("ks_d"))
+  }
+
+  private val ksLengthTestSql =
+    """WITH counts AS (
+      |  SELECT n_chars,
+      |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS c1,
+      |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)::BIGINT AS c2
+      |  FROM documents WHERE source IN ('src0', 'src1')
+      |  GROUP BY n_chars
+      |), tot AS (
+      |  SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM counts
+      |), cum AS (
+      |  SELECT n_chars,
+      |    sum(c1) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum1,
+      |    sum(c2) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum2
+      |  FROM counts
+      |), nums AS (
+      |  SELECT n_chars, abs(cum1 * n2 - cum2 * n1)::BIGINT AS num
+      |  FROM cum CROSS JOIN tot
+      |), mx AS (
+      |  SELECT max(num) AS d_num FROM nums
+      |)
+      |SELECT t.n1, t.n2,
+      |  (SELECT min(n_chars) FROM nums WHERE num = mx.d_num) AS ks_at,
+      |  round(mx.d_num::DOUBLE / (t.n1 * t.n2), 6) AS ks_d
+      |FROM mx CROSS JOIN tot t""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q93_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
     QueryDef("q94_source_entropy", sourceEntropy, Some(sourceEntropySql)),
     QueryDef("q95_novelty_scan", noveltyScan, Some(noveltyScanSql)),
     QueryDef("q96_importance_weights", importanceWeights, Some(importanceWeightsSql)),
     QueryDef("q129_vocab_drift", vocabDrift, Some(vocabDriftSql)),
+    QueryDef("q139_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
+    QueryDef("q140_ks_length_test", ksLengthTest, Some(ksLengthTestSql)),
   )
 }

@@ -586,6 +586,81 @@ object Curation extends QueryModule {
        |  n_triangles, round(n_triangles * 3.0 / n_wedges, 4) AS clustering
        |FROM stats CROSS JOIN tri""".stripMargin
 
+  private val bfsMaxHops = 3
+
+  /** q136: multi-source BFS — hop distance (≤ 3) from the `src0` slice
+    * to every document over the chunk-share graph, the "how close is
+    * this document to a trusted/benchmark set" proximity signal that
+    * complements q75's centrality and q53's components on the same
+    * graph. Frontier-pruned level-synchronous BFS: each round expands
+    * ONLY the newly-reached frontier (anti-join against the visited
+    * set), so a vertex's edges are traversed exactly once — the shape
+    * that survives 100× graph growth, unlike walk-counting expansions
+    * whose intermediate results multiply. Fixed 3 rounds, no
+    * data-dependent stopping; distances are exact integers.
+    */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withChunkCols(Tables.documents(spark, dir))
+    val p = chunkPostings(docs).select(col("doc_id"), col("chunk")).distinct()
+    val hot = p.groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 64)).select(col("chunk"))
+    val e = p.join(broadcast(hot), Seq("chunk"))
+    val pairs = e.join(e.withColumnRenamed("doc_id", "dst"), Seq("chunk"))
+      .filter(col("doc_id") =!= col("dst"))
+      .select(col("doc_id").as("src"), col("dst")).distinct()
+      .persist() // traversed once per BFS round
+    val seeds = pairs.select(col("src").as("doc_id")).distinct()
+      .join(Tables.documents(spark, dir)
+        .filter(col("source") === "src0").select(col("doc_id")), Seq("doc_id"))
+    var dist = seeds.select(col("doc_id"), lit(0).as("dist")).persist()
+    var frontier = dist.select(col("doc_id"))
+    for (h <- 1 to bfsMaxHops) {
+      val newly = pairs
+        .join(frontier.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(dist.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("dist", lit(h))
+        .persist() // read by both the union and the next frontier
+      dist = dist.unionByName(newly).persist()
+      frontier = newly.select(col("doc_id"))
+    }
+    dist.select(col("doc_id"), col("dist").cast("int").as("dist"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val graphBfsSql =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), c AS (
+       |  SELECT doc_id, len(toks) // $chunkW AS k, toks FROM t
+       |), posting AS (
+       |  SELECT DISTINCT doc_id, chunk FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(0, k - 1),
+       |        i -> array_to_string(toks[i * $chunkW + 1 : i * $chunkW + $chunkW], ' '))) AS chunk
+       |    FROM c WHERE k >= 1)
+       |), hot AS (
+       |  SELECT chunk FROM posting GROUP BY chunk
+       |  HAVING count(*) BETWEEN 2 AND 64
+       |), ep AS (
+       |  SELECT p.chunk, p.doc_id FROM posting p JOIN hot USING (chunk)
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM ep a JOIN ep b ON a.chunk = b.chunk AND a.doc_id <> b.doc_id
+       |), seeds AS (
+       |  SELECT DISTINCT p.src AS doc_id
+       |  FROM pairs p JOIN documents d ON p.src = d.doc_id
+       |  WHERE d.source = 'src0'
+       |), bfs AS (
+       |  SELECT doc_id, 0 AS dist FROM seeds
+       |  UNION
+       |  SELECT p.dst AS doc_id, b.dist + 1 AS dist
+       |  FROM bfs b JOIN pairs p ON b.doc_id = p.src
+       |  WHERE b.dist < $bfsMaxHops
+       |)
+       |SELECT doc_id, min(dist)::INT AS dist
+       |FROM bfs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val chunkSize = 32
   private val chunkStride = 24
 
@@ -639,5 +714,6 @@ object Curation extends QueryModule {
     QueryDef("q75_doc_centrality", docCentrality, Some(docCentralitySql)),
     QueryDef("q100_chunk_spine", chunkSpine, Some(chunkSpineSql)),
     QueryDef("q107_triangle_census", triangleCensus, Some(triangleCensusSql)),
+    QueryDef("q136_graph_bfs", graphBfs, Some(graphBfsSql)),
   )
 }

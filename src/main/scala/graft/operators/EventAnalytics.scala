@@ -478,6 +478,88 @@ object EventAnalytics extends QueryModule {
        |WHERE t3 IS NOT NULL
        |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin
 
+  private val dayUs = 86400000000L
+
+  /** q137: peak concurrency per day — the sweep-line capacity metric
+    * (max sessions open at once) operations teams size infrastructure
+    * by. Sessions come from q81's lag-gap sessionization; each session
+    * is split at UTC midnight into per-day segments (a day-spine
+    * explode, O(session days)), segments become +1/−1 boundary points,
+    * and a per-day cumulative sum over (time, starts-before-ends) order
+    * yields instantaneous concurrency; the day's max is the peak.
+    * Session ends are inclusive: a session ending at instant t overlaps
+    * one starting at t, so +1 sorts before −1 at equal timestamps —
+    * which also makes the daily max independent of intra-tie order
+    * (within a run of +1s the running sum is monotone, so the peak sits
+    * at run boundaries regardless of permutation).
+    *
+    * Scale shape: everything is integer micros; the sweep partitions by
+    * day, so each day sorts independently — no global ordering. At
+    * 1000-executor scale the day key fans out; skewed single days
+    * would salt by (day, hour) with per-hour carry-in, the standard
+    * refinement.
+    */
+  def concurrencyPeaks(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionize(spark, dir)
+    val segs = sessions
+      .select(col("start_us"), col("end_us"),
+        explode(expr(s"sequence(start_us div $dayUs, end_us div $dayUs)")).as("d"))
+      .select(col("d"),
+        greatest(col("start_us"), col("d") * dayUs).as("seg_start"),
+        least(col("end_us"), (col("d") + 1) * dayUs - 1).as("seg_end"))
+    val points = segs.select(col("d"), col("seg_start").as("t"), lit(1).as("delta"))
+      .unionByName(segs.select(col("d"), col("seg_end").as("t"), lit(-1).as("delta")))
+    val w = Window.partitionBy(col("d")).orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    points
+      .withColumn("running", sum(col("delta")).over(w))
+      .groupBy(col("d"))
+      .agg(max(col("running")).cast("int").as("peak_concurrency"),
+        (count(lit(1)) / 2).cast("bigint").as("n_sessions"))
+      .select(expr("date_add(DATE '1970-01-01', CAST(d AS INT))").as("day"),
+        col("n_sessions"), col("peak_concurrency"))
+      .orderBy(col("day"))
+  }
+
+  private val concurrencyPeaksSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+       |), b AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN lag(us) OVER w IS NULL THEN 1
+       |         WHEN us - lag(us) OVER w > $sessionGapUs THEN 1
+       |         ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), s AS (
+       |  SELECT user_id, us,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                   ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM b
+       |), sess AS (
+       |  SELECT min(us) AS start_us, max(us) AS end_us
+       |  FROM s GROUP BY user_id, session_id
+       |), segs AS (
+       |  SELECT unnest(generate_series(start_us // $dayUs, end_us // $dayUs)) AS d,
+       |    start_us, end_us
+       |  FROM sess
+       |), seg2 AS (
+       |  SELECT d, greatest(start_us, d * $dayUs) AS seg_start,
+       |    least(end_us, (d + 1) * $dayUs - 1) AS seg_end
+       |  FROM segs
+       |), points AS (
+       |  SELECT d, seg_start AS t, 1 AS delta FROM seg2
+       |  UNION ALL
+       |  SELECT d, seg_end AS t, -1 AS delta FROM seg2
+       |), run AS (
+       |  SELECT d, sum(delta) OVER (PARTITION BY d ORDER BY t, delta DESC
+       |    ROWS UNBOUNDED PRECEDING) AS running
+       |  FROM points
+       |)
+       |SELECT DATE '1970-01-01' + d::INT AS day,
+       |  (count(*) / 2)::BIGINT AS n_sessions,
+       |  max(running)::INT AS peak_concurrency
+       |FROM run GROUP BY d ORDER BY day""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -489,6 +571,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q106_conversion_latency", conversionLatency, Some(conversionLatencySql)),
     QueryDef("q120_ewma_anomaly", ewmaAnomaly, Some(ewmaAnomalySql)),
     QueryDef("q127_session_paths", sessionPaths, Some(sessionPathsSql)),
+    QueryDef("q137_concurrency_peaks", concurrencyPeaks, Some(concurrencyPeaksSql)),
   )
 
 }

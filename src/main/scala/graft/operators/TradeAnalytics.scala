@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -377,6 +377,147 @@ object TradeAnalytics extends QueryModule {
       |    (u1 * u1 / (n1 - 1) + u2 * u2 / (n2 - 1)), 2) AS welch_dof
       |FROM d""".stripMargin
 
+  /** q135: Pareto skyline of the customer base — customers not dominated
+    * on (total spend, order count): nobody else is ≥ on both dimensions
+    * and > on at least one. The selection step behind "best tradeoff"
+    * reports (price/quality, cost/latency) that plain top-k can't express.
+    *
+    * Distributed shape: two-phase skyline. Phase 1 buckets the
+    * (already aggregated, |customers|-sized) point set by key hash and
+    * prunes bucket-locally — skyline(S) = skyline(∪ skyline(bucket_i)),
+    * so bucket survivors are a superset of the global skyline and each
+    * bucket prunes in parallel. Phase 2 re-runs the same pruning
+    * globally on the (small) survivor set. Pruning itself is windowed,
+    * not pairwise: dominance on two dimensions reduces to two running
+    * maxima over the per-value aggregates — m1(x) = max n over points
+    * with spend > x, m2(n) = max spend over points with count > n; a
+    * point is dominated iff m1 ≥ its n or m2 ≥ its spend. Exact integer
+    * arithmetic throughout (spend in cents).
+    */
+  def customerSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("spend_cents"),
+        count(lit(1)).as("n_orders"))
+
+    // One windowed dominance-pruning pass over `pts` within `part` keys
+    // (empty partSpec = global). Returns the non-dominated survivors.
+    def prune(df: DataFrame, part: Seq[String]): DataFrame = {
+      val p = part.map(col)
+      val byX = df.groupBy((p :+ col("spend_cents")): _*)
+        .agg(max(col("n_orders")).as("nmax"))
+        .withColumn("m1", max(col("nmax")).over(Window.partitionBy(p: _*)
+          .orderBy(col("spend_cents").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .select((p :+ col("spend_cents") :+ col("m1")): _*)
+      val byY = df.groupBy((p :+ col("n_orders")): _*)
+        .agg(max(col("spend_cents")).as("smax"))
+        .withColumn("m2", max(col("smax")).over(Window.partitionBy(p: _*)
+          .orderBy(col("n_orders").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .select((p :+ col("n_orders") :+ col("m2")): _*)
+      df.join(byX, part :+ "spend_cents")
+        .join(byY, part :+ "n_orders")
+        .filter(!(coalesce(col("m1") >= col("n_orders"), lit(false)) ||
+          coalesce(col("m2") >= col("spend_cents"), lit(false))))
+        .drop("m1", "m2")
+    }
+
+    val local = prune(pts.withColumn("bucket", pmod(col("o_custkey"), lit(32))),
+      Seq("bucket")).drop("bucket")
+    prune(local, Nil)
+      .select(col("o_custkey"), col("spend_cents"),
+        col("n_orders").cast("bigint").as("n_orders"))
+      .orderBy(col("spend_cents").desc, col("o_custkey"))
+  }
+
+  private val customerSkylineSql =
+    """WITH pts AS (
+      |  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS spend_cents,
+      |    count(*)::BIGINT AS n_orders
+      |  FROM orders GROUP BY o_custkey
+      |), mx AS (
+      |  SELECT spend_cents,
+      |    max(nmax) OVER (ORDER BY spend_cents DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+      |  FROM (SELECT spend_cents, max(n_orders) AS nmax FROM pts GROUP BY spend_cents)
+      |), mn AS (
+      |  SELECT n_orders,
+      |    max(smax) OVER (ORDER BY n_orders DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m2
+      |  FROM (SELECT n_orders, max(spend_cents) AS smax FROM pts GROUP BY n_orders)
+      |)
+      |SELECT p.o_custkey, p.spend_cents, p.n_orders
+      |FROM pts p
+      |JOIN mx ON p.spend_cents = mx.spend_cents
+      |JOIN mn ON p.n_orders = mn.n_orders
+      |WHERE NOT (coalesce(mx.m1 >= p.n_orders, false)
+      |        OR coalesce(mn.m2 >= p.spend_cents, false))
+      |ORDER BY p.spend_cents DESC, p.o_custkey""".stripMargin
+
+  private val rrfK = 60
+  private val rrfPoolN = 100
+
+  /** q138: reciprocal-rank fusion — combine two top-100 customer
+    * rankings (by total spend; by order count) into one list scored
+    * rrf = Σ 1/(60 + rank), the standard fusion rule for merging
+    * heterogeneous retrieval signals. A customer missing from one list
+    * contributes nothing for it.
+    *
+    * Scale shape: each input ranking is a `TakeOrderedAndProject`
+    * partial top-k over the aggregated customer relation — the full
+    * ranking is never materialized; the fusion itself joins two
+    * 100-row lists. Cross-engine float parity: 1/(60+r) terms are
+    * IEEE-exact divisions added in the same written order.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("spend_cents"),
+        count(lit(1)).as("n_orders"))
+      .persist()
+    def topList(key: Column, rankCol: String): DataFrame = {
+      val top = pts.orderBy(key.desc, col("o_custkey")).limit(rrfPoolN)
+      top.withColumn(rankCol,
+        row_number().over(Window.orderBy(key.desc, col("o_custkey"))))
+        .select(col("o_custkey"), col(rankCol))
+    }
+    val bySpend = topList(col("spend_cents"), "r_spend")
+    val byCount = topList(col("n_orders"), "r_count")
+    val fused = bySpend.join(byCount, Seq("o_custkey"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("r_spend") + rrfK), lit(0.0)) +
+          coalesce(lit(1.0) / (col("r_count") + rrfK), lit(0.0)))
+      .orderBy(col("rrf").desc, col("o_custkey"))
+      .limit(20)
+    fused.select(col("o_custkey"),
+      col("r_spend").cast("int").as("r_spend"),
+      col("r_count").cast("int").as("r_count"),
+      round(col("rrf"), 6).as("rrf"))
+  }
+
+  private val rrfFusionSql =
+    s"""WITH pts AS (
+       |  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS spend_cents,
+       |    count(*)::BIGINT AS n_orders
+       |  FROM orders GROUP BY o_custkey
+       |), by_spend AS (
+       |  SELECT o_custkey, row_number() OVER (ORDER BY spend_cents DESC, o_custkey) AS r_spend
+       |  FROM pts ORDER BY spend_cents DESC, o_custkey LIMIT $rrfPoolN
+       |), by_count AS (
+       |  SELECT o_custkey, row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS r_count
+       |  FROM pts ORDER BY n_orders DESC, o_custkey LIMIT $rrfPoolN
+       |), fused AS (
+       |  SELECT coalesce(s.o_custkey, c.o_custkey) AS o_custkey,
+       |    s.r_spend, c.r_count,
+       |    coalesce(1.0::DOUBLE / (s.r_spend + $rrfK), 0.0::DOUBLE) +
+       |      coalesce(1.0::DOUBLE / (c.r_count + $rrfK), 0.0::DOUBLE) AS rrf
+       |  FROM by_spend s FULL OUTER JOIN by_count c ON s.o_custkey = c.o_custkey
+       |)
+       |SELECT o_custkey, r_spend::INT AS r_spend, r_count::INT AS r_count,
+       |  round(rrf, 6) AS rrf
+       |FROM fused ORDER BY rrf DESC, o_custkey LIMIT 20""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -386,5 +527,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q114_chi_square", chiSquare, Some(chiSquareSql)),
     QueryDef("q117_basket_pairs", basketPairs, Some(basketPairsSql)),
     QueryDef("q119_welch_ttest", welchTTest, Some(welchTTestSql)),
+    QueryDef("q135_skyline", customerSkyline, Some(customerSkylineSql)),
+    QueryDef("q138_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
   )
 }

@@ -82,4 +82,43 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(total - vocab.map(term).sum * 1000) < 1e-2)
     assert(total > 0, "halves of a random split still differ under smoothing")
   }
+
+  test("zipf slope: matches a driver-side OLS recompute per source") {
+    val counts = words.collect().map(r => (r.getString(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = CorpusStats.zipfSlope(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ranked = counts.collect { case ((s, w), c) if s == src => (w, c) }
+        .toSeq.sortBy { case (w, c) => (-c, w) }.take(200).zipWithIndex
+        .map { case ((_, c), i) => (math.log(i + 1.0), math.log(c.toDouble)) }
+      val n = ranked.length
+      assert(r.getAs[Long]("n_terms") === n)
+      val (sx, sy) = (ranked.map(_._1).sum, ranked.map(_._2).sum)
+      val sxx = ranked.map(p => p._1 * p._1).sum
+      val sxy = ranked.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-3)
+      assert(slope <= 0, "word frequencies are non-increasing in rank")
+    }
+  }
+
+  test("KS length test: equals the brute-force ECDF max gap and its location") {
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val a = lens.filter(_._1 == "src0").map(_._2).sorted
+    val b = lens.filter(_._1 == "src1").map(_._2).sorted
+    val domain = (a ++ b).distinct.sorted
+    def cum(xs: Array[Long], v: Long) = xs.count(_ <= v).toLong
+    val nums = domain.map(v => v -> math.abs(cum(a, v) * b.length - cum(b, v) * a.length))
+    val dNum = nums.map(_._2).max
+    val r = CorpusStats.ksLengthTest(spark, sfDir).head()
+    assert(r.getAs[Long]("n1") === a.length && r.getAs[Long]("n2") === b.length)
+    assert(r.getAs[Long]("ks_at") === nums.filter(_._2 == dNum).map(_._1).min)
+    assert(math.abs(r.getAs[Double]("ks_d") -
+      dNum.toDouble / (a.length.toLong * b.length)) < 1e-9)
+    assert(r.getAs[Double]("ks_d") >= 0 && r.getAs[Double]("ks_d") <= 1)
+  }
 }

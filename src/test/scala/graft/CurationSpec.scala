@@ -161,6 +161,35 @@ class CurationSpec extends SparkSpec {
     assert(degreeMass === 2 * edges, "degree mass must equal twice the edge count")
   }
 
+  test("graphBfs: distances satisfy the BFS level invariants") {
+    val dist = Curation.graphBfs(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("dist")).toMap
+    assert(dist.nonEmpty, "src0 docs share chunks at this SF")
+    // rebuild the same edge set independently (df-capped chunk sharing)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val postings = docs.flatMap { case (id, toks) =>
+      toks.grouped(8).filter(_.length == 8).map(c => (c.mkString(" "), id))
+    }
+    val byChunk = postings.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.toSeq)
+      .filter(v => v._2.length >= 2 && v._2.length <= 64)
+    val adj = byChunk.values.flatMap(ids =>
+      for (a <- ids; b <- ids if a != b) yield (a, b))
+      .toSeq.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = Tables.documents(spark, sfDir).filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // dist 0 rows are exactly the seeds that appear in the graph
+    assert(dist.filter(_._2 == 0).keySet === (adj.keySet & seeds))
+    // every dist-h vertex (h>=1) has a neighbor at h-1 and none closer than h-1
+    dist.filter(_._2 > 0).foreach { case (v, h) =>
+      val nbrDists = adj.getOrElse(v, Seq()).flatMap(dist.get)
+      assert(nbrDists.nonEmpty && nbrDists.min === h - 1,
+        s"vertex $v at dist $h has neighbor dists ${nbrDists.sorted}")
+    }
+  }
+
   test("quantizationQa: reconstruction error bounded by scale/2, cosine stays high") {
     val qa = Curation.quantizationQa(spark, sfDir).collect()
     assert(qa.length === Tables.embeddings(spark, sfDir).count())

@@ -156,4 +156,30 @@ class EventAnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getAs[Long]("n"))).toSeq
     assert(got === want)
   }
+
+  test("q137 concurrency peaks match a driver-side sweep over the sessions") {
+    val dayUs = 86400000000L
+    val sessions = EventAnalytics.sessionize(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("start_us"), r.getAs[Long]("end_us")))
+    // brute-force: split per day, sweep with starts-before-ends tie order
+    val byDay = sessions.flatMap { case (s, e) =>
+      (s / dayUs to e / dayUs).map { d =>
+        (d, math.max(s, d * dayUs), math.min(e, (d + 1) * dayUs - 1))
+      }
+    }.groupBy(_._1)
+    val want = byDay.view.mapValues { segs =>
+      val pts = segs.flatMap(s => Seq((s._2, 1), (s._3, -1)))
+        .sortBy { case (t, delta) => (t, -delta) }
+      (segs.length.toLong, pts.scanLeft(0) { case (acc, (_, d)) => acc + d }.max)
+    }.toMap
+    val got = EventAnalytics.concurrencyPeaks(spark, sfDir).collect().map { r =>
+      val d = r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay
+      d -> (r.getAs[Long]("n_sessions"), r.getAs[Int]("peak_concurrency"))
+    }.toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (d, (n, p)) =>
+      assert((n, p) === want(d), s"day $d")
+      assert(p >= 1 && p <= n)
+    }
+  }
 }

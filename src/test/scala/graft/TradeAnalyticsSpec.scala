@@ -134,4 +134,36 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(dof >= math.min(n1, n2) - 1 && dof <= n1 + n2 - 2)
   }
 
+  test("q135 skyline equals the brute-force Pareto frontier") {
+    val pts = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(p: (Long, Long, Long)) = pts.exists(q =>
+      q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3))
+    val want = pts.filterNot(dominated)
+      .sortBy(p => (-p._2, p._1)).map(p => (p._1, p._2, p._3)).toSeq
+    val got = TradeAnalytics.customerSkyline(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("spend_cents"),
+        r.getAs[Long]("n_orders"))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "a finite point set always has a frontier")
+  }
+
+  test("q138 RRF score recomputes from the emitted ranks and is ordered") {
+    val rows = TradeAnalytics.rrfFusion(spark, sfDir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val rs = Option(r.getAs[Integer]("r_spend")).map(_.toInt)
+      val rc = Option(r.getAs[Integer]("r_count")).map(_.toInt)
+      val expect = rs.map(x => 1.0 / (x + 60)).getOrElse(0.0) +
+        rc.map(x => 1.0 / (x + 60)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6)
+      assert(rs.nonEmpty || rc.nonEmpty, "a fused row must appear in some list")
+    }
+    val scores = rows.map(_.getAs[Double]("rrf"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
 }
