@@ -357,9 +357,60 @@ object Dedup extends QueryModule {
       |SELECT id AS doc_id, min(label) AS group_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  private val levBlockPfx = 16
+  private val levHead = 128
+  private val levMax = 40
+  private val levLenBand = 64
+
+  /** q141: blocked edit-distance pair mining — the entity-resolution /
+    * fuzzy-dedup primitive for SHORT edits (typos, near-identical
+    * boilerplate) that token-level Jaccard (q35) and MinHash (q40) blur
+    * over. Pair definition INCLUDES the blocking, keeping it exact and
+    * scale-honest: same lang, same 16-char prefix, |length diff| ≤ 64,
+    * and Levenshtein ≤ 40 on the 128-char heads.
+    *
+    * Scale shape: the self-join is an EQUI-join on (lang, prefix) —
+    * hash-partitioned, never all-pairs; block sizes are bounded by
+    * prefix specificity (any residual hot block salts like q86). The
+    * distance uses Spark's thresholded levenshtein, which abandons a
+    * pair once the running distance exceeds the bound — O(k·n) per
+    * comparison instead of O(n²).
+    */
+  def blockedLevPairs(spark: SparkSession, dir: String): DataFrame = {
+    def side(suffix: String): DataFrame =
+      Tables.documents(spark, dir).select(
+        col("doc_id").as(s"id_$suffix"),
+        col("lang"),
+        substring(col("text"), 1, levBlockPfx).as("pfx"),
+        substring(col("text"), 1, levHead).as(s"head_$suffix"),
+        col("n_chars").as(s"n_$suffix"))
+    side("a").join(side("b"), Seq("lang", "pfx"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("n_a") - col("n_b")) <= levLenBand)
+      .withColumn("lev", levenshtein(col("head_a"), col("head_b"), levMax))
+      .filter(col("lev") >= 0)
+      .select(col("id_a"), col("id_b"), col("lang"), col("lev").cast("int").as("lev"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val blockedLevPairsSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, substr(text, 1, $levBlockPfx) AS pfx,
+       |    substr(text, 1, $levHead) AS head, n_chars
+       |  FROM documents
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang,
+       |  levenshtein(a.head, b.head)::INT AS lev
+       |FROM d a JOIN d b
+       |  ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+       | AND abs(a.n_chars - b.n_chars) <= $levLenBand
+       |WHERE levenshtein(a.head, b.head) <= $levMax
+       |ORDER BY id_a, id_b""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_minhash_lsh", minHashQuery, Some(minHashOracleSql), benchmark = true),
     QueryDef("q41_simhash", simHashQuery, Some(simHashOracleSql), benchmark = true),
     QueryDef("q53_dup_groups", dupGroupsQuery, Some(dupGroupsSql)),
+    QueryDef("q141_blocked_lev_pairs", blockedLevPairs, Some(blockedLevPairsSql)),
   )
 }

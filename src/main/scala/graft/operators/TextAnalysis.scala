@@ -141,14 +141,18 @@ object TextAnalysis extends QueryModule {
     * corpus `lang` labels (synthetic corpus → mostly 'en' guesses; the
     * query verifies the *operator*, determinism included, not the model).
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  /** The argmax-with-preference-order guess expression over `text`. */
+  private def langGuess: Column = {
     val hits = langMarkers.map { case (l, p) => l -> regexp_count(col("text"), lit(p)) }
-    val guess = hits.foldRight(lit("und"): Column) { case ((l, h), rest) =>
+    hits.foldRight(lit("und"): Column) { case ((l, h), rest) =>
       val others = hits.filter(_._1 != l).map(_._2)
       when(h > 0 && h >= greatest(others: _*), lit(l)).otherwise(rest)
     }
+  }
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .withColumn("lang_guess", guess)
+      .withColumn("lang_guess", langGuess)
       .groupBy(col("lang"), col("lang_guess"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("lang_guess"))
@@ -172,6 +176,88 @@ object TextAnalysis extends QueryModule {
        |      ELSE 'und' END AS lang_guess,
        |  count(*) AS n_docs
        |FROM h GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin
+  }
+
+  /** q142: classifier QA — per-class precision / recall / F1 of the
+    * language-ID heuristic against the corpus `lang` labels, the
+    * eval-harness step that turns q33's confusion matrix into the
+    * metrics a pipeline gates model (or heuristic) upgrades on.
+    * F1 uses the confusion-matrix identity 2·TP/(labeled+guessed) so
+    * every metric is one guarded division over exact integer counts.
+    * Classes that are never guessed get NULL precision (not 0) —
+    * undefined, per standard eval convention.
+    *
+    * Scale: one map-side guess pass + one (lang, guess) aggregation;
+    * everything after operates on the |classes|² matrix.
+    */
+  def classifierPrf(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(spark, dir)
+      .withColumn("g", langGuess)
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n"))
+      .persist() // |classes|^2 matrix, read by three derivations
+    val labeled = m.groupBy(col("lang")).agg(sum(col("n")).as("n_labeled"))
+      .withColumnRenamed("lang", "cls")
+    val guessed = m.groupBy(col("g")).agg(sum(col("n")).as("n_guessed"))
+      .withColumnRenamed("g", "cls")
+    val tp = m.filter(col("lang") === col("g"))
+      .select(col("lang").as("cls"), col("n").as("tp"))
+    labeled.join(guessed, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_labeled"), lit(0L)).cast("bigint").as("n_labeled"),
+        coalesce(col("n_guessed"), lit(0L)).cast("bigint").as("n_guessed"),
+        coalesce(col("tp"), lit(0L)).cast("bigint").as("tp"))
+      .withColumn("prec", when(col("n_guessed") > 0,
+        round(col("tp").cast("double") / col("n_guessed"), 4)))
+      .withColumn("rec", when(col("n_labeled") > 0,
+        round(col("tp").cast("double") / col("n_labeled"), 4)))
+      .withColumn("f1", when(col("n_labeled") + col("n_guessed") > 0,
+        round(lit(2.0) * col("tp") / (col("n_labeled") + col("n_guessed")), 4)))
+      .orderBy(col("cls"))
+  }
+
+  private val classifierPrfSql = {
+    val hitExprs = langMarkers.map { case (l, p) =>
+      s"len(regexp_extract_all(text, '$p')) AS ${l}_hits"
+    }.mkString(",\n      ")
+    val whens = langMarkers.map { case (l, _) =>
+      val others = langMarkers.filter(_._1 != l).map(o => s"${o._1}_hits")
+      s"WHEN ${l}_hits > 0 AND ${l}_hits >= greatest(${others.mkString(", ")}) THEN '$l'"
+    }.mkString("\n        ")
+    s"""WITH h AS (
+       |  SELECT lang,
+       |    CASE
+       |        $whens
+       |        ELSE 'und' END AS g
+       |  FROM (
+       |    SELECT lang,
+       |      $hitExprs
+       |    FROM documents)
+       |), m AS (
+       |  SELECT lang, g, count(*) AS n FROM h GROUP BY lang, g
+       |), lab AS (
+       |  SELECT lang AS cls, sum(n)::BIGINT AS n_labeled FROM m GROUP BY lang
+       |), gss AS (
+       |  SELECT g AS cls, sum(n)::BIGINT AS n_guessed FROM m GROUP BY g
+       |), tp AS (
+       |  SELECT lang AS cls, n::BIGINT AS tp FROM m WHERE lang = g
+       |), j AS (
+       |  SELECT coalesce(lab.cls, gss.cls) AS cls,
+       |    coalesce(lab.n_labeled, 0)::BIGINT AS n_labeled,
+       |    coalesce(gss.n_guessed, 0)::BIGINT AS n_guessed,
+       |    coalesce(tp.tp, 0)::BIGINT AS tp
+       |  FROM lab
+       |  FULL OUTER JOIN gss ON lab.cls = gss.cls
+       |  LEFT JOIN tp ON coalesce(lab.cls, gss.cls) = tp.cls
+       |)
+       |SELECT cls, n_labeled, n_guessed, tp,
+       |  CASE WHEN n_guessed > 0
+       |    THEN round(tp::DOUBLE / n_guessed, 4) END AS prec,
+       |  CASE WHEN n_labeled > 0
+       |    THEN round(tp::DOUBLE / n_labeled, 4) END AS rec,
+       |  CASE WHEN n_labeled + n_guessed > 0
+       |    THEN round(2.0::DOUBLE * tp / (n_labeled + n_guessed), 4) END AS f1
+       |FROM j ORDER BY cls""".stripMargin
   }
 
   /** Document fingerprinting: md5 of the normalized 100-char prefix →
@@ -700,5 +786,6 @@ object TextAnalysis extends QueryModule {
     QueryDef("q34_fingerprint", fingerprintGroups, Some(fingerprintGroupsSql)),
     QueryDef("q35_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql), benchmark = true),
     QueryDef("q67_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
+    QueryDef("q142_classifier_prf", classifierPrf, Some(classifierPrfSql)),
   )
 }

@@ -127,4 +127,29 @@ class DedupSpec extends SparkSpec {
       s"missing=${(exact diff banded).take(5)} extra=${(banded diff exact).take(5)}")
     assert(banded.nonEmpty)
   }
+
+  test("q141 blocked Levenshtein pairs equal a driver-side brute force") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 0 to a.length) d(i)(0) = i
+      for (j <- 0 to b.length) d(0)(j) = j
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- docs; b <- docs
+      if a._1 < b._1 && a._2 == b._2 &&
+        a._3.take(16) == b._3.take(16) && math.abs(a._4 - b._4) <= 64
+      d = lev(a._3.take(128), b._3.take(128)) if d <= 40
+    } yield (a._1, b._1, d)).toSet
+    val got = Dedup.blockedLevPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Int]("lev"))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "the corpus contains prefix-blocked near-duplicates")
+  }
 }

@@ -159,4 +159,30 @@ class TextAnalysisSpec extends SparkSpec {
     val total = out.agg(sum(col("n_docs"))).head().getLong(0)
     assert(total === Tables.documents(spark, sfDir).count())
   }
+
+  test("q142 classifier PRF reconciles with the q33 confusion matrix") {
+    val m = TextAnalysis.langId(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_docs")))
+    val rows = TextAnalysis.classifierPrf(spark, sfDir).collect()
+    val classes = (m.map(_._1) ++ m.map(_._2)).distinct.sorted.toSeq
+    assert(rows.map(_.getString(0)).toSeq === classes)
+    rows.foreach { r =>
+      val cls = r.getString(0)
+      val labeled = m.filter(_._1 == cls).map(_._3).sum
+      val guessed = m.filter(_._2 == cls).map(_._3).sum
+      val tp = m.filter(x => x._1 == cls && x._2 == cls).map(_._3).sum
+      assert(r.getAs[Long]("n_labeled") === labeled)
+      assert(r.getAs[Long]("n_guessed") === guessed)
+      assert(r.getAs[Long]("tp") === tp)
+      if (guessed > 0)
+        assert(math.abs(r.getAs[Double]("prec") - tp.toDouble / guessed) < 1e-4)
+      else assert(r.isNullAt(r.fieldIndex("prec")), "undefined precision is NULL")
+      if (labeled > 0)
+        assert(math.abs(r.getAs[Double]("rec") - tp.toDouble / labeled) < 1e-4)
+      if (labeled + guessed > 0) {
+        val f1 = 2.0 * tp / (labeled + guessed)
+        assert(math.abs(r.getAs[Double]("f1") - f1) < 1e-4)
+      }
+    }
+  }
 }
