@@ -560,6 +560,52 @@ object EventAnalytics extends QueryModule {
        |  max(running)::INT AS peak_concurrency
        |FROM run GROUP BY d ORDER BY day""".stripMargin
 
+  /** q146: rolling 7-day active users (WAU) next to daily actives
+    * (DAU) — the engagement ratio dashboard metric. Distinct-count
+    * over a SLIDING window can't use a plain window frame (distinct
+    * isn't decomposable), so the operator uses the cover-set expansion:
+    * each distinct (user, active-day) pair covers the 7 windows ending
+    * on days d..d+6; distinct cover pairs per window ARE the rolling
+    * distinct count. Exact, linear (7× the distinct-pair relation),
+    * and partition-parallel — no global state. At much wider windows
+    * (90-day MAU) the cover blowup argues for a sliding HLL sketch
+    * instead; at 7 days exact wins.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("d"))
+      .distinct()
+      .persist() // read by the cover expansion, the day spine, and DAU
+    val cover = pairs
+      .select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("d2"))
+      .distinct()
+    val days = pairs.select(col("d").as("d2")).distinct()
+    val wau = cover.join(days, Seq("d2"))
+      .groupBy(col("d2")).agg(count(lit(1)).as("wau"))
+    val dau = pairs.groupBy(col("d").as("d2")).agg(count(lit(1)).as("dau"))
+    wau.join(dau, Seq("d2"))
+      .select(expr("date_add(DATE '1970-01-01', CAST(d2 AS INT))").as("day"),
+        col("dau").cast("bigint").as("dau"), col("wau").cast("bigint").as("wau"))
+      .orderBy(col("day"))
+  }
+
+  private val rollingActiveUsersSql =
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // $dayUs AS d FROM events
+       |), cover AS (
+       |  SELECT DISTINCT user_id, d2 FROM (
+       |    SELECT user_id, unnest(generate_series(d, d + 6)) AS d2 FROM pairs)
+       |), days AS (
+       |  SELECT DISTINCT d AS d2 FROM pairs
+       |), wau AS (
+       |  SELECT d2, count(*) AS wau FROM cover JOIN days USING (d2) GROUP BY d2
+       |), dau AS (
+       |  SELECT d AS d2, count(*) AS dau FROM pairs GROUP BY d
+       |)
+       |SELECT DATE '1970-01-01' + d2::INT AS day,
+       |  dau::BIGINT AS dau, wau::BIGINT AS wau
+       |FROM wau JOIN dau USING (d2) ORDER BY day""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -572,6 +618,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q120_ewma_anomaly", ewmaAnomaly, Some(ewmaAnomalySql)),
     QueryDef("q127_session_paths", sessionPaths, Some(sessionPathsSql)),
     QueryDef("q137_concurrency_peaks", concurrencyPeaks, Some(concurrencyPeaksSql)),
+    QueryDef("q146_rolling_active_users", rollingActiveUsers, Some(rollingActiveUsersSql)),
   )
 
 }

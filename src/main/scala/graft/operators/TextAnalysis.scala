@@ -260,6 +260,52 @@ object TextAnalysis extends QueryModule {
        |FROM j ORDER BY cls""".stripMargin
   }
 
+  private val hhK = 199 // heavy hitter = frequency > n/(k+1) = n/200
+
+  /** q143: exact heavy hitters by two-pass sketch-and-recount — the
+    * scale-honest way to find tokens above a frequency threshold
+    * (0.5% here) without shuffling the vocabulary:
+    *  1. a Misra–Gries sketch (functions.MisraGriesAgg, a mergeable
+    *     typed Aggregator) runs as ONE partial aggregation — each map
+    *     task keeps ≤ 199 counters, only those cross the wire, and the
+    *     MG guarantee says no token with true frequency > n/200 can be
+    *     missing from the merged sketch;
+    *  2. the ≤ 199 candidates broadcast back onto the token stream for
+    *     an exact recount, and the exact threshold filter runs on true
+    *     counts — so the result is EXACT, the sketch only pruned.
+    * Compare q31/q67, which pay the full vocabulary shuffle because
+    * they need every word; this path wins when only the hot tail
+    * matters (stopword discovery, boilerplate tokens, mode detection).
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val sketch = words.as[String]
+      .select(new graft.functions.MisraGriesAgg(hhK).toColumn.name("sketch"))
+      .select(explode(map_keys(col("sketch"))).as("w"))
+    val totals = words.agg(count(lit(1)).as("n_total"))
+    words.join(broadcast(sketch), Seq("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") * (hhK + 1) > col("n_total"))
+      .select(col("w"), col("cnt").cast("bigint").as("cnt"),
+        col("n_total").cast("bigint").as("n_total"))
+      .orderBy(col("cnt").desc, col("w"))
+  }
+
+  private val heavyHittersSql =
+    s"""WITH words AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |), tot AS (
+       |  SELECT count(*)::BIGINT AS n_total FROM words
+       |)
+       |SELECT w, count(*)::BIGINT AS cnt, tot.n_total
+       |FROM words CROSS JOIN tot
+       |GROUP BY w, tot.n_total
+       |HAVING count(*) * ${hhK + 1} > tot.n_total
+       |ORDER BY cnt DESC, w""".stripMargin
+
   /** Document fingerprinting: md5 of the normalized 100-char prefix →
     * exact-prefix duplicate groups (group size + representative doc).
     */
@@ -787,5 +833,6 @@ object TextAnalysis extends QueryModule {
     QueryDef("q35_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql), benchmark = true),
     QueryDef("q67_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     QueryDef("q142_classifier_prf", classifierPrf, Some(classifierPrfSql)),
+    QueryDef("q143_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
   )
 }

@@ -518,6 +518,93 @@ object TradeAnalytics extends QueryModule {
        |  round(rrf, 6) AS rrf
        |FROM fused ORDER BY rrf DESC, o_custkey LIMIT 20""".stripMargin
 
+  /** q144: 7-day moving MEDIAN of daily revenue per order priority —
+    * the robust trend smoother (a single flash-sale day skews a moving
+    * mean; the median shrugs). Spark has no median window function, so
+    * the operator composes one: RANGE frame over the day index collects
+    * the ≤ 7 in-window daily totals, sorts the bounded array, and takes
+    * the middle in EXACT integer arithmetic (2× the median, so the
+    * even-count midpoint stays integral — no float rounding boundary).
+    *
+    * Scale: the window runs over the per-(priority, day) AGGREGATE
+    * (group count × days rows, not orders); frames are ≤ 7 elements, so
+    * the collected array is O(1) per row. Integer day index keeps RANGE
+    * frame semantics identical on both engines.
+    */
+  def movingMedianRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("d")).rangeBetween(-6, 0)
+    daily
+      .withColumn("arr", sort_array(collect_list(col("rev")).over(w)))
+      .withColumn("m", size(col("arr")))
+      .select(col("priority"),
+        expr("date_add(DATE '1970-01-01', CAST(d AS INT))").as("day"),
+        col("m").cast("bigint").as("n_days"),
+        expr("""CASE WHEN m % 2 = 1 THEN 2 * element_at(arr, CAST((m + 1) div 2 AS INT))
+               |     ELSE element_at(arr, CAST(m div 2 AS INT))
+               |        + element_at(arr, CAST(m div 2 + 1 AS INT))
+               |END""".stripMargin).cast("bigint").as("median_cents_x2"))
+      .orderBy(col("priority"), col("day"))
+  }
+
+  private val movingMedianRevenueSql =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS priority,
+      |    (o_orderdate::DATE - DATE '1970-01-01') AS d,
+      |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT priority, DATE '1970-01-01' + d::INT AS day,
+      |  count(*) OVER w::BIGINT AS n_days,
+      |  (2 * median(rev) OVER w)::BIGINT AS median_cents_x2
+      |FROM daily
+      |WINDOW w AS (PARTITION BY priority ORDER BY d
+      |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY priority, day""".stripMargin
+
+  /** q145: month-over-month and year-over-year revenue growth per
+    * order priority — the period-over-period BI battery: monthly
+    * aggregate, lag(1) and lag(12) on the month sequence, one guarded
+    * division each. Growth ratios are single double divisions of exact
+    * integer cents, identical operand order on both engines.
+    */
+  def revenueGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev_cents"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("month"))
+    monthly
+      .withColumn("prev", lag(col("rev_cents"), 1).over(w))
+      .withColumn("prev12", lag(col("rev_cents"), 12).over(w))
+      .select(col("priority"), col("month"), col("rev_cents"),
+        round((col("rev_cents") - col("prev")).cast("double") / col("prev"), 6)
+          .as("mom_growth"),
+        round((col("rev_cents") - col("prev12")).cast("double") / col("prev12"), 6)
+          .as("yoy_growth"))
+      .orderBy(col("priority"), col("month"))
+  }
+
+  private val revenueGrowthSql =
+    """WITH monthly AS (
+      |  SELECT o_orderpriority AS priority,
+      |    date_trunc('month', o_orderdate)::DATE AS month,
+      |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_cents
+      |  FROM orders GROUP BY 1, 2
+      |), lagged AS (
+      |  SELECT priority, month, rev_cents,
+      |    lag(rev_cents, 1) OVER w AS prev,
+      |    lag(rev_cents, 12) OVER w AS prev12
+      |  FROM monthly WINDOW w AS (PARTITION BY priority ORDER BY month)
+      |)
+      |SELECT priority, month, rev_cents,
+      |  round((rev_cents - prev)::DOUBLE / prev, 6) AS mom_growth,
+      |  round((rev_cents - prev12)::DOUBLE / prev12, 6) AS yoy_growth
+      |FROM lagged ORDER BY priority, month""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -529,5 +616,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q119_welch_ttest", welchTTest, Some(welchTTestSql)),
     QueryDef("q135_skyline", customerSkyline, Some(customerSkylineSql)),
     QueryDef("q138_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
+    QueryDef("q144_moving_median", movingMedianRevenue, Some(movingMedianRevenueSql)),
+    QueryDef("q145_revenue_growth", revenueGrowth, Some(revenueGrowthSql)),
   )
 }

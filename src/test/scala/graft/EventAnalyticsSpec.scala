@@ -182,4 +182,22 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(p >= 1 && p <= n)
     }
   }
+
+  test("q146 rolling actives equal a brute-force 7-day distinct count") {
+    val pairs = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = pairs.map(_._2).distinct
+    val want = days.map { d =>
+      d -> (pairs.count(_._2 == d).toLong,
+        pairs.filter(p => p._2 >= d - 6 && p._2 <= d).map(_._1).distinct.length.toLong)
+    }.toMap
+    val got = EventAnalytics.rollingActiveUsers(spark, sfDir).collect().map { r =>
+      r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+    }.toMap
+    assert(got === want)
+    // WAU dominates DAU and never exceeds the 7-day union bound
+    got.foreach { case (d, (dau, wau)) => assert(wau >= dau, s"day $d") }
+  }
 }

@@ -95,4 +95,46 @@ class FunctionsSpec extends SparkSpec {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("MisraGriesAgg: sketch keeps every item above n/(k+1) and undercounts by at most n/(k+1)") {
+    import graft.functions.MisraGriesAgg
+    val spark2 = spark
+    import spark2.implicits._
+    val k = 9 // threshold n/10
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w")).as[String]
+    val exact = words.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val sketch = words.select(new MisraGriesAgg(k).toColumn).head()
+    assert(sketch.size <= k, "at most k counters survive")
+    // guarantee 1: nothing above the threshold is missing
+    exact.filter { case (_, c) => c * (k + 1) > n }.keys.foreach { w =>
+      assert(sketch.contains(w), s"heavy hitter '$w' missing from the sketch")
+    }
+    // guarantee 2: sketch counts never exceed truth, undercount <= n/(k+1)
+    sketch.foreach { case (w, c) =>
+      assert(c <= exact(w), s"'$w' overcounted")
+      assert(exact(w) - c <= n / (k + 1) + 1, s"'$w' undercounted too far")
+    }
+    // driver-side sequential MG agrees with the distributed merge bound
+    val agg = new MisraGriesAgg(k)
+    val seq = words.collect().foldLeft(agg.zero)(agg.reduce)
+    exact.filter { case (_, c) => c * (k + 1) > n }.keys.foreach { w =>
+      assert(seq.contains(w), s"sequential MG lost heavy hitter '$w'")
+    }
+  }
+
+  test("q143 heavy hitters equal the exact over-threshold word set") {
+    val rows = graft.operators.TextAnalysis.heavyHitters(spark, sfDir).collect()
+    val exact = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val want = exact.filter { case (_, c) => c * 200 > n }
+      .toSeq.sortBy { case (w, c) => (-c, w) }
+    assert(rows.map(r => (r.getString(0), r.getAs[Long]("cnt"))).toSeq === want)
+    rows.foreach(r => assert(r.getAs[Long]("n_total") === n))
+    assert(rows.nonEmpty, "the synthetic corpus has >0.5% tokens")
+  }
 }

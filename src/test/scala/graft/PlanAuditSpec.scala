@@ -169,4 +169,35 @@ class PlanAuditSpec extends SparkSpec {
       s"window appears to consume raw lineitem rows:\n$plan")
     assert(plan.contains("partial_sum"), s"pre-agg lost its partial half:\n$plan")
   }
+
+  test("blocked Levenshtein self-join is an equi join on the block key, never all-pairs") {
+    val plan = explainText(operators.Dedup.blockedLevPairs(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"(lang, prefix) blocking must hash-partition the self-join:\n$plan")
+  }
+
+  test("skyline never falls back to a pairwise dominance join") {
+    val plan = explainText(operators.TradeAnalytics.customerSkyline(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"windowed pruning must not become an all-pairs join:\n$plan")
+    assert(plan.contains("Window"), s"dominance maxima must be windowed:\n$plan")
+  }
+
+  test("RRF top-100 lists come from partial top-k, not a full sort") {
+    val plan = explainText(operators.TradeAnalytics.rrfFusion(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"each ranking must be a partial top-k:\n$plan")
+  }
+
+  test("heavy-hitter sketch aggregates partially map-side and recount join broadcasts") {
+    val plan = explainText(operators.TextAnalysis.heavyHitters(spark, sfDir))
+    // the MG typed Aggregator must run as a two-phase ObjectHashAggregate
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed MG aggregation missing:\n$plan")
+    assert(plan.contains("partial_misragriesagg") ||
+      plan.toLowerCase.contains("partial_misragries"),
+      s"MG sketch lost its partial (map-side) half:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate recount must broadcast the <=k candidates:\n$plan")
+  }
 }

@@ -151,6 +151,61 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty, "a finite point set always has a frontier")
   }
 
+  test("q144 moving median equals a driver-side recompute over day windows") {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val byP = daily.groupBy(_._1)
+    val want = byP.toSeq.flatMap { case (p, rows) =>
+      rows.toSeq.map { case (_, d, _) =>
+        val win = rows.filter(r => r._2 >= d - 6 && r._2 <= d).map(_._3).sorted
+        val m = win.length
+        val x2 = if (m % 2 == 1) 2 * win((m + 1) / 2 - 1)
+                 else win(m / 2 - 1) + win(m / 2)
+        (p, d.toLong, m.toLong, x2)
+      }
+    }.toSet
+    val got = TradeAnalytics.movingMedianRevenue(spark, sfDir).collect().map { r =>
+      (r.getString(0), r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+        r.getAs[Long]("n_days"), r.getAs[Long]("median_cents_x2"))
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("q145 growth ratios recompute from the monthly lag sequence") {
+    val rows = TradeAnalytics.revenueGrowth(spark, sfDir).collect()
+    val byP = rows.groupBy(_.getString(0))
+    byP.values.foreach { seq =>
+      val s = seq.sortBy(_.getAs[java.sql.Date]("month").toLocalDate.toEpochDay)
+      s.zipWithIndex.foreach { case (r, i) =>
+        def g(off: Int): Option[Double] =
+          if (i - off < 0) None
+          else {
+            val prev = s(i - off).getAs[Long]("rev_cents")
+            Some((r.getAs[Long]("rev_cents") - prev).toDouble / prev)
+          }
+        val mom = Option(r.get(r.fieldIndex("mom_growth"))).map(_.asInstanceOf[Double])
+        val yoy = Option(r.get(r.fieldIndex("yoy_growth"))).map(_.asInstanceOf[Double])
+        (mom, g(1)) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-5)
+          case (None, None) =>
+          case other => fail(s"mom mismatch at $i: $other")
+        }
+        (yoy, g(12)) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-5)
+          case (None, None) =>
+          case other => fail(s"yoy mismatch at $i: $other")
+        }
+      }
+      // months are consecutive within a priority for this corpus, so
+      // every row past the first has MoM defined
+      assert(s.drop(1).forall(!_.isNullAt(s.head.fieldIndex("mom_growth"))))
+    }
+  }
+
   test("q138 RRF score recomputes from the emitted ranks and is ordered") {
     val rows = TradeAnalytics.rrfFusion(spark, sfDir).collect()
     assert(rows.length === 20)
