@@ -46,9 +46,16 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => DeflateRatio(exprs.head)),
   )
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    // Typed Aggregators register through the UDAF bridge, not
+    // injectFunction (they are not Expressions). k is baked into the
+    // name because a UDAF can't take a non-column parameter.
+    spark.udf.register("misra_gries199",
+      org.apache.spark.sql.functions.udaf(new MisraGriesAgg(199),
+        org.apache.spark.sql.Encoders.STRING))
+  }
 }

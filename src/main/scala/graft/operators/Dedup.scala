@@ -407,10 +407,63 @@ object Dedup extends QueryModule {
        |WHERE levenshtein(a.head, b.head) <= $levMax
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** q148: survivorship — after dedup finds duplicate groups, WHICH
+    * record survives and with which field values? The golden-record
+    * merge rules here: keep the smallest doc_id as the canonical key,
+    * take the text from the LONGEST member (tie → smallest id), count
+    * distinct languages (a >1 value flags an inconsistent group), sum
+    * character mass. Groups are q34's exact md5-prefix fingerprint
+    * groups with ≥ 2 members.
+    *
+    * Shape: one window (row_number by length desc, id) + one
+    * aggregation, both keyed by the fingerprint — the groups relation
+    * is duplicate-bounded, and nothing ever joins doc×doc.
+    */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("fp", md5(lower(substring(col("text"), 1, 100))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("n_chars").desc, col("doc_id"))
+    d.withColumn("rn", row_number().over(w))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("keep_id"),
+        max(when(col("rn") === 1, col("doc_id"))).as("longest_id"),
+        max(when(col("rn") === 1, col("n_chars"))).as("longest_chars"),
+        count_distinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"))
+      .filter(col("n_docs") >= 2)
+      .select(col("fp"), col("n_docs").cast("bigint").as("n_docs"),
+        col("keep_id"), col("longest_id"),
+        col("longest_chars").cast("bigint").as("longest_chars"),
+        col("n_langs").cast("bigint").as("n_langs"),
+        col("total_chars").cast("bigint").as("total_chars"))
+      .orderBy(col("fp"))
+  }
+
+  private val goldenRecordSql =
+    """WITH d AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    md5(lower(substr(text, 1, 100))) AS fp,
+      |    row_number() OVER (PARTITION BY md5(lower(substr(text, 1, 100)))
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents
+      |)
+      |SELECT fp, count(*)::BIGINT AS n_docs,
+      |  min(doc_id) AS keep_id,
+      |  max(CASE WHEN rn = 1 THEN doc_id END) AS longest_id,
+      |  max(CASE WHEN rn = 1 THEN n_chars END)::BIGINT AS longest_chars,
+      |  count(DISTINCT lang)::BIGINT AS n_langs,
+      |  sum(n_chars)::BIGINT AS total_chars
+      |FROM d GROUP BY fp HAVING count(*) >= 2
+      |ORDER BY fp""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_minhash_lsh", minHashQuery, Some(minHashOracleSql), benchmark = true),
     QueryDef("q41_simhash", simHashQuery, Some(simHashOracleSql), benchmark = true),
     QueryDef("q53_dup_groups", dupGroupsQuery, Some(dupGroupsSql)),
     QueryDef("q141_blocked_lev_pairs", blockedLevPairs, Some(blockedLevPairsSql)),
+    QueryDef("q148_golden_record", goldenRecord, Some(goldenRecordSql)),
   )
+
 }

@@ -606,6 +606,68 @@ object EventAnalytics extends QueryModule {
        |  dau::BIGINT AS dau, wau::BIGINT AS wau
        |FROM wau JOIN dau USING (d2) ORDER BY day""".stripMargin
 
+  private val cartWindowUs = 24L * 3600 * 1000000 // 24 h
+
+  /** q147: abandoned-cart analysis — for every `view` event, did the
+    * same user `purchase` within 24 h AFTER it (strictly later in
+    * (time, event_id) order)? Daily totals of views / converted /
+    * abandoned plus the conversion rate. The "next qualifying event
+    * within a horizon" primitive behind cart-abandonment, retry-success
+    * and escalation-SLA metrics.
+    *
+    * Shape: ONE window pass — min of the conditional purchase
+    * timestamp over the strictly-following frame per user — instead of
+    * a view×purchase self-join; the frame trick keeps it linear and
+    * partition-parallel by user. All time math in integer micros.
+    */
+  def abandonedCarts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    e.withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", col("us"))).over(w))
+      .filter(col("event_type") === "view")
+      .withColumn("converted",
+        col("next_purchase_us").isNotNull &&
+          col("next_purchase_us") <= col("us") + cartWindowUs)
+      .groupBy(expr(s"us div $dayUs").as("d"))
+      .agg(count(lit(1)).as("n_views"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+      .select(expr("date_add(DATE '1970-01-01', CAST(d AS INT))").as("day"),
+        col("n_views").cast("bigint").as("n_views"),
+        col("n_converted").cast("bigint").as("n_converted"),
+        (col("n_views") - col("n_converted")).cast("bigint").as("n_abandoned"),
+        round(col("n_converted").cast("double") / col("n_views"), 4).as("conversion_rate"))
+      .orderBy(col("day"))
+  }
+
+  private val abandonedCartsSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+       |  FROM events WHERE event_type IN ('view', 'purchase')
+       |), nxt AS (
+       |  SELECT user_id, event_type, us,
+       |    min(CASE WHEN event_type = 'purchase' THEN us END) OVER (
+       |      PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_purchase_us
+       |  FROM e
+       |), v AS (
+       |  SELECT us // $dayUs AS d,
+       |    CASE WHEN next_purchase_us IS NOT NULL
+       |          AND next_purchase_us <= us + $cartWindowUs
+       |         THEN 1 ELSE 0 END AS converted
+       |  FROM nxt WHERE event_type = 'view'
+       |)
+       |SELECT DATE '1970-01-01' + d::INT AS day,
+       |  count(*)::BIGINT AS n_views,
+       |  sum(converted)::BIGINT AS n_converted,
+       |  (count(*) - sum(converted))::BIGINT AS n_abandoned,
+       |  round(sum(converted)::DOUBLE / count(*), 4) AS conversion_rate
+       |FROM v GROUP BY d ORDER BY day""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -619,6 +681,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q127_session_paths", sessionPaths, Some(sessionPathsSql)),
     QueryDef("q137_concurrency_peaks", concurrencyPeaks, Some(concurrencyPeaksSql)),
     QueryDef("q146_rolling_active_users", rollingActiveUsers, Some(rollingActiveUsersSql)),
+    QueryDef("q147_abandoned_carts", abandonedCarts, Some(abandonedCartsSql)),
   )
 
 }

@@ -152,4 +152,25 @@ class DedupSpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty, "the corpus contains prefix-blocked near-duplicates")
   }
+
+  test("q148 golden record survivorship rules match a driver-side recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(lower(substring(col("text"), 1, 100))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val want = docs.groupBy(_._4).filter(_._2.length >= 2).map { case (fp, g) =>
+      val longest = g.minBy(d => (-d._3, d._1))
+      fp -> (g.length.toLong, g.map(_._1).min, longest._1, longest._3,
+        g.map(_._2).distinct.length.toLong, g.map(_._3).sum)
+    }
+    val got = Dedup.goldenRecord(spark, sfDir).collect().map { r =>
+      r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("longest_id"), r.getAs[Long]("longest_chars"),
+        r.getAs[Long]("n_langs"), r.getAs[Long]("total_chars"))
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty, "fingerprint duplicate groups exist at this SF")
+    // the canonical keep survives as the min id, never after the longest doc
+    got.values.foreach { case (_, keep, longest, _, _, _) => assert(keep <= longest) }
+  }
 }

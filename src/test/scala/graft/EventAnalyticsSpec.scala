@@ -200,4 +200,34 @@ class EventAnalyticsSpec extends SparkSpec {
     // WAU dominates DAU and never exceeds the 7-day union bound
     got.foreach { case (d, (dau, wau)) => assert(wau >= dau, s"day $d") }
   }
+
+  test("q147 abandoned carts equal a brute-force next-purchase scan") {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val views = byUser.values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      sorted.zipWithIndex.collect { case ((_, _, "view", us), i) =>
+        val next = sorted.drop(i + 1).collectFirst { case (_, _, "purchase", pu) => pu }
+        (us / 86400000000L, next.exists(_ <= us + 24L * 3600 * 1000000))
+      }
+    }.toSeq
+    val want = views.groupBy(_._1).view.mapValues { vs =>
+      (vs.size.toLong, vs.count(_._2).toLong)
+    }.toMap
+    val got = EventAnalytics.abandonedCarts(spark, sfDir).collect().map { r =>
+      r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay ->
+        (r.getAs[Long]("n_views"), r.getAs[Long]("n_converted"),
+          r.getAs[Long]("n_abandoned"), r.getAs[Double]("conversion_rate"))
+    }.toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (d, (v, c, a, rate)) =>
+      assert((v, c) === want(d), s"day $d")
+      assert(a === v - c)
+      assert(math.abs(rate - c.toDouble / v) < 1e-4)
+    }
+  }
 }

@@ -125,6 +125,21 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("misra_gries199 registers as a SQL aggregate via GraftFunctions") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, sfDir).createOrReplaceTempView("docs_mg")
+    val m = spark.sql(
+      """SELECT misra_gries199(w) AS sk FROM (
+        |  SELECT explode(split(text, ' ')) AS w FROM docs_mg)""".stripMargin)
+      .head().getMap[String, Long](0)
+    assert(m.size <= 199 && m.nonEmpty)
+    // sketch counts are lower bounds on exact counts
+    val exact = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    m.foreach { case (w, c) => assert(c <= exact(w)) }
+  }
+
   test("q143 heavy hitters equal the exact over-threshold word set") {
     val rows = graft.operators.TextAnalysis.heavyHitters(spark, sfDir).collect()
     val exact = Tables.documents(spark, sfDir)

@@ -16,6 +16,20 @@ class PropertySpec extends SparkSpec {
   private val rng = new scala.util.Random(20260812L)
   private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
 
+  test("driver contract: every declared oracle is non-null and query names are unique") {
+    // a forward-referenced `private val ...Sql` initializes to null inside
+    // `defs` (object val init order) and crashes Verify's JSON dump — pin
+    // it here so the mistake fails the suite, not the driver round
+    SparkEntry.allDefs.foreach { d =>
+      assert(d.name != null && d.name.nonEmpty)
+      assert(d.oracle.forall(s => s != null && s.trim.nonEmpty),
+        s"${d.name}: null/empty oracle (val declared after defs?)")
+      assert(d.build != null, s"${d.name}: null builder")
+    }
+    val names = SparkEntry.allDefs.map(_.name)
+    assert(names.distinct.length === names.length, "duplicate query names")
+  }
+
   test("WordNgrams equals a naive sliding-window reference on random token lists") {
     import TestSpark.spark.implicits._
     val docs = List.fill(200)(List.fill(rng.nextInt(15))(vocab(rng.nextInt(vocab.size))))
