@@ -614,6 +614,66 @@ object Similarity extends QueryModule {
       |FROM scored s JOIN documents d ON s.vec_id = d.doc_id
       |WHERE s.rank <= 5 ORDER BY s.query_id, s.rank""".stripMargin
 
+  /** q150: cluster-quality scatter — per label: cohesion (mean cosine
+    * of members to their label centroid) and separation (max cosine
+    * between this centroid and any other), the embedding-space health
+    * check run before trusting labels for semantic dedup (q71) or
+    * IVF routing (q45): cohesion ≫ separation means the label geometry
+    * is usable.
+    *
+    * Scale shape: centroids come from a (label, dim)-keyed partial
+    * aggregation — never a collect; members join their centroid by
+    * broadcast (|labels| rows); centroid×centroid separation is
+    * |labels|² — trivial at any corpus size.
+    */
+  def clusterScatter(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val cent = e.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cvec"))
+      .persist() // |labels| rows, read by cohesion AND separation
+    val coh = e.join(broadcast(cent), Seq("label"))
+      .select(col("label"), cosine(col("v"), col("cvec")).as("cos"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), avg(col("cos")).as("coh"))
+    val sep = cent
+      .join(cent.select(col("label").as("l2"), col("cvec").as("cvec2")),
+        col("label") =!= col("l2"))
+      .select(col("label"), cosine(col("cvec"), col("cvec2")).as("cc"))
+      .groupBy(col("label")).agg(max(col("cc")).as("sep"))
+    coh.join(sep, Seq("label"))
+      .select(col("label"), col("n_vecs").cast("bigint").as("n_vecs"),
+        round(col("coh"), 4).as("cohesion"),
+        round(col("sep"), 4).as("nearest_centroid_cos"))
+      .orderBy(col("label"))
+  }
+
+  private val clusterScatterSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |), pos AS (
+      |  SELECT label, unnest(generate_series(1, len(v))) AS d, v FROM e
+      |), comp AS (
+      |  SELECT label, d, avg(v[d]) AS c FROM pos GROUP BY label, d
+      |), cent AS (
+      |  SELECT label, list(c ORDER BY d) AS cvec FROM comp GROUP BY label
+      |), coh AS (
+      |  SELECT e.label, count(*) AS n_vecs,
+      |    avg(list_cosine_similarity(e.v, cent.cvec)) AS coh
+      |  FROM e JOIN cent ON e.label = cent.label GROUP BY e.label
+      |), sep AS (
+      |  SELECT a.label, max(list_cosine_similarity(a.cvec, b.cvec)) AS sep
+      |  FROM cent a JOIN cent b ON a.label <> b.label GROUP BY a.label
+      |)
+      |SELECT coh.label, coh.n_vecs::BIGINT AS n_vecs,
+      |  round(coh.coh, 4) AS cohesion,
+      |  round(sep.sep, 4) AS nearest_centroid_cos
+      |FROM coh JOIN sep ON coh.label = sep.label
+      |ORDER BY coh.label""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_knn_bruteforce", knnQuery, Some(knnOracleSql), benchmark = true),
     QueryDef("q57_semantic_search", semanticSearch, Some(semanticSearchSql)),
@@ -622,5 +682,6 @@ object Similarity extends QueryModule {
     QueryDef("q45_ann_ivf", ivfQuery, Some(ivfOracleSql)),
     QueryDef("q71_semantic_dedup", semanticDedupQuery, Some(semanticDedupSql)),
     QueryDef("q74_kmeans", kmeansQuery, Some(kmeansOracleSql)),
+    QueryDef("q150_cluster_scatter", clusterScatter, Some(clusterScatterSql)),
   )
 }

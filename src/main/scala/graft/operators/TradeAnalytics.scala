@@ -605,6 +605,67 @@ object TradeAnalytics extends QueryModule {
       |  round((rev_cents - prev12)::DOUBLE / prev12, 6) AS yoy_growth
       |FROM lagged ORDER BY priority, month""".stripMargin
 
+  /** q149: revenue concentration — Lorenz decile table plus the Gini
+    * coefficient of customer spend, the inequality profile ("what share
+    * of revenue do the top deciles carry") that drives key-account and
+    * skew decisions. Customers sort ascending by exact integer cents
+    * (ties by key); decile = ((rank−1)·10) div n + 1 (explicit integer
+    * formula, not ntile, so both engines bucket identically); Gini uses
+    * the rank form G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n with every sum exact
+    * BIGINT and ONE double division at output.
+    *
+    * Scale: the ranking runs over the per-customer AGGREGATE. A global
+    * rank at 10⁹ customers is a range-partitioned sort (Spark's
+    * orderBy) — still parallel; the decile/Gini reductions are partial
+    * aggregations on top.
+    */
+  def lorenzGini(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("x"))
+    val ranked = pts.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("o_custkey"))))
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("i") * col("x")).as("six"))
+    val deciles = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("CAST(((i - 1) * 10) DIV n AS INT) + 1"))
+      .groupBy(col("decile"), col("n"), col("sx"), col("six"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("x")).as("spend_cents"))
+    deciles
+      .withColumn("cum_cents", sum(col("spend_cents")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"),
+        col("n_customers").cast("bigint").as("n_customers"),
+        col("spend_cents").cast("bigint").as("spend_cents"),
+        round(col("cum_cents").cast("double") / col("sx"), 6).as("cum_share"),
+        round(lit(2.0) * col("six") / (col("n") * col("sx")) -
+          (col("n") + lit(1.0)) / col("n"), 6).as("gini"))
+      .orderBy(col("decile"))
+  }
+
+  private val lorenzGiniSql =
+    """WITH pts AS (
+      |  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS x
+      |  FROM orders GROUP BY o_custkey
+      |), ranked AS (
+      |  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM pts
+      |), tot AS (
+      |  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+      |    sum(i * x)::BIGINT AS six
+      |  FROM ranked
+      |), dec AS (
+      |  SELECT ((i - 1) * 10 // n)::INT + 1 AS decile, n, sx, six,
+      |    count(*)::BIGINT AS n_customers, sum(x)::BIGINT AS spend_cents
+      |  FROM ranked CROSS JOIN tot
+      |  GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT decile, n_customers, spend_cents,
+      |  round(sum(spend_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)::DOUBLE
+      |        / sx, 6) AS cum_share,
+      |  round(2.0::DOUBLE * six / (n * sx) - (n + 1.0::DOUBLE) / n, 6) AS gini
+      |FROM dec ORDER BY decile""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -618,5 +679,6 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q138_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q144_moving_median", movingMedianRevenue, Some(movingMedianRevenueSql)),
     QueryDef("q145_revenue_growth", revenueGrowth, Some(revenueGrowthSql)),
+    QueryDef("q149_lorenz_gini", lorenzGini, Some(lorenzGiniSql)),
   )
 }

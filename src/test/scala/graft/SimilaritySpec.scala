@@ -178,4 +178,32 @@ class SimilaritySpec extends SparkSpec {
       exact.get(key).foreach(sim => assert(sim === r.getAs[Double]("cosine_sim")))
     }
   }
+
+  test("q150 cluster scatter matches a driver-side centroid recompute") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map(p => p._1 * p._2).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byLabel = vecs.groupBy(_._1)
+    val centroids = byLabel.view.mapValues { vs =>
+      val dim = vs.head._2.length
+      Array.tabulate(dim)(d => vs.map(_._2(d)).sum / vs.length)
+    }.toMap
+    val rows = Similarity.clusterScatter(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq === byLabel.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val l = r.getInt(0)
+      val members = byLabel(l)
+      assert(r.getAs[Long]("n_vecs") === members.length)
+      val coh = members.map(v => cos(v._2, centroids(l))).sum / members.length
+      assert(math.abs(r.getAs[Double]("cohesion") - coh) < 1e-3)
+      val sep = centroids.collect { case (m, c) if m != l => cos(centroids(l), c) }.max
+      assert(math.abs(r.getAs[Double]("nearest_centroid_cos") - sep) < 1e-3)
+      // no claim that labels are well-clustered — that's a property of the
+      // fixture, not the operator; the recompute equality above is the test
+    }
+  }
 }

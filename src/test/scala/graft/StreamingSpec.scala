@@ -45,6 +45,25 @@ class StreamingSpec extends SparkSpec {
     assert(want.count() > 0)
   }
 
+  test("Misra-Gries aggregator runs in a streaming aggregation (partial-merge state)") {
+    // k larger than the event-type cardinality => MG degrades to exact
+    // counts, so streaming-complete output must EQUAL the batch counts —
+    // proving the typed Aggregator's merge path works as streaming state.
+    import org.apache.spark.sql.Encoders
+    val mg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MisraGriesAgg(64), Encoders.STRING)
+    val stream = EventStreams.eventsStream(spark, eventsDir)
+      .select(col("event_type"))
+      .agg(mg(col("event_type")).as("sketch"))
+    val got = runStream(stream, "mg_out")
+      .select(explode(col("sketch"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sfDir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("sliding windows: streaming equals batch, each event in two windows") {
     val stream = EventStreams.slidingStats(EventStreams.eventsStream(spark, eventsDir))
     val got = runStream(stream, "sliding_out")

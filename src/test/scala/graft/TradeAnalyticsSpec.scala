@@ -206,6 +206,28 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q149 Lorenz deciles and Gini recompute from sorted spends") {
+    val xs = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(p => (p._2, p._1)).map(_._2)
+    val n = xs.length
+    val sx = xs.sum
+    val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val gini = 2.0 * six / (n.toLong * sx) - (n + 1.0) / n
+    val rows = TradeAnalytics.lorenzGini(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 10))
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === n)
+    assert(rows.map(_.getAs[Long]("spend_cents")).sum === sx)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-5))
+    // Lorenz curve is convex-increasing and ends at 1
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a })
+    assert(math.abs(shares.last - 1.0) < 1e-9)
+    assert(gini >= 0 && gini < 1)
+  }
+
   test("q138 RRF score recomputes from the emitted ranks and is ordered") {
     val rows = TradeAnalytics.rrfFusion(spark, sfDir).collect()
     assert(rows.length === 20)
