@@ -666,6 +666,53 @@ object TradeAnalytics extends QueryModule {
       |  round(2.0::DOUBLE * six / (n * sx) - (n + 1.0::DOUBLE) / n, 6) AS gini
       |FROM dec ORDER BY decile""".stripMargin
 
+  /** q151: sole-blame late suppliers — the TPC-H Q21 shape: among
+    * multi-supplier orders, find orders where EXACTLY ONE supplier
+    * shipped late (> 90 days after the order date) and charge that
+    * supplier; rank suppliers by blame count. The reference TPC-H
+    * spelling is a double correlated EXISTS/NOT-EXISTS; this engine
+    * plans it as ONE aggregation over the single fact-fact join —
+    * per-order distinct-supplier and distinct-late-supplier counts
+    * decide blame, and `max(case when late …)` recovers the culprit
+    * key (well-defined exactly when the late-supplier count is 1).
+    * Same semantics, one shuffle instead of three self-joins.
+    */
+  def soleBlameSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+    val blamed = j.groupBy(col("l_orderkey"))
+      .agg(count_distinct(col("l_suppkey")).as("ns"),
+        count_distinct(when(col("late"), col("l_suppkey"))).as("nl"),
+        max(when(col("late"), col("l_suppkey"))).as("blame"))
+      .filter(col("ns") >= 2 && col("nl") === 1)
+    blamed.groupBy(col("blame").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_blamed_orders"))
+      .join(broadcast(Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_name"))),
+        Seq("s_suppkey"))
+      .select(col("s_name"), col("n_blamed_orders").cast("bigint").as("n_blamed_orders"))
+      .orderBy(col("n_blamed_orders").desc, col("s_name"))
+      .limit(20)
+  }
+
+  private val soleBlameSuppliersSql =
+    """WITH j AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |), agg AS (
+      |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns,
+      |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl,
+      |    max(CASE WHEN late THEN l_suppkey END) AS blame
+      |  FROM j GROUP BY l_orderkey
+      |)
+      |SELECT s.s_name, count(*)::BIGINT AS n_blamed_orders
+      |FROM agg JOIN supplier s ON agg.blame = s.s_suppkey
+      |WHERE agg.ns >= 2 AND agg.nl = 1
+      |GROUP BY s.s_name
+      |ORDER BY n_blamed_orders DESC, s_name LIMIT 20""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -680,5 +727,6 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q144_moving_median", movingMedianRevenue, Some(movingMedianRevenueSql)),
     QueryDef("q145_revenue_growth", revenueGrowth, Some(revenueGrowthSql)),
     QueryDef("q149_lorenz_gini", lorenzGini, Some(lorenzGiniSql)),
+    QueryDef("q151_sole_blame_suppliers", soleBlameSuppliers, Some(soleBlameSuppliersSql)),
   )
 }

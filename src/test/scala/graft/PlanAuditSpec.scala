@@ -170,6 +170,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), s"pre-agg lost its partial half:\n$plan")
   }
 
+  test("rank<=k window filters plan as WindowGroupLimit (per-group partial top-k)") {
+    // Spark's InferWindowGroupLimit turns the rank-filter idiom into a
+    // group-limit that prunes rows BEFORE the full window sort — the
+    // free scale win the q10 top-3 shape depends on; pin that it fires
+    val plan = explainText(operators.Relational.top3PerPriority(spark, sfDir))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter did not become a group limit:\n$plan")
+  }
+
+  test("sole-blame supplier query is one fact-fact shuffle plus broadcast name lookup") {
+    val plan = explainText(operators.TradeAnalytics.soleBlameSuppliers(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"supplier dim must broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"Q21 shape must not fall back to correlated self-joins:\n$plan")
+  }
+
   test("blocked Levenshtein self-join is an equi join on the block key, never all-pairs") {
     val plan = explainText(operators.Dedup.blockedLevPairs(spark, sfDir))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

@@ -228,6 +228,32 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(gini >= 0 && gini < 1)
   }
 
+  test("q151 sole-blame equals an order-by-order EXISTS/NOT-EXISTS recompute") {
+    val li = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // the TPC-H Q21 spelling: supplier s is blamed for order o iff s was
+    // late in o, another supplier exists in o, and no other supplier was
+    // late in o — recomputed literally, per order
+    val blame = li.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val supps = rows.map(_._2).distinct
+      val lateSupps = rows.filter(_._3).map(_._2).distinct
+      lateSupps.filter(s => supps.exists(_ != s) && lateSupps.forall(_ == s))
+    }
+    val names = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = blame.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (s, n) => (names(s), n) }
+      .sortBy { case (nm, n) => (-n, nm) }.take(20)
+    val got = TradeAnalytics.soleBlameSuppliers(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_blamed_orders"))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("q138 RRF score recomputes from the emitted ranks and is ordered") {
     val rows = TradeAnalytics.rrfFusion(spark, sfDir).collect()
     assert(rows.length === 20)
