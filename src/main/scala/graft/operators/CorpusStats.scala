@@ -380,6 +380,70 @@ object CorpusStats extends QueryModule {
       |  round(mx.d_num::DOUBLE / (t.n1 * t.n2), 6) AS ks_d
       |FROM mx CROSS JOIN tot t""".stripMargin
 
+  private val lodAlpha0 = 1000.0 // Dirichlet prior mass
+
+  /** q155: distinguishing words by weighted log-odds with an informative
+    * Dirichlet prior (Monroe–Colaresi–Quinn "Fightin' Words") — which
+    * words mark the `src0` slice against the rest of the corpus. The
+    * standard tool for corpus comparison because raw log-odds over-rank
+    * rare words: the background-proportional prior α_w = α₀·c_w/N
+    * shrinks rare-word estimates, and the z-score divides by the
+    * estimated variance 1/(y₀+α_w) + 1/(y₁+α_w). Emits the top 20 by
+    * z (most src0-distinctive); counts are exact integers, each float
+    * is one fixed-shape expression, ordering is on the ROUNDED z so
+    * cross-engine order agrees.
+    *
+    * Scale: everything reduces to the word-keyed (y₀, y₁) count table;
+    * the corpus-wide totals broadcast as a single-row cross join.
+    */
+  def logOddsWords(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select((col("source") === "src0").as("is_t"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("y0"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("y1"))
+    val tot = counts.agg(sum(col("y0")).as("n0"), sum(col("y1")).as("n1"))
+    val aw = lit(lodAlpha0) * (col("y0") + col("y1")) / (col("n0") + col("n1"))
+    val delta =
+      log((col("y0") + col("__aw")) /
+        (col("n0") + lodAlpha0 - col("y0") - col("__aw"))) -
+        log((col("y1") + col("__aw")) /
+          (col("n1") + lodAlpha0 - col("y1") - col("__aw")))
+    val sigma2 = lit(1.0) / (col("y0") + col("__aw")) +
+      lit(1.0) / (col("y1") + col("__aw"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__aw", aw)
+      .withColumn("z", round(delta / sqrt(sigma2), 4))
+      .select(col("w"), col("y0").cast("bigint").as("y0"),
+        col("y1").cast("bigint").as("y1"), col("z"))
+      .orderBy(col("z").desc, col("w"))
+      .limit(20)
+  }
+
+  private val logOddsWordsSql =
+    s"""WITH counts AS (
+       |  SELECT w,
+       |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS y0,
+       |    sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END)::BIGINT AS y1
+       |  FROM (SELECT source = 'src0' AS is_t,
+       |          unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w
+       |), tot AS (
+       |  SELECT sum(y0)::BIGINT AS n0, sum(y1)::BIGINT AS n1 FROM counts
+       |), z AS (
+       |  SELECT w, y0, y1,
+       |    round((ln((y0 + aw) / (n0 + $lodAlpha0::DOUBLE - y0 - aw))
+       |         - ln((y1 + aw) / (n1 + $lodAlpha0::DOUBLE - y1 - aw)))
+       |      / sqrt(1.0::DOUBLE / (y0 + aw) + 1.0::DOUBLE / (y1 + aw)), 4) AS z
+       |  FROM (
+       |    SELECT w, y0, y1, n0, n1,
+       |      $lodAlpha0::DOUBLE * (y0 + y1) / (n0 + n1) AS aw
+       |    FROM counts CROSS JOIN tot)
+       |)
+       |SELECT w, y0, y1, z FROM z
+       |ORDER BY z DESC, w LIMIT 20""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q93_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
     QueryDef("q94_source_entropy", sourceEntropy, Some(sourceEntropySql)),
@@ -388,5 +452,6 @@ object CorpusStats extends QueryModule {
     QueryDef("q129_vocab_drift", vocabDrift, Some(vocabDriftSql)),
     QueryDef("q139_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
     QueryDef("q140_ks_length_test", ksLengthTest, Some(ksLengthTestSql)),
+    QueryDef("q155_log_odds_words", logOddsWords, Some(logOddsWordsSql)),
   )
 }

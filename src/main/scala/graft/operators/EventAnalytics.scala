@@ -668,6 +668,70 @@ object EventAnalytics extends QueryModule {
        |  round(sum(converted)::DOUBLE / count(*), 4) AS conversion_rate
        |FROM v GROUP BY d ORDER BY day""".stripMargin
 
+  private val hourUs = 3600L * 1000000
+
+  /** q152: timed funnel — the deadline variant of q82: first view →
+    * first click within 1 HOUR of that view → first purchase within
+    * 24 HOURS of that click, per user, strictly ordered. Stage
+    * deadlines change the semantics from "ever converted" to "converted
+    * while the intent was live", which is what growth teams actually
+    * track. Each stage is a per-user aggregate (|users|-bounded) joined
+    * to the next event type with a time-band predicate — three tiny
+    * equi-joins on user_id, never an event×event join.
+    */
+  def timedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v0 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c0 = e.filter(col("event_type") === "click")
+      .join(v0, Seq("user_id"))
+      .filter(col("us") > col("v_us") && col("us") <= col("v_us") + hourUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p0 = e.filter(col("event_type") === "purchase")
+      .join(c0, Seq("user_id"))
+      .filter(col("us") > col("c_us") && col("us") <= col("c_us") + 24 * hourUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    val counts = v0.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c0.agg(count(lit(1)).as("n_click_1h")))
+      .crossJoin(p0.agg(count(lit(1)).as("n_purchase_24h")))
+    counts.select(
+      col("n_view").cast("bigint").as("n_view"),
+      col("n_click_1h").cast("bigint").as("n_click_1h"),
+      col("n_purchase_24h").cast("bigint").as("n_purchase_24h"),
+      round(col("n_click_1h").cast("double") / col("n_view"), 4).as("view_to_click"),
+      round(col("n_purchase_24h").cast("double") / col("n_click_1h"), 4)
+        .as("click_to_purchase"))
+  }
+
+  private val timedFunnelSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+       |), v0 AS (
+       |  SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view'
+       |  GROUP BY user_id
+       |), c0 AS (
+       |  SELECT e.user_id, min(e.us) AS c_us
+       |  FROM e JOIN v0 ON e.user_id = v0.user_id
+       |  WHERE e.event_type = 'click'
+       |    AND e.us > v0.v_us AND e.us <= v0.v_us + $hourUs
+       |  GROUP BY e.user_id
+       |), p0 AS (
+       |  SELECT e.user_id, min(e.us) AS p_us
+       |  FROM e JOIN c0 ON e.user_id = c0.user_id
+       |  WHERE e.event_type = 'purchase'
+       |    AND e.us > c0.c_us AND e.us <= c0.c_us + ${24 * hourUs}
+       |  GROUP BY e.user_id
+       |)
+       |SELECT
+       |  (SELECT count(*) FROM v0)::BIGINT AS n_view,
+       |  (SELECT count(*) FROM c0)::BIGINT AS n_click_1h,
+       |  (SELECT count(*) FROM p0)::BIGINT AS n_purchase_24h,
+       |  round((SELECT count(*) FROM c0)::DOUBLE / (SELECT count(*) FROM v0), 4)
+       |    AS view_to_click,
+       |  round((SELECT count(*) FROM p0)::DOUBLE / (SELECT count(*) FROM c0), 4)
+       |    AS click_to_purchase""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -682,6 +746,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q137_concurrency_peaks", concurrencyPeaks, Some(concurrencyPeaksSql)),
     QueryDef("q146_rolling_active_users", rollingActiveUsers, Some(rollingActiveUsersSql)),
     QueryDef("q147_abandoned_carts", abandonedCarts, Some(abandonedCartsSql)),
+    QueryDef("q152_timed_funnel", timedFunnel, Some(timedFunnelSql)),
   )
 
 }

@@ -179,10 +179,61 @@ object Sampling extends QueryModule {
        |  (base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END)::BIGINT AS quota
        |FROM r ORDER BY source""".stripMargin
 
+  private val groupSampleK = 2
+
+  /** q153: weighted per-group sampling — k=2 docs per source with
+    * inclusion probability ∝ n_chars, the Efraimidis–Spirakis A-ES key
+    * (ln(u)/w, max-k) applied per stratum. Completes the sampling
+    * matrix: q38 rate-stratified, q101 global weighted, q125 fixed-k
+    * uniform, q153 fixed-k weighted. Deterministic md5-derived
+    * uniforms make it partition/retry-stable like its siblings.
+    *
+    * Scale: per-group rank via window over the (source)-partitioned
+    * relation — at extreme group sizes the rank ≤ k filter becomes a
+    * per-group top-k aggregation (the q42 TopK shape); the window form
+    * keeps the oracle exactly replayable.
+    */
+  def weightedGroupSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("k").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"))
+      .withColumn("u", (col("h") + 1).cast("double") / lit(two60).cast("double"))
+      .withColumn("k", log(col("u")) / col("n_chars"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= groupSampleK)
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+        round(col("k") * 1000, 4).as("key_x1000"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  private val weightedGroupSampleSql =
+    s"""WITH h AS (
+       |  SELECT source, doc_id, n_chars,
+       |    list_reduce(list_transform(generate_series(1, 15),
+       |        i -> strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), i, 1)) - 1),
+       |      (acc, d) -> acc * 16 + d) AS h
+       |  FROM documents
+       |), k AS (
+       |  SELECT source, doc_id, n_chars,
+       |    ln((h + 1)::DOUBLE / $two60) / n_chars AS k
+       |  FROM h
+       |), r AS (
+       |  SELECT source, doc_id, n_chars, k,
+       |    row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rank
+       |  FROM k
+       |)
+       |SELECT source, rank::INT AS rank, doc_id, n_chars,
+       |  round(k * 1000, 4) AS key_x1000
+       |FROM r WHERE rank <= $groupSampleK
+       |ORDER BY source, rank""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q101_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q102_top_p_sources", topPSources, Some(topPSourcesSql)),
     QueryDef("q125_fixed_k_sample", fixedKSample, Some(fixedKSampleSql)),
     QueryDef("q133_token_budget", tokenBudgetApportion, Some(tokenBudgetApportionSql)),
+    QueryDef("q153_weighted_group_sample", weightedGroupSample, Some(weightedGroupSampleSql)),
   )
 }

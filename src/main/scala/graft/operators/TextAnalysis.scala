@@ -412,6 +412,73 @@ object TextAnalysis extends QueryModule {
       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q154: set-similarity join by PREFIX FILTERING (the PPJoin/AllPairs
+    * candidate scheme) — the second exact join-reduction strategy next
+    * to q35's full inverted index: order every document's shingles by
+    * ascending global document frequency (rarest first, ties by hash),
+    * post ONLY the first |sh| − ⌈t·|sh|⌉ + 1 shingles, and join on
+    * those. The prefix lemma guarantees any pair with Jaccard ≥ t
+    * shares a prefix shingle (per-set α = ⌈t·|shᵢ|⌉ only lengthens the
+    * lemma's prefix, so recall is exact); candidates then verify with
+    * exact Jaccard on the full sets.
+    *
+    * Why it matters at 100 TB: posting volume drops from Σ|sh| to
+    * Σ(0.6·|sh|+1) and — decisively — pair expansion happens only on
+    * RARE shingles, so the Σdf² blowup concentrates where df is small
+    * by construction. Threshold t = 0.4 (vs q35's 0.5) so the two
+    * operators' outputs differ.
+    */
+  def prefixFilterPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), shingles3(col("toks")).as("sh"))
+      .persist() // read by postings once and verification twice
+    val posts = docs.select(col("doc_id"), col("lang"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("shingle"))
+      .select(col("lang"), xxhash64(col("shingle")).as("shash"),
+        col("doc_id"), col("nsh"))
+    val dfTab = posts.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shash"))
+    // prefix length for t = 0.4: nsh - ceil(0.4*nsh) + 1, all integer
+    val prefix = posts.join(dfTab, Seq("shash"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(expr("rn <= nsh - ((2 * nsh + 4) div 5) + 1"))
+    val cands = prefix.groupBy(col("lang"), col("shash"))
+      .agg(collect_list(struct(col("doc_id"), col("nsh"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(
+        graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val prefixFilterPairsSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      |  FROM t WHERE len(toks) >= 3
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+      |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+      |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** End-to-end training-data corpus preparation — the composite a
     * 100 TB pipeline runs nightly, chaining the individual operators:
     *  1. quality gate: ≥10 tokens and quality score ≥ 0.3 (q32 scoring);
@@ -834,5 +901,6 @@ object TextAnalysis extends QueryModule {
     QueryDef("q67_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     QueryDef("q142_classifier_prf", classifierPrf, Some(classifierPrfSql)),
     QueryDef("q143_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("q154_prefix_filter_join", prefixFilterPairs, Some(prefixFilterPairsSql)),
   )
 }

@@ -104,6 +104,31 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("q155 log-odds z-scores recompute from exact counts") {
+    val cnt = words.collect().map(r => (r.getString(1) == "src0", r.getString(2)))
+    val y0 = cnt.filter(_._1).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val y1 = cnt.filterNot(_._1).groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val (n0, n1) = (y0.values.sum, y1.values.sum)
+    def z(w: String): Double = {
+      val (a, b) = (y0.getOrElse(w, 0L), y1.getOrElse(w, 0L))
+      val aw = 1000.0 * (a + b) / (n0 + n1)
+      val d = math.log((a + aw) / (n0 + 1000.0 - a - aw)) -
+        math.log((b + aw) / (n1 + 1000.0 - b - aw))
+      d / math.sqrt(1.0 / (a + aw) + 1.0 / (b + aw))
+    }
+    val rows = CorpusStats.logOddsWords(spark, sfDir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("z") - z(r.getString(0))) < 1e-3)
+      assert(r.getAs[Long]("y0") === y0.getOrElse(r.getString(0), 0L))
+    }
+    // top-20 by z equals the brute-force top-20 (rounded-z ordering)
+    val vocab = (y0.keySet ++ y1.keySet).toSeq
+    val want = vocab.map(w => (w, math.rint(z(w) * 10000) / 10000))
+      .sortBy { case (w, zz) => (-zz, w) }.take(20).map(_._1)
+    assert(rows.map(_.getString(0)).toSeq === want)
+  }
+
   test("KS length test: equals the brute-force ECDF max gap and its location") {
     val lens = Tables.documents(spark, sfDir)
       .select(col("source"), col("n_chars"))

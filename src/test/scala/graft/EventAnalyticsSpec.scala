@@ -230,4 +230,33 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(math.abs(rate - c.toDouble / v) < 1e-4)
     }
   }
+
+  test("q152 timed funnel equals a per-user deadline recompute and is monotone") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val hour = 3600L * 1000000
+    val byUser = ev.groupBy(_._1)
+    var (nv, nc, np) = (0L, 0L, 0L)
+    byUser.values.foreach { rows =>
+      val views = rows.filter(_._2 == "view").map(_._3)
+      if (views.nonEmpty) {
+        nv += 1
+        val v0 = views.min
+        val clicks = rows.filter(r => r._2 == "click" && r._3 > v0 && r._3 <= v0 + hour)
+          .map(_._3)
+        if (clicks.nonEmpty) {
+          nc += 1
+          val c0 = clicks.min
+          if (rows.exists(r => r._2 == "purchase" && r._3 > c0 && r._3 <= c0 + 24 * hour))
+            np += 1
+        }
+      }
+    }
+    val r = EventAnalytics.timedFunnel(spark, sfDir).head()
+    assert(r.getAs[Long]("n_view") === nv)
+    assert(r.getAs[Long]("n_click_1h") === nc)
+    assert(r.getAs[Long]("n_purchase_24h") === np)
+    assert(nv >= nc && nc >= np, "funnel stages are monotone")
+  }
 }

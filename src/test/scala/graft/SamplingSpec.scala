@@ -70,4 +70,28 @@ class SamplingSpec extends SparkSpec {
         s"${r.getString(0)}: quota $q vs proportional $exact")
     }
   }
+
+  test("q153: exactly k per source, A-ES keys recompute, rerun-stable") {
+    val rows = Sampling.weightedGroupSample(spark, sfDir).collect()
+    val perSource = rows.groupBy(_.getString(0))
+    val nSources = Tables.documents(spark, sfDir)
+      .select("source").distinct().count()
+    assert(perSource.size === nSources)
+    perSource.values.foreach(g => assert(g.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2)))
+    // keys recompute from the md5-derived uniform
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+      val u = (h + 1).toDouble / 1152921504606846976L.toDouble
+      val k = math.log(u) / r.getAs[Long]("n_chars")
+      assert(math.abs(r.getAs[Double]("key_x1000") - k * 1000) < 1e-3)
+    }
+    // deterministic: a second run returns the identical sample
+    val again = Sampling.weightedGroupSample(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(again === rows.map(_.getAs[Long]("doc_id")).toSeq)
+  }
 }

@@ -160,6 +160,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(total === Tables.documents(spark, sfDir).count())
   }
 
+  test("q154 prefix filtering finds exactly the all-pairs Jaccard>=0.4 result") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+      .filter(_._3.length >= 3)
+      .map { case (id, lang, t) =>
+        (id, lang, t.sliding(3).map(_.mkString(" ")).toSet)
+      }
+    val want = (for {
+      a <- docs; b <- docs
+      if a._1 < b._1 && a._2 == b._2
+      j = (a._3 & b._3).size.toDouble / (a._3 | b._3).size if j >= 0.4
+    } yield (a._1, b._1, math.rint(j * 10000) / 10000)).toSet
+    val got = TextAnalysis.prefixFilterPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+    // q35 (t=0.5) must be a subset of this t=0.4 result
+    val strict = TextAnalysis.jaccardPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(strict.subsetOf(got.map(p => (p._1, p._2))))
+  }
+
   test("q142 classifier PRF reconciles with the q33 confusion matrix") {
     val m = TextAnalysis.langId(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_docs")))
