@@ -732,6 +732,102 @@ object EventAnalytics extends QueryModule {
        |  round((SELECT count(*) FROM p0)::DOUBLE / (SELECT count(*) FROM c0), 4)
        |    AS click_to_purchase""".stripMargin
 
+  /** q157: interval-union coverage — per day, how many microseconds had
+    * AT LEAST ONE session open (the union length of overlapping session
+    * intervals) next to the summed session time — the utilization /
+    * billable-time metric interval overlap makes non-trivial. Sessions
+    * are half-open [start, end+1) so a single-event session covers 1 µs;
+    * split at midnight like q137. The sweep collapses points per
+    * distinct timestamp first (no tie ordering at all), then one
+    * cumulative window + lead(): a gap [t, next_t) counts as covered
+    * iff the running session count is positive. Exact integers
+    * throughout; partition-parallel by day.
+    */
+  def coverageTime(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionize(spark, dir)
+    val segs = sessions
+      .select(col("start_us"), (col("end_us") + 1).as("end_ex"),
+        explode(expr(s"sequence(start_us div $dayUs, (end_us) div $dayUs)")).as("d"))
+      .select(col("d"),
+        greatest(col("start_us"), col("d") * dayUs).as("s"),
+        least(col("end_ex"), (col("d") + 1) * dayUs).as("e"))
+    val points = segs.select(col("d"), col("s").as("t"), lit(1L).as("delta"))
+      .unionByName(segs.select(col("d"), col("e").as("t"), lit(-1L).as("delta")))
+      .groupBy(col("d"), col("t")).agg(sum(col("delta")).as("delta"))
+    val w = Window.partitionBy(col("d")).orderBy(col("t"))
+    val sweep = points
+      .withColumn("running", sum(col("delta")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_t", lead(col("t"), 1).over(w))
+      .withColumn("covered",
+        when(col("running") > 0 && col("next_t").isNotNull,
+          col("next_t") - col("t")).otherwise(0L))
+    val perDay = sweep.groupBy(col("d"))
+      .agg(sum(col("covered")).as("busy_us"))
+    val mass = segs.groupBy(col("d")).agg(sum(col("e") - col("s")).as("session_us"),
+      count(lit(1)).as("n_segments"))
+    perDay.join(mass, Seq("d"))
+      .select(expr("date_add(DATE '1970-01-01', CAST(d AS INT))").as("day"),
+        col("n_segments").cast("bigint").as("n_segments"),
+        col("busy_us").cast("bigint").as("busy_us"),
+        col("session_us").cast("bigint").as("session_us"),
+        round(col("session_us").cast("double") / col("busy_us"), 4)
+          .as("avg_overlap"))
+      .orderBy(col("day"))
+  }
+
+  private val coverageTimeSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+       |), b AS (
+       |  SELECT user_id, event_id, us,
+       |    CASE WHEN lag(us) OVER w IS NULL THEN 1
+       |         WHEN us - lag(us) OVER w > $sessionGapUs THEN 1
+       |         ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), s AS (
+       |  SELECT user_id, us,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                   ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM b
+       |), sess AS (
+       |  SELECT min(us) AS start_us, max(us) + 1 AS end_ex
+       |  FROM s GROUP BY user_id, session_id
+       |), segs AS (
+       |  SELECT unnest(generate_series(start_us // $dayUs, (end_ex - 1) // $dayUs)) AS d,
+       |    start_us, end_ex
+       |  FROM sess
+       |), seg2 AS (
+       |  SELECT d, greatest(start_us, d * $dayUs) AS s,
+       |    least(end_ex, (d + 1) * $dayUs) AS e
+       |  FROM segs
+       |), points AS (
+       |  SELECT d, t, sum(delta) AS delta FROM (
+       |    SELECT d, s AS t, 1 AS delta FROM seg2
+       |    UNION ALL
+       |    SELECT d, e AS t, -1 AS delta FROM seg2)
+       |  GROUP BY d, t
+       |), sweep AS (
+       |  SELECT d,
+       |    CASE WHEN sum(delta) OVER (PARTITION BY d ORDER BY t
+       |           ROWS UNBOUNDED PRECEDING) > 0
+       |          AND lead(t) OVER (PARTITION BY d ORDER BY t) IS NOT NULL
+       |         THEN lead(t) OVER (PARTITION BY d ORDER BY t) - t
+       |         ELSE 0 END AS covered
+       |  FROM points
+       |), busy AS (
+       |  SELECT d, sum(covered)::BIGINT AS busy_us FROM sweep GROUP BY d
+       |), mass AS (
+       |  SELECT d, sum(e - s)::BIGINT AS session_us,
+       |    count(*)::BIGINT AS n_segments
+       |  FROM seg2 GROUP BY d
+       |)
+       |SELECT DATE '1970-01-01' + busy.d::INT AS day,
+       |  mass.n_segments, busy.busy_us, mass.session_us,
+       |  round(mass.session_us::DOUBLE / busy.busy_us, 4) AS avg_overlap
+       |FROM busy JOIN mass ON busy.d = mass.d
+       |ORDER BY day""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -747,6 +843,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q146_rolling_active_users", rollingActiveUsers, Some(rollingActiveUsersSql)),
     QueryDef("q147_abandoned_carts", abandonedCarts, Some(abandonedCartsSql)),
     QueryDef("q152_timed_funnel", timedFunnel, Some(timedFunnelSql)),
+    QueryDef("q157_coverage_time", coverageTime, Some(coverageTimeSql)),
   )
 
 }

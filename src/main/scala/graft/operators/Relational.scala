@@ -226,6 +226,60 @@ object Relational extends QueryModule {
       |QUALIFY rank_in_priority <= 3
       |ORDER BY o_orderpriority, rank_in_priority""".stripMargin
 
+  /** q156: top-3 customers per nation by total spend — computed with the
+    * typed partial top-k Aggregator (functions.TopKBySim) instead of a
+    * window: `groupByKey(nation).mapValues((custkey, cents)).agg(topK)`
+    * keeps a 3-bounded buffer per nation ON EACH MAP TASK, so only
+    * |nations|·3 candidate rows cross the shuffle — where the window
+    * form (q10's shape) sorts every customer row within its nation
+    * partition. Same deterministic result (cents desc, key asc ties);
+    * the oracle is the window SQL, proving the two forms equivalent.
+    * This is the relational twin of q42's KNN aggregation — the
+    * demonstration that partial top-k applies to ANY per-group ranking,
+    * not just similarity search. Spend cents ride in the aggregator's
+    * double slot (exact to 2^53).
+    */
+  def topSpendersPerNationAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+    val nations = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val ds = spend.join(nations, col("o_custkey") === col("c_custkey"))
+      .select(col("n_name"), col("o_custkey"), col("cents"))
+      .as[(String, Long, Long)]
+    val topK = new graft.functions.TopKBySim(3)
+    ds.groupByKey(_._1)
+      .mapValues(v => (v._2, v._3.toDouble))
+      .agg(topK.toColumn.name("top"))
+      .toDF("n_name", "top")
+      .select(col("n_name"), posexplode(col("top")))
+      .select(col("n_name"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").as("o_custkey"),
+        col("col._2").cast("bigint").as("spend_cents"))
+      .orderBy(col("n_name"), col("rank"))
+  }
+
+  private val topSpendersPerNationAggSql =
+    """WITH spend AS (
+      |  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+      |  FROM orders GROUP BY o_custkey
+      |), j AS (
+      |  SELECT n.n_name, s.o_custkey, s.cents
+      |  FROM spend s
+      |  JOIN customer c ON s.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |)
+      |SELECT n_name,
+      |  (row_number() OVER (PARTITION BY n_name
+      |                      ORDER BY cents DESC, o_custkey))::INT AS rank,
+      |  o_custkey, cents AS spend_cents
+      |FROM j QUALIFY rank <= 3
+      |ORDER BY n_name, rank""".stripMargin
+
   /** Running-total analytic window over each customer's order history. */
   def runningCustomerSpend(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -1074,6 +1128,8 @@ object Relational extends QueryModule {
     QueryDef("q08_distinct_pairs", distinctSegmentNation, Some(distinctSegmentNationSql)),
     QueryDef("q09_dedup_first_order", firstOrderPerCustomer, Some(firstOrderPerCustomerSql)),
     QueryDef("q10_window_top3", top3PerPriority, Some(top3PerPrioritySql)),
+    QueryDef("q156_topk_agg_per_group", topSpendersPerNationAgg,
+      Some(topSpendersPerNationAggSql)),
     QueryDef("q11_window_running_total", runningCustomerSpend, Some(runningCustomerSpendSql), benchmark = true),
     QueryDef("q12_topk_orders", top20Orders, Some(top20OrdersSql)),
     QueryDef("q13_union_distinct", unionSegments, Some(unionSegmentsSql)),

@@ -259,4 +259,35 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_purchase_24h") === np)
     assert(nv >= nc && nc >= np, "funnel stages are monotone")
   }
+
+  test("q157 coverage equals a brute-force interval union per day") {
+    val dayUs = 86400000000L
+    val sessions = EventAnalytics.sessionize(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("start_us"), r.getAs[Long]("end_us") + 1))
+    val segs = sessions.flatMap { case (s, e) =>
+      (s / dayUs to (e - 1) / dayUs).map { d =>
+        (d, math.max(s, d * dayUs), math.min(e, (d + 1) * dayUs))
+      }
+    }
+    val want = segs.groupBy(_._1).view.mapValues { g =>
+      val sorted = g.map(x => (x._2, x._3)).sortBy(_._1)
+      // classic merge-intervals union length
+      var (busy, curS, curE) = (0L, sorted.head._1, sorted.head._2)
+      sorted.drop(1).foreach { case (s, e) =>
+        if (s > curE) { busy += curE - curS; curS = s; curE = e }
+        else curE = math.max(curE, e)
+      }
+      busy += curE - curS
+      (g.length.toLong, busy, g.map(x => x._3 - x._2).sum)
+    }.toMap
+    val got = EventAnalytics.coverageTime(spark, sfDir).collect().map { r =>
+      r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay ->
+        (r.getAs[Long]("n_segments"), r.getAs[Long]("busy_us"),
+          r.getAs[Long]("session_us"))
+    }.toMap
+    assert(got === want)
+    got.values.foreach { case (_, busy, mass) =>
+      assert(busy <= mass && busy <= dayUs)
+    }
+  }
 }

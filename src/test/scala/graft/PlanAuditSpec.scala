@@ -187,6 +187,16 @@ class PlanAuditSpec extends SparkSpec {
       s"Q21 shape must not fall back to correlated self-joins:\n$plan")
   }
 
+  test("aggregator top-k per group never materializes a Window sort") {
+    val plan = explainText(operators.Relational.topSpendersPerNationAgg(spark, sfDir))
+    assert(!plan.contains("Window"),
+      s"q156 must rank via the partial top-k aggregator, not a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed TopK aggregation missing:\n$plan")
+    assert(plan.toLowerCase.contains("partial_topkbysim"),
+      s"top-k lost its partial (map-side) half:\n$plan")
+  }
+
   test("blocked Levenshtein self-join is an equi join on the block key, never all-pairs") {
     val plan = explainText(operators.Dedup.blockedLevPairs(spark, sfDir))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

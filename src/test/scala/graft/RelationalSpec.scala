@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
   */
 class RelationalSpec extends SparkSpec {
 
+  test("q156 aggregator top-k equals the window-form top-3 per nation") {
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nation = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = spend.toSeq.flatMap { case (ck, c) => nation.get(ck).map(n => (n, ck, c)) }
+      .groupBy(_._1).toSeq.flatMap { case (n, g) =>
+        g.sortBy(x => (-x._3, x._2)).take(3).zipWithIndex
+          .map { case ((_, ck, c), i) => (n, i + 1, ck, c) }
+      }.sortBy(x => (x._1, x._2))
+    val got = graft.operators.Relational.topSpendersPerNationAgg(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        r.getAs[Long]("o_custkey"), r.getAs[Long]("spend_cents"))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("semi-join big spenders and anti-join no-orders partition consistently") {
     val customers = Tables.customer(spark, sfDir).count()
     val withOrders = Tables.orders(spark, sfDir).select(col("o_custkey")).distinct().count()
