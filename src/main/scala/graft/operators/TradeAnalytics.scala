@@ -713,6 +713,74 @@ object TradeAnalytics extends QueryModule {
       |GROUP BY s.s_name
       |ORDER BY n_blamed_orders DESC, s_name LIMIT 20""".stripMargin
 
+  /** q158: ratio-of-sums metric with DELTA-METHOD standard error — the
+    * A/B-experimentation workhorse: "revenue per line item" per order
+    * priority is Σrevenue/Σitems, a ratio of sums whose naive per-order
+    * average is biased and whose variance needs the delta method
+    * because numerator and denominator are correlated per order:
+    *   SE² ≈ (s²_y + R²·s²_n − 2R·s_yn) / (k·n̄²),  R = ȳ/n̄.
+    * Everything reduces to five exact moments per group (Σy, Σn, Σy²,
+    * Σn², Σyn — all BIGINT on integer cents/counts) in ONE aggregation
+    * pass, then a fixed-shape double derivation — the same
+    * parity discipline as q119's Welch t.
+    */
+  def ratioMetric(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("bigint")).as("y"))
+    val m = perOrder.groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("y")).as("sy"), sum(col("n")).as("sn"),
+        // y² fits int64 (≤~2.5e15) but Σy² can overflow it at scale —
+        // sum in decimal(38,0) (HUGEINT on the oracle side), then double
+        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy"),
+        sum(col("n") * col("n")).as("snn"),
+        sum(col("y") * col("n")).as("syn"))
+    m.withColumn("my", col("sy").cast("double") / col("k"))
+      .withColumn("mn", col("sn").cast("double") / col("k"))
+      .withColumn("r", col("my") / col("mn"))
+      .withColumn("vy", (col("syy") - col("sy").cast("double") * col("sy") / col("k"))
+        / (col("k") - 1))
+      .withColumn("vn", (col("snn") - col("sn").cast("double") * col("sn") / col("k"))
+        / (col("k") - 1))
+      .withColumn("vyn", (col("syn") - col("sy").cast("double") * col("sn") / col("k"))
+        / (col("k") - 1))
+      .select(col("priority"), col("k").cast("bigint").as("n_orders"),
+        round(col("r") / 100, 4).as("rev_per_item_d"),
+        round(sqrt((col("vy") + col("r") * col("r") * col("vn")
+          - lit(2.0) * col("r") * col("vyn"))
+          / (col("k") * col("mn") * col("mn"))) / 100, 4).as("se_d"))
+      .orderBy(col("priority"))
+  }
+
+  private val ratioMetricSql =
+    """WITH per_order AS (
+      |  SELECT o_orderkey, o_orderpriority, count(*)::BIGINT AS n,
+      |    sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS y
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY o_orderkey, o_orderpriority
+      |), m AS (
+      |  SELECT o_orderpriority AS priority, count(*)::BIGINT AS k,
+      |    sum(y)::BIGINT AS sy, sum(n)::BIGINT AS sn,
+      |    sum(y * y)::DOUBLE AS syy, sum(n * n)::BIGINT AS snn,
+      |    sum(y * n)::BIGINT AS syn
+      |  FROM per_order GROUP BY o_orderpriority
+      |), d AS (
+      |  SELECT priority, k, sy::DOUBLE / k AS my, sn::DOUBLE / k AS mn,
+      |    (sy::DOUBLE / k) / (sn::DOUBLE / k) AS r,
+      |    (syy - sy::DOUBLE * sy / k) / (k - 1) AS vy,
+      |    (snn - sn::DOUBLE * sn / k) / (k - 1) AS vn,
+      |    (syn - sy::DOUBLE * sn / k) / (k - 1) AS vyn
+      |  FROM m
+      |)
+      |SELECT priority, k AS n_orders,
+      |  round(r / 100, 4) AS rev_per_item_d,
+      |  round(sqrt((vy + r * r * vn - 2.0::DOUBLE * r * vyn)
+      |    / (k * mn * mn)) / 100, 4) AS se_d
+      |FROM d ORDER BY priority""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -728,5 +796,6 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q145_revenue_growth", revenueGrowth, Some(revenueGrowthSql)),
     QueryDef("q149_lorenz_gini", lorenzGini, Some(lorenzGiniSql)),
     QueryDef("q151_sole_blame_suppliers", soleBlameSuppliers, Some(soleBlameSuppliersSql)),
+    QueryDef("q158_ratio_metric", ratioMetric, Some(ratioMetricSql)),
   )
 }

@@ -254,6 +254,32 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q158 ratio metric and delta-method SE match a driver recompute") {
+    val per = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("y"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val rows = TradeAnalytics.ratioMetric(spark, sfDir).collect()
+    rows.foreach { row =>
+      val g = per.filter(_._1 == row.getString(0))
+      val k = g.length.toDouble
+      val ys = g.map(_._3.toDouble); val ns = g.map(_._2.toDouble)
+      val (my, mn) = (ys.sum / k, ns.sum / k)
+      val r = my / mn
+      def v(a: Array[Double], b: Array[Double]) =
+        (a.zip(b).map(p => p._1 * p._2).sum - a.sum * b.sum / k) / (k - 1)
+      val se = math.sqrt((v(ys, ys) + r * r * v(ns, ns) - 2 * r * v(ys, ns))
+        / (k * mn * mn))
+      assert(row.getAs[Long]("n_orders") === g.length)
+      assert(math.abs(row.getAs[Double]("rev_per_item_d") - r / 100) < 1e-3)
+      assert(math.abs(row.getAs[Double]("se_d") - se / 100) < 1e-3)
+      assert(row.getAs[Double]("se_d") > 0)
+    }
+    assert(rows.length === 5)
+  }
+
   test("q138 RRF score recomputes from the emitted ranks and is ordered") {
     val rows = TradeAnalytics.rrfFusion(spark, sfDir).collect()
     assert(rows.length === 20)
