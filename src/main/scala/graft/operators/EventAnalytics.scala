@@ -828,6 +828,55 @@ object EventAnalytics extends QueryModule {
        |FROM busy JOIN mass ON busy.d = mass.d
        |ORDER BY day""".stripMargin
 
+  /** q161: session exit rates — for each event type, how often is it
+    * the LAST event of a session (the Markov absorption/abandonment
+    * signal that q104's transition matrix normalizes away)? Reuses
+    * q81's sessionization sort order: the last-in-session flag is one
+    * more window on the same (user, time) sort, so the whole query
+    * still costs a single partition sort plus one constant-sized
+    * aggregation.
+    */
+  def exitRates(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val tagged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(w) > sessionGapUs, 1)
+          .when(lag(col("us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("next_brk",
+        coalesce(lead(col("brk"), 1).over(w), lit(1)))
+    tagged.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("next_brk")).as("n_session_ends"))
+      .select(col("event_type"), col("n_events").cast("bigint").as("n_events"),
+        col("n_session_ends").cast("bigint").as("n_session_ends"),
+        round(col("n_session_ends").cast("double") / col("n_events"), 4)
+          .as("exit_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  private val exitRatesSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+       |), b AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |    CASE WHEN lag(us) OVER w IS NULL THEN 1
+       |         WHEN us - lag(us) OVER w > $sessionGapUs THEN 1
+       |         ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), t AS (
+       |  SELECT event_type,
+       |    coalesce(lead(brk) OVER (PARTITION BY user_id ORDER BY us, event_id),
+       |      1) AS next_brk
+       |  FROM b
+       |)
+       |SELECT event_type, count(*)::BIGINT AS n_events,
+       |  sum(next_brk)::BIGINT AS n_session_ends,
+       |  round(sum(next_brk)::DOUBLE / count(*), 4) AS exit_rate
+       |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -844,6 +893,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q147_abandoned_carts", abandonedCarts, Some(abandonedCartsSql)),
     QueryDef("q152_timed_funnel", timedFunnel, Some(timedFunnelSql)),
     QueryDef("q157_coverage_time", coverageTime, Some(coverageTimeSql)),
+    QueryDef("q161_exit_rates", exitRates, Some(exitRatesSql)),
   )
 
 }

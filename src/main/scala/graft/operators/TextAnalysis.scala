@@ -479,6 +479,130 @@ object TextAnalysis extends QueryModule {
       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
+  /** q159: BM25 scoring — the lexical-retrieval baseline (tf saturation
+    * via k1, length normalization via b) that completes the ranking
+    * stack next to q67's TF-IDF and the embedding-space searches
+    * (q42/q43/q45). The "query" is the corpus's own top-3 words by
+    * frequency (deterministic, tie→word), standing in for a user query.
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)) so scores stay positive.
+    *
+    * Scale shape: the query-term table is k rows → broadcast; the
+    * corpus contributes one map pass (tokenize, filter to query terms,
+    * tf per doc-term) and a doc-keyed partial aggregation; the final
+    * top-20 is a TakeOrderedAndProject. Corpus stats (N, avg length)
+    * ride along as a broadcast single-row cross join.
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("len", size(col("toks")))
+      .persist() // scanned by stats, query terms, and scoring
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(col("len").cast("double")).as("avglen"))
+    val words = docs.select(col("doc_id"), col("len"),
+      explode(col("toks")).as("w"))
+    val queryTerms = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(3).select(col("w"))
+    val df = words.join(broadcast(queryTerms), Seq("w"))
+      .groupBy(col("w")).agg(count_distinct(col("doc_id")).as("df"))
+    val tf = words.join(broadcast(queryTerms), Seq("w"))
+      .groupBy(col("doc_id"), col("len"), col("w")).agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("s", col("idf") * col("tf") * lit(bm25K1 + 1) /
+        (col("tf") + lit(bm25K1) *
+          (lit(1.0) - bm25B + lit(bm25B) * col("len") / col("avglen"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("s")), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
+      .select(col("doc_id"), col("n_terms_hit").cast("bigint").as("n_terms_hit"),
+        col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val bm25Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS len
+       |  FROM documents
+       |), stats AS (
+       |  SELECT count(*)::BIGINT AS n_docs, avg(len::DOUBLE) AS avglen FROM d
+       |), words AS (
+       |  SELECT doc_id, len, unnest(toks) AS w FROM d
+       |), qt AS (
+       |  SELECT w FROM words GROUP BY w ORDER BY count(*) DESC, w LIMIT 3
+       |), dfx AS (
+       |  SELECT w, count(DISTINCT doc_id)::BIGINT AS df
+       |  FROM words JOIN qt USING (w) GROUP BY w
+       |), tf AS (
+       |  SELECT doc_id, len, w, count(*)::BIGINT AS tf
+       |  FROM words JOIN qt USING (w) GROUP BY doc_id, len, w
+       |), scored AS (
+       |  SELECT tf.doc_id,
+       |    ln(1.0::DOUBLE + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+       |      * tf.tf * ($bm25K1 + 1) /
+       |      (tf.tf + $bm25K1 * (1.0::DOUBLE - $bm25B + $bm25B * tf.len / stats.avglen))
+       |      AS s
+       |  FROM tf JOIN dfx USING (w) CROSS JOIN stats
+       |)
+       |SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+       |  round(sum(s), 4) AS bm25
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  /** q162: word burstiness — the Fano factor (variance-to-mean ratio of
+    * per-document counts, zeros included) of the corpus's top-20 words:
+    * VMR ≈ 1 means Poisson scatter; VMR ≫ 1 flags bursty/templated
+    * words concentrated in few documents — a boilerplate signal that
+    * pure frequency (q31) misses. Population variance from exact
+    * integer Σx and Σx² over the (word, doc) count table; zero-docs
+    * enter through the corpus-wide N, never materialized.
+    */
+  def wordBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("x"))
+    perDoc.groupBy(col("w"))
+      .agg(sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"),
+        count(lit(1)).as("n_docs_hit"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("mean", col("sx").cast("double") / col("n_docs"))
+      .withColumn("vmr",
+        (col("sxx").cast("double") / col("n_docs") - col("mean") * col("mean"))
+          / col("mean"))
+      .select(col("w"), col("sx").cast("bigint").as("count"),
+        col("n_docs_hit").cast("bigint").as("n_docs_hit"),
+        round(col("vmr"), 4).as("fano_vmr"))
+      .orderBy(col("count").desc, col("w"))
+      .limit(20)
+  }
+
+  private val wordBurstinessSql =
+    """WITH nd AS (
+      |  SELECT count(*)::BIGINT AS n_docs FROM documents
+      |), per_doc AS (
+      |  SELECT w, doc_id, count(*)::BIGINT AS x FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w, doc_id
+      |), agg AS (
+      |  SELECT w, sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+      |    count(*)::BIGINT AS n_docs_hit
+      |  FROM per_doc GROUP BY w
+      |), v AS (
+      |  SELECT w, sx, n_docs_hit,
+      |    (sxx::DOUBLE / n_docs - (sx::DOUBLE / n_docs) * (sx::DOUBLE / n_docs))
+      |      / (sx::DOUBLE / n_docs) AS vmr
+      |  FROM agg CROSS JOIN nd
+      |)
+      |SELECT w, sx AS count, n_docs_hit, round(vmr, 4) AS fano_vmr
+      |FROM v ORDER BY count DESC, w LIMIT 20""".stripMargin
+
   /** End-to-end training-data corpus preparation — the composite a
     * 100 TB pipeline runs nightly, chaining the individual operators:
     *  1. quality gate: ≥10 tokens and quality score ≥ 0.3 (q32 scoring);
@@ -902,5 +1026,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("q142_classifier_prf", classifierPrf, Some(classifierPrfSql)),
     QueryDef("q143_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q154_prefix_filter_join", prefixFilterPairs, Some(prefixFilterPairsSql)),
+    QueryDef("q159_bm25", bm25, Some(bm25Sql)),
+    QueryDef("q162_word_burstiness", wordBurstiness, Some(wordBurstinessSql)),
   )
 }

@@ -781,6 +781,65 @@ object TradeAnalytics extends QueryModule {
       |    / (k * mn * mn)) / 100, 4) AS se_d
       |FROM d ORDER BY priority""".stripMargin
 
+  /** q160: categorical dependence — mutual information (nats) and
+    * Cramér's V between order priority and order status, the
+    * effect-size companions to q114's chi-square (which only answers
+    * "is there dependence", not "how much"). MI from the closed form
+    * Σ (n_ij/N)·ln(n_ij·N/(r_i·c_j)); V = √(χ²/(N·(min(r,c)−1))).
+    * One aggregation to the contingency table (constant-sized), then
+    * scalar math — counts exact, each float one fixed expression.
+    */
+  def categoricalDependence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("a"), col("o_orderstatus").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .persist() // |a|×|b| table read by margins and both measures
+    val rows = cells.groupBy(col("a")).agg(sum(col("n")).as("ra"))
+    val cols_ = cells.groupBy(col("b")).agg(sum(col("n")).as("cb"))
+    val tot = cells.agg(sum(col("n")).as("nn"),
+      count_distinct(col("a")).as("ka"), count_distinct(col("b")).as("kb"))
+    val j = cells.join(rows, Seq("a")).join(cols_, Seq("b")).crossJoin(broadcast(tot))
+    val mi = j.select(sum(
+      (col("n").cast("double") / col("nn")) *
+        log(col("n").cast("double") * col("nn") / (col("ra") * col("cb"))))
+      .as("mi"))
+    val chi = j.select(sum(
+      pow(col("n") - col("ra").cast("double") * col("cb") / col("nn"), 2) /
+        (col("ra").cast("double") * col("cb") / col("nn"))).as("chi2"))
+    mi.crossJoin(chi).crossJoin(broadcast(tot))
+      .select(col("nn").cast("bigint").as("n_orders"),
+        col("ka").cast("int").as("n_priorities"),
+        col("kb").cast("int").as("n_statuses"),
+        round(col("mi"), 6).as("mutual_info_nats"),
+        round(sqrt(col("chi2") / (col("nn") *
+          (least(col("ka"), col("kb")) - 1))), 6).as("cramers_v"))
+  }
+
+  private val categoricalDependenceSql =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS a, o_orderstatus AS b, count(*)::BIGINT AS n
+      |  FROM orders GROUP BY 1, 2
+      |), r AS (SELECT a, sum(n)::BIGINT AS ra FROM cells GROUP BY a
+      |), c AS (SELECT b, sum(n)::BIGINT AS cb FROM cells GROUP BY b
+      |), t AS (
+      |  SELECT sum(n)::BIGINT AS nn, count(DISTINCT a)::BIGINT AS ka,
+      |    count(DISTINCT b)::BIGINT AS kb
+      |  FROM cells
+      |), j AS (
+      |  SELECT cells.n, r.ra, c.cb, t.nn, t.ka, t.kb
+      |  FROM cells JOIN r USING (a) JOIN c USING (b) CROSS JOIN t
+      |), mi AS (
+      |  SELECT sum((n::DOUBLE / nn) * ln(n::DOUBLE * nn / (ra * cb))) AS mi
+      |  FROM j
+      |), chi AS (
+      |  SELECT sum(pow(n - ra::DOUBLE * cb / nn, 2) / (ra::DOUBLE * cb / nn)) AS chi2
+      |  FROM j
+      |)
+      |SELECT t.nn AS n_orders, t.ka::INT AS n_priorities, t.kb::INT AS n_statuses,
+      |  round(mi.mi, 6) AS mutual_info_nats,
+      |  round(sqrt(chi.chi2 / (t.nn * (least(t.ka, t.kb) - 1))), 6) AS cramers_v
+      |FROM mi CROSS JOIN chi CROSS JOIN t""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -797,5 +856,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q149_lorenz_gini", lorenzGini, Some(lorenzGiniSql)),
     QueryDef("q151_sole_blame_suppliers", soleBlameSuppliers, Some(soleBlameSuppliersSql)),
     QueryDef("q158_ratio_metric", ratioMetric, Some(ratioMetricSql)),
+    QueryDef("q160_categorical_dependence", categoricalDependence,
+      Some(categoricalDependenceSql)),
   )
 }

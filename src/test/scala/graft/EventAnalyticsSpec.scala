@@ -260,6 +260,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(nv >= nc && nc >= np, "funnel stages are monotone")
   }
 
+  test("q161 exit rates reconcile with sessionize and per-type event counts") {
+    val rows = EventAnalytics.exitRates(spark, sfDir).collect()
+    // session-end mass equals the number of sessions
+    val nSessions = EventAnalytics.sessionize(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_session_ends")).sum === nSessions)
+    // per-type event totals reconcile with the raw table
+    val want = Tables.events(spark, sfDir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") === want(r.getString(0)))
+      val rate = r.getAs[Double]("exit_rate")
+      assert(rate >= 0 && rate <= 1)
+      assert(math.abs(rate - r.getAs[Long]("n_session_ends").toDouble /
+        r.getAs[Long]("n_events")) < 1e-4)
+    }
+  }
+
   test("q157 coverage equals a brute-force interval union per day") {
     val dayUs = 86400000000L
     val sessions = EventAnalytics.sessionize(spark, sfDir).collect()

@@ -184,6 +184,54 @@ class TextAnalysisSpec extends SparkSpec {
     assert(strict.subsetOf(got.map(p => (p._1, p._2))))
   }
 
+  test("q159 BM25 equals a driver-side recompute over the top query terms") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " "))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = docs.length.toDouble
+    val avglen = docs.map(_._2.length).sum / n
+    val counts = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val qterms = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(3).map(_._1)
+    def score(toks: Seq[String]): (Double, Int) = {
+      val tfs = qterms.map(t => t -> toks.count(_ == t)).filter(_._2 > 0)
+      val s = tfs.map { case (t, tf) =>
+        val df = docs.count(_._2.contains(t)).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * toks.length / avglen))
+      }.sum
+      (s, tfs.length)
+    }
+    val want = docs.map { case (id, toks) =>
+      val (s, hits) = score(toks); (id, hits.toLong, math.rint(s * 10000) / 10000)
+    }.filter(_._2 > 0).sortBy(x => (-x._3, x._1)).take(20).toSeq
+    val got = TextAnalysis.bm25(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms_hit"),
+        r.getAs[Double]("bm25"))).toSeq
+    assert(got.map(_._1) === want.map(_._1))
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._2 === w._2)
+      assert(math.abs(g._3 - w._3) < 1e-3)
+    }
+  }
+
+  test("q162 burstiness: Fano factors recompute and VMR>=variance floor") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " "))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = docs.length.toDouble
+    val rows = TextAnalysis.wordBurstiness(spark, sfDir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val w = r.getString(0)
+      val xs = docs.map(_._2.count(_ == w).toDouble)
+      val mean = xs.sum / n
+      val vmr = (xs.map(x => x * x).sum / n - mean * mean) / mean
+      assert(math.abs(r.getAs[Double]("fano_vmr") - vmr) < 1e-3, w)
+      assert(r.getAs[Long]("count") === xs.sum.toLong)
+      assert(r.getAs[Long]("n_docs_hit") === xs.count(_ > 0))
+    }
+  }
+
   test("q142 classifier PRF reconciles with the q33 confusion matrix") {
     val m = TextAnalysis.langId(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_docs")))

@@ -280,6 +280,28 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(rows.length === 5)
   }
 
+  test("q160 MI and Cramér's V recompute from the contingency table") {
+    val cells = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus")).count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val n = cells.values.sum.toDouble
+    val ra = cells.groupBy(_._1._1).view.mapValues(_.values.sum.toDouble).toMap
+    val cb = cells.groupBy(_._1._2).view.mapValues(_.values.sum.toDouble).toMap
+    val mi = cells.map { case ((a, b), c) =>
+      (c / n) * math.log(c * n / (ra(a) * cb(b)))
+    }.sum
+    val chi2 = cells.map { case ((a, b), c) =>
+      val e = ra(a) * cb(b) / n; (c - e) * (c - e) / e
+    }.sum
+    val v = math.sqrt(chi2 / (n * (math.min(ra.size, cb.size) - 1)))
+    val r = TradeAnalytics.categoricalDependence(spark, sfDir).head()
+    assert(r.getAs[Long]("n_orders") === n.toLong)
+    assert(math.abs(r.getAs[Double]("mutual_info_nats") - mi) < 1e-5)
+    assert(math.abs(r.getAs[Double]("cramers_v") - v) < 1e-5)
+    assert(r.getAs[Double]("mutual_info_nats") >= -1e-9)
+    assert(r.getAs[Double]("cramers_v") >= 0 && r.getAs[Double]("cramers_v") <= 1)
+  }
+
   test("q138 RRF score recomputes from the emitted ranks and is ordered") {
     val rows = TradeAnalytics.rrfFusion(spark, sfDir).collect()
     assert(rows.length === 20)
