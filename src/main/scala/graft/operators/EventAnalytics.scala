@@ -877,6 +877,63 @@ object EventAnalytics extends QueryModule {
        |  round(sum(next_brk)::DOUBLE / count(*), 4) AS exit_rate
        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q166: entry-page bounce rates — per session ENTRY event type:
+    * session count, single-event-session (bounce) count, bounce rate.
+    * q161's mirror (exits vs entries) on the same sessionization sort
+    * order: one more window marks session heads, a per-session count
+    * sizes them, and the aggregation is |event types| rows.
+    */
+  def entryBounce(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val tagged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("brk",
+        when(col("us") - lag(col("us"), 1).over(w) > sessionGapUs, 1)
+          .when(lag(col("us"), 1).over(w).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sw = Window.partitionBy(col("user_id"), col("session_id"))
+    tagged
+      .withColumn("n_in_session", count(lit(1)).over(sw))
+      .filter(col("brk") === 1) // session heads only
+      .groupBy(col("event_type").as("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_in_session") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("entry_type"), col("n_sessions").cast("bigint").as("n_sessions"),
+        col("n_bounces").cast("bigint").as("n_bounces"),
+        round(col("n_bounces").cast("double") / col("n_sessions"), 4)
+          .as("bounce_rate"))
+      .orderBy(col("entry_type"))
+  }
+
+  private val entryBounceSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+       |), b AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |    CASE WHEN lag(us) OVER w IS NULL THEN 1
+       |         WHEN us - lag(us) OVER w > $sessionGapUs THEN 1
+       |         ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+       |), s AS (
+       |  SELECT user_id, event_id, event_type, us, brk,
+       |    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                   ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM b
+       |), t AS (
+       |  SELECT event_type, brk,
+       |    count(*) OVER (PARTITION BY user_id, session_id) AS n_in_session
+       |  FROM s
+       |)
+       |SELECT event_type AS entry_type, count(*)::BIGINT AS n_sessions,
+       |  sum(CASE WHEN n_in_session = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+       |  round(sum(CASE WHEN n_in_session = 1 THEN 1 ELSE 0 END)::DOUBLE
+       |        / count(*), 4) AS bounce_rate
+       |FROM t WHERE brk = 1
+       |GROUP BY entry_type ORDER BY entry_type""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -894,6 +951,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q152_timed_funnel", timedFunnel, Some(timedFunnelSql)),
     QueryDef("q157_coverage_time", coverageTime, Some(coverageTimeSql)),
     QueryDef("q161_exit_rates", exitRates, Some(exitRatesSql)),
+    QueryDef("q166_entry_bounce", entryBounce, Some(entryBounceSql)),
   )
 
 }

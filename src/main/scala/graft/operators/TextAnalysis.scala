@@ -603,6 +603,48 @@ object TextAnalysis extends QueryModule {
       |SELECT w, sx AS count, n_docs_hit, round(vmr, 4) AS fano_vmr
       |FROM v ORDER BY count DESC, w LIMIT 20""".stripMargin
 
+  /** q165: keyword-in-context (KWIC) — every occurrence of the corpus's
+    * most frequent word with a ±2-token context window, the concordance
+    * view linguists and data-quality reviewers use to inspect how a
+    * term is actually used. Map-only after the tiny broadcast of the
+    * term: posexplode → filter → slice; positions are 1-based to match
+    * SQL array indexing.
+    */
+  def kwic(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val term = docs.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(1).select(col("w").as("term"))
+    docs.crossJoin(broadcast(term))
+      .select(col("doc_id"), col("term"), col("toks"),
+        size(col("toks")).as("n"), posexplode(col("toks")))
+      .filter(col("col") === col("term"))
+      .withColumn("pos", (col("pos") + 1).cast("int"))
+      .select(col("doc_id"), col("pos"), col("term"),
+        concat_ws(" ", expr(
+          "slice(toks, greatest(pos - 2, 1), least(pos + 2, n) - greatest(pos - 2, 1) + 1)"))
+          .as("context"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  private val kwicSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), term AS (
+      |  SELECT w AS term FROM (
+      |    SELECT unnest(toks) AS w FROM d)
+      |  GROUP BY w ORDER BY count(*) DESC, w LIMIT 1
+      |), hits AS (
+      |  SELECT doc_id, i AS pos, term, toks, len(toks) AS n
+      |  FROM d CROSS JOIN term,
+      |    unnest(generate_series(1, len(toks))) AS t(i)
+      |  WHERE toks[i] = term
+      |)
+      |SELECT doc_id, pos::INT AS pos, term,
+      |  array_to_string(toks[greatest(pos - 2, 1):least(pos + 2, n)], ' ') AS context
+      |FROM hits ORDER BY doc_id, pos""".stripMargin
+
   /** End-to-end training-data corpus preparation — the composite a
     * 100 TB pipeline runs nightly, chaining the individual operators:
     *  1. quality gate: ≥10 tokens and quality score ≥ 0.3 (q32 scoring);
@@ -1028,5 +1070,6 @@ object TextAnalysis extends QueryModule {
     QueryDef("q154_prefix_filter_join", prefixFilterPairs, Some(prefixFilterPairsSql)),
     QueryDef("q159_bm25", bm25, Some(bm25Sql)),
     QueryDef("q162_word_burstiness", wordBurstiness, Some(wordBurstinessSql)),
+    QueryDef("q165_kwic", kwic, Some(kwicSql)),
   )
 }

@@ -840,6 +840,108 @@ object TradeAnalytics extends QueryModule {
       |  round(sqrt(chi.chi2 / (t.nn * (least(t.ka, t.kb) - 1))), 6) AS cramers_v
       |FROM mi CROSS JOIN chi CROSS JOIN t""".stripMargin
 
+  /** q163: tail risk — discrete 95% Value-at-Risk and the conditional
+    * tail mean (CVaR / expected shortfall) of order value per priority.
+    * VaR is the smallest value whose cumulative count reaches
+    * ⌈0.95·k⌉ (exact integer rank over the VALUE-DOMAIN aggregate, the
+    * q123/q99 discipline); CVaR averages the tail in exact cents with
+    * one output division. No floats until the final divide, so both
+    * engines agree bit-for-bit on which value is the VaR.
+    */
+  def varCvar(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("priority")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vals.withColumn("cum", sum(col("c")).over(w))
+    val tot = vals.groupBy(col("priority")).agg(sum(col("c")).as("k"))
+      .withColumn("need", expr("(19 * k + 19) div 20")) // ceil(0.95k)
+    val varRow = cum.join(tot, Seq("priority"))
+      .filter(col("cum") >= col("need"))
+      .groupBy(col("priority"), col("k")).agg(min(col("cents")).as("var_cents"))
+    vals.join(varRow, Seq("priority"))
+      .filter(col("cents") >= col("var_cents"))
+      .groupBy(col("priority"), col("k"), col("var_cents"))
+      .agg(sum(col("c")).as("n_tail"), sum(col("cents") * col("c")).as("tail_cents"))
+      .select(col("priority"), col("k").cast("bigint").as("n_orders"),
+        round(col("var_cents") / lit(100.0), 2).as("var_d"),
+        col("n_tail").cast("bigint").as("n_tail"),
+        round(col("tail_cents").cast("double") / col("n_tail") / 100, 4)
+          .as("cvar_d"))
+      .orderBy(col("priority"))
+  }
+
+  private val varCvarSql =
+    """WITH vals AS (
+      |  SELECT o_orderpriority AS priority,
+      |    round(o_totalprice * 100)::BIGINT AS cents, count(*)::BIGINT AS c
+      |  FROM orders GROUP BY 1, 2
+      |), cum AS (
+      |  SELECT priority, cents, c,
+      |    sum(c) OVER (PARTITION BY priority ORDER BY cents
+      |                 ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM vals
+      |), tot AS (
+      |  SELECT priority, sum(c)::BIGINT AS k,
+      |    (19 * sum(c)::BIGINT + 19) // 20 AS need
+      |  FROM vals GROUP BY priority
+      |), v AS (
+      |  SELECT cum.priority, tot.k, min(cents) AS var_cents
+      |  FROM cum JOIN tot ON cum.priority = tot.priority
+      |  WHERE cum.cum >= tot.need
+      |  GROUP BY cum.priority, tot.k
+      |)
+      |SELECT v.priority, v.k AS n_orders,
+      |  round(v.var_cents / 100.0, 2) AS var_d,
+      |  sum(vals.c)::BIGINT AS n_tail,
+      |  round(sum(vals.cents * vals.c)::DOUBLE / sum(vals.c) / 100, 4) AS cvar_d
+      |FROM vals JOIN v ON vals.priority = v.priority
+      |WHERE vals.cents >= v.var_cents
+      |GROUP BY v.priority, v.k, v.var_cents
+      |ORDER BY v.priority""".stripMargin
+
+  /** q164: day-of-week seasonality index — revenue share per weekday
+    * against the uniform 1/7 baseline (index > 1 = overtrading day).
+    * Weekday from pure integer arithmetic ((epoch_day + 3) mod 7,
+    * Monday = 0) — immune to the Spark-vs-DuckDB `dayofweek` origin
+    * mismatch. One aggregation over the fact table.
+    */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val dowNames = Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")
+    val nameExpr = dowNames.zipWithIndex.foldRight(lit("?"): Column) {
+      case ((n, i), rest) => when(col("dow") === i, lit(n)).otherwise(rest)
+    }
+    val daily = Tables.orders(spark, dir)
+      .groupBy(pmod(datediff(to_date(col("o_orderdate")), lit("1970-01-01")) + 3, lit(7))
+        .cast("int").as("dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+    val tot = daily.agg(sum(col("cents")).as("total_cents"))
+    daily.crossJoin(broadcast(tot))
+      .select(col("dow"), nameExpr.as("dow_name"),
+        col("n_orders").cast("bigint").as("n_orders"),
+        col("cents").cast("bigint").as("rev_cents"),
+        round(lit(7.0) * col("cents") / col("total_cents"), 4).as("seasonal_index"))
+      .orderBy(col("dow"))
+  }
+
+  private val dowSeasonalitySql =
+    """WITH d AS (
+      |  SELECT ((o_orderdate::DATE - DATE '1970-01-01') + 3) % 7 AS dow,
+      |    count(*)::BIGINT AS n_orders,
+      |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+      |  FROM orders GROUP BY 1
+      |), t AS (SELECT sum(cents)::BIGINT AS total_cents FROM d)
+      |SELECT dow::INT AS dow,
+      |  CASE dow WHEN 0 THEN 'Mon' WHEN 1 THEN 'Tue' WHEN 2 THEN 'Wed'
+      |           WHEN 3 THEN 'Thu' WHEN 4 THEN 'Fri' WHEN 5 THEN 'Sat'
+      |           ELSE 'Sun' END AS dow_name,
+      |  n_orders, cents AS rev_cents,
+      |  round(7.0::DOUBLE * cents / total_cents, 4) AS seasonal_index
+      |FROM d CROSS JOIN t ORDER BY dow""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -858,5 +960,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q158_ratio_metric", ratioMetric, Some(ratioMetricSql)),
     QueryDef("q160_categorical_dependence", categoricalDependence,
       Some(categoricalDependenceSql)),
+    QueryDef("q163_var_cvar", varCvar, Some(varCvarSql)),
+    QueryDef("q164_dow_seasonality", dowSeasonality, Some(dowSeasonalitySql)),
   )
 }

@@ -278,6 +278,20 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q166 entry bounce reconciles with sessionize session counts and sizes") {
+    val rows = EventAnalytics.entryBounce(spark, sfDir).collect()
+    val sessions = EventAnalytics.sessionize(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum === sessions.length)
+    val singletons = sessions.count(_.getAs[Long]("n_events") == 1)
+    assert(rows.map(_.getAs[Long]("n_bounces")).sum === singletons)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("bounce_rate")
+      assert(rate >= 0 && rate <= 1)
+      assert(math.abs(rate - r.getAs[Long]("n_bounces").toDouble /
+        r.getAs[Long]("n_sessions")) < 1e-4)
+    }
+  }
+
   test("q157 coverage equals a brute-force interval union per day") {
     val dayUs = 86400000000L
     val sessions = EventAnalytics.sessionize(spark, sfDir).collect()

@@ -170,6 +170,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), s"pre-agg lost its partial half:\n$plan")
   }
 
+  test("hive-partitioned writes prune partitions at the scan (PartitionFilters)") {
+    // the 100 TB layout contract: a day-partitioned landing zone must
+    // answer single-day queries by reading ONE directory, not scanning
+    // and filtering — pin that the filter lands in PartitionFilters
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(s"$dir/events_by_day")
+    val firstDay = Tables.events(spark, sfDir)
+      .select(min(to_date(col("ts")))).head().getDate(0)
+    val q = spark.read.parquet(s"$dir/events_by_day")
+      .filter(col("day") === lit(firstDay))
+      .groupBy(col("event_type")).count()
+    val plan = explainText(q)
+    assert(plan.contains("PartitionFilters") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"),
+      s"day filter did not reach PartitionFilters:\n$plan")
+    // correctness of the pruned read
+    val want = Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")) === lit(firstDay))
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("rank<=k window filters plan as WindowGroupLimit (per-group partial top-k)") {
     // Spark's InferWindowGroupLimit turns the rank-filter idiom into a
     // group-limit that prunes rows BEFORE the full window sort — the

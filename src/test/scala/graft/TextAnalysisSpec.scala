@@ -232,6 +232,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("q165 KWIC finds every occurrence with the right context window") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " "))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val term = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      .toSeq.sortBy { case (w, c) => (-c, w) }.head._1
+    val want = docs.flatMap { case (id, toks) =>
+      toks.zipWithIndex.collect { case (w, i) if w == term =>
+        val p = i + 1
+        val ctx = toks.slice(math.max(p - 2, 1) - 1, math.min(p + 2, toks.length))
+        (id, p, ctx.mkString(" "))
+      }
+    }.toSet
+    val got = TextAnalysis.kwic(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getInt(1), r.getString(3))).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("q142 classifier PRF reconciles with the q33 confusion matrix") {
     val m = TextAnalysis.langId(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_docs")))

@@ -302,6 +302,42 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("cramers_v") >= 0 && r.getAs[Double]("cramers_v") <= 1)
   }
 
+  test("q163 VaR is the exact 95th-rank value and CVaR averages the tail") {
+    val byP = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    val rows = TradeAnalytics.varCvar(spark, sfDir).collect()
+    assert(rows.length === byP.size)
+    rows.foreach { r =>
+      val xs = byP(r.getString(0)).map(_._2).sorted
+      val need = (19 * xs.length.toLong + 19) / 20
+      val varCents = xs(need.toInt - 1)
+      val tail = xs.filter(_ >= varCents)
+      assert(r.getAs[Long]("n_orders") === xs.length)
+      assert(math.abs(r.getAs[Double]("var_d") - varCents / 100.0) < 1e-6)
+      assert(r.getAs[Long]("n_tail") === tail.length)
+      assert(math.abs(r.getAs[Double]("cvar_d") -
+        tail.map(BigInt(_)).sum.toDouble / tail.length / 100) < 1e-3)
+      assert(r.getAs[Double]("cvar_d") >= r.getAs[Double]("var_d"))
+    }
+  }
+
+  test("q164 DOW index: weekday mapping exact, shares sum to 7") {
+    val rows = TradeAnalytics.dowSeasonality(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (0 to 6))
+    assert(rows.map(_.getString(1)).toSeq ===
+      Seq("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"))
+    // 1970-01-01 is a Thursday: check one date's mapping independently
+    val d = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate"))).head().getDate(0).toLocalDate
+    val expectDow = d.getDayOfWeek.getValue - 1 // java.time: Mon=1
+    val epochDow = ((d.toEpochDay % 7) + 3) % 7
+    assert(epochDow === expectDow)
+    assert(math.abs(rows.map(_.getAs[Double]("seasonal_index")).sum - 7.0) < 1e-2)
+    val totalOrders = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === totalOrders)
+  }
+
   test("q138 RRF score recomputes from the emitted ranks and is ordered") {
     val rows = TradeAnalytics.rrfFusion(spark, sfDir).collect()
     assert(rows.length === 20)
