@@ -942,6 +942,116 @@ object TradeAnalytics extends QueryModule {
       |  round(7.0::DOUBLE * cents / total_cents, 4) AS seasonal_index
       |FROM d CROSS JOIN t ORDER BY dow""".stripMargin
 
+  /** q167: cohort lifetime value — customers grouped by first-order
+    * month, cumulative average revenue per cohort member over months
+    * since acquisition (the long-form LTV matrix growth teams project
+    * payback from). Exact integer cents cumulate through the window;
+    * the one division (per-member average) happens at output. Shapes:
+    * first-order month is a user-keyed aggregate; the matrix is
+    * cohort×offset-sized — tiny at any corpus scale.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        trunc(to_date(col("o_orderdate")), "month").as("m"),
+        round(col("o_totalprice") * 100).cast("bigint").as("cents"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m"))
+    val cohortSize = first.groupBy(col("cohort_m"))
+      .agg(count(lit(1)).as("n_members"))
+    val cells = o.join(first, Seq("o_custkey"))
+      .withColumn("offset_m",
+        (months_between(col("m"), col("cohort_m"))).cast("int"))
+      .groupBy(col("cohort_m"), col("offset_m"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_m")).orderBy(col("offset_m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(cohortSize, Seq("cohort_m"))
+      .withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .select(col("cohort_m"), col("offset_m"),
+        col("n_members").cast("bigint").as("n_members"),
+        col("rev_cents").cast("bigint").as("rev_cents"),
+        // integer round-half-up cents per member — a /100-then-round(2)
+        // double hit a .005 boundary at sf0.01 (the q99/q121 lesson)
+        expr("(2 * cum_cents + n_members) div (2 * n_members)")
+          .cast("bigint").as("cum_ltv_cents"))
+      .orderBy(col("cohort_m"), col("offset_m"))
+  }
+
+  private val cohortLtvSql =
+    """WITH o AS (
+      |  SELECT o_custkey, date_trunc('month', o_orderdate)::DATE AS m,
+      |    round(o_totalprice * 100)::BIGINT AS cents
+      |  FROM orders
+      |), f AS (
+      |  SELECT o_custkey, min(m) AS cohort_m FROM o GROUP BY o_custkey
+      |), sz AS (
+      |  SELECT cohort_m, count(*)::BIGINT AS n_members FROM f GROUP BY cohort_m
+      |), cells AS (
+      |  SELECT f.cohort_m,
+      |    (year(o.m) * 12 + month(o.m)
+      |      - year(f.cohort_m) * 12 - month(f.cohort_m))::INT AS offset_m,
+      |    sum(o.cents)::BIGINT AS rev_cents
+      |  FROM o JOIN f ON o.o_custkey = f.o_custkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT cells.cohort_m, cells.offset_m, sz.n_members, cells.rev_cents,
+      |  ((2 * sum(cells.rev_cents) OVER (PARTITION BY cells.cohort_m
+      |      ORDER BY cells.offset_m ROWS UNBOUNDED PRECEDING)
+      |    + sz.n_members) // (2 * sz.n_members))::BIGINT AS cum_ltv_cents
+      |FROM cells JOIN sz ON cells.cohort_m = sz.cohort_m
+      |ORDER BY cells.cohort_m, cells.offset_m""".stripMargin
+
+  /** q168: ABC inventory classification — parts ranked by revenue
+    * contribution, classed A/B/C at the cumulative 80% / 95% Pareto
+    * cuts. The class verdict uses INTEGER cross-multiplication
+    * (cum_before·5 < total·4 ⇔ share < 0.8) so no float boundary
+    * decides membership — both engines classify identically by
+    * construction. Ranking runs over the part-keyed aggregate.
+    */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = parts.agg(sum(col("cents")).as("total"))
+    parts
+      .withColumn("cum_before", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum_before") * 5 < col("total") * 4, "A")
+          .when(col("cum_before") * 20 < col("total") * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("rev_cents"),
+        max(col("total")).as("total"))
+      .select(col("cls"), col("n_parts").cast("bigint").as("n_parts"),
+        col("rev_cents").cast("bigint").as("rev_cents"),
+        round(col("rev_cents").cast("double") / col("total"), 4).as("rev_share"))
+      .orderBy(col("cls"))
+  }
+
+  private val abcClassificationSql =
+    """WITH parts AS (
+      |  SELECT l_partkey, sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+      |  FROM lineitem GROUP BY l_partkey
+      |), t AS (SELECT sum(cents)::BIGINT AS total FROM parts
+      |), ranked AS (
+      |  SELECT cents,
+      |    coalesce(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM parts
+      |), classed AS (
+      |  SELECT cents, total,
+      |    CASE WHEN cum_before * 5 < total * 4 THEN 'A'
+      |         WHEN cum_before * 20 < total * 19 THEN 'B'
+      |         ELSE 'C' END AS cls
+      |  FROM ranked CROSS JOIN t
+      |)
+      |SELECT cls, count(*)::BIGINT AS n_parts, sum(cents)::BIGINT AS rev_cents,
+      |  round(sum(cents)::DOUBLE / max(total), 4) AS rev_share
+      |FROM classed GROUP BY cls ORDER BY cls""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -962,5 +1072,8 @@ object TradeAnalytics extends QueryModule {
       Some(categoricalDependenceSql)),
     QueryDef("q163_var_cvar", varCvar, Some(varCvarSql)),
     QueryDef("q164_dow_seasonality", dowSeasonality, Some(dowSeasonalitySql)),
+    QueryDef("q167_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
+    QueryDef("q168_abc_classification", abcClassification,
+      Some(abcClassificationSql)),
   )
 }

