@@ -934,6 +934,72 @@ object EventAnalytics extends QueryModule {
        |FROM t WHERE brk = 1
        |GROUP BY entry_type ORDER BY entry_type""".stripMargin
 
+  /** q170: segment-sliced funnel — q82's strictly-sequenced
+    * view→click→purchase funnel broken out by customer market segment
+    * (events enrich against the customer dimension on user_id, the
+    * stream-static join's batch twin). Per-user stage times are
+    * |users|-bounded; the segment dimension broadcasts; output is
+    * |segments| rows with stage counts and rates.
+    */
+  def segmentFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = e.filter(col("event_type") === "click")
+      .join(broadcast(v), Seq("user_id"))
+      .filter(col("us") >= col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(broadcast(c), Seq("user_id"))
+      .filter(col("us") >= col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .join(seg, Seq("user_id"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_view"),
+        sum(when(col("c_us").isNotNull, 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("p_us").isNotNull, 1L).otherwise(0L)).as("n_purchase"))
+      .select(col("segment"), col("n_view").cast("bigint").as("n_view"),
+        col("n_click").cast("bigint").as("n_click"),
+        col("n_purchase").cast("bigint").as("n_purchase"),
+        round(col("n_purchase").cast("double") / col("n_view"), 4)
+          .as("view_to_purchase"))
+      .orderBy(col("segment"))
+  }
+
+  private val segmentFunnelSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |), v AS (
+      |  SELECT user_id, min(us) AS v_us FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(e.us) AS c_us
+      |  FROM e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.us >= v.v_us
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(e.us) AS p_us
+      |  FROM e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.us >= c.c_us
+      |  GROUP BY e.user_id
+      |)
+      |SELECT cu.c_mktsegment AS segment,
+      |  count(*)::BIGINT AS n_view,
+      |  sum(CASE WHEN c.c_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_click,
+      |  sum(CASE WHEN p.p_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+      |  round(sum(CASE WHEN p.p_us IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+      |        / count(*), 4) AS view_to_purchase
+      |FROM v
+      |LEFT JOIN c ON v.user_id = c.user_id
+      |LEFT JOIN p ON v.user_id = p.user_id
+      |JOIN customer cu ON v.user_id = cu.c_custkey
+      |GROUP BY cu.c_mktsegment ORDER BY segment""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -952,6 +1018,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q157_coverage_time", coverageTime, Some(coverageTimeSql)),
     QueryDef("q161_exit_rates", exitRates, Some(exitRatesSql)),
     QueryDef("q166_entry_bounce", entryBounce, Some(entryBounceSql)),
+    QueryDef("q170_segment_funnel", segmentFunnel, Some(segmentFunnelSql)),
   )
 
 }

@@ -1052,6 +1052,75 @@ object TradeAnalytics extends QueryModule {
       |  round(sum(cents)::DOUBLE / max(total), 4) AS rev_share
       |FROM classed GROUP BY cls ORDER BY cls""".stripMargin
 
+  /** q169: repurchase-interval profile — the retention timing metric:
+    * per-customer gaps between consecutive orders (integer days), then
+    * exact-rank P50/P90 of the gap distribution plus repeat-customer
+    * counts. Gaps come from one customer-partitioned lag window; the
+    * percentiles use the q123/q163 value-domain discipline (cumulative
+    * counts over distinct gap values, smallest value whose cumulative
+    * count reaches ⌈q·n⌉) so both engines pick the identical day.
+    */
+  def repurchaseIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("d"), col("o_orderkey"))
+    val gaps = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("d"))
+      .withColumn("gap", col("d") - lag(col("d"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .select(col("o_custkey"), col("gap").cast("long").as("gap"))
+      .persist() // read by counts and the percentile scan
+    val custStats = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+    val byVal = gaps.groupBy(col("gap")).agg(count(lit(1)).as("c"))
+    val cum = byVal.withColumn("cum", sum(col("c")).over(
+      Window.orderBy(col("gap"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = byVal.agg(sum(col("c")).as("n_gaps"))
+    def pick(q: Int): DataFrame = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") * 100 >= col("n_gaps") * q)
+      .agg(min(col("gap")).as(s"p${q}_gap_days"))
+    custStats.crossJoin(broadcast(tot))
+      .crossJoin(pick(50)).crossJoin(pick(90))
+      .select(col("n_customers").cast("bigint").as("n_customers"),
+        col("n_repeat").cast("bigint").as("n_repeat"),
+        col("n_gaps").cast("bigint").as("n_gaps"),
+        col("p50_gap_days"), col("p90_gap_days"))
+  }
+
+  private val repurchaseIntervalsSql =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    (o_orderdate::DATE - DATE '1970-01-01') AS d
+      |  FROM orders
+      |), g AS (
+      |  SELECT o_custkey,
+      |    (d - lag(d) OVER (PARTITION BY o_custkey
+      |       ORDER BY d, o_orderkey))::BIGINT AS gap
+      |  FROM o
+      |), gaps AS (SELECT * FROM g WHERE gap IS NOT NULL
+      |), cs AS (
+      |  SELECT count(*)::BIGINT AS n_customers,
+      |    sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_repeat
+      |  FROM (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+      |), bv AS (
+      |  SELECT gap, count(*)::BIGINT AS c FROM gaps GROUP BY gap
+      |), cum AS (
+      |  SELECT gap, sum(c) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM bv
+      |), t AS (SELECT sum(c)::BIGINT AS n_gaps FROM bv
+      |), p50 AS (
+      |  SELECT min(gap) AS p50_gap_days FROM cum CROSS JOIN t
+      |  WHERE cum * 100 >= n_gaps * 50
+      |), p90 AS (
+      |  SELECT min(gap) AS p90_gap_days FROM cum CROSS JOIN t
+      |  WHERE cum * 100 >= n_gaps * 90
+      |)
+      |SELECT cs.n_customers, cs.n_repeat, t.n_gaps,
+      |  p50.p50_gap_days, p90.p90_gap_days
+      |FROM cs CROSS JOIN t CROSS JOIN p50 CROSS JOIN p90""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -1075,5 +1144,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q167_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("q168_abc_classification", abcClassification,
       Some(abcClassificationSql)),
+    QueryDef("q169_repurchase_intervals", repurchaseIntervals,
+      Some(repurchaseIntervalsSql)),
   )
 }

@@ -292,6 +292,39 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q170 segment funnel: stages reconcile with the global q82 funnel") {
+    val rows = EventAnalytics.segmentFunnel(spark, sfDir).collect()
+    val global = EventAnalytics.funnel(spark, sfDir).head()
+    // every event user_id maps to a customer in this corpus, so segment
+    // slices partition the global funnel exactly
+    assert(rows.map(_.getAs[Long]("n_view")).sum === global.getAs[Long]("n_view_users"))
+    assert(rows.map(_.getAs[Long]("n_click")).sum === global.getAs[Long]("n_click_users"))
+    assert(rows.map(_.getAs[Long]("n_purchase")).sum ===
+      global.getAs[Long]("n_purchase_users"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_view") >= r.getAs[Long]("n_click"))
+      assert(r.getAs[Long]("n_click") >= r.getAs[Long]("n_purchase"))
+    }
+    assert(rows.length > 1, "multiple market segments present")
+  }
+
+  test("observe() metrics ride along the q81 pipeline without a second scan") {
+    // Spark's CollectMetrics: pipeline QC counters accumulated during the
+    // SAME job that produces the result — the zero-cost alternative to a
+    // separate count() pass a 100 TB pipeline can't afford
+    val observed = EventAnalytics.sessionize(spark, sfDir)
+      .observe("session_qc",
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("end_us") - col("start_us")).as("max_span_us"))
+    val rows = observed.collect()
+    val m = observed.queryExecution.observedMetrics("session_qc")
+    assert(m.getAs[Long]("n_sessions") === rows.length)
+    assert(m.getAs[Long]("n_events") ===
+      Tables.events(spark, sfDir).count())
+    assert(m.getAs[Long]("max_span_us") >= 0)
+  }
+
   test("q157 coverage equals a brute-force interval union per day") {
     val dayUs = 86400000000L
     val sessions = EventAnalytics.sessionize(spark, sfDir).collect()

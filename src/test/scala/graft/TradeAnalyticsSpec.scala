@@ -379,6 +379,26 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(top > 0)
   }
 
+  test("q169 repurchase intervals: exact-rank percentiles match a sorted recompute") {
+    val byCust = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .groupBy(_._1)
+    val gaps = byCust.values.flatMap { g =>
+      val s = g.toSeq.sortBy(x => (x._3, x._2)).map(_._3)
+      s.zip(s.tail).map { case (a, b) => (b - a).toLong }
+    }.toSeq.sorted
+    val r = TradeAnalytics.repurchaseIntervals(spark, sfDir).head()
+    assert(r.getAs[Long]("n_customers") === byCust.size)
+    assert(r.getAs[Long]("n_repeat") === byCust.values.count(_.length >= 2))
+    assert(r.getAs[Long]("n_gaps") === gaps.length)
+    def pct(q: Int): Long = gaps((q * gaps.length + 99) / 100 - 1)
+    assert(r.getAs[Long]("p50_gap_days") === pct(50))
+    assert(r.getAs[Long]("p90_gap_days") === pct(90))
+    assert(r.getAs[Long]("p90_gap_days") >= r.getAs[Long]("p50_gap_days"))
+  }
+
   test("q138 RRF score recomputes from the emitted ranks and is ordered") {
     val rows = TradeAnalytics.rrfFusion(spark, sfDir).collect()
     assert(rows.length === 20)
