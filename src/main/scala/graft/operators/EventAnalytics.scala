@@ -1000,6 +1000,99 @@ object EventAnalytics extends QueryModule {
       |JOIN customer cu ON v.user_id = cu.c_custkey
       |GROUP BY cu.c_mktsegment ORDER BY segment""".stripMargin
 
+  /** q171: Kaplan–Meier retention curve — survival analysis over user
+    * lifetimes (days between first and last event). Users whose last
+    * event falls within 7 days of the corpus end are right-CENSORED
+    * (still active), everyone else is a churn event. The estimator runs
+    * on the lifetime-day level: at-risk counts from one cumulative
+    * window, survival S(t) = Π(1 − dᵢ/nᵢ) realized as exp of an ordered
+    * cumulative ln-sum so both engines accumulate identical operands in
+    * identical order (the product hits exact 0 via an explicit
+    * ruined-flag, never ln(0) — Spark's log(0) is NULL, not -inf).
+    *
+    * Scale: the only data-sized shuffle is the per-user min/max
+    * aggregation; everything after runs on the |distinct lifetimes|
+    * relation (bounded by the day span, not the corpus).
+    */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val perUser = days.groupBy(col("user_id"))
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+    val maxDay = days.agg(max(col("d")).as("max_d"))
+    val byT = perUser.crossJoin(broadcast(maxDay))
+      .select(datediff(col("last_d"), col("first_d")).cast("long").as("t"),
+        (col("last_d") <= date_sub(col("max_d"), 7)).as("dead"))
+      .groupBy(col("t"))
+      .agg(sum(when(col("dead"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("dead"), 1L).otherwise(0L)).as("c"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byT
+      .withColumn("n_risk",
+        sum(col("d") + col("c")).over(wAll) -
+          coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("lnterm",
+        when(col("d") > 0 && col("n_risk") > col("d"),
+          log(col("n_risk") - col("d")) - log(col("n_risk")))
+          .otherwise(lit(0.0)))
+      .withColumn("ruined",
+        sum(when(col("d") > 0 && col("n_risk") === col("d"), 1L)
+          .otherwise(0L)).over(wCum))
+      .withColumn("survival",
+        when(col("ruined") > 0, lit(0.0))
+          .otherwise(round(exp(sum(col("lnterm")).over(wCum)), 6)))
+      .select(col("t").as("t_day"),
+        col("n_risk").cast("bigint").as("n_at_risk"),
+        col("d").cast("bigint").as("n_deaths"),
+        col("c").cast("bigint").as("n_censored"),
+        col("survival"))
+      .orderBy(col("t_day"))
+  }
+
+  private val kaplanMeierSql =
+    """WITH u AS (
+      |  SELECT user_id, min(ts::DATE) AS first_d, max(ts::DATE) AS last_d
+      |  FROM events GROUP BY user_id
+      |), m AS (
+      |  SELECT max(ts::DATE) AS max_d FROM events
+      |), l AS (
+      |  SELECT datediff('day', first_d, last_d)::BIGINT AS t,
+      |    last_d <= max_d - INTERVAL 7 DAY AS dead
+      |  FROM u CROSS JOIN m
+      |), byt AS (
+      |  SELECT t,
+      |    sum(CASE WHEN dead THEN 1 ELSE 0 END)::BIGINT AS d,
+      |    sum(CASE WHEN NOT dead THEN 1 ELSE 0 END)::BIGINT AS c
+      |  FROM l GROUP BY t
+      |), risk AS (
+      |  SELECT t, d, c,
+      |    sum(d + c) OVER () -
+      |      coalesce(sum(d + c) OVER (ORDER BY t
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS n_risk
+      |  FROM byt
+      |), terms AS (
+      |  SELECT t, d, c, n_risk,
+      |    CASE WHEN d > 0 AND n_risk > d
+      |         THEN ln(n_risk - d) - ln(n_risk) ELSE 0.0 END AS lnterm,
+      |    CASE WHEN d > 0 AND n_risk = d THEN 1 ELSE 0 END AS ruin
+      |  FROM risk
+      |)
+      |SELECT t AS t_day, n_risk::BIGINT AS n_at_risk, d::BIGINT AS n_deaths,
+      |  c::BIGINT AS n_censored,
+      |  CASE WHEN sum(ruin) OVER (ORDER BY t
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+      |       THEN 0.0
+      |       ELSE round(exp(sum(lnterm) OVER (ORDER BY t
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) END
+      |    AS survival
+      |FROM terms ORDER BY t_day""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -1019,6 +1112,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q161_exit_rates", exitRates, Some(exitRatesSql)),
     QueryDef("q166_entry_bounce", entryBounce, Some(entryBounceSql)),
     QueryDef("q170_segment_funnel", segmentFunnel, Some(segmentFunnelSql)),
+    QueryDef("q171_kaplan_meier", kaplanMeier, Some(kaplanMeierSql)),
   )
 
 }

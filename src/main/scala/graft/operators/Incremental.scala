@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental aggregate maintenance — the nightly-rollup pattern: keep
@@ -60,7 +61,72 @@ object Incremental extends QueryModule {
       |FROM orders
       |GROUP BY day ORDER BY day""".stripMargin
 
+  /** q174: CDC log compaction — collapse a change-data-capture batch to
+    * one net operation per key, the kernel of every MERGE/upsert sink.
+    * The change log derives from events (signup→I, purchase→D, other
+    * types→U; sequence = (ts, event_id)); the net effect comes from the
+    * standard first/last-op matrix: I..D → NONE (created and deleted
+    * within the batch), I..* → INSERT, *..D → DELETE, else UPDATE, with
+    * the final payload carried only for net upserts.
+    *
+    * Scale: one per-key window pass (row_number over user, time) plus
+    * one keyed aggregation — work linear in the batch, never in table
+    * history; the compacted output is what a downstream MERGE touches,
+    * so sink IO is |keys|, not |log|.
+    */
+  def cdcCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "purchase", "D")
+          .otherwise("U").as("op"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))))
+    log.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_ops"),
+        min_by(col("op"), col("rn")).as("first_op"),
+        max_by(col("op"), col("rn")).as("last_op"),
+        max_by(col("value"), col("rn")).as("last_value"),
+        max(col("us")).as("last_us"))
+      .select(col("user_id"), col("n_ops"), col("first_op"), col("last_op"),
+        when(col("first_op") === "I" && col("last_op") === "D", "NONE")
+          .when(col("first_op") === "I", "INSERT")
+          .when(col("last_op") === "D", "DELETE")
+          .otherwise("UPDATE").as("net_op"),
+        when(col("last_op") =!= "D", round(col("last_value"), 4))
+          .as("final_value"),
+        col("last_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val cdcCompactionSql =
+    """WITH log AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+      |    CASE WHEN event_type = 'signup' THEN 'I'
+      |         WHEN event_type = 'purchase' THEN 'D'
+      |         ELSE 'U' END AS op,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events
+      |), agg AS (
+      |  SELECT user_id, count(*)::BIGINT AS n_ops,
+      |    arg_min(op, rn) AS first_op, arg_max(op, rn) AS last_op,
+      |    arg_max(value, rn) AS last_value, max(us) AS last_us
+      |  FROM log GROUP BY user_id
+      |)
+      |SELECT user_id, n_ops, first_op, last_op,
+      |  CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'NONE'
+      |       WHEN first_op = 'I' THEN 'INSERT'
+      |       WHEN last_op = 'D' THEN 'DELETE'
+      |       ELSE 'UPDATE' END AS net_op,
+      |  CASE WHEN last_op <> 'D' THEN round(last_value, 4) END AS final_value,
+      |  last_us
+      |FROM agg ORDER BY user_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q112_incremental_rollup", incrementalRollup, Some(incrementalRollupSql)),
+    QueryDef("q174_cdc_compaction", cdcCompaction, Some(cdcCompactionSql)),
   )
 }

@@ -1121,6 +1121,151 @@ object TradeAnalytics extends QueryModule {
       |  p50.p50_gap_days, p90.p90_gap_days
       |FROM cs CROSS JOIN t CROSS JOIN p50 CROSS JOIN p90""".stripMargin
 
+  /** q172: Mann–Whitney U rank-sum test — the nonparametric complement
+    * to q119's Welch t (URGENT vs LOW order totals): no normality
+    * assumption, rank-based. Ranks come from VALUE-DOMAIN aggregation
+    * (q123's trick): group by distinct cent value → per-value counts,
+    * one cumulative window over the value level, tied ranks as the
+    * exact integer min+max (= 2×average rank — no halves ever
+    * materialize). Rank-sums and the tie-correction Σ(t³−t) accumulate
+    * in decimal(38,0)/HUGEINT (2R₁ ≤ 2N² overflows int64 at cluster
+    * row counts), then one fixed-shape double derivation for U and the
+    * normal-approximation z.
+    *
+    * Scale: the only data-sized shuffle is the value-domain groupBy;
+    * the window runs over |distinct prices|, not |orders|.
+    */
+  def mannWhitneyU(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select((col("o_orderpriority") === "1-URGENT").as("is_a"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+    val byV = s.groupBy(col("c"))
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n1v"),
+        count(lit(1)).cast("long").as("ntv"))
+    val wPrev = Window.orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byV
+      .withColumn("cum_prev", coalesce(sum(col("ntv")).over(wPrev), lit(0L)))
+      // min rank + max rank of the tie block = 2 × average rank, exact
+      .withColumn("r2", lit(2L) * col("cum_prev") + col("ntv") + lit(1L))
+    val g = ranked.agg(
+      sum(col("n1v")).cast("bigint").as("n1"),
+      sum(col("ntv") - col("n1v")).cast("bigint").as("n2"),
+      sum((col("n1v") * col("r2")).cast("decimal(38,0)"))
+        .cast("double").as("r1x2"),
+      sum((col("ntv") * col("ntv") * col("ntv") - col("ntv"))
+        .cast("decimal(38,0)")).cast("double").as("tie"))
+    g
+      .withColumn("nn", col("n1").cast("double") * col("n2"))
+      .withColumn("nt", (col("n1") + col("n2")).cast("double"))
+      .withColumn("u1",
+        (col("r1x2") - col("n1").cast("double") * (col("n1") + 1)) / 2.0)
+      .withColumn("varU",
+        col("nn") / 12.0 * ((col("nt") + 1) -
+          col("tie") / (col("nt") * (col("nt") - 1))))
+      .select(col("n1").as("n_urgent"), col("n2").as("n_low"),
+        round(col("u1"), 1).as("u_stat"),
+        round((col("u1") - col("nn") / 2.0) / sqrt(col("varU")), 4)
+          .as("z_stat"))
+  }
+
+  private val mannWhitneyUSql =
+    """WITH s AS (
+      |  SELECT o_orderpriority = '1-URGENT' AS is_a,
+      |    round(o_totalprice * 100)::BIGINT AS c
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |), byv AS (
+      |  SELECT c,
+      |    sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n1v,
+      |    count(*)::BIGINT AS ntv
+      |  FROM s GROUP BY c
+      |), ranked AS (
+      |  SELECT n1v, ntv,
+      |    2 * coalesce(sum(ntv) OVER (ORDER BY c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + ntv + 1 AS r2
+      |  FROM byv
+      |), g AS (
+      |  SELECT sum(n1v)::BIGINT AS n1, sum(ntv - n1v)::BIGINT AS n2,
+      |    sum((n1v * r2)::HUGEINT)::DOUBLE AS r1x2,
+      |    sum((ntv * ntv * ntv - ntv)::HUGEINT)::DOUBLE AS tie
+      |  FROM ranked
+      |)
+      |SELECT n1 AS n_urgent, n2 AS n_low,
+      |  round((r1x2 - n1::DOUBLE * (n1 + 1)) / 2.0, 1) AS u_stat,
+      |  round(((r1x2 - n1::DOUBLE * (n1 + 1)) / 2.0
+      |         - n1::DOUBLE * n2 / 2.0)
+      |    / sqrt(n1::DOUBLE * n2 / 12.0 * (((n1 + n2)::DOUBLE + 1)
+      |        - tie / ((n1 + n2)::DOUBLE * ((n1 + n2)::DOUBLE - 1)))), 4)
+      |    AS z_stat
+      |FROM g""".stripMargin
+
+  /** q173: revenue autocorrelation function — Pearson r between the
+    * daily-revenue series and its row-lagged self at lags 1..10 (the
+    * diagnostic behind q164's day-of-week seasonality: a 7-day cycle
+    * shows as an ACF peak at lag 7). Lag pairing is by row number over
+    * the observed day series, realized as a self-JOIN on rn = rn + k
+    * against a tiny lag spine — one plan for all ten lags, no per-lag
+    * window pass. Moments accumulate per lag in decimal(38,0)
+    * (Σ cents² overflows int64), one fixed-shape double Pearson at
+    * output.
+    *
+    * Scale: everything after the daily groupBy runs on the |days| × 10
+    * relation — the day domain grows with the calendar, not the data.
+    */
+  def revenueAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+    val lags = spark.range(1, 11).select(col("id").cast("int").as("k"))
+    val x = daily.select(col("rn").as("rn_x"), col("rev").as("x"))
+    val y = daily.select(col("rn").as("rn_y"), col("rev").as("y"))
+    // (rn_x - k) = rn_y keeps each equality side single-relation, so
+    // Catalyst extracts hash-join keys (rn_x = rn_y + k would not).
+    x.crossJoin(broadcast(lags))
+      .join(y, col("rn_x") - col("k") === col("rn_y"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)"))
+          .cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)"))
+          .cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)"))
+          .cast("double").as("syy"))
+      .select(col("k"), col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_pairs") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("acf"))
+      .orderBy(col("k"))
+  }
+
+  private val revenueAcfSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate AS day,
+      |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev,
+      |    row_number() OVER (ORDER BY o_orderdate) AS rn
+      |  FROM orders GROUP BY o_orderdate
+      |), ks AS (
+      |  SELECT unnest(generate_series(1, 10))::INT AS k
+      |)
+      |SELECT ks.k, count(*)::BIGINT AS n_pairs,
+      |  round((count(*) * sum((a.rev * b.rev)::HUGEINT)::DOUBLE
+      |       - sum(a.rev::HUGEINT)::DOUBLE * sum(b.rev::HUGEINT)::DOUBLE)
+      |    / sqrt((count(*) * sum((a.rev * a.rev)::HUGEINT)::DOUBLE
+      |          - sum(a.rev::HUGEINT)::DOUBLE * sum(a.rev::HUGEINT)::DOUBLE)
+      |         * (count(*) * sum((b.rev * b.rev)::HUGEINT)::DOUBLE
+      |          - sum(b.rev::HUGEINT)::DOUBLE * sum(b.rev::HUGEINT)::DOUBLE)),
+      |    4) AS acf
+      |FROM ks
+      |JOIN daily a ON true
+      |JOIN daily b ON a.rn = b.rn + ks.k
+      |GROUP BY ks.k ORDER BY ks.k""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -1146,5 +1291,7 @@ object TradeAnalytics extends QueryModule {
       Some(abcClassificationSql)),
     QueryDef("q169_repurchase_intervals", repurchaseIntervals,
       Some(repurchaseIntervalsSql)),
+    QueryDef("q172_mann_whitney", mannWhitneyU, Some(mannWhitneyUSql)),
+    QueryDef("q173_revenue_acf", revenueAcf, Some(revenueAcfSql)),
   )
 }

@@ -355,4 +355,50 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(busy <= mass && busy <= dayUs)
     }
   }
+
+  test("q171: Kaplan-Meier estimator matches a driver-side replay") {
+    val rows = EventAnalytics.kaplanMeier(spark, sfDir).collect()
+
+    // replay from raw events
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        r.getAs[java.sql.Date]("d").toLocalDate.toEpochDay)
+      .groupBy(_._1).map { case (u, ds) =>
+        val days = ds.map(_._2)
+        (u, days.min, days.max)
+      }.toSeq
+    val maxDay = perUser.map(_._3).max
+    val lives = perUser.map { case (_, first, last) =>
+      (last - first, last <= maxDay - 7)
+    }
+    var atRisk = lives.size.toLong
+    var surv = 1.0
+    val expected = lives.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (t, g) =>
+        val d = g.count(_._2).toLong
+        val c = g.size - d
+        val n = atRisk
+        if (d > 0) surv *= (n - d).toDouble / n
+        atRisk -= d + c
+        (t, n, d, c.toLong, surv)
+    }
+    assert(rows.length === expected.size)
+    rows.zip(expected).foreach { case (r, (t, n, d, c, s)) =>
+      assert(r.getAs[Long]("t_day") === t)
+      assert(r.getAs[Long]("n_at_risk") === n)
+      assert(r.getAs[Long]("n_deaths") === d)
+      assert(r.getAs[Long]("n_censored") === c)
+      assert(math.abs(r.getAs[Double]("survival") - s) < 1e-4,
+        s"survival at t=$t")
+    }
+    // survival is a proper non-increasing curve from ≤1
+    val ss = rows.map(_.getAs[Double]("survival"))
+    assert(ss.head <= 1.0 + 1e-12)
+    ss.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a + 1e-12)
+      case _ =>
+    }
+  }
 }

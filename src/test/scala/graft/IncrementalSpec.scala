@@ -34,4 +34,38 @@ class IncrementalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_orders")).sum === total)
     rows.foreach(r => assert(r.getAs[Long]("revenue_c") > 0))
   }
+
+  test("q174: net ops match a per-key driver-side replay of the change log") {
+    val got = Incremental.cdcCompaction(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_ops"), r.getAs[String]("net_op"),
+          Option(r.getAs[java.lang.Double]("final_value")))).toMap
+
+    val raw = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    val expected = raw.groupBy(_._1).map { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._2, e._3))
+      def op(t: String) =
+        if (t == "signup") "I" else if (t == "purchase") "D" else "U"
+      val (first, last) = (op(ordered.head._4), op(ordered.last._4))
+      val net =
+        if (first == "I" && last == "D") "NONE"
+        else if (first == "I") "INSERT"
+        else if (last == "D") "DELETE"
+        else "UPDATE"
+      val fv = if (last == "D") None
+        else Some(math.round(ordered.last._5 * 10000).toDouble / 10000)
+      uid -> (ordered.length.toLong, net, fv)
+    }
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (uid, v) => assert(v === expected(uid), s"user $uid") }
+    // every net class that the matrix can emit for this log is exercised
+    val nets = got.values.map(_._2).toSet
+    assert(nets.contains("UPDATE") || nets.contains("INSERT"))
+  }
 }

@@ -414,4 +414,70 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q172: U and z match a driver-side tied-rank computation") {
+    val sample = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select((col("o_orderpriority") === "1-URGENT").as("is_a"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .collect().map(r => (r.getAs[Boolean]("is_a"), r.getAs[Long]("c")))
+
+    // classic tied-rank assignment over the combined sample
+    val sorted = sample.sortBy(_._2)
+    val ranks = Array.ofDim[Double](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      var j = i
+      while (j + 1 < sorted.length && sorted(j + 1)._2 == sorted(i)._2) j += 1
+      val avg = (i + j + 2) / 2.0 // 1-based average rank of the tie block
+      (i to j).foreach(k => ranks(k) = avg)
+      i = j + 1
+    }
+    val n1 = sample.count(_._1).toLong
+    val n2 = sample.length - n1
+    val r1 = sorted.zipWithIndex.filter(_._1._1).map(x => ranks(x._2)).sum
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val ties = sorted.groupBy(_._2).values.map(_.length.toLong)
+      .map(t => t * t * t - t).sum
+    val nt = (n1 + n2).toDouble
+    val varU = n1.toDouble * n2 / 12.0 * ((nt + 1) - ties / (nt * (nt - 1)))
+    val z = (u1 - n1.toDouble * n2 / 2.0) / math.sqrt(varU)
+
+    val r = TradeAnalytics.mannWhitneyU(spark, sfDir).head()
+    assert(r.getAs[Long]("n_urgent") === n1)
+    assert(r.getAs[Long]("n_low") === n2)
+    assert(math.abs(r.getAs[Double]("u_stat") - u1) < 0.51)
+    assert(math.abs(r.getAs[Double]("z_stat") - z) < 1e-3)
+  }
+
+  test("q173: ACF matches driver-side Pearson on the lagged day series") {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+      .orderBy(col("day"))
+      .collect().map(r => BigInt(r.getAs[Long]("rev")))
+
+    // moments in exact BigInt (cents² sums exceed double's 2^53 mantissa),
+    // matching the query's decimal(38,0) accumulation
+    def pearson(k: Int): (Long, Double) = {
+      val xs = daily.drop(k); val ys = daily.dropRight(k)
+      val n = xs.length.toDouble
+      val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+      val sxx = xs.map(a => a * a).sum.toDouble
+      val syy = ys.map(a => a * a).sum.toDouble
+      (xs.length.toLong,
+        (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    }
+
+    val rows = TradeAnalytics.revenueAcf(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq === (1 to 10))
+    rows.foreach { r =>
+      val (n, acf) = pearson(r.getAs[Int]("k"))
+      assert(r.getAs[Long]("n_pairs") === n)
+      // query emits round(acf, 4) — compare within the rounding quantum
+      assert(math.abs(r.getAs[Double]("acf") - acf) <= 5.0001e-5)
+      assert(math.abs(r.getAs[Double]("acf")) <= 1.0 + 1e-9)
+    }
+  }
+
 }
