@@ -412,6 +412,81 @@ object TextAnalysis extends QueryModule {
       |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q176: containment pairs — the ASYMMETRIC near-dup detector Jaccard
+    * misses: a short document fully embedded in a long one has tiny
+    * Jaccard (union is dominated by the long doc) but containment
+    * C(A⊆B) = |sh(A)∩sh(B)| / |sh(A)| ≈ 1. This is the standard quote/
+    * boilerplate/subset-document signal in corpus curation. Candidate
+    * generation and intersection counting reuse q35's inverted-index
+    * kernel (explode → posting lists → local pair expansion → pair
+    * count: two shuffles, no self-join, df≥2 pruning exact); only the
+    * final scoring differs — each unordered pair scores both directions
+    * and reports the contained side. Emitted at C ≥ 0.6 with doc_small
+    * = the contained document (ties break to the smaller id).
+    *
+    * Scale: identical profile to q35 — Σ_s df(s)² pair expansions, with
+    * the same documented high-df guard available via jaccardPairsOn's
+    * maxDf seam.
+    */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), shingles3(col("toks")).as("sh"))
+    val posts = docs.select(col("doc_id"), col("lang"),
+      size(col("sh")).as("nsh"), explode(col("sh")).as("shingle"))
+      .select(col("lang"), xxhash64(col("shingle")).as("shash"),
+        col("doc_id"), col("nsh"))
+    val grouped = posts.groupBy(col("lang"), col("shash"))
+      .agg(collect_list(struct(col("doc_id"), col("nsh"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val pairs = grouped.select(explode(
+        graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
+      .select(col("p.*"))
+    pairs
+      .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
+      .agg(count(lit(1)).as("inter"))
+      // contained side = the smaller shingle set (ties → smaller id)
+      .withColumn("small_is_a",
+        col("nsh_a") < col("nsh_b") ||
+          (col("nsh_a") === col("nsh_b") && col("doc_a") < col("doc_b")))
+      .select(
+        when(col("small_is_a"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_small"),
+        when(col("small_is_a"), col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_big"),
+        (col("inter").cast("double") /
+          least(col("nsh_a"), col("nsh_b"))).as("containment"))
+      .filter(col("containment") >= 0.6)
+      .select(col("doc_small"), col("doc_big"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy(col("doc_small"), col("doc_big"))
+  }
+
+  private val containmentPairsSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      |  FROM t WHERE len(toks) >= 3
+      |), p AS (
+      |  SELECT
+      |    CASE WHEN len(a.sh) < len(b.sh)
+      |           OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id)
+      |         THEN a.doc_id ELSE b.doc_id END AS doc_small,
+      |    CASE WHEN len(a.sh) < len(b.sh)
+      |           OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id)
+      |         THEN b.doc_id ELSE a.doc_id END AS doc_big,
+      |    len(list_intersect(a.sh, b.sh))::DOUBLE
+      |      / least(len(a.sh), len(b.sh)) AS containment
+      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_small, doc_big, round(containment, 4) AS containment
+      |FROM p WHERE containment >= 0.6
+      |ORDER BY doc_small, doc_big""".stripMargin
+
   /** q154: set-similarity join by PREFIX FILTERING (the PPJoin/AllPairs
     * candidate scheme) — the second exact join-reduction strategy next
     * to q35's full inverted index: order every document's shingles by
@@ -1071,5 +1146,6 @@ object TextAnalysis extends QueryModule {
     QueryDef("q159_bm25", bm25, Some(bm25Sql)),
     QueryDef("q162_word_burstiness", wordBurstiness, Some(wordBurstinessSql)),
     QueryDef("q165_kwic", kwic, Some(kwicSql)),
+    QueryDef("q176_containment_pairs", containmentPairs, Some(containmentPairsSql)),
   )
 }

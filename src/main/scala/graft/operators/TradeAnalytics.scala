@@ -1266,6 +1266,78 @@ object TradeAnalytics extends QueryModule {
       |JOIN daily b ON a.rn = b.rn + ks.k
       |GROUP BY ks.k ORDER BY ks.k""".stripMargin
 
+  /** q175: FIFO supply/demand allocation — the inventory-ledger kernel
+    * (FIFO cost basis, lot consumption, backlog matching): per part,
+    * 'F'-status lineitems are supply lots and 'O'-status lineitems are
+    * demand, both in (shipdate, orderkey, linenumber) FIFO order. Each
+    * side becomes half-open intervals on its cumulative-quantity axis;
+    * a lot serves a demand iff their intervals overlap, and the
+    * allocated quantity is the exact integer overlap length — the
+    * classic two-cursor FIFO match expressed as one relational join.
+    *
+    * Scale: the join is EQUI on partkey with the interval overlap as a
+    * post-filter; TPC-H-shape data has O(1) lineitems per part at any
+    * SF, so the per-key expansion is bounded and the match count is
+    * linear (interval endpoints interleave — ≤ nₛ + n_d − 1 overlaps
+    * per part). Output aggregates to the brand level via a broadcast
+    * part join.
+    */
+  def fifoAllocation(spark: SparkSession, dir: String): DataFrame = {
+    def side(status: String, pfx: String) = {
+      val w = Window.partitionBy(col("pk"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      Tables.lineitem(spark, dir)
+        .filter(col("l_linestatus") === status)
+        .select(col("l_partkey").as("pk"),
+          col("l_quantity").cast("long").as("q"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("end", sum(col("q")).over(w))
+        .select(col("pk"), (col("end") - col("q")).as(s"${pfx}_start"),
+          col("end").as(s"${pfx}_end"))
+    }
+    val supply = side("F", "s")
+    val demand = side("O", "d")
+    val alloc = supply.join(demand, Seq("pk"))
+      .filter(col("s_start") < col("d_end") && col("d_start") < col("s_end"))
+      .select(col("pk"),
+        (least(col("s_end"), col("d_end")) -
+          greatest(col("s_start"), col("d_start"))).as("alloc_q"))
+    val brand = Tables.part(spark, dir)
+      .select(col("p_partkey").as("pk"), col("p_brand"))
+    alloc.join(broadcast(brand), Seq("pk"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).cast("bigint").as("n_allocations"),
+        sum(col("alloc_q")).cast("bigint").as("matched_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val fifoAllocationSql =
+    """WITH supply AS (
+      |  SELECT l_partkey AS pk,
+      |    sum(l_quantity::BIGINT) OVER w - l_quantity::BIGINT AS s_start,
+      |    sum(l_quantity::BIGINT) OVER w AS s_end
+      |  FROM lineitem WHERE l_linestatus = 'F'
+      |  WINDOW w AS (PARTITION BY l_partkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS UNBOUNDED PRECEDING)
+      |), demand AS (
+      |  SELECT l_partkey AS pk,
+      |    sum(l_quantity::BIGINT) OVER w - l_quantity::BIGINT AS d_start,
+      |    sum(l_quantity::BIGINT) OVER w AS d_end
+      |  FROM lineitem WHERE l_linestatus = 'O'
+      |  WINDOW w AS (PARTITION BY l_partkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS UNBOUNDED PRECEDING)
+      |)
+      |SELECT p.p_brand, count(*)::BIGINT AS n_allocations,
+      |  sum(least(s.s_end, d.d_end)
+      |      - greatest(s.s_start, d.d_start))::BIGINT AS matched_qty
+      |FROM supply s
+      |JOIN demand d ON s.pk = d.pk
+      |  AND s.s_start < d.d_end AND d.d_start < s.s_end
+      |JOIN part p ON s.pk = p.p_partkey
+      |GROUP BY p.p_brand ORDER BY p_brand""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -1293,5 +1365,6 @@ object TradeAnalytics extends QueryModule {
       Some(repurchaseIntervalsSql)),
     QueryDef("q172_mann_whitney", mannWhitneyU, Some(mannWhitneyUSql)),
     QueryDef("q173_revenue_acf", revenueAcf, Some(revenueAcfSql)),
+    QueryDef("q175_fifo_allocation", fifoAllocation, Some(fifoAllocationSql)),
   )
 }

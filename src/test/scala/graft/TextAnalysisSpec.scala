@@ -56,6 +56,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(inverted.nonEmpty)
   }
 
+  test("q176: inverted-index containment equals the all-pairs block join") {
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), TextAnalysis.shingles3(col("toks")).as("sh"))
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang"), col("sh").as("sh_b"))
+    val blockJoin = a.join(b, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("small_is_a",
+        size(col("sh_a")) < size(col("sh_b")) ||
+          (size(col("sh_a")) === size(col("sh_b")) && col("doc_a") < col("doc_b")))
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        least(size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("c") >= 0.6)
+      .select(
+        when(col("small_is_a"), col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
+        when(col("small_is_a"), col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
+        round(col("c"), 4).as("containment"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val inverted = TextAnalysis.containmentPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(inverted === blockJoin)
+    assert(inverted.nonEmpty)
+    // asymmetry: containment must catch at least every Jaccard≥0.6 pair
+    // (J ≤ C always), typically more
+    inverted.foreach { case (_, _, c) => assert(c >= 0.6 && c <= 1.0) }
+  }
+
   test("jaccardPairs maxDf cap only under-counts: subset of exact pairs, same pairs at a loose cap") {
     val exact = TextAnalysis.jaccardPairsOn(Tables.documents(spark, sfDir))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

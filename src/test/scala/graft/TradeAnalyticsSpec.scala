@@ -449,6 +449,46 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("z_stat") - z) < 1e-3)
   }
 
+  test("q175: FIFO allocation matches a two-cursor driver-side replay") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("q"),
+        col("l_shipdate").cast("string").as("sd"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[String]("l_linestatus"),
+        r.getAs[Long]("q"), r.getAs[String]("sd"),
+        r.getAs[Long]("l_orderkey"), r.getAs[Int]("l_linenumber")))
+    val brandOf = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_brand")).toMap
+
+    // classic two-cursor FIFO match per part
+    val agg = scala.collection.mutable.Map[String, (Long, Long)]()
+    li.groupBy(_._1).foreach { case (pk, rows) =>
+      def fifo(status: String) = rows.filter(_._2 == status)
+        .sortBy(r => (r._4, r._5, r._6)).map(_._3)
+      val (s, d) = (fifo("F"), fifo("O"))
+      var (i, j, si, dj) = (0, 0, 0L, 0L) // consumed within current lots
+      while (i < s.length && j < d.length) {
+        val take = math.min(s(i) - si, d(j) - dj)
+        if (take > 0) {
+          val b = brandOf(pk)
+          val (n, q) = agg.getOrElse(b, (0L, 0L))
+          agg(b) = (n + 1, q + take)
+        }
+        si += take; dj += take
+        if (si == s(i)) { i += 1; si = 0 }
+        if (dj == d(j)) { j += 1; dj = 0 }
+      }
+    }
+
+    val got = TradeAnalytics.fifoAllocation(spark, sfDir).collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (r.getAs[Long]("n_allocations"), r.getAs[Long]("matched_qty"))).toMap
+    assert(got === agg.toMap)
+  }
+
   test("q173: ACF matches driver-side Pearson on the lagged day series") {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").as("day"))
