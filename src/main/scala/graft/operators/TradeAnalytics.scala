@@ -1338,6 +1338,157 @@ object TradeAnalytics extends QueryModule {
       |JOIN part p ON s.pk = p.p_partkey
       |GROUP BY p.p_brand ORDER BY p_brand""".stripMargin
 
+  /** q177: Spearman rank correlation — quantity vs price per return
+    * flag, completing the correlation surface (q87 Pearson on values,
+    * q172 rank-sum test): monotone association, robust to outliers and
+    * nonlinearity. Both variables get tied ranks from VALUE-DOMAIN
+    * aggregation (per-flag cumulative window over distinct values —
+    * quantity has ~50 distinct values, price its cent domain), carried
+    * as the exact integer 2×average-rank; ρ is then Pearson over the
+    * doubled ranks (scale-invariance makes the factor 2 vanish), with
+    * moments in decimal(38,0) — Σ(2r)² ~ 4N³ overflows int64 far below
+    * cluster row counts.
+    *
+    * Scale: two value-level rank maps (each bounded by its value
+    * domain) joined back by (flag, value) — quantity's map broadcasts;
+    * one moment aggregation ends the plan. No row-level sort, no
+    * global window.
+    */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qv"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cv"))
+    def rankMap(v: String, pfx: String) = {
+      val w = Window.partitionBy(col("flag")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.groupBy(col("flag"), col(v)).agg(count(lit(1)).as("n"))
+        .withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)))
+        .select(col("flag"), col(v),
+          (lit(2L) * col("cum") + col("n") + 1L).as(s"${pfx}r2"))
+    }
+    base
+      .join(broadcast(rankMap("qv", "q")), Seq("flag", "qv"))
+      .join(rankMap("cv", "c"), Seq("flag", "cv"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        sum(col("qr2").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("cr2").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("qr2") * col("cr2")).cast("decimal(38,0)"))
+          .cast("double").as("sxy"),
+        sum((col("qr2") * col("qr2")).cast("decimal(38,0)"))
+          .cast("double").as("sxx"),
+        sum((col("cr2") * col("cr2")).cast("decimal(38,0)"))
+          .cast("double").as("syy"))
+      .select(col("flag"), col("n_rows"),
+        round((col("n_rows") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n_rows") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_rows") * col("syy") - col("sy") * col("sy"))), 4)
+          .as("spearman"))
+      .orderBy(col("flag"))
+  }
+
+  private val spearmanCorrSql =
+    """WITH base AS (
+      |  SELECT l_returnflag AS flag, l_quantity::BIGINT AS qv,
+      |    round(l_extendedprice * 100)::BIGINT AS cv
+      |  FROM lineitem
+      |), qr AS (
+      |  SELECT flag, qv,
+      |    2 * coalesce(sum(n) OVER (PARTITION BY flag ORDER BY qv
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + n + 1 AS qr2
+      |  FROM (SELECT flag, qv, count(*)::BIGINT AS n
+      |        FROM base GROUP BY flag, qv)
+      |), cr AS (
+      |  SELECT flag, cv,
+      |    2 * coalesce(sum(n) OVER (PARTITION BY flag ORDER BY cv
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + n + 1 AS cr2
+      |  FROM (SELECT flag, cv, count(*)::BIGINT AS n
+      |        FROM base GROUP BY flag, cv)
+      |), g AS (
+      |  SELECT b.flag, count(*)::BIGINT AS n_rows,
+      |    sum(qr2::HUGEINT)::DOUBLE AS sx, sum(cr2::HUGEINT)::DOUBLE AS sy,
+      |    sum((qr2 * cr2)::HUGEINT)::DOUBLE AS sxy,
+      |    sum((qr2 * qr2)::HUGEINT)::DOUBLE AS sxx,
+      |    sum((cr2 * cr2)::HUGEINT)::DOUBLE AS syy
+      |  FROM base b
+      |  JOIN qr ON b.flag = qr.flag AND b.qv = qr.qv
+      |  JOIN cr ON b.flag = cr.flag AND b.cv = cr.cv
+      |  GROUP BY b.flag
+      |)
+      |SELECT flag, n_rows,
+      |  round((n_rows * sxy - sx * sy)
+      |    / sqrt((n_rows * sxx - sx * sx) * (n_rows * syy - sy * sy)), 4)
+      |    AS spearman
+      |FROM g ORDER BY flag""".stripMargin
+
+  /** q178: association rules — q117's co-occurrence pairs promoted to
+    * directed rules with the standard market-basket metrics:
+    * confidence(A→B) = supp(AB)/supp(A) and lift = N·supp(AB)/
+    * (supp(A)·supp(B)). Every metric derives from exact integer
+    * supports (pair counts from the basket self-join, item supports
+    * from one groupBy, N = distinct baskets), so both engines compute
+    * identical doubles; ranking is by rounded lift with a full key
+    * tiebreak.
+    *
+    * Scale: the pair self-join is the q117 kernel (equi on basket id,
+    * O(k²) per basket with k = items-per-order bounded); item supports
+    * broadcast (a |parts| dimension); top-20 lands in
+    * TakeOrderedAndProject — partial top-k, never a full sort.
+    */
+  def associationRules(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("s"))
+    val nBaskets = items.select(countDistinct(col("ok")).as("nb"))
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("sp"))
+      .filter(col("sp") >= 2)
+    val rules = pairs.select(col("p1").as("ante"), col("p2").as("cons"), col("sp"))
+      .unionByName(pairs.select(col("p2").as("ante"), col("p1").as("cons"), col("sp")))
+    rules
+      .join(broadcast(supp.withColumnRenamed("pk", "ante")
+        .withColumnRenamed("s", "s_ante")), Seq("ante"))
+      .join(broadcast(supp.withColumnRenamed("pk", "cons")
+        .withColumnRenamed("s", "s_cons")), Seq("cons"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ante"), col("cons"), col("sp").cast("bigint").as("support"),
+        round(col("sp").cast("double") / col("s_ante"), 4).as("confidence"),
+        round(col("sp").cast("double") * col("nb") /
+          (col("s_ante") * col("s_cons")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("ante"), col("cons"))
+      .limit(20)
+  }
+
+  private val associationRulesSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |), supp AS (
+      |  SELECT pk, count(*)::BIGINT AS s FROM items GROUP BY pk
+      |), nb AS (
+      |  SELECT count(DISTINCT ok)::BIGINT AS nb FROM items
+      |), pairs AS (
+      |  SELECT a.pk AS p1, b.pk AS p2, count(*)::BIGINT AS sp
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 2
+      |), rules AS (
+      |  SELECT p1 AS ante, p2 AS cons, sp FROM pairs
+      |  UNION ALL
+      |  SELECT p2 AS ante, p1 AS cons, sp FROM pairs
+      |)
+      |SELECT r.ante, r.cons, r.sp AS support,
+      |  round(r.sp::DOUBLE / sa.s, 4) AS confidence,
+      |  round(r.sp::DOUBLE * nb.nb / (sa.s * sc.s), 4) AS lift
+      |FROM rules r
+      |JOIN supp sa ON r.ante = sa.pk
+      |JOIN supp sc ON r.cons = sc.pk
+      |CROSS JOIN nb
+      |ORDER BY lift DESC, ante, cons LIMIT 20""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -1366,5 +1517,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q172_mann_whitney", mannWhitneyU, Some(mannWhitneyUSql)),
     QueryDef("q173_revenue_acf", revenueAcf, Some(revenueAcfSql)),
     QueryDef("q175_fifo_allocation", fifoAllocation, Some(fifoAllocationSql)),
+    QueryDef("q177_spearman", spearmanCorr, Some(spearmanCorrSql)),
+    QueryDef("q178_association_rules", associationRules, Some(associationRulesSql)),
   )
 }

@@ -489,6 +489,75 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(got === agg.toMap)
   }
 
+  test("q177: Spearman matches driver-side tied-rank Pearson per flag") {
+    val base = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qv"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cv"))
+      .collect()
+      .map(r => (r.getAs[String]("flag"), r.getAs[Long]("qv"), r.getAs[Long]("cv")))
+
+    def tiedRanks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      sorted.zipWithIndex.groupBy(_._1).map { case (v, g) =>
+        v -> (g.map(_._2 + 1).sum.toDouble / g.size) // average 1-based rank
+      }
+    }
+    val expected = base.groupBy(_._1).map { case (flag, rows) =>
+      val rq = tiedRanks(rows.map(_._2).toSeq)
+      val rc = tiedRanks(rows.map(_._3).toSeq)
+      val xs = rows.map(r => rq(r._2)); val ys = rows.map(r => rc(r._3))
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum; val syy = ys.map(a => a * a).sum
+      flag -> ((n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+    }
+
+    val rows = TradeAnalytics.spearmanCorr(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      assert(math.abs(r.getAs[Double]("spearman") - expected(flag)) < 1e-3,
+        s"flag $flag")
+      assert(math.abs(r.getAs[Double]("spearman")) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q178: rule metrics recompute from exact supports; ranking holds") {
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("ok"), r.getAs[Long]("pk")))
+    val supp = items.groupBy(_._2).map { case (p, g) => p -> g.length.toLong }
+    val nb = items.map(_._1).distinct.length.toLong
+    val pairSupp = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+      .filter(_._2 >= 2)
+
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val allRules = pairSupp.toSeq.flatMap { case ((p1, p2), sp) =>
+      Seq((p1, p2, sp), (p2, p1, sp))
+    }.map { case (a, c, sp) =>
+      (a, c, sp, rnd(sp.toDouble / supp(a)),
+        rnd(sp.toDouble * nb / (supp(a) * supp(c))))
+    }
+    val want = allRules.sortBy { case (a, c, _, _, l) => (-l, a, c) }.take(20)
+
+    val got = TradeAnalytics.associationRules(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("ante"), r.getAs[Long]("cons"),
+        r.getAs[Long]("support"), r.getAs[Double]("confidence"),
+        r.getAs[Double]("lift")))
+    assert(got.toSeq === want)
+    got.foreach { case (_, _, sp, conf, lift) =>
+      assert(sp >= 2 && conf > 0 && conf <= 1.0 + 1e-12 && lift > 0)
+    }
+  }
+
   test("q173: ACF matches driver-side Pearson on the lagged day series") {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").as("day"))
