@@ -343,6 +343,93 @@ object Curation extends QueryModule {
        |FROM pr2 JOIN deg d ON pr2.doc_id = d.src
        |ORDER BY pr2.doc_id""".stripMargin
 
+  /** q180: label-propagation communities — the third graph-mining view
+    * of the chunk-share graph (q53 components = connectivity, q75
+    * PageRank = importance, q107 triangles = local density; LPA =
+    * community structure). Two SYNCHRONOUS rounds: every vertex starts
+    * as its own label, then adopts the most frequent label among its
+    * neighbors, ties broken to the smallest label — fully deterministic
+    * (async LPA's order-dependence is exactly what a distributed engine
+    * cannot allow). The mode-with-tiebreak is a row_number over
+    * (count DESC, label ASC), identical semantics in both engines.
+    * Output: per-community sizes.
+    *
+    * Scale shape: edges reuse the df-capped (2..64) posting-pair
+    * expansion, so |E| is bounded linear; each round is one
+    * edge⋈label join + one (vertex, label) count + one per-vertex
+    * top-1 — the standard message-passing iteration, linear in |E|.
+    */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withChunkCols(Tables.documents(spark, dir))
+    val p = chunkPostings(docs).select(col("doc_id"), col("chunk")).distinct()
+    val hot = p.groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 64)).select(col("chunk"))
+    val e = p.join(broadcast(hot), Seq("chunk"))
+    val pairs = e.join(e.withColumnRenamed("doc_id", "dst"), Seq("chunk"))
+      .filter(col("doc_id") =!= col("dst"))
+      .select(col("doc_id").as("src"), col("dst")).distinct()
+      .persist()
+    var labels = pairs.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to 2) {
+      val counted = pairs
+        .join(labels.withColumnRenamed("v", "src")
+          .withColumnRenamed("lbl", "nlbl"), Seq("src"))
+        .groupBy(col("dst").as("v"), col("nlbl").as("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("v"))
+        .orderBy(col("cnt").desc, col("lbl"))
+      labels = counted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("v"), col("lbl"))
+    }
+    val out = labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).cast("bigint").as("size"))
+      .orderBy(col("community"))
+    pairs.unpersist()
+    out
+  }
+
+  private val labelPropagationSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), c AS (
+       |  SELECT doc_id, len(toks) // $chunkW AS k, toks FROM t
+       |), posting AS (
+       |  SELECT DISTINCT doc_id, chunk FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(0, k - 1),
+       |        i -> array_to_string(toks[i * $chunkW + 1 : i * $chunkW + $chunkW], ' '))) AS chunk
+       |    FROM c WHERE k >= 1)
+       |), hot AS (
+       |  SELECT chunk FROM posting GROUP BY chunk
+       |  HAVING count(*) BETWEEN 2 AND 64
+       |), e AS (
+       |  SELECT p.chunk, p.doc_id FROM posting p JOIN hot USING (chunk)
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM e a JOIN e b ON a.chunk = b.chunk AND a.doc_id <> b.doc_id
+       |), l0 AS (
+       |  SELECT DISTINCT src AS v, src AS lbl FROM pairs
+       |), c1 AS (
+       |  SELECT p.dst AS v, x.lbl, count(*) AS cnt
+       |  FROM pairs p JOIN l0 x ON p.src = x.v GROUP BY p.dst, x.lbl
+       |), l1 AS (
+       |  SELECT v, lbl FROM (
+       |    SELECT v, lbl,
+       |      row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
+       |    FROM c1) WHERE rn = 1
+       |), c2 AS (
+       |  SELECT p.dst AS v, x.lbl, count(*) AS cnt
+       |  FROM pairs p JOIN l1 x ON p.src = x.v GROUP BY p.dst, x.lbl
+       |), l2 AS (
+       |  SELECT v, lbl FROM (
+       |    SELECT v, lbl,
+       |      row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
+       |    FROM c2) WHERE rn = 1
+       |)
+       |SELECT lbl AS community, count(*)::BIGINT AS size
+       |FROM l2 GROUP BY lbl ORDER BY community""".stripMargin
+
   // --- temperature mixture resampling ----------------------------------
 
   /** q72: data-driven domain mixture — the temperature-reweighting step
@@ -715,5 +802,6 @@ object Curation extends QueryModule {
     QueryDef("q100_chunk_spine", chunkSpine, Some(chunkSpineSql)),
     QueryDef("q107_triangle_census", triangleCensus, Some(triangleCensusSql)),
     QueryDef("q136_graph_bfs", graphBfs, Some(graphBfsSql)),
+    QueryDef("q180_label_propagation", labelPropagation, Some(labelPropagationSql)),
   )
 }

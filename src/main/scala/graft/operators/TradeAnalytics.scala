@@ -1489,6 +1489,68 @@ object TradeAnalytics extends QueryModule {
       |CROSS JOIN nb
       |ORDER BY lift DESC, ante, cons LIMIT 20""".stripMargin
 
+  /** q179: seasonal-naive forecast backtest — the standard baseline
+    * evaluation a forecasting pipeline runs before anything fancier:
+    * per nation, forecast each day's revenue with the naive (previous
+    * observation) and seasonal-naive (7 observations back) rules, then
+    * score both on the common evaluation window. Error metrics are
+    * ratio-of-sums (WAPE = Σ|e|/Σactual, bias = Σe/Σactual) — exact
+    * integer cent sums with ONE double division at output, never a
+    * float-per-row average whose accumulation order could differ
+    * between engines.
+    *
+    * Scale: one (nation, day) aggregation, per-nation lag windows on
+    * the day-level series (bounded by the calendar), one final
+    * aggregate. The per-row metric never shuffles.
+    */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nationkey"), col("n_name"))
+    val daily = Tables.orders(spark, dir)
+      .join(broadcast(cust), Seq("o_custkey"))
+      .join(broadcast(nat), Seq("c_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("day"))
+    daily
+      .withColumn("f1", lag(col("rev"), 1).over(w))
+      .withColumn("f7", lag(col("rev"), 7).over(w))
+      .filter(col("f7").isNotNull) // common eval window (f1 exists too)
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).cast("bigint").as("n_eval"),
+        sum(abs(col("rev") - col("f1"))).as("ae1"),
+        sum(abs(col("rev") - col("f7"))).as("ae7"),
+        sum(col("rev") - col("f7")).as("e7"),
+        sum(col("rev")).as("act"))
+      .select(col("n_name"), col("n_eval"),
+        round(col("ae1").cast("double") / col("act"), 4).as("wape_naive"),
+        round(col("ae7").cast("double") / col("act"), 4).as("wape_seasonal"),
+        round(col("e7").cast("double") / col("act"), 4).as("bias_seasonal"))
+      .orderBy(col("n_name"))
+  }
+
+  private val forecastBacktestSql =
+    """WITH daily AS (
+      |  SELECT n.n_name, o.o_orderdate AS day,
+      |    sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS rev
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY n.n_name, o.o_orderdate
+      |), lagged AS (
+      |  SELECT n_name, rev,
+      |    lag(rev, 1) OVER w AS f1, lag(rev, 7) OVER w AS f7
+      |  FROM daily WINDOW w AS (PARTITION BY n_name ORDER BY day)
+      |)
+      |SELECT n_name, count(*)::BIGINT AS n_eval,
+      |  round(sum(abs(rev - f1))::DOUBLE / sum(rev), 4) AS wape_naive,
+      |  round(sum(abs(rev - f7))::DOUBLE / sum(rev), 4) AS wape_seasonal,
+      |  round(sum(rev - f7)::DOUBLE / sum(rev), 4) AS bias_seasonal
+      |FROM lagged WHERE f7 IS NOT NULL
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -1519,5 +1581,6 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q175_fifo_allocation", fifoAllocation, Some(fifoAllocationSql)),
     QueryDef("q177_spearman", spearmanCorr, Some(spearmanCorrSql)),
     QueryDef("q178_association_rules", associationRules, Some(associationRulesSql)),
+    QueryDef("q179_forecast_backtest", forecastBacktest, Some(forecastBacktestSql)),
   )
 }

@@ -94,6 +94,44 @@ class CurationSpec extends SparkSpec {
     assert(byDeg.last._3 >= byDeg.head._3)
   }
 
+  test("q180: LPA communities match a driver-side two-round sync replay") {
+    // rebuild the same df-capped chunk-share graph (width 8, df 2..64)
+    val posting = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("k", expr("size(toks) div 8"))
+      .filter(col("k") >= 1)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, k - 1), i -> concat_ws(' ', slice(toks, i * 8 + 1, 8)))")).as("chunk"))
+      .distinct()
+    val hot = posting.groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 64)).select(col("chunk"))
+    val pairs = posting.join(hot, Seq("chunk"))
+      .join(posting.join(hot, Seq("chunk")).withColumnRenamed("doc_id", "dst"),
+        Seq("chunk"))
+      .filter(col("doc_id") =!= col("dst"))
+      .select(col("doc_id").as("src"), col("dst")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val neighbors = pairs.groupBy(_._2).map { case (v, es) => v -> es.map(_._1) }
+    var labels: Map[Long, Long] = pairs.map(_._1).distinct.map(v => v -> v).toMap
+    for (_ <- 1 to 2) {
+      labels = neighbors.map { case (v, ns) =>
+        val counts = ns.map(labels).groupBy(identity)
+          .map { case (l, g) => (l, g.length) }
+        val best = counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        v -> best
+      }
+    }
+    val want = labels.values.groupBy(identity)
+      .map { case (l, g) => l -> g.size.toLong }
+
+    val got = Curation.labelPropagation(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("community") -> r.getAs[Long]("size")).toMap
+    assert(got === want)
+    assert(got.values.sum === labels.size, "communities partition the vertices")
+    assert(got.size < labels.size, "propagation must merge at least one label")
+  }
+
   test("mixtureResample: temperature flattens the mixture (heavier sources sample at lower rates)") {
     val rows = Curation.mixtureResample(spark, sfDir).collect()
     assert(rows.length === 20)

@@ -558,6 +558,46 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q179: backtest metrics recompute from the lagged nation series") {
+    val daily = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").cast("string").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+      .collect()
+      .map(r => (r.getAs[String]("n_name"),
+        r.getAs[String]("day"), r.getAs[Long]("rev")))
+
+    val expected = daily.groupBy(_._1).flatMap { case (nation, rows) =>
+      val series = rows.sortBy(_._2).map(_._3)
+      if (series.length <= 7) None
+      else {
+        val eval = (7 until series.length).map(i =>
+          (series(i), series(i - 1), series(i - 7)))
+        val act = eval.map(_._1).sum
+        val ae1 = eval.map(e => math.abs(e._1 - e._2)).sum
+        val ae7 = eval.map(e => math.abs(e._1 - e._3)).sum
+        val e7 = eval.map(e => e._1 - e._3).sum
+        Some(nation -> (eval.length.toLong, ae1.toDouble / act,
+          ae7.toDouble / act, e7.toDouble / act))
+      }
+    }
+
+    val got = TradeAnalytics.forecastBacktest(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, w1, w7, b7) = expected(r.getAs[String]("n_name"))
+      assert(r.getAs[Long]("n_eval") === n)
+      assert(math.abs(r.getAs[Double]("wape_naive") - w1) <= 5.1e-5)
+      assert(math.abs(r.getAs[Double]("wape_seasonal") - w7) <= 5.1e-5)
+      assert(math.abs(r.getAs[Double]("bias_seasonal") - b7) <= 5.1e-5)
+      assert(r.getAs[Double]("wape_naive") >= 0 &&
+        r.getAs[Double]("wape_seasonal") >= 0)
+    }
+  }
+
   test("q173: ACF matches driver-side Pearson on the lagged day series") {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").as("day"))
