@@ -253,4 +253,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"candidate recount must broadcast the <=k candidates:\n$plan")
   }
+
+  test("ACF lag pairing is a hash join on the shifted row number") {
+    val plan = explainText(operators.TradeAnalytics.revenueAcf(spark, sfDir))
+    // the (rn_x - k) = rn_y spelling must keep equi-join key extraction;
+    // the only non-equi join allowed is the deliberate broadcast cross
+    // against the 10-row lag spine
+    assert(plan.contains("BroadcastHashJoin"),
+      s"lag self-join must extract hash keys:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no partitioned cartesian allowed:\n$plan")
+    // formatted explain mentions each node twice (tree + details);
+    // count physical nodes via their "(n) Name" detail headers
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(plan).length <= 1,
+      s"only the 10-row spine may broadcast-cross:\n$plan")
+  }
+
+  test("FIFO allocation joins supply to demand equi on partkey, brand lookup broadcasts") {
+    val plan = explainText(operators.TradeAnalytics.fifoAllocation(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval overlap must be a post-filter on the partkey equi join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part-brand dimension must broadcast:\n$plan")
+  }
+
+  test("containment pairs never self-join the corpus (posting-list expansion only)") {
+    val plan = explainText(operators.TextAnalysis.containmentPairs(spark, sfDir))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin") &&
+      !plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"containment must reuse the join-free inverted-index kernel:\n$plan")
+  }
+
+  test("association rules: supports broadcast and top-20 is a partial top-k") {
+    val plan = explainText(operators.TradeAnalytics.associationRules(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"rule ranking must be partial top-k, not a full sort:\n$plan")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2,
+      s"item supports and basket count must broadcast, got $broadcasts:\n$plan")
+  }
+
+  test("Mann-Whitney ranks come from the value domain: window input is the aggregated relation") {
+    val plan = explainText(operators.TradeAnalytics.mannWhitneyU(spark, sfDir))
+    // aggregation (value domain) must appear BELOW the window in the plan:
+    // the window's direct child chain contains a HashAggregate, so the
+    // sorted/windowed relation is |distinct values|, not |orders|
+    val wIdx = plan.indexOf("Window")
+    assert(wIdx > 0, s"rank window missing:\n$plan")
+    assert(plan.substring(wIdx).contains("HashAggregate"),
+      s"window must run over the value-domain aggregate:\n$plan")
+  }
 }
