@@ -27,6 +27,7 @@ object SparkEntry {
     operators.Physical,
     operators.Expectations,
     operators.Incremental,
+    operators.Spatial,
     operators.BloomJoin,
     multimodal.Multimodal,
   )

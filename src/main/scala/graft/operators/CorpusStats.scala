@@ -444,6 +444,59 @@ object CorpusStats extends QueryModule {
        |SELECT w, y0, y1, z FROM z
        |ORDER BY z DESC, w LIMIT 20""".stripMargin
 
+  /** q182: readability battery — Flesch reading-ease and Flesch–Kincaid
+    * grade per source, the classic document-difficulty signal a corpus
+    * curator slices by. Per-doc counts are pure codegen'd regexps
+    * (words = \S+ runs, sentences = terminator runs with a ≥1 floor,
+    * syllables ≈ vowel clusters — the standard heuristic); the
+    * per-source scores use aggregate ratios (ΣW/ΣS, ΣY/ΣW from exact
+    * BIGINT sums), so no float accumulates across rows and both
+    * engines evaluate one identical double expression per source.
+    *
+    * Scale: map-only scan + one partial-aggregated groupBy on the
+    * 20-source key — nothing shuffles but the count triples.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        regexp_count(col("text"), lit("\\S+")).cast("long").as("w"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast("long").as("s"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("w")).cast("bigint").as("tw"),
+        sum(col("s")).cast("bigint").as("ts"),
+        sum(col("y")).cast("bigint").as("ty"))
+      .select(col("source"), col("n_docs"),
+        round(lit(206.835)
+          - lit(1.015) * (col("tw").cast("double") / col("ts"))
+          - lit(84.6) * (col("ty").cast("double") / col("tw")), 4)
+          .as("flesch_ease"),
+        round(lit(0.39) * (col("tw").cast("double") / col("ts"))
+          + lit(11.8) * (col("ty").cast("double") / col("tw"))
+          - lit(15.59), 4).as("fk_grade"))
+      .orderBy(col("source"))
+
+  private val readabilitySql =
+    """WITH d AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(text, '\S+'))::BIGINT AS w,
+      |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS s,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS y
+      |  FROM documents
+      |), g AS (
+      |  SELECT source, count(*)::BIGINT AS n_docs,
+      |    sum(w)::BIGINT AS tw, sum(s)::BIGINT AS ts, sum(y)::BIGINT AS ty
+      |  FROM d GROUP BY source
+      |)
+      |SELECT source, n_docs,
+      |  round(206.835 - 1.015 * (tw::DOUBLE / ts)
+      |        - 84.6 * (ty::DOUBLE / tw), 4) AS flesch_ease,
+      |  round(0.39 * (tw::DOUBLE / ts) + 11.8 * (ty::DOUBLE / tw)
+      |        - 15.59, 4) AS fk_grade
+      |FROM g ORDER BY source""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q93_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
     QueryDef("q94_source_entropy", sourceEntropy, Some(sourceEntropySql)),
@@ -453,5 +506,6 @@ object CorpusStats extends QueryModule {
     QueryDef("q139_zipf_slope", zipfSlope, Some(zipfSlopeSql)),
     QueryDef("q140_ks_length_test", ksLengthTest, Some(ksLengthTestSql)),
     QueryDef("q155_log_odds_words", logOddsWords, Some(logOddsWordsSql)),
+    QueryDef("q182_readability", readability, Some(readabilitySql)),
   )
 }

@@ -1152,10 +1152,12 @@ object TradeAnalytics extends QueryModule {
     val g = ranked.agg(
       sum(col("n1v")).cast("bigint").as("n1"),
       sum(col("ntv") - col("n1v")).cast("bigint").as("n2"),
-      sum((col("n1v") * col("r2")).cast("decimal(38,0)"))
+      // multiply in decimal: rank × count products overflow int64 at
+      // cluster row counts
+      sum(col("n1v").cast("decimal(38,0)") * col("r2"))
         .cast("double").as("r1x2"),
-      sum((col("ntv") * col("ntv") * col("ntv") - col("ntv"))
-        .cast("decimal(38,0)")).cast("double").as("tie"))
+      sum(col("ntv").cast("decimal(38,0)") * col("ntv") * col("ntv")
+        - col("ntv")).cast("double").as("tie"))
     g
       .withColumn("nn", col("n1").cast("double") * col("n2"))
       .withColumn("nt", (col("n1") + col("n2")).cast("double"))
@@ -1188,8 +1190,8 @@ object TradeAnalytics extends QueryModule {
       |  FROM byv
       |), g AS (
       |  SELECT sum(n1v)::BIGINT AS n1, sum(ntv - n1v)::BIGINT AS n2,
-      |    sum((n1v * r2)::HUGEINT)::DOUBLE AS r1x2,
-      |    sum((ntv * ntv * ntv - ntv)::HUGEINT)::DOUBLE AS tie
+      |    sum(n1v::HUGEINT * r2)::DOUBLE AS r1x2,
+      |    sum(ntv::HUGEINT * ntv * ntv - ntv)::DOUBLE AS tie
       |  FROM ranked
       |)
       |SELECT n1 AS n_urgent, n2 AS n_low,
@@ -1230,11 +1232,13 @@ object TradeAnalytics extends QueryModule {
       .agg(count(lit(1)).cast("bigint").as("n_pairs"),
         sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
         sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
-        sum((col("x") * col("y")).cast("decimal(38,0)"))
+        // multiply in decimal: daily-cent products overflow int64 at
+        // cluster revenue volumes
+        sum(col("x").cast("decimal(38,0)") * col("y"))
           .cast("double").as("sxy"),
-        sum((col("x") * col("x")).cast("decimal(38,0)"))
+        sum(col("x").cast("decimal(38,0)") * col("x"))
           .cast("double").as("sxx"),
-        sum((col("y") * col("y")).cast("decimal(38,0)"))
+        sum(col("y").cast("decimal(38,0)") * col("y"))
           .cast("double").as("syy"))
       .select(col("k"), col("n_pairs"),
         round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
@@ -1254,11 +1258,11 @@ object TradeAnalytics extends QueryModule {
       |  SELECT unnest(generate_series(1, 10))::INT AS k
       |)
       |SELECT ks.k, count(*)::BIGINT AS n_pairs,
-      |  round((count(*) * sum((a.rev * b.rev)::HUGEINT)::DOUBLE
+      |  round((count(*) * sum(a.rev::HUGEINT * b.rev)::DOUBLE
       |       - sum(a.rev::HUGEINT)::DOUBLE * sum(b.rev::HUGEINT)::DOUBLE)
-      |    / sqrt((count(*) * sum((a.rev * a.rev)::HUGEINT)::DOUBLE
+      |    / sqrt((count(*) * sum(a.rev::HUGEINT * a.rev)::DOUBLE
       |          - sum(a.rev::HUGEINT)::DOUBLE * sum(a.rev::HUGEINT)::DOUBLE)
-      |         * (count(*) * sum((b.rev * b.rev)::HUGEINT)::DOUBLE
+      |         * (count(*) * sum(b.rev::HUGEINT * b.rev)::DOUBLE
       |          - sum(b.rev::HUGEINT)::DOUBLE * sum(b.rev::HUGEINT)::DOUBLE)),
       |    4) AS acf
       |FROM ks
@@ -1374,11 +1378,13 @@ object TradeAnalytics extends QueryModule {
       .agg(count(lit(1)).cast("bigint").as("n_rows"),
         sum(col("qr2").cast("decimal(38,0)")).cast("double").as("sx"),
         sum(col("cr2").cast("decimal(38,0)")).cast("double").as("sy"),
-        sum((col("qr2") * col("cr2")).cast("decimal(38,0)"))
+        // multiply in decimal: (2×rank)² ~ 4N² overflows int64 at
+        // cluster row counts
+        sum(col("qr2").cast("decimal(38,0)") * col("cr2"))
           .cast("double").as("sxy"),
-        sum((col("qr2") * col("qr2")).cast("decimal(38,0)"))
+        sum(col("qr2").cast("decimal(38,0)") * col("qr2"))
           .cast("double").as("sxx"),
-        sum((col("cr2") * col("cr2")).cast("decimal(38,0)"))
+        sum(col("cr2").cast("decimal(38,0)") * col("cr2"))
           .cast("double").as("syy"))
       .select(col("flag"), col("n_rows"),
         round((col("n_rows") * col("sxy") - col("sx") * col("sy")) /
@@ -1410,9 +1416,9 @@ object TradeAnalytics extends QueryModule {
       |), g AS (
       |  SELECT b.flag, count(*)::BIGINT AS n_rows,
       |    sum(qr2::HUGEINT)::DOUBLE AS sx, sum(cr2::HUGEINT)::DOUBLE AS sy,
-      |    sum((qr2 * cr2)::HUGEINT)::DOUBLE AS sxy,
-      |    sum((qr2 * qr2)::HUGEINT)::DOUBLE AS sxx,
-      |    sum((cr2 * cr2)::HUGEINT)::DOUBLE AS syy
+      |    sum(qr2::HUGEINT * cr2)::DOUBLE AS sxy,
+      |    sum(qr2::HUGEINT * qr2)::DOUBLE AS sxx,
+      |    sum(cr2::HUGEINT * cr2)::DOUBLE AS syy
       |  FROM base b
       |  JOIN qr ON b.flag = qr.flag AND b.qv = qr.qv
       |  JOIN cr ON b.flag = cr.flag AND b.cv = cr.cv
@@ -1551,6 +1557,61 @@ object TradeAnalytics extends QueryModule {
       |FROM lagged WHERE f7 IS NOT NULL
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** q181: Herfindahl–Hirschman market concentration — per region, the
+    * HHI of supplier revenue shares (the antitrust-standard Σ shareᵢ²,
+    * scaled ×10000), plus the equivalent-competitor count 1/Σs². The
+    * identity HHI = 10⁴·Σrᵢ²/(Σrᵢ)² lets every accumulation stay an
+    * exact integer (Σrᵢ² in decimal(38,0)/HUGEINT); the single double
+    * division happens once per region at output.
+    *
+    * Scale: supplier revenue is one fact aggregation keyed by
+    * (region, supplier) — partial map-side; the region rollup that
+    * follows is |suppliers|-sized. Dimensions broadcast.
+    */
+  def marketConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nationkey"), col("n_regionkey"))
+    val reg = Tables.region(spark, dir)
+      .select(col("r_regionkey").as("n_regionkey"), col("r_name"))
+    val bySupp = Tables.lineitem(spark, dir)
+      .join(broadcast(supp), Seq("l_suppkey"))
+      .join(broadcast(nat), Seq("s_nationkey"))
+      .join(broadcast(reg), Seq("n_regionkey"))
+      .groupBy(col("r_name"), col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev"))
+    bySupp.groupBy(col("r_name"))
+      .agg(count(lit(1)).cast("bigint").as("n_suppliers"),
+        sum(col("rev")).cast("double").as("tot"),
+        // multiply in decimal: rev² overflows int64 (rev is per-supplier
+        // lifetime cents)
+        sum(col("rev").cast("decimal(38,0)") * col("rev"))
+          .cast("double").as("sq"))
+      .select(col("r_name"), col("n_suppliers"),
+        round(lit(10000.0) * col("sq") / (col("tot") * col("tot")), 4)
+          .as("hhi"),
+        round(col("tot") * col("tot") / col("sq"), 2).as("n_effective"))
+      .orderBy(col("r_name"))
+  }
+
+  private val marketConcentrationSql =
+    """WITH by_supp AS (
+      |  SELECT r.r_name, l.l_suppkey,
+      |    sum(round(l.l_extendedprice * 100)::BIGINT)::BIGINT AS rev
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY r.r_name, l.l_suppkey
+      |)
+      |SELECT r_name, count(*)::BIGINT AS n_suppliers,
+      |  round(10000.0 * sum(rev::HUGEINT * rev)::DOUBLE
+      |    / (sum(rev)::DOUBLE * sum(rev)::DOUBLE), 4) AS hhi,
+      |  round(sum(rev)::DOUBLE * sum(rev)::DOUBLE
+      |    / sum(rev::HUGEINT * rev)::DOUBLE, 2) AS n_effective
+      |FROM by_supp GROUP BY r_name ORDER BY r_name""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -1582,5 +1643,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q177_spearman", spearmanCorr, Some(spearmanCorrSql)),
     QueryDef("q178_association_rules", associationRules, Some(associationRulesSql)),
     QueryDef("q179_forecast_backtest", forecastBacktest, Some(forecastBacktestSql)),
+    QueryDef("q181_market_concentration", marketConcentration,
+      Some(marketConcentrationSql)),
   )
 }

@@ -146,4 +146,27 @@ class CorpusStatsSpec extends SparkSpec {
       dNum.toDouble / (a.length.toLong * b.length)) < 1e-9)
     assert(r.getAs[Double]("ks_d") >= 0 && r.getAs[Double]("ks_d") <= 1)
   }
+
+  test("q182: readability scores recompute from driver-side regex counts") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      def cnt(re: String, s: String) = re.r.findAllIn(s).length.toLong
+      val w = ds.map(d => cnt("""\S+""", d._2)).sum
+      val s = ds.map(d => math.max(1L, cnt("""[.!?]+""", d._2))).sum
+      val y = ds.map(d => cnt("[aeiouy]+", d._2.toLowerCase)).sum
+      src -> (ds.length.toLong,
+        206.835 - 1.015 * (w.toDouble / s) - 84.6 * (y.toDouble / w),
+        0.39 * (w.toDouble / s) + 11.8 * (y.toDouble / w) - 15.59)
+    }
+    val got = CorpusStats.readability(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, ease, grade) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === n)
+      assert(math.abs(r.getAs[Double]("flesch_ease") - ease) <= 5.1e-5)
+      assert(math.abs(r.getAs[Double]("fk_grade") - grade) <= 5.1e-5)
+    }
+  }
 }

@@ -598,6 +598,41 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q181: HHI recomputes from per-supplier revenue; bounds hold") {
+    val rev = Tables.lineitem(spark, sfDir)
+      .join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, sfDir),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sfDir),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev"))
+      .collect()
+      .map(r => (r.getAs[String]("r_name"), r.getAs[Long]("rev")))
+
+    val expected = rev.groupBy(_._1).map { case (region, rows) =>
+      val rs = rows.map(r => BigInt(r._2))
+      val tot = rs.sum.toDouble
+      val sq = rs.map(r => r * r).sum.toDouble
+      region -> (rows.length.toLong, 10000.0 * sq / (tot * tot),
+        tot * tot / sq)
+    }
+
+    val got = TradeAnalytics.marketConcentration(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, hhi, neff) = expected(r.getAs[String]("r_name"))
+      assert(r.getAs[Long]("n_suppliers") === n)
+      assert(math.abs(r.getAs[Double]("hhi") - hhi) <= 5.1e-5)
+      assert(math.abs(r.getAs[Double]("n_effective") - neff) <= 5.1e-3)
+      // HHI of n equal shares is 10000/n — the floor for n suppliers
+      assert(r.getAs[Double]("hhi") >= 10000.0 / n - 1e-9)
+      assert(r.getAs[Double]("hhi") <= 10000.0 + 1e-9)
+      assert(r.getAs[Double]("n_effective") <= n + 1e-9)
+    }
+  }
+
   test("q173: ACF matches driver-side Pearson on the lagged day series") {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").as("day"))
