@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for a training-data pipeline.
@@ -458,12 +459,61 @@ object Dedup extends QueryModule {
       |FROM d GROUP BY fp HAVING count(*) >= 2
       |ORDER BY fp""".stripMargin
 
+  /** q184: duplicate-cluster size profile — the dedup health report a
+    * curation pipeline emits after fingerprinting: for every cluster
+    * size s, how many clusters, how many documents they hold, their
+    * corpus share, and the documents removable by keep-one dedup.
+    * Clusters come from q34's prefix-md5 fingerprint; the histogram
+    * runs on the |clusters|-sized relation and the corpus-share
+    * denominator is one window sum over the |distinct sizes| rows.
+    *
+    * Scale: one fingerprint groupBy (the data-sized shuffle), then a
+    * size-keyed aggregation over |clusters| rows — the profile itself
+    * is bounded by max cluster size, not the corpus.
+    */
+  def dupClusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Tables.documents(spark, dir)
+      .withColumn("fp", md5(lower(substring(col("text"), 1, 100))))
+      .groupBy(col("fp")).agg(count(lit(1)).as("s"))
+    val bySize = clusters.groupBy(col("s").as("cluster_size"))
+      .agg(count(lit(1)).cast("bigint").as("n_clusters"))
+      .withColumn("n_docs", (col("cluster_size") * col("n_clusters"))
+        .cast("bigint"))
+      .withColumn("n_removable",
+        ((col("cluster_size") - 1) * col("n_clusters")).cast("bigint"))
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    bySize
+      .withColumn("corpus_share",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(wAll), 4))
+      .select(col("cluster_size").cast("bigint").as("cluster_size"),
+        col("n_clusters"), col("n_docs"), col("n_removable"),
+        col("corpus_share"))
+      .orderBy(col("cluster_size"))
+  }
+
+  private val dupClusterProfileSql =
+    """WITH clusters AS (
+      |  SELECT md5(lower(substr(text, 1, 100))) AS fp, count(*)::BIGINT AS s
+      |  FROM documents GROUP BY fp
+      |), by_size AS (
+      |  SELECT s AS cluster_size, count(*)::BIGINT AS n_clusters,
+      |    (s * count(*))::BIGINT AS n_docs,
+      |    ((s - 1) * count(*))::BIGINT AS n_removable
+      |  FROM clusters GROUP BY s
+      |)
+      |SELECT cluster_size, n_clusters, n_docs, n_removable,
+      |  round(n_docs::DOUBLE / sum(n_docs) OVER (), 4) AS corpus_share
+      |FROM by_size ORDER BY cluster_size""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_minhash_lsh", minHashQuery, Some(minHashOracleSql), benchmark = true),
     QueryDef("q41_simhash", simHashQuery, Some(simHashOracleSql), benchmark = true),
     QueryDef("q53_dup_groups", dupGroupsQuery, Some(dupGroupsSql)),
     QueryDef("q141_blocked_lev_pairs", blockedLevPairs, Some(blockedLevPairsSql)),
     QueryDef("q148_golden_record", goldenRecord, Some(goldenRecordSql)),
+    QueryDef("q184_dup_cluster_profile", dupClusterProfile,
+      Some(dupClusterProfileSql)),
   )
 
 }

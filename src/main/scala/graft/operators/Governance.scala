@@ -418,12 +418,69 @@ object Governance extends QueryModule {
       |FROM dev JOIN m2 ON dev.p = m2.p
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  override val defs: Seq[QueryDef] = Seq(
+  override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q97_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("q98_quality_rules", qualityRules, Some(qualityRulesSql)),
     QueryDef("q99_winsorized_spend", winsorizedSpend, Some(winsorizedSpendSql)),
     QueryDef("q118_psi_drift", psiDrift, Some(psiDriftSql)),
     QueryDef("q126_benford_profile", benfordProfile, Some(benfordProfileSql)),
     QueryDef("q132_mad_outliers", madOutliers, Some(madOutliersSql)),
+    QueryDef("q185_pii_incidence", piiIncidence, Some(piiIncidenceSql)),
   )
+  // NOTE: defs is lazy (see bottom of file) because piiIncidenceSql is
+  // declared below it; a strict val here would capture null.
+
+  /** q185: PII incidence profile — the measurement counterpart to q97's
+    * scrub: per source, how often each sensitive pattern (email, IPv4,
+    * phone, bare number) appears, normalized per 10k characters. The
+    * audit a privacy review runs BEFORE deciding to scrub. Counts are
+    * independent per rule (no replacement ordering — this profiles raw
+    * incidence, and overlaps like phone⊂number are expected and
+    * documented); rates derive from exact integer hit/char sums with
+    * one double division per cell.
+    *
+    * Scale: pure codegen'd regexp counts at scan speed, one
+    * partial-aggregated groupBy on the 20-source key.
+    */
+  def piiIncidence(spark: SparkSession, dir: String): DataFrame = {
+    val counted = piiRules.foldLeft(
+      Tables.documents(spark, dir).select(col("source"),
+        length(col("text")).cast("long").as("n_chars_doc"),
+        col("text"))) { case (acc, (name, re, _)) =>
+      acc.withColumn(s"h_$name",
+        size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long"))
+    }
+    val g = counted.groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_chars_doc")).as("chars"),
+        sum(col("h_email")).cast("bigint").as("n_email"),
+        sum(col("h_ipv4")).cast("bigint").as("n_ipv4"),
+        sum(col("h_phone")).cast("bigint").as("n_phone"),
+        sum(col("h_number")).cast("bigint").as("n_number"))
+    def rate(c: Column) = round(c.cast("double") * 10000 / col("chars"), 4)
+    g.select(col("source"), col("n_docs"),
+        col("n_email"), col("n_ipv4"), col("n_phone"), col("n_number"),
+        rate(col("n_number")).as("number_per_10k"),
+        rate(col("n_phone")).as("phone_per_10k"))
+      .orderBy(col("source"))
+  }
+
+  private val piiIncidenceSql =
+    """WITH d AS (
+      |  SELECT source, length(text)::BIGINT AS n_chars_doc,
+      |    len(regexp_extract_all(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS he,
+      |    len(regexp_extract_all(text,
+      |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS hi,
+      |    len(regexp_extract_all(text,
+      |      '\+?[0-9][0-9()\- ]{6,}[0-9]'))::BIGINT AS hp,
+      |    len(regexp_extract_all(text, '[0-9]+'))::BIGINT AS hn
+      |  FROM documents
+      |)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(he)::BIGINT AS n_email, sum(hi)::BIGINT AS n_ipv4,
+      |  sum(hp)::BIGINT AS n_phone, sum(hn)::BIGINT AS n_number,
+      |  round(sum(hn)::DOUBLE * 10000 / sum(n_chars_doc), 4) AS number_per_10k,
+      |  round(sum(hp)::DOUBLE * 10000 / sum(n_chars_doc), 4) AS phone_per_10k
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
 }

@@ -1612,6 +1612,56 @@ object TradeAnalytics extends QueryModule {
       |    / sum(rev::HUGEINT * rev)::DOUBLE, 2) AS n_effective
       |FROM by_supp GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** q186: contingency-table standardized residuals — the cell-level
+    * diagnostic behind q114's chi-square verdict: for every
+    * (priority, status) cell, observed count, expected count under
+    * independence (rowΣ·colΣ/N), and the Pearson residual
+    * (obs−exp)/√exp that localizes WHICH cells drive the dependence.
+    * Marginals attach via two broadcast joins of the 5-row/3-row
+    * margin tables onto the ≤15-row cell relation; every input to the
+    * double expressions is an exact integer count.
+    *
+    * Scale: one conditional-count aggregation over the fact table;
+    * everything downstream is margin-table algebra on O(cells) rows.
+    */
+  def contingencyResiduals(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("prio"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = cells.groupBy(col("prio")).agg(sum(col("obs")).as("rt"))
+    val colTot = cells.groupBy(col("status")).agg(sum(col("obs")).as("ct"))
+    val n = cells.agg(sum(col("obs")).as("n"))
+    cells
+      .join(broadcast(rowTot), Seq("prio"))
+      .join(broadcast(colTot), Seq("status"))
+      .crossJoin(broadcast(n))
+      .withColumn("exp",
+        col("rt").cast("double") * col("ct") / col("n"))
+      .select(col("prio"), col("status"), col("obs").cast("bigint").as("obs"),
+        round(col("exp"), 2).as("expected"),
+        round((col("obs") - col("exp")) / sqrt(col("exp")), 4).as("residual"))
+      .orderBy(col("prio"), col("status"))
+  }
+
+  private val contingencyResidualsSql =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS prio, o_orderstatus AS status,
+      |    count(*)::BIGINT AS obs
+      |  FROM orders GROUP BY 1, 2
+      |), rt AS (SELECT prio, sum(obs)::BIGINT AS rt FROM cells GROUP BY prio
+      |), ct AS (SELECT status, sum(obs)::BIGINT AS ct FROM cells GROUP BY status
+      |), n AS (SELECT sum(obs)::BIGINT AS n FROM cells)
+      |SELECT c.prio, c.status, c.obs,
+      |  round(rt.rt::DOUBLE * ct.ct / n.n, 2) AS expected,
+      |  round((c.obs - rt.rt::DOUBLE * ct.ct / n.n)
+      |        / sqrt(rt.rt::DOUBLE * ct.ct / n.n), 4) AS residual
+      |FROM cells c
+      |JOIN rt ON c.prio = rt.prio
+      |JOIN ct ON c.status = ct.status
+      |CROSS JOIN n
+      |ORDER BY c.prio, c.status""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -1645,5 +1695,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q179_forecast_backtest", forecastBacktest, Some(forecastBacktestSql)),
     QueryDef("q181_market_concentration", marketConcentration,
       Some(marketConcentrationSql)),
+    QueryDef("q186_contingency_residuals", contingencyResiduals,
+      Some(contingencyResidualsSql)),
   )
 }

