@@ -172,10 +172,94 @@ object Physical extends QueryModule {
       |WHERE cum * 8 >= bin * n
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q187: join-key skew diagnostic — the pre-flight report behind
+    * every salting / AQE-skew-join decision (q86's salted distinct and
+    * Skew.saltedJoin consume exactly this signal): per candidate join
+    * key, the key-frequency distribution summarized as max, exact
+    * integer-rank p50/p99, and the max/mean skew factor. Percentiles
+    * use the value-domain trick (distribution of counts → cumulative
+    * window over |distinct frequencies| rows), so nothing row-sized
+    * ever sorts.
+    *
+    * Scale: one groupBy per audited key (map-side partial), then
+    * count-domain algebra. The output is O(audited keys) rows — it
+    * broadcasts into whatever planner consumes it.
+    */
+  def joinSkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, keyCol: String, label: String): DataFrame = {
+      val cnts = df.groupBy(col(keyCol).as("k"))
+        .agg(count(lit(1)).as("c"))
+      val dist = cnts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+      val wCum = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      dist
+        .withColumn("cum", sum(col("m")).over(wCum))
+        .withColumn("n_keys", sum(col("m")).over(wAll))
+        .withColumn("n_rows", sum(col("c") * col("m")).over(wAll))
+        .withColumn("max_c", max(col("c")).over(wAll))
+        .agg(
+          first(col("n_keys")).cast("bigint").as("n_keys"),
+          first(col("n_rows")).cast("bigint").as("n_rows"),
+          first(col("max_c")).cast("bigint").as("max_rows_per_key"),
+          min(when(col("cum") * 100 >= col("n_keys") * 50, col("c")))
+            .cast("bigint").as("p50_rows_per_key"),
+          min(when(col("cum") * 100 >= col("n_keys") * 99, col("c")))
+            .cast("bigint").as("p99_rows_per_key"))
+        .select(lit(label).as("join_key"), col("n_keys"), col("n_rows"),
+          col("p50_rows_per_key"), col("p99_rows_per_key"),
+          col("max_rows_per_key"),
+          round(col("max_rows_per_key").cast("double") * col("n_keys") /
+            col("n_rows"), 4).as("skew_factor"))
+    }
+    profile(Tables.lineitem(spark, dir), "l_suppkey", "lineitem.l_suppkey")
+      .unionByName(profile(Tables.orders(spark, dir), "o_custkey",
+        "orders.o_custkey"))
+      .orderBy(col("join_key"))
+  }
+
+  private val joinSkewProfileSql = {
+    // two independent WITH-blocks, unioned
+    def block(table: String, key: String) =
+      s"""SELECT '$table.$key' AS join_key,
+         |  (SELECT count(*)::BIGINT FROM cnts_$key) AS n_keys,
+         |  (SELECT sum(c)::BIGINT FROM cnts_$key) AS n_rows,
+         |  (SELECT min(c)::BIGINT FROM cum_$key x
+         |     WHERE x.cum * 100 >= (SELECT count(*) FROM cnts_$key) * 50)
+         |    AS p50_rows_per_key,
+         |  (SELECT min(c)::BIGINT FROM cum_$key x
+         |     WHERE x.cum * 100 >= (SELECT count(*) FROM cnts_$key) * 99)
+         |    AS p99_rows_per_key,
+         |  (SELECT max(c)::BIGINT FROM cnts_$key) AS max_rows_per_key,
+         |  round((SELECT max(c) FROM cnts_$key)::DOUBLE
+         |      * (SELECT count(*) FROM cnts_$key)
+         |      / (SELECT sum(c) FROM cnts_$key), 4) AS skew_factor""".stripMargin
+    s"""WITH cnts_l_suppkey AS (
+       |  SELECT l_suppkey AS k, count(*)::BIGINT AS c
+       |  FROM lineitem GROUP BY l_suppkey
+       |), cum_l_suppkey AS (
+       |  SELECT c, sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (SELECT c, count(*)::BIGINT AS m FROM cnts_l_suppkey GROUP BY c)
+       |), cnts_o_custkey AS (
+       |  SELECT o_custkey AS k, count(*)::BIGINT AS c
+       |  FROM orders GROUP BY o_custkey
+       |), cum_o_custkey AS (
+       |  SELECT c, sum(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (SELECT c, count(*)::BIGINT AS m FROM cnts_o_custkey GROUP BY c)
+       |)
+       |${block("lineitem", "l_suppkey")}
+       |UNION ALL
+       |${block("orders", "o_custkey")}
+       |ORDER BY join_key""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_zorder_profile", zorderProfile, Some(zorderProfileSql)),
     QueryDef("q109_table_stats", tableStats, Some(tableStatsSql)),
     QueryDef("q128_shard_plan", shardPlan, Some(shardPlanSql)),
     QueryDef("q134_equi_depth", equiDepthBounds, Some(equiDepthBoundsSql)),
+    QueryDef("q187_join_skew_profile", joinSkewProfile,
+      Some(joinSkewProfileSql)),
   )
 }

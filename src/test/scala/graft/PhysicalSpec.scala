@@ -45,4 +45,37 @@ class PhysicalSpec extends SparkSpec {
       assert(cumBefore * 8 < j * n, s"bin $j boundary is not minimal")
     }
   }
+
+  test("q187: skew profile matches driver-side key-frequency distributions") {
+    def replay(keys: Array[Long]): (Long, Long, Long, Long, Long) = {
+      val cnts = keys.groupBy(identity).values.map(_.length.toLong).toArray.sorted
+      def pct(q: Int): Long = {
+        val nk = cnts.length.toLong
+        cnts.zipWithIndex.collectFirst {
+          case (c, i) if (i + 1) * 100 >= nk * q => c
+        }.get
+      }
+      (cnts.length.toLong, cnts.sum, pct(50), pct(99), cnts.max)
+    }
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey")).collect().map(_.getLong(0))
+    val ord = Tables.orders(spark, sfDir)
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+    val want = Map(
+      "lineitem.l_suppkey" -> replay(li), "orders.o_custkey" -> replay(ord))
+
+    val got = Physical.joinSkewProfile(spark, sfDir).collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      val (nk, nr, p50, p99, mx) = want(r.getAs[String]("join_key"))
+      assert(r.getAs[Long]("n_keys") === nk)
+      assert(r.getAs[Long]("n_rows") === nr)
+      assert(r.getAs[Long]("p50_rows_per_key") === p50)
+      assert(r.getAs[Long]("p99_rows_per_key") === p99)
+      assert(r.getAs[Long]("max_rows_per_key") === mx)
+      val skew = mx.toDouble * nk / nr
+      assert(math.abs(r.getAs[Double]("skew_factor") - skew) <= 5.1e-5)
+      assert(skew >= 1.0 - 1e-9, "max/mean is at least 1")
+    }
+  }
 }
