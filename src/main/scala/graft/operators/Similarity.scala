@@ -674,6 +674,52 @@ object Similarity extends QueryModule {
       |FROM coh JOIN sep ON coh.label = sep.label
       |ORDER BY coh.label""".stripMargin
 
+  /** q188: Matryoshka truncation fidelity — how much retrieval signal
+    * survives keeping only the first k of 64 embedding dimensions (the
+    * dimension-reduction question behind MRL-style embeddings and
+    * cheap ANN pre-filters). cosine(v, v[:k] zero-padded) collapses to
+    * √(E_k/E_64) — the root energy fraction in the prefix — so each
+    * row needs ONE prefix-energy pass per k, no pairwise anything.
+    * Reported per (label, k): mean and worst-case fidelity (min is
+    * order-independent; mean follows q61's rounded-avg discipline).
+    *
+    * Scale: map-only per-row array math over a broadcast 3-row k spine,
+    * one partial-aggregated groupBy on (label, k).
+    */
+  def truncationFidelity(spark: SparkSession, dir: String): DataFrame = {
+    val ks = spark.range(1)
+      .select(explode(array(lit(8), lit(16), lit(32))).as("k"))
+    Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("vec"))
+      .crossJoin(broadcast(ks))
+      .withColumn("ek",
+        expr("aggregate(slice(vec, 1, k), 0.0D, (acc, x) -> acc + x * x)"))
+      .withColumn("e_full",
+        expr("aggregate(vec, 0.0D, (acc, x) -> acc + x * x)"))
+      .withColumn("cosk", sqrt(col("ek") / col("e_full")))
+      .groupBy(col("label"), col("k"))
+      .agg(count(lit(1)).cast("bigint").as("n_vecs"),
+        round(avg(col("cosk")), 4).as("avg_fidelity"),
+        round(min(col("cosk")), 4).as("min_fidelity"))
+      .orderBy(col("label"), col("k"))
+  }
+
+  private val truncationFidelitySql =
+    """WITH ks AS (
+      |  SELECT unnest([8, 16, 32])::INT AS k
+      |), r AS (
+      |  SELECT label, k,
+      |    sqrt(list_sum(list_transform((embedding::DOUBLE[])[1:k],
+      |           x -> x * x))
+      |      / list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+      |      AS cosk
+      |  FROM embeddings CROSS JOIN ks
+      |)
+      |SELECT label, k, count(*)::BIGINT AS n_vecs,
+      |  round(avg(cosk), 4) AS avg_fidelity,
+      |  round(min(cosk), 4) AS min_fidelity
+      |FROM r GROUP BY label, k ORDER BY label, k""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_knn_bruteforce", knnQuery, Some(knnOracleSql), benchmark = true),
     QueryDef("q57_semantic_search", semanticSearch, Some(semanticSearchSql)),
@@ -683,5 +729,7 @@ object Similarity extends QueryModule {
     QueryDef("q71_semantic_dedup", semanticDedupQuery, Some(semanticDedupSql)),
     QueryDef("q74_kmeans", kmeansQuery, Some(kmeansOracleSql)),
     QueryDef("q150_cluster_scatter", clusterScatter, Some(clusterScatterSql)),
+    QueryDef("q188_truncation_fidelity", truncationFidelity,
+      Some(truncationFidelitySql)),
   )
 }

@@ -206,4 +206,41 @@ class SimilaritySpec extends SparkSpec {
       // fixture, not the operator; the recompute equality above is the test
     }
   }
+
+  test("q188: truncation fidelity matches a driver-side energy replay") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val want = (for {
+      k <- Seq(8, 16, 32)
+      (label, group) <- vecs.groupBy(_._1)
+    } yield {
+      val cs = group.map { case (_, v) =>
+        math.sqrt(v.take(k).map(x => x * x).sum / v.map(x => x * x).sum)
+      }
+      (label, k) -> (group.length.toLong, cs.sum / cs.length, cs.min)
+    }).toMap
+
+    val rows = Similarity.truncationFidelity(spark, sfDir).collect()
+    assert(rows.length === want.size)
+    rows.foreach { r =>
+      val key = (r.getAs[Int]("label"), r.getAs[Int]("k"))
+      val (n, avg, mn) = want(key)
+      assert(r.getAs[Long]("n_vecs") === n)
+      assert(math.abs(r.getAs[Double]("avg_fidelity") - avg) <= 1e-3)
+      assert(math.abs(r.getAs[Double]("min_fidelity") - mn) <= 5.1e-5)
+      assert(r.getAs[Double]("min_fidelity") <=
+        r.getAs[Double]("avg_fidelity") + 1e-12)
+      assert(r.getAs[Double]("avg_fidelity") <= 1.0 + 1e-12)
+    }
+    // fidelity is monotone in k for every label
+    rows.groupBy(_.getAs[Int]("label")).values.foreach { g =>
+      val byK = g.sortBy(_.getAs[Int]("k")).map(_.getAs[Double]("avg_fidelity"))
+      byK.sliding(2).foreach {
+        case Array(a, b) => assert(b >= a - 1e-12)
+        case _ =>
+      }
+    }
+  }
 }
