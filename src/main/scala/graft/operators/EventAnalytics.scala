@@ -1093,6 +1093,70 @@ object EventAnalytics extends QueryModule {
       |    AS survival
       |FROM terms ORDER BY t_day""".stripMargin
 
+  /** q189: two-step path counts — q104's first-order transition counts
+    * squared as a relation (n₂(a→c) = Σ_b n(a→b)·n(b→c)), reporting
+    * each start type's two-step paths into 'purchase' and its share of
+    * all two-step paths. The EXACT-integer formulation of two-step
+    * Markov reachability: path counts multiply and sum as
+    * decimal(38,0) (n² overflows int64 at cluster event counts), and
+    * the single probability division happens at output — no float
+    * matrix product whose row-sum order could differ across engines.
+    *
+    * Scale: the transition relation is |types|² (constant); the matrix
+    * square is a self-join on the middle type — constant-sized algebra
+    * after one linear pairing pass over the events.
+    */
+  def twoStepPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val t = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val t2 = t.select(col("a"), col("b").as("mid"), col("n").as("n1"))
+      .join(t.select(col("a").as("mid"), col("b").as("c"), col("n").as("n2")),
+        Seq("mid"))
+      .groupBy(col("a"), col("c"))
+      .agg(sum(col("n1").cast("decimal(38,0)") * col("n2")).as("paths"))
+    t2.groupBy(col("a").as("start_type"))
+      .agg(sum(when(col("c") === "purchase", col("paths")).otherwise(lit(0)))
+        .as("paths_to_purchase"),
+        sum(col("paths")).as("paths_total"))
+      .select(col("start_type"),
+        col("paths_to_purchase").cast("double").cast("bigint")
+          .as("paths_to_purchase"),
+        col("paths_total").cast("double").cast("bigint").as("paths_total"),
+        round(col("paths_to_purchase").cast("double") /
+          col("paths_total").cast("double"), 4).as("purchase_share"))
+      .orderBy(col("start_type"))
+  }
+
+  private val twoStepPathsSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+      |), p AS (
+      |  SELECT event_type AS a,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY us, event_id) AS b
+      |  FROM e
+      |), t AS (
+      |  SELECT a, b, count(*)::BIGINT AS n FROM p
+      |  WHERE b IS NOT NULL GROUP BY a, b
+      |), t2 AS (
+      |  SELECT x.a, y.b AS c, sum(x.n::HUGEINT * y.n) AS paths
+      |  FROM t x JOIN t y ON x.b = y.a
+      |  GROUP BY x.a, y.b
+      |)
+      |SELECT a AS start_type,
+      |  sum(CASE WHEN c = 'purchase' THEN paths ELSE 0 END)::DOUBLE::BIGINT
+      |    AS paths_to_purchase,
+      |  sum(paths)::DOUBLE::BIGINT AS paths_total,
+      |  round(sum(CASE WHEN c = 'purchase' THEN paths ELSE 0 END)::DOUBLE
+      |        / sum(paths)::DOUBLE, 4) AS purchase_share
+      |FROM t2 GROUP BY a ORDER BY start_type""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -1113,6 +1177,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q166_entry_bounce", entryBounce, Some(entryBounceSql)),
     QueryDef("q170_segment_funnel", segmentFunnel, Some(segmentFunnelSql)),
     QueryDef("q171_kaplan_meier", kaplanMeier, Some(kaplanMeierSql)),
+    QueryDef("q189_two_step_paths", twoStepPaths, Some(twoStepPathsSql)),
   )
 
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -268,10 +268,92 @@ object Temporal extends QueryModule {
       |  count(*)::BIGINT AS n_active_days
       |FROM weighted GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q190: business-day lead times — SIGNED weekday count from order
+    * placement (exclusive) to line shipment (inclusive), the
+    * calendar-aware SLA metric naive date subtraction gets wrong. The
+    * count is a CLOSED-FORM integer expression on epoch days —
+    * g(d1) − g(d0) with g(d) = 5·(d div 7) + W[d mod 7] and W the
+    * Thursday-anchored weekday prefix table (epoch day 0 = Thu
+    * 1970-01-01) — no calendar join, no spine, identical integer
+    * arithmetic on both engines. Signed because the synthetic corpus
+    * draws ship dates independently of order dates; on real data the
+    * negative side is empty and the same expression stands.
+    * Reported per order month: exact-integer mean numerator/denominator
+    * (one double division) and an exact-rank P90 via the value-domain
+    * cumulative trick.
+    *
+    * Scale: map-only lead-time derivation at scan speed; the percentile
+    * runs over the (month, distinct lead) relation — bounded by the
+    * lead-time domain, not the fact table.
+    */
+  def businessDayLeadTimes(spark: SparkSession, dir: String): DataFrame = {
+    // W[m] = weekdays among epoch days 0..m within the week cycle
+    // starting Thursday: Thu,Fri,Sat,Sun,Mon,Tue,Wed → 1,2,2,2,3,4,5
+    def g(epochDay: Column): Column =
+      // floor(d/7) = d div 7 for the non-negative post-1970 epoch days here
+      lit(5) * floor(epochDay / lit(7)).cast("long") +
+        element_at(array(Seq(1, 2, 2, 2, 3, 4, 5).map(lit): _*),
+          (epochDay % 7).cast("int") + 1)
+    val leads = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        (g(datediff(col("l_shipdate"), lit("1970-01-01"))) -
+          g(datediff(col("o_orderdate"), lit("1970-01-01"))))
+          .cast("long").as("bd"))
+    val byV = leads.groupBy(col("month"), col("bd"))
+      .agg(count(lit(1)).as("m"))
+    val wCum = Window.partitionBy(col("month")).orderBy(col("bd"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("month")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    byV
+      .withColumn("cum", sum(col("m")).over(wCum))
+      .withColumn("n", sum(col("m")).over(wAll))
+      .withColumn("s", sum(col("bd") * col("m")).over(wAll))
+      .groupBy(col("month"))
+      .agg(first(col("n")).cast("bigint").as("n_lineitems"),
+        round(first(col("s")).cast("double") / first(col("n")), 4)
+          .as("avg_busdays"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("bd")))
+          .cast("bigint").as("p90_busdays"))
+      .orderBy(col("month"))
+  }
+
+  private val businessDayLeadTimesSql =
+    """WITH g AS (
+      |  SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+      |    (5 * (datediff('day', DATE '1970-01-01', l.l_shipdate::DATE) // 7)
+      |      + ([1,2,2,2,3,4,5])[
+      |          datediff('day', DATE '1970-01-01', l.l_shipdate::DATE) % 7 + 1])
+      |    -
+      |    (5 * (datediff('day', DATE '1970-01-01', o.o_orderdate::DATE) // 7)
+      |      + ([1,2,2,2,3,4,5])[
+      |          datediff('day', DATE '1970-01-01', o.o_orderdate::DATE) % 7 + 1])
+      |      AS bd
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), byv AS (
+      |  SELECT month, bd::BIGINT AS bd, count(*)::BIGINT AS m
+      |  FROM g GROUP BY month, bd
+      |), c AS (
+      |  SELECT month, bd, m,
+      |    sum(m) OVER (PARTITION BY month ORDER BY bd
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(m) OVER (PARTITION BY month) AS n,
+      |    sum(bd * m) OVER (PARTITION BY month) AS s
+      |  FROM byv
+      |)
+      |SELECT month, max(n)::BIGINT AS n_lineitems,
+      |  round(max(s)::DOUBLE / max(n), 4) AS avg_busdays,
+      |  min(CASE WHEN cum * 100 >= n * 90 THEN bd END)::BIGINT AS p90_busdays
+      |FROM c GROUP BY month ORDER BY month""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_asof_join", asOfQuery, Some(asOfSql), benchmark = true),
     QueryDef("q47_range_join", rangeQuery, Some(rangeSql)),
     QueryDef("q121_gap_fill_interpolate", gapFillInterpolate, Some(gapFillInterpolateSql)),
     QueryDef("q124_twap", twapByNation, Some(twapByNationSql)),
+    QueryDef("q190_business_day_leads", businessDayLeadTimes,
+      Some(businessDayLeadTimesSql)),
   )
 }

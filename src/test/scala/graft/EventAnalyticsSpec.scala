@@ -356,6 +356,43 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q189: two-step path counts equal the squared transition matrix") {
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      .groupBy(_._1).values.flatMap { evs =>
+        val o = evs.sortBy(e => (e._2, e._3)).map(_._4)
+        o.zip(o.drop(1))
+      }.toSeq.groupBy(identity).map { case (p, g) => p -> g.size.toLong }
+
+    // Seq, not Set: a Set comprehension would dedupe equal (c, product)
+    // tuples arising from different middle types and undercount
+    val types = trans.keys.flatMap(p => Seq(p._1, p._2)).toSet.toSeq
+    val expected = types.map { a =>
+      val paths = for {
+        b <- types; c <- types
+        n1 <- trans.get((a, b)); n2 <- trans.get((b, c))
+      } yield (c, BigInt(n1) * BigInt(n2))
+      val tot = paths.map(_._2).sum
+      val purch = paths.filter(_._1 == "purchase").map(_._2).sum
+      a -> (purch, tot)
+    }.filter(_._2._2 > 0).toMap
+
+    val got = EventAnalytics.twoStepPaths(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (purch, tot) = expected(r.getAs[String]("start_type"))
+      assert(r.getAs[Long]("paths_to_purchase") === purch.toLong)
+      assert(r.getAs[Long]("paths_total") === tot.toLong)
+      val share = r.getAs[Double]("purchase_share")
+      assert(share >= 0 && share <= 1.0 + 1e-12)
+      assert(math.abs(share - purch.toDouble / tot.toDouble) <= 5.1e-5)
+    }
+  }
+
   test("q171: Kaplan-Meier estimator matches a driver-side replay") {
     val rows = EventAnalytics.kaplanMeier(spark, sfDir).collect()
 

@@ -106,4 +106,41 @@ class TemporalSpec extends SparkSpec {
       assert(r.getAs[Long]("weight_days") === days.max - days.min + 1)
     }
   }
+
+  test("q190: closed-form business days equal calendar iteration; aggregates replay") {
+    import java.time.{DayOfWeek, LocalDate}
+    // signed: weekdays in (d0, d1] when d1 >= d0, else -(weekdays in (d1, d0])
+    def busDays(d0: LocalDate, d1: LocalDate): Long = {
+      def fwd(a: LocalDate, b: LocalDate): Long =
+        Iterator.iterate(a.plusDays(1))(_.plusDays(1))
+          .takeWhile(!_.isAfter(b))
+          .count(d => d.getDayOfWeek != DayOfWeek.SATURDAY &&
+            d.getDayOfWeek != DayOfWeek.SUNDAY).toLong
+      if (!d1.isBefore(d0)) fwd(d0, d1) else -fwd(d1, d0)
+    }
+
+    val rows = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderdate").cast("date").as("od"),
+        col("l_shipdate").cast("date").as("sd"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getDate(1).toLocalDate))
+
+    val byMonth = rows.groupBy(_._1.toString.take(7)).map { case (m, g) =>
+      val bds = g.map { case (od, sd) => busDays(od, sd) }
+      val sorted = bds.sorted
+      def p90 = sorted((9 * bds.length + 9) / 10 - 1)
+      m -> (bds.length.toLong, bds.sum.toDouble / bds.length, p90)
+    }
+
+    val got = Temporal.businessDayLeadTimes(spark, sfDir).collect()
+    assert(got.length === byMonth.size)
+    got.foreach { r =>
+      val (n, avg, p90) = byMonth(r.getAs[String]("month"))
+      assert(r.getAs[Long]("n_lineitems") === n)
+      assert(math.abs(r.getAs[Double]("avg_busdays") - avg) <= 5.1e-5)
+      assert(r.getAs[Long]("p90_busdays") === p90)
+    }
+  }
 }
