@@ -1157,6 +1157,62 @@ object EventAnalytics extends QueryModule {
       |        / sum(paths)::DOUBLE, 4) AS purchase_share
       |FROM t2 GROUP BY a ORDER BY start_type""".stripMargin
 
+  /** q192: activity half-life — where in each user's lifetime does the
+    * median event fall? A front-loaded ratio (≪ 0.5) means engagement
+    * decays after onboarding; uniform activity sits at 0.5. Per user
+    * (≥3 events, positive span): the median-event offset and total
+    * span in exact integer micros; per first-event-week cohort the
+    * EARLY-MASS RATIO is Σoffsets/Σspans — a ratio of integer sums,
+    * one double division, never a float-per-user average.
+    *
+    * Scale: one per-user window pass (row_number + count on the same
+    * sort) and one per-user aggregate; the cohort rollup is
+    * |weeks|-sized.
+    */
+  def activityHalfLife(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val evs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+    val perUser = evs
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t0"), max(col("us")).as("t1"),
+        max(col("n")).as("n"),
+        // median event = ceil(n/2)-th in time order
+        min(when(col("rn") * 2 >= col("n"), col("us"))).as("t_med"))
+      .filter(col("n") >= 3 && col("t1") > col("t0"))
+    perUser
+      .withColumn("week", date_trunc("week", timestamp_micros(col("t0"))))
+      .groupBy(col("week").cast("date").as("cohort_week"))
+      .agg(count(lit(1)).cast("bigint").as("n_users"),
+        sum(col("t_med") - col("t0")).as("off_us"),
+        sum(col("t1") - col("t0")).as("span_us"))
+      .select(col("cohort_week"), col("n_users"),
+        round(col("off_us").cast("double") / col("span_us"), 4)
+          .as("early_mass_ratio"))
+      .orderBy(col("cohort_week"))
+  }
+
+  private val activityHalfLifeSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      |), r AS (
+      |  SELECT user_id, us,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM e
+      |), pu AS (
+      |  SELECT user_id, min(us) AS t0, max(us) AS t1, max(n) AS n,
+      |    min(CASE WHEN rn * 2 >= n THEN us END) AS t_med
+      |  FROM r GROUP BY user_id
+      |)
+      |SELECT date_trunc('week', make_timestamp(t0))::DATE AS cohort_week,
+      |  count(*)::BIGINT AS n_users,
+      |  round(sum(t_med - t0)::DOUBLE / sum(t1 - t0), 4) AS early_mass_ratio
+      |FROM pu WHERE n >= 3 AND t1 > t0
+      |GROUP BY cohort_week ORDER BY cohort_week""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -1178,6 +1234,8 @@ object EventAnalytics extends QueryModule {
     QueryDef("q170_segment_funnel", segmentFunnel, Some(segmentFunnelSql)),
     QueryDef("q171_kaplan_meier", kaplanMeier, Some(kaplanMeierSql)),
     QueryDef("q189_two_step_paths", twoStepPaths, Some(twoStepPathsSql)),
+    QueryDef("q192_activity_half_life", activityHalfLife,
+      Some(activityHalfLifeSql)),
   )
 
 }

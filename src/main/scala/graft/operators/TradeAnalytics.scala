@@ -1662,6 +1662,70 @@ object TradeAnalytics extends QueryModule {
       |CROSS JOIN n
       |ORDER BY c.prio, c.status""".stripMargin
 
+  /** q191: RFM segmentation — the classic customer scoring grid:
+    * recency (days since last order, anchored at the corpus max date),
+    * frequency (order count), monetary (exact lifetime cents), each
+    * quintiled by ntile(5) over a FULLY tie-broken order (value, then
+    * custkey — ntile is positional, so determinism requires a total
+    * order) with the orientation making 5 always "best". Output is the
+    * segment grid with sizes and average spend.
+    *
+    * Scale: one orders aggregation to the |customers| relation; three
+    * ntile windows over that aggregate (single-partition over
+    * |customers| — at cluster scale these become the q134 exact-rank
+    * value-domain bucketing, same outputs); the grid is ≤125 rows.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("m"))
+    val anchor = Tables.orders(spark, dir)
+      .agg(max(col("o_orderdate").cast("date")).as("max_d"))
+    val scored = perCust.crossJoin(broadcast(anchor))
+      .withColumn("r", datediff(col("max_d"), col("last_d")).cast("long"))
+      // orientation: ntile 5 = best (most recent / most frequent / top spend)
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(col("r").desc, col("o_custkey"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(col("f").asc, col("o_custkey"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(col("m").asc, col("o_custkey"))))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).cast("bigint").as("n_customers"),
+        sum(col("m")).as("m_sum"))
+      .select(col("r_score"), col("f_score"), col("m_score"),
+        col("n_customers"),
+        // integer half-up average (q121's trick): exact cents, no float
+        // rounding boundary between engines
+        expr("(2 * m_sum + n_customers) div (2 * n_customers)")
+          .cast("long").as("avg_spend_c"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  private val rfmSegmentsSql =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, max(o_orderdate::DATE) AS last_d,
+      |    count(*)::BIGINT AS f,
+      |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS m
+      |  FROM orders GROUP BY o_custkey
+      |), anchor AS (
+      |  SELECT max(o_orderdate::DATE) AS max_d FROM orders
+      |), scored AS (
+      |  SELECT o_custkey, f, m,
+      |    datediff('day', last_d, max_d)::BIGINT AS r,
+      |    ntile(5) OVER (ORDER BY datediff('day', last_d, max_d)::BIGINT DESC,
+      |                   o_custkey) AS r_score,
+      |    ntile(5) OVER (ORDER BY f ASC, o_custkey) AS f_score,
+      |    ntile(5) OVER (ORDER BY m ASC, o_custkey) AS m_score
+      |  FROM per_cust CROSS JOIN anchor
+      |)
+      |SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_customers,
+      |  ((2 * sum(m) + count(*)) // (2 * count(*)))::BIGINT AS avg_spend_c
+      |FROM scored GROUP BY r_score, f_score, m_score
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -1697,5 +1761,6 @@ object TradeAnalytics extends QueryModule {
       Some(marketConcentrationSql)),
     QueryDef("q186_contingency_residuals", contingencyResiduals,
       Some(contingencyResidualsSql)),
+    QueryDef("q191_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
   )
 }

@@ -393,6 +393,42 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q192: early-mass ratio matches a per-user median-offset replay") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id")))
+    val perUser = evs.groupBy(_._1).flatMap { case (_, g) =>
+      val times = g.sortBy(e => (e._2, e._3)).map(_._2)
+      val n = times.length
+      if (n < 3 || times.last == times.head) None
+      else {
+        val tMed = times((n + 1) / 2 - 1) // ceil(n/2)-th, 1-based
+        Some((times.head, tMed - times.head, times.last - times.head))
+      }
+    }.toSeq
+    val expected = perUser.groupBy { case (t0, _, _) =>
+      java.time.Instant.ofEpochMilli(t0 / 1000)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+        .`with`(java.time.DayOfWeek.MONDAY).toString
+    }.map { case (wk, g) =>
+      wk -> (g.size.toLong,
+        g.map(_._2).sum.toDouble / g.map(_._3).sum.toDouble)
+    }
+
+    val got = EventAnalytics.activityHalfLife(spark, sfDir).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val wk = r.getAs[java.sql.Date]("cohort_week").toString
+      val (n, ratio) = expected(wk)
+      assert(r.getAs[Long]("n_users") === n, s"week $wk")
+      assert(math.abs(r.getAs[Double]("early_mass_ratio") - ratio) <= 5.1e-5)
+      val em = r.getAs[Double]("early_mass_ratio")
+      assert(em >= 0 && em <= 1.0 + 1e-12)
+    }
+  }
+
   test("q171: Kaplan-Meier estimator matches a driver-side replay") {
     val rows = EventAnalytics.kaplanMeier(spark, sfDir).collect()
 

@@ -659,6 +659,34 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(chi2 >= 0)
   }
 
+  test("q191: RFM grid reconciles: ntile balance, score orientation, spend replay") {
+    val rows = TradeAnalytics.rfmSegments(spark, sfDir).collect()
+    val nCust = Tables.orders(spark, sfDir)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === nCust)
+
+    // each score dimension partitions customers into near-equal fifths
+    Seq("r_score", "f_score", "m_score").foreach { dim =>
+      val byScore = rows.groupBy(_.getAs[Int](dim))
+        .map { case (s, g) => s -> g.map(_.getAs[Long]("n_customers")).sum }
+      assert(byScore.keySet === (1 to 5).toSet, s"$dim buckets")
+      val sizes = byScore.values
+      assert(sizes.max - sizes.min <= 1, s"$dim ntile balance")
+    }
+
+    // monetary orientation: avg spend rises with m_score at the extremes
+    val lowM = rows.filter(_.getAs[Int]("m_score") == 1)
+      .map(r => r.getAs[Long]("avg_spend_c") * r.getAs[Long]("n_customers"))
+    val highM = rows.filter(_.getAs[Int]("m_score") == 5)
+      .map(r => r.getAs[Long]("avg_spend_c") * r.getAs[Long]("n_customers"))
+    val nLow = rows.filter(_.getAs[Int]("m_score") == 1)
+      .map(_.getAs[Long]("n_customers")).sum
+    val nHigh = rows.filter(_.getAs[Int]("m_score") == 5)
+      .map(_.getAs[Long]("n_customers")).sum
+    assert(highM.sum / nHigh > lowM.sum / nLow,
+      "m_score=5 customers must out-spend m_score=1")
+  }
+
   test("q173: ACF matches driver-side Pearson on the lagged day series") {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(col("o_orderdate").as("day"))
