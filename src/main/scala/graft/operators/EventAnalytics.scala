@@ -1213,6 +1213,78 @@ object EventAnalytics extends QueryModule {
       |FROM pu WHERE n >= 3 AND t1 > t0
       |GROUP BY cohort_week ORDER BY cohort_week""".stripMargin
 
+  /** q194: transition dwell times — q104's Markov edges annotated with
+    * HOW LONG each transition takes: per (from, to) event-type pair,
+    * the count, mean gap, and exact-rank median gap at one-second
+    * granularity. The timing layer product analytics puts on top of a
+    * transition matrix. The median uses the value-domain cumulative
+    * trick over the (pair, whole-second gap) relation — second
+    * granularity keeps that domain bounded where raw micros would be
+    * row-sized; the mean is a ratio of exact integer micro sums.
+    *
+    * Scale: one per-user lead() pass, one (pair, gap-second) groupBy,
+    * windows over the bounded gap domain per constant-sized pair.
+    */
+  def transitionDwell(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"),
+        col("next_type").as("to_type"),
+        col("gap_us"), expr("gap_us div 1000000").as("gap_s"))
+    val byV = gaps.groupBy(col("from_type"), col("to_type"), col("gap_s"))
+      .agg(count(lit(1)).as("m"), sum(col("gap_us")).as("us_sum"))
+    val wCum = Window.partitionBy(col("from_type"), col("to_type"))
+      .orderBy(col("gap_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("from_type"), col("to_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byV
+      .withColumn("cum", sum(col("m")).over(wCum))
+      .withColumn("n", sum(col("m")).over(wAll))
+      .withColumn("tot_us", sum(col("us_sum")).over(wAll))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(first(col("n")).cast("bigint").as("n_transitions"),
+        round(first(col("tot_us")).cast("double") / first(col("n")) / 1e6, 4)
+          .as("avg_gap_s"),
+        min(when(col("cum") * 2 >= col("n"), col("gap_s")))
+          .cast("bigint").as("p50_gap_s"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val transitionDwellSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+      |), p AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER w AS to_type,
+      |    lead(us) OVER w - us AS gap_us
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), g AS (
+      |  SELECT from_type, to_type, gap_us, gap_us // 1000000 AS gap_s
+      |  FROM p WHERE to_type IS NOT NULL
+      |), byv AS (
+      |  SELECT from_type, to_type, gap_s,
+      |    count(*)::BIGINT AS m, sum(gap_us)::BIGINT AS us_sum
+      |  FROM g GROUP BY from_type, to_type, gap_s
+      |), c AS (
+      |  SELECT from_type, to_type, gap_s, m,
+      |    sum(m) OVER (PARTITION BY from_type, to_type ORDER BY gap_s
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(m) OVER (PARTITION BY from_type, to_type) AS n,
+      |    sum(us_sum) OVER (PARTITION BY from_type, to_type) AS tot_us
+      |  FROM byv
+      |)
+      |SELECT from_type, to_type, max(n)::BIGINT AS n_transitions,
+      |  round(max(tot_us)::DOUBLE / max(n) / 1e6, 4) AS avg_gap_s,
+      |  min(CASE WHEN cum * 2 >= n THEN gap_s END)::BIGINT AS p50_gap_s
+      |FROM c GROUP BY from_type, to_type
+      |ORDER BY from_type, to_type""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -1236,6 +1308,8 @@ object EventAnalytics extends QueryModule {
     QueryDef("q189_two_step_paths", twoStepPaths, Some(twoStepPathsSql)),
     QueryDef("q192_activity_half_life", activityHalfLife,
       Some(activityHalfLifeSql)),
+    QueryDef("q194_transition_dwell", transitionDwell,
+      Some(transitionDwellSql)),
   )
 
 }

@@ -207,9 +207,81 @@ object Expectations extends QueryModule {
       |    AS credited_c
       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q193: cross-table aggregate reconciliation — does the order header
+    * total equal the sum of its lines under the TPC-H price formula
+    * Σ extprice·(1−disc)·(1+tax)? The ledger-vs-detail audit every
+    * finance pipeline runs. Per-line amounts round to integer CENTS
+    * (rounding a scaled double to an integer is the cross-engine-safe
+    * form; rounding to k decimals of an unscaled double is not — see
+    * q191's boundary), diffs bucket by integer cross-multiplication
+    * (|diff|·100 vs header·{0,1,10}), and the report is bucket counts
+    * with shares. On this synthetic corpus the invariant mostly fails —
+    * which is exactly what the audit exists to quantify.
+    *
+    * Scale: one lineitem aggregation keyed by order, one broadcast-free
+    * equi-join to headers, one bucket rollup. Nothing row-level sorts.
+    */
+  def reconciliationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val lines = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")) * 100, 0).cast("long").as("line_c"))
+      .groupBy(col("okey"))
+      .agg(sum(col("line_c")).as("detail_c"), count(lit(1)).as("n_lines"))
+    val hdr = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("okey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("header_c"))
+    hdr.join(lines, Seq("okey"), "left")
+      .withColumn("adiff",
+        abs(coalesce(col("detail_c"), lit(0L)) - col("header_c")))
+      .withColumn("bucket",
+        when(col("detail_c").isNull, "no_lines")
+          .when(col("adiff") === 0, "exact")
+          .when(col("adiff") * 100 <= col("header_c"), "within_1pct")
+          .when(col("adiff") * 10 <= col("header_c"), "within_10pct")
+          .otherwise("over_10pct"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        sum(col("adiff")).cast("bigint").as("total_abs_diff_c"))
+      .withColumn("share", round(col("n_orders").cast("double") /
+        sum(col("n_orders")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)), 4))
+      .orderBy(col("bucket"))
+  }
+
+  private val reconciliationAuditSql =
+    """WITH lines AS (
+      |  SELECT l_orderkey AS okey,
+      |    sum(round(l_extendedprice * (1.0 - l_discount)
+      |        * (1.0 + l_tax) * 100)::BIGINT)::BIGINT AS detail_c,
+      |    count(*)::BIGINT AS n_lines
+      |  FROM lineitem GROUP BY l_orderkey
+      |), hdr AS (
+      |  SELECT o_orderkey AS okey,
+      |    round(o_totalprice * 100)::BIGINT AS header_c
+      |  FROM orders
+      |), j AS (
+      |  SELECT h.header_c, l.detail_c,
+      |    abs(coalesce(l.detail_c, 0) - h.header_c) AS adiff
+      |  FROM hdr h LEFT JOIN lines l ON h.okey = l.okey
+      |), b AS (
+      |  SELECT CASE WHEN detail_c IS NULL THEN 'no_lines'
+      |              WHEN adiff = 0 THEN 'exact'
+      |              WHEN adiff * 100 <= header_c THEN 'within_1pct'
+      |              WHEN adiff * 10 <= header_c THEN 'within_10pct'
+      |              ELSE 'over_10pct' END AS bucket, adiff
+      |  FROM j
+      |)
+      |SELECT bucket, count(*)::BIGINT AS n_orders,
+      |  sum(adiff)::BIGINT AS total_abs_diff_c,
+      |  round(count(*)::DOUBLE / sum(count(*)) OVER (), 4) AS share
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q110_expectations", expectationsLedger, Some(expectationsLedgerSql)),
     QueryDef("q111_last_touch", lastTouchAttribution, Some(lastTouchAttributionSql)),
     QueryDef("q122_linear_attribution", linearAttribution, Some(linearAttributionSql)),
+    QueryDef("q193_reconciliation_audit", reconciliationAudit,
+      Some(reconciliationAuditSql)),
   )
 }

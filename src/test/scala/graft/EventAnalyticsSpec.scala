@@ -474,4 +474,33 @@ class EventAnalyticsSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q194: transition dwell stats match a per-user gap replay") {
+    val gaps = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      .groupBy(_._1).values.flatMap { evs =>
+        val o = evs.sortBy(e => (e._2, e._3))
+        o.zip(o.drop(1)).map { case (a, b) => ((a._4, b._4), b._2 - a._2) }
+      }.toSeq
+    val expected = gaps.groupBy(_._1).map { case (pair, g) =>
+      val us = g.map(_._2)
+      val secs = us.map(_ / 1000000).sorted
+      // smallest gap_s whose cumulative count reaches half the total
+      val med = secs((secs.length + 1) / 2 - 1)
+      pair -> (us.size.toLong, us.sum.toDouble / us.size / 1e6, med)
+    }
+    val rows = EventAnalytics.transitionDwell(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val pair = (r.getAs[String]("from_type"), r.getAs[String]("to_type"))
+      val (n, mean, med) = expected(pair)
+      assert(r.getAs[Long]("n_transitions") === n, s"pair $pair")
+      assert(math.abs(r.getAs[Double]("avg_gap_s") - mean) <= 5.1e-5)
+      assert(r.getAs[Long]("p50_gap_s") === med, s"median for $pair")
+    }
+  }
 }

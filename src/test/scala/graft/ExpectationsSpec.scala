@@ -62,4 +62,42 @@ class ExpectationsSpec extends SparkSpec {
     val expected = touched.agg(sum(col("value_c"))).head().getLong(0)
     assert(rows.map(_.getAs[Long]("credited_c")).sum === expected)
   }
+
+  test("q193: reconciliation buckets partition orders; replay agrees") {
+    val rows = Expectations.reconciliationAudit(spark, sfDir).collect()
+    val nOrders = Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === nOrders,
+      "every order lands in exactly one bucket")
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) <= 1e-3)
+    // independent replay: per-order line cents via local arithmetic
+    val lineC = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"))
+      .collect()
+      .map { r =>
+        val c = math.round(r.getAs[Double]("l_extendedprice") *
+          (1.0 - r.getAs[Double]("l_discount")) *
+          (1.0 + r.getAs[Double]("l_tax")) * 100)
+        r.getAs[Long]("l_orderkey") -> c
+      }
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val expected = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map { r =>
+        val hdr = math.round(r.getAs[Double]("o_totalprice") * 100)
+        lineC.get(r.getAs[Long]("o_orderkey")) match {
+          case None => "no_lines"
+          case Some(d) =>
+            val ad = math.abs(d - hdr)
+            if (ad == 0) "exact"
+            else if (ad * 100 <= hdr) "within_1pct"
+            else if (ad * 10 <= hdr) "within_10pct"
+            else "over_10pct"
+        }
+      }
+      .groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val got = rows.map(r =>
+      r.getAs[String]("bucket") -> r.getAs[Long]("n_orders")).toMap
+    assert(got === expected)
+  }
 }
