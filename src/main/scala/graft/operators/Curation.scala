@@ -430,6 +430,132 @@ object Curation extends QueryModule {
        |SELECT lbl AS community, count(*)::BIGINT AS size
        |FROM l2 GROUP BY lbl ORDER BY community""".stripMargin
 
+  // --- connected components (entity-resolution closure) -----------------
+
+  /** q195: exact connected components over the entity-resolution graph —
+    * the transitive-closure step that turns PAIRWISE duplicate evidence
+    * into duplicate FAMILIES. Edges come from two independent linkage
+    * signals: the chunk-share graph (q75/q180's df-capped posting
+    * expansion) and q34's exact prefix fingerprint (group-expanded with
+    * the same 2..64 cap). Dedup needs the closure because near-dup
+    * evidence is not transitive: A~B and B~C does not imply the pair
+    * (A, C) was ever emitted, yet all three are one family.
+    *
+    * Algorithm: synchronous min-label propagation iterated TO
+    * CONVERGENCE (labels stop changing), which yields the exact
+    * components regardless of iteration order — unlike q180's
+    * fixed-round LPA, the fixpoint here is unique, so running until
+    * quiescence is deterministic. Each round is one edge⋈label join +
+    * one min-aggregation (linear in |E|); the number of rounds is the
+    * graph diameter. At 100 TB the same loop runs with
+    * `localCheckpoint` per round to cut lineage, and the round count
+    * can be made O(log n) with the large-star/small-star contraction —
+    * the per-round dataflow (join + partial min-agg) is unchanged.
+    * Output: one row per component (root = smallest doc_id), its size,
+    * and how many distinct linkage signals support it.
+    */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withChunkCols(Tables.documents(spark, dir))
+    val p = chunkPostings(docs).select(col("doc_id"), col("chunk")).distinct()
+    val hot = p.groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 64)).select(col("chunk"))
+    val ce = p.join(broadcast(hot), Seq("chunk"))
+    val chunkPairs = ce.join(ce.withColumnRenamed("doc_id", "dst"), Seq("chunk"))
+      .filter(col("doc_id") =!= col("dst"))
+      .select(col("doc_id").as("src"), col("dst"), lit("chunk").as("sig"))
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(lower(substring(col("text"), 1, 100))).as("fp"))
+    val hotFp = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 64)).select(col("fp"))
+    val fe = fp.join(broadcast(hotFp), Seq("fp"))
+    val fpPairs = fe.join(fe.withColumnRenamed("doc_id", "dst"), Seq("fp"))
+      .filter(col("doc_id") =!= col("dst"))
+      .select(col("doc_id").as("src"), col("dst"), lit("fp").as("sig"))
+    val edges = chunkPairs.unionAll(fpPairs).persist()
+    val pairs = edges.select(col("src"), col("dst")).distinct().persist()
+
+    var labels = pairs.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val msgs = pairs
+        .join(labels.withColumnRenamed("v", "src")
+          .withColumnRenamed("lbl", "slbl"), Seq("src"))
+        .groupBy(col("dst").as("v")).agg(min(col("slbl")).as("nlbl"))
+      val next = labels.join(msgs, Seq("v"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist()
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "prev"), Seq("v"))
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+    }
+    val sigs = edges.select(col("src").as("v"), col("sig"))
+      .join(labels, Seq("v"))
+      .groupBy(col("lbl")).agg(count_distinct(col("sig")).as("n_signals"))
+    val out = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).cast("bigint").as("size"))
+      .join(sigs, Seq("lbl"))
+      .select(col("lbl").as("component"), col("size"),
+        col("n_signals").cast("bigint").as("n_signals"))
+      .orderBy(col("component"))
+    val materialized = out.cache()
+    materialized.count() // force before unpersisting inputs
+    edges.unpersist(); pairs.unpersist(); labels.unpersist()
+    materialized
+  }
+
+  private val connectedComponentsSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), c AS (
+       |  SELECT doc_id, len(toks) // $chunkW AS k, toks FROM t
+       |), posting AS (
+       |  SELECT DISTINCT doc_id, chunk FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(0, k - 1),
+       |        i -> array_to_string(toks[i * $chunkW + 1 : i * $chunkW + $chunkW], ' '))) AS chunk
+       |    FROM c WHERE k >= 1)
+       |), hot AS (
+       |  SELECT chunk FROM posting GROUP BY chunk
+       |  HAVING count(*) BETWEEN 2 AND 64
+       |), e AS (
+       |  SELECT p.chunk, p.doc_id FROM posting p JOIN hot USING (chunk)
+       |), fp AS (
+       |  SELECT doc_id, md5(lower(substr(text, 1, 100))) AS fp FROM documents
+       |), hotfp AS (
+       |  SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND 64
+       |), fe AS (
+       |  SELECT f.fp, f.doc_id FROM fp f JOIN hotfp USING (fp)
+       |), edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst, 'chunk' AS sig
+       |  FROM e a JOIN e b ON a.chunk = b.chunk AND a.doc_id <> b.doc_id
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id, 'fp'
+       |  FROM fe a JOIN fe b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+       |), pairs AS (
+       |  SELECT DISTINCT src, dst FROM edges
+       |), nodes AS (
+       |  SELECT DISTINCT src AS v FROM pairs
+       |), reach AS (
+       |  WITH RECURSIVE r(v, lbl) AS (
+       |    SELECT v, v FROM nodes
+       |    UNION
+       |    SELECT p.dst, r.lbl FROM pairs p JOIN r ON p.src = r.v
+       |  ) SELECT v, min(lbl) AS comp FROM r GROUP BY v
+       |), sigs AS (
+       |  SELECT x.comp, count(DISTINCT e2.sig) AS n_signals
+       |  FROM (SELECT DISTINCT src, sig FROM edges) e2
+       |  JOIN reach x ON e2.src = x.v GROUP BY x.comp
+       |)
+       |SELECT x.comp AS component, count(*)::BIGINT AS size,
+       |  s.n_signals::BIGINT AS n_signals
+       |FROM reach x JOIN sigs s ON x.comp = s.comp
+       |GROUP BY x.comp, s.n_signals
+       |ORDER BY component""".stripMargin
+
   // --- temperature mixture resampling ----------------------------------
 
   /** q72: data-driven domain mixture — the temperature-reweighting step
@@ -803,5 +929,7 @@ object Curation extends QueryModule {
     QueryDef("q107_triangle_census", triangleCensus, Some(triangleCensusSql)),
     QueryDef("q136_graph_bfs", graphBfs, Some(graphBfsSql)),
     QueryDef("q180_label_propagation", labelPropagation, Some(labelPropagationSql)),
+    QueryDef("q195_connected_components", connectedComponents,
+      Some(connectedComponentsSql)),
   )
 }

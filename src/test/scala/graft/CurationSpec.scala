@@ -132,6 +132,63 @@ class CurationSpec extends SparkSpec {
     assert(got.size < labels.size, "propagation must merge at least one label")
   }
 
+  test("q195: components match a driver-side union-find over the same edges") {
+    // rebuild both edge signals: df-capped chunk-share + fingerprint groups
+    val posting = Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("k", expr("size(toks) div 8"))
+      .filter(col("k") >= 1)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, k - 1), i -> concat_ws(' ', slice(toks, i * 8 + 1, 8)))")).as("chunk"))
+      .distinct()
+    val hot = posting.groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 64)).select(col("chunk"))
+    val chunkPairs = posting.join(hot, Seq("chunk"))
+      .join(posting.join(hot, Seq("chunk")).withColumnRenamed("doc_id", "dst"),
+        Seq("chunk"))
+      .filter(col("doc_id") =!= col("dst"))
+      .select(col("doc_id").as("src"), col("dst"))
+    val fp = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(lower(substring(col("text"), 1, 100))).as("fp"))
+    val hotFp = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 64)).select(col("fp"))
+    val fpPairs = fp.join(hotFp, Seq("fp"))
+      .join(fp.join(hotFp, Seq("fp")).withColumnRenamed("doc_id", "dst"),
+        Seq("fp"))
+      .filter(col("doc_id") =!= col("dst"))
+      .select(col("doc_id").as("src"), col("dst"))
+    val edges = chunkPairs.unionAll(fpPairs).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // union-find with path compression
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => find(v) -> v).toSeq
+      .groupBy(_._1).map { case (root, g) => root -> g.size.toLong }
+
+    val rows = Curation.connectedComponents(spark, sfDir).collect()
+    val got = rows.map(r =>
+      r.getAs[Long]("component") -> r.getAs[Long]("size")).toMap
+    assert(got === want)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("size") >= 2,
+        "graph nodes all have an incident edge, so no singleton components")
+      val ns = r.getAs[Long]("n_signals")
+      assert(ns >= 1 && ns <= 2)
+    }
+    // the closure must be coarser than or equal to either signal alone
+    assert(got.size <= want.size)
+  }
+
   test("mixtureResample: temperature flattens the mixture (heavier sources sample at lower rates)") {
     val rows = Curation.mixtureResample(spark, sfDir).collect()
     assert(rows.length === 20)
