@@ -125,8 +125,97 @@ object Incremental extends QueryModule {
       |  last_us
       |FROM agg ORDER BY user_id""".stripMargin
 
+  /** q196: top-k watchlist snapshot diff — the churn audit between two
+    * as-of views of a derived table. Snapshot A ranks customers by
+    * cumulative order cents as of one year before the newest order;
+    * snapshot B as of the newest order. The diff keys both top-100
+    * lists by customer and classifies each member: `added` (entered the
+    * list), `removed` (fell out), `moved` (still in, rank or value
+    * changed), `steady`. Reported per status: member count, total
+    * absolute rank displacement, and the integer-cents net value delta
+    * between the two list snapshots.
+    *
+    * Scale shape: BOTH snapshots come from ONE conditional aggregation
+    * over the fact (no second scan — `sum(when(date ≤ cut))` alongside
+    * the full sum); each top-100 is a partial top-k
+    * (TakeOrderedAndProject), so the full-outer diff join runs on two
+    * 100-row sides — driver-negligible no matter the fact size. The
+    * one-year cutoff is data-derived (max order date − 365), broadcast
+    * as a 1-row build.
+    */
+  def watchlistDiff(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val orders = Tables.orders(spark, dir)
+    val mx = orders.agg(max(col("o_orderdate")).as("maxd"))
+    val byCust = orders
+      .select(col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("o_orderdate") <= date_sub(col("maxd"), 365), col("c"))
+          .otherwise(0L)).as("rev_a"),
+        sum(col("c")).as("rev_b"))
+    def top(revCol: String): DataFrame = {
+      val w = Window.orderBy(col(revCol).desc, col("o_custkey"))
+      byCust.filter(col(revCol) > 0)
+        .orderBy(col(revCol).desc, col("o_custkey")).limit(k)
+        .withColumn("rk", row_number().over(w))
+        .select(col("o_custkey"), col(revCol).as("rev"), col("rk"))
+    }
+    val a = top("rev_a").withColumnsRenamed(Map("rev" -> "reva", "rk" -> "rka"))
+    val b = top("rev_b").withColumnsRenamed(Map("rev" -> "revb", "rk" -> "rkb"))
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .withColumn("status",
+        when(col("rka").isNull, "added")
+          .when(col("rkb").isNull, "removed")
+          .when(col("rka") === col("rkb") && col("reva") === col("revb"), "steady")
+          .otherwise("moved"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).cast("bigint").as("n_customers"),
+        sum(when(col("rka").isNotNull && col("rkb").isNotNull,
+          abs(col("rkb") - col("rka"))).otherwise(0L))
+          .cast("bigint").as("abs_rank_moves"),
+        sum(coalesce(col("revb"), lit(0L)) - coalesce(col("reva"), lit(0L)))
+          .cast("bigint").as("rev_delta_c"))
+      .orderBy(col("status"))
+  }
+
+  private val watchlistDiffSql =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    sum(CASE WHEN o_orderdate <=
+      |          (SELECT max(o_orderdate) - INTERVAL 365 DAY FROM orders)
+      |        THEN round(o_totalprice * 100)::BIGINT ELSE 0 END) AS rev_a,
+      |    sum(round(o_totalprice * 100)::BIGINT) AS rev_b
+      |  FROM orders GROUP BY o_custkey
+      |), ta AS (
+      |  SELECT o_custkey, rev_a AS reva,
+      |    row_number() OVER (ORDER BY rev_a DESC, o_custkey) AS rka
+      |  FROM cust WHERE rev_a > 0
+      |  QUALIFY rka <= 100
+      |), tb AS (
+      |  SELECT o_custkey, rev_b AS revb,
+      |    row_number() OVER (ORDER BY rev_b DESC, o_custkey) AS rkb
+      |  FROM cust WHERE rev_b > 0
+      |  QUALIFY rkb <= 100
+      |), d AS (
+      |  SELECT coalesce(ta.o_custkey, tb.o_custkey) AS ck,
+      |    reva, rka, revb, rkb,
+      |    CASE WHEN rka IS NULL THEN 'added'
+      |         WHEN rkb IS NULL THEN 'removed'
+      |         WHEN rka = rkb AND reva = revb THEN 'steady'
+      |         ELSE 'moved' END AS status
+      |  FROM ta FULL OUTER JOIN tb ON ta.o_custkey = tb.o_custkey
+      |)
+      |SELECT status, count(*)::BIGINT AS n_customers,
+      |  sum(CASE WHEN rka IS NOT NULL AND rkb IS NOT NULL
+      |      THEN abs(rkb - rka) ELSE 0 END)::BIGINT AS abs_rank_moves,
+      |  sum(coalesce(revb, 0) - coalesce(reva, 0))::BIGINT AS rev_delta_c
+      |FROM d GROUP BY status ORDER BY status""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q112_incremental_rollup", incrementalRollup, Some(incrementalRollupSql)),
     QueryDef("q174_cdc_compaction", cdcCompaction, Some(cdcCompactionSql)),
+    QueryDef("q196_watchlist_diff", watchlistDiff, Some(watchlistDiffSql)),
   )
 }

@@ -68,4 +68,46 @@ class IncrementalSpec extends SparkSpec {
     val nets = got.values.map(_._2).toSet
     assert(nets.contains("UPDATE") || nets.contains("INSERT"))
   }
+
+  test("q196: watchlist diff matches a driver-side two-snapshot replay") {
+    val raw = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getAs[Long]("o_custkey"),
+        r.getAs[java.sql.Date]("od").toLocalDate,
+        r.getAs[Long]("c")))
+    val cut = raw.map(_._2).max.minusDays(365)
+    val byCust = raw.groupBy(_._1).map { case (ck, g) =>
+      (ck, g.filter(!_._2.isAfter(cut)).map(_._3).sum, g.map(_._3).sum)
+    }.toSeq
+    def top(rev: ((Long, Long, Long)) => Long): Map[Long, (Long, Int)] =
+      byCust.filter(rev(_) > 0)
+        .sortBy(t => (-rev(t), t._1)).take(100).zipWithIndex
+        .map { case (t, i) => t._1 -> (rev(t), i + 1) }.toMap
+    val a = top(_._2)
+    val b = top(_._3)
+    val statuses = (a.keySet ++ b.keySet).toSeq.map { ck =>
+      (a.get(ck), b.get(ck)) match {
+        case (None, Some((rb, _)))      => ("added", 0L, rb)
+        case (Some((ra, _)), None)      => ("removed", 0L, -ra)
+        case (Some((ra, ka)), Some((rb, kb))) =>
+          (if (ka == kb && ra == rb) "steady" else "moved",
+            math.abs(kb - ka).toLong, rb - ra)
+        case _ => throw new IllegalStateException
+      }
+    }
+    val expected = statuses.groupBy(_._1).map { case (s, g) =>
+      s -> (g.size.toLong, g.map(_._2).sum, g.map(_._3).sum)
+    }
+    val rows = Incremental.watchlistDiff(spark, sfDir).collect()
+    val got = rows.map(r => r.getAs[String]("status") ->
+      (r.getAs[Long]("n_customers"), r.getAs[Long]("abs_rank_moves"),
+        r.getAs[Long]("rev_delta_c"))).toMap
+    assert(got === expected)
+    // membership churn balances: |B| - |A| = added - removed
+    val nA = a.size.toLong; val nB = b.size.toLong
+    def n(s: String): Long = got.get(s).map(_._1).getOrElse(0L)
+    assert(n("added") - n("removed") === nB - nA)
+  }
 }
