@@ -506,6 +506,129 @@ object Dedup extends QueryModule {
       |  round(n_docs::DOUBLE / sum(n_docs) OVER (), 4) AS corpus_share
       |FROM by_size ORDER BY cluster_size""".stripMargin
 
+  // --- LSH recall audit -------------------------------------------------
+
+  /** q197: empirical MinHash-LSH S-curve audit — per true-Jaccard
+    * decile, the fraction of document pairs the banding scheme surfaces
+    * as candidates. Production dedup tunes (hashes, bands) against
+    * exactly this curve: theory says a pair at similarity j becomes a
+    * candidate with probability 1 − (1 − j^r)^b (r rows/band, b bands),
+    * so the 16-hash / 8-band / 2-row scheme here should surface ~0.1%
+    * of j ≈ 0 pairs (false-positive cost), ~90% at j = 0.5, and ~100%
+    * at j ≥ 0.8. The audit measures that curve on the real corpus over
+    * EVERY pair sharing at least one shingle — the high deciles read as
+    * recall, the low deciles as wasted verification work — instead of
+    * trusting the formula.
+    *
+    * The signature here is the PORTABLE md5 60-bit hash (same
+    * digit-fold as q41's oracle) so the ENTIRE audit — signatures,
+    * banding, candidate join, exact truth — replays in the SQL oracle;
+    * the engine-internal xxhash64 scheme (q40) has no SQL twin. Pair
+    * truth comes from the q35-style global posting-list expansion (one
+    * linear shuffle, never all-pairs — pairs sharing zero shingles have
+    * j = 0 and candidate probability ≈ 0, so omitting them biases
+    * nothing the audit tunes); candidates from the band-bucket
+    * self-join. The audit join is truth ⟕ candidates on the pair key.
+    *
+    * Scale shape: signatures are one map pass (16 array_min folds);
+    * banding explodes 8 rows/doc; both joins are equi-joins on bounded
+    * buckets. At 100 TB the same audit runs on a stratified SAMPLE of
+    * the corpus (recall curves are distribution-stable) — the dataflow
+    * is unchanged.
+    */
+  def lshRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), TextAnalysis.shingles3(col("toks")).as("sh"))
+      .persist()
+    // portable 16-hash signature: h_i = min over shingles of the 60-bit
+    // md5 fold of "i:shingle"
+    val sig = sh.select(col("doc_id"), expr(
+      """transform(sequence(0, 15), i -> array_min(transform(sh,
+        |  s -> cast(conv(substring(md5(concat(cast(i as string), ':', s)), 1, 15),
+        |            16, 10) as bigint))))""".stripMargin).as("sig"))
+    val banded = sig.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, 7), b -> struct(sig[b*2] as h0, sig[b*2+1] as h1))")))
+      .select(col("doc_id"), col("pos").as("band"),
+        col("col.h0").as("h0"), col("col.h1").as("h1"))
+    val cand = banded.select(col("band"), col("h0"), col("h1"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("h0"), col("h1"), col("doc_id").as("doc_b")),
+        Seq("band", "h0", "h1"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // exact truth: global posting-list expansion, J >= 0.5
+    val posts = sh.select(col("doc_id"), size(col("sh")).as("nsh"),
+        explode(col("sh")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("shash"), col("doc_id"), col("nsh"))
+    val grouped = posts.groupBy(col("shash"))
+      .agg(collect_list(struct(col("doc_id"), col("nsh"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val truth = grouped.select(explode(
+        graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
+      .select(col("p.*"))
+      .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("j", col("inter").cast("double") /
+        (col("nsh_a") + col("nsh_b") - col("inter")))
+    val out = truth
+      .join(cand.withColumn("found", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .withColumn("bucket_lo",
+        least(floor(col("j") * 10), lit(9L)).cast("double") / 10.0)
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(coalesce(col("found"), lit(0L))).cast("bigint").as("n_found"))
+      .withColumn("hit_rate",
+        round(col("n_found").cast("double") / col("n_pairs"), 4))
+      .orderBy(col("bucket_lo"))
+    val materialized = out.cache()
+    materialized.count()
+    sh.unpersist()
+    materialized
+  }
+
+  private val lshRecallAuditSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      |  FROM t WHERE len(toks) >= 3
+      |), sigs AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 15), i ->
+      |      list_min(list_transform(sh, x ->
+      |        list_reduce(list_transform(generate_series(1, 15),
+      |          k -> strpos('0123456789abcdef',
+      |                 substring(md5(i::VARCHAR || ':' || x), k, 1)) - 1),
+      |          (acc, d) -> acc * 16 + d)))) AS sig
+      |  FROM s
+      |), banded AS (
+      |  SELECT doc_id, bb.band,
+      |    sig[bb.band * 2 + 1] AS h0, sig[bb.band * 2 + 2] AS h1
+      |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) bb
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
+      |  WHERE a.doc_id < b.doc_id
+      |), post AS (
+      |  SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM s
+      |), truth AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    count(*)::DOUBLE / (a.nsh + b.nsh - count(*)) AS j
+      |  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id, a.nsh, b.nsh
+      |)
+      |SELECT least(floor(j * 10), 9) / 10.0 AS bucket_lo,
+      |  count(*)::BIGINT AS n_pairs,
+      |  sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_found,
+      |  round(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+      |        / count(*), 4) AS hit_rate
+      |FROM truth LEFT JOIN cand c USING (doc_a, doc_b)
+      |GROUP BY 1 ORDER BY bucket_lo""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_minhash_lsh", minHashQuery, Some(minHashOracleSql), benchmark = true),
     QueryDef("q41_simhash", simHashQuery, Some(simHashOracleSql), benchmark = true),
@@ -514,6 +637,7 @@ object Dedup extends QueryModule {
     QueryDef("q148_golden_record", goldenRecord, Some(goldenRecordSql)),
     QueryDef("q184_dup_cluster_profile", dupClusterProfile,
       Some(dupClusterProfileSql)),
+    QueryDef("q197_lsh_recall_audit", lshRecallAudit, Some(lshRecallAuditSql)),
   )
 
 }

@@ -191,4 +191,53 @@ class DedupSpec extends SparkSpec {
     val nClusters = operators.TextAnalysis.fingerprintGroups(spark, sfDir).count()
     assert(rows.map(_.getAs[Long]("n_removable")).sum === nDocs - nClusters)
   }
+
+  test("q197: S-curve audit matches a full driver-side LSH replay") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+      .filter(_._2.length >= 3)
+      .map { case (id, toks) =>
+        id -> toks.sliding(3).map(_.mkString(" ")).toSet
+      }
+    // 16-hash portable signature + 8 bands of 2
+    val sigs = docs.map { case (id, sh) =>
+      id -> (0 until 16).map(i => sh.map(s => hash60(s"$i:$s")).min).toArray
+    }.toMap
+    val cand = (for {
+      Seq((a, sa), (b, sb)) <- sigs.toSeq.sortBy(_._1).combinations(2)
+      if (0 until 8).exists(band =>
+        sa(band * 2) == sb(band * 2) && sa(band * 2 + 1) == sb(band * 2 + 1))
+    } yield (a, b)).toSet
+    val byId = docs.toMap
+    val truth = (for {
+      Seq(a, b) <- docs.map(_._1).sorted.toSeq.combinations(2)
+      inter = (byId(a) & byId(b)).size if inter > 0
+    } yield {
+      val j = inter.toDouble / (byId(a).size + byId(b).size - inter)
+      (math.min(math.floor(j * 10), 9.0) / 10.0, cand.contains((a, b)))
+    }).toSeq
+    val expected = truth.groupBy(_._1).map { case (bk, g) =>
+      bk -> (g.size.toLong, g.count(_._2).toLong)
+    }
+    val rows = Dedup.lshRecallAudit(spark, sfDir).collect()
+    val got = rows.map(r => r.getAs[Double]("bucket_lo") ->
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_found"))).toMap
+    assert(got === expected)
+    // the S-curve is monotone in spirit: the top bucket must dominate
+    // the bottom bucket's hit rate
+    val rates = rows.sortBy(_.getAs[Double]("bucket_lo"))
+      .map(_.getAs[Double]("hit_rate"))
+    assert(rates.last >= rates.head)
+    rows.foreach { r =>
+      val hr = r.getAs[Double]("hit_rate")
+      assert(hr >= 0.0 && hr <= 1.0)
+    }
+  }
 }
