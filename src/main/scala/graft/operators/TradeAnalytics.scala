@@ -1726,6 +1726,100 @@ object TradeAnalytics extends QueryModule {
       |FROM scored GROUP BY r_score, f_score, m_score
       |ORDER BY r_score, f_score, m_score""".stripMargin
 
+  /** q198: seasonal-decomposition anomaly screen — which days' revenue
+    * is abnormal AFTER removing trend and weekday seasonality? The
+    * additive decomposition monitoring pipelines run: trend is a
+    * centered ±3-day moving average (RANGE frame over the integer epoch
+    * day, so calendar gaps don't slide the window), the seasonal term
+    * is the classic dummy-variable form avg(rev | weekday) − avg(rev)
+    * (each a ratio of exact integer sums — exact cross-engine parity,
+    * unlike a mean of float residuals), and the remainder is z-scored.
+    *
+    * Numeric-parity design: the remainder is a fixed-order expression
+    * of integer ratios (bit-identical IEEE in both engines), then
+    * ROUNDED TO INTEGER MILLI-CENTS so the z-score's moments are exact
+    * integer/decimal sums (Σr as BIGINT, Σr² as DECIMAL — r² can
+    * exceed int64) with one final double formula. |z| ≥ 2.5 flags.
+    *
+    * Scale shape: one fact aggregation to the daily series (tiny:
+    * one row per day), then windows/joins on that series only. The
+    * weekday index is epoch-day arithmetic, immune to dow-origin
+    * mismatches (q164).
+    */
+  def seasonalAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev_c"))
+    val wTrend = Window.orderBy(col("d")).rangeBetween(-3, 3)
+    val base = daily
+      .withColumn("ts", sum(col("rev_c")).over(wTrend))
+      .withColumn("tc", count(lit(1)).over(wTrend))
+      .withColumn("dow", pmod(col("d") + 3, lit(7)).cast("int"))
+    val wDow = Window.partitionBy(col("dow"))
+    val wAll = Window.partitionBy()
+    val resid = base
+      .withColumn("s1", sum(col("rev_c")).over(wDow))
+      .withColumn("n1", count(lit(1)).over(wDow))
+      .withColumn("s2", sum(col("rev_c")).over(wAll))
+      .withColumn("n2", count(lit(1)).over(wAll))
+      .withColumn("r_m", round((col("rev_c")
+          - col("ts").cast("double") / col("tc")
+          - (col("s1").cast("double") / col("n1")
+             - col("s2").cast("double") / col("n2"))) * 1000)
+        .cast("bigint"))
+    val z = resid
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sr", sum(col("r_m")).over(wAll))
+      .withColumn("srr",
+        sum((col("r_m").cast("decimal(19,0)") * col("r_m")).cast("decimal(38,0)"))
+          .over(wAll))
+      .withColumn("zscore",
+        (col("r_m") - col("sr").cast("double") / col("n")) /
+          sqrt((col("srr").cast("double")
+            - col("sr").cast("double") * col("sr").cast("double") / col("n"))
+            / (col("n") - 1)))
+    z.filter(abs(col("zscore")) >= 2.5)
+      .select(date_add(lit("1970-01-01").cast("date"), col("d").cast("int")).as("day"),
+        col("rev_c").cast("bigint").as("rev_c"),
+        round(col("zscore"), 4).as("z"))
+      .orderBy(col("day"))
+  }
+
+  private val seasonalAnomaliesSql =
+    """WITH daily AS (
+      |  SELECT (o_orderdate::DATE - DATE '1970-01-01') AS d,
+      |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS rev_c
+      |  FROM orders GROUP BY 1
+      |), base AS (
+      |  SELECT d, rev_c,
+      |    sum(rev_c) OVER (ORDER BY d RANGE BETWEEN 3 PRECEDING
+      |                     AND 3 FOLLOWING) AS ts,
+      |    count(*) OVER (ORDER BY d RANGE BETWEEN 3 PRECEDING
+      |                   AND 3 FOLLOWING) AS tc,
+      |    (d + 3) % 7 AS dow
+      |  FROM daily
+      |), resid AS (
+      |  SELECT d, rev_c,
+      |    round((rev_c
+      |      - ts::DOUBLE / tc
+      |      - (sum(rev_c) OVER (PARTITION BY dow)::DOUBLE
+      |           / count(*) OVER (PARTITION BY dow)
+      |         - sum(rev_c) OVER ()::DOUBLE / count(*) OVER ())) * 1000
+      |    )::BIGINT AS r_m
+      |  FROM base
+      |), z AS (
+      |  SELECT d, rev_c,
+      |    (r_m - sum(r_m) OVER ()::DOUBLE / count(*) OVER ()) /
+      |      sqrt((sum(r_m::HUGEINT * r_m) OVER ()::DOUBLE
+      |        - sum(r_m) OVER ()::DOUBLE * sum(r_m) OVER ()::DOUBLE
+      |          / count(*) OVER ())
+      |        / (count(*) OVER () - 1)) AS zscore
+      |  FROM resid
+      |)
+      |SELECT DATE '1970-01-01' + to_days(d::INT) AS day,
+      |  rev_c, round(zscore, 4) AS z
+      |FROM z WHERE abs(zscore) >= 2.5 ORDER BY day""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -1762,5 +1856,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q186_contingency_residuals", contingencyResiduals,
       Some(contingencyResidualsSql)),
     QueryDef("q191_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
+    QueryDef("q198_seasonal_anomalies", seasonalAnomalies,
+      Some(seasonalAnomaliesSql)),
   )
 }

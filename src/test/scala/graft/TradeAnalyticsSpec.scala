@@ -718,4 +718,46 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q198: flagged days match a driver-side decomposition replay") {
+    val daily = Tables.orders(spark, sfDir)
+      .select(datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getAs[Int]("d"), r.getAs[Long]("c")))
+      .groupBy(_._1).map { case (d, g) => (d, g.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val byDay = daily.toMap
+    val total = daily.map(_._2).sum
+    val nAll = daily.size
+    val dowSum = daily.groupBy(t => ((t._1 + 3) % 7 + 7) % 7)
+      .map { case (k, g) => k -> (g.map(_._2).sum, g.size) }
+    val resid = daily.map { case (d, c) =>
+      val win = daily.filter(t => t._1 >= d - 3 && t._1 <= d + 3)
+      val (s1, n1) = dowSum(((d + 3) % 7 + 7) % 7)
+      val r = c - win.map(_._2).sum.toDouble / win.size -
+        (s1.toDouble / n1 - total.toDouble / nAll)
+      (d, math.round(r * 1000))
+    }
+    val n = resid.size
+    val sr = resid.map(_._2).sum
+    val srr = resid.map(t => BigInt(t._2) * BigInt(t._2)).sum
+    val mean = sr.toDouble / n
+    val sd = math.sqrt((srr.toDouble - sr.toDouble * sr.toDouble / n) / (n - 1))
+    val expected = resid.map { case (d, r) => (d, (r - mean) / sd) }
+      .filter(t => math.abs(t._2) >= 2.5)
+      .map { case (d, z) =>
+        java.time.LocalDate.ofEpochDay(d).toString -> (byDay(d), z)
+      }.toMap
+
+    val rows = TradeAnalytics.seasonalAnomalies(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toString
+      val (c, z) = expected(day)
+      assert(r.getAs[Long]("rev_c") === c, s"rev on $day")
+      assert(math.abs(r.getAs[Double]("z") - z) <= 5.1e-5, s"z on $day")
+      assert(math.abs(r.getAs[Double]("z")) >= 2.5)
+    }
+  }
+
 }
