@@ -1285,6 +1285,123 @@ object EventAnalytics extends QueryModule {
       |FROM c GROUP BY from_type, to_type
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** q199: Markov steady-state of the event-type chain — where does a
+    * user's long-run attention settle? Five synchronous power-iteration
+    * rounds of π ← πP over q104's row-normalized transition matrix,
+    * uniform init, states restricted to types WITH outgoing transitions
+    * (edges into dangling types are dropped before normalizing, keeping
+    * P stochastic so π remains a distribution without renormalization
+    * hacks). The output also carries the EMPIRICAL long-run share (each
+    * type's fraction of observed transition sources) — steady-state vs
+    * observed is the drift signal this diagnostic exists for.
+    *
+    * Float-parity design: each π round sums a handful of π·p terms per
+    * state; a plain SUM would be partition-order-dependent, so both
+    * engines fold the terms in EXPLICIT from-state order (sorted
+    * collect + left fold here, `list(... ORDER BY)` + `list_reduce`
+    * in the oracle) — bit-identical IEEE sums, no rounding slack.
+    *
+    * Scale shape: the matrix is (event types)², a broadcast-sized
+    * relation no matter the event volume — one linear lead() pass
+    * builds it, and the five iteration joins run on that tiny table.
+    */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from"), col("event_type").as("to"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val states = trans.select(col("from").as("state")).distinct()
+    val kept = trans.join(states.withColumnRenamed("state", "to"), Seq("to"))
+    val p = kept
+      .withColumn("row_total", sum(col("n")).over(Window.partitionBy(col("from"))))
+      .withColumn("prob", col("n").cast("double") / col("row_total"))
+      .select(col("from"), col("to"), col("prob"))
+    val nStates = states.agg(count(lit(1)).as("k"))
+    var pi = states.crossJoin(broadcast(nStates))
+      .select(col("state"), (lit(1.0) / col("k")).as("pi"))
+    for (_ <- 1 to 5) {
+      pi = p.join(pi.withColumnRenamed("state", "from"), Seq("from"))
+        .withColumn("term", col("pi") * col("prob"))
+        .groupBy(col("to").as("state"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("from"), col("term")))),
+            x => x("term")),
+          lit(0.0), (acc, t) => acc + t).as("pi"))
+    }
+    val empirical = trans.groupBy(col("from").as("state"))
+      .agg(sum(col("n")).as("src_n"))
+    val totN = empirical.agg(sum(col("src_n")).as("tot"))
+    val out = pi.join(empirical, Seq("state"))
+      .crossJoin(broadcast(totN))
+      .select(col("state"), round(col("pi"), 4).as("stationary"),
+        round(col("src_n").cast("double") / col("tot"), 4).as("empirical_share"))
+      .orderBy(col("state"))
+    val materialized = out.cache()
+    materialized.count()
+    trans.unpersist()
+    materialized
+  }
+
+  private val markovStationarySql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+      |), pr AS (
+      |  SELECT event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS prev
+      |  FROM e
+      |), trans AS (
+      |  SELECT prev AS f, event_type AS t, count(*) AS n
+      |  FROM pr WHERE prev IS NOT NULL GROUP BY 1, 2
+      |), states AS (
+      |  SELECT DISTINCT f AS state FROM trans
+      |), kept AS (
+      |  SELECT tr.f, tr.t, tr.n FROM trans tr
+      |  JOIN states s ON tr.t = s.state
+      |), p AS (
+      |  SELECT f, t, n::DOUBLE / sum(n) OVER (PARTITION BY f) AS prob
+      |  FROM kept
+      |), pi0 AS (
+      |  SELECT state, 1.0 / (SELECT count(*) FROM states) AS pi FROM states
+      |), pi1 AS (
+      |  SELECT p.t AS state,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(x.pi * p.prob ORDER BY p.f)),
+      |      (a, b) -> a + b) AS pi
+      |  FROM p JOIN pi0 x ON p.f = x.state GROUP BY p.t
+      |), pi2 AS (
+      |  SELECT p.t AS state,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(x.pi * p.prob ORDER BY p.f)),
+      |      (a, b) -> a + b) AS pi
+      |  FROM p JOIN pi1 x ON p.f = x.state GROUP BY p.t
+      |), pi3 AS (
+      |  SELECT p.t AS state,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(x.pi * p.prob ORDER BY p.f)),
+      |      (a, b) -> a + b) AS pi
+      |  FROM p JOIN pi2 x ON p.f = x.state GROUP BY p.t
+      |), pi4 AS (
+      |  SELECT p.t AS state,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(x.pi * p.prob ORDER BY p.f)),
+      |      (a, b) -> a + b) AS pi
+      |  FROM p JOIN pi3 x ON p.f = x.state GROUP BY p.t
+      |), pi5 AS (
+      |  SELECT p.t AS state,
+      |    list_reduce(list_prepend(0.0::DOUBLE, list(x.pi * p.prob ORDER BY p.f)),
+      |      (a, b) -> a + b) AS pi
+      |  FROM p JOIN pi4 x ON p.f = x.state GROUP BY p.t
+      |), emp AS (
+      |  SELECT f AS state, sum(n) AS src_n FROM trans GROUP BY f
+      |)
+      |SELECT pi5.state, round(pi5.pi, 4) AS stationary,
+      |  round(emp.src_n::DOUBLE / (SELECT sum(src_n) FROM emp), 4)
+      |    AS empirical_share
+      |FROM pi5 JOIN emp ON pi5.state = emp.state
+      |ORDER BY pi5.state""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -1310,6 +1427,8 @@ object EventAnalytics extends QueryModule {
       Some(activityHalfLifeSql)),
     QueryDef("q194_transition_dwell", transitionDwell,
       Some(transitionDwellSql)),
+    QueryDef("q199_markov_stationary", markovStationary,
+      Some(markovStationarySql)),
   )
 
 }

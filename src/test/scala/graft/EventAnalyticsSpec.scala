@@ -503,4 +503,43 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(r.getAs[Long]("p50_gap_s") === med, s"median for $pair")
     }
   }
+
+  test("q199: stationary distribution matches a driver-side power iteration") {
+    val trans = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      .groupBy(_._1).values.flatMap { evs =>
+        val o = evs.sortBy(e => (e._2, e._3)).map(_._4)
+        o.zip(o.drop(1))
+      }.toSeq.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+
+    val states = trans.keys.map(_._1).toSet
+    val kept = trans.filter { case ((_, to), _) => states(to) }
+    val rowTot = kept.groupBy(_._1._1).map { case (f, g) => f -> g.values.sum }
+    val prob = kept.map { case ((f, t), n) => (f, t) -> n.toDouble / rowTot(f) }
+    var pi: Map[String, Double] = states.map(_ -> 1.0 / states.size).toMap
+    for (_ <- 1 to 5) {
+      pi = prob.toSeq.groupBy(_._1._2).map { case (t, terms) =>
+        t -> terms.sortBy(_._1._1).foldLeft(0.0) {
+          case (acc, ((f, _), p)) => acc + pi(f) * p
+        }
+      }
+    }
+    val srcTot = trans.groupBy(_._1._1).map { case (f, g) => f -> g.values.sum }
+    val allSrc = srcTot.values.sum
+
+    val rows = EventAnalytics.markovStationary(spark, sfDir).collect()
+    assert(rows.length === states.size)
+    rows.foreach { r =>
+      val s = r.getAs[String]("state")
+      assert(math.abs(r.getAs[Double]("stationary") - pi(s)) <= 5.1e-5)
+      assert(math.abs(r.getAs[Double]("empirical_share") -
+        srcTot(s).toDouble / allSrc) <= 5.1e-5)
+    }
+    // a 5-round pi over a stochastic matrix is still a distribution
+    assert(math.abs(rows.map(_.getAs[Double]("stationary")).sum - 1.0) <= 1e-3)
+  }
 }
