@@ -1726,6 +1726,74 @@ object TradeAnalytics extends QueryModule {
       |FROM scored GROUP BY r_score, f_score, m_score
       |ORDER BY r_score, f_score, m_score""".stripMargin
 
+  /** q200: spend decile-mobility matrix — how customers move between
+    * spend deciles across two adjacent one-year windows (split at one
+    * year before the newest order, the q196 cutoff). The economic-
+    * mobility / customer-migration view marketing analytics builds on
+    * top of RFM: each customer active in BOTH windows is ranked into
+    * deciles per window (ntile over spend DESC with customer-key
+    * tiebreak — fully deterministic), and the 10×10 matrix counts each
+    * (before, after) cell with its row share and the cell's net
+    * integer-cents spend change. Diagonal mass = rank stability;
+    * below-diagonal = upward drift.
+    *
+    * Scale shape: one conditional aggregation builds both windows'
+    * spend per customer (single fact scan); the two ntile windows sort
+    * only the CUSTOMER dimension (orders of magnitude smaller than the
+    * fact), and the matrix rollup is a 100-cell aggregate. At larger
+    * scale the ntile becomes an exact-rank computation over the
+    * per-customer relation — same output, no global sort.
+    */
+  def decileMobility(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val mx = orders.agg(max(col("o_orderdate")).as("maxd"))
+    val byCust = orders
+      .select(col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("o_orderdate") <= date_sub(col("maxd"), 365), col("c"))
+          .otherwise(0L)).as("rev_a"),
+        sum(when(col("o_orderdate") > date_sub(col("maxd"), 365), col("c"))
+          .otherwise(0L)).as("rev_b"))
+      .filter(col("rev_a") > 0 && col("rev_b") > 0)
+    val deciled = byCust
+      .withColumn("da", ntile(10).over(
+        Window.orderBy(col("rev_a").desc, col("o_custkey"))))
+      .withColumn("db", ntile(10).over(
+        Window.orderBy(col("rev_b").desc, col("o_custkey"))))
+    deciled.groupBy(col("da").as("decile_before"), col("db").as("decile_after"))
+      .agg(count(lit(1)).cast("bigint").as("n_customers"),
+        sum(col("rev_b") - col("rev_a")).cast("bigint").as("net_change_c"))
+      .withColumn("row_share", round(col("n_customers").cast("double") /
+        sum(col("n_customers")).over(Window.partitionBy(col("decile_before"))), 4))
+      .orderBy(col("decile_before"), col("decile_after"))
+  }
+
+  private val decileMobilitySql =
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |    sum(CASE WHEN o_orderdate <=
+      |          (SELECT max(o_orderdate) - INTERVAL 365 DAY FROM orders)
+      |        THEN round(o_totalprice * 100)::BIGINT ELSE 0 END) AS rev_a,
+      |    sum(CASE WHEN o_orderdate >
+      |          (SELECT max(o_orderdate) - INTERVAL 365 DAY FROM orders)
+      |        THEN round(o_totalprice * 100)::BIGINT ELSE 0 END) AS rev_b
+      |  FROM orders GROUP BY o_custkey
+      |), act AS (
+      |  SELECT o_custkey, rev_a, rev_b,
+      |    ntile(10) OVER (ORDER BY rev_a DESC, o_custkey) AS da,
+      |    ntile(10) OVER (ORDER BY rev_b DESC, o_custkey) AS db
+      |  FROM cust WHERE rev_a > 0 AND rev_b > 0
+      |)
+      |SELECT da AS decile_before, db AS decile_after,
+      |  count(*)::BIGINT AS n_customers,
+      |  sum(rev_b - rev_a)::BIGINT AS net_change_c,
+      |  round(count(*)::DOUBLE /
+      |    sum(count(*)) OVER (PARTITION BY da), 4) AS row_share
+      |FROM act GROUP BY da, db
+      |ORDER BY decile_before, decile_after""".stripMargin
+
   /** q198: seasonal-decomposition anomaly screen — which days' revenue
     * is abnormal AFTER removing trend and weekday seasonality? The
     * additive decomposition monitoring pipelines run: trend is a
@@ -1858,5 +1926,6 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q191_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     QueryDef("q198_seasonal_anomalies", seasonalAnomalies,
       Some(seasonalAnomaliesSql)),
+    QueryDef("q200_decile_mobility", decileMobility, Some(decileMobilitySql)),
   )
 }

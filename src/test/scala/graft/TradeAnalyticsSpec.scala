@@ -760,4 +760,48 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q200: mobility matrix matches a driver-side two-window decile replay") {
+    val raw = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getAs[Long]("o_custkey"),
+        r.getAs[java.sql.Date]("od").toLocalDate, r.getAs[Long]("c")))
+    val cut = raw.map(_._2).max.minusDays(365)
+    val active = raw.groupBy(_._1).map { case (ck, g) =>
+      (ck, g.filter(!_._2.isAfter(cut)).map(_._3).sum,
+        g.filter(_._2.isAfter(cut)).map(_._3).sum)
+    }.filter(t => t._2 > 0 && t._3 > 0).toSeq
+    def deciles(rev: ((Long, Long, Long)) => Long): Map[Long, Int] = {
+      val sorted = active.sortBy(t => (-rev(t), t._1))
+      val n = sorted.size
+      sorted.zipWithIndex.map { case (t, i) =>
+        // ntile: first (n % 10) buckets get ceil(n/10) rows
+        val big = n % 10; val h = n / 10 + 1
+        val bucket = if (big == 0) i / (n / 10) + 1
+          else if (i < big * h) i / h + 1
+          else (i - big * h) / (n / 10) + big + 1
+        t._1 -> bucket
+      }.toMap
+    }
+    val da = deciles(_._2); val db = deciles(_._3)
+    val expected = active.groupBy(t => (da(t._1), db(t._1))).map {
+      case (cell, g) => cell -> (g.size.toLong, g.map(t => t._3 - t._2).sum)
+    }
+    val rows = TradeAnalytics.decileMobility(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    val rowTotals = expected.toSeq.groupBy(_._1._1)
+      .map { case (d, g) => d -> g.map(_._2._1).sum }
+    rows.foreach { r =>
+      val cell = (r.getAs[Int]("decile_before"), r.getAs[Int]("decile_after"))
+      val (nC, net) = expected(cell)
+      assert(r.getAs[Long]("n_customers") === nC, s"cell $cell")
+      assert(r.getAs[Long]("net_change_c") === net, s"net for $cell")
+      assert(math.abs(r.getAs[Double]("row_share") -
+        nC.toDouble / rowTotals(cell._1)) <= 5.1e-5)
+    }
+    // every active customer lands in exactly one cell
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === active.size.toLong)
+  }
+
 }
