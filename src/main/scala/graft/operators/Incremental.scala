@@ -147,6 +147,8 @@ object Incremental extends QueryModule {
     val k = 100
     val orders = Tables.orders(spark, dir)
     val mx = orders.agg(max(col("o_orderdate")).as("maxd"))
+    // persisted: BOTH top-100 snapshots read this one aggregate — without
+    // it each TakeOrdered would re-run the scan+agg subtree
     val byCust = orders
       .select(col("o_custkey"), col("o_orderdate"),
         round(col("o_totalprice") * 100, 0).cast("long").as("c"))
@@ -155,6 +157,7 @@ object Incremental extends QueryModule {
       .agg(sum(when(col("o_orderdate") <= date_sub(col("maxd"), 365), col("c"))
           .otherwise(0L)).as("rev_a"),
         sum(col("c")).as("rev_b"))
+      .persist()
     def top(revCol: String): DataFrame = {
       val w = Window.orderBy(col(revCol).desc, col("o_custkey"))
       byCust.filter(col(revCol) > 0)

@@ -303,4 +303,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.substring(wIdx).contains("HashAggregate"),
       s"window must run over the value-domain aggregate:\n$plan")
   }
+
+  test("watchlist diff: both top-100 lists are partial top-k over ONE conditional agg pass") {
+    val plan = explainText(operators.Incremental.watchlistDiff(spark, sfDir))
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
+      s"each snapshot's top-100 must be a partial top-k, not a full sort:\n$plan")
+    // both snapshots must read the PERSISTED conditional aggregate (the
+    // cached InMemoryRelation re-prints its build subtree under each
+    // reference, so counting raw scans is meaningless — assert the two
+    // top-k's inputs are cache reads instead)
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 2,
+      s"both snapshots must read the persisted conditional-agg pass:\n$plan")
+  }
+
+  test("LSH S-curve audit joins only on bucket/pair keys, never all-pairs") {
+    val plan = explainText(operators.Dedup.lshRecallAudit(spark, sfDir))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"audit must stay on equi-joins (bands, pair keys):\n$plan")
+  }
+
+  test("decile mobility: both windows' spend comes from one fact scan") {
+    val plan = explainText(operators.TradeAnalytics.decileMobility(spark, sfDir))
+    // 2 physical scans (cutoff max + the conditional-agg pass) = 4 text
+    // occurrences in explain('formatted') (tree + details per node)
+    assert("Scan parquet".r.findAllIn(plan).length <= 4,
+      s"cutoff max + ONE conditional-agg scan only:\n$plan")
+  }
 }
