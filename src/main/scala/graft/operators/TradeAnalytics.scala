@@ -1726,6 +1726,97 @@ object TradeAnalytics extends QueryModule {
       |FROM scored GROUP BY r_score, f_score, m_score
       |ORDER BY r_score, f_score, m_score""".stripMargin
 
+  /** q201: price–volume–mix bridge — the waterfall decomposition finance
+    * runs on every period-over-period revenue change: per part brand,
+    * ΔRev between two adjacent one-year ship windows splits into a
+    * price effect (Δp·q₀), a volume effect (p₀·Δq), and the cross term
+    * (Δp·Δq), which reconcile to ΔRev exactly in the algebra (the spec
+    * pins the float form to cent-level closure). Average unit prices
+    * are ratios of exact integer sums (cents over integer quantity), so
+    * every effect is a fixed-order double expression with cross-engine
+    * parity.
+    *
+    * Scale shape: one conditional-aggregation pass over lineitem
+    * (both windows' Σqty and Σcents side by side) keyed by partkey,
+    * then a broadcast join to `part` for the brand rollup — at real
+    * scale the brand column rides a pre-joined or bucketed dimension;
+    * the waterfall algebra itself runs on the brand-domain relation
+    * (constant-sized).
+    */
+  def priceVolumeMix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val mx = li.agg(max(to_date(col("l_shipdate"))).as("maxd"))
+    val byPart = li
+      .select(col("l_partkey"), to_date(col("l_shipdate")).as("sd"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      .crossJoin(broadcast(mx))
+      .withColumn("inA", col("sd") > date_sub(col("maxd"), 730) &&
+        col("sd") <= date_sub(col("maxd"), 365))
+      .withColumn("inB", col("sd") > date_sub(col("maxd"), 365))
+      .filter(col("inA") || col("inB"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(when(col("inA"), col("q")).otherwise(0L)).as("q0"),
+        sum(when(col("inA"), col("c")).otherwise(0L)).as("c0"),
+        sum(when(col("inB"), col("q")).otherwise(0L)).as("q1"),
+        sum(when(col("inB"), col("c")).otherwise(0L)).as("c1"))
+    val byBrand = byPart
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(col("q0")).as("q0"), sum(col("c0")).as("c0"),
+        sum(col("q1")).as("q1"), sum(col("c1")).as("c1"))
+      .filter(col("q0") > 0 && col("q1") > 0)
+    byBrand
+      .withColumn("p0", col("c0").cast("double") / col("q0"))
+      .withColumn("p1", col("c1").cast("double") / col("q1"))
+      .select(col("brand"),
+        col("c0").cast("bigint").as("rev0_c"),
+        col("c1").cast("bigint").as("rev1_c"),
+        (col("c1") - col("c0")).cast("bigint").as("delta_c"),
+        round((col("p1") - col("p0")) * col("q0"), 2).as("price_eff_c"),
+        round(col("p0") * (col("q1") - col("q0")), 2).as("volume_eff_c"),
+        round((col("p1") - col("p0")) * (col("q1") - col("q0")), 2)
+          .as("cross_eff_c"))
+      .orderBy(col("brand"))
+  }
+
+  private val priceVolumeMixSql =
+    """WITH mx AS (
+      |  SELECT max(l_shipdate::DATE) AS maxd FROM lineitem
+      |), li AS (
+      |  SELECT l_partkey,
+      |    l_shipdate::DATE AS sd,
+      |    l_quantity::BIGINT AS q,
+      |    round(l_extendedprice * 100)::BIGINT AS c,
+      |    (l_shipdate::DATE > (SELECT maxd - INTERVAL 730 DAY FROM mx)
+      |      AND l_shipdate::DATE <= (SELECT maxd - INTERVAL 365 DAY FROM mx))
+      |      AS ina,
+      |    (l_shipdate::DATE > (SELECT maxd - INTERVAL 365 DAY FROM mx)) AS inb
+      |  FROM lineitem
+      |), byp AS (
+      |  SELECT l_partkey,
+      |    sum(CASE WHEN ina THEN q ELSE 0 END) AS q0,
+      |    sum(CASE WHEN ina THEN c ELSE 0 END) AS c0,
+      |    sum(CASE WHEN inb THEN q ELSE 0 END) AS q1,
+      |    sum(CASE WHEN inb THEN c ELSE 0 END) AS c1
+      |  FROM li WHERE ina OR inb GROUP BY l_partkey
+      |), byb AS (
+      |  SELECT p.p_brand AS brand,
+      |    sum(q0) AS q0, sum(c0) AS c0, sum(q1) AS q1, sum(c1) AS c1
+      |  FROM byp JOIN part p ON byp.l_partkey = p.p_partkey
+      |  GROUP BY p.p_brand
+      |  HAVING sum(q0) > 0 AND sum(q1) > 0
+      |)
+      |SELECT brand, c0::BIGINT AS rev0_c, c1::BIGINT AS rev1_c,
+      |  (c1 - c0)::BIGINT AS delta_c,
+      |  round((c1::DOUBLE / q1 - c0::DOUBLE / q0) * q0, 2) AS price_eff_c,
+      |  round(c0::DOUBLE / q0 * (q1 - q0), 2) AS volume_eff_c,
+      |  round((c1::DOUBLE / q1 - c0::DOUBLE / q0) * (q1 - q0), 2)
+      |    AS cross_eff_c
+      |FROM byb ORDER BY brand""".stripMargin
+
   /** q200: spend decile-mobility matrix — how customers move between
     * spend deciles across two adjacent one-year windows (split at one
     * year before the newest order, the q196 cutoff). The economic-
@@ -1927,5 +2018,6 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q198_seasonal_anomalies", seasonalAnomalies,
       Some(seasonalAnomaliesSql)),
     QueryDef("q200_decile_mobility", decileMobility, Some(decileMobilitySql)),
+    QueryDef("q201_price_volume_mix", priceVolumeMix, Some(priceVolumeMixSql)),
   )
 }

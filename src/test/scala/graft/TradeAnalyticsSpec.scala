@@ -804,4 +804,50 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_customers")).sum === active.size.toLong)
   }
 
+  test("q201: waterfall matches a driver-side replay and reconciles to the cent") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), to_date(col("l_shipdate")).as("sd"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getAs[Long]("l_partkey"),
+        r.getAs[java.sql.Date]("sd").toLocalDate,
+        r.getAs[Long]("q"), r.getAs[Long]("c")))
+    val maxd = li.map(_._2).max
+    val cutA = maxd.minusDays(730); val cut = maxd.minusDays(365)
+    val brandOf = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byBrand = li.flatMap { case (pk, sd, q, c) =>
+      val inA = sd.isAfter(cutA) && !sd.isAfter(cut)
+      val inB = sd.isAfter(cut)
+      if (inA || inB) Some((brandOf(pk), if (inA) q else 0L,
+        if (inA) c else 0L, if (inB) q else 0L, if (inB) c else 0L))
+      else None
+    }.groupBy(_._1).map { case (b, g) =>
+      b -> (g.map(_._2).sum, g.map(_._3).sum, g.map(_._4).sum, g.map(_._5).sum)
+    }.filter(t => t._2._1 > 0 && t._2._3 > 0)
+
+    val rows = TradeAnalytics.priceVolumeMix(spark, sfDir).collect()
+    assert(rows.length === byBrand.size)
+    rows.foreach { r =>
+      val b = r.getAs[String]("brand")
+      val (q0, c0, q1, c1) = byBrand(b)
+      assert(r.getAs[Long]("rev0_c") === c0)
+      assert(r.getAs[Long]("rev1_c") === c1)
+      assert(r.getAs[Long]("delta_c") === c1 - c0)
+      val (p0, p1) = (c0.toDouble / q0, c1.toDouble / q1)
+      assert(math.abs(r.getAs[Double]("price_eff_c") - (p1 - p0) * q0) <= 0.011)
+      assert(math.abs(r.getAs[Double]("volume_eff_c") - p0 * (q1 - q0)) <= 0.011)
+      assert(math.abs(r.getAs[Double]("cross_eff_c") -
+        (p1 - p0) * (q1 - q0)) <= 0.011)
+      // the waterfall closes: effects sum to the revenue delta (float
+      // form drifts only by division ulps + presentational rounding)
+      val closure = r.getAs[Double]("price_eff_c") +
+        r.getAs[Double]("volume_eff_c") + r.getAs[Double]("cross_eff_c")
+      assert(math.abs(closure - (c1 - c0)) <= 1.0,
+        s"waterfall must reconcile within a cent for $b")
+    }
+  }
+
 }
