@@ -720,7 +720,9 @@ object Similarity extends QueryModule {
       |  round(min(cosk), 4) AS min_fidelity
       |FROM r GROUP BY label, k ORDER BY label, k""".stripMargin
 
-  override val defs: Seq[QueryDef] = Seq(
+  // lazy: q202's SQL val is declared below this list (forward reference
+  // would otherwise capture null at object init — same fix as Governance)
+  override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_knn_bruteforce", knnQuery, Some(knnOracleSql), benchmark = true),
     QueryDef("q57_semantic_search", semanticSearch, Some(semanticSearchSql)),
     QueryDef("q43_ann_hyperplane", annQuery, Some(annOracleSql), benchmark = true),
@@ -731,5 +733,76 @@ object Similarity extends QueryModule {
     QueryDef("q150_cluster_scatter", clusterScatter, Some(clusterScatterSql)),
     QueryDef("q188_truncation_fidelity", truncationFidelity,
       Some(truncationFidelitySql)),
+    QueryDef("q202_semantic_composition", semanticComposition,
+      Some(semanticCompositionSql)),
   )
+
+  /** q202: semantic source composition — the cross-modal auto-labeling
+    * step: each document's embedding is assigned to its NEAREST label
+    * centroid (argmax cosine, label tiebreak), and the result rolls up
+    * to "what semantic mix does each source publish" — per (source,
+    * assigned label): doc count, share of the source, and how many
+    * assignments agree with the embedding's native label (the
+    * classifier-vs-clustering agreement signal).
+    *
+    * Scale shape: centroids are a (label, dim)-keyed partial
+    * aggregation (q150's kernel) broadcast back as |labels| rows; the
+    * argmax is a per-vector top-1 over that constant-sized set (a
+    * |labels|-way comparison per row, map-side); the rollup is one
+    * partial-aggregated groupBy. Nothing pairwise, nothing collected.
+    */
+  def semanticComposition(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val cent = e.select(col("label").as("clabel"), posexplode(col("v")))
+      .groupBy(col("clabel"), col("pos")).agg(avg(col("col")).as("c"))
+      .groupBy(col("clabel"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cvec"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("clabel"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("cos", cosine(col("v"), col("cvec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("clabel").as("assigned"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    assigned.join(docs, col("vec_id") === col("doc_id"))
+      .groupBy(col("source"), col("assigned").as("assigned_label"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("label") === col("assigned"), 1L).otherwise(0L))
+          .cast("bigint").as("n_native_agree"))
+      .withColumn("source_share", round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.partitionBy(col("source"))), 4))
+      .orderBy(col("source"), col("assigned_label"))
+  }
+
+  private val semanticCompositionSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |), pos AS (
+      |  SELECT label AS clabel, unnest(generate_series(1, len(v))) AS d, v
+      |  FROM e
+      |), comp AS (
+      |  SELECT clabel, d, avg(v[d]) AS c FROM pos GROUP BY clabel, d
+      |), cent AS (
+      |  SELECT clabel, list(c ORDER BY d) AS cvec FROM comp GROUP BY clabel
+      |), scored AS (
+      |  SELECT e.vec_id, e.label, cent.clabel,
+      |    row_number() OVER (PARTITION BY e.vec_id
+      |      ORDER BY list_cosine_similarity(e.v, cent.cvec) DESC, cent.clabel)
+      |      AS rn
+      |  FROM e CROSS JOIN cent
+      |), assigned AS (
+      |  SELECT vec_id, label, clabel AS assigned FROM scored WHERE rn = 1
+      |)
+      |SELECT d.source, a.assigned AS assigned_label,
+      |  count(*)::BIGINT AS n_docs,
+      |  sum(CASE WHEN a.label = a.assigned THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_native_agree,
+      |  round(count(*)::DOUBLE /
+      |    sum(count(*)) OVER (PARTITION BY d.source), 4) AS source_share
+      |FROM assigned a JOIN documents d ON a.vec_id = d.doc_id
+      |GROUP BY d.source, a.assigned
+      |ORDER BY d.source, assigned_label""".stripMargin
 }

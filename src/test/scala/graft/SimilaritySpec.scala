@@ -243,4 +243,50 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("q202: composition matches a driver-side centroid-assignment replay") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getSeq[Double](2).toArray))
+    val cents = vecs.groupBy(_._2).map { case (l, g) =>
+      val dim = g.head._3.length
+      l -> Array.tabulate(dim)(d => g.map(_._3(d)).sum / g.size)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assigned = vecs.map { case (id, l, v) =>
+      val best = cents.toSeq.map { case (cl, cv) => (cl, cos(v, cv)) }
+        .minBy { case (cl, c) => (-c, cl) }._1
+      (id, l, best)
+    }
+    val srcOf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = assigned.flatMap { case (id, l, a) =>
+      srcOf.get(id).map(s => ((s, a), l == a))
+    }.groupBy(_._1).map { case (cell, g) =>
+      cell -> (g.size.toLong, g.count(_._2).toLong)
+    }
+    val rows = Similarity.semanticComposition(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    val bySrc = expected.toSeq.groupBy(_._1._1)
+      .map { case (s, g) => s -> g.map(_._2._1).sum }
+    rows.foreach { r =>
+      val cell = (r.getAs[String]("source"), r.getAs[Int]("assigned_label"))
+      val (n, agree) = expected(cell)
+      assert(r.getAs[Long]("n_docs") === n, s"cell $cell")
+      assert(r.getAs[Long]("n_native_agree") === agree, s"agree for $cell")
+      assert(math.abs(r.getAs[Double]("source_share") -
+        n.toDouble / bySrc(cell._1)) <= 5.1e-5)
+    }
+    // every embedded document is assigned exactly once
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ===
+      vecs.count(v => srcOf.contains(v._1)).toLong)
+  }
 }
