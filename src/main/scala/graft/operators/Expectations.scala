@@ -277,11 +277,93 @@ object Expectations extends QueryModule {
       |  round(count(*)::DOUBLE / sum(count(*)) OVER (), 4) AS share
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** q203: segment conversion rates with Wilson 95% intervals — the
+    * uncertainty-aware form of a conversion report: per customer market
+    * segment, the share of active users (≥1 event, known customer) who
+    * ACTIVATE — first purchase within 24 h of their first activity —
+    * with the Wilson score interval instead of the
+    * normal approximation (Wilson stays inside [0,1] and behaves at
+    * small n / extreme p — the reason every experimentation platform
+    * uses it for proportions). Segments whose intervals don't overlap
+    * differ significantly at ~95% — that read requires honest
+    * intervals, which requires exact counts.
+    *
+    * Numeric design: n and k are exact integers from one per-user
+    * aggregation; the Wilson center/half-width is a single fixed-order
+    * double formula of (k, n, z²) — identical spelling in both engines.
+    *
+    * Scale shape: one user-keyed conditional aggregation over events,
+    * one join to the customer dim on the user key, one segment rollup.
+    */
+  def conversionIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val z2 = 1.96 * 1.96
+    val dayUs = 24L * 3600 * 1000000
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"))
+      .agg(min(col("us")).as("t0"),
+        min(when(col("event_type") === "purchase", col("us"))).as("tp"))
+      .select(col("user_id"),
+        when(col("tp").isNotNull && col("tp") <= col("t0") + dayUs, 1L)
+          .otherwise(0L).as("converted"))
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val agg = perUser.join(seg, Seq("user_id"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("k"))
+    agg
+      .withColumn("p", col("k").cast("double") / col("n"))
+      .withColumn("center",
+        (col("p") + lit(z2) / (col("n") * 2)) / (lit(1.0) + lit(z2) / col("n")))
+      .withColumn("half",
+        lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n")
+          + lit(z2) / (col("n").cast("double") * col("n") * 4)) /
+          (lit(1.0) + lit(z2) / col("n")))
+      .select(col("segment"), col("n").cast("bigint").as("n_users"),
+        col("k").cast("bigint").as("n_converted"),
+        round(col("p"), 4).as("rate"),
+        round(col("center") - col("half"), 4).as("wilson_lo"),
+        round(col("center") + col("half"), 4).as("wilson_hi"))
+      .orderBy(col("segment"))
+  }
+
+  private val conversionIntervalsSql =
+    """WITH raw AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+      |  FROM events GROUP BY user_id
+      |), pu AS (
+      |  SELECT user_id,
+      |    CASE WHEN tp IS NOT NULL AND tp <= t0 + 86400000000 THEN 1 ELSE 0 END
+      |      AS converted
+      |  FROM raw
+      |), agg AS (
+      |  SELECT c.c_mktsegment AS segment,
+      |    count(*) AS n, sum(pu.converted) AS k
+      |  FROM pu JOIN customer c ON pu.user_id = c.c_custkey
+      |  GROUP BY c.c_mktsegment
+      |), w AS (
+      |  SELECT segment, n, k, k::DOUBLE / n AS p,
+      |    (k::DOUBLE / n + (1.96 * 1.96) / (n * 2))
+      |      / (1.0 + (1.96 * 1.96) / n) AS center,
+      |    1.96 * sqrt((k::DOUBLE / n) * (1.0 - k::DOUBLE / n) / n
+      |        + (1.96 * 1.96) / (n::DOUBLE * n * 4))
+      |      / (1.0 + (1.96 * 1.96) / n) AS half
+      |  FROM agg
+      |)
+      |SELECT segment, n::BIGINT AS n_users, k::BIGINT AS n_converted,
+      |  round(p, 4) AS rate,
+      |  round(center - half, 4) AS wilson_lo,
+      |  round(center + half, 4) AS wilson_hi
+      |FROM w ORDER BY segment""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q110_expectations", expectationsLedger, Some(expectationsLedgerSql)),
     QueryDef("q111_last_touch", lastTouchAttribution, Some(lastTouchAttributionSql)),
     QueryDef("q122_linear_attribution", linearAttribution, Some(linearAttributionSql)),
     QueryDef("q193_reconciliation_audit", reconciliationAudit,
       Some(reconciliationAuditSql)),
+    QueryDef("q203_conversion_intervals", conversionIntervals,
+      Some(conversionIntervalsSql)),
   )
 }

@@ -100,4 +100,46 @@ class ExpectationsSpec extends SparkSpec {
       r.getAs[String]("bucket") -> r.getAs[Long]("n_orders")).toMap
     assert(got === expected)
   }
+
+  test("q203: Wilson intervals match a driver-side activation replay") {
+    val dayUs = 24L * 3600 * 1000000
+    val perUser = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("us")))
+      .groupBy(_._1).map { case (u, g) =>
+        val t0 = g.map(_._3).min
+        val tp = g.filter(_._2 == "purchase").map(_._3).minOption
+        u -> tp.exists(_ <= t0 + dayUs)
+      }
+    val segOf = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = perUser.toSeq.flatMap { case (u, conv) =>
+      segOf.get(u).map(_ -> conv)
+    }.groupBy(_._1).map { case (s, g) => s -> (g.size, g.count(_._2)) }
+
+    val rows = Expectations.conversionIntervals(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val s = r.getAs[String]("segment")
+      val (n, k) = expected(s)
+      assert(r.getAs[Long]("n_users") === n.toLong, s"n for $s")
+      assert(r.getAs[Long]("n_converted") === k.toLong, s"k for $s")
+      val p = k.toDouble / n
+      val z2 = 1.96 * 1.96
+      val center = (p + z2 / (2 * n)) / (1 + z2 / n)
+      val half = 1.96 * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n)) /
+        (1 + z2 / n)
+      assert(math.abs(r.getAs[Double]("rate") - p) <= 5.1e-5)
+      assert(math.abs(r.getAs[Double]("wilson_lo") - (center - half)) <= 5.1e-5)
+      assert(math.abs(r.getAs[Double]("wilson_hi") - (center + half)) <= 5.1e-5)
+      // Wilson stays inside [0,1] and brackets the point estimate
+      assert(r.getAs[Double]("wilson_lo") >= 0.0)
+      assert(r.getAs[Double]("wilson_hi") <= 1.0)
+      assert(r.getAs[Double]("wilson_lo") <= r.getAs[Double]("rate") + 5.1e-5)
+      assert(r.getAs[Double]("wilson_hi") >= r.getAs[Double]("rate") - 5.1e-5)
+    }
+  }
 }
