@@ -1726,6 +1726,95 @@ object TradeAnalytics extends QueryModule {
       |FROM scored GROUP BY r_score, f_score, m_score
       |ORDER BY r_score, f_score, m_score""".stripMargin
 
+  /** q204: item-item collaborative filtering — cosine similarity over
+    * binary customer co-purchase vectors, the classic neighborhood
+    * recommender ("customers who bought X also bought"). cos(a,b) =
+    * |A∩B| / √(|A|·|B|) where A is the set of customers who ever bought
+    * item a. Reported: top-5 neighbors for each of the 50 most-bought
+    * items (popularity-deterministic query set).
+    *
+    * Scale shape: NEVER an item×item join — co-occurrence comes from
+    * the per-customer basket expansion (the q35 posting kernel reused
+    * via [[graft.functions.PairExpandFunctions]]): cost is Σ_c |basket_c|²,
+    * and baskets over 256 distinct items are dropped (the power-buyer
+    * cap every production CF pipeline applies — such baskets cost df²
+    * and carry near-zero signal; non-binding on this corpus and
+    * mirrored in the oracle). Neighbor ranking is a per-item window
+    * top-5 (WindowGroupLimit, partial per group).
+    */
+  def itemNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    val keep = baskets.groupBy(col("cust")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 256).select(col("cust"))
+    val b = baskets.join(keep, Seq("cust"))
+    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust")).persist()
+    val posts = b.join(itemN, Seq("item"))
+      .select(col("cust"), struct(col("item").as("doc_id"),
+        col("n_cust").cast("int").as("nsh")).as("e"))
+      .groupBy(col("cust")).agg(collect_list(col("e")).as("ds"))
+    val pairs = posts.select(explode(
+        graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
+      .select(col("p.*"))
+      .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
+      .agg(count(lit(1)).as("co"))
+    val sym = pairs.select(col("doc_a").as("item"), col("doc_b").as("neighbor"),
+        col("co"), col("nsh_a").as("ni"), col("nsh_b").as("nn"))
+      .unionAll(pairs.select(col("doc_b").as("item"), col("doc_a").as("neighbor"),
+        col("co"), col("nsh_b").as("ni"), col("nsh_a").as("nn")))
+      .withColumn("cosine", col("co").cast("double") /
+        sqrt(col("ni").cast("double") * col("nn")))
+    val top50 = itemN.orderBy(col("n_cust").desc, col("item")).limit(50)
+      .select(col("item"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    sym.join(broadcast(top50), Seq("item"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("item"), col("rank"), col("neighbor"),
+        col("co").cast("bigint").as("n_co_buyers"),
+        round(col("cosine"), 4).as("cosine"))
+      .orderBy(col("item"), col("rank"))
+  }
+
+  private val itemNeighborsSql =
+    """WITH baskets AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), keep AS (
+      |  SELECT cust FROM baskets GROUP BY cust HAVING count(*) <= 256
+      |), b AS (
+      |  SELECT baskets.* FROM baskets JOIN keep USING (cust)
+      |), itemn AS (
+      |  SELECT item, count(*) AS n_cust FROM b GROUP BY item
+      |), pairs AS (
+      |  SELECT x.item AS ia, y.item AS ib, count(*) AS co
+      |  FROM b x JOIN b y ON x.cust = y.cust AND x.item < y.item
+      |  GROUP BY x.item, y.item
+      |), sym AS (
+      |  SELECT ia AS item, ib AS neighbor, co FROM pairs
+      |  UNION ALL
+      |  SELECT ib, ia, co FROM pairs
+      |), scored AS (
+      |  SELECT s.item, s.neighbor, s.co,
+      |    s.co::DOUBLE / sqrt(a.n_cust::DOUBLE * b2.n_cust) AS cosine
+      |  FROM sym s JOIN itemn a ON s.item = a.item
+      |  JOIN itemn b2 ON s.neighbor = b2.item
+      |), top50 AS (
+      |  SELECT item FROM itemn ORDER BY n_cust DESC, item LIMIT 50
+      |), ranked AS (
+      |  SELECT s.item, s.neighbor, s.co, s.cosine,
+      |    row_number() OVER (PARTITION BY s.item
+      |      ORDER BY s.cosine DESC, s.neighbor) AS rank
+      |  FROM scored s JOIN top50 USING (item)
+      |)
+      |SELECT item, rank, neighbor, co::BIGINT AS n_co_buyers,
+      |  round(cosine, 4) AS cosine
+      |FROM ranked WHERE rank <= 5 ORDER BY item, rank""".stripMargin
+
   /** q201: price–volume–mix bridge — the waterfall decomposition finance
     * runs on every period-over-period revenue change: per part brand,
     * ΔRev between two adjacent one-year ship windows splits into a
@@ -2019,5 +2108,6 @@ object TradeAnalytics extends QueryModule {
       Some(seasonalAnomaliesSql)),
     QueryDef("q200_decile_mobility", decileMobility, Some(decileMobilitySql)),
     QueryDef("q201_price_volume_mix", priceVolumeMix, Some(priceVolumeMixSql)),
+    QueryDef("q204_item_neighbors", itemNeighbors, Some(itemNeighborsSql)),
   )
 }

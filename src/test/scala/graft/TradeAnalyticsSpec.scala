@@ -850,4 +850,43 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q204: neighbor lists match a driver-side co-purchase brute force") {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("cust"), r.getAs[Long]("item")))
+    val byCust = baskets.groupBy(_._1).map { case (c, g) => c -> g.map(_._2).toSet }
+      .filter(_._2.size <= 256)
+    val itemN = byCust.values.toSeq.flatten.groupBy(identity)
+      .map { case (i, g) => i -> g.size }
+    val co = scala.collection.mutable.Map[(Long, Long), Int]()
+    byCust.values.foreach { items =>
+      val s = items.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size)
+        co((s(i), s(j))) = co.getOrElse((s(i), s(j)), 0) + 1
+    }
+    val top50 = itemN.toSeq.sortBy { case (i, n) => (-n, i) }.take(50).map(_._1)
+    val expected = top50.flatMap { q =>
+      val neigh = co.iterator.flatMap { case ((a, b), c) =>
+        if (a == q) Some((b, c)) else if (b == q) Some((a, c)) else None
+      }.toSeq.map { case (nb, c) =>
+        (nb, c, c.toDouble / math.sqrt(itemN(q).toDouble * itemN(nb)))
+      }
+      neigh.sortBy { case (nb, _, cos) => (-cos, nb) }.take(5).zipWithIndex
+        .map { case ((nb, c, cos), k) => (q, k + 1) -> (nb, c.toLong, cos) }
+    }.toMap
+    val rows = TradeAnalytics.itemNeighbors(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("item"), r.getAs[Int]("rank"))
+      val (nb, c, cos) = expected(key)
+      assert(r.getAs[Long]("neighbor") === nb, s"neighbor at $key")
+      assert(r.getAs[Long]("n_co_buyers") === c, s"co count at $key")
+      assert(math.abs(r.getAs[Double]("cosine") - cos) <= 5.1e-5)
+    }
+  }
+
 }
