@@ -90,6 +90,28 @@ object Temporal extends QueryModule {
       |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
       |ORDER BY e.event_id""".stripMargin
 
+  /** q205: q46's as-of join through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsOfJoinPlan]]: logical node → strategy →
+    * streaming-merge exec) instead of the window composition — same
+    * semantics, same oracle, different engine path. The exec declares
+    * its distribution/ordering needs to Catalyst and then merges
+    * co-partitions in one O(|L|+|R|) forward pass with O(1) state —
+    * no union of the two sides, no window buffer. TemporalSpec pins
+    * exec ≡ window-form equality row-for-row; PlanAuditSpec pins that
+    * the custom node actually plans (AsOfJoinExec present, no Window).
+    */
+  def asOfExecQuery(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val orders = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_order_key"))
+    graft.plans.AsOfJoinPlan.asOfJoinExec(spark, events, orders,
+      "user_id", "ts", "o_orderdate", rightVals = Seq("last_order_key"))
+      .select(col("event_id"), col("user_id"), col("last_order_key"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range join via time-bucketing: candidate pairs equi-join on
     * (key, bucket) with the left probing buckets {b, b+1}, then the
     * exact interval predicate filters. `windowSec` must equal the bucket
@@ -350,6 +372,7 @@ object Temporal extends QueryModule {
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q46_asof_join", asOfQuery, Some(asOfSql), benchmark = true),
+    QueryDef("q205_asof_exec", asOfExecQuery, Some(asOfSql)),
     QueryDef("q47_range_join", rangeQuery, Some(rangeSql)),
     QueryDef("q121_gap_fill_interpolate", gapFillInterpolate, Some(gapFillInterpolateSql)),
     QueryDef("q124_twap", twapByNation, Some(twapByNationSql)),

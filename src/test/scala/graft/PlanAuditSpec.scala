@@ -323,6 +323,15 @@ class PlanAuditSpec extends SparkSpec {
       s"audit must stay on equi-joins (bands, pair keys):\n$plan")
   }
 
+  test("custom as-of strategy plans AsOfJoinExec — no window, no generic join") {
+    val plan = explainText(operators.Temporal.asOfExecQuery(spark, sfDir))
+    // explain('formatted') prints nodeName, which strips the Exec suffix
+    assert(plan.contains("AsOfJoin"),
+      s"the custom strategy must plan the physical as-of node:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      s"exec path must replace the window/union composition:\n$plan")
+  }
+
   test("decile mobility: both windows' spend comes from one fact scan") {
     val plan = explainText(operators.TradeAnalytics.decileMobility(spark, sfDir))
     // 2 physical scans (cutoff max + the conditional-agg pass) = 4 text

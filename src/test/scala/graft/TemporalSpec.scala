@@ -143,4 +143,43 @@ class TemporalSpec extends SparkSpec {
       assert(r.getAs[Long]("p90_busdays") === p90)
     }
   }
+
+  test("q205: physical as-of exec equals the window-composed form row-for-row") {
+    val a = Temporal.asOfQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[Any]("last_order_key"))))
+    val b = Temporal.asOfExecQuery(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getAs[Any]("last_order_key"))))
+    assert(a.length === b.length)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("as-of exec edge cases: inclusive ties, missing keys, pre-first-time rows") {
+    val sess = spark
+    import sess.implicits._
+    val left = Seq(
+      (1L, Timestamp.valueOf("2024-01-05 00:00:00"), "l1"), // after both
+      (1L, Timestamp.valueOf("2024-01-02 00:00:00"), "l2"), // exact tie → inclusive
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "l3"), // before any right
+      (2L, Timestamp.valueOf("2024-01-03 00:00:00"), "l4"), // key with no right rows
+      (3L, Timestamp.valueOf("2024-01-09 00:00:00"), "l5")  // single-match key
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, Timestamp.valueOf("2024-01-02 00:00:00"), 100L),
+      (1L, Timestamp.valueOf("2024-01-04 00:00:00"), 200L),
+      (3L, Timestamp.valueOf("2024-01-08 00:00:00"), 300L),
+      (4L, Timestamp.valueOf("2024-01-01 00:00:00"), 999L)  // key absent on left
+    ).toDF("k", "rt", "v")
+    val got = graft.plans.AsOfJoinPlan
+      .asOfJoinExec(spark, left, right, "k", "t", "rt", Seq("v"))
+      .collect()
+      .map(r => r.getAs[String]("tag") -> Option(r.getAs[Any]("v"))).toMap
+    assert(got === Map(
+      "l1" -> Some(200L), // latest of the two matches
+      "l2" -> Some(100L), // rightTime == leftTime is visible
+      "l3" -> None,       // no right row at or before
+      "l4" -> None,       // key never appears on the right
+      "l5" -> Some(300L)))
+  }
 }
