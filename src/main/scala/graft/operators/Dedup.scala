@@ -629,6 +629,52 @@ object Dedup extends QueryModule {
       |FROM truth LEFT JOIN cand c USING (doc_a, doc_b)
       |GROUP BY 1 ORDER BY bucket_lo""".stripMargin
 
+  /** q206: cross-source duplication matrix — which pairs of SOURCES
+    * publish identical documents? For every source pair sharing at
+    * least one q34 fingerprint: the number of shared fingerprints and
+    * the total documents involved on each side. This is the
+    * provenance-level view of dedup (q34/q53/q184 profile WITHIN the
+    * corpus; this localizes WHERE the duplication crosses source
+    * boundaries — mirror sites, syndication, scraper overlap), which
+    * decides whether dedup should run per-source or globally.
+    *
+    * Scale shape: one fingerprint aggregation to (fp, source,
+    * n_docs) — partial map-side; the pair expansion is per-fingerprint
+    * over its DISTINCT sources (≤ |sources|, a constant), never over
+    * documents; the matrix is at most |sources|² rows.
+    */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(spark, dir)
+      .select(col("source"),
+        md5(lower(substring(col("text"), 1, 100))).as("fp"))
+      .groupBy(col("fp"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val a = fps.select(col("fp"), col("source").as("src_a"),
+      col("n_docs").as("docs_a"))
+    val b = fps.select(col("fp"), col("source").as("src_b"),
+      col("n_docs").as("docs_b"))
+    a.join(b, Seq("fp")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared_fps"),
+        sum(col("docs_a")).cast("bigint").as("n_docs_a"),
+        sum(col("docs_b")).cast("bigint").as("n_docs_b"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val crossSourceDupsSql =
+    """WITH fps AS (
+      |  SELECT md5(lower(substr(text, 1, 100))) AS fp, source,
+      |    count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2
+      |)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  count(*)::BIGINT AS n_shared_fps,
+      |  sum(a.n_docs)::BIGINT AS n_docs_a,
+      |  sum(b.n_docs)::BIGINT AS n_docs_b
+      |FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+      |GROUP BY a.source, b.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_minhash_lsh", minHashQuery, Some(minHashOracleSql), benchmark = true),
     QueryDef("q41_simhash", simHashQuery, Some(simHashOracleSql), benchmark = true),
@@ -638,6 +684,7 @@ object Dedup extends QueryModule {
     QueryDef("q184_dup_cluster_profile", dupClusterProfile,
       Some(dupClusterProfileSql)),
     QueryDef("q197_lsh_recall_audit", lshRecallAudit, Some(lshRecallAuditSql)),
+    QueryDef("q206_cross_source_dups", crossSourceDups, Some(crossSourceDupsSql)),
   )
 
 }

@@ -240,4 +240,29 @@ class DedupSpec extends SparkSpec {
       assert(hr >= 0.0 && hr <= 1.0)
     }
   }
+
+  test("q206: cross-source matrix matches a driver-side fingerprint replay") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fp(text: String): String = md.digest(
+      text.substring(0, math.min(100, text.length)).toLowerCase
+        .getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), fp(r.getString(1))))
+    val bySrcFp = docs.groupBy(identity).map { case ((s, f), g) => (f, s, g.size) }
+    val expected = bySrcFp.groupBy(_._1).values.flatMap { g =>
+      val srcs = g.toSeq.sortBy(_._2)
+      for { i <- srcs.indices; j <- i + 1 until srcs.size }
+        yield (srcs(i)._2, srcs(j)._2) -> (1L, srcs(i)._3.toLong, srcs(j)._3.toLong)
+    }.groupBy(_._1).map { case (pair, g) =>
+      pair -> (g.map(_._2._1).sum, g.map(_._2._2).sum, g.map(_._2._3).sum)
+    }
+    val rows = Dedup.crossSourceDups(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val pair = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert((r.getAs[Long]("n_shared_fps"), r.getAs[Long]("n_docs_a"),
+        r.getAs[Long]("n_docs_b")) === expected(pair), s"pair $pair")
+    }
+  }
 }
