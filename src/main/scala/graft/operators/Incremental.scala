@@ -216,9 +216,121 @@ object Incremental extends QueryModule {
       |  sum(coalesce(revb, 0) - coalesce(reva, 0))::BIGINT AS rev_delta_c
       |FROM d GROUP BY status ORDER BY status""".stripMargin
 
+  /** q207: rank-biased overlap (RBO, p = 0.9, truncated at depth 100) —
+    * the top-weighted similarity between q196's two as-of customer
+    * rankings. Set metrics (q196's churn counts) treat rank 3 and rank
+    * 97 alike; RBO weights agreement at the top geometrically, which is
+    * what "did the leaderboard really change?" means. Truncated form:
+    * RBO = (1−p)·Σ_{d=1..100} p^(d−1)·|A_d ∩ B_d|/d where A_d is the
+    * top-d prefix.
+    *
+    * Float-parity design: p^(d−1) is NOT computed via pow() (libm pow
+    * is not bit-identical across engines) — the 100 weights are
+    * produced once in Scala by repeated multiplication and embedded as
+    * 17-significant-digit literals in BOTH the Spark plan and the SQL
+    * oracle (17 digits round-trips a double exactly). Prefix overlaps
+    * come from a cumulative count over max(rank_a, rank_b) — pure
+    * integers — and the final weighted sum folds in explicit depth
+    * order (q199's ordered-fold discipline).
+    *
+    * Scale shape: everything after the two partial top-100s is
+    * constant-sized (a 100-row spine joined to a ≤100-row overlap
+    * histogram).
+    */
+  def rankOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val p = 0.9
+    val depth = 100
+    val weights = Iterator.iterate(1.0)(_ * p).take(depth).toSeq
+    val orders = Tables.orders(spark, dir)
+    val mx = orders.agg(max(col("o_orderdate")).as("maxd"))
+    val byCust = orders
+      .select(col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(col("o_orderdate") <= date_sub(col("maxd"), 365), col("c"))
+          .otherwise(0L)).as("rev_a"),
+        sum(col("c")).as("rev_b"))
+      .persist()
+    def top(revCol: String, rk: String): DataFrame = {
+      val w = Window.orderBy(col(revCol).desc, col("o_custkey"))
+      byCust.filter(col(revCol) > 0)
+        .orderBy(col(revCol).desc, col("o_custkey")).limit(depth)
+        .withColumn(rk, row_number().over(w))
+        .select(col("o_custkey"), col(rk))
+    }
+    val both = top("rev_a", "rka").join(top("rev_b", "rkb"), Seq("o_custkey"))
+      .select(greatest(col("rka"), col("rkb")).as("m"))
+    val mc = both.groupBy(col("m")).agg(count(lit(1)).as("cnt"))
+    val spine = spark.range(1)
+      .select(explode(array((1 to depth).map(d =>
+        struct(lit(d).as("d"), lit(weights(d - 1)).as("w"))): _*)).as("s"))
+      .select(col("s.d").as("d"), col("s.w").as("w"))
+    val wCum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = spine.join(mc, col("m") === col("d"), "left")
+      .withColumn("ov", sum(coalesce(col("cnt"), lit(0L))).over(wCum))
+      .withColumn("term", col("w") * col("ov") / col("d"))
+    val out = terms.agg(
+      max(col("ov")).cast("bigint").as("n_common"),
+      round(lit(1.0 - p) * aggregate(
+        transform(array_sort(collect_list(struct(col("d"), col("term")))),
+          x => x("term")),
+        lit(0.0), (acc, t) => acc + t), 4).as("rbo"))
+      .select(lit(depth).cast("int").as("depth"), lit(p).as("p"),
+        col("n_common"), col("rbo"))
+    val materialized = out.cache()
+    materialized.count()
+    byCust.unpersist()
+    materialized
+  }
+
+  private def rankOverlapSql: String = {
+    val p = 0.9
+    val depth = 100
+    val weights = Iterator.iterate(1.0)(_ * p).take(depth).toSeq
+    val wList = weights.map(w => f"$w%.17g").mkString(", ")
+    s"""WITH cust AS (
+       |  SELECT o_custkey,
+       |    sum(CASE WHEN o_orderdate <=
+       |          (SELECT max(o_orderdate) - INTERVAL 365 DAY FROM orders)
+       |        THEN round(o_totalprice * 100)::BIGINT ELSE 0 END) AS rev_a,
+       |    sum(round(o_totalprice * 100)::BIGINT) AS rev_b
+       |  FROM orders GROUP BY o_custkey
+       |), ta AS (
+       |  SELECT o_custkey,
+       |    row_number() OVER (ORDER BY rev_a DESC, o_custkey) AS rka
+       |  FROM cust WHERE rev_a > 0 QUALIFY rka <= $depth
+       |), tb AS (
+       |  SELECT o_custkey,
+       |    row_number() OVER (ORDER BY rev_b DESC, o_custkey) AS rkb
+       |  FROM cust WHERE rev_b > 0 QUALIFY rkb <= $depth
+       |), mm AS (
+       |  SELECT greatest(ta.rka, tb.rkb) AS m
+       |  FROM ta JOIN tb USING (o_custkey)
+       |), mc AS (
+       |  SELECT m, count(*) AS cnt FROM mm GROUP BY m
+       |), spine AS (
+       |  SELECT unnest(range(1, ${depth + 1}))::BIGINT AS d,
+       |    unnest([$wList]) AS w
+       |), terms AS (
+       |  SELECT s.d, s.w,
+       |    sum(coalesce(mc.cnt, 0)) OVER (ORDER BY s.d
+       |      ROWS UNBOUNDED PRECEDING) AS ov
+       |  FROM spine s LEFT JOIN mc ON mc.m = s.d
+       |)
+       |SELECT $depth::INT AS depth, $p AS p,
+       |  max(ov)::BIGINT AS n_common,
+       |  round((1.0 - $p) * list_reduce(
+       |    list_prepend(0.0::DOUBLE, list(w * ov / d ORDER BY d)),
+       |    (a, b) -> a + b), 4) AS rbo
+       |FROM terms""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q112_incremental_rollup", incrementalRollup, Some(incrementalRollupSql)),
     QueryDef("q174_cdc_compaction", cdcCompaction, Some(cdcCompactionSql)),
     QueryDef("q196_watchlist_diff", watchlistDiff, Some(watchlistDiffSql)),
+    QueryDef("q207_rank_overlap", rankOverlap, Some(rankOverlapSql)),
   )
 }

@@ -110,4 +110,36 @@ class IncrementalSpec extends SparkSpec {
     def n(s: String): Long = got.get(s).map(_._1).getOrElse(0L)
     assert(n("added") - n("removed") === nB - nA)
   }
+
+  test("q207: RBO matches a driver-side prefix-overlap recompute") {
+    val raw = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("od"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getAs[Long]("o_custkey"),
+        r.getAs[java.sql.Date]("od").toLocalDate, r.getAs[Long]("c")))
+    val cut = raw.map(_._2).max.minusDays(365)
+    val byCust = raw.groupBy(_._1).map { case (ck, g) =>
+      (ck, g.filter(!_._2.isAfter(cut)).map(_._3).sum, g.map(_._3).sum)
+    }.toSeq
+    def ranks(rev: ((Long, Long, Long)) => Long): Map[Long, Int] =
+      byCust.filter(rev(_) > 0).sortBy(t => (-rev(t), t._1)).take(100)
+        .zipWithIndex.map { case (t, i) => t._1 -> (i + 1) }.toMap
+    val ra = ranks(_._2); val rb = ranks(_._3)
+    val ms = ra.keySet.intersect(rb.keySet).toSeq
+      .map(ck => math.max(ra(ck), rb(ck)))
+    var w = 1.0; var acc = 0.0
+    for (d <- 1 to 100) {
+      val ov = ms.count(_ <= d)
+      acc += w * ov / d
+      w *= 0.9
+    }
+    val expected = 0.1 * acc
+    val r = Incremental.rankOverlap(spark, sfDir).head()
+    assert(r.getAs[Int]("depth") === 100)
+    assert(r.getAs[Long]("n_common") === ms.size.toLong)
+    assert(math.abs(r.getAs[Double]("rbo") - expected) <= 5.1e-5)
+    val rbo = r.getAs[Double]("rbo")
+    assert(rbo >= 0.0 && rbo <= 1.0 + 1e-12)
+  }
 }
