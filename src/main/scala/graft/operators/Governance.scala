@@ -426,6 +426,8 @@ object Governance extends QueryModule {
     QueryDef("q126_benford_profile", benfordProfile, Some(benfordProfileSql)),
     QueryDef("q132_mad_outliers", madOutliers, Some(madOutliersSql)),
     QueryDef("q185_pii_incidence", piiIncidence, Some(piiIncidenceSql)),
+    QueryDef("q208_rule_interactions", ruleInteractions,
+      Some(ruleInteractionsSql)),
   )
   // NOTE: defs is lazy (see bottom of file) because piiIncidenceSql is
   // declared below it; a strict val here would capture null.
@@ -483,4 +485,77 @@ object Governance extends QueryModule {
       |  round(sum(hn)::DOUBLE * 10000 / sum(n_chars_doc), 4) AS number_per_10k,
       |  round(sum(hp)::DOUBLE * 10000 / sum(n_chars_doc), 4) AS phone_per_10k
       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  /** q208: quality-rule interaction profile — the UpSet view of q98's
+    * gate: one row per EXACT combination of failed rules (a '+'-joined
+    * signature, 'pass' when none fail) with doc counts and corpus
+    * share. q98 says how often each rule fires; this says how they
+    * CO-fire — a rule whose failures are always a subset of another's
+    * is redundant and can be dropped from the gate, which is exactly
+    * the analysis curation teams run before shipping a filter change.
+    *
+    * Scale shape: identical reduction as q98 (one word-count
+    * aggregation per doc), then a map-side signature construction and
+    * one rollup over ≤ 2⁴ signature values.
+    */
+  def ruleInteractions(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    val wc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val per = wc.groupBy(col("doc_id")).agg(
+      sum(col("c")).cast("bigint").as("nw"),
+      max(col("c")).as("maxc"),
+      sum(when(col("w").isin(stopWords: _*), col("c")).otherwise(lit(0L))).as("stopc"))
+    val sig = docs.join(per, "doc_id")
+      .withColumn("mwl", (col("n_chars") - col("nw") + 1).cast("double") / col("nw"))
+      .withColumn("f_len", !col("nw").between(minWords, maxWords))
+      .withColumn("f_wordlen", !col("mwl").between(minMeanWordLen, maxMeanWordLen))
+      .withColumn("f_rep", col("maxc").cast("double") / col("nw") > maxRepFrac)
+      .withColumn("f_stop", col("stopc") === 0)
+      .withColumn("sig", when(
+        !col("f_len") && !col("f_wordlen") && !col("f_rep") && !col("f_stop"),
+        lit("pass")).otherwise(concat_ws("+",
+          when(col("f_len"), "len"), when(col("f_wordlen"), "wordlen"),
+          when(col("f_rep"), "rep"), when(col("f_stop"), "stop"))))
+    sig.groupBy(col("sig").as("failed_rules"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      .withColumn("share", round(col("n_docs").cast("double") /
+        sum(col("n_docs")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)), 4))
+      .orderBy(col("failed_rules"))
+  }
+
+  private val ruleInteractionsSql =
+    s"""WITH wc AS (
+       |  SELECT doc_id, w, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY doc_id, w
+       |), per AS (
+       |  SELECT doc_id, sum(c)::BIGINT AS nw, max(c) AS maxc,
+       |    sum(CASE WHEN w IN ('${stopWords.mkString("', '")}') THEN c ELSE 0 END)
+       |      AS stopc
+       |  FROM wc GROUP BY doc_id
+       |), f AS (
+       |  SELECT d.doc_id,
+       |    NOT (p.nw BETWEEN $minWords AND $maxWords) AS f_len,
+       |    NOT ((d.n_chars - p.nw + 1)::DOUBLE / p.nw
+       |         BETWEEN $minMeanWordLen AND $maxMeanWordLen) AS f_wordlen,
+       |    (p.maxc::DOUBLE / p.nw > $maxRepFrac) AS f_rep,
+       |    (p.stopc = 0) AS f_stop
+       |  FROM documents d JOIN per p ON d.doc_id = p.doc_id
+       |), s AS (
+       |  SELECT CASE WHEN NOT f_len AND NOT f_wordlen AND NOT f_rep
+       |                   AND NOT f_stop THEN 'pass'
+       |    ELSE concat_ws('+',
+       |      CASE WHEN f_len THEN 'len' END,
+       |      CASE WHEN f_wordlen THEN 'wordlen' END,
+       |      CASE WHEN f_rep THEN 'rep' END,
+       |      CASE WHEN f_stop THEN 'stop' END) END AS failed_rules
+       |  FROM f
+       |)
+       |SELECT failed_rules, count(*)::BIGINT AS n_docs,
+       |  round(count(*)::DOUBLE / (SELECT count(*) FROM s), 4) AS share
+       |FROM s GROUP BY failed_rules ORDER BY failed_rules""".stripMargin
 }

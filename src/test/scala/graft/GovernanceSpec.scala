@@ -156,4 +156,32 @@ class GovernanceSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("n_docs")).sum ===
       Tables.documents(spark, sfDir).count())
   }
+
+  test("q208: rule-combination counts reconcile with q98's per-rule tallies") {
+    val rows = Governance.ruleInteractions(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // signatures partition the corpus
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) <= 1e-2)
+    val bySig = rows.map(r =>
+      r.getAs[String]("failed_rules") -> r.getAs[Long]("n_docs")).toMap
+    // marginal reconciliation against q98 (len, rep, stop are reported
+    // there; wordlen is not, so reconcile the three shared rules)
+    val q98 = Governance.qualityRules(spark, sfDir).collect()
+    def marginal(rule: String): Long =
+      bySig.filter(_._1.split("\\+").contains(rule)).values.sum
+    assert(marginal("len") === q98.map(_.getAs[Long]("fail_len")).sum)
+    assert(marginal("rep") === q98.map(_.getAs[Long]("fail_rep")).sum)
+    assert(marginal("stop") === q98.map(_.getAs[Long]("fail_stop")).sum)
+    // the pass signature must match q98's pass count exactly
+    assert(bySig.getOrElse("pass", 0L) ===
+      q98.map(_.getAs[Long]("n_pass")).sum)
+    // signature strings are canonical: ordered, non-empty parts
+    val order = Seq("len", "wordlen", "rep", "stop")
+    bySig.keys.filterNot(_ == "pass").foreach { s =>
+      val parts = s.split("\\+").toSeq
+      assert(parts.nonEmpty && parts.forall(order.contains))
+      assert(parts === order.filter(parts.contains), s"canonical order in $s")
+    }
+  }
 }
