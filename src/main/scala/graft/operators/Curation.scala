@@ -556,6 +556,163 @@ object Curation extends QueryModule {
        |GROUP BY x.comp, s.n_signals
        |ORDER BY component""".stripMargin
 
+  // --- end-to-end curation funnel ---------------------------------------
+
+  /** q209: the curation pipeline as ONE declared composite — the staged
+    * document funnel a pretraining data team actually ships, with exact
+    * per-stage accounting (what every data-governance review asks for):
+    *
+    *   1. `quality`   — q98's Gopher-style gate (length, mean word
+    *      length, repetition, stop-words);
+    *   2. `exact_dup` — q34 fingerprint dedup, deterministic keep-first
+    *      among quality survivors;
+    *   3. `near_dup`  — drop a survivor that shares a hot (df 2..64)
+    *      boilerplate chunk with ANY smaller-id stage-2 survivor — the
+    *      one-hop, recursion-free rule (the full closure is q195's job;
+    *      one-hop is what streaming curation pipelines run because it
+    *      needs no iteration);
+    *   4. `language`  — keep languages holding ≥ 5% of the remaining
+    *      corpus (data-derived, no hardcoded allowlist).
+    *
+    * Output: one row per stage with n_in / n_dropped / n_out, plus a
+    * `final` row. Every count is an exact integer; the stages reuse the
+    * EXACT kernels their standalone queries declare, so q98/q34/q70's
+    * oracles transitively pin the pieces and this composite pins the
+    * plumbing between them.
+    *
+    * Scale shape: the corpus flows through once per stage boundary with
+    * only keyed aggregations (word counts, fingerprints, chunk
+    * postings) and broadcast-sized side tables (hot chunks, language
+    * shares); no stage joins the corpus to itself row-by-row.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+
+    // stage 1: quality gate (q98 semantics, inlined thresholds)
+    val wc = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val per = wc.groupBy(col("doc_id")).agg(
+      sum(col("c")).cast("bigint").as("nw"),
+      max(col("c")).as("maxc"),
+      sum(when(col("w").isin("the", "a"), col("c")).otherwise(0L)).as("stopc"))
+    val s1 = docs.join(per, "doc_id")
+      .withColumn("mwl", (col("n_chars") - col("nw") + 1).cast("double") / col("nw"))
+      .filter(col("nw").between(30, 1000) && col("mwl").between(3.0, 8.0) &&
+        col("maxc").cast("double") / col("nw") <= 0.12 && col("stopc") > 0)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .persist()
+
+    // stage 2: exact dedup, keep-first per fingerprint
+    val s2 = s1
+      .withColumn("fp", md5(lower(substring(col("text"), 1, 100))))
+      .withColumn("keep", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("keep") === 1)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .persist()
+
+    // stage 3: one-hop near-dup drop on the hot-chunk graph
+    val p = chunkPostings(withChunkCols(s2))
+      .select(col("doc_id"), col("chunk")).distinct()
+    val hot = p.groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 64)).select(col("chunk"))
+    val e = p.join(broadcast(hot), Seq("chunk"))
+    val dropped3 = e
+      .join(e.select(col("chunk"), col("doc_id").as("other")), Seq("chunk"))
+      .filter(col("other") < col("doc_id"))
+      .select(col("doc_id")).distinct()
+    val s3 = s2.join(dropped3, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang")).persist()
+
+    // stage 4: data-derived language floor (>= 5% of remaining corpus)
+    val langShares = s3.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val keptLangs = langShares
+      .crossJoin(broadcast(langShares.agg(sum(col("n")).as("tot"))))
+      .filter(col("n") * 20 >= col("tot")).select(col("lang"))
+    val s4 = s3.join(broadcast(keptLangs), Seq("lang"))
+
+    val (n0, n1, n2, n3, n4) =
+      (docs.count(), s1.count(), s2.count(), s3.count(), s4.count())
+    val rows = Seq(
+      ("1_quality", n0, n0 - n1, n1),
+      ("2_exact_dup", n1, n1 - n2, n2),
+      ("3_near_dup", n2, n2 - n3, n3),
+      ("4_language", n3, n3 - n4, n4),
+      ("final", n0, n0 - n4, n4))
+    s1.unpersist(); s2.unpersist(); s3.unpersist()
+    import spark.implicits._
+    rows.toDF("stage", "n_in", "n_dropped", "n_out")
+      .select(col("stage"), col("n_in").cast("bigint").as("n_in"),
+        col("n_dropped").cast("bigint").as("n_dropped"),
+        col("n_out").cast("bigint").as("n_out"))
+      .orderBy(col("stage"))
+  }
+
+  private val curationFunnelSql =
+    s"""WITH wc AS (
+       |  SELECT doc_id, w, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY doc_id, w
+       |), per AS (
+       |  SELECT doc_id, sum(c)::BIGINT AS nw, max(c) AS maxc,
+       |    sum(CASE WHEN w IN ('the', 'a') THEN c ELSE 0 END) AS stopc
+       |  FROM wc GROUP BY doc_id
+       |), s1 AS (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM documents d JOIN per p ON d.doc_id = p.doc_id
+       |  WHERE p.nw BETWEEN 30 AND 1000
+       |    AND (d.n_chars - p.nw + 1)::DOUBLE / p.nw BETWEEN 3.0 AND 8.0
+       |    AND p.maxc::DOUBLE / p.nw <= 0.12 AND p.stopc > 0
+       |), s2 AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      row_number() OVER (PARTITION BY md5(lower(substr(text, 1, 100)))
+       |                         ORDER BY doc_id) AS keep
+       |    FROM s1) WHERE keep = 1
+       |), toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM s2
+       |), posting AS (
+       |  SELECT DISTINCT doc_id, chunk FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(0, len(t) // $chunkW - 1),
+       |        i -> array_to_string(t[i * $chunkW + 1 : i * $chunkW + $chunkW], ' ')))
+       |        AS chunk
+       |    FROM toks WHERE len(t) >= $chunkW)
+       |), hot AS (
+       |  SELECT chunk FROM posting GROUP BY chunk
+       |  HAVING count(*) BETWEEN 2 AND 64
+       |), he AS (
+       |  SELECT p.chunk, p.doc_id FROM posting p JOIN hot USING (chunk)
+       |), dropped3 AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM he a JOIN he b ON a.chunk = b.chunk AND b.doc_id < a.doc_id
+       |), s3 AS (
+       |  SELECT s2.doc_id, s2.lang FROM s2
+       |  WHERE s2.doc_id NOT IN (SELECT doc_id FROM dropped3)
+       |), shares AS (
+       |  SELECT lang, count(*) AS n FROM s3 GROUP BY lang
+       |), kept AS (
+       |  SELECT lang FROM shares WHERE n * 20 >= (SELECT sum(n) FROM shares)
+       |), s4 AS (
+       |  SELECT s3.* FROM s3 JOIN kept USING (lang)
+       |), counts AS (
+       |  SELECT (SELECT count(*) FROM documents) AS n0,
+       |    (SELECT count(*) FROM s1) AS n1,
+       |    (SELECT count(*) FROM s2) AS n2,
+       |    (SELECT count(*) FROM s3) AS n3,
+       |    (SELECT count(*) FROM s4) AS n4
+       |)
+       |SELECT stage, n_in::BIGINT AS n_in, n_dropped::BIGINT AS n_dropped,
+       |  n_out::BIGINT AS n_out
+       |FROM counts, LATERAL (VALUES
+       |  ('1_quality', n0, n0 - n1, n1),
+       |  ('2_exact_dup', n1, n1 - n2, n2),
+       |  ('3_near_dup', n2, n2 - n3, n3),
+       |  ('4_language', n3, n3 - n4, n4),
+       |  ('final', n0, n0 - n4, n4)) AS v(stage, n_in, n_dropped, n_out)
+       |ORDER BY stage""".stripMargin
+
   // --- temperature mixture resampling ----------------------------------
 
   /** q72: data-driven domain mixture — the temperature-reweighting step
@@ -931,5 +1088,6 @@ object Curation extends QueryModule {
     QueryDef("q180_label_propagation", labelPropagation, Some(labelPropagationSql)),
     QueryDef("q195_connected_components", connectedComponents,
       Some(connectedComponentsSql)),
+    QueryDef("q209_curation_funnel", curationFunnel, Some(curationFunnelSql)),
   )
 }

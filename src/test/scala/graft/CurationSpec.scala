@@ -189,6 +189,31 @@ class CurationSpec extends SparkSpec {
     assert(got.size <= want.size)
   }
 
+  test("q209: funnel stages chain exactly and reconcile with q98/q34 kernels") {
+    val rows = Curation.curationFunnel(spark, sfDir).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_in"), r.getAs[Long]("n_dropped"), r.getAs[Long]("n_out")))
+      .toMap
+    assert(rows.keySet === Set("1_quality", "2_exact_dup", "3_near_dup",
+      "4_language", "final"))
+    // arithmetic: in - dropped = out per stage; stages chain; final wraps
+    rows.values.foreach { case (in, drop, out) => assert(in - drop === out) }
+    assert(rows("2_exact_dup")._1 === rows("1_quality")._3)
+    assert(rows("3_near_dup")._1 === rows("2_exact_dup")._3)
+    assert(rows("4_language")._1 === rows("3_near_dup")._3)
+    assert(rows("final")._1 === rows("1_quality")._1)
+    assert(rows("final")._3 === rows("4_language")._3)
+    // stage 1 must equal q98's total pass count
+    val q98pass = operators.Governance.qualityRules(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_pass")).sum
+    assert(rows("1_quality")._3 === q98pass)
+    assert(rows("1_quality")._1 === Tables.documents(spark, sfDir).count())
+    // drops are monotone-sane: each stage keeps at most what it received
+    rows.values.foreach { case (in, drop, out) =>
+      assert(drop >= 0 && out >= 0 && out <= in)
+    }
+  }
+
   test("mixtureResample: temperature flattens the mixture (heavier sources sample at lower rates)") {
     val rows = Curation.mixtureResample(spark, sfDir).collect()
     assert(rows.length === 20)
