@@ -216,6 +216,123 @@ object Incremental extends QueryModule {
       |  sum(coalesce(revb, 0) - coalesce(reva, 0))::BIGINT AS rev_delta_c
       |FROM d GROUP BY status ORDER BY status""".stripMargin
 
+  /** q210: MERGE/upsert apply — the warehouse MERGE INTO, spelled as a
+    * keyed full-outer join + branch matrix: a base snapshot (per-user
+    * state from events up to 7 days before the newest event) absorbs
+    * the compacted change feed (q174's net-op matrix over the trailing
+    * window). Branches: net DELETE removes a matched key, INSERT/UPDATE
+    * upsert (update-on-missing inserts — documented upsert semantics),
+    * NONE and unmatched base rows pass through. Output: per action
+    * (inserted/updated/deleted/unchanged) the key count and the final
+    * state's integer-cents value mass — the row-level audit a MERGE
+    * emits as its operation metrics.
+    *
+    * Scale shape: one conditional split of the fact into base/delta,
+    * one per-user compaction each (partial aggregation), one keyed
+    * full-outer join of two user-dimension relations — the exact
+    * dataflow Delta/Iceberg MERGE executes under the hood.
+    */
+  def mergeApply(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "purchase", "D")
+          .otherwise("U").as("op"))
+    val mx = ev.agg(max(col("us")).as("mxus"))
+    val tagged = ev.crossJoin(broadcast(mx))
+      .withColumn("is_base", col("us") <= col("mxus") - weekUs)
+    mergeApplyOn(tagged)
+  }
+
+  /** Core MERGE over a pre-tagged change log `(user_id, us, event_id,
+    * value, op, is_base)` — separated so the branch matrix is testable
+    * on synthetic logs that exercise every action (this corpus never
+    * produces `inserted`: all users predate the delta window).
+    */
+  def mergeApplyOn(tagged: DataFrame): DataFrame = {
+    val base = tagged.filter(col("is_base"))
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("base_c"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val delta = tagged.filter(!col("is_base"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"))
+      .agg(min_by(col("op"), col("rn")).as("first_op"),
+        max_by(col("op"), col("rn")).as("last_op"),
+        max_by(col("value"), col("rn")).as("last_value"))
+      .select(col("user_id"),
+        when(col("first_op") === "I" && col("last_op") === "D", "NONE")
+          .when(col("first_op") === "I", "INSERT")
+          .when(col("last_op") === "D", "DELETE")
+          .otherwise("UPDATE").as("net_op"),
+        round(col("last_value") * 100).cast("long").as("new_c"))
+    val merged = base.join(delta, Seq("user_id"), "full_outer")
+      .withColumn("action",
+        when(col("net_op").isNull ||
+          (col("net_op") === "NONE" && col("base_c").isNotNull), "unchanged")
+          .when(col("net_op") === "DELETE" && col("base_c").isNotNull, "deleted")
+          .when(col("net_op").isin("INSERT", "UPDATE") &&
+            col("base_c").isNull, "inserted")
+          .when(col("net_op").isin("INSERT", "UPDATE"), "updated")
+          .otherwise("noop"))
+      .filter(col("action") =!= "noop") // delta-only DELETE/NONE: no row
+      .withColumn("final_c",
+        when(col("action") === "deleted", lit(0L))
+          .when(col("action").isin("inserted", "updated"), col("new_c"))
+          .otherwise(col("base_c")))
+    merged.groupBy(col("action"))
+      .agg(count(lit(1)).cast("bigint").as("n_keys"),
+        sum(col("final_c")).cast("bigint").as("final_value_c"))
+      .orderBy(col("action"))
+  }
+
+  private val mergeApplySql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+      |    CASE WHEN event_type = 'signup' THEN 'I'
+      |         WHEN event_type = 'purchase' THEN 'D'
+      |         ELSE 'U' END AS op
+      |  FROM events
+      |), mx AS (SELECT max(us) AS mxus FROM ev),
+      |base AS (
+      |  SELECT user_id, sum(round(value * 100)::BIGINT) AS base_c
+      |  FROM ev WHERE us <= (SELECT mxus - 604800000000 FROM mx)
+      |  GROUP BY user_id
+      |), d0 AS (
+      |  SELECT user_id, op, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn
+      |  FROM ev WHERE us > (SELECT mxus - 604800000000 FROM mx)
+      |), delta AS (
+      |  SELECT user_id,
+      |    CASE WHEN min_by(op, rn) = 'I' AND max_by(op, rn) = 'D' THEN 'NONE'
+      |         WHEN min_by(op, rn) = 'I' THEN 'INSERT'
+      |         WHEN max_by(op, rn) = 'D' THEN 'DELETE'
+      |         ELSE 'UPDATE' END AS net_op,
+      |    round(max_by(value, rn) * 100)::BIGINT AS new_c
+      |  FROM d0 GROUP BY user_id
+      |), merged AS (
+      |  SELECT coalesce(b.user_id, d.user_id) AS user_id, b.base_c,
+      |    d.net_op, d.new_c,
+      |    CASE WHEN d.net_op IS NULL
+      |           OR (d.net_op = 'NONE' AND b.base_c IS NOT NULL)
+      |         THEN 'unchanged'
+      |         WHEN d.net_op = 'DELETE' AND b.base_c IS NOT NULL
+      |         THEN 'deleted'
+      |         WHEN d.net_op IN ('INSERT', 'UPDATE') AND b.base_c IS NULL
+      |         THEN 'inserted'
+      |         WHEN d.net_op IN ('INSERT', 'UPDATE') THEN 'updated'
+      |         ELSE 'noop' END AS action
+      |  FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+      |)
+      |SELECT action, count(*)::BIGINT AS n_keys,
+      |  sum(CASE WHEN action = 'deleted' THEN 0
+      |           WHEN action IN ('inserted', 'updated') THEN new_c
+      |           ELSE base_c END)::BIGINT AS final_value_c
+      |FROM merged WHERE action <> 'noop'
+      |GROUP BY action ORDER BY action""".stripMargin
+
   /** q207: rank-biased overlap (RBO, p = 0.9, truncated at depth 100) —
     * the top-weighted similarity between q196's two as-of customer
     * rankings. Set metrics (q196's churn counts) treat rank 3 and rank
@@ -332,5 +449,6 @@ object Incremental extends QueryModule {
     QueryDef("q174_cdc_compaction", cdcCompaction, Some(cdcCompactionSql)),
     QueryDef("q196_watchlist_diff", watchlistDiff, Some(watchlistDiffSql)),
     QueryDef("q207_rank_overlap", rankOverlap, Some(rankOverlapSql)),
+    QueryDef("q210_merge_apply", mergeApply, Some(mergeApplySql)),
   )
 }

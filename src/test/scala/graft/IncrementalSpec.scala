@@ -142,4 +142,68 @@ class IncrementalSpec extends SparkSpec {
     val rbo = r.getAs[Double]("rbo")
     assert(rbo >= 0.0 && rbo <= 1.0 + 1e-12)
   }
+
+  test("q210: merge actions match a driver-side replay of the branch matrix") {
+    val weekUs = 7L * 24 * 3600 * 1000000
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value")))
+    val cut = ev.map(_._2).max - weekUs
+    def op(t: String): String =
+      if (t == "signup") "I" else if (t == "purchase") "D" else "U"
+    val base = ev.filter(_._2 <= cut).groupBy(_._1)
+      .map { case (u, g) => u -> g.map(e => math.round(e._5 * 100)).sum }
+    val delta = ev.filter(_._2 > cut).groupBy(_._1).map { case (u, g) =>
+      val o = g.sortBy(e => (e._2, e._3))
+      val (first, last) = (op(o.head._4), op(o.last._4))
+      val net = if (first == "I" && last == "D") "NONE"
+        else if (first == "I") "INSERT"
+        else if (last == "D") "DELETE" else "UPDATE"
+      u -> (net, math.round(o.last._5 * 100))
+    }
+    val expected = (base.keySet ++ delta.keySet).toSeq.flatMap { u =>
+      (base.get(u), delta.get(u)) match {
+        case (Some(b), None)              => Some(("unchanged", b))
+        case (Some(b), Some(("NONE", _))) => Some(("unchanged", b))
+        case (Some(_), Some(("DELETE", _)))          => Some(("deleted", 0L))
+        case (Some(_), Some((_, nc)))     => Some(("updated", nc))
+        case (None, Some(("INSERT", nc))) => Some(("inserted", nc))
+        case (None, Some(("UPDATE", nc))) => Some(("inserted", nc))
+        case (None, _)                    => None // delta-only DELETE/NONE
+      }
+    }.groupBy(_._1).map { case (a, g) => a -> (g.size.toLong, g.map(_._2).sum) }
+    val got = Incremental.mergeApply(spark, sfDir).collect()
+      .map(r => r.getAs[String]("action") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("final_value_c"))).toMap
+    assert(got === expected)
+  }
+
+  test("q210 branch matrix: synthetic log exercises every merge action") {
+    val sess = spark
+    import sess.implicits._
+    // (user, us, event_id, value, op, is_base)
+    val log = Seq(
+      (1L, 10L, 1L, 1.00, "U", true),                       // unchanged (no delta)
+      (2L, 10L, 2L, 2.00, "U", true), (2L, 99L, 3L, 5.00, "U", false), // updated
+      (3L, 10L, 4L, 3.00, "U", true), (3L, 99L, 5L, 0.00, "D", false), // deleted
+      (4L, 99L, 6L, 4.00, "I", false),                      // inserted (net INSERT)
+      (5L, 99L, 7L, 6.00, "U", false),                      // inserted (upsert UPDATE)
+      (6L, 99L, 8L, 7.00, "I", false), (6L, 100L, 9L, 0.0, "D", false), // noop: I..D
+      (7L, 99L, 10L, 8.00, "D", false),                     // noop: delta-only DELETE
+      (8L, 10L, 11L, 9.00, "U", true), (8L, 99L, 12L, 1.0, "I", false),
+      (8L, 100L, 13L, 0.0, "D", false)                      // unchanged: NONE on matched
+    ).toDF("user_id", "us", "event_id", "value", "op", "is_base")
+    val got = Incremental.mergeApplyOn(log).collect()
+      .map(r => r.getAs[String]("action") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("final_value_c"))).toMap
+    assert(got === Map(
+      "unchanged" -> (2L, 100L + 900L),
+      "updated" -> (1L, 500L),
+      "deleted" -> (1L, 0L),
+      "inserted" -> (2L, 400L + 600L)))
+  }
 }
