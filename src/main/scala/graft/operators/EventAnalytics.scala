@@ -1402,6 +1402,92 @@ object EventAnalytics extends QueryModule {
       |FROM pi5 JOIN emp ON pi5.state = emp.state
       |ORDER BY pi5.state""".stripMargin
 
+  /** q211: propensity label + feature builder — the supervised-training
+    * table an ML pipeline derives from the event log, with
+    * POINT-IN-TIME correctness: features come ONLY from events at or
+    * before the cutoff (7 days before the newest event), the label
+    * ONLY from events after it (will this user purchase in the next
+    * week?). Features per
+    * user: event/purchase counts, integer-cents spend, distinct active
+    * days, and recency in whole days at the cutoff — every one an
+    * exact integer, so there is no float leakage between engines, and
+    * no temporal leakage between feature and label windows (the bug
+    * class PIT joins exist to prevent).
+    *
+    * Scale shape: one conditional-aggregation pass over the fact keyed
+    * by user (features and label from the same scan), cutoff broadcast
+    * as a 1-row build.
+    */
+  def propensityFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 24 * 3600 * 1000000
+    val dayUs = 24L * 3600 * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+    val mx = ev.agg(max(col("us")).as("mxus"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("cut", col("mxus") - weekUs)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("us") <= col("cut"), 1L).otherwise(0L)).as("f_events"),
+        sum(when(col("us") <= col("cut") &&
+          col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("f_purchases"),
+        sum(when(col("us") <= col("cut"),
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("f_value_c"),
+        count_distinct(when(col("us") <= col("cut"),
+          (col("us") / lit(dayUs)).cast("long"))).as("f_active_days"),
+        min(when(col("us") <= col("cut"),
+          ((col("cut") - col("us")) / lit(dayUs)).cast("long")))
+          .as("f_recency_days"),
+        sum(when(col("us") > col("cut") &&
+          col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("post_purchases"))
+      .filter(col("f_events") > 0) // only users observable at the cutoff
+      .select(col("user_id"),
+        col("f_events").cast("bigint").as("f_events"),
+        col("f_purchases").cast("bigint").as("f_purchases"),
+        col("f_value_c").cast("bigint").as("f_value_c"),
+        col("f_active_days").cast("bigint").as("f_active_days"),
+        col("f_recency_days").cast("bigint").as("f_recency_days"),
+        when(col("post_purchases") > 0, 1).otherwise(0).cast("int")
+          .as("label_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  private val propensityFeaturesSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value, epoch_us(ts) AS us FROM events
+      |), c AS (
+      |  SELECT max(us) - 604800000000 AS cut FROM ev
+      |), agg AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN us <= (SELECT cut FROM c) THEN 1 ELSE 0 END)
+      |      AS f_events,
+      |    sum(CASE WHEN us <= (SELECT cut FROM c)
+      |             AND event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS f_purchases,
+      |    sum(CASE WHEN us <= (SELECT cut FROM c)
+      |        THEN round(value * 100)::BIGINT ELSE 0 END) AS f_value_c,
+      |    count(DISTINCT CASE WHEN us <= (SELECT cut FROM c)
+      |        THEN us // 86400000000 END) AS f_active_days,
+      |    min(CASE WHEN us <= (SELECT cut FROM c)
+      |        THEN ((SELECT cut FROM c) - us) // 86400000000 END)
+      |      AS f_recency_days,
+      |    sum(CASE WHEN us > (SELECT cut FROM c)
+      |             AND event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS post_purchases
+      |  FROM ev GROUP BY user_id
+      |)
+      |SELECT user_id, f_events::BIGINT AS f_events,
+      |  f_purchases::BIGINT AS f_purchases, f_value_c::BIGINT AS f_value_c,
+      |  f_active_days::BIGINT AS f_active_days,
+      |  f_recency_days::BIGINT AS f_recency_days,
+      |  (CASE WHEN post_purchases > 0 THEN 1 ELSE 0 END)::INT
+      |    AS label_purchase
+      |FROM agg WHERE f_events > 0 ORDER BY user_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -1429,6 +1515,8 @@ object EventAnalytics extends QueryModule {
       Some(transitionDwellSql)),
     QueryDef("q199_markov_stationary", markovStationary,
       Some(markovStationarySql)),
+    QueryDef("q211_propensity_features", propensityFeatures,
+      Some(propensityFeaturesSql)),
   )
 
 }

@@ -542,4 +542,41 @@ class EventAnalyticsSpec extends SparkSpec {
     // a 5-round pi over a stochastic matrix is still a distribution
     assert(math.abs(rows.map(_.getAs[Double]("stationary")).sum - 1.0) <= 1e-3)
   }
+
+  test("q211: features and label match a driver-side point-in-time replay") {
+    val weekUs = 7L * 24 * 3600 * 1000000
+    val dayUs = 24L * 3600 * 1000000
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value"), r.getAs[Long]("us")))
+    val cut = ev.map(_._4).max - weekUs
+    val expected = ev.groupBy(_._1).flatMap { case (u, g) =>
+      val pre = g.filter(_._4 <= cut)
+      if (pre.isEmpty) None
+      else Some(u -> (
+        pre.size.toLong,
+        pre.count(_._2 == "purchase").toLong,
+        pre.map(e => math.round(e._3 * 100)).sum,
+        pre.map(_._4 / dayUs).distinct.size.toLong,
+        pre.map(e => (cut - e._4) / dayUs).min,
+        if (g.exists(e => e._4 > cut && e._2 == "purchase")) 1 else 0))
+    }
+    val rows = EventAnalytics.propensityFeatures(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val (fe, fp, fv, fd, rec, lbl) = expected(u)
+      assert(r.getAs[Long]("f_events") === fe, s"events for $u")
+      assert(r.getAs[Long]("f_purchases") === fp)
+      assert(r.getAs[Long]("f_value_c") === fv)
+      assert(r.getAs[Long]("f_active_days") === fd)
+      assert(r.getAs[Long]("f_recency_days") === rec)
+      assert(r.getAs[Int]("label_purchase") === lbl)
+      // point-in-time sanity: features never exceed their own bounds
+      assert(fp <= fe && fd <= fe)
+    }
+  }
 }
