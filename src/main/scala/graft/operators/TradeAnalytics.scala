@@ -1815,6 +1815,78 @@ object TradeAnalytics extends QueryModule {
       |  round(cosine, 4) AS cosine
       |FROM ranked WHERE rank <= 5 ORDER BY item, rank""".stripMargin
 
+  /** q212: deterministic negative sampling — the contrastive-training
+    * counterpart to q204's positives: for every customer, 4 items they
+    * did NOT buy, drawn reproducibly from the catalog. Candidates are
+    * md5-hash positions (`hash60(user:i) mod |catalog| + 1` for
+    * i = 0..15, the q38/q153 portable-hash discipline), deduplicated at
+    * the smallest i, anti-joined against the user's positives, and the
+    * first 4 survivors keep their draw order as `neg_rank`. Sixteen
+    * candidates against ~2% basket density makes a short fill
+    * practically impossible — and the output is identical under any
+    * partitioning, retry, or engine (no rand(), no sampling state).
+    *
+    * Scale shape: candidate generation is a 16-way per-user explode
+    * (linear in users, never users × catalog); the positive filter is
+    * one anti equi-join on (user, item); the final pick is a per-user
+    * window over ≤ 16 rows.
+    */
+  def negativeSamples(spark: SparkSession, dir: String): DataFrame = {
+    val nCand = 16
+    val k = 4
+    val baskets = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    val nItems = Tables.part(spark, dir).agg(max(col("p_partkey")).as("n"))
+    val users = baskets.select(col("cust")).distinct()
+    val cand = users.crossJoin(broadcast(nItems))
+      .select(col("cust"), col("n"), explode(expr(
+        s"sequence(0, ${nCand - 1})")).as("i"))
+      .withColumn("item",
+        expr("1 + cast(conv(substring(md5(concat(cast(cust as string), ':', " +
+          "cast(i as string))), 1, 15), 16, 10) as bigint) % n"))
+      .select(col("cust"), col("i"), col("item"))
+    val dedup = cand.groupBy(col("cust"), col("item"))
+      .agg(min(col("i")).as("i"))
+    val negs = dedup.join(baskets, Seq("cust", "item"), "left_anti")
+    val w = Window.partitionBy(col("cust")).orderBy(col("i"))
+    negs.withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("cust").as("user_id"), col("neg_rank"), col("item"))
+      .orderBy(col("user_id"), col("neg_rank"))
+  }
+
+  private val negativeSamplesSql =
+    """WITH baskets AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), n AS (SELECT max(p_partkey) AS n FROM part),
+      |users AS (SELECT DISTINCT cust FROM baskets),
+      |cand AS (
+      |  SELECT u.cust, s.i,
+      |    1 + list_reduce(list_transform(generate_series(1, 15),
+      |        j -> strpos('0123456789abcdef',
+      |               substring(md5(u.cust::VARCHAR || ':' || s.i::VARCHAR),
+      |                         j, 1)) - 1),
+      |      (acc, d) -> acc * 16 + d) % (SELECT n FROM n) AS item
+      |  FROM users u
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) s
+      |), dedup AS (
+      |  SELECT cust, item, min(i) AS i FROM cand GROUP BY cust, item
+      |), negs AS (
+      |  SELECT d.cust, d.item, d.i FROM dedup d
+      |  ANTI JOIN baskets b ON d.cust = b.cust AND d.item = b.item
+      |), ranked AS (
+      |  SELECT cust, item, i,
+      |    row_number() OVER (PARTITION BY cust ORDER BY i) AS neg_rank
+      |  FROM negs
+      |)
+      |SELECT cust AS user_id, neg_rank::INT AS neg_rank, item
+      |FROM ranked WHERE neg_rank <= 4
+      |ORDER BY user_id, neg_rank""".stripMargin
+
   /** q201: price–volume–mix bridge — the waterfall decomposition finance
     * runs on every period-over-period revenue change: per part brand,
     * ΔRev between two adjacent one-year ship windows splits into a
@@ -2109,5 +2181,6 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q200_decile_mobility", decileMobility, Some(decileMobilitySql)),
     QueryDef("q201_price_volume_mix", priceVolumeMix, Some(priceVolumeMixSql)),
     QueryDef("q204_item_neighbors", itemNeighbors, Some(itemNeighborsSql)),
+    QueryDef("q212_negative_samples", negativeSamples, Some(negativeSamplesSql)),
   )
 }

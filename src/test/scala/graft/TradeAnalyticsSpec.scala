@@ -889,4 +889,40 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q212: negatives are reproducible, non-positive, and hash-exact") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .substring(0, 15), 16)
+    val baskets = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("l_partkey")))
+    val pos = baskets.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).toSet }
+    val nItems = Tables.part(spark, sfDir)
+      .agg(max(col("p_partkey"))).head().getLong(0)
+    val expected = pos.keys.toSeq.sorted.flatMap { u =>
+      val cands = (0 until 16).map(i => (i, 1 + hash60(s"$u:$i") % nItems))
+      val dedup = cands.groupBy(_._2).map { case (it, g) =>
+        (g.map(_._1).min, it)
+      }.toSeq.sortBy(_._1)
+      dedup.filterNot(c => pos(u)(c._2)).take(4).zipWithIndex
+        .map { case ((_, it), r) => (u, r + 1) -> it }
+    }.toMap
+    val rows = TradeAnalytics.negativeSamples(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[Int]("neg_rank"))
+      assert(r.getAs[Long]("item") === expected(key), s"at $key")
+      // a negative is never a positive
+      assert(!pos(key._1)(r.getAs[Long]("item")))
+    }
+    // rerun is bit-identical (no sampling state anywhere)
+    val again = TradeAnalytics.negativeSamples(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(again.toSeq === rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
+  }
+
 }
