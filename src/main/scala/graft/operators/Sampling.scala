@@ -229,11 +229,79 @@ object Sampling extends QueryModule {
        |FROM r WHERE rank <= $groupSampleK
        |ORDER BY source, rank""".stripMargin
 
+  /** q213: group-aware train/val/test split — the 80/10/10 assignment an
+    * ML pipeline must make at the USER grain, not the row grain: every
+    * event of a user lands in the user's split, so no entity leaks
+    * across train and eval (the classic leakage bug row-wise splits
+    * cause). Assignment is the portable md5 bucket (`hash60(user) mod
+    * 100`) — reproducible under retries, partitioning, and engines, and
+    * stable as new events arrive for a known user. Output: per split,
+    * user/event/purchase counts, integer-cents value mass, and the
+    * realized event share (vs the nominal 80/10/10 — the drift a
+    * grouped split ALWAYS shows, because users carry different event
+    * volumes; reporting it is the point of the audit).
+    *
+    * Scale shape: one map-side bucket expression on the fact, one
+    * two-level aggregation (user, then split); no shuffle beyond the
+    * user rollup the audit needs anyway.
+    */
+  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) " +
+        "as bigint) % 100")
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(col("c")).as("value_c"))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    perUser.groupBy(col("split"))
+      .agg(count(lit(1)).cast("bigint").as("n_users"),
+        sum(col("n_events")).cast("bigint").as("n_events"),
+        sum(col("n_purchases")).cast("bigint").as("n_purchases"),
+        sum(col("value_c")).cast("bigint").as("value_c"))
+      .withColumn("event_share", round(col("n_events").cast("double") /
+        sum(col("n_events")).over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)), 4))
+      .orderBy(col("split"))
+  }
+
+  private val groupSplitSql =
+    """WITH pu AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS n_purchases,
+      |    sum(round(value * 100)::BIGINT) AS value_c,
+      |    list_reduce(list_transform(generate_series(1, 15),
+      |        j -> strpos('0123456789abcdef',
+      |               substring(md5(user_id::VARCHAR), j, 1)) - 1),
+      |      (acc, d) -> acc * 16 + d) % 100 AS bucket
+      |  FROM events GROUP BY user_id
+      |), s AS (
+      |  SELECT CASE WHEN bucket < 80 THEN 'train'
+      |              WHEN bucket < 90 THEN 'val'
+      |              ELSE 'test' END AS split,
+      |    n_events, n_purchases, value_c
+      |  FROM pu
+      |)
+      |SELECT split, count(*)::BIGINT AS n_users,
+      |  sum(n_events)::BIGINT AS n_events,
+      |  sum(n_purchases)::BIGINT AS n_purchases,
+      |  sum(value_c)::BIGINT AS value_c,
+      |  round(sum(n_events)::DOUBLE / sum(sum(n_events)) OVER (), 4)
+      |    AS event_share
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q101_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q102_top_p_sources", topPSources, Some(topPSourcesSql)),
     QueryDef("q125_fixed_k_sample", fixedKSample, Some(fixedKSampleSql)),
     QueryDef("q133_token_budget", tokenBudgetApportion, Some(tokenBudgetApportionSql)),
     QueryDef("q153_weighted_group_sample", weightedGroupSample, Some(weightedGroupSampleSql)),
+    QueryDef("q213_group_split", groupSplit, Some(groupSplitSql)),
   )
 }

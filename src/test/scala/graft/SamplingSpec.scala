@@ -94,4 +94,40 @@ class SamplingSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSeq
     assert(again === rows.map(_.getAs[Long]("doc_id")).toSeq)
   }
+
+  test("q213: group split partitions users exactly and matches the hash rule") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(u: Long): Long = java.lang.Long.parseLong(
+      md.digest(u.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .substring(0, 15), 16) % 100
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("c")))
+    def split(u: Long): String = {
+      val b = bucket(u)
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val expected = ev.groupBy(e => split(e._1)).map { case (s, g) =>
+      s -> (g.map(_._1).distinct.size.toLong, g.size.toLong,
+        g.count(_._2 == "purchase").toLong, g.map(_._3).sum)
+    }
+    val rows = Sampling.groupSplit(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val s = r.getAs[String]("split")
+      val (nu, ne, np, vc) = expected(s)
+      assert(r.getAs[Long]("n_users") === nu, s"users in $s")
+      assert(r.getAs[Long]("n_events") === ne)
+      assert(r.getAs[Long]("n_purchases") === np)
+      assert(r.getAs[Long]("value_c") === vc)
+    }
+    // no user spans splits (structural: assignment is a pure function of
+    // user_id) and the splits cover every user exactly once
+    val allUsers = ev.map(_._1).distinct
+    assert(rows.map(_.getAs[Long]("n_users")).sum === allUsers.size.toLong)
+    assert(math.abs(rows.map(_.getAs[Double]("event_share")).sum - 1.0) <= 1e-3)
+  }
 }
