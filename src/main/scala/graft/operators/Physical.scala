@@ -254,6 +254,46 @@ object Physical extends QueryModule {
        |ORDER BY join_key""".stripMargin
   }
 
+  /** q214: format round-trip audit — the source/sink surface proven
+    * UNDER THE ORACLE GATE, not just in a spec: a slim orders slice is
+    * written and re-read through every supported format (parquet, ORC,
+    * CSV+header, JSON) and re-aggregated; every format row must carry
+    * the identical count and integer-cents sum, and the oracle computes
+    * the same numbers from the original parquet — so a lossy writer,
+    * a schema-inference drift, or a header/quote bug in ANY format
+    * fails the driver's hash compare.
+    *
+    * Scale shape: the slice writes once per format (4 linear passes);
+    * re-reads aggregate map-side. Sinks land under java.io.tmpdir with
+    * overwrite, so reruns are idempotent.
+    */
+  def formatRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val slim = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+    val tmp = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_q214").getAbsolutePath
+    val perFormat = graft.sources.Formats.supported.map { fmt =>
+      graft.sources.Formats.write(slim, fmt, s"$tmp/$fmt")
+      graft.sources.Formats.read(spark, fmt, s"$tmp/$fmt", slim.schema)
+        .agg(count(lit(1)).cast("bigint").as("n_rows"),
+          sum(col("c")).cast("bigint").as("revenue_c"))
+        .select(lit(fmt).as("format"), col("n_rows"), col("revenue_c"))
+    }
+    perFormat.reduce(_ unionAll _).orderBy(col("format"))
+  }
+
+  private val formatRoundtripSql =
+    """WITH agg AS (
+      |  SELECT count(*)::BIGINT AS n_rows,
+      |    sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS revenue_c
+      |  FROM orders
+      |)
+      |SELECT f.format, agg.n_rows, agg.revenue_c
+      |FROM agg CROSS JOIN (
+      |  SELECT unnest(['csv', 'json', 'orc', 'parquet']) AS format) f
+      |ORDER BY f.format""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_zorder_profile", zorderProfile, Some(zorderProfileSql)),
     QueryDef("q109_table_stats", tableStats, Some(tableStatsSql)),
@@ -261,5 +301,6 @@ object Physical extends QueryModule {
     QueryDef("q134_equi_depth", equiDepthBounds, Some(equiDepthBoundsSql)),
     QueryDef("q187_join_skew_profile", joinSkewProfile,
       Some(joinSkewProfileSql)),
+    QueryDef("q214_format_roundtrip", formatRoundtrip, Some(formatRoundtripSql)),
   )
 }
