@@ -296,12 +296,80 @@ object Sampling extends QueryModule {
       |    AS event_share
       |FROM s GROUP BY split ORDER BY split""".stripMargin
 
-  override val defs: Seq[QueryDef] = Seq(
+  // lazy: q215's SQL val is declared below this list (a strict val would
+  // capture null at object init — same fix as Governance/Similarity)
+  override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q101_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q102_top_p_sources", topPSources, Some(topPSourcesSql)),
     QueryDef("q125_fixed_k_sample", fixedKSample, Some(fixedKSampleSql)),
     QueryDef("q133_token_budget", tokenBudgetApportion, Some(tokenBudgetApportionSql)),
     QueryDef("q153_weighted_group_sample", weightedGroupSample, Some(weightedGroupSampleSql)),
     QueryDef("q213_group_split", groupSplit, Some(groupSplitSql)),
+    QueryDef("q215_target_encoding", targetEncoding, Some(targetEncodingSql)),
   )
+
+  /** q215: leakage-safe K-fold target encoding — the categorical encoder
+    * supervised pipelines use when one-hot is too wide: replace a
+    * category with the mean label of OTHER folds' rows in that
+    * category. Folds are portable md5 buckets of the order key (K = 5);
+    * the leave-fold-out mean is pure integer algebra —
+    * (Σlabel_category − Σlabel_fold) / (n_category − n_fold) — so the
+    * encoding is exact, reproducible, and free of the self-leakage that
+    * naive target encoding injects (a row never contributes to its own
+    * encoding). Label: order was fulfilled (`o_orderstatus = 'F'`).
+    * Output: one row per (customer nation, fold) with the counts and
+    * the encoding; degenerate folds (category fully inside one fold)
+    * emit NULL rather than a leaked value.
+    *
+    * Scale shape: one conditional aggregation to (category, fold)
+    * partials, one category-total window over ≤ |categories|·K rows —
+    * the fact is scanned once.
+    */
+  def targetEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val fold = expr(
+      "cast(conv(substring(md5(cast(o_orderkey as string)), 1, 15), 16, 10) " +
+        "as bigint) % 5")
+    val base = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), fold.as("fold"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("label"))
+    val perFold = base.groupBy(col("nation"), col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"))
+    val wNation = Window.partitionBy(col("nation"))
+    perFold
+      .withColumn("n_tot", sum(col("n")).over(wNation))
+      .withColumn("pos_tot", sum(col("pos")).over(wNation))
+      .select(col("nation"), col("fold").cast("int").as("fold"),
+        col("n").cast("bigint").as("n_rows"),
+        when(col("n_tot") > col("n"),
+          round((col("pos_tot") - col("pos")).cast("double") /
+            (col("n_tot") - col("n")), 4)).as("encoding"))
+      .orderBy(col("nation"), col("fold"))
+  }
+
+  private val targetEncodingSql =
+    """WITH base AS (
+      |  SELECT n.n_name AS nation,
+      |    list_reduce(list_transform(generate_series(1, 15),
+      |        j -> strpos('0123456789abcdef',
+      |               substring(md5(o.o_orderkey::VARCHAR), j, 1)) - 1),
+      |      (acc, d) -> acc * 16 + d) % 5 AS fold,
+      |    CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |), pf AS (
+      |  SELECT nation, fold, count(*) AS n, sum(label) AS pos FROM base
+      |  GROUP BY nation, fold
+      |)
+      |SELECT nation, fold::INT AS fold, n::BIGINT AS n_rows,
+      |  CASE WHEN sum(n) OVER (PARTITION BY nation) > n
+      |    THEN round((sum(pos) OVER (PARTITION BY nation) - pos)::DOUBLE
+      |      / (sum(n) OVER (PARTITION BY nation) - n), 4) END AS encoding
+      |FROM pf ORDER BY nation, fold""".stripMargin
 }

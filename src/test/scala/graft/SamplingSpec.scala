@@ -130,4 +130,49 @@ class SamplingSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_users")).sum === allUsers.size.toLong)
     assert(math.abs(rows.map(_.getAs[Double]("event_share")).sum - 1.0) <= 1e-3)
   }
+
+  test("q215: leave-fold-out encodings match a driver-side replay, no self-leakage") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fold(k: Long): Long = java.lang.Long.parseLong(
+      md.digest(k.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .substring(0, 15), 16) % 5
+    val natOf = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rowsIn = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .collect()
+      .map(r => (natOf(r.getAs[Long]("o_custkey")),
+        fold(r.getAs[Long]("o_orderkey")),
+        if (r.getAs[String]("o_orderstatus") == "F") 1L else 0L))
+    val perFold = rowsIn.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+      k -> (g.size.toLong, g.map(_._3).sum)
+    }
+    val perNation = rowsIn.groupBy(_._1).map { case (n, g) =>
+      n -> (g.size.toLong, g.map(_._3).sum)
+    }
+    val got = Sampling.targetEncoding(spark, sfDir).collect()
+    assert(got.length === perFold.size)
+    got.foreach { r =>
+      val key = (r.getAs[String]("nation"), r.getAs[Int]("fold").toLong)
+      val (n, pos) = perFold(key)
+      val (nt, post) = perNation(key._1)
+      assert(r.getAs[Long]("n_rows") === n, s"rows at $key")
+      if (nt > n) {
+        val want = (post - pos).toDouble / (nt - n)
+        assert(math.abs(r.getAs[Double]("encoding") - want) <= 5.1e-5,
+          s"encoding at $key")
+        // no self-leakage: the fold's own labels never enter its encoding
+        val leaky = post.toDouble / nt
+        if (math.abs(want - leaky) > 1e-9) {
+          assert(math.abs(r.getAs[Double]("encoding") - leaky) > 0.0)
+        }
+      } else {
+        assert(r.isNullAt(r.fieldIndex("encoding")),
+          s"degenerate fold at $key must be NULL")
+      }
+    }
+  }
 }
