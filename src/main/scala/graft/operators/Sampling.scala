@@ -306,6 +306,7 @@ object Sampling extends QueryModule {
     QueryDef("q153_weighted_group_sample", weightedGroupSample, Some(weightedGroupSampleSql)),
     QueryDef("q213_group_split", groupSplit, Some(groupSplitSql)),
     QueryDef("q215_target_encoding", targetEncoding, Some(targetEncodingSql)),
+    QueryDef("q216_feature_hashing", featureHashing, Some(featureHashingSql)),
   )
 
   /** q215: leakage-safe K-fold target encoding — the categorical encoder
@@ -372,4 +373,58 @@ object Sampling extends QueryModule {
       |    THEN round((sum(pos) OVER (PARTITION BY nation) - pos)::DOUBLE
       |      / (sum(n) OVER (PARTITION BY nation) - n), 4) END AS encoding
       |FROM pf ORDER BY nation, fold""".stripMargin
+
+  /** q216: feature-hashing collision audit — before shipping the
+    * hashing trick (category → `hash mod 2^k` feature index), measure
+    * what each k actually costs: for k ∈ {6, 8, 10}, the number of
+    * distinct (brand, type) categories, buckets used, the worst bucket
+    * load, and the collision rate (share of categories that don't own
+    * their bucket alone). The birthday-bound estimate everyone quotes
+    * is an expectation; the audit reports the realized value for the
+    * production hash on the production categories.
+    *
+    * Scale shape: categories reduce out of the dimension first (one
+    * distinct), the k-spine explode is 3 rows per category, and all
+    * stats are one (k, bucket) + one (k) aggregation. md5 positions
+    * keep it engine-portable and retry-stable.
+    */
+  def featureHashing(spark: SparkSession, dir: String): DataFrame = {
+    val cats = Tables.part(spark, dir)
+      .select(concat_ws("|", col("p_brand"), col("p_type")).as("cat"))
+      .distinct()
+    val spine = explode(array(lit(6), lit(8), lit(10))).as("k")
+    val hashed = cats.select(col("cat"), spine)
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(cat), 1, 15), 16, 10) as bigint) " +
+          "% cast(pow(2, k) as bigint)"))
+    val byBucket = hashed.groupBy(col("k"), col("bucket"))
+      .agg(count(lit(1)).as("load"))
+    byBucket.groupBy(col("k"))
+      .agg(sum(col("load")).cast("bigint").as("n_categories"),
+        count(lit(1)).cast("bigint").as("n_buckets_used"),
+        max(col("load")).cast("bigint").as("max_bucket_load"),
+        round((sum(col("load")) - sum(when(col("load") === 1, 1L)
+          .otherwise(0L))).cast("double") / sum(col("load")), 4)
+          .as("collision_rate"))
+      .orderBy(col("k"))
+  }
+
+  private val featureHashingSql =
+    """WITH cats AS (
+      |  SELECT DISTINCT concat_ws('|', p_brand, p_type) AS cat FROM part
+      |), hashed AS (
+      |  SELECT s.k,
+      |    list_reduce(list_transform(generate_series(1, 15),
+      |        j -> strpos('0123456789abcdef', substring(md5(cat), j, 1)) - 1),
+      |      (acc, d) -> acc * 16 + d) % (2 ** s.k)::BIGINT AS bucket
+      |  FROM cats CROSS JOIN (SELECT unnest([6, 8, 10]) AS k) s
+      |), byb AS (
+      |  SELECT k, bucket, count(*) AS load FROM hashed GROUP BY k, bucket
+      |)
+      |SELECT k, sum(load)::BIGINT AS n_categories,
+      |  count(*)::BIGINT AS n_buckets_used,
+      |  max(load)::BIGINT AS max_bucket_load,
+      |  round((sum(load) - sum(CASE WHEN load = 1 THEN 1 ELSE 0 END))::DOUBLE
+      |    / sum(load), 4) AS collision_rate
+      |FROM byb GROUP BY k ORDER BY k""".stripMargin
 }

@@ -175,4 +175,30 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("q216: collision stats match a driver-side hash replay per k") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        .substring(0, 15), 16)
+    val cats = Tables.part(spark, sfDir)
+      .select(concat_ws("|", col("p_brand"), col("p_type"))).distinct()
+      .collect().map(_.getString(0))
+    val rows = Sampling.featureHashing(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("k")).toSeq === Seq(6, 8, 10))
+    rows.foreach { r =>
+      val k = r.getAs[Int]("k")
+      val loads = cats.map(c => hash60(c) % (1L << k))
+        .groupBy(identity).map(_._2.length)
+      assert(r.getAs[Long]("n_categories") === cats.length.toLong)
+      assert(r.getAs[Long]("n_buckets_used") === loads.size.toLong)
+      assert(r.getAs[Long]("max_bucket_load") === loads.max.toLong)
+      val colliding = cats.length - loads.count(_ == 1)
+      assert(math.abs(r.getAs[Double]("collision_rate") -
+        colliding.toDouble / cats.length) <= 5.1e-5)
+    }
+    // more buckets never collide more
+    val ratesByK = rows.map(_.getAs[Double]("collision_rate"))
+    assert(ratesByK.sliding(2).forall { case Array(a, b) => b <= a + 1e-12 })
+  }
 }
