@@ -1887,6 +1887,111 @@ object TradeAnalytics extends QueryModule {
       |FROM ranked WHERE neg_rank <= 4
       |ORDER BY user_id, neg_rank""".stripMargin
 
+  /** q217: hard-negative mining — the contrastive-training upgrade over
+    * q212's random negatives: for each customer, the items MOST SIMILAR
+    * to their basket that they did NOT buy. Random negatives teach a
+    * model almost nothing once it separates popular from obscure; hard
+    * negatives (near the decision boundary) are what actually move
+    * retrieval metrics. Candidates come from each basket item's top-5
+    * co-purchase neighbors (q204's kernel extended to every item), are
+    * anti-joined against the user's positives, scored by the best
+    * cosine across the basket, and the top-3 per user keep rank order.
+    *
+    * Scale shape: candidate volume is |baskets| × 5 (the neighbor-list
+    * cap), never |users| × |catalog|; the dedup/anti/top-3 steps are
+    * keyed aggregations and a per-user window over ≤ 5·|basket| rows.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    val keep = baskets.groupBy(col("cust")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 256).select(col("cust"))
+    val b = baskets.join(keep, Seq("cust")).persist()
+    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust"))
+    val posts = b.join(itemN, Seq("item"))
+      .select(col("cust"), struct(col("item").as("doc_id"),
+        col("n_cust").cast("int").as("nsh")).as("e"))
+      .groupBy(col("cust")).agg(collect_list(col("e")).as("ds"))
+    val pairs = posts.select(explode(
+        graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
+      .select(col("p.*"))
+      .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
+      .agg(count(lit(1)).as("co"))
+    val sym = pairs.select(col("doc_a").as("item"), col("doc_b").as("neighbor"),
+        col("co"), col("nsh_a").as("ni"), col("nsh_b").as("nn"))
+      .unionAll(pairs.select(col("doc_b").as("item"), col("doc_a").as("neighbor"),
+        col("co"), col("nsh_b").as("ni"), col("nsh_a").as("nn")))
+      .withColumn("cosine", col("co").cast("double") /
+        sqrt(col("ni").cast("double") * col("nn")))
+    val wItem = Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+    val nb5 = sym.withColumn("nrk", row_number().over(wItem))
+      .filter(col("nrk") <= 5)
+      .select(col("item"), col("neighbor"), col("cosine"))
+    val cand = b.join(nb5, Seq("item"))
+      .groupBy(col("cust"), col("neighbor"))
+      .agg(max(col("cosine")).as("score"))
+    val hard = cand.join(
+      b.select(col("cust"), col("item").as("neighbor")),
+      Seq("cust", "neighbor"), "left_anti")
+    val wUser = Window.partitionBy(col("cust"))
+      .orderBy(col("score").desc, col("neighbor"))
+    hard.withColumn("rank", row_number().over(wUser))
+      .filter(col("rank") <= 3)
+      .select(col("cust").as("user_id"), col("rank"),
+        col("neighbor").as("item"), round(col("score"), 4).as("score"))
+      .orderBy(col("user_id"), col("rank"))
+  }
+
+  private val hardNegativesSql =
+    """WITH baskets AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), keep AS (
+      |  SELECT cust FROM baskets GROUP BY cust HAVING count(*) <= 256
+      |), b AS (
+      |  SELECT baskets.* FROM baskets JOIN keep USING (cust)
+      |), itemn AS (
+      |  SELECT item, count(*) AS n_cust FROM b GROUP BY item
+      |), pairs AS (
+      |  SELECT x.item AS ia, y.item AS ib, count(*) AS co
+      |  FROM b x JOIN b y ON x.cust = y.cust AND x.item < y.item
+      |  GROUP BY x.item, y.item
+      |), sym AS (
+      |  SELECT ia AS item, ib AS neighbor, co FROM pairs
+      |  UNION ALL
+      |  SELECT ib, ia, co FROM pairs
+      |), scored AS (
+      |  SELECT s.item, s.neighbor,
+      |    s.co::DOUBLE / sqrt(a.n_cust::DOUBLE * b2.n_cust) AS cosine
+      |  FROM sym s JOIN itemn a ON s.item = a.item
+      |  JOIN itemn b2 ON s.neighbor = b2.item
+      |), nb5 AS (
+      |  SELECT item, neighbor, cosine FROM (
+      |    SELECT item, neighbor, cosine,
+      |      row_number() OVER (PARTITION BY item
+      |        ORDER BY cosine DESC, neighbor) AS nrk
+      |    FROM scored) WHERE nrk <= 5
+      |), cand AS (
+      |  SELECT b.cust, n.neighbor, max(n.cosine) AS score
+      |  FROM b JOIN nb5 n ON b.item = n.item
+      |  GROUP BY b.cust, n.neighbor
+      |), hard AS (
+      |  SELECT c.cust, c.neighbor, c.score FROM cand c
+      |  ANTI JOIN b ON c.cust = b.cust AND c.neighbor = b.item
+      |)
+      |SELECT cust AS user_id, rank::INT AS rank, neighbor AS item,
+      |  round(score, 4) AS score
+      |FROM (
+      |  SELECT cust, neighbor, score,
+      |    row_number() OVER (PARTITION BY cust
+      |      ORDER BY score DESC, neighbor) AS rank
+      |  FROM hard) WHERE rank <= 3
+      |ORDER BY user_id, rank""".stripMargin
+
   /** q201: price–volume–mix bridge — the waterfall decomposition finance
     * runs on every period-over-period revenue change: per part brand,
     * ΔRev between two adjacent one-year ship windows splits into a
@@ -2182,5 +2287,6 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q201_price_volume_mix", priceVolumeMix, Some(priceVolumeMixSql)),
     QueryDef("q204_item_neighbors", itemNeighbors, Some(itemNeighborsSql)),
     QueryDef("q212_negative_samples", negativeSamples, Some(negativeSamplesSql)),
+    QueryDef("q217_hard_negatives", hardNegatives, Some(hardNegativesSql)),
   )
 }

@@ -925,4 +925,46 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(again.toSeq === rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq)
   }
 
+  test("q217: hard negatives match a driver-side neighbor-list replay") {
+    val baskets = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("l_partkey")))
+    val byCust = baskets.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).toSet }
+      .filter(_._2.size <= 256)
+    val itemN = byCust.values.toSeq.flatten.groupBy(identity)
+      .map { case (i, g) => i -> g.size }
+    val co = scala.collection.mutable.Map[(Long, Long), Int]()
+    byCust.values.foreach { items =>
+      val s = items.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.size)
+        co((s(i), s(j))) = co.getOrElse((s(i), s(j)), 0) + 1
+    }
+    def neighbors(q: Long): Seq[(Long, Double)] =
+      co.iterator.flatMap { case ((a, b), c) =>
+        if (a == q) Some((b, c)) else if (b == q) Some((a, c)) else None
+      }.map { case (nb, c) =>
+        (nb, c.toDouble / math.sqrt(itemN(q).toDouble * itemN(nb)))
+      }.toSeq.sortBy { case (nb, cos) => (-cos, nb) }.take(5)
+    val expected = byCust.toSeq.sortBy(_._1).flatMap { case (u, items) =>
+      val cand = items.toSeq.flatMap(neighbors)
+        .groupBy(_._1).map { case (nb, g) => nb -> g.map(_._2).max }
+        .filterNot { case (nb, _) => items(nb) }
+      cand.toSeq.sortBy { case (nb, sc) => (-sc, nb) }.take(3).zipWithIndex
+        .map { case ((nb, sc), r) => (u, r + 1) -> (nb, sc) }
+    }.toMap
+    val rows = TradeAnalytics.hardNegatives(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("user_id"), r.getAs[Int]("rank"))
+      val (nb, sc) = expected(key)
+      assert(r.getAs[Long]("item") === nb, s"item at $key")
+      assert(math.abs(r.getAs[Double]("score") - sc) <= 5.1e-5)
+      // never a positive
+      assert(!byCust(key._1)(r.getAs[Long]("item")))
+    }
+  }
+
 }
