@@ -97,6 +97,75 @@ object Curation extends QueryModule {
        |    AS chunk_id
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q218: packing-efficiency audit across context budgets — before
+    * committing a context length, measure what each candidate costs on
+    * the real corpus under q63's concat-stream packing: for budgets
+    * {512, 1024, 2048}, the sequence count (Σ per-source
+    * ceil(tokens/B)), the fill rate (token mass over sequence
+    * capacity — the padding bill), and how many documents straddle a
+    * sequence boundary (the attention-mask complexity bill). Bigger
+    * budgets pad more but split less; this emits the actual tradeoff
+    * curve instead of folklore.
+    *
+    * Scale shape: one token-count pass with the q63 running-offset
+    * window per source, a 3-budget spine explode per document, and a
+    * per-budget rollup — all exact integer arithmetic.
+    */
+  def packingEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val offs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+    val budgets = explode(array(lit(512L), lit(1024L), lit(2048L))).as("budget")
+    val perDoc = offs.select(col("source"), col("n_tokens"),
+        col("start_off"), col("end_off"), budgets)
+      .withColumn("split",
+        when(col("n_tokens") > 0 &&
+          expr("start_off div budget") =!= expr("(end_off - 1) div budget"), 1L)
+          .otherwise(0L))
+    val perSource = perDoc.groupBy(col("budget"), col("source"))
+      .agg(max(col("end_off")).as("tot"),
+        count(lit(1)).as("n_docs"),
+        sum(col("split")).as("n_split"))
+      .withColumn("n_seq", expr("(tot + budget - 1) div budget"))
+    perSource.groupBy(col("budget"))
+      .agg(sum(col("n_seq")).cast("bigint").as("n_sequences"),
+        sum(col("n_split")).cast("bigint").as("n_split_docs"),
+        round(sum(col("tot")).cast("double") /
+          (sum(col("n_seq") * col("budget"))), 4).as("fill_rate"),
+        round(sum(col("n_split")).cast("double") / sum(col("n_docs")), 4)
+          .as("split_rate"))
+      .orderBy(col("budget"))
+  }
+
+  private val packingEfficiencySql =
+    """WITH offs AS (
+      |  SELECT source, doc_id,
+      |    len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+      |    sum(len(regexp_extract_all(text, '\S+')))
+      |      OVER (PARTITION BY source ORDER BY doc_id)::BIGINT AS end_off
+      |  FROM documents
+      |), perdoc AS (
+      |  SELECT source, b.budget, n_tokens, end_off,
+      |    end_off - n_tokens AS start_off,
+      |    CASE WHEN n_tokens > 0 AND
+      |      (end_off - n_tokens) // b.budget <> (end_off - 1) // b.budget
+      |      THEN 1 ELSE 0 END AS split
+      |  FROM offs CROSS JOIN (
+      |    SELECT unnest([512, 1024, 2048])::BIGINT AS budget) b
+      |), persrc AS (
+      |  SELECT budget, source, max(end_off) AS tot, count(*) AS n_docs,
+      |    sum(split) AS n_split,
+      |    (max(end_off) + budget - 1) // budget AS n_seq
+      |  FROM perdoc GROUP BY budget, source
+      |)
+      |SELECT budget, sum(n_seq)::BIGINT AS n_sequences,
+      |  sum(n_split)::BIGINT AS n_split_docs,
+      |  round(sum(tot)::DOUBLE / sum(n_seq * budget), 4) AS fill_rate,
+      |  round(sum(n_split)::DOUBLE / sum(n_docs), 4) AS split_rate
+      |FROM persrc GROUP BY budget ORDER BY budget""".stripMargin
+
   // --- embedding quantization QA ----------------------------------------
 
   /** q64: int8 symmetric quantization round-trip QA over the embedding
@@ -1089,5 +1158,7 @@ object Curation extends QueryModule {
     QueryDef("q195_connected_components", connectedComponents,
       Some(connectedComponentsSql)),
     QueryDef("q209_curation_funnel", curationFunnel, Some(curationFunnelSql)),
+    QueryDef("q218_packing_efficiency", packingEfficiency,
+      Some(packingEfficiencySql)),
   )
 }

@@ -214,6 +214,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q218: packing tradeoff curve matches a driver-side replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split("\\s+").count(_.nonEmpty).toLong))
+    val expected = Seq(512L, 1024L, 2048L).map { b =>
+      var nSeq = 0L; var nSplit = 0L; var totAll = 0L; var nDocs = 0L
+      docs.groupBy(_._1).values.foreach { g =>
+        var off = 0L
+        g.toSeq.sortBy(_._2).foreach { case (_, _, nt) =>
+          val start = off; val end = off + nt
+          if (nt > 0 && start / b != (end - 1) / b) nSplit += 1
+          off = end
+          nDocs += 1
+        }
+        totAll += off
+        nSeq += (off + b - 1) / b
+      }
+      b -> (nSeq, nSplit, totAll.toDouble / (nSeq * b),
+        nSplit.toDouble / nDocs)
+    }.toMap
+    val rows = Curation.packingEfficiency(spark, sfDir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("budget")
+      val (ns, nsp, fill, sr) = expected(b)
+      assert(r.getAs[Long]("n_sequences") === ns, s"budget $b")
+      assert(r.getAs[Long]("n_split_docs") === nsp)
+      assert(math.abs(r.getAs[Double]("fill_rate") - fill) <= 5.1e-5)
+      assert(math.abs(r.getAs[Double]("split_rate") - sr) <= 5.1e-5)
+    }
+    // the tradeoff is real: split rate never increases with budget
+    val splits = rows.sortBy(_.getAs[Long]("budget"))
+      .map(_.getAs[Double]("split_rate"))
+    assert(splits.sliding(2).forall { case Array(a, b) => b <= a + 1e-12 })
+  }
+
   test("mixtureResample: temperature flattens the mixture (heavier sources sample at lower rates)") {
     val rows = Curation.mixtureResample(spark, sfDir).collect()
     assert(rows.length === 20)
