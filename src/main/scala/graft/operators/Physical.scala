@@ -254,6 +254,93 @@ object Physical extends QueryModule {
        |ORDER BY join_key""".stripMargin
   }
 
+  /** q219: join-cardinality estimator audit — the sanity check behind
+    * every cost-based join decision: for the three workhorse joins
+    * (orders⋈customer, lineitem⋈orders, lineitem⋈part), compare the
+    * textbook uniformity estimate |A|·|B| / max(ndv_A, ndv_B) against
+    * the EXACT join cardinality, reporting the misestimate factor. A
+    * factor far from 1 on a production key is how optimizers pick the
+    * wrong join order — measuring it on the real keys is the audit.
+    * Every input (row counts, exact NDVs, exact join counts) is an
+    * integer; the estimate and factor are single fixed-order ratios.
+    *
+    * Scale shape: per join, two count/NDV aggregations plus the real
+    * equi-join count — the same passes an ANALYZE TABLE would pay.
+    */
+  def joinCardinalityAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, a: DataFrame, ka: String, b: DataFrame,
+        kb: String): DataFrame = {
+      val sa = a.agg(count(lit(1)).as("na"), count_distinct(col(ka)).as("da"))
+      val sb = b.agg(count(lit(1)).as("nb"), count_distinct(col(kb)).as("db"))
+      val actual = a.join(b, col(ka) === col(kb))
+        .agg(count(lit(1)).as("actual"))
+      sa.crossJoin(sb).crossJoin(actual)
+        .withColumn("mnd", greatest(col("da"), col("db")))
+        // integer div, not double /: the float quotient could round up
+        // across an integer boundary and disagree with the oracle's //
+        .withColumn("est", expr("(na * nb) div mnd"))
+        .select(lit(name).as("join_key"),
+          col("na").cast("bigint").as("rows_a"),
+          col("nb").cast("bigint").as("rows_b"),
+          col("mnd").cast("bigint").as("max_ndv"),
+          col("est").cast("bigint").as("estimated"),
+          col("actual").cast("bigint").as("actual"),
+          round(col("actual").cast("double") / col("est"), 4)
+            .as("actual_over_est"))
+    }
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    Seq(
+      audit("o_custkey", orders, "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      audit("l_orderkey", li, "l_orderkey", orders, "o_orderkey"),
+      audit("l_partkey", li, "l_partkey", Tables.part(spark, dir), "p_partkey"),
+      // the m:n case, where uniformity can actually misfire
+      audit("nationkey_mn", Tables.customer(spark, dir), "c_nationkey",
+        Tables.supplier(spark, dir), "s_nationkey"))
+      .reduce(_ unionAll _)
+      .orderBy(col("join_key"))
+  }
+
+  private val joinCardinalityAuditSql =
+    """WITH j AS (
+      |  SELECT 'o_custkey' AS join_key,
+      |    (SELECT count(*) FROM orders) AS rows_a,
+      |    (SELECT count(*) FROM customer) AS rows_b,
+      |    greatest((SELECT count(DISTINCT o_custkey) FROM orders),
+      |             (SELECT count(DISTINCT c_custkey) FROM customer)) AS max_ndv,
+      |    (SELECT count(*) FROM orders o
+      |       JOIN customer c ON o.o_custkey = c.c_custkey) AS actual
+      |  UNION ALL
+      |  SELECT 'l_orderkey',
+      |    (SELECT count(*) FROM lineitem), (SELECT count(*) FROM orders),
+      |    greatest((SELECT count(DISTINCT l_orderkey) FROM lineitem),
+      |             (SELECT count(DISTINCT o_orderkey) FROM orders)),
+      |    (SELECT count(*) FROM lineitem l
+      |       JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |  UNION ALL
+      |  SELECT 'l_partkey',
+      |    (SELECT count(*) FROM lineitem), (SELECT count(*) FROM part),
+      |    greatest((SELECT count(DISTINCT l_partkey) FROM lineitem),
+      |             (SELECT count(DISTINCT p_partkey) FROM part)),
+      |    (SELECT count(*) FROM lineitem l
+      |       JOIN part p ON l.l_partkey = p.p_partkey)
+      |  UNION ALL
+      |  SELECT 'nationkey_mn',
+      |    (SELECT count(*) FROM customer), (SELECT count(*) FROM supplier),
+      |    greatest((SELECT count(DISTINCT c_nationkey) FROM customer),
+      |             (SELECT count(DISTINCT s_nationkey) FROM supplier)),
+      |    (SELECT count(*) FROM customer c
+      |       JOIN supplier s ON c.c_nationkey = s.s_nationkey)
+      |)
+      |SELECT join_key, rows_a::BIGINT AS rows_a, rows_b::BIGINT AS rows_b,
+      |  max_ndv::BIGINT AS max_ndv,
+      |  (rows_a * rows_b // max_ndv)::BIGINT AS estimated,
+      |  actual::BIGINT AS actual,
+      |  round(actual::DOUBLE / (rows_a * rows_b // max_ndv), 4)
+      |    AS actual_over_est
+      |FROM j ORDER BY join_key""".stripMargin
+
   /** q214: format round-trip audit — the source/sink surface proven
     * UNDER THE ORACLE GATE, not just in a spec: a slim orders slice is
     * written and re-read through every supported format (parquet, ORC,
@@ -302,5 +389,7 @@ object Physical extends QueryModule {
     QueryDef("q187_join_skew_profile", joinSkewProfile,
       Some(joinSkewProfileSql)),
     QueryDef("q214_format_roundtrip", formatRoundtrip, Some(formatRoundtripSql)),
+    QueryDef("q219_join_cardinality", joinCardinalityAudit,
+      Some(joinCardinalityAuditSql)),
   )
 }

@@ -78,4 +78,33 @@ class PhysicalSpec extends SparkSpec {
       assert(skew >= 1.0 - 1e-9, "max/mean is at least 1")
     }
   }
+
+  test("q219: estimates and actuals match independent recounts") {
+    val rows = Physical.joinCardinalityAudit(spark, sfDir).collect()
+    assert(rows.length === 4)
+    val byKey = rows.map(r => r.getAs[String]("join_key") -> r).toMap
+    // FK joins: every fact row matches exactly one dim row, so the
+    // actual count equals the fact row count
+    Seq("o_custkey" -> Tables.orders(spark, sfDir),
+      "l_orderkey" -> Tables.lineitem(spark, sfDir),
+      "l_partkey" -> Tables.lineitem(spark, sfDir)).foreach { case (k, fact) =>
+      assert(byKey(k).getAs[Long]("actual") === fact.count(), s"actual for $k")
+    }
+    // m:n: recount via per-nation cross products
+    val cByNat = Tables.customer(spark, sfDir).groupBy(col("c_nationkey"))
+      .count().collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+    val sByNat = Tables.supplier(spark, sfDir).groupBy(col("s_nationkey"))
+      .count().collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getLong(1)).toMap
+    val mn = cByNat.map { case (n, c) => c * sByNat.getOrElse(n, 0L) }.sum
+    assert(byKey("nationkey_mn").getAs[Long]("actual") === mn)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("estimated")
+      assert(est === r.getAs[Long]("rows_a") * r.getAs[Long]("rows_b") /
+        r.getAs[Long]("max_ndv"))
+      assert(math.abs(r.getAs[Double]("actual_over_est") -
+        r.getAs[Long]("actual").toDouble / est) <= 5.1e-5)
+    }
+  }
 }
