@@ -45,6 +45,9 @@ object GraftFunctions {
     ("deflate_ratio",
       new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
       (exprs: Seq[Expression]) => DeflateRatio(exprs.head)),
+    ("simhash_md5_60",
+      new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5_60"),
+      (exprs: Seq[Expression]) => SimHashMd5(exprs.head)),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -197,7 +197,9 @@ object SqlSurface extends QueryModule {
       |)
       |SELECT * FROM ns CROSS JOIN rg""".stripMargin
 
-  override val defs: Seq[QueryDef] = Seq(
+  // lazy: q220's SQL val is declared below this list (a strict val would
+  // capture null at object init — same fix as Governance/Similarity)
+  override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q76_lateral_topn", (s, d) => withViews(s, d)(lateralSql), Some(lateralSql)),
     QueryDef("q48_full_outer", (s, d) => withViews(s, d)(fullOuterSql), Some(fullOuterSql)),
     QueryDef("q49_grouping_sets", (s, d) => withViews(s, d)(groupingSetsSql), Some(groupingSetsSql)),
@@ -206,5 +208,56 @@ object SqlSurface extends QueryModule {
     QueryDef("q59_exists_subquery", (s, d) => withViews(s, d)(existsSql), Some(existsSql)),
     QueryDef("q115_band_join", bandJoin, Some(bandJoinSql)),
     QueryDef("q116_null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
+    QueryDef("q220_sql_custom_expr", sqlCustomExpr, Some(sqlCustomExprSql)),
   )
+
+  /** q220: the injected-function SQL surface under the oracle gate — a
+    * pure `spark.sql` query calling the CUSTOM codegen'd expression
+    * `simhash_md5_60` (registered through `SparkSessionExtensions` /
+    * `GraftFunctions.register`) as if it were a builtin: per language,
+    * the document count, distinct 60-bit signatures, and the mean
+    * signature popcount. The DuckDB oracle replays the signature with
+    * the portable md5 digit-fold (q41's construction), so a drift in
+    * the expression's bit math — not just its plumbing — fails the
+    * driver's hash compare. Complements q41, which exercises the same
+    * expression through the Column API.
+    */
+  def sqlCustomExpr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("docs_q220")
+    spark.sql(
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT sig) AS n_distinct_sigs,
+        |  round(avg(cast(bit_count(sig) AS DOUBLE)), 4) AS avg_popcount
+        |FROM (
+        |  SELECT lang, simhash_md5_60(split(text, ' ')) AS sig
+        |  FROM docs_q220)
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private val sqlCustomExprSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |), hashed AS (
+      |  SELECT doc_id, lang,
+      |    list_reduce(list_transform(generate_series(1, 15),
+      |      i -> strpos('0123456789abcdef', substring(md5(tok), i, 1)) - 1),
+      |      (acc, d) -> acc * 16 + d) AS h
+      |  FROM toks
+      |), votes AS (
+      |  SELECT doc_id, lang, bb.b AS b,
+      |    sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bb
+      |  GROUP BY doc_id, lang, bb.b
+      |), sigs AS (
+      |  SELECT doc_id, lang,
+      |    sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+      |      AS sig
+      |  FROM votes GROUP BY doc_id, lang
+      |)
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |  count(DISTINCT sig)::BIGINT AS n_distinct_sigs,
+      |  round(avg(bit_count(sig)::DOUBLE), 4) AS avg_popcount
+      |FROM sigs GROUP BY lang ORDER BY lang""".stripMargin
 }

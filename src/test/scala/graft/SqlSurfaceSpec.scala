@@ -29,4 +29,24 @@ class SqlSurfaceSpec extends SparkSpec {
     val cb = e.filter(pmod(col("event_id"), lit(2)) === 1).count()
     assert(nsPairs - rgPairs === ca * cb)
   }
+
+  test("q220: SQL-registered simhash_md5_60 equals the Column-API form") {
+    val viaSql = SqlSurface.sqlCustomExpr(spark, sfDir).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_distinct_sigs"),
+          r.getAs[Double]("avg_popcount"))).toMap
+    val viaColumn = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        graft.functions.HashFunctions.simhashMd5(split(col("text"), " "))
+          .as("sig"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("sig")).as("d"),
+        round(avg(bit_count(col("sig")).cast("double")), 4).as("p"))
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("d"), r.getAs[Double]("p"))).toMap
+    assert(viaSql === viaColumn)
+    // popcount of a 60-bit signature stays in range
+    viaSql.values.foreach { case (_, _, p) => assert(p >= 0 && p <= 60) }
+  }
 }
