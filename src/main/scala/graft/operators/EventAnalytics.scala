@@ -1488,6 +1488,98 @@ object EventAnalytics extends QueryModule {
       |    AS label_purchase
       |FROM agg WHERE f_events > 0 ORDER BY user_id""".stripMargin
 
+  /** q221: feature screening by exact AUC — for each q211 feature, the
+    * probability a random positive outranks a random negative on that
+    * feature alone (AUC = U/(n₁·n₀), the Mann–Whitney identity). This
+    * is the first filter an ML team runs on a candidate feature table:
+    * a feature with AUC ≈ 0.5 carries no signal, below 0.5 it ranks
+    * backwards. Ties use average ranks, computed on the VALUE DOMAIN
+    * with q172's 2×-scaled integer discipline: 2·avgrank = 2·cum_before
+    * + m + 1 stays integral, 2·R₁ accumulates as exact integer sums,
+    * U₂ = 2·R₁ − n₁(n₁+1), and the single division AUC = U₂/(2·n₁·n₀)
+    * happens once at the end — bit-identical across engines.
+    *
+    * Scale shape: the feature table melts to (feature, value) pairs,
+    * aggregates to the value domain (bounded by distinct feature
+    * values, not users), and the rank algebra runs per feature over
+    * that reduced relation.
+    */
+  def featureAuc(spark: SparkSession, dir: String): DataFrame = {
+    val feats = propensityFeatures(spark, dir)
+    val melted = feats.select(col("label_purchase").cast("long").as("y"),
+      expr("""stack(5,
+        |'f_events', f_events,
+        |'f_purchases', f_purchases,
+        |'f_value_c', f_value_c,
+        |'f_active_days', f_active_days,
+        |'f_recency_days', f_recency_days) AS (feature, v)""".stripMargin))
+    val byV = melted.groupBy(col("feature"), col("v"))
+      .agg(count(lit(1)).as("m"), sum(col("y")).as("pos"))
+    val wCum = Window.partitionBy(col("feature")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byV
+      .withColumn("cum", sum(col("m")).over(wCum))
+      .withColumn("rank2", (col("cum") - col("m")) * 2 + col("m") + 1)
+      .groupBy(col("feature"))
+      .agg(sum(col("pos")).as("n1"),
+        sum(col("m") - col("pos")).as("n0"),
+        sum(col("pos") * col("rank2")).as("r1x2"))
+      .select(col("feature"),
+        col("n1").cast("bigint").as("n_pos"),
+        col("n0").cast("bigint").as("n_neg"),
+        round((col("r1x2") - col("n1") * (col("n1") + 1)).cast("double") /
+          (col("n1") * col("n0") * 2), 4).as("auc"))
+      .orderBy(col("feature"))
+  }
+
+  private val featureAucSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value, epoch_us(ts) AS us FROM events
+      |), c AS (
+      |  SELECT max(us) - 604800000000 AS cut FROM ev
+      |), agg AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN us <= (SELECT cut FROM c) THEN 1 ELSE 0 END)
+      |      AS f_events,
+      |    sum(CASE WHEN us <= (SELECT cut FROM c)
+      |             AND event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS f_purchases,
+      |    sum(CASE WHEN us <= (SELECT cut FROM c)
+      |        THEN round(value * 100)::BIGINT ELSE 0 END) AS f_value_c,
+      |    count(DISTINCT CASE WHEN us <= (SELECT cut FROM c)
+      |        THEN us // 86400000000 END) AS f_active_days,
+      |    min(CASE WHEN us <= (SELECT cut FROM c)
+      |        THEN ((SELECT cut FROM c) - us) // 86400000000 END)
+      |      AS f_recency_days,
+      |    sum(CASE WHEN us > (SELECT cut FROM c)
+      |             AND event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS post_purchases
+      |  FROM ev GROUP BY user_id
+      |), feats AS (
+      |  SELECT CASE WHEN post_purchases > 0 THEN 1 ELSE 0 END AS y,
+      |    f_events, f_purchases, f_value_c, f_active_days, f_recency_days
+      |  FROM agg WHERE f_events > 0
+      |), melted AS (
+      |  SELECT y, 'f_events' AS feature, f_events::BIGINT AS v FROM feats
+      |  UNION ALL SELECT y, 'f_purchases', f_purchases FROM feats
+      |  UNION ALL SELECT y, 'f_value_c', f_value_c FROM feats
+      |  UNION ALL SELECT y, 'f_active_days', f_active_days FROM feats
+      |  UNION ALL SELECT y, 'f_recency_days', f_recency_days FROM feats
+      |), byv AS (
+      |  SELECT feature, v, count(*) AS m, sum(y) AS pos
+      |  FROM melted GROUP BY feature, v
+      |), ranked AS (
+      |  SELECT feature, v, m, pos,
+      |    (sum(m) OVER (PARTITION BY feature ORDER BY v
+      |       ROWS UNBOUNDED PRECEDING) - m) * 2 + m + 1 AS rank2
+      |  FROM byv
+      |)
+      |SELECT feature, sum(pos)::BIGINT AS n_pos,
+      |  sum(m - pos)::BIGINT AS n_neg,
+      |  round((sum(pos * rank2) - sum(pos) * (sum(pos) + 1))::DOUBLE
+      |    / (sum(pos) * sum(m - pos) * 2), 4) AS auc
+      |FROM ranked GROUP BY feature ORDER BY feature""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -1517,6 +1609,7 @@ object EventAnalytics extends QueryModule {
       Some(markovStationarySql)),
     QueryDef("q211_propensity_features", propensityFeatures,
       Some(propensityFeaturesSql)),
+    QueryDef("q221_feature_auc", featureAuc, Some(featureAucSql)),
   )
 
 }

@@ -579,4 +579,37 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(fp <= fe && fd <= fe)
     }
   }
+
+  test("q221: AUCs match a driver-side tied-rank recompute per feature") {
+    val feats = EventAnalytics.propensityFeatures(spark, sfDir).collect()
+    val cols = Seq("f_events", "f_purchases", "f_value_c",
+      "f_active_days", "f_recency_days")
+    def auc(pairs: Seq[(Long, Int)]): Double = {
+      val n1 = pairs.count(_._2 == 1).toLong
+      val n0 = pairs.size - n1
+      // average ranks over sorted values with ties
+      val sorted = pairs.sortBy(_._1)
+      var i = 0; var r1 = 0.0
+      while (i < sorted.size) {
+        var j = i
+        while (j < sorted.size && sorted(j)._1 == sorted(i)._1) j += 1
+        val avgRank = (i + 1 + j).toDouble / 2 // mean of ranks i+1..j
+        r1 += sorted.slice(i, j).count(_._2 == 1) * avgRank
+        i = j
+      }
+      (r1 - n1 * (n1 + 1) / 2.0) / (n1 * n0)
+    }
+    val rows = EventAnalytics.featureAuc(spark, sfDir).collect()
+    assert(rows.length === cols.size)
+    rows.foreach { r =>
+      val f = r.getAs[String]("feature")
+      val pairs = feats.toSeq.map(x =>
+        (x.getAs[Long](f), x.getAs[Int]("label_purchase")))
+      assert(math.abs(r.getAs[Double]("auc") - auc(pairs)) <= 5.1e-5, f)
+      val a = r.getAs[Double]("auc")
+      assert(a >= 0.0 && a <= 1.0)
+      assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") ===
+        feats.length.toLong)
+    }
+  }
 }
