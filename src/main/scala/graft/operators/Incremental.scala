@@ -216,6 +216,53 @@ object Incremental extends QueryModule {
       |  sum(coalesce(revb, 0) - coalesce(reva, 0))::BIGINT AS rev_delta_c
       |FROM d GROUP BY status ORDER BY status""".stripMargin
 
+  /** q222: incremental maintenance of a JOIN view — q112 proved
+    * merge ≡ recompute for a pure aggregate; this extends the proof to
+    * the join view `orders ⋈ customer → revenue by nation`: history
+    * (90% of orders by key hash) materializes the view, the delta batch
+    * (10%) contributes only `Δorders ⋈ customer` partials, and the two
+    * merge algebraically. The ORACLE is the full-recompute join over
+    * ALL orders — a hash-green run IS the delta-join identity
+    * ΔV = ΔA ⋈ B (B static), the foundation every materialized-view
+    * engine builds on. Work is proportional to the delta: the 90%
+    * history is never re-joined.
+    *
+    * Scale shape: two broadcast dim joins (one per batch, each linear
+    * in its batch), two nation-keyed partial aggregations, one ≤|nation|
+    * merge re-aggregation. Exact integer cents throughout, so the
+    * merged view is bit-identical to the recompute under any split.
+    */
+  def incrementalJoinView(spark: SparkSession, dir: String): DataFrame = {
+    val custNation = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("nation"))
+    def viewOf(orders: DataFrame): DataFrame = orders
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("nation"))
+      .agg(sum(col("c")).as("revenue_c"), count(lit(1)).as("n_orders"))
+    val orders = Tables.orders(spark, dir)
+    val history = orders.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+    val delta = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+    viewOf(history).unionByName(viewOf(delta))
+      .groupBy(col("nation"))
+      .agg(sum(col("revenue_c")).cast("bigint").as("revenue_c"),
+        sum(col("n_orders")).cast("bigint").as("n_orders"))
+      .orderBy(col("nation"))
+  }
+
+  private val incrementalJoinViewSql =
+    """SELECT n.n_name AS nation,
+      |  sum(round(o.o_totalprice * 100)::BIGINT)::BIGINT AS revenue_c,
+      |  count(*)::BIGINT AS n_orders
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY nation""".stripMargin
+
   /** q210: MERGE/upsert apply — the warehouse MERGE INTO, spelled as a
     * keyed full-outer join + branch matrix: a base snapshot (per-user
     * state from events up to 7 days before the newest event) absorbs
@@ -450,5 +497,7 @@ object Incremental extends QueryModule {
     QueryDef("q196_watchlist_diff", watchlistDiff, Some(watchlistDiffSql)),
     QueryDef("q207_rank_overlap", rankOverlap, Some(rankOverlapSql)),
     QueryDef("q210_merge_apply", mergeApply, Some(mergeApplySql)),
+    QueryDef("q222_incremental_join_view", incrementalJoinView,
+      Some(incrementalJoinViewSql)),
   )
 }

@@ -206,4 +206,22 @@ class IncrementalSpec extends SparkSpec {
       "deleted" -> (1L, 0L),
       "inserted" -> (2L, 400L + 600L)))
   }
+
+  test("q222: delta-join maintenance equals the full-recompute view exactly") {
+    val merged = Incremental.incrementalJoinView(spark, sfDir).collect()
+      .map(r => r.getAs[String]("nation") ->
+        (r.getAs[Long]("revenue_c"), r.getAs[Long]("n_orders"))).toMap
+    val full = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getAs[String]("n_name") ->
+        (r.getAs[Long]("rev"), r.getAs[Long]("n"))).toMap
+    assert(merged === full, "bit-identical to the recompute under the split")
+  }
 }
