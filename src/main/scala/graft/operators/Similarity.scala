@@ -735,6 +735,7 @@ object Similarity extends QueryModule {
       Some(truncationFidelitySql)),
     QueryDef("q202_semantic_composition", semanticComposition,
       Some(semanticCompositionSql)),
+    QueryDef("q223_hof_battery", hofBattery, Some(hofBatterySql)),
   )
 
   /** q202: semantic source composition — the cross-modal auto-labeling
@@ -805,4 +806,49 @@ object Similarity extends QueryModule {
       |FROM assigned a JOIN documents d ON a.vec_id = d.doc_id
       |GROUP BY d.source, a.assigned
       |ORDER BY d.source, assigned_label""".stripMargin
+
+  /** q223: higher-order-function battery — `filter` / `exists` /
+    * `transform` / ordered `aggregate` folds exercised in ONE declared
+    * query over the embedding arrays (SURVEY §2.6's array-function
+    * surface, proven against DuckDB's list_* twins): per label, the
+    * mean positive-dimension count (filter+size), how many vectors have
+    * any |x| > 0.5 dimension (exists), and the mean L2 energy via an
+    * ordered left fold (aggregate — array order is identical in both
+    * engines, so the fold is bit-deterministic per row; the per-label
+    * mean follows q150's rounded-avg discipline).
+    *
+    * Scale shape: map-only array math per row, one partial-aggregated
+    * rollup per label.
+    */
+  def hofBattery(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("pos_dims", size(filter(col("v"), x => x > 0)))
+      .withColumn("has_big", exists(col("v"), x => abs(x) > 0.5))
+      .withColumn("energy",
+        aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("bigint").as("n_vecs"),
+        round(avg(col("pos_dims")), 4).as("avg_pos_dims"),
+        sum(when(col("has_big"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_has_big_dim"),
+        round(avg(col("energy")), 4).as("avg_energy"))
+      .orderBy(col("label"))
+
+  private val hofBatterySql =
+    """WITH e AS (
+      |  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+      |), per AS (
+      |  SELECT label,
+      |    len(list_filter(v, x -> x > 0)) AS pos_dims,
+      |    len(list_filter(v, x -> abs(x) > 0.5)) > 0 AS has_big,
+      |    list_reduce(list_prepend(0.0::DOUBLE,
+      |      list_transform(v, x -> x * x)), (a, x) -> a + x) AS energy
+      |  FROM e
+      |)
+      |SELECT label, count(*)::BIGINT AS n_vecs,
+      |  round(avg(pos_dims), 4) AS avg_pos_dims,
+      |  sum(CASE WHEN has_big THEN 1 ELSE 0 END)::BIGINT AS n_has_big_dim,
+      |  round(avg(energy), 4) AS avg_energy
+      |FROM per GROUP BY label ORDER BY label""".stripMargin
 }

@@ -289,4 +289,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum ===
       vecs.count(v => srcOf.contains(v._1)).toLong)
   }
+
+  test("q223: HOF battery matches a driver-side array recompute") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("label"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getAs[Int]("label"), r.getSeq[Double](1)))
+    val expected = vecs.groupBy(_._1).map { case (l, g) =>
+      l -> (g.size.toLong,
+        g.map(_._2.count(_ > 0)).sum.toDouble / g.size,
+        g.count(_._2.exists(x => math.abs(x) > 0.5)).toLong,
+        g.map(_._2.foldLeft(0.0)((a, x) => a + x * x)).sum / g.size)
+    }
+    val rows = Similarity.hofBattery(spark, sfDir).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val l = r.getAs[Int]("label")
+      val (n, pd, big, en) = expected(l)
+      assert(r.getAs[Long]("n_vecs") === n)
+      assert(math.abs(r.getAs[Double]("avg_pos_dims") - pd) <= 5.1e-5)
+      assert(r.getAs[Long]("n_has_big_dim") === big)
+      assert(math.abs(r.getAs[Double]("avg_energy") - en) <= 5.1e-5)
+    }
+  }
 }
