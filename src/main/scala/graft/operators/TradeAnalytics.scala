@@ -2245,6 +2245,98 @@ object TradeAnalytics extends QueryModule {
       |  rev_c, round(zscore, 4) AS z
       |FROM z WHERE abs(zscore) >= 2.5 ORDER BY day""".stripMargin
 
+  /** q224: Theil-T inequality decomposition of customer spend across
+    * nations — the additive counterpart to q149's Lorenz/Gini view:
+    * T_total = T_between + Σ_g share_g · T_g, so each nation carries an
+    * exact between-group term plus its internal inequality contribution.
+    * Every ln operand is an exact BIGINT (cents, counts) and products
+    * inside ln are decomposed as ln-sums (ln x + ln n_g − ln S_g), so
+    * no overflow and both engines see identical doubles; the per-group
+    * term sum folds in c_custkey order via a cumulative window (the
+    * q171 ordered-fold discipline) for bit-identical IEEE accumulation.
+    *
+    * Scale shape: one per-customer aggregation shuffle, nation dim and
+    * the 25-row group/total aggregates broadcast; the only
+    * order-sensitive step is the per-nation cumulative fold, which a
+    * production run would relax to an unordered partial-aggregated sum
+    * (ulp-level nondeterminism) — the ordering here is the oracle
+    * determinism contract, not an algorithmic need.
+    */
+  def theilDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+    val nat = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val x = spend.join(nat, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("n_name"), col("cents"))
+    val grp = x.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_g"), sum(col("cents")).as("s_g"))
+    val tot = x.agg(sum(col("cents")).as("s_all"), count(lit(1)).as("n_all"))
+    val wCum = Window.partitionBy(col("n_name")).orderBy(col("c_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tg = x.join(broadcast(grp), Seq("n_name"))
+      .withColumn("term",
+        (col("cents").cast("double") / col("s_g")) *
+          (log(col("cents")) + log(col("n_g")) - log(col("s_g"))))
+      .withColumn("cum", sum(col("term")).over(wCum))
+      .groupBy(col("n_name"))
+      .agg(max_by(col("cum"), col("c_custkey")).as("t_g"))
+    grp.join(tg, Seq("n_name")).crossJoin(broadcast(tot))
+      .select(col("n_name"),
+        col("n_g").cast("long").as("n_cust"),
+        col("s_g").cast("long").as("spend_cents"),
+        round(col("s_g").cast("double") / col("s_all"), 6).as("spend_share"),
+        round((col("s_g").cast("double") / col("s_all")) *
+          (log(col("s_g")) + log(col("n_all")) -
+            log(col("s_all")) - log(col("n_g"))), 6).as("between_term"),
+        round(col("t_g"), 6).as("theil_within"),
+        round((col("s_g").cast("double") / col("s_all")) * col("t_g"), 6)
+          .as("within_contrib"))
+      .orderBy(col("n_name"))
+  }
+
+  private val theilDecompositionSql =
+    """WITH spend AS (
+      |  SELECT o_custkey, sum(round(o_totalprice * 100)::BIGINT) AS cents
+      |  FROM orders GROUP BY o_custkey
+      |), x AS (
+      |  SELECT c.c_custkey, n.n_name, s.cents
+      |  FROM spend s
+      |  JOIN customer c ON s.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |), grp AS (
+      |  SELECT n_name, count(*) AS n_g, sum(cents) AS s_g
+      |  FROM x GROUP BY n_name
+      |), tot AS (
+      |  SELECT sum(cents) AS s_all, count(*) AS n_all FROM x
+      |), terms AS (
+      |  SELECT x.n_name, x.c_custkey,
+      |    (x.cents::DOUBLE / g.s_g) *
+      |      (ln(x.cents) + ln(g.n_g) - ln(g.s_g)) AS term
+      |  FROM x JOIN grp g ON x.n_name = g.n_name
+      |), cums AS (
+      |  SELECT n_name, c_custkey,
+      |    sum(term) OVER (PARTITION BY n_name ORDER BY c_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM terms
+      |), tg AS (
+      |  SELECT n_name, arg_max(cum, c_custkey) AS t_g
+      |  FROM cums GROUP BY n_name
+      |)
+      |SELECT g.n_name AS n_name, g.n_g::BIGINT AS n_cust,
+      |  g.s_g::BIGINT AS spend_cents,
+      |  round(g.s_g::DOUBLE / t.s_all, 6) AS spend_share,
+      |  round((g.s_g::DOUBLE / t.s_all) *
+      |    (ln(g.s_g) + ln(t.n_all) - ln(t.s_all) - ln(g.n_g)), 6)
+      |    AS between_term,
+      |  round(tg.t_g, 6) AS theil_within,
+      |  round((g.s_g::DOUBLE / t.s_all) * tg.t_g, 6) AS within_contrib
+      |FROM grp g JOIN tg ON g.n_name = tg.n_name CROSS JOIN tot t
+      |ORDER BY n_name""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
@@ -2288,5 +2380,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q204_item_neighbors", itemNeighbors, Some(itemNeighborsSql)),
     QueryDef("q212_negative_samples", negativeSamples, Some(negativeSamplesSql)),
     QueryDef("q217_hard_negatives", hardNegatives, Some(hardNegativesSql)),
+    QueryDef("q224_theil_decomposition", theilDecomposition,
+      Some(theilDecompositionSql)),
   )
 }

@@ -967,4 +967,46 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q224: Theil terms match a driver-side replay and the decomposition closes") {
+    val natByCust = Tables.customer(spark, sfDir)
+      .join(Tables.nation(spark, sfDir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name")).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[String]("n_name")).toMap
+    val cents = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("c"))
+      .collect().map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("c"))
+    val byNation = cents.groupBy { case (k, _) => natByCust(k) }
+    val sAll = cents.map(_._2).sum.toDouble
+    val nAll = cents.length.toDouble
+    val rows = TradeAnalytics.theilDecomposition(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("n_name")).toSet === byNation.keySet)
+    rows.foreach { r =>
+      val g = byNation(r.getAs[String]("n_name"))
+      val sG = g.map(_._2).sum.toDouble
+      val nG = g.size.toDouble
+      val tG = g.sortBy(_._1).map { case (_, x) =>
+        (x / sG) * math.log(x * nG / sG)
+      }.sum
+      val bt = (sG / sAll) * math.log((sG / sAll) / (nG / nAll))
+      assert(r.getAs[Long]("n_cust") === g.size)
+      assert(r.getAs[Long]("spend_cents") === g.map(_._2).sum)
+      assert(math.abs(r.getAs[Double]("theil_within") - tG) < 1e-6)
+      assert(math.abs(r.getAs[Double]("between_term") - bt) < 1e-6)
+      assert(math.abs(r.getAs[Double]("within_contrib") - (sG / sAll) * tG) < 1e-6)
+      // Theil terms are non-negative within groups only in aggregate;
+      // the within-group index itself is always >= 0
+      assert(r.getAs[Double]("theil_within") >= -1e-9)
+    }
+    // decomposition identity: T_total = T_between + T_within
+    val tTotal = cents.sortBy(_._1).map { case (k, x) =>
+      val xd = x.toDouble
+      (xd / sAll) * math.log(xd * nAll / sAll)
+    }.sum
+    val tB = rows.map(_.getAs[Double]("between_term")).sum
+    val tW = rows.map(_.getAs[Double]("within_contrib")).sum
+    assert(math.abs(tTotal - (tB + tW)) < 1e-4)
+  }
+
 }
