@@ -497,6 +497,96 @@ object CorpusStats extends QueryModule {
       |        - 15.59, 4) AS fk_grade
       |FROM g ORDER BY source""".stripMargin
 
+  /** q225: bigram language-model cross-entropy per source — the
+    * CCNet-style perplexity filter: train an add-one-smoothed bigram
+    * model on ONE reference source (`src0`), score every source's
+    * bigram stream against it, and report per-source cross-entropy /
+    * perplexity plus the unseen-context rate. In a curation pipeline
+    * this ranks sources (and, ungrouped, documents) by distance from
+    * the reference domain; the in-domain source should score lowest.
+    *
+    * p(w2|w1) = (c2(w1 w2) + 1) / (c1(w1) + V): every ln operand is an
+    * exact integer (train counts + vocabulary size), the per-source
+    * reduction is Σ k·lnp / Σ k in one aggregate (q94's accepted
+    * unordered-double discipline under round-4).
+    *
+    * Scale shape: the model is a vocabulary²-bounded (Zipf-truncated in
+    * practice) relation built once; scoring is a (source,bigram)-keyed
+    * aggregate joined to the model on the bigram key — corpus-sized
+    * rows never carry payloads beyond the two words, and at 100 TB the
+    * join key would be a 64-bit hash of the bigram with the model side
+    * bucketed; no driver collect anywhere.
+    */
+  def crossEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val train = "src0"
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("t"))
+    val bgf = toks.filter(size(col("t")) >= 2)
+      .select(col("source"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("source"),
+        element_at(col("t"), col("i")).as("w1"),
+        concat_ws(" ", element_at(col("t"), col("i")),
+          element_at(col("t"), col("i") + 1)).as("b"))
+    val model2 = bgf.filter(col("source") === train)
+      .groupBy(col("b")).agg(count(lit(1)).as("c2"))
+    val model1 = bgf.filter(col("source") === train)
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.filter(col("source") === train)
+      .select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("vsz"))
+    val k = bgf.groupBy(col("source"), col("w1"), col("b"))
+      .agg(count(lit(1)).as("k"))
+    k.join(model2, Seq("b"), "left")
+      .join(model1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp",
+        log(coalesce(col("c2"), lit(0L)) + 1) -
+          log(coalesce(col("c1"), lit(0L)) + col("vsz")))
+      .withColumn("oov_k", when(col("c1").isNull, col("k")).otherwise(lit(0L)))
+      .groupBy(col("source"))
+      .agg(sum(col("k")).cast("bigint").as("n_bigrams"),
+        round(sum(col("oov_k")).cast("double") / sum(col("k")), 4)
+          .as("oov_context_rate"),
+        round(-sum(col("k") * col("lnp")) / sum(col("k")), 4)
+          .as("cross_entropy_nats"),
+        round(exp(-sum(col("k") * col("lnp")) / sum(col("k"))), 2)
+          .as("perplexity"))
+      .orderBy(col("source"))
+  }
+
+  private val crossEntropySql =
+    """WITH toks AS (
+      |  SELECT source, string_split(text, ' ') AS t FROM documents
+      |), bg AS (
+      |  SELECT source, t, unnest(generate_series(1, len(t) - 1)) AS i
+      |  FROM toks WHERE len(t) >= 2
+      |), bgf AS (
+      |  SELECT source, t[i] AS w1, t[i] || ' ' || t[i+1] AS b FROM bg
+      |), m2 AS (
+      |  SELECT b, count(*) AS c2 FROM bgf WHERE source = 'src0' GROUP BY b
+      |), m1 AS (
+      |  SELECT w1, count(*) AS c1 FROM bgf WHERE source = 'src0' GROUP BY w1
+      |), v AS (
+      |  SELECT count(DISTINCT w) AS vsz FROM (
+      |    SELECT unnest(t) AS w FROM toks WHERE source = 'src0')
+      |), k AS (
+      |  SELECT source, w1, b, count(*) AS k FROM bgf GROUP BY source, w1, b
+      |), scored AS (
+      |  SELECT k.source, k.k,
+      |    ln(coalesce(m2.c2, 0) + 1) - ln(coalesce(m1.c1, 0) + v.vsz) AS lnp,
+      |    CASE WHEN m1.c1 IS NULL THEN k.k ELSE 0 END AS oov_k
+      |  FROM k
+      |  LEFT JOIN m2 ON k.b = m2.b
+      |  LEFT JOIN m1 ON k.w1 = m1.w1
+      |  CROSS JOIN v
+      |)
+      |SELECT source, sum(k)::BIGINT AS n_bigrams,
+      |  round(sum(oov_k)::DOUBLE / sum(k), 4) AS oov_context_rate,
+      |  round(-sum(k * lnp) / sum(k), 4) AS cross_entropy_nats,
+      |  round(exp(-sum(k * lnp) / sum(k)), 2) AS perplexity
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q93_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
     QueryDef("q94_source_entropy", sourceEntropy, Some(sourceEntropySql)),
@@ -507,5 +597,6 @@ object CorpusStats extends QueryModule {
     QueryDef("q140_ks_length_test", ksLengthTest, Some(ksLengthTestSql)),
     QueryDef("q155_log_odds_words", logOddsWords, Some(logOddsWordsSql)),
     QueryDef("q182_readability", readability, Some(readabilitySql)),
+    QueryDef("q225_cross_entropy", crossEntropy, Some(crossEntropySql)),
   )
 }

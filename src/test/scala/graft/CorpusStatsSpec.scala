@@ -169,4 +169,38 @@ class CorpusStatsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("fk_grade") - grade) <= 5.1e-5)
     }
   }
+
+  test("q225: cross-entropy matches a driver-side bigram-model replay") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).toSeq))
+    val trainToks = docs.filter(_._1 == "src0").flatMap(_._2)
+    val vsz = trainToks.distinct.size.toLong
+    def bigrams(t: Seq[String]) = t.sliding(2).filter(_.size == 2).toSeq
+    val trainBgs = docs.filter(_._1 == "src0").flatMap(d => bigrams(d._2))
+    val c2 = trainBgs.groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val c1 = trainBgs.groupBy(_.head).map { case (w, g) => w -> g.size.toLong }
+    val expected = docs.groupBy(_._1).map { case (src, g) =>
+      val bgs = g.flatMap(d => bigrams(d._2))
+      val n = bgs.size.toLong
+      val sumLnp = bgs.map { b =>
+        math.log((c2.getOrElse(b, 0L) + 1).toDouble) -
+          math.log((c1.getOrElse(b.head, 0L) + vsz).toDouble)
+      }.sum
+      val oovK = bgs.count(b => !c1.contains(b.head)).toLong
+      src -> (n, oovK, -sumLnp / n)
+    }
+    val rows = CorpusStats.crossEntropy(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (n, oovK, h) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_bigrams") === n)
+      assert(math.abs(r.getAs[Double]("oov_context_rate") - oovK.toDouble / n) <= 5.1e-5)
+      assert(math.abs(r.getAs[Double]("cross_entropy_nats") - h) <= 5.1e-5)
+      assert(math.abs(r.getAs[Double]("perplexity") - math.exp(h)) <= 5.1e-2 + math.exp(h) * 1e-6)
+    }
+    // the training source has seen every one of its own contexts
+    val selfRow = rows.find(_.getAs[String]("source") == "src0").get
+    assert(selfRow.getAs[Double]("oov_context_rate") === 0.0)
+  }
 }
