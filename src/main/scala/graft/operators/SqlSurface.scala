@@ -209,7 +209,47 @@ object SqlSurface extends QueryModule {
     QueryDef("q115_band_join", bandJoin, Some(bandJoinSql)),
     QueryDef("q116_null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     QueryDef("q220_sql_custom_expr", sqlCustomExpr, Some(sqlCustomExprSql)),
+    QueryDef("q226_recursive_cte", recursiveCte, Some(recursiveCteSql)),
   )
+
+  /** q226: WITH RECURSIVE executed by Spark itself (4.x recursive-CTE
+    * support) — a damped revenue-momentum index chained month over
+    * month: idx_m = idx_{m-1} · (1 + ½·(rev_m/rev_{m-1} − 1)). The
+    * recurrence is deliberately NON-telescoping (the ½ damping makes
+    * the product path-dependent), so no window/ln-exp rewrite computes
+    * it — this is the shape that genuinely needs iteration-until-done,
+    * and both engines chain the identical double sequence so parity is
+    * bit-exact. The SQL text is ANSI-portable and is its own DuckDB
+    * oracle (the module's q48 discipline).
+    *
+    * Scale shape: recursion runs over the ~84-row MONTH relation (one
+    * aggregation shuffle reduces the fact table first); each step is a
+    * 1-row join — the driver never loops, Spark's UnionLoop executes
+    * the fixpoint.
+    */
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(recursiveCteSql)
+  }
+
+  private val recursiveCteSql =
+    """WITH RECURSIVE monthly AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM orders GROUP BY 1
+      |), numbered AS (
+      |  SELECT m, rev, row_number() OVER (ORDER BY m) AS i FROM monthly
+      |), chain AS (
+      |  SELECT i, m, rev, CAST(100.0 AS DOUBLE) AS idx
+      |  FROM numbered WHERE i = 1
+      |  UNION ALL
+      |  SELECT n.i, n.m, n.rev,
+      |    c.idx * (1.0 + 0.5 * (CAST(n.rev AS DOUBLE) / c.rev - 1.0))
+      |  FROM chain c JOIN numbered n ON n.i = c.i + 1
+      |)
+      |SELECT m AS month, rev AS rev_cents, round(idx, 6) AS momentum_idx
+      |FROM chain ORDER BY month""".stripMargin
 
   /** q220: the injected-function SQL surface under the oracle gate — a
     * pure `spark.sql` query calling the CUSTOM codegen'd expression

@@ -49,4 +49,26 @@ class SqlSurfaceSpec extends SparkSpec {
     // popcount of a 60-bit signature stays in range
     viaSql.values.foreach { case (_, _, p) => assert(p >= 0 && p <= 60) }
   }
+
+  test("q226: Spark-side recursive CTE matches a driver-side recurrence replay") {
+    val rows = SqlSurface.recursiveCte(spark, sfDir).collect()
+    val monthly = Tables.orders(spark, sfDir)
+      .select(trunc(col("o_orderdate"), "month").as("m"),
+        round(col("o_totalprice") * 100).cast("bigint").as("c"))
+      .groupBy(col("m")).agg(sum(col("c")).as("rev"))
+      .collect().map(r => (r.getAs[java.sql.Date]("m"), r.getAs[Long]("rev")))
+      .sortBy(_._1.toString)
+    assert(rows.length === monthly.length, "one chain row per month")
+    val expected = monthly.tail.scanLeft((monthly.head._1, monthly.head._2, 100.0)) {
+      case ((_, prevRev, prevIdx), (m, rev)) =>
+        (m, rev, prevIdx * (1.0 + 0.5 * (rev.toDouble / prevRev - 1.0)))
+    }
+    rows.zip(expected).foreach { case (r, (m, rev, idx)) =>
+      assert(r.getAs[java.sql.Date]("month").toString === m.toString)
+      assert(r.getAs[Long]("rev_cents") === rev)
+      assert(math.abs(r.getAs[Double]("momentum_idx") - idx) <= 5.1e-7 + math.abs(idx) * 1e-12)
+    }
+    // the recursion actually chained: later indices differ from the anchor
+    assert(rows.map(_.getAs[Double]("momentum_idx")).distinct.length > 1)
+  }
 }
