@@ -1580,6 +1580,91 @@ object EventAnalytics extends QueryModule {
       |    / (sum(pos) * sum(m - pos) * 2), 4) AS auc
       |FROM ranked GROUP BY feature ORDER BY feature""".stripMargin
 
+  /** q227: calibration curve + Brier-score decomposition for the q211
+    * propensity label — the model-eval counterpart to q221's AUC
+    * (discrimination): reliability asks whether predicted probabilities
+    * MEAN what they say. A deterministic fixed-denominator score
+    * p̂ = min(5·f_purchases + f_active_days, 20)/20 is binned into
+    * deciles; each bin reports mean predicted vs observed rate plus its
+    * reliability / resolution term, so Brier = Σrel − Σres + ō(1−ō)
+    * closes (Murphy 1973 decomposition — pinned by the spec).
+    *
+    * Every quantity is a ratio of exact BIGINTs (the score's fixed /20
+    * denominator keeps Σp̂ an integer sum), so parity needs no ordered
+    * folds at all. Scale shape: one per-user aggregation (q211) then a
+    * 10-row bin rollup with a broadcast 1-row total.
+    */
+  def calibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val binned = propensityFeatures(spark, dir)
+      .select(
+        least(col("f_purchases") * 5 + col("f_active_days"), lit(20L))
+          .as("raw20"),
+        col("label_purchase").cast("long").as("y"))
+      .withColumn("bin", least(floor(col("raw20") / 2), lit(9L)).cast("int"))
+    val tot = binned.agg(count(lit(1)).as("n_all"), sum(col("y")).as("pos_all"))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("pos_b"),
+        sum(col("raw20")).as("s20"))
+      .crossJoin(broadcast(tot))
+      .withColumn("md", col("s20").cast("double") / (col("n_b") * 20))
+      .withColumn("od", col("pos_b").cast("double") / col("n_b"))
+      .withColumn("bd", col("pos_all").cast("double") / col("n_all"))
+      .select(col("bin"),
+        col("n_b").cast("bigint").as("n_users"),
+        col("pos_b").cast("bigint").as("n_pos"),
+        round(col("md"), 6).as("mean_pred"),
+        round(col("od"), 6).as("obs_rate"),
+        round(col("n_b") * (col("md") - col("od")) * (col("md") - col("od"))
+          / col("n_all"), 6).as("rel_term"),
+        round(col("n_b") * (col("od") - col("bd")) * (col("od") - col("bd"))
+          / col("n_all"), 6).as("res_term"))
+      .orderBy(col("bin"))
+  }
+
+  private val calibrationBinsSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value, epoch_us(ts) AS us FROM events
+      |), c AS (
+      |  SELECT max(us) - 604800000000 AS cut FROM ev
+      |), agg AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN us <= (SELECT cut FROM c) THEN 1 ELSE 0 END)
+      |      AS f_events,
+      |    sum(CASE WHEN us <= (SELECT cut FROM c)
+      |             AND event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS f_purchases,
+      |    count(DISTINCT CASE WHEN us <= (SELECT cut FROM c)
+      |        THEN us // 86400000000 END) AS f_active_days,
+      |    sum(CASE WHEN us > (SELECT cut FROM c)
+      |             AND event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS post_purchases
+      |  FROM ev GROUP BY user_id
+      |), binned AS (
+      |  SELECT least(f_purchases * 5 + f_active_days, 20) AS raw20,
+      |    CASE WHEN post_purchases > 0 THEN 1 ELSE 0 END AS y,
+      |    least(least(f_purchases * 5 + f_active_days, 20) // 2, 9)::INT
+      |      AS bin
+      |  FROM agg WHERE f_events > 0
+      |), tot AS (
+      |  SELECT count(*) AS n_all, sum(y) AS pos_all FROM binned
+      |), b AS (
+      |  SELECT bin, count(*) AS n_b, sum(y) AS pos_b, sum(raw20) AS s20
+      |  FROM binned GROUP BY bin
+      |), d AS (
+      |  SELECT bin, n_b, pos_b,
+      |    s20::DOUBLE / (n_b * 20) AS md,
+      |    pos_b::DOUBLE / n_b AS od,
+      |    t.pos_all::DOUBLE / t.n_all AS bd,
+      |    t.n_all AS n_all
+      |  FROM b CROSS JOIN tot t
+      |)
+      |SELECT bin, n_b::BIGINT AS n_users, pos_b::BIGINT AS n_pos,
+      |  round(md, 6) AS mean_pred,
+      |  round(od, 6) AS obs_rate,
+      |  round(n_b * (md - od) * (md - od) / n_all, 6) AS rel_term,
+      |  round(n_b * (od - bd) * (od - bd) / n_all, 6) AS res_term
+      |FROM d ORDER BY bin""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -1610,6 +1695,8 @@ object EventAnalytics extends QueryModule {
     QueryDef("q211_propensity_features", propensityFeatures,
       Some(propensityFeaturesSql)),
     QueryDef("q221_feature_auc", featureAuc, Some(featureAucSql)),
+    QueryDef("q227_calibration_bins", calibrationBins,
+      Some(calibrationBinsSql)),
   )
 
 }

@@ -612,4 +612,45 @@ class EventAnalyticsSpec extends SparkSpec {
         feats.length.toLong)
     }
   }
+
+  test("q227: calibration bins match a replay and the Murphy decomposition closes") {
+    val feats = EventAnalytics.propensityFeatures(spark, sfDir)
+      .select(col("f_purchases"), col("f_active_days"), col("label_purchase"))
+      .collect()
+      .map(r => (math.min(r.getAs[Long]("f_purchases") * 5 +
+        r.getAs[Long]("f_active_days"), 20L), r.getAs[Int]("label_purchase").toLong))
+    val n = feats.length.toLong
+    val pos = feats.map(_._2).sum
+    val byBin = feats.groupBy { case (raw, _) => math.min(raw / 2, 9L).toInt }
+    val rows = EventAnalytics.calibrationBins(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSet === byBin.keySet)
+    rows.foreach { r =>
+      val g = byBin(r.getAs[Int]("bin"))
+      val nB = g.size.toLong
+      val posB = g.map(_._2).sum
+      val md = g.map(_._1).sum.toDouble / (nB * 20)
+      val od = posB.toDouble / nB
+      val bd = pos.toDouble / n
+      assert(r.getAs[Long]("n_users") === nB)
+      assert(r.getAs[Long]("n_pos") === posB)
+      assert(math.abs(r.getAs[Double]("mean_pred") - md) <= 5.1e-7)
+      assert(math.abs(r.getAs[Double]("obs_rate") - od) <= 5.1e-7)
+      assert(math.abs(r.getAs[Double]("rel_term") - nB * (md - od) * (md - od) / n) <= 5.1e-7)
+      assert(math.abs(r.getAs[Double]("res_term") - nB * (od - bd) * (od - bd) / n) <= 5.1e-7)
+    }
+    // Murphy (1973): for bin-mean forecasts, Brier = REL - RES + UNC exactly
+    val bd = pos.toDouble / n
+    val unc = bd * (1 - bd)
+    val rel = rows.map(_.getAs[Double]("rel_term")).sum
+    val res = rows.map(_.getAs[Double]("res_term")).sum
+    val brierStar = byBin.values.map { g =>
+      val nB = g.size.toLong
+      val posB = g.map(_._2).sum
+      val md = g.map(_._1).sum.toDouble / (nB * 20)
+      nB * md * md - 2 * md * posB + posB
+    }.sum / n
+    assert(math.abs(brierStar - (rel - res + unc)) < 1e-4)
+    // resolution never exceeds uncertainty
+    assert(res <= unc + 1e-9)
+  }
 }
