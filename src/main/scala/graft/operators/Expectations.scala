@@ -357,6 +357,80 @@ object Expectations extends QueryModule {
       |  round(center + half, 4) AS wilson_hi
       |FROM w ORDER BY segment""".stripMargin
 
+  /** q228: largest-remainder (Hamilton) apportionment — distribute a
+    * fixed integer budget of 1000 audit slots across nations in
+    * proportion to order revenue, the canonical "integerize a
+    * proportional split so it sums exactly" kernel (sampling quotas,
+    * shard budgets, seat allocation). base = ⌊B·rev_g/Σrev⌋ and the
+    * B − Σbase leftover slots go to the largest integer REMAINDERS
+    * (B·rev_g mod Σrev — never a float), nation name as the
+    * deterministic tiebreak, so the whole allocation is exact BIGINT
+    * arithmetic end-to-end and Σ seats = B by construction.
+    *
+    * Revenue is kept in whole dollars so B·rev_g stays far inside
+    * int64 even at cluster scale (1e14 dollars × 1000 < 2^63).
+    * Scale shape: one fact aggregation to 25 rows; the ranking window
+    * runs on the nation relation.
+    */
+  def apportionment(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val grp = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(round(col("o_totalprice")).cast("bigint")).as("rev_d"))
+    val g2 = grp.crossJoin(broadcast(grp.agg(sum(col("rev_d")).as("s_all"))))
+      .withColumn("numer", lit(budget) * col("rev_d"))
+      .withColumn("base", expr("numer div s_all"))
+      .withColumn("rem", col("numer") % col("s_all"))
+    val spent = g2.agg(sum(col("base")).as("spent"))
+    g2.crossJoin(broadcast(spent))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("rem").desc, col("n_name"))))
+      .withColumn("extra",
+        when(col("rn") <= lit(budget) - col("spent"), 1L).otherwise(0L))
+      .select(col("n_name"),
+        col("rev_d").cast("bigint").as("rev_dollars"),
+        round(col("numer").cast("double") / col("s_all"), 6).as("quota"),
+        col("base").cast("bigint").as("base_seats"),
+        col("extra").cast("bigint").as("extra_seat"),
+        (col("base") + col("extra")).cast("bigint").as("seats"))
+      .orderBy(col("n_name"))
+  }
+
+  private val apportionmentSql =
+    """WITH grp AS (
+      |  SELECT n.n_name, sum(round(o.o_totalprice)::BIGINT) AS rev_d
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY n.n_name
+      |), tot AS (
+      |  SELECT sum(rev_d) AS s_all FROM grp
+      |), g2 AS (
+      |  SELECT n_name, rev_d, 1000 * rev_d AS numer,
+      |    (1000 * rev_d) // t.s_all AS base,
+      |    (1000 * rev_d) % t.s_all AS rem,
+      |    t.s_all AS s_all
+      |  FROM grp CROSS JOIN tot t
+      |), sp AS (
+      |  SELECT sum(base) AS spent FROM g2
+      |), ranked AS (
+      |  SELECT g2.*, sp.spent,
+      |    row_number() OVER (ORDER BY rem DESC, n_name) AS rn
+      |  FROM g2 CROSS JOIN sp
+      |)
+      |SELECT n_name, rev_d::BIGINT AS rev_dollars,
+      |  round(numer::DOUBLE / s_all, 6) AS quota,
+      |  base::BIGINT AS base_seats,
+      |  (CASE WHEN rn <= 1000 - spent THEN 1 ELSE 0 END)::BIGINT
+      |    AS extra_seat,
+      |  (base + CASE WHEN rn <= 1000 - spent THEN 1 ELSE 0 END)::BIGINT
+      |    AS seats
+      |FROM ranked ORDER BY n_name""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q110_expectations", expectationsLedger, Some(expectationsLedgerSql)),
     QueryDef("q111_last_touch", lastTouchAttribution, Some(lastTouchAttributionSql)),
@@ -365,5 +439,6 @@ object Expectations extends QueryModule {
       Some(reconciliationAuditSql)),
     QueryDef("q203_conversion_intervals", conversionIntervals,
       Some(conversionIntervalsSql)),
+    QueryDef("q228_apportionment", apportionment, Some(apportionmentSql)),
   )
 }

@@ -142,4 +142,26 @@ class ExpectationsSpec extends SparkSpec {
       assert(r.getAs[Double]("wilson_hi") >= r.getAs[Double]("rate") - 5.1e-5)
     }
   }
+
+  test("q228: Hamilton apportionment matches a replay and seats sum to the budget") {
+    val rows = Expectations.apportionment(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("seats")).sum === 1000L)
+    val rev = rows.map(r => r.getAs[String]("n_name") -> r.getAs[Long]("rev_dollars"))
+    val s = rev.map(_._2).sum
+    val base = rev.map { case (nm, d) => nm -> (1000L * d / s) }.toMap
+    val rem = rev.map { case (nm, d) => nm -> (1000L * d % s) }
+    val leftover = 1000L - base.values.sum
+    val extras = rem.sortBy { case (nm, r) => (-r, nm) }.take(leftover.toInt)
+      .map(_._1).toSet
+    rows.foreach { r =>
+      val nm = r.getAs[String]("n_name")
+      assert(r.getAs[Long]("base_seats") === base(nm))
+      assert(r.getAs[Long]("extra_seat") === (if (extras(nm)) 1L else 0L))
+      assert(r.getAs[Long]("seats") === base(nm) + (if (extras(nm)) 1L else 0L))
+      // Hamilton satisfies quota: base <= seats <= base + 1
+      val q = r.getAs[Double]("quota")
+      assert(r.getAs[Long]("seats") >= math.floor(q).toLong - 0)
+      assert(r.getAs[Long]("seats") <= math.floor(q).toLong + 1)
+    }
+  }
 }
