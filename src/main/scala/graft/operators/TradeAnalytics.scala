@@ -2245,6 +2245,104 @@ object TradeAnalytics extends QueryModule {
       |  rev_c, round(zscore, 4) AS z
       |FROM z WHERE abs(zscore) >= 2.5 ORDER BY day""".stripMargin
 
+  /** q229: ABC×XYZ planning matrix — the two-axis inventory view q168
+    * only half-covers: ABC classes parts by cumulative revenue share
+    * (80/95 cut, exact integer cross-multiplication) while XYZ classes
+    * demand VARIABILITY by the coefficient of variation of the part's
+    * zero-filled monthly quantity series. CV² stays exact:
+    * CV² = (M·Σq² − S²)/S² over M global months, so the X/Y/Z cut at
+    * CV ∈ {0.25, 0.5} is the integer comparison 1e4·M·Σq² ≶ c·S²
+    * (c = 10625 / 12500) — multiplied in DECIMAL(38,0)/HUGEINT so
+    * cluster-scale part volumes cannot overflow (the q172 hardening).
+    * Output is the 9-cell matrix with exact part counts and revenue.
+    *
+    * Scale shape: one (part, month) aggregation, one part-level rollup,
+    * the ABC window over the part relation, 9-row final rollup.
+    */
+  def abcXyzMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        trunc(col("l_shipdate"), "month").as("m"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("bigint").as("cents"))
+    val months = li.select(col("m")).distinct()
+      .agg(count(lit(1)).as("n_months"))
+    val perMonth = li.groupBy(col("l_partkey"), col("m"))
+      .agg(sum(col("q")).as("qm"), sum(col("cents")).as("cm"))
+    val perPart = perMonth.groupBy(col("l_partkey"))
+      .agg(sum(col("qm")).as("s_q"),
+        sum(col("qm") * col("qm")).as("s_q2"),
+        sum(col("cm")).as("cents"))
+    val wAbc = Window.orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = perPart.agg(sum(col("cents")).as("total"))
+    perPart
+      .withColumn("cum_before", coalesce(sum(col("cents")).over(wAbc), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(months))
+      .withColumn("cls_abc",
+        when(col("cum_before") * 5 < col("total") * 4, "A")
+          .when(col("cum_before") * 20 < col("total") * 19, "B")
+          .otherwise("C"))
+      .withColumn("lhs",
+        (col("n_months").cast("decimal(38,0)") * col("s_q2")) * 10000 -
+          col("s_q").cast("decimal(38,0)") * col("s_q") * 10000)
+      .withColumn("s2", col("s_q").cast("decimal(38,0)") * col("s_q"))
+      .withColumn("cls_xyz",
+        when(col("lhs") <= col("s2") * 625, "X")
+          .when(col("lhs") <= col("s2") * 2500, "Y")
+          .otherwise("Z"))
+      .groupBy(col("cls_abc"), col("cls_xyz"))
+      .agg(count(lit(1)).cast("bigint").as("n_parts"),
+        sum(col("cents")).cast("bigint").as("rev_cents"),
+        sum(col("s_q")).cast("bigint").as("qty_total"))
+      .orderBy(col("cls_abc"), col("cls_xyz"))
+  }
+
+  private val abcXyzMatrixSql =
+    """WITH li AS (
+      |  SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+      |    l_quantity::BIGINT AS q,
+      |    round(l_extendedprice * 100)::BIGINT AS cents
+      |  FROM lineitem
+      |), months AS (
+      |  SELECT count(*) AS n_months FROM (SELECT DISTINCT m FROM li)
+      |), pm AS (
+      |  SELECT l_partkey, m, sum(q) AS qm, sum(cents) AS cm
+      |  FROM li GROUP BY l_partkey, m
+      |), pp AS (
+      |  SELECT l_partkey, sum(qm) AS s_q, sum(qm * qm) AS s_q2,
+      |    sum(cm) AS cents
+      |  FROM pm GROUP BY l_partkey
+      |), tot AS (SELECT sum(cents) AS total FROM pp
+      |), ranked AS (
+      |  SELECT pp.*,
+      |    coalesce(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before
+      |  FROM pp
+      |), classed AS (
+      |  SELECT r.*,
+      |    CASE WHEN cum_before * 5 < total * 4 THEN 'A'
+      |         WHEN cum_before * 20 < total * 19 THEN 'B'
+      |         ELSE 'C' END AS cls_abc,
+      |    (mo.n_months::HUGEINT * s_q2) * 10000
+      |      - s_q::HUGEINT * s_q * 10000 AS lhs,
+      |    s_q::HUGEINT * s_q AS s2
+      |  FROM ranked r CROSS JOIN tot CROSS JOIN months mo
+      |), xyz AS (
+      |  SELECT cls_abc,
+      |    CASE WHEN lhs <= s2 * 625 THEN 'X'
+      |         WHEN lhs <= s2 * 2500 THEN 'Y'
+      |         ELSE 'Z' END AS cls_xyz,
+      |    cents, s_q
+      |  FROM classed
+      |)
+      |SELECT cls_abc, cls_xyz, count(*)::BIGINT AS n_parts,
+      |  sum(cents)::BIGINT AS rev_cents, sum(s_q)::BIGINT AS qty_total
+      |FROM xyz GROUP BY cls_abc, cls_xyz
+      |ORDER BY cls_abc, cls_xyz""".stripMargin
+
   /** q224: Theil-T inequality decomposition of customer spend across
     * nations — the additive counterpart to q149's Lorenz/Gini view:
     * T_total = T_between + Σ_g share_g · T_g, so each nation carries an
@@ -2382,5 +2480,6 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q217_hard_negatives", hardNegatives, Some(hardNegativesSql)),
     QueryDef("q224_theil_decomposition", theilDecomposition,
       Some(theilDecompositionSql)),
+    QueryDef("q229_abc_xyz_matrix", abcXyzMatrix, Some(abcXyzMatrixSql)),
   )
 }

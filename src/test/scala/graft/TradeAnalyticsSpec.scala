@@ -1009,4 +1009,37 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(math.abs(tTotal - (tB + tW)) < 1e-4)
   }
 
+  test("q229: ABC×XYZ matrix reconciles with q168 and a driver-side CV replay") {
+    val rows = TradeAnalytics.abcXyzMatrix(spark, sfDir).collect()
+    // ABC marginals must equal q168's classification exactly
+    val q168 = TradeAnalytics.abcClassification(spark, sfDir).collect()
+      .map(r => r.getAs[String]("cls") -> r.getAs[Long]("n_parts")).toMap
+    val abcMarginal = rows.groupBy(_.getAs[String]("cls_abc"))
+      .map { case (c, g) => c -> g.map(_.getAs[Long]("n_parts")).sum }
+    assert(abcMarginal === q168)
+    // XYZ replay on a sample of parts
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"),
+        trunc(col("l_shipdate"), "month").as("m"),
+        col("l_quantity").cast("long").as("q")).collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[java.sql.Date]("m").toString,
+        r.getAs[Long]("q")))
+    val nMonths = li.map(_._2).distinct.length.toLong
+    val perPart = li.groupBy(_._1).map { case (p, g) =>
+      val monthly = g.groupBy(_._2).map(_._2.map(_._3).sum).toSeq
+      val s = monthly.sum
+      val s2 = monthly.map(x => x * x).sum
+      val cv2 = (BigInt(nMonths) * s2 - BigInt(s) * s).toDouble /
+        (BigInt(s) * s).toDouble
+      p -> (if (cv2 <= 0.0625) "X" else if (cv2 <= 0.25) "Y" else "Z")
+    }
+    val xyzMarginal = rows.groupBy(_.getAs[String]("cls_xyz"))
+      .map { case (c, g) => c -> g.map(_.getAs[Long]("n_parts")).sum }
+    val expectedXyz = perPart.values.groupBy(identity)
+      .map { case (c, g) => c -> g.size.toLong }
+    assert(xyzMarginal === expectedXyz)
+    // total part count and revenue mass conserved
+    assert(rows.map(_.getAs[Long]("n_parts")).sum === perPart.size.toLong)
+  }
+
 }
