@@ -2245,6 +2245,90 @@ object TradeAnalytics extends QueryModule {
       |  rev_c, round(zscore, 4) AS z
       |FROM z WHERE abs(zscore) >= 2.5 ORDER BY day""".stripMargin
 
+  /** q230: CUSUM drift detection over daily revenue — the changepoint
+    * LOCALIZER that complements q120's EWMA outlier flags and q198's
+    * seasonal z-scores: a sustained level shift accumulates in
+    * C_d = Σ(D·x_i − S) (deviation from the global mean scaled by D so
+    * everything stays integer), and the argmax of the drawup
+    * C_d − min_{≤d}C (resp. drawdown max_{≤d}C − C_d) IS the classical
+    * CUSUM changepoint estimate — the query reports the top-5 days per
+    * direction, ranked on the exact DECIMAL(38,0)/HUGEINT statistic
+    * (day tiebreak), so selection involves zero float decisions; the
+    * reported fractions are doubles of exact integers.
+    *
+    * Scale shape: fact table reduces to the day relation (span-bounded)
+    * before the single ordered cumulative window; the decimal
+    * arithmetic absorbs cluster-scale revenue sums (S·D ≈ 1e20 at
+    * 100 TB overflows int64 — the q172 hardening class).
+    */
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev_c"))
+    val tot = daily.agg(sum(col("rev_c")).as("s_all"), count(lit(1)).as("d_all"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = daily.crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("d_all").cast("decimal(38,0)") * col("rev_c") - col("s_all"))
+      .withColumn("cum", sum(col("e")).over(wCum))
+      .withColumn("runmin", min(col("cum")).over(wCum))
+      .withColumn("runmax", max(col("cum")).over(wCum))
+      .withColumn("sd", col("s_all").cast("decimal(38,0)") * col("d_all"))
+      .withColumn("drawup", col("cum") - col("runmin"))
+      .withColumn("drawdown", col("runmax") - col("cum"))
+    def top5(metric: String, dir: String) = base
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col(metric).desc, col("day"))))
+      .filter(col("rank") <= 5)
+      .select(lit(dir).as("dir"), col("rank").cast("int").as("rank"),
+        col("day"), col("rev_c").cast("bigint").as("rev_cents"),
+        round(col("drawup").cast("double") / col("sd").cast("double"), 6)
+          .as("drawup_frac"),
+        round(col("drawdown").cast("double") / col("sd").cast("double"), 6)
+          .as("drawdown_frac"))
+    top5("drawup", "up").unionAll(top5("drawdown", "down"))
+      .orderBy(col("dir").desc, col("rank"))
+  }
+
+  private val cusumDriftSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate::DATE AS day,
+      |    sum(round(o_totalprice * 100)::BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1
+      |), tot AS (
+      |  SELECT sum(rev_c) AS s_all, count(*) AS d_all FROM daily
+      |), c AS (
+      |  SELECT day, rev_c,
+      |    sum(t.d_all::HUGEINT * rev_c - t.s_all) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    t.s_all::HUGEINT * t.d_all AS sd
+      |  FROM daily CROSS JOIN tot t
+      |), r AS (
+      |  SELECT day, rev_c, sd,
+      |    cum - min(cum) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS drawup,
+      |    max(cum) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cum
+      |      AS drawdown
+      |  FROM c
+      |), up AS (
+      |  SELECT 'up' AS dir,
+      |    row_number() OVER (ORDER BY drawup DESC, day) AS rank,
+      |    day, rev_c, drawup, drawdown, sd
+      |  FROM r QUALIFY rank <= 5
+      |), down AS (
+      |  SELECT 'down' AS dir,
+      |    row_number() OVER (ORDER BY drawdown DESC, day) AS rank,
+      |    day, rev_c, drawup, drawdown, sd
+      |  FROM r QUALIFY rank <= 5
+      |)
+      |SELECT dir, rank::INT AS rank, day, rev_c::BIGINT AS rev_cents,
+      |  round(drawup::DOUBLE / sd::DOUBLE, 6) AS drawup_frac,
+      |  round(drawdown::DOUBLE / sd::DOUBLE, 6) AS drawdown_frac
+      |FROM (SELECT * FROM up UNION ALL SELECT * FROM down)
+      |ORDER BY dir DESC, rank""".stripMargin
+
   /** q229: ABC×XYZ planning matrix — the two-axis inventory view q168
     * only half-covers: ABC classes parts by cumulative revenue share
     * (80/95 cut, exact integer cross-multiplication) while XYZ classes
@@ -2481,5 +2565,6 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q224_theil_decomposition", theilDecomposition,
       Some(theilDecompositionSql)),
     QueryDef("q229_abc_xyz_matrix", abcXyzMatrix, Some(abcXyzMatrixSql)),
+    QueryDef("q230_cusum_drift", cusumDrift, Some(cusumDriftSql)),
   )
 }

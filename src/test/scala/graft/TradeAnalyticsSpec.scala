@@ -1042,4 +1042,40 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_parts")).sum === perPart.size.toLong)
   }
 
+  test("q230: CUSUM top-5 drift days match a BigInt driver-side replay") {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev_c"))
+      .collect().map(r => (r.getAs[java.sql.Date]("day").toString, r.getAs[Long]("rev_c")))
+      .sortBy(_._1)
+    val dAll = BigInt(daily.length)
+    val sAll = BigInt(daily.map(_._2).sum)
+    val sd = sAll * dAll
+    var cum = BigInt(0); var mn = BigInt(0); var mx = BigInt(0)
+    val series = daily.map { case (day, x) =>
+      cum += dAll * x - sAll
+      if (cum < mn) mn = cum
+      if (cum > mx) mx = cum
+      (day, x, cum - mn, mx - cum)
+    }
+    val expUp = series.sortBy { case (day, _, du, _) => (-du, day) }.take(5)
+    val expDown = series.sortBy { case (day, _, _, dd) => (-dd, day) }.take(5)
+    val rows = TradeAnalytics.cusumDrift(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val up = rows.filter(_.getAs[String]("dir") == "up").sortBy(_.getAs[Int]("rank"))
+    val down = rows.filter(_.getAs[String]("dir") == "down").sortBy(_.getAs[Int]("rank"))
+    up.zip(expUp).foreach { case (r, (day, x, du, dd)) =>
+      assert(r.getAs[java.sql.Date]("day").toString === day)
+      assert(r.getAs[Long]("rev_cents") === x)
+      assert(math.abs(r.getAs[Double]("drawup_frac") -
+        (BigDecimal(du) / BigDecimal(sd)).toDouble) <= 5.1e-7)
+    }
+    down.zip(expDown).foreach { case (r, (day, x, du, dd)) =>
+      assert(r.getAs[java.sql.Date]("day").toString === day)
+      assert(r.getAs[Long]("rev_cents") === x)
+      assert(math.abs(r.getAs[Double]("drawdown_frac") -
+        (BigDecimal(dd) / BigDecimal(sd)).toDouble) <= 5.1e-7)
+    }
+  }
+
 }
