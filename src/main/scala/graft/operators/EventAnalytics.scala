@@ -1621,6 +1621,105 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("bin"))
   }
 
+  /** q231: isotonic (PAV) recalibration of the q227 reliability curve —
+    * the repair step that follows the diagnosis: pool-adjacent-violators
+    * turns the per-bin observed rates into the best monotone fit, via
+    * the minimax identity iso(i) = max_{j≤i} min_{k≥i} rate(j..k)
+    * (Ayer et al. 1955), where rate(j..k) is the pooled positives/count
+    * over the contiguous bin interval. Weighted PAV is exactly this
+    * formula with interval sums — no iterative pooling needed.
+    *
+    * Scale shape: the ONLY distributed work is the per-user aggregation
+    * and the 10-row bin rollup (one shuffle each); the quadratic
+    * minimax runs on the ≤10-row bin relation (≤55 intervals, ≤550
+    * triples) — bounded, broadcast, constant at any corpus size.
+    * Interval rates are single IEEE divisions of exact BIGINT sums, so
+    * min/max selection is cross-engine deterministic.
+    */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val binned = propensityFeatures(spark, dir)
+      .select(
+        least(col("f_purchases") * 5 + col("f_active_days"), lit(20L))
+          .as("raw20"),
+        col("label_purchase").cast("long").as("y"))
+      .withColumn("bin", least(floor(col("raw20") / 2), lit(9L)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("pos_b"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("cp", sum(col("pos_b")).over(wCum))
+      .withColumn("cn", sum(col("n_b")).over(wCum))
+    val ks = cum.select(col("bin").as("k"), col("cp").as("cpk"),
+      col("cn").as("cnk"))
+    val js = cum.select(col("bin").as("j"), (col("cp") - col("pos_b")).as("cpj"),
+      (col("cn") - col("n_b")).as("cnj"))
+    val intervals = ks.join(broadcast(js), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cpk") - col("cpj")).cast("double") /
+          (col("cnk") - col("cnj"))).as("rate"))
+    val innerMin = binned.select(col("bin").as("i"))
+      .join(broadcast(intervals), col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("rate")).as("mr"))
+    val iso = innerMin.groupBy(col("i")).agg(max(col("mr")).as("iso"))
+    binned.join(broadcast(iso), col("bin") === col("i"))
+      .select(col("bin"),
+        col("n_b").cast("bigint").as("n_users"),
+        col("pos_b").cast("bigint").as("n_pos"),
+        round(col("pos_b").cast("double") / col("n_b"), 6).as("obs_rate"),
+        round(col("iso"), 6).as("iso_rate"))
+      .orderBy(col("bin"))
+  }
+
+  private val isotonicCalibrationSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      |), c AS (
+      |  SELECT max(us) - 604800000000 AS cut FROM ev
+      |), agg AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN us <= (SELECT cut FROM c) THEN 1 ELSE 0 END)
+      |      AS f_events,
+      |    sum(CASE WHEN us <= (SELECT cut FROM c)
+      |             AND event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS f_purchases,
+      |    count(DISTINCT CASE WHEN us <= (SELECT cut FROM c)
+      |        THEN us // 86400000000 END) AS f_active_days,
+      |    sum(CASE WHEN us > (SELECT cut FROM c)
+      |             AND event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS post_purchases
+      |  FROM ev GROUP BY user_id
+      |), binned AS (
+      |  SELECT least(least(f_purchases * 5 + f_active_days, 20) // 2, 9)::INT
+      |      AS bin,
+      |    CASE WHEN post_purchases > 0 THEN 1 ELSE 0 END AS y
+      |  FROM agg WHERE f_events > 0
+      |), b AS (
+      |  SELECT bin, count(*) AS n_b, sum(y) AS pos_b
+      |  FROM binned GROUP BY bin
+      |), cum AS (
+      |  SELECT bin, n_b, pos_b,
+      |    sum(pos_b) OVER (ORDER BY bin) AS cp,
+      |    sum(n_b) OVER (ORDER BY bin) AS cn
+      |  FROM b
+      |), iv AS (
+      |  SELECT j.bin AS j, k.bin AS k,
+      |    (k.cp - (j.cp - j.pos_b))::DOUBLE
+      |      / (k.cn - (j.cn - j.n_b)) AS rate
+      |  FROM cum j JOIN cum k ON j.bin <= k.bin
+      |), mn AS (
+      |  SELECT i.bin AS i, iv.j, min(iv.rate) AS mr
+      |  FROM b i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+      |  GROUP BY 1, 2
+      |), iso AS (
+      |  SELECT i, max(mr) AS iso FROM mn GROUP BY i
+      |)
+      |SELECT b.bin, b.n_b::BIGINT AS n_users, b.pos_b::BIGINT AS n_pos,
+      |  round(b.pos_b::DOUBLE / b.n_b, 6) AS obs_rate,
+      |  round(iso.iso, 6) AS iso_rate
+      |FROM b JOIN iso ON iso.i = b.bin
+      |ORDER BY b.bin""".stripMargin
+
   private val calibrationBinsSql =
     """WITH ev AS (
       |  SELECT user_id, event_type, value, epoch_us(ts) AS us FROM events
@@ -1697,6 +1796,8 @@ object EventAnalytics extends QueryModule {
     QueryDef("q221_feature_auc", featureAuc, Some(featureAucSql)),
     QueryDef("q227_calibration_bins", calibrationBins,
       Some(calibrationBinsSql)),
+    QueryDef("q231_isotonic_calibration", isotonicCalibration,
+      Some(isotonicCalibrationSql)),
   )
 
 }

@@ -653,4 +653,50 @@ class EventAnalyticsSpec extends SparkSpec {
     // resolution never exceeds uncertainty
     assert(res <= unc + 1e-9)
   }
+
+  test("q231: minimax isotonic fit equals a driver-side PAV pooling replay") {
+    // input bins from the (already verified) q227 aggregation
+    val bins = EventAnalytics.calibrationBins(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_pos")))
+      .sortBy(_._1)
+    // classical weighted PAV: pool adjacent blocks while order is violated
+    case class Block(n: Long, pos: Long) { def rate: Double = pos.toDouble / n }
+    val pav = bins.foldLeft(List.empty[Block]) { case (acc, (_, n, p)) =>
+      var stack = Block(n, p) :: acc
+      while (stack.lengthCompare(2) >= 0 &&
+        stack.tail.head.rate >= stack.head.rate) {
+        val b1 :: b0 :: rest = stack: @unchecked
+        stack = Block(b0.n + b1.n, b0.pos + b1.pos) :: rest
+      }
+      stack
+    }.reverse
+    // expand pooled blocks back to per-bin fitted rates
+    val fits = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      pav.foreach { b =>
+        var acc = 0L
+        while (acc < b.n) { acc += bins(i)._2; out += b.rate; i += 1 }
+        assert(acc == b.n, "PAV blocks must align with bin boundaries")
+      }
+      out.toArray
+    }
+    val rows = EventAnalytics.isotonicCalibration(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("bin"))
+    assert(rows.map(_.getAs[Int]("bin")).toSeq === bins.map(_._1).toSeq)
+    rows.zip(fits).foreach { case (r, f) =>
+      assert(math.abs(r.getAs[Double]("iso_rate") - f) <= 5.1e-7,
+        s"bin ${r.getAs[Int]("bin")}: minimax != PAV")
+    }
+    // fitted curve is monotone non-decreasing
+    rows.map(_.getAs[Double]("iso_rate")).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b + 1e-12)
+      case _ =>
+    }
+    // pooling preserves total positive mass: Σ iso·n = Σ pos
+    val mass = rows.zip(bins).map { case (r, (_, n, _)) =>
+      r.getAs[Double]("iso_rate") * n }.sum
+    assert(math.abs(mass - bins.map(_._3).sum) <= 1e-3 * bins.map(_._3).sum)
+  }
 }
