@@ -260,6 +260,87 @@ object TextAnalysis extends QueryModule {
        |FROM j ORDER BY cls""".stripMargin
   }
 
+  /** q232: Cohen's kappa — the chance-corrected agreement summary the
+    * q33/q142 confusion-matrix family lacks: how much better than
+    * random-marginal guessing does the lang-id heuristic agree with the
+    * stored labels? κ = (n·Σtp − Σ_c row_c·col_c)/(n² − Σ_c row_c·col_c)
+    * — one number the eval harness can gate on, reported with its
+    * observed (p_o) and chance (p_e) agreement components.
+    *
+    * All operands are exact: the marginal cross products run in
+    * DECIMAL(38,0) because at 100 TB (≈10¹² docs) n² ≈ 10²⁴ overflows
+    * int64 (the q172/q230 hardening class); DuckDB mirrors in HUGEINT.
+    * Scale shape: one map-side guess pass into a |classes|² matrix;
+    * everything downstream is constant-size.
+    */
+  def cohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(spark, dir)
+      .withColumn("g", langGuess)
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n"))
+      .persist() // |classes|² matrix, read by three aggregates
+    val tot = m.agg(
+      sum(col("n")).as("n_all"),
+      sum(when(col("lang") === col("g"), col("n")).otherwise(0L))
+        .as("n_agree"))
+    val byRow = m.groupBy(col("lang")).agg(sum(col("n")).as("n_row"))
+    val byCol = m.groupBy(col("g")).agg(sum(col("n")).as("n_col"))
+    val chance = byRow
+      .join(byCol, col("lang") === col("g")) // classes absent on one side contribute 0
+      .agg(coalesce(sum(col("n_row").cast("decimal(38,0)") * col("n_col")),
+        lit(java.math.BigDecimal.ZERO)).as("s_rc"))
+    tot.crossJoin(chance)
+      .withColumn("n_dec", col("n_all").cast("decimal(38,0)"))
+      .withColumn("num", col("n_dec") * col("n_agree") - col("s_rc"))
+      .withColumn("den", col("n_dec") * col("n_all") - col("s_rc"))
+      .select(
+        col("n_all").cast("bigint").as("n_docs"),
+        col("n_agree").cast("bigint").as("n_agree"),
+        round(col("n_agree").cast("double") / col("n_all"), 6).as("p_o"),
+        round(col("s_rc").cast("double") /
+          (col("n_dec") * col("n_all")).cast("double"), 6).as("p_e"),
+        when(col("den") =!= 0,
+          round(col("num").cast("double") / col("den").cast("double"), 6))
+          .as("kappa"))
+  }
+
+  private val cohenKappaSql = {
+    val hitExprs = langMarkers.map { case (l, p) =>
+      s"len(regexp_extract_all(text, '$p')) AS ${l}_hits"
+    }.mkString(",\n      ")
+    val whens = langMarkers.map { case (l, _) =>
+      val others = langMarkers.filter(_._1 != l).map(o => s"${o._1}_hits")
+      s"WHEN ${l}_hits > 0 AND ${l}_hits >= greatest(${others.mkString(", ")}) THEN '$l'"
+    }.mkString("\n        ")
+    s"""WITH h AS (
+       |  SELECT lang,
+       |    CASE
+       |        $whens
+       |        ELSE 'und' END AS g
+       |  FROM (
+       |    SELECT lang,
+       |      $hitExprs
+       |    FROM documents)
+       |), m AS (
+       |  SELECT lang, g, count(*) AS n FROM h GROUP BY lang, g
+       |), tot AS (
+       |  SELECT sum(n)::HUGEINT AS n_all,
+       |    sum(CASE WHEN lang = g THEN n ELSE 0 END)::HUGEINT AS n_agree
+       |  FROM m
+       |), rc AS (
+       |  SELECT coalesce(sum(r.n_row::HUGEINT * c.n_col), 0)::HUGEINT AS s_rc
+       |  FROM (SELECT lang, sum(n) AS n_row FROM m GROUP BY lang) r
+       |  JOIN (SELECT g, sum(n) AS n_col FROM m GROUP BY g) c
+       |    ON r.lang = c.g
+       |)
+       |SELECT n_all::BIGINT AS n_docs, n_agree::BIGINT AS n_agree,
+       |  round(n_agree::DOUBLE / n_all, 6) AS p_o,
+       |  round(s_rc::DOUBLE / (n_all * n_all)::DOUBLE, 6) AS p_e,
+       |  CASE WHEN n_all * n_all - s_rc <> 0
+       |    THEN round((n_all * n_agree - s_rc)::DOUBLE
+       |               / (n_all * n_all - s_rc)::DOUBLE, 6) END AS kappa
+       |FROM tot CROSS JOIN rc""".stripMargin
+  }
+
   private val hhK = 199 // heavy hitter = frequency > n/(k+1) = n/200
 
   /** q143: exact heavy hitters by two-pass sketch-and-recount — the
@@ -1141,6 +1222,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("q35_jaccard_pairs", jaccardPairs, Some(jaccardPairsSql), benchmark = true),
     QueryDef("q67_tfidf_top_terms", tfidfTopTerms, Some(tfidfTopTermsSql)),
     QueryDef("q142_classifier_prf", classifierPrf, Some(classifierPrfSql)),
+    QueryDef("q232_cohen_kappa", cohenKappa, Some(cohenKappaSql)),
     QueryDef("q143_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q154_prefix_filter_join", prefixFilterPairs, Some(prefixFilterPairsSql)),
     QueryDef("q159_bm25", bm25, Some(bm25Sql)),

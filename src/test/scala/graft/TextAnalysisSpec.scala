@@ -306,4 +306,31 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("q232 Cohen's kappa matches a BigInt replay of the confusion matrix") {
+    val m = TextAnalysis.langId(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_docs")))
+    val n = BigInt(m.map(_._3).sum)
+    val agree = BigInt(m.filter(x => x._1 == x._2).map(_._3).sum)
+    val classes = (m.map(_._1) ++ m.map(_._2)).distinct
+    val sRc = classes.map { c =>
+      BigInt(m.filter(_._1 == c).map(_._3).sum) *
+        BigInt(m.filter(_._2 == c).map(_._3).sum)
+    }.sum
+    val kappa = (BigDecimal(n * agree - sRc) / BigDecimal(n * n - sRc)).toDouble
+    val rows = TextAnalysis.cohenKappa(spark, sfDir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_docs") === n.toLong)
+    assert(r.getAs[Long]("n_agree") === agree.toLong)
+    assert(math.abs(r.getAs[Double]("p_o") - (BigDecimal(agree) / BigDecimal(n)).toDouble) <= 5.1e-7)
+    assert(math.abs(r.getAs[Double]("p_e") - (BigDecimal(sRc) / BigDecimal(n * n)).toDouble) <= 5.1e-7)
+    assert(math.abs(r.getAs[Double]("kappa") - kappa) <= 5.1e-7)
+    assert(r.getAs[Double]("kappa") >= -1.0 - 1e-9 &&
+      r.getAs[Double]("kappa") <= 1.0 + 1e-9)
+    // kappa never exceeds observed agreement's distance structure:
+    // (p_o - p_e) and kappa share a sign
+    val po = r.getAs[Double]("p_o"); val pe = r.getAs[Double]("p_e")
+    assert(math.signum(po - pe) * math.signum(r.getAs[Double]("kappa")) >= 0)
+  }
 }
