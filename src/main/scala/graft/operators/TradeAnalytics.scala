@@ -2329,6 +2329,87 @@ object TradeAnalytics extends QueryModule {
       |FROM (SELECT * FROM up UNION ALL SELECT * FROM down)
       |ORDER BY dir DESC, rank""".stripMargin
 
+  /** q233: weight-of-evidence / information-value screening — the
+    * credit-scoring-style feature audit the q211/q221 eval family
+    * lacks: does account balance carry signal for the "places an
+    * urgent order" outcome, and how much (IV)? Balances land in 10
+    * equal-width integer-cent bins (map-side: one broadcast min/max —
+    * deliberately NOT ntile deciles, which q191 covers and which cost
+    * a global sort); per bin WOE = ln(good-share/bad-share) with a
+    * +0.5/bin Laplace smoother so empty cells stay finite, and
+    * IV_b = (gs − bs)·WOE_b.
+    *
+    * Bin assignment, counts, and shares are exact integer arithmetic;
+    * ln() is the only float op and lands directly under round(·,6).
+    * Scale shape: broadcast 2-value extent → map-side bin → 10-row
+    * rollup; the label semi-join shuffles the distinct urgent custkeys
+    * only.
+    */
+  def woeBinning(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("u_key")).distinct()
+    val ext = cust.agg(min(col("bal_c")).as("lo"), max(col("bal_c")).as("hi"))
+    val labeled = cust
+      .join(urgent, col("c_custkey") === col("u_key"), "left")
+      .select(col("bal_c"),
+        when(col("u_key").isNotNull, 1L).otherwise(0L).as("y"))
+      .crossJoin(broadcast(ext))
+      .withColumn("bin", // integer div: Column./ would be double division
+        least(expr("(bal_c - lo) * 10 div (hi - lo + 1)"), lit(9L))
+          .cast("int"))
+    val tot = labeled.agg(sum(col("y")).as("g_all"),
+      sum(lit(1L) - col("y")).as("b_all"))
+    labeled.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_c"), sum(col("y")).as("g_b"))
+      .withColumn("b_b", col("n_c") - col("g_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("gs", (col("g_b") + 0.5) / (col("g_all") + 5.0))
+      .withColumn("bs", (col("b_b") + 0.5) / (col("b_all") + 5.0))
+      .withColumn("woe", log(col("gs") / col("bs")))
+      .select(col("bin"),
+        col("n_c").cast("bigint").as("n_cust"),
+        col("g_b").cast("bigint").as("n_good"),
+        col("b_b").cast("bigint").as("n_bad"),
+        round(col("woe"), 6).as("woe"),
+        round((col("gs") - col("bs")) * col("woe"), 6).as("iv_term"))
+      .orderBy(col("bin"))
+  }
+
+  private val woeBinningSql =
+    """WITH cust AS (
+      |  SELECT c_custkey, round(c_acctbal * 100)::BIGINT AS bal_c
+      |  FROM customer
+      |), urgent AS (
+      |  SELECT DISTINCT o_custkey AS u_key FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'
+      |), ext AS (
+      |  SELECT min(bal_c) AS lo, max(bal_c) AS hi FROM cust
+      |), labeled AS (
+      |  SELECT bal_c,
+      |    CASE WHEN u_key IS NOT NULL THEN 1 ELSE 0 END AS y,
+      |    least((bal_c - e.lo) * 10 // (e.hi - e.lo + 1), 9)::INT AS bin
+      |  FROM cust LEFT JOIN urgent ON c_custkey = u_key
+      |  CROSS JOIN ext e
+      |), tot AS (
+      |  SELECT sum(y) AS g_all, sum(1 - y) AS b_all FROM labeled
+      |), b AS (
+      |  SELECT bin, count(*) AS n_c, sum(y) AS g_b FROM labeled GROUP BY bin
+      |), d AS (
+      |  SELECT bin, n_c, g_b, n_c - g_b AS b_b,
+      |    (g_b + 0.5) / (t.g_all + 5.0) AS gs,
+      |    (n_c - g_b + 0.5) / (t.b_all + 5.0) AS bs
+      |  FROM b CROSS JOIN tot t
+      |)
+      |SELECT bin, n_c::BIGINT AS n_cust, g_b::BIGINT AS n_good,
+      |  b_b::BIGINT AS n_bad,
+      |  round(ln(gs / bs), 6) AS woe,
+      |  round((gs - bs) * ln(gs / bs), 6) AS iv_term
+      |FROM d ORDER BY bin""".stripMargin
+
   /** q229: ABC×XYZ planning matrix — the two-axis inventory view q168
     * only half-covers: ABC classes parts by cumulative revenue share
     * (80/95 cut, exact integer cross-multiplication) while XYZ classes
@@ -2566,5 +2647,6 @@ object TradeAnalytics extends QueryModule {
       Some(theilDecompositionSql)),
     QueryDef("q229_abc_xyz_matrix", abcXyzMatrix, Some(abcXyzMatrixSql)),
     QueryDef("q230_cusum_drift", cusumDrift, Some(cusumDriftSql)),
+    QueryDef("q233_woe_binning", woeBinning, Some(woeBinningSql)),
   )
 }

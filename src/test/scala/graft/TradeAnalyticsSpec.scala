@@ -1042,6 +1042,41 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_parts")).sum === perPart.size.toLong)
   }
 
+  test("q233: WOE/IV bins match an integer driver-side replay") {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val lo = cust.map(_._2).min; val hi = cust.map(_._2).max
+    val binned = cust.map { case (k, bal) =>
+      (math.min((bal - lo) * 10 / (hi - lo + 1), 9L).toInt,
+        if (urgent(k)) 1L else 0L)
+    }
+    val gAll = binned.map(_._2).sum; val bAll = binned.length - gAll
+    val byBin = binned.groupBy(_._1)
+    val rows = TradeAnalytics.woeBinning(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSeq === byBin.keys.toSeq.sorted)
+    assert(rows.map(_.getAs[Long]("n_cust")).sum === cust.length.toLong)
+    var iv = 0.0
+    rows.foreach { r =>
+      val g = byBin(r.getAs[Int]("bin"))
+      val nG = g.map(_._2).sum; val nB = g.size - nG
+      assert(r.getAs[Long]("n_cust") === g.size.toLong)
+      assert(r.getAs[Long]("n_good") === nG)
+      assert(r.getAs[Long]("n_bad") === nB)
+      val gs = (nG + 0.5) / (gAll + 5.0); val bs = (nB + 0.5) / (bAll + 5.0)
+      val woe = math.log(gs / bs)
+      assert(math.abs(r.getAs[Double]("woe") - woe) <= 5.1e-7)
+      assert(math.abs(r.getAs[Double]("iv_term") - (gs - bs) * woe) <= 5.1e-7)
+      // each IV contribution is non-negative: (gs-bs) and ln(gs/bs) share sign
+      assert(r.getAs[Double]("iv_term") >= -5.1e-7)
+      iv += r.getAs[Double]("iv_term")
+    }
+    assert(iv >= 0.0)
+  }
+
   test("q230: CUSUM top-5 drift days match a BigInt driver-side replay") {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(to_date(col("o_orderdate")).as("day"))
