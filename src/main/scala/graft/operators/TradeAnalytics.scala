@@ -2329,6 +2329,62 @@ object TradeAnalytics extends QueryModule {
       |FROM (SELECT * FROM up UNION ALL SELECT * FROM down)
       |ORDER BY dir DESC, rank""".stripMargin
 
+  /** q234: Wilson-lower-bound ranking of part return rates — the
+    * correct "worst offenders" list when group sizes differ: a raw-rate
+    * sort promotes 2/2 over 40/100, while the Wilson score interval's
+    * lower bound (z = 1.96) penalizes thin evidence. This is the
+    * standard ranking fix (Agresti–Coull family) a data-curation
+    * pipeline uses to flag parts, sellers, or sources by defect rate.
+    *
+    * Cross-engine parity without integer-only math: every operand is an
+    * IEEE basic op or sqrt (all correctly rounded) over exact integer
+    * counts with identical literal constants and op order, so both
+    * engines compute bit-identical doubles and the DESC selection is
+    * deterministic (partkey tiebreak regardless).
+    *
+    * Scale shape: one map-side partial aggregation on partkey, then
+    * partial per-partition top-k (TakeOrderedAndProject) — no global
+    * sort ever materializes.
+    */
+  def wilsonReturnRates(spark: SparkSession, dir: String): DataFrame = {
+    val z2 = 1.96 * 1.96
+    val agg = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .filter(col("n") >= 20)
+    val p = col("r").cast("double") / col("n")
+    val lb = (p + lit(z2) / (col("n") * 2) -
+      lit(1.96) * sqrt((p * (lit(1.0) - p) + lit(z2) / (col("n") * 4)) / col("n"))) /
+      (lit(1.0) + lit(z2) / col("n"))
+    agg.withColumn("lb", lb)
+      .orderBy(col("lb").desc, col("l_partkey"))
+      .limit(20)
+      .select(col("l_partkey").as("partkey"),
+        col("n").cast("bigint").as("n_lines"),
+        col("r").cast("bigint").as("n_returns"),
+        round(p, 6).as("raw_rate"),
+        round(col("lb"), 6).as("wilson_lb"))
+  }
+
+  private val wilsonReturnRatesSql =
+    """WITH a AS (
+      |  SELECT l_partkey, count(*) AS n,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+      |  FROM lineitem GROUP BY l_partkey HAVING count(*) >= 20
+      |), w AS (
+      |  SELECT l_partkey, n, r, r::DOUBLE / n AS p,
+      |    ((r::DOUBLE / n) + (1.96*1.96) / (n * 2)
+      |      - 1.96 * sqrt(((r::DOUBLE / n) * (1 - (r::DOUBLE / n))
+      |                     + (1.96*1.96) / (n * 4)) / n))
+      |      / (1 + (1.96*1.96) / n) AS lb
+      |  FROM a
+      |)
+      |SELECT l_partkey AS partkey, n::BIGINT AS n_lines,
+      |  r::BIGINT AS n_returns,
+      |  round(p, 6) AS raw_rate, round(lb, 6) AS wilson_lb
+      |FROM w ORDER BY lb DESC, l_partkey LIMIT 20""".stripMargin
+
   /** q233: weight-of-evidence / information-value screening — the
     * credit-scoring-style feature audit the q211/q221 eval family
     * lacks: does account balance carry signal for the "places an
@@ -2648,5 +2704,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q229_abc_xyz_matrix", abcXyzMatrix, Some(abcXyzMatrixSql)),
     QueryDef("q230_cusum_drift", cusumDrift, Some(cusumDriftSql)),
     QueryDef("q233_woe_binning", woeBinning, Some(woeBinningSql)),
+    QueryDef("q234_wilson_ranking", wilsonReturnRates,
+      Some(wilsonReturnRatesSql)),
   )
 }

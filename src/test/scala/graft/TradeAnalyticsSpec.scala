@@ -1077,6 +1077,36 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(iv >= 0.0)
   }
 
+  test("q234: Wilson top-20 matches a driver-side replay and bounds the raw rate") {
+    val agg = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .filter(col("n") >= 20).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n"), r.getAs[Long]("r")))
+    val z2 = 1.96 * 1.96
+    def wilson(n: Long, r: Long): Double = {
+      val p = r.toDouble / n
+      (p + z2 / (n * 2) - 1.96 * math.sqrt((p * (1.0 - p) + z2 / (n * 4)) / n)) /
+        (1.0 + z2 / n)
+    }
+    val expected = agg.map { case (k, n, r) => (k, n, r, wilson(n, r)) }
+      .sortBy { case (k, _, _, lb) => (-lb, k) }.take(20)
+    val rows = TradeAnalytics.wilsonReturnRates(spark, sfDir).collect()
+    assert(rows.length === 20)
+    rows.zip(expected).foreach { case (row, (k, n, r, lb)) =>
+      assert(row.getAs[Long]("partkey") === k)
+      assert(row.getAs[Long]("n_lines") === n)
+      assert(row.getAs[Long]("n_returns") === r)
+      assert(math.abs(row.getAs[Double]("wilson_lb") - lb) <= 5.1e-7)
+      // the lower bound is a shrinkage: never above the raw rate,
+      // never negative for r>0 groups of this size
+      assert(row.getAs[Double]("wilson_lb") <=
+        row.getAs[Double]("raw_rate") + 5.1e-7)
+      assert(row.getAs[Double]("wilson_lb") >= 0.0)
+    }
+  }
+
   test("q230: CUSUM top-5 drift days match a BigInt driver-side replay") {
     val daily = Tables.orders(spark, sfDir)
       .groupBy(to_date(col("o_orderdate")).as("day"))
