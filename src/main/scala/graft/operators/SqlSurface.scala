@@ -210,6 +210,7 @@ object SqlSurface extends QueryModule {
     QueryDef("q116_null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     QueryDef("q220_sql_custom_expr", sqlCustomExpr, Some(sqlCustomExprSql)),
     QueryDef("q226_recursive_cte", recursiveCte, Some(recursiveCteSql)),
+    QueryDef("q235_holt_smoothing", holtSmoothing, Some(holtSmoothingSql)),
   )
 
   /** q226: WITH RECURSIVE executed by Spark itself (4.x recursive-CTE
@@ -249,6 +250,56 @@ object SqlSurface extends QueryModule {
       |  FROM chain c JOIN numbered n ON n.i = c.i + 1
       |)
       |SELECT m AS month, rev AS rev_cents, round(idx, 6) AS momentum_idx
+      |FROM chain ORDER BY month""".stripMargin
+
+  /** q235: Holt double-exponential smoothing (level + trend) as a
+    * native recursive CTE — the forecasting counterpart of q226's
+    * one-state momentum chain: TWO coupled state columns advance
+    * together (l_t = αx_t + (1−α)(l+b); b_t = β(l_t−l) + (1−β)b),
+    * which no window rewrite computes because each step reads both
+    * previous states. Emits the one-step-ahead forecast each month
+    * actually received (l+b from the previous step) so the residual
+    * column is a real backtest, plus the fitted level/trend.
+    *
+    * Parity: the recurrence is a fixed chain of IEEE basic ops with
+    * identical literals and op order in both engines → bit-identical
+    * doubles at every step (α = β = 0.5 keeps operands dyadic as long
+    * as doubles carry them). The SQL text is ANSI-portable and is its
+    * own DuckDB oracle.
+    *
+    * Scale shape: one aggregation shuffle reduces the fact table to
+    * the ~84-row month relation; the fixpoint (Spark's UnionLoop)
+    * joins 1 row per step — iteration count is bounded by the
+    * calendar, not the data volume.
+    */
+  def holtSmoothing(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(holtSmoothingSql)
+  }
+
+  private val holtSmoothingSql =
+    """WITH RECURSIVE monthly AS (
+      |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+      |    CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |      AS DOUBLE) / 100.0 AS DOUBLE) AS x
+      |  FROM orders GROUP BY 1
+      |), numbered AS (
+      |  SELECT m, x, row_number() OVER (ORDER BY m) AS i FROM monthly
+      |), chain AS (
+      |  SELECT i, m, x, x AS lvl, CAST(0.0 AS DOUBLE) AS trd,
+      |    CAST(NULL AS DOUBLE) AS fc
+      |  FROM numbered WHERE i = 1
+      |  UNION ALL
+      |  SELECT n.i, n.m, n.x,
+      |    0.5 * n.x + 0.5 * (c.lvl + c.trd),
+      |    0.5 * ((0.5 * n.x + 0.5 * (c.lvl + c.trd)) - c.lvl) + 0.5 * c.trd,
+      |    c.lvl + c.trd
+      |  FROM chain c JOIN numbered n ON n.i = c.i + 1
+      |)
+      |SELECT m AS month, round(x, 2) AS revenue,
+      |  round(lvl, 6) AS level, round(trd, 6) AS trend,
+      |  round(fc, 6) AS forecast,
+      |  round(x - fc, 6) AS residual
       |FROM chain ORDER BY month""".stripMargin
 
   /** q220: the injected-function SQL surface under the oracle gate — a

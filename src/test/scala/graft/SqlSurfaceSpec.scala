@@ -71,4 +71,40 @@ class SqlSurfaceSpec extends SparkSpec {
     // the recursion actually chained: later indices differ from the anchor
     assert(rows.map(_.getAs[Double]("momentum_idx")).distinct.length > 1)
   }
+
+  test("q235: Holt level/trend chain matches a driver-side recurrence replay") {
+    val rows = SqlSurface.holtSmoothing(spark, sfDir).collect()
+    val monthly = Tables.orders(spark, sfDir)
+      .select(trunc(col("o_orderdate"), "month").as("m"),
+        round(col("o_totalprice") * 100).cast("bigint").as("c"))
+      .groupBy(col("m")).agg(sum(col("c")).as("rev"))
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("m"), r.getAs[Long]("rev").toDouble / 100.0))
+      .sortBy(_._1.toString)
+    assert(rows.length === monthly.length, "one chain row per month")
+    // replay: l1 = x1, b1 = 0; l = .5x + .5(l+b); b = .5(l'-l) + .5b
+    case class St(m: java.sql.Date, x: Double, l: Double, b: Double,
+      fc: Option[Double])
+    val expected = monthly.tail.scanLeft(
+      St(monthly.head._1, monthly.head._2, monthly.head._2, 0.0, None)) {
+      case (p, (m, x)) =>
+        val l = 0.5 * x + 0.5 * (p.l + p.b)
+        St(m, x, l, 0.5 * (l - p.l) + 0.5 * p.b, Some(p.l + p.b))
+    }
+    rows.zip(expected).foreach { case (r, e) =>
+      assert(r.getAs[java.sql.Date]("month").toString === e.m.toString)
+      val tol = 5.1e-7 + math.abs(e.l) * 1e-12
+      assert(math.abs(r.getAs[Double]("level") - e.l) <= tol)
+      assert(math.abs(r.getAs[Double]("trend") - e.b) <= tol)
+      e.fc match {
+        case Some(f) =>
+          assert(math.abs(r.getAs[Double]("forecast") - f) <= tol)
+          assert(math.abs(r.getAs[Double]("residual") - (e.x - f)) <= tol)
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("forecast")), "anchor has no forecast")
+      }
+    }
+    // trend state actually moves (the second state column is live)
+    assert(rows.map(_.getAs[Double]("trend")).distinct.length > 1)
+  }
 }
