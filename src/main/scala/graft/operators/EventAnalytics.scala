@@ -1621,6 +1621,115 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("bin"))
   }
 
+  /** q236: SPRT sequential experiment monitor — Wald's sequential
+    * probability-ratio test over the daily event stream, the "peek
+    * continuously without p-hacking" machinery a growth team runs: H0
+    * p = 0.20 vs H1 p = 0.25 purchase share per event, variants from
+    * the portable md5 user bucket (q213's convention), boundaries
+    * ±ln(19) (α = β = 0.05). Reports, per variant, the first boundary
+    * crossing day and the decision the test had made by end of data.
+    *
+    * Parity: cumulative LLR = K·ln(p1/p0) + (N−K)·ln((1−p1)/(1−p0))
+    * where K, N are exact integer window sums — the two ln constants
+    * are computed ONCE in Scala and embedded as round-trip double
+    * literals in BOTH engines' texts, so every llr value is the same
+    * two-multiply-one-add over identical doubles; boundary comparisons
+    * are therefore deterministic.
+    *
+    * Scale shape: map-side variant/day bucketing, one (variant, day)
+    * aggregation, then windows over the tiny day relation. The test
+    * statistic is O(days), not O(events).
+    */
+  def sprtMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), " +
+          "16, 10) as bigint) % 2").as("variant"),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("d"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val daily = ev.groupBy(col("variant"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+    val w = Window.partitionBy(col("variant")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("ck", sum(col("k")).over(w))
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("llr",
+        col("ck") * lit(sprtA) + (col("cn") - col("ck")) * lit(sprtB))
+    val first = cum
+      .filter(col("llr") >= sprtUp || col("llr") <= -sprtUp)
+      .groupBy(col("variant")).agg(min(col("d")).as("cross_d"))
+    val fin = cum.groupBy(col("variant")).agg(
+      count(lit(1)).as("n_days"),
+      max(col("cn")).as("n_trials"),
+      max(col("ck")).as("n_success"),
+      max_by(col("llr"), col("d")).as("llr_final"))
+    val crossLlr = cum.select(col("variant").as("cv"), col("d"), col("llr"))
+    fin.join(first, Seq("variant"), "left")
+      .join(crossLlr,
+        col("variant") === col("cv") && col("cross_d") === col("d"), "left")
+      .select(
+        col("variant").cast("int").as("variant"),
+        col("n_days").cast("bigint").as("n_days"),
+        col("n_trials").cast("bigint").as("n_trials"),
+        col("n_success").cast("bigint").as("n_success"),
+        date_add(lit("1970-01-01").cast("date"), col("cross_d").cast("int"))
+          .as("cross_day"),
+        when(col("cross_d").isNull, "continue")
+          .when(col("llr") >= sprtUp, "accept_h1")
+          .otherwise("accept_h0").as("decision"),
+        round(col("llr_final"), 6).as("final_llr"))
+      .orderBy(col("variant"))
+  }
+
+  // SPRT constants, computed once and shared verbatim by both engines
+  private val sprtA = math.log(0.25 / 0.2) // ln(p1/p0)
+  private val sprtB = math.log(0.75 / 0.8) // ln((1-p1)/(1-p0))
+  private val sprtUp = math.log(19.0) // ln((1-β)/α), α=β=0.05
+
+  private val sprtMonitorSql =
+    s"""WITH ev AS (
+       |  SELECT list_reduce(list_transform(generate_series(1, 15),
+       |      j -> strpos('0123456789abcdef',
+       |             substring(md5(user_id::VARCHAR), j, 1)) - 1),
+       |      (acc, x) -> acc * 16 + x) % 2 AS variant,
+       |    epoch_us(ts) // 86400000000 AS d,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+       |  FROM events
+       |), daily AS (
+       |  SELECT variant, d, count(*) AS n, sum(y) AS k
+       |  FROM ev GROUP BY variant, d
+       |), cum0 AS (
+       |  SELECT variant, d,
+       |    sum(k) OVER w AS ck, sum(n) OVER w AS cn
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY variant ORDER BY d
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), cum AS (
+       |  SELECT variant, d, ck, cn,
+       |    ck * ($sprtA) + (cn - ck) * ($sprtB) AS llr
+       |  FROM cum0
+       |), first_x AS (
+       |  SELECT variant, min(d) AS cross_d FROM cum
+       |  WHERE llr >= $sprtUp OR llr <= -($sprtUp) GROUP BY variant
+       |), fin AS (
+       |  SELECT variant, count(*) AS n_days, max(cn) AS n_trials,
+       |    max(ck) AS n_success, max_by(llr, d) AS llr_final
+       |  FROM cum GROUP BY variant
+       |)
+       |SELECT fin.variant::INT AS variant, n_days::BIGINT AS n_days,
+       |  n_trials::BIGINT AS n_trials, n_success::BIGINT AS n_success,
+       |  CASE WHEN cross_d IS NOT NULL
+       |    THEN DATE '1970-01-01' + cross_d::INT END AS cross_day,
+       |  CASE WHEN cross_d IS NULL THEN 'continue'
+       |       WHEN c.llr >= $sprtUp THEN 'accept_h1'
+       |       ELSE 'accept_h0' END AS decision,
+       |  round(llr_final, 6) AS final_llr
+       |FROM fin
+       |LEFT JOIN first_x ON fin.variant = first_x.variant
+       |LEFT JOIN cum c ON c.variant = fin.variant AND c.d = cross_d
+       |ORDER BY fin.variant""".stripMargin
+
   /** q231: isotonic (PAV) recalibration of the q227 reliability curve —
     * the repair step that follows the diagnosis: pool-adjacent-violators
     * turns the per-bin observed rates into the best monotone fit, via
@@ -1798,6 +1907,7 @@ object EventAnalytics extends QueryModule {
       Some(calibrationBinsSql)),
     QueryDef("q231_isotonic_calibration", isotonicCalibration,
       Some(isotonicCalibrationSql)),
+    QueryDef("q236_sprt_monitor", sprtMonitor, Some(sprtMonitorSql)),
   )
 
 }

@@ -654,6 +654,49 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(res <= unc + 1e-9)
   }
 
+  test("q236: SPRT crossing days and decisions match a driver-side replay") {
+    val dayUs = 86400000000L
+    val a = math.log(0.25 / 0.2); val b = math.log(0.75 / 0.8)
+    val up = math.log(19.0)
+    def h60(u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect()
+      .map(r => (h60(r.getLong(0)) % 2, r.getLong(1) / dayUs,
+        if (r.getString(2) == "purchase") 1L else 0L))
+    val rows = EventAnalytics.sprtMonitor(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("variant")).toSeq === Seq(0, 1))
+    rows.foreach { r =>
+      val v = r.getAs[Int]("variant").toLong
+      val daily = ev.filter(_._1 == v).groupBy(_._2).map { case (d, g) =>
+        (d, g.size.toLong, g.map(_._3).sum)
+      }.toSeq.sortBy(_._1)
+      var ck = 0L; var cn = 0L
+      val chain = daily.map { case (d, n, k) =>
+        ck += k; cn += n; (d, ck, cn, ck * a + (cn - ck) * b)
+      }
+      assert(r.getAs[Long]("n_days") === daily.size.toLong)
+      assert(r.getAs[Long]("n_trials") === cn)
+      assert(r.getAs[Long]("n_success") === ck)
+      assert(math.abs(r.getAs[Double]("final_llr") - chain.last._4) <= 5.1e-7)
+      chain.find(c => c._4 >= up || c._4 <= -up) match {
+        case Some((d, _, _, llr)) =>
+          assert(r.getAs[java.sql.Date]("cross_day").toString ===
+            java.time.LocalDate.ofEpochDay(d).toString)
+          assert(r.getAs[String]("decision") ===
+            (if (llr >= up) "accept_h1" else "accept_h0"))
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("cross_day")))
+          assert(r.getAs[String]("decision") === "continue")
+      }
+    }
+  }
+
   test("q231: minimax isotonic fit equals a driver-side PAV pooling replay") {
     // input bins from the (already verified) q227 aggregation
     val bins = EventAnalytics.calibrationBins(spark, sfDir).collect()
