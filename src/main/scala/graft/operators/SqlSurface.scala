@@ -211,6 +211,8 @@ object SqlSurface extends QueryModule {
     QueryDef("q220_sql_custom_expr", sqlCustomExpr, Some(sqlCustomExprSql)),
     QueryDef("q226_recursive_cte", recursiveCte, Some(recursiveCteSql)),
     QueryDef("q235_holt_smoothing", holtSmoothing, Some(holtSmoothingSql)),
+    QueryDef("q237_path_signatures", pathSignatures,
+      Some(pathSignaturesSql)),
   )
 
   /** q226: WITH RECURSIVE executed by Spark itself (4.x recursive-CTE
@@ -301,6 +303,68 @@ object SqlSurface extends QueryModule {
       |  round(fc, 6) AS forecast,
       |  round(x - fc, 6) AS residual
       |FROM chain ORDER BY month""".stripMargin
+
+  /** q237: ordered string aggregation (`LISTAGG ... WITHIN GROUP`,
+    * new in Spark 4.0) turned into a path-mining query: each
+    * customer's first 8 orders (by date, key — the q204-style bound
+    * that keeps signatures fixed-width at any scale) become a priority
+    * path signature like `1>3>2`, and the query surfaces the 15 most
+    * common signatures with their average realized spend. The ordered
+    * aggregation is the point: an unordered collect would make the
+    * signature permutation-dependent and the result nondeterministic.
+    *
+    * DuckDB mirrors with `string_agg(... ORDER BY ...)` — same
+    * semantics, dialect-local spelling. Spend stays in integer cents
+    * until the single output division.
+    *
+    * Scale shape: one window over custkey (the partition key the
+    * fact shuffle already uses), one groupBy on the bounded-width
+    * signature, partial top-k for the final ranking.
+    */
+  def pathSignatures(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """WITH o AS (
+        |  SELECT o_custkey, substring(o_orderpriority, 1, 1) AS p,
+        |    o_orderdate, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders
+        |), paths AS (
+        |  SELECT o_custkey,
+        |    listagg(p, '>') WITHIN GROUP (ORDER BY o_orderdate, o_orderkey)
+        |      AS path,
+        |    count(*) AS n_orders, sum(price_c) AS spend_c
+        |  FROM o WHERE rn <= 8 GROUP BY o_custkey
+        |)
+        |SELECT path, count(*) AS n_customers,
+        |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        |  round(CAST(sum(spend_c) AS DOUBLE) / count(*) / 100.0, 2)
+        |    AS avg_spend
+        |FROM paths GROUP BY path
+        |ORDER BY n_customers DESC, path LIMIT 15""".stripMargin)
+  }
+
+  private val pathSignaturesSql =
+    """WITH o AS (
+      |  SELECT o_custkey, substring(o_orderpriority, 1, 1) AS p,
+      |    o_orderdate, o_orderkey,
+      |    round(o_totalprice * 100)::BIGINT AS price_c,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders
+      |), paths AS (
+      |  SELECT o_custkey,
+      |    string_agg(p, '>' ORDER BY o_orderdate, o_orderkey) AS path,
+      |    count(*) AS n_orders, sum(price_c) AS spend_c
+      |  FROM o WHERE rn <= 8 GROUP BY o_custkey
+      |)
+      |SELECT path, count(*)::BIGINT AS n_customers,
+      |  sum(n_orders)::BIGINT AS n_orders,
+      |  round(sum(spend_c)::DOUBLE / count(*) / 100.0, 2) AS avg_spend
+      |FROM paths GROUP BY path
+      |ORDER BY n_customers DESC, path LIMIT 15""".stripMargin
 
   /** q220: the injected-function SQL surface under the oracle gate — a
     * pure `spark.sql` query calling the CUSTOM codegen'd expression

@@ -107,4 +107,33 @@ class SqlSurfaceSpec extends SparkSpec {
     // trend state actually moves (the second state column is live)
     assert(rows.map(_.getAs[Double]("trend")).distinct.length > 1)
   }
+
+  test("q237: listagg path signatures match an ordered driver-side replay") {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), substring(col("o_orderpriority"), 1, 1).as("p"),
+        col("o_orderdate").cast("string").as("dt"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    val paths = orders.groupBy(_._1).map { case (_, g) =>
+      val first8 = g.sortBy(o => (o._3, o._4)).take(8)
+      (first8.map(_._2).mkString(">"), first8.length.toLong,
+        first8.map(_._5).sum)
+    }.toSeq
+    val expected = paths.groupBy(_._1).map { case (path, g) =>
+      (path, g.size.toLong, g.map(_._2).sum, g.map(_._3).sum)
+    }.toSeq.sortBy { case (path, n, _, _) => (-n, path) }.take(15)
+    val rows = SqlSurface.pathSignatures(spark, sfDir).collect()
+    assert(rows.length === expected.length)
+    rows.zip(expected).foreach { case (r, (path, n, no, spend)) =>
+      assert(r.getAs[String]("path") === path)
+      assert(r.getAs[Long]("n_customers") === n)
+      assert(r.getAs[Long]("n_orders") === no)
+      assert(math.abs(r.getAs[Double]("avg_spend") -
+        spend.toDouble / n / 100.0) <= 0.01)
+      // bounded signature: at most 8 hops
+      assert(r.getAs[String]("path").count(_ == '>') <= 7)
+    }
+  }
 }
