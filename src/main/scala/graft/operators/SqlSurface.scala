@@ -213,6 +213,7 @@ object SqlSurface extends QueryModule {
     QueryDef("q235_holt_smoothing", holtSmoothing, Some(holtSmoothingSql)),
     QueryDef("q237_path_signatures", pathSignatures,
       Some(pathSignaturesSql)),
+    QueryDef("q238_variant_events", variantEvents, Some(variantEventsSql)),
   )
 
   /** q226: WITH RECURSIVE executed by Spark itself (4.x recursive-CTE
@@ -365,6 +366,63 @@ object SqlSurface extends QueryModule {
       |  round(sum(spend_c)::DOUBLE / count(*) / 100.0, 2) AS avg_spend
       |FROM paths GROUP BY path
       |ORDER BY n_customers DESC, path LIMIT 15""".stripMargin
+
+  /** q238: the VARIANT semi-structured type (new in Spark 4.0) under
+    * the oracle gate — `parse_json` ingests the event props into a
+    * VARIANT column once, then typed paths come back out through
+    * `variant_get` (binary-encoded access, no per-row re-parse, unlike
+    * q20's `get_json_object` which re-parses the string per call):
+    * per event type, the extracted-key statistics, the inferred
+    * `schema_of_variant` (proves the binary encoding carries type
+    * structure), and a `try_variant_get` probe of a missing path
+    * (NULL-safe access — the semi-structured contract at scale where
+    * payload drift is the norm, exercised here on a uniform corpus).
+    *
+    * DuckDB has no VARIANT; the oracle extracts the same paths with
+    * its JSON functions — identical VALUES is exactly the point: the
+    * type is an encoding choice, not a semantics change.
+    *
+    * Scale shape: parse once per row map-side, aggregate on the
+    * already-shuffled event_type key; VARIANT's binary form is what
+    * makes repeated path access affordable at 100 TB.
+    */
+  def variantEvents(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events_q238")
+    spark.sql(
+      """WITH v AS (
+        |  SELECT event_type, parse_json(props) AS pv FROM events_q238
+        |), e AS (
+        |  SELECT event_type,
+        |    variant_get(pv, '$.k', 'bigint') AS k,
+        |    try_variant_get(pv, '$.absent', 'bigint') AS missing_probe,
+        |    schema_of_variant(pv) AS vschema
+        |  FROM v
+        |)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k,
+        |  count(DISTINCT vschema) AS n_schemas,
+        |  CAST(sum(CASE WHEN missing_probe IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_missing
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  private val variantEventsSql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    json_extract(props, '$.k')::BIGINT AS k,
+      |    json_extract(props, '$.absent')::BIGINT AS missing_probe,
+      |    json_structure(props) AS vschema
+      |  FROM events
+      |)
+      |SELECT event_type, count(*)::BIGINT AS n_events,
+      |  sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k,
+      |  max(k)::BIGINT AS max_k,
+      |  count(DISTINCT vschema)::BIGINT AS n_schemas,
+      |  sum(CASE WHEN missing_probe IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_missing
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** q220: the injected-function SQL surface under the oracle gate — a
     * pure `spark.sql` query calling the CUSTOM codegen'd expression

@@ -136,4 +136,28 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(r.getAs[String]("path").count(_ == '>') <= 7)
     }
   }
+
+  test("q238: VARIANT path stats agree with the string-JSON extraction") {
+    val rows = SqlSurface.variantEvents(spark, sfDir).collect()
+    val viaString = Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("s"),
+        min(col("k")).as("mn"), max(col("k")).as("mx"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Long]("s"),
+        r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s, mn, mx) = viaString(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") === n)
+      assert(r.getAs[Long]("sum_k") === s)
+      assert(r.getAs[Long]("min_k") === mn)
+      assert(r.getAs[Long]("max_k") === mx)
+      // uniform corpus: one inferred variant schema per type
+      assert(r.getAs[Long]("n_schemas") === 1L)
+      // the absent path is NULL for every row (NULL-safe access)
+      assert(r.getAs[Long]("n_missing") === n)
+    }
+  }
 }
