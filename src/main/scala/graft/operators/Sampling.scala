@@ -298,6 +298,118 @@ object Sampling extends QueryModule {
 
   // lazy: q215's SQL val is declared below this list (a strict val would
   // capture null at object init — same fix as Governance/Similarity)
+  /** q239: deterministic Poisson-bootstrap confidence interval for the
+    * mean daily revenue — distributed uncertainty quantification with
+    * zero rand(): replica b resamples each day with multiplicity
+    * w(d,b) = Poisson(1)⁻¹(u) where u is the portable 60-bit md5
+    * uniform of (day, replica), the standard online-bootstrap
+    * approximation of with-replacement resampling (each day drawn
+    * ~Binomial(n,1/n) → Poisson(1) as n grows). The CI is the exact
+    * rank-5 / rank-(B−4) pair of the 200 replica means — discrete
+    * percentiles at integer ranks, no interpolation.
+    *
+    * Parity engineering: the inverse CDF runs as INTEGER comparisons —
+    * the Poisson(1) cumulative thresholds are pre-scaled to 2⁶⁰ and
+    * embedded as BIGINT literals in both engines, so multiplicity
+    * assignment involves no floats at all; replica sums stay BIGINT,
+    * and each replica mean is a single int/int IEEE division (ordering
+    * tie-broken by replica id).
+    *
+    * Scale shape: the fact table reduces to the bounded day relation
+    * first (one shuffle); the ×200 replica expansion and the replica
+    * rollup are O(days·B), constant in corpus size. Replicas with
+    * all-zero weight (P ≈ e^(−200·days)) are excluded symmetrically —
+    * the rank pair adapts to the realized replica count.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+    val u = expr("cast(conv(substring(md5(concat(cast(d as string), '_', " +
+      "cast(b as string))), 1, 15), 16, 10) as bigint)")
+    val wCol = poissonThresholds.zipWithIndex
+      .foldRight(lit(8L): org.apache.spark.sql.Column) {
+        case ((thr, k), rest) => when(u < thr, k.toLong).otherwise(rest)
+      }
+    val reps = daily
+      .select(col("d"), col("x"), explode(expr("sequence(0, 199)")).as("b"))
+      .withColumn("w", wCol)
+    val means = reps.groupBy(col("b"))
+      .agg(sum(col("w") * col("x")).as("swx"), sum(col("w")).as("sw"))
+      .filter(col("sw") > 0)
+      .withColumn("m", col("swx").cast("double") / col("sw"))
+    val ranked = means
+      .withColumn("rk", row_number().over(Window.orderBy(col("m"), col("b"))))
+      .withColumn("n_used", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val tot = daily.agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"))
+    ranked
+      .filter(col("rk") === 5 || col("rk") === col("n_used") - 4)
+      .groupBy(col("n_used"))
+      .agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_days").cast("bigint").as("n_days"),
+        col("n_used").cast("bigint").as("n_replicas"),
+        round(col("sx").cast("double") / col("n_days") / 100.0, 4)
+          .as("mean_rev"),
+        round(col("lo") / 100.0, 4).as("ci_lo"),
+        round(col("hi") / 100.0, 4).as("ci_hi"))
+  }
+
+  /** Poisson(1) CDF thresholds scaled to 2⁶⁰, exact BIGINT literals
+    * shared verbatim by both engines (w = k iff u60 ∈ [L_{k-1}, L_k)).
+    */
+  private val poissonThresholds: Seq[Long] = {
+    val e = math.exp(-1.0)
+    val fact = Seq(1L, 1L, 2L, 6L, 24L, 120L, 720L, 5040L)
+    val cums = fact.map(f => e / f).scanLeft(0.0)(_ + _).tail
+    cums.map(c => (BigDecimal(c) * BigDecimal(two60)).toBigInt.toLong)
+  }
+
+  private lazy val bootstrapCiSql = {
+    val thrCases = poissonThresholds.zipWithIndex
+      .map { case (thr, k) => s"WHEN u60 < $thr THEN $k" }
+      .mkString("\n      ")
+    s"""WITH daily AS (
+       |  SELECT (o_orderdate::DATE - DATE '1970-01-01') AS d,
+       |    sum(round(o_totalprice * 100)::BIGINT) AS x
+       |  FROM orders GROUP BY 1
+       |), reps AS (
+       |  SELECT d, x, b,
+       |    list_reduce(list_transform(generate_series(1, 15),
+       |        j -> strpos('0123456789abcdef',
+       |               substring(md5(d::VARCHAR || '_' || b::VARCHAR), j, 1))
+       |             - 1),
+       |      (acc, h) -> acc * 16 + h) AS u60
+       |  FROM daily CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b)
+       |), weighted AS (
+       |  SELECT b, d, x,
+       |    CASE
+       |      $thrCases
+       |      ELSE 8 END AS w
+       |  FROM reps
+       |), means AS (
+       |  SELECT b, sum(w * x) AS swx, sum(w) AS sw,
+       |    sum(w * x)::DOUBLE / sum(w) AS m
+       |  FROM weighted GROUP BY b HAVING sum(w) > 0
+       |), ranked AS (
+       |  SELECT b, m, row_number() OVER (ORDER BY m, b) AS rk,
+       |    count(*) OVER () AS n_used
+       |  FROM means
+       |), tot AS (
+       |  SELECT count(*) AS n_days, sum(x) AS sx FROM daily
+       |)
+       |SELECT t.n_days::BIGINT AS n_days, r.n_used::BIGINT AS n_replicas,
+       |  round(t.sx::DOUBLE / t.n_days / 100.0, 4) AS mean_rev,
+       |  round(min(r.m) / 100.0, 4) AS ci_lo,
+       |  round(max(r.m) / 100.0, 4) AS ci_hi
+       |FROM ranked r CROSS JOIN tot t
+       |WHERE r.rk = 5 OR r.rk = r.n_used - 4
+       |GROUP BY t.n_days, r.n_used, t.sx""".stripMargin
+  }
+
   override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q101_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q102_top_p_sources", topPSources, Some(topPSourcesSql)),
@@ -307,6 +419,7 @@ object Sampling extends QueryModule {
     QueryDef("q213_group_split", groupSplit, Some(groupSplitSql)),
     QueryDef("q215_target_encoding", targetEncoding, Some(targetEncodingSql)),
     QueryDef("q216_feature_hashing", featureHashing, Some(featureHashingSql)),
+    QueryDef("q239_bootstrap_ci", bootstrapCi, Some(bootstrapCiSql)),
   )
 
   /** q215: leakage-safe K-fold target encoding — the categorical encoder

@@ -201,4 +201,44 @@ class SamplingSpec extends SparkSpec {
     val ratesByK = rows.map(_.getAs[Double]("collision_rate"))
     assert(ratesByK.sliding(2).forall { case Array(a, b) => b <= a + 1e-12 })
   }
+
+  test("q239: bootstrap CI matches a full driver-side resampling replay") {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val e = math.exp(-1.0)
+    val fact = Seq(1L, 1L, 2L, 6L, 24L, 120L, 720L, 5040L)
+    val thr = fact.map(f => e / f).scanLeft(0.0)(_ + _).tail
+      .map(c => (BigDecimal(c) * BigDecimal(1152921504606846976L)).toBigInt)
+    def u60(d: Long, b: Int): BigInt = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${d}_$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      BigInt(new java.math.BigInteger(hex, 16))
+    }
+    val means = (0 until 200).flatMap { b =>
+      var swx = BigInt(0); var sw = 0L
+      daily.foreach { case (d, x) =>
+        val u = u60(d, b)
+        val w = thr.indexWhere(u < _) match { case -1 => 8; case k => k }
+        swx += BigInt(w) * x; sw += w
+      }
+      if (sw > 0) Some((b, swx.toDouble / sw.toDouble)) else None
+    }
+    val sorted = means.sortBy { case (b, m) => (m, b) }
+    val lo = sorted(4)._2; val hi = sorted(sorted.length - 5)._2
+    val rows = Sampling.bootstrapCi(spark, sfDir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_days") === daily.length.toLong)
+    assert(r.getAs[Long]("n_replicas") === means.length.toLong)
+    assert(math.abs(r.getAs[Double]("ci_lo") - lo / 100.0) <= 5.1e-5)
+    assert(math.abs(r.getAs[Double]("ci_hi") - hi / 100.0) <= 5.1e-5)
+    // interval sanity: lo <= point estimate <= hi and the CI has width
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("mean_rev"))
+    assert(r.getAs[Double]("mean_rev") <= r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("ci_hi"))
+  }
 }
