@@ -1621,6 +1621,120 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("bin"))
   }
 
+  /** q240: absorbing-Markov absorption analysis — q104's transition
+    * matrix with `purchase` declared absorbing, asking the question
+    * funnels can't: starting from each event type, what is the
+    * probability of EVER reaching purchase within 1, 2, 4, 8 steps?
+    * Computed as 8 unrolled matrix-vector products a_{k+1} = Q·a_k
+    * (absorbing row pinned at 1), the truncated fundamental-matrix
+    * series — no inversion, each step one tiny join + rollup.
+    *
+    * Parity engineering: each per-state Σ_t P(s,t)·a_k(t) is an
+    * ORDERED fold — terms are collected, sorted by target type, and
+    * reduced left-to-right (Spark `aggregate` over `array_sort`;
+    * DuckDB `list_reduce` over `list(... ORDER BY t)` with a prepended
+    * 0.0) — so both engines execute the identical IEEE op sequence and
+    * unordered-float-sum drift cannot exist (the kaplanMeier/q171
+    * discipline applied to linear algebra).
+    *
+    * Scale shape: the fact table reduces to the |types|² matrix in one
+    * lag + rollup pass; all 8 iterations run on that bounded relation.
+    * Iteration count is a constant of the QUERY, not the data.
+    */
+  def absorptionProbs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("s"), col("event_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_s", sum(col("n")).over(Window.partitionBy(col("s"))))
+      .withColumn("p", col("n").cast("double") / col("n_s"))
+      .filter(col("s") =!= "purchase") // absorbing: no outgoing mass
+      .select(col("s"), col("t"), col("p"))
+      .persist() // tiny |types|² relation driving all 8 iterations
+    val states = trans.select(col("s").as("state")).distinct()
+      .unionByName(spark.createDataFrame(
+        Seq(Tuple1("purchase"))).toDF("state"))
+      .distinct()
+    def step(a: DataFrame): DataFrame = {
+      val folded = trans
+        .join(a.select(col("state").as("t2"), col("prob")),
+          col("t") === col("t2"))
+        .withColumn("term", col("p") * col("prob"))
+        .groupBy(col("s"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("t"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("v"))
+      states.join(folded, col("state") === col("s"), "left")
+        .select(col("state"),
+          when(col("state") === "purchase", lit(1.0))
+            .otherwise(coalesce(col("v"), lit(0.0))).as("prob"))
+    }
+    val a0 = states.select(col("state"),
+      when(col("state") === "purchase", 1.0).otherwise(0.0).as("prob"))
+    val probs = Iterator.iterate(a0)(step).drop(1).take(8).toSeq
+    def at(k: Int, name: String) = probs(k - 1)
+      .select(col("state").as(s"st_$k"), round(col("prob"), 6).as(name))
+    states.select(col("state"))
+      .join(at(1, "p1"), col("state") === col("st_1"))
+      .join(at(2, "p2"), col("state") === col("st_2"))
+      .join(at(4, "p4"), col("state") === col("st_4"))
+      .join(at(8, "p8"), col("state") === col("st_8"))
+      .select(col("state"), col("p1"), col("p2"), col("p4"), col("p8"))
+      .orderBy(col("state"))
+  }
+
+  private val absorptionProbsSql = {
+    def stepCte(k: Int): String =
+      s"""a$k AS (
+         |  SELECT st.state,
+         |    CASE WHEN st.state = 'purchase' THEN 1.0
+         |      ELSE coalesce(f.v, 0.0) END AS prob
+         |  FROM states st LEFT JOIN (
+         |    SELECT m.s,
+         |      list_reduce(
+         |        list_prepend(0.0, list(m.p * a.prob ORDER BY m.t)),
+         |        (acc, x) -> acc + x) AS v
+         |    FROM m JOIN a${k - 1} a ON a.state = m.t
+         |    GROUP BY m.s) f ON f.s = st.state
+         |)"""
+    val steps = (1 to 8).map(stepCte).mkString(",\n").stripMargin
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+       |), pr AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+       |      AS prev
+       |  FROM e
+       |), c AS (
+       |  SELECT prev AS s, event_type AS t, count(*) AS n
+       |  FROM pr WHERE prev IS NOT NULL GROUP BY 1, 2
+       |), m AS (
+       |  SELECT s, t,
+       |    n::DOUBLE / sum(n) OVER (PARTITION BY s) AS p
+       |  FROM c WHERE s <> 'purchase'
+       |), states AS (
+       |  SELECT DISTINCT s AS state FROM m
+       |  UNION SELECT 'purchase'
+       |), a0 AS (
+       |  SELECT state,
+       |    CASE WHEN state = 'purchase' THEN 1.0 ELSE 0.0 END AS prob
+       |  FROM states
+       |),
+       |${steps}
+       |SELECT st.state, round(a1.prob, 6) AS p1, round(a2.prob, 6) AS p2,
+       |  round(a4.prob, 6) AS p4, round(a8.prob, 6) AS p8
+       |FROM states st
+       |JOIN a1 ON a1.state = st.state
+       |JOIN a2 ON a2.state = st.state
+       |JOIN a4 ON a4.state = st.state
+       |JOIN a8 ON a8.state = st.state
+       |ORDER BY st.state""".stripMargin
+  }
+
   /** q236: SPRT sequential experiment monitor — Wald's sequential
     * probability-ratio test over the daily event stream, the "peek
     * continuously without p-hacking" machinery a growth team runs: H0
@@ -1908,6 +2022,8 @@ object EventAnalytics extends QueryModule {
     QueryDef("q231_isotonic_calibration", isotonicCalibration,
       Some(isotonicCalibrationSql)),
     QueryDef("q236_sprt_monitor", sprtMonitor, Some(sprtMonitorSql)),
+    QueryDef("q240_absorption_probs", absorptionProbs,
+      Some(absorptionProbsSql)),
   )
 
 }

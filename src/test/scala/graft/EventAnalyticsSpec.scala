@@ -654,6 +654,45 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(res <= unc + 1e-9)
   }
 
+  test("q240: absorption probabilities match a driver-side matrix power") {
+    val trans = EventAnalytics.transitionMatrix(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n"), r.getAs[Long]("row_total")))
+    val m = trans.filter(_._1 != "purchase")
+      .map { case (s, t, n, tot) => (s, t, n.toDouble / tot) }
+    val states = (m.map(_._1) ++ Seq("purchase")).distinct.sorted
+    var a = states.map(s => s -> (if (s == "purchase") 1.0 else 0.0)).toMap
+    val snapshots = scala.collection.mutable.Map.empty[Int, Map[String, Double]]
+    (1 to 8).foreach { k =>
+      a = states.map { s =>
+        s -> (if (s == "purchase") 1.0
+        else m.filter(_._1 == s).sortBy(_._2).map { case (_, t, p) =>
+          p * a(t)
+        }.sum)
+      }.toMap
+      snapshots(k) = a
+    }
+    val rows = EventAnalytics.absorptionProbs(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("state")).toSeq === states)
+    rows.foreach { r =>
+      val s = r.getAs[String]("state")
+      Seq(1 -> "p1", 2 -> "p2", 4 -> "p4", 8 -> "p8").foreach {
+        case (k, cn) =>
+          assert(math.abs(r.getAs[Double](cn) - snapshots(k)(s)) <= 5.1e-7,
+            s"$s at $cn")
+      }
+      // absorption probability is monotone in the horizon
+      assert(r.getAs[Double]("p1") <= r.getAs[Double]("p2") + 1e-9)
+      assert(r.getAs[Double]("p2") <= r.getAs[Double]("p4") + 1e-9)
+      assert(r.getAs[Double]("p4") <= r.getAs[Double]("p8") + 1e-9)
+      assert(r.getAs[Double]("p8") <= 1.0 + 1e-9)
+    }
+    // the absorbing state is pinned at 1 for every horizon
+    val pu = rows.find(_.getAs[String]("state") == "purchase").get
+    Seq("p1", "p2", "p4", "p8").foreach(c =>
+      assert(pu.getAs[Double](c) === 1.0))
+  }
+
   test("q236: SPRT crossing days and decisions match a driver-side replay") {
     val dayUs = 86400000000L
     val a = math.log(0.25 / 0.2); val b = math.log(0.75 / 0.8)
