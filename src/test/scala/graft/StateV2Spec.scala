@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.StateV2
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StateV2Spec extends SparkSpec {
+
+  test("transformWithState: ValueState + ListState accumulate across micro-batches") {
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+
+    // two-file landing zone + maxFilesPerTrigger=1 => two micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("tws_state").toString
+    events.filter(col("event_id") % 2 === 0).coalesce(1).write.parquet(s"$dir/stage/b0")
+    events.filter(col("event_id") % 2 === 1).coalesce(1).write.parquet(s"$dir/stage/b1")
+    val landing = new java.io.File(s"$dir/landing"); landing.mkdirs()
+    Seq("b0", "b1").zipWithIndex.foreach { case (b, i) =>
+      val part = new java.io.File(s"$dir/stage/$b").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(landing, f"$i%02d.parquet").toPath)
+    }
+
+    val prevConfs = StateV2.twsConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    StateV2.twsConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val stream = spark.readStream
+        .schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+      val q = StateV2.lifetimeSnapshots(stream).writeStream
+        .format("memory").queryName("tws_snapshots")
+        .outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+
+      val updates = spark.table("tws_snapshots")
+      // state carried across batches: users seen in both batches emit
+      // two snapshots with growing counts
+      assert(updates.groupBy(col("user_id")).count()
+        .filter(col("count") === 2).count() > 0)
+
+      // final ValueState snapshot per user equals the batch ground truth
+      val finals = updates.groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("sum_cents"), col("max_cents")))
+          .as("s"))
+        .select(col("user_id"), col("s.*"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val truth = events
+        .select(col("user_id"), round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"), max(col("c")).as("m"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(finals === truth)
+
+      // ListState window: the last snapshot's recent average equals the
+      // mean of that user's last ≤3 events by (ts, event_id)
+      val lastSnap = updates.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("recent_avg_cents"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val byUser = events
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 100).cast("long").as("c"))
+        .collect()
+        .groupBy(_.getLong(0))
+      byUser.foreach { case (u, rows) =>
+        // batches split by even/odd event_id: replay the same two-batch
+        // fold the processor saw (window is clamped per batch)
+        val (b0, b1) = rows.sortBy(r => (r.getLong(2), r.getLong(1)))
+          .partition(_.getLong(1) % 2 == 0)
+        val afterB0 = b0.map(_.getLong(3)).takeRight(3)
+        val window = (afterB0 ++ b1.map(_.getLong(3))).takeRight(3)
+        val expect = window.sum.toDouble / window.size
+        assert(math.abs(lastSnap(u) - expect) < 1e-9, s"user $u recent window")
+      }
+    } finally {
+      prevConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+}
