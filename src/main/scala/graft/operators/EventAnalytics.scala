@@ -1787,7 +1787,10 @@ object EventAnalytics extends QueryModule {
         col("n_days").cast("bigint").as("n_days"),
         col("n_trials").cast("bigint").as("n_trials"),
         col("n_success").cast("bigint").as("n_success"),
-        date_add(lit("1970-01-01").cast("date"), col("cross_d").cast("int"))
+        // string, not DATE: an all-null date column (no crossing at small
+        // sf) compares None-vs-NaT across engines' parquet/pandas paths
+        coalesce(date_add(lit("1970-01-01").cast("date"),
+          col("cross_d").cast("int")).cast("string"), lit("never"))
           .as("cross_day"),
         when(col("cross_d").isNull, "continue")
           .when(col("llr") >= sprtUp, "accept_h1")
@@ -1833,8 +1836,8 @@ object EventAnalytics extends QueryModule {
        |)
        |SELECT fin.variant::INT AS variant, n_days::BIGINT AS n_days,
        |  n_trials::BIGINT AS n_trials, n_success::BIGINT AS n_success,
-       |  CASE WHEN cross_d IS NOT NULL
-       |    THEN DATE '1970-01-01' + cross_d::INT END AS cross_day,
+       |  coalesce((DATE '1970-01-01' + cross_d::INT)::VARCHAR, 'never')
+       |    AS cross_day,
        |  CASE WHEN cross_d IS NULL THEN 'continue'
        |       WHEN c.llr >= $sprtUp THEN 'accept_h1'
        |       ELSE 'accept_h0' END AS decision,

@@ -725,12 +725,12 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("final_llr") - chain.last._4) <= 5.1e-7)
       chain.find(c => c._4 >= up || c._4 <= -up) match {
         case Some((d, _, _, llr)) =>
-          assert(r.getAs[java.sql.Date]("cross_day").toString ===
+          assert(r.getAs[String]("cross_day") ===
             java.time.LocalDate.ofEpochDay(d).toString)
           assert(r.getAs[String]("decision") ===
             (if (llr >= up) "accept_h1" else "accept_h0"))
         case None =>
-          assert(r.isNullAt(r.fieldIndex("cross_day")))
+          assert(r.getAs[String]("cross_day") === "never")
           assert(r.getAs[String]("decision") === "continue")
       }
     }
