@@ -2329,6 +2329,64 @@ object TradeAnalytics extends QueryModule {
       |FROM (SELECT * FROM up UNION ALL SELECT * FROM down)
       |ORDER BY dir DESC, rank""".stripMargin
 
+  /** q241: Hampel filter — rolling-median/MAD outlier detection over
+    * the daily revenue series, the robust-statistics cousin of q120's
+    * EWMA (mean-based, masking-prone) and q230's CUSUM (level shifts):
+    * a 7-day centered window flags day d when
+    * |x_d − median₇| > 3·MAD₇. Everything is EXACT integer cents —
+    * the 7-element window median is the 4th order statistic of a
+    * sorted array, MAD is the 4th order statistic of the absolute
+    * deviations, and the 3× threshold stays integral (the classical
+    * 1.4826 consistency constant is deliberately folded into the
+    * documented 3× factor so no float ever appears).
+    *
+    * Scale shape: the fact table reduces to the bounded day relation
+    * first; the ±3 window runs over that spine (q230's pattern).
+    * Boundary days (<7-day window) are excluded rather than padded —
+    * the filter only fires where the statistic is well-defined.
+    */
+  def hampelFilter(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev_c"))
+    val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    daily
+      .withColumn("win", collect_list(col("rev_c")).over(w))
+      .filter(size(col("win")) === 7)
+      .withColumn("med", element_at(array_sort(col("win")), 4))
+      .withColumn("mad", element_at(
+        array_sort(transform(col("win"), x => abs(x - col("med")))), 4))
+      .filter(abs(col("rev_c") - col("med")) > col("mad") * 3)
+      .select(col("day"), col("rev_c"),
+        col("med").cast("bigint").as("med_c"),
+        col("mad").cast("bigint").as("mad_c"),
+        (abs(col("rev_c") - col("med")) - col("mad") * 3).cast("bigint")
+          .as("excess_c"))
+      .orderBy(col("day"))
+  }
+
+  private val hampelFilterSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate::DATE AS day,
+      |    sum(round(o_totalprice * 100)::BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1
+      |), w AS (
+      |  SELECT day, rev_c,
+      |    list(rev_c) OVER (ORDER BY day
+      |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win
+      |  FROM daily
+      |), m AS (
+      |  SELECT day, rev_c,
+      |    list_sort(win)[4] AS med,
+      |    list_sort(list_transform(win,
+      |      x -> abs(x - list_sort(win)[4])))[4] AS mad
+      |  FROM w WHERE len(win) = 7
+      |)
+      |SELECT day, rev_c, med::BIGINT AS med_c, mad::BIGINT AS mad_c,
+      |  (abs(rev_c - med) - 3 * mad)::BIGINT AS excess_c
+      |FROM m WHERE abs(rev_c - med) > 3 * mad
+      |ORDER BY day""".stripMargin
+
   /** q234: Wilson-lower-bound ranking of part return rates — the
     * correct "worst offenders" list when group sizes differ: a raw-rate
     * sort promotes 2/2 over 40/100, while the Wilson score interval's
@@ -2706,5 +2764,6 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q233_woe_binning", woeBinning, Some(woeBinningSql)),
     QueryDef("q234_wilson_ranking", wilsonReturnRates,
       Some(wilsonReturnRatesSql)),
+    QueryDef("q241_hampel_filter", hampelFilter, Some(hampelFilterSql)),
   )
 }

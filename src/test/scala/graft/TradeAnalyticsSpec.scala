@@ -1077,6 +1077,38 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(iv >= 0.0)
   }
 
+  test("q241: Hampel flags match an exact integer rolling-median replay") {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("rev_c"))
+      .collect().map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("rev_c")))
+      .sortBy(_._1)
+    val expected = daily.indices.flatMap { i =>
+      if (i < 3 || i >= daily.length - 3) None
+      else {
+        val win = (i - 3 to i + 3).map(daily(_)._2).sorted
+        val med = win(3)
+        val mad = (i - 3 to i + 3).map(j => math.abs(daily(j)._2 - med))
+          .sorted.apply(3)
+        val (day, x) = daily(i)
+        if (math.abs(x - med) > 3 * mad)
+          Some((day, x, med, mad, math.abs(x - med) - 3 * mad))
+        else None
+      }
+    }
+    val rows = TradeAnalytics.hampelFilter(spark, sfDir).collect()
+    assert(rows.length === expected.length)
+    rows.zip(expected).foreach { case (r, (day, x, med, mad, ex)) =>
+      assert(r.getAs[java.sql.Date]("day").toString === day)
+      assert(r.getAs[Long]("rev_c") === x)
+      assert(r.getAs[Long]("med_c") === med)
+      assert(r.getAs[Long]("mad_c") === mad)
+      assert(r.getAs[Long]("excess_c") === ex)
+      assert(ex > 0)
+    }
+  }
+
   test("q234: Wilson top-20 matches a driver-side replay and bounds the raw rate") {
     val agg = Tables.lineitem(spark, sfDir)
       .groupBy(col("l_partkey"))
