@@ -223,10 +223,15 @@ object CorpusStats extends QueryModule {
     val term = (col("n_cur") + 1).cast("double") / (col("t_cur") + col("v")) *
       log(((col("n_cur") + 1).cast("double") / (col("t_cur") + col("v"))) /
         ((col("n_ref") + 1).cast("double") / (col("t_ref") + col("v"))))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    counts.crossJoin(broadcast(totals))
-      .withColumn("kl_term", round(term * 1000000, 4))
-      .withColumn("kl_total_x1k", round(sum(term).over(w) * 1000, 4))
+    // the vocab-keyed relation is word-domain-sized: the corpus total
+    // comes from a distributed aggregate broadcast back, not a global
+    // single-partition window frame
+    val withTerm = counts.crossJoin(broadcast(totals))
+      .withColumn("kl_term_raw", term)
+    val klTot = withTerm.agg(sum(col("kl_term_raw")).as("kl_tot"))
+    withTerm.crossJoin(broadcast(klTot))
+      .withColumn("kl_term", round(col("kl_term_raw") * 1000000, 4))
+      .withColumn("kl_total_x1k", round(col("kl_tot") * 1000, 4))
       .select(col("w"), col("n_ref").cast("long").as("n_ref"),
         col("n_cur").cast("long").as("n_cur"),
         col("kl_term"), col("kl_total_x1k"))

@@ -96,20 +96,26 @@ object Physical extends QueryModule {
     * deviation from the ideal mean in exact integer bytes — the plan a
     * media/dataset exporter consults before writing (cf.
     * `TextAnalysis.writeShards`, which hash-shards without balancing).
-    * At cluster scale the ranking runs over per-FILE metadata (listing
-    * sizes), not rows — the relation this query sorts is already
-    * metadata-sized; only the final assignment joins back to data.
+    * The rank really does run over every document row, so it uses the
+    * range-partitioned 2-pass row_number (`ScaledWindows.rowNumber`) —
+    * the sort parallelizes across the range partitions and the only
+    * single-partition work is the ≤32-row offsets spine.
     */
   def shardPlan(spark: SparkSession, dir: String): DataFrame = {
     val k = 8
-    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
-    val assigned = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"))
-      .withColumn("shard", ((row_number().over(w) - 1) % k).cast("int"))
-    assigned
+    // the rank runs over every document row, so the global
+    // row_number() window becomes a range-partitioned 2-pass rank
+    // (ScaledWindows doc) — no single-task sort of the corpus.
+    val assigned = ScaledWindows.rowNumber(
+        Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id")), "rk")
+      .withColumn("shard", ((col("rk") - 1) % k).cast("int"))
+    val summary = assigned
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
-      .withColumn("ideal", expr(s"(sum(bytes) OVER ()) div $k"))
+    summary
+      .crossJoin(broadcast(summary.agg(sum(col("bytes")).as("tb"))))
+      .withColumn("ideal", expr(s"tb div $k"))
       .select(col("shard"), col("n_docs").cast("long").as("n_docs"),
         col("bytes").cast("long").as("bytes"),
         (col("bytes") - col("ideal")).cast("long").as("dev_from_ideal"))
@@ -143,10 +149,9 @@ object Physical extends QueryModule {
     val counts = Tables.orders(spark, dir)
       .select(round(col("o_totalprice") * 100, 0).cast("long").as("c"))
       .groupBy(col("c")).agg(count(lit(1)).as("w"))
-    val wc = Window.orderBy(col("c"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = counts
-      .withColumn("cum", sum(col("w")).over(wc))
+    // the distinct-cents relation is value-domain-sized (millions of
+    // values at 100×): distributed prefix sum, not a global window
+    val cum = ScaledWindows.prefixSum(counts, Seq(col("c")), col("w"), "cum")
       .crossJoin(broadcast(counts.agg(sum(col("w")).as("n"))))
     val spine = spark.range(1, 9).select(col("id").cast("int").as("bin"))
     spine.crossJoin(cum)

@@ -1074,15 +1074,18 @@ object Relational extends QueryModule {
     */
   def orderKeyGaps(spark: SparkSession, dir: String): DataFrame = {
     val keys = Tables.lineitem(spark, dir).select(col("l_orderkey").as("k")).distinct()
-    val w = Window.orderBy(col("k"))
-    val wAll = Window.partitionBy()
-    keys
-      .withColumn("nk", lead(col("k"), 1).over(w))
+    // the distinct key relation is id-domain-sized (billions at 100×):
+    // per-range-partition lead with boundary stitching instead of a
+    // single-task global sort (ScaledWindows doc). The corpus totals
+    // ride along via a 1-row broadcast, not a global window — the gaps
+    // relation itself is data-dependent-sized.
+    val gaps = ScaledWindows.stitchedLead(keys, Seq(col("k")), col("k"), "nk")
       .filter(col("nk") > col("k") + 1)
       .select((col("k") + 1).as("gap_start"), (col("nk") - 1).as("gap_end"),
         (col("nk") - col("k") - 1).as("n_missing"))
-      .withColumn("total_gaps", count(lit(1)).over(wAll).cast("long"))
-      .withColumn("total_missing", sum(col("n_missing")).over(wAll).cast("long"))
+    val totals = gaps.agg(count(lit(1)).cast("long").as("total_gaps"),
+      sum(col("n_missing")).cast("long").as("total_missing"))
+    gaps.crossJoin(broadcast(totals))
       .orderBy(col("n_missing").desc, col("gap_start"))
       .limit(10)
   }

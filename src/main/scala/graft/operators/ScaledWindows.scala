@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed replacements for globally-ordered window functions.
+  *
+  * `Window.orderBy(...)` with no `partitionBy` forces Spark to plan an
+  * `Exchange SinglePartition` + one-task sort of the ENTIRE input —
+  * fine over a bounded spine (days, bins, the 25 nations), fatal over a
+  * key-domain relation (every part, every distinct orderkey, every
+  * document) at the 100 TB design point. These helpers re-express the
+  * three global-window shapes the engine needs — cumulative sum,
+  * row_number, lead(1) — as the classic two-pass range-partitioned
+  * algorithm (the same scheme external sorting and MPP prefix-sum use,
+  * cf. Blelloch's scan):
+  *
+  *   1. `repartitionByRange(n, keys)` — one range shuffle; partition i
+  *      holds a contiguous key range and all partitions sort in
+  *      parallel. Range boundaries come from Spark's deterministic
+  *      reservoir-sample sketch, so the split is balanced regardless of
+  *      key skew in the domain.
+  *   2. a per-partition window keyed by `spark_partition_id()` — the
+  *      range exchange made partition ids ascend with the sort order,
+  *      so per-partition results differ from the global answer only by
+  *      a per-partition additive offset (prefix sum / row count) or a
+  *      single boundary value (lead).
+  *   3. a partition-count-sized (≤ numParts rows) offsets relation,
+  *      broadcast back. The only single-partition window left in the
+  *      plan runs over those ≤ numParts rows — metadata-sized at any
+  *      corpus scale.
+  *
+  * Answers are bit-identical to the global window (the per-partition
+  * decomposition of an associative fold is exact), which is why the
+  * callers' DuckDB oracles keep using the plain `OVER (ORDER BY ...)`
+  * form: the oracle states the semantics, this file supplies the
+  * scale-safe plan. PlanAuditSpec pins both properties (no
+  * single-partition exchange over the data relation; offsets branch is
+  * the only one) at test time.
+  *
+  * Callers must pass a TOTAL order (include a unique tiebreak column):
+  * ties straddling a range boundary would otherwise make "preceding
+  * rows" ambiguous, exactly as they would for the single-node window.
+  */
+object ScaledWindows {
+
+  private val PID = "__sw_pid"
+
+  /** Range-partition `df` by `order` (Columns, `.desc` respected) and
+    * tag each row with its range-partition id. Ids ascend with the
+    * global sort order — the invariant every helper below leans on.
+    */
+  private def rangeTag(df: DataFrame, order: Seq[Column], numParts: Int): DataFrame =
+    df.repartitionByRange(numParts, order: _*)
+      .withColumn(PID, spark_partition_id())
+
+  /** Cumulative sum of `value` over rows globally ordered by `order`,
+    * named `out`. `exclusive = true` gives the UNBOUNDED PRECEDING →
+    * 1 PRECEDING frame (sum of strictly-preceding rows, 0 for the
+    * first), matching `ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+    * PRECEDING` with `coalesce(..., 0)`. Long-typed values.
+    */
+  def prefixSum(df: DataFrame, order: Seq[Column], value: Column, out: String,
+                exclusive: Boolean = false, numParts: Int = 32): DataFrame =
+    prefixSumWithTotal(df, order, value, out, None, exclusive, numParts)
+
+  /** prefixSum that ALSO attaches the grand total of `value` as
+    * `totalOut` when requested — it falls out of the offsets relation
+    * for free, saving callers (ntile) a separate aggregation pass over
+    * the data relation.
+    */
+  def prefixSumWithTotal(df: DataFrame, order: Seq[Column], value: Column,
+                         out: String, totalOut: Option[String],
+                         exclusive: Boolean = false,
+                         numParts: Int = 32): DataFrame = {
+    val parted = rangeTag(df, order, numParts)
+    val frameEnd = if (exclusive) -1L else Window.currentRow
+    val wLocal = Window.partitionBy(col(PID)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, frameEnd)
+    // exclusive per-partition totals: partition i's offset is the sum of
+    // everything in partitions < i. ≤ numParts rows — broadcastable.
+    val wOff = Window.orderBy(col(PID))
+    val offsets0 = parted.groupBy(col(PID)).agg(sum(value).as("__sw_ptot"))
+      .withColumn("__sw_off", coalesce(sum(col("__sw_ptot")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = totalOut.fold(offsets0.select(col(PID), col("__sw_off"))) { t =>
+      offsets0.withColumn(t, sum(col("__sw_ptot")).over(
+          wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col(PID), col("__sw_off"), col(t))
+    }
+    parted
+      .withColumn("__sw_local", coalesce(sum(value).over(wLocal), lit(0L)))
+      .join(broadcast(offsets), Seq(PID))
+      .withColumn(out, col("__sw_local") + col("__sw_off"))
+      .drop(PID, "__sw_local", "__sw_off")
+  }
+
+  /** Global `row_number() OVER (ORDER BY order)` as `out` (1-based),
+    * via an exclusive prefix COUNT plus one.
+    */
+  def rowNumber(df: DataFrame, order: Seq[Column], out: String,
+                numParts: Int = 32): DataFrame =
+    prefixSum(df, order, lit(1L), out, exclusive = true, numParts)
+      .withColumn(out, (col(out) + 1L))
+
+  /** Global `ntile(k) OVER (ORDER BY order)` as `out` (IntegerType),
+    * with exact SQL NTILE remainder semantics — n mod k leading
+    * buckets take one extra row — computed arithmetically from the
+    * distributed row_number and the scalar total count. With q =
+    * n div k and r = n mod k, row rn lands in bucket
+    * ceil(rn / (q+1)) while rn ≤ r·(q+1), else r + ceil((rn −
+    * r·(q+1)) / q); when n < k the first branch covers every row, so
+    * the q = 0 division never evaluates.
+    */
+  def ntile(df: DataFrame, order: Seq[Column], k: Int, out: String,
+            numParts: Int = 32): DataFrame = {
+    // n rides along from the offsets relation (totalOut) — no second
+    // aggregation pass over the data relation just for the count
+    prefixSumWithTotal(df, order, lit(1L), "__sw_rn", Some("__sw_n"),
+        exclusive = true, numParts)
+      .withColumn("__sw_rn", col("__sw_rn") + 1L)
+      .withColumn("__sw_q", expr(s"__sw_n div $k"))
+      .withColumn("__sw_r", expr(s"__sw_n % $k"))
+      .withColumn(out,
+        when(col("__sw_rn") <= col("__sw_r") * (col("__sw_q") + 1),
+          expr("(__sw_rn + __sw_q) div (__sw_q + 1)"))
+          .otherwise(expr(
+            "__sw_r + (__sw_rn - __sw_r * (__sw_q + 1) + __sw_q - 1) div __sw_q"))
+          .cast("int"))
+      .drop("__sw_rn", "__sw_n", "__sw_q", "__sw_r")
+  }
+
+  /** Global `lead(value, 1) OVER (ORDER BY order)` as `out`: each
+    * partition's local lead, with the last row of partition i stitched
+    * to the FIRST value of the next non-empty partition (by the same
+    * ordering). The global maximum keeps a null lead, exactly like the
+    * single-node window.
+    */
+  def stitchedLead(df: DataFrame, order: Seq[Column], value: Column, out: String,
+                   numParts: Int = 32): DataFrame = {
+    val parted = rangeTag(df, order, numParts)
+    val wLocal = Window.partitionBy(col(PID)).orderBy(order: _*)
+    // first `value` of each non-empty partition; lead over the ≤ numParts
+    // partition spine skips empty partitions for free (they have no row).
+    val firsts = parted
+      .withColumn("__sw_rn", row_number().over(wLocal))
+      .filter(col("__sw_rn") === 1)
+      .select(col(PID), value.as("__sw_first"))
+    val nexts = firsts
+      .withColumn("__sw_next", lead(col("__sw_first"), 1)
+        .over(Window.orderBy(col(PID))))
+      .select(col(PID), col("__sw_next"))
+    parted
+      .withColumn(out, lead(value, 1).over(wLocal))
+      .join(broadcast(nexts), Seq(PID))
+      .withColumn(out, coalesce(col(out), col("__sw_next")))
+      .drop(PID, "__sw_next")
+  }
+}

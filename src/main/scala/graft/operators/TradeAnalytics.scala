@@ -623,8 +623,10 @@ object TradeAnalytics extends QueryModule {
     val pts = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("x"))
-    val ranked = pts.withColumn("i",
-      row_number().over(Window.orderBy(col("x"), col("o_custkey"))))
+    // customer-domain relation: distributed 2-pass rank, not a global
+    // single-task row_number (ScaledWindows doc)
+    val ranked = ScaledWindows.rowNumber(pts,
+      Seq(col("x"), col("o_custkey")), "i")
     val tot = ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
       sum(col("i") * col("x")).as("six"))
     val deciles = ranked.crossJoin(broadcast(tot))
@@ -1012,11 +1014,13 @@ object TradeAnalytics extends QueryModule {
     val parts = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("bigint")).as("cents"))
-    val w = Window.orderBy(col("cents").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val tot = parts.agg(sum(col("cents")).as("total"))
-    parts
-      .withColumn("cum_before", coalesce(sum(col("cents")).over(w), lit(0L)))
+    // range-partitioned exclusive prefix sum — the part relation is
+    // key-domain-sized, so a global OVER (ORDER BY) would funnel it
+    // through one task at 100× scale (ScaledWindows doc).
+    ScaledWindows.prefixSum(parts,
+        Seq(col("cents").desc, col("l_partkey")), col("cents"),
+        "cum_before", exclusive = true)
       .crossJoin(broadcast(tot))
       .withColumn("cls",
         when(col("cum_before") * 5 < col("total") * 4, "A")
@@ -1143,10 +1147,10 @@ object TradeAnalytics extends QueryModule {
     val byV = s.groupBy(col("c"))
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n1v"),
         count(lit(1)).cast("long").as("ntv"))
-    val wPrev = Window.orderBy(col("c"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = byV
-      .withColumn("cum_prev", coalesce(sum(col("ntv")).over(wPrev), lit(0L)))
+    // distinct-cents relation is value-domain-sized: distributed
+    // exclusive prefix sum (ScaledWindows doc), not a global window
+    val ranked = ScaledWindows.prefixSum(byV, Seq(col("c")), col("ntv"),
+        "cum_prev", exclusive = true)
       // min rank + max rank of the tie block = 2 × average rank, exact
       .withColumn("r2", lit(2L) * col("cum_prev") + col("ntv") + lit(1L))
     val g = ranked.agg(
@@ -1671,9 +1675,10 @@ object TradeAnalytics extends QueryModule {
     * segment grid with sizes and average spend.
     *
     * Scale: one orders aggregation to the |customers| relation; three
-    * ntile windows over that aggregate (single-partition over
-    * |customers| — at cluster scale these become the q134 exact-rank
-    * value-domain bucketing, same outputs); the grid is ≤125 rows.
+    * distributed ntiles over that aggregate (range-partitioned 2-pass
+    * rank + arithmetic bucketing, `ScaledWindows.ntile` — no
+    * single-partition sort of the customer domain); the grid is ≤125
+    * rows.
     */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(spark, dir)
@@ -1683,15 +1688,17 @@ object TradeAnalytics extends QueryModule {
         sum(round(col("o_totalprice") * 100, 0).cast("long")).as("m"))
     val anchor = Tables.orders(spark, dir)
       .agg(max(col("o_orderdate").cast("date")).as("max_d"))
-    val scored = perCust.crossJoin(broadcast(anchor))
+    val base = perCust.crossJoin(broadcast(anchor))
       .withColumn("r", datediff(col("max_d"), col("last_d")).cast("long"))
-      // orientation: ntile 5 = best (most recent / most frequent / top spend)
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("r").desc, col("o_custkey"))))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("f").asc, col("o_custkey"))))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("m").asc, col("o_custkey"))))
+    // orientation: ntile 5 = best (most recent / most frequent / top
+    // spend); the customer-domain relation takes the distributed ntile
+    // (exact SQL semantics), not a single-task global window
+    val scored = ScaledWindows.ntile(
+      ScaledWindows.ntile(
+        ScaledWindows.ntile(base,
+          Seq(col("r").desc, col("o_custkey")), 5, "r_score"),
+        Seq(col("f").asc, col("o_custkey")), 5, "f_score"),
+      Seq(col("m").asc, col("o_custkey")), 5, "m_score")
     scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).cast("bigint").as("n_customers"),
         sum(col("m")).as("m_sum"))
@@ -2095,11 +2102,10 @@ object TradeAnalytics extends QueryModule {
     * below-diagonal = upward drift.
     *
     * Scale shape: one conditional aggregation builds both windows'
-    * spend per customer (single fact scan); the two ntile windows sort
-    * only the CUSTOMER dimension (orders of magnitude smaller than the
-    * fact), and the matrix rollup is a 100-cell aggregate. At larger
-    * scale the ntile becomes an exact-rank computation over the
-    * per-customer relation — same output, no global sort.
+    * spend per customer (single fact scan); the two ntiles run as
+    * range-partitioned 2-pass ranks over the customer relation
+    * (`ScaledWindows.ntile` — no single-task sort), and the matrix
+    * rollup is a 100-cell aggregate.
     */
   def decileMobility(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
@@ -2114,11 +2120,11 @@ object TradeAnalytics extends QueryModule {
         sum(when(col("o_orderdate") > date_sub(col("maxd"), 365), col("c"))
           .otherwise(0L)).as("rev_b"))
       .filter(col("rev_a") > 0 && col("rev_b") > 0)
-    val deciled = byCust
-      .withColumn("da", ntile(10).over(
-        Window.orderBy(col("rev_a").desc, col("o_custkey"))))
-      .withColumn("db", ntile(10).over(
-        Window.orderBy(col("rev_b").desc, col("o_custkey"))))
+    // customer-domain ntiles → distributed 2-pass (ScaledWindows doc)
+    val deciled = ScaledWindows.ntile(
+      ScaledWindows.ntile(byCust,
+        Seq(col("rev_a").desc, col("o_custkey")), 10, "da"),
+      Seq(col("rev_b").desc, col("o_custkey")), 10, "db")
     deciled.groupBy(col("da").as("decile_before"), col("db").as("decile_after"))
       .agg(count(lit(1)).cast("bigint").as("n_customers"),
         sum(col("rev_b") - col("rev_a")).cast("bigint").as("net_change_c"))
@@ -2382,7 +2388,7 @@ object TradeAnalytics extends QueryModule {
       |      x -> abs(x - list_sort(win)[4])))[4] AS mad
       |  FROM w WHERE len(win) = 7
       |)
-      |SELECT day, rev_c, med::BIGINT AS med_c, mad::BIGINT AS mad_c,
+      |SELECT day, rev_c::BIGINT AS rev_c, med::BIGINT AS med_c, mad::BIGINT AS mad_c,
       |  (abs(rev_c - med) - 3 * mad)::BIGINT AS excess_c
       |FROM m WHERE abs(rev_c - med) > 3 * mad
       |ORDER BY day""".stripMargin
@@ -2552,11 +2558,12 @@ object TradeAnalytics extends QueryModule {
       .agg(sum(col("qm")).as("s_q"),
         sum(col("qm") * col("qm")).as("s_q2"),
         sum(col("cm")).as("cents"))
-    val wAbc = Window.orderBy(col("cents").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val tot = perPart.agg(sum(col("cents")).as("total"))
-    perPart
-      .withColumn("cum_before", coalesce(sum(col("cents")).over(wAbc), lit(0L)))
+    // ABC prefix sum over the part relation: range-partitioned 2-pass,
+    // same rationale as q168 (ScaledWindows doc).
+    ScaledWindows.prefixSum(perPart,
+        Seq(col("cents").desc, col("l_partkey")), col("cents"),
+        "cum_before", exclusive = true)
       .crossJoin(broadcast(tot))
       .crossJoin(broadcast(months))
       .withColumn("cls_abc",

@@ -333,10 +333,50 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("decile mobility: both windows' spend comes from one fact scan") {
-    val plan = explainText(operators.TradeAnalytics.decileMobility(spark, sfDir))
-    // 2 physical scans (cutoff max + the conditional-agg pass) = 4 text
-    // occurrences in explain('formatted') (tree + details per node)
-    assert("Scan parquet".r.findAllIn(plan).length <= 4,
+    // the ScaledWindows branches expand the INITIAL plan text, but AQE
+    // exchange reuse collapses them at runtime — assert on the FINAL
+    // executed plan: cutoff max + ONE conditional-agg scan, everything
+    // else reads reused shuffle stages
+    val plan = finalPlan(operators.TradeAnalytics.decileMobility(spark, sfDir)).toString
+    assert("Scan parquet".r.findAllIn(plan).length <= 2,
       s"cutoff max + ONE conditional-agg scan only:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"ScaledWindows branches must reuse the shuffle, not recompute:\n$plan")
+  }
+
+  /** ScaledWindows contract: the data relation flows through a range
+    * exchange and per-partition windows; the ONLY single-partition
+    * shuffles left are metadata-sized — the ≤numParts offsets spine
+    * (aggregated on __sw_pid) or a scalar/global aggregate (keys=[]).
+    * Guards verdict-r5 items 2/3/4: a refactor that reintroduces a
+    * global sort of the data relation fails here, not in a bench run.
+    */
+  private def assertNoDataSizedSinglePartition(df: DataFrame): Unit = {
+    val plan = finalPlan(df).toString
+    assert(plan.contains("rangepartitioning("),
+      s"ScaledWindows range exchange missing:\n$plan")
+    val lines = plan.split("\n")
+    for (i <- lines.indices if lines(i).contains("Exchange SinglePartition")) {
+      val below = lines.slice(i + 1, i + 5).mkString("\n")
+      assert(below.contains("__sw_pid") || below.contains("keys=[]"),
+        s"single-partition exchange over a data-sized relation at plan line $i:\n$plan")
+    }
+  }
+
+  test("q168 ABC prefix sum runs range-partitioned, no data-sized global sort") {
+    assertNoDataSizedSinglePartition(
+      operators.TradeAnalytics.abcClassification(spark, sfDir))
+  }
+
+  test("q128 shard rank runs range-partitioned, no data-sized global sort") {
+    assertNoDataSizedSinglePartition(operators.Physical.shardPlan(spark, sfDir))
+  }
+
+  test("q131 key-gap lead runs range-partitioned with boundary stitching") {
+    assertNoDataSizedSinglePartition(operators.Relational.orderKeyGaps(spark, sfDir))
+  }
+
+  test("q191 RFM ntiles run range-partitioned, no customer-domain global sort") {
+    assertNoDataSizedSinglePartition(operators.TradeAnalytics.rfmSegments(spark, sfDir))
   }
 }
