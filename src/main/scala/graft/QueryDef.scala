@@ -18,6 +18,23 @@ final case class QueryDef(
     oracle: Option[String],
     benchmark: Boolean = false)
 
+/** Cache-lifecycle helper for queries that persist() a multi-read
+  * intermediate: materialize the (bounded-size) final result into the
+  * cache, then release the persisted inputs it consumed. Without the
+  * release, a long driver run over the full query battery accretes
+  * executor storage one intermediate per query; with it the only thing
+  * left cached is the result itself — top-k lists and stat rows, which
+  * Spark's LRU evicts freely.
+  */
+object Materialize {
+  def releasing(out: DataFrame, inputs: org.apache.spark.sql.Dataset[_]*): DataFrame = {
+    val m = out.cache()
+    m.count()
+    inputs.foreach(_.unpersist())
+    m
+  }
+}
+
 trait QueryModule {
   def defs: Seq[QueryDef]
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, QueryModule, Tables}
+import graft.{Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -353,11 +353,13 @@ object CorpusStats extends QueryModule {
       .withColumn("num", abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
       .persist() // read by the max and the argmax passes
     val mx = nums.agg(max(col("num")).as("d_num"))
-    nums.join(broadcast(mx), col("num") === col("d_num"))
-      .groupBy(col("n1"), col("n2"), col("d_num"))
-      .agg(min(col("n_chars")).as("ks_at"))
-      .select(col("n1"), col("n2"), col("ks_at"),
-        round(col("d_num").cast("double") / (col("n1") * col("n2")), 6).as("ks_d"))
+    Materialize.releasing(
+      nums.join(broadcast(mx), col("num") === col("d_num"))
+        .groupBy(col("n1"), col("n2"), col("d_num"))
+        .agg(min(col("n_chars")).as("ks_at"))
+        .select(col("n1"), col("n2"), col("ks_at"),
+          round(col("d_num").cast("double") / (col("n1") * col("n2")), 6).as("ks_d")),
+      nums)
   }
 
   private val ksLengthTestSql =

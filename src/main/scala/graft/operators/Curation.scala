@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, QueryModule, Tables}
+import graft.{Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -370,10 +370,12 @@ object Curation extends QueryModule {
         .groupBy(col("doc_id"))
         .agg((lit(0.15) + lit(0.85) * sum(col("c"))).as("pr"))
     }
-    pr.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"))
-      .select(col("doc_id"), col("deg").cast("bigint").as("degree"),
-        round(col("pr"), 4).as("pagerank"))
-      .orderBy(col("doc_id"))
+    Materialize.releasing(
+      pr.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"))
+        .select(col("doc_id"), col("deg").cast("bigint").as("degree"),
+          round(col("pr"), 4).as("pagerank"))
+        .orderBy(col("doc_id")),
+      pairs)
   }
 
   private val docCentralitySql =
@@ -902,10 +904,12 @@ object Curation extends QueryModule {
         (col("nsh_n") + col("nsh_s") - col("inter")) >= 0.5)
       .select(col("new_id").as("doc_id")).distinct()
 
-    exactSurvivors.join(hits, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang"),
-        TextAnalysis.tokenCount(col("text")).cast("int").as("n_tokens"))
-      .orderBy(col("doc_id"))
+    Materialize.releasing(
+      exactSurvivors.join(hits, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("int").as("n_tokens"))
+        .orderBy(col("doc_id")),
+      exactSurvivors)
   }
 
   private val incrementalDedupSql =
@@ -977,14 +981,16 @@ object Curation extends QueryModule {
       sum(col("deg")).cast("bigint").as("deg_sum"),
       max(col("deg")).cast("bigint").as("max_degree"),
       sum(col("deg") * (col("deg") - 1) / 2).cast("bigint").as("n_wedges"))
-    stats.crossJoin(tri)
-      .select(
-        col("n_nodes"),
-        (col("deg_sum") / 2).cast("bigint").as("n_edges"),
-        col("max_degree"),
-        col("n_wedges"),
-        col("n_triangles"),
-        round(col("n_triangles") * 3.0 / col("n_wedges"), 4).as("clustering"))
+    Materialize.releasing(
+      stats.crossJoin(tri)
+        .select(
+          col("n_nodes"),
+          (col("deg_sum") / 2).cast("bigint").as("n_edges"),
+          col("max_degree"),
+          col("n_wedges"),
+          col("n_triangles"),
+          round(col("n_triangles") * 3.0 / col("n_wedges"), 4).as("clustering")),
+      edges)
   }
 
   private val triangleCensusSql =

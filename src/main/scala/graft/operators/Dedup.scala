@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, QueryModule, Tables}
+import graft.{Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -106,16 +106,18 @@ object Dedup extends QueryModule {
 
     val candidates = lshCandidates(signed, idCol, "__sig", bands, rowsPerBand)
     val sets = shingled.select(col(idCol), col("__sh"))
-    candidates
-      .join(sets.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    Materialize.releasing(
+      candidates
+        .join(sets.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+        .join(sets.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      shingled)
   }
 
   /** q40: MinHash-LSH near-dups on `documents`. The oracle is the exact
@@ -207,13 +209,15 @@ object Dedup extends QueryModule {
 
     val a = buckets.select(col("band"), col("bkey"), col(idCol).as("id_a"), col("__sim").as("sim_a"))
     val b = buckets.select(col("band"), col("bkey"), col(idCol).as("id_b"), col("__sim").as("sim_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        hamming(col("sim_a"), col("sim_b")).as("hamming_dist"))
-      .distinct()
-      .filter(col("hamming_dist") <= maxHamming)
-      .orderBy(col("doc_a"), col("doc_b"))
+    Materialize.releasing(
+      a.join(b, Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          hamming(col("sim_a"), col("sim_b")).as("hamming_dist"))
+        .distinct()
+        .filter(col("hamming_dist") <= maxHamming)
+        .orderBy(col("doc_a"), col("doc_b")),
+      signed)
   }
 
   /** q41: SimHash near-dups on `documents` via the portable md5 variant

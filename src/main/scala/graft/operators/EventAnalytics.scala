@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, QueryModule, Tables}
+import graft.{Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -583,10 +583,12 @@ object EventAnalytics extends QueryModule {
     val wau = cover.join(days, Seq("d2"))
       .groupBy(col("d2")).agg(count(lit(1)).as("wau"))
     val dau = pairs.groupBy(col("d").as("d2")).agg(count(lit(1)).as("dau"))
-    wau.join(dau, Seq("d2"))
-      .select(expr("date_add(DATE '1970-01-01', CAST(d2 AS INT))").as("day"),
-        col("dau").cast("bigint").as("dau"), col("wau").cast("bigint").as("wau"))
-      .orderBy(col("day"))
+    Materialize.releasing(
+      wau.join(dau, Seq("d2"))
+        .select(expr("date_add(DATE '1970-01-01', CAST(d2 AS INT))").as("day"),
+          col("dau").cast("bigint").as("dau"), col("wau").cast("bigint").as("wau"))
+        .orderBy(col("day")),
+      pairs)
   }
 
   private val rollingActiveUsersSql =
@@ -1678,13 +1680,15 @@ object EventAnalytics extends QueryModule {
     val probs = Iterator.iterate(a0)(step).drop(1).take(8).toSeq
     def at(k: Int, name: String) = probs(k - 1)
       .select(col("state").as(s"st_$k"), round(col("prob"), 6).as(name))
-    states.select(col("state"))
-      .join(at(1, "p1"), col("state") === col("st_1"))
-      .join(at(2, "p2"), col("state") === col("st_2"))
-      .join(at(4, "p4"), col("state") === col("st_4"))
-      .join(at(8, "p8"), col("state") === col("st_8"))
-      .select(col("state"), col("p1"), col("p2"), col("p4"), col("p8"))
-      .orderBy(col("state"))
+    Materialize.releasing(
+      states.select(col("state"))
+        .join(at(1, "p1"), col("state") === col("st_1"))
+        .join(at(2, "p2"), col("state") === col("st_2"))
+        .join(at(4, "p4"), col("state") === col("st_4"))
+        .join(at(8, "p8"), col("state") === col("st_8"))
+        .select(col("state"), col("p1"), col("p2"), col("p4"), col("p8"))
+        .orderBy(col("state")),
+      trans)
   }
 
   private val absorptionProbsSql = {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, QueryModule, Tables}
+import graft.{Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -167,20 +167,22 @@ object Incremental extends QueryModule {
     }
     val a = top("rev_a").withColumnsRenamed(Map("rev" -> "reva", "rk" -> "rka"))
     val b = top("rev_b").withColumnsRenamed(Map("rev" -> "revb", "rk" -> "rkb"))
-    a.join(b, Seq("o_custkey"), "full_outer")
-      .withColumn("status",
-        when(col("rka").isNull, "added")
-          .when(col("rkb").isNull, "removed")
-          .when(col("rka") === col("rkb") && col("reva") === col("revb"), "steady")
-          .otherwise("moved"))
-      .groupBy(col("status"))
-      .agg(count(lit(1)).cast("bigint").as("n_customers"),
-        sum(when(col("rka").isNotNull && col("rkb").isNotNull,
-          abs(col("rkb") - col("rka"))).otherwise(0L))
-          .cast("bigint").as("abs_rank_moves"),
-        sum(coalesce(col("revb"), lit(0L)) - coalesce(col("reva"), lit(0L)))
-          .cast("bigint").as("rev_delta_c"))
-      .orderBy(col("status"))
+    Materialize.releasing(
+      a.join(b, Seq("o_custkey"), "full_outer")
+        .withColumn("status",
+          when(col("rka").isNull, "added")
+            .when(col("rkb").isNull, "removed")
+            .when(col("rka") === col("rkb") && col("reva") === col("revb"), "steady")
+            .otherwise("moved"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).cast("bigint").as("n_customers"),
+          sum(when(col("rka").isNotNull && col("rkb").isNotNull,
+            abs(col("rkb") - col("rka"))).otherwise(0L))
+            .cast("bigint").as("abs_rank_moves"),
+          sum(coalesce(col("revb"), lit(0L)) - coalesce(col("reva"), lit(0L)))
+            .cast("bigint").as("rev_delta_c"))
+        .orderBy(col("status")),
+      byCust)
   }
 
   private val watchlistDiffSql =

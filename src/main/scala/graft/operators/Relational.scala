@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, QueryModule, Tables}
+import graft.{Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -884,12 +884,14 @@ object Relational extends QueryModule {
         expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY total)").as("q3"))
       .select((col("q1") - (col("q3") - col("q1")) * 1.5).as("lo_fence"),
         (col("q3") + (col("q3") - col("q1")) * 1.5).as("hi_fence"))
-    spend.crossJoin(broadcast(fences))
-      .filter(col("total") < col("lo_fence") || col("total") > col("hi_fence"))
-      .select(col("o_custkey"), round(col("total"), 2).as("total_spend"),
-        when(col("total") > col("hi_fence"), lit("high")).otherwise(lit("low"))
-          .as("side"))
-      .orderBy(col("o_custkey"))
+    Materialize.releasing(
+      spend.crossJoin(broadcast(fences))
+        .filter(col("total") < col("lo_fence") || col("total") > col("hi_fence"))
+        .select(col("o_custkey"), round(col("total"), 2).as("total_spend"),
+          when(col("total") > col("hi_fence"), lit("high")).otherwise(lit("low"))
+            .as("side"))
+        .orderBy(col("o_custkey")),
+      spend)
   }
 
   private val spendOutliersSql =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, QueryModule, Tables}
+import graft.{Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -404,13 +404,15 @@ object Similarity extends QueryModule {
       col("vec_id").as("id_a"), col("vec").as("vec_a"))
     val b = banded.select(col("band"), col("bkey"),
       col("vec_id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b")).distinct()
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("cosine_sim"))
-      .orderBy(col("id_a"), col("id_b"))
+    Materialize.releasing(
+      a.join(b, Seq("band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b")).distinct()
+        .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+        .filter(col("sim") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("cosine_sim"))
+        .orderBy(col("id_a"), col("id_b")),
+      banded)
   }
 
   /** DuckDB replica of `cosinePairsLsh(threshold=0.45, nBits=18,
@@ -453,10 +455,12 @@ object Similarity extends QueryModule {
       .filter(col("id_a") < col("id_b"))
       .filter(cosine(col("vec_a"), col("vec_b")) >= threshold)
       .select(col("id_b").as("vec_id")).distinct()
-    byList.join(dropped.withColumn("__drop", lit(1)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("list_id"),
-        when(col("__drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
-      .orderBy(col("vec_id"))
+    Materialize.releasing(
+      byList.join(dropped.withColumn("__drop", lit(1)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("list_id"),
+          when(col("__drop").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+        .orderBy(col("vec_id")),
+      byList)
   }
 
   /** q71: semantic dedup over the embedding corpus; the SQL oracle
@@ -529,9 +533,11 @@ object Similarity extends QueryModule {
         (r.getLong(0), (0 until mm.size).map(mm): Seq[Double])
       }.sortBy(_._1)
     }
-    corpus.withColumn("cluster_id", assignTo(cents))
-      .select(col("vec_id"), col("cluster_id"))
-      .orderBy(col("vec_id"))
+    Materialize.releasing(
+      corpus.withColumn("cluster_id", assignTo(cents))
+        .select(col("vec_id"), col("cluster_id"))
+        .orderBy(col("vec_id")),
+      corpus)
   }
 
   /** q74: k-means over `embeddings` (k=8, 2 Lloyd rounds). The SQL
@@ -644,11 +650,13 @@ object Similarity extends QueryModule {
         col("label") =!= col("l2"))
       .select(col("label"), cosine(col("cvec"), col("cvec2")).as("cc"))
       .groupBy(col("label")).agg(max(col("cc")).as("sep"))
-    coh.join(sep, Seq("label"))
-      .select(col("label"), col("n_vecs").cast("bigint").as("n_vecs"),
-        round(col("coh"), 4).as("cohesion"),
-        round(col("sep"), 4).as("nearest_centroid_cos"))
-      .orderBy(col("label"))
+    Materialize.releasing(
+      coh.join(sep, Seq("label"))
+        .select(col("label"), col("n_vecs").cast("bigint").as("n_vecs"),
+          round(col("coh"), 4).as("cohesion"),
+          round(col("sep"), 4).as("nearest_centroid_cos"))
+        .orderBy(col("label")),
+      cent)
   }
 
   private val clusterScatterSql =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, QueryModule, Tables}
+import graft.{Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -201,19 +201,21 @@ object TextAnalysis extends QueryModule {
       .withColumnRenamed("g", "cls")
     val tp = m.filter(col("lang") === col("g"))
       .select(col("lang").as("cls"), col("n").as("tp"))
-    labeled.join(guessed, Seq("cls"), "full_outer")
-      .join(tp, Seq("cls"), "left")
-      .select(col("cls"),
-        coalesce(col("n_labeled"), lit(0L)).cast("bigint").as("n_labeled"),
-        coalesce(col("n_guessed"), lit(0L)).cast("bigint").as("n_guessed"),
-        coalesce(col("tp"), lit(0L)).cast("bigint").as("tp"))
-      .withColumn("prec", when(col("n_guessed") > 0,
-        round(col("tp").cast("double") / col("n_guessed"), 4)))
-      .withColumn("rec", when(col("n_labeled") > 0,
-        round(col("tp").cast("double") / col("n_labeled"), 4)))
-      .withColumn("f1", when(col("n_labeled") + col("n_guessed") > 0,
-        round(lit(2.0) * col("tp") / (col("n_labeled") + col("n_guessed")), 4)))
-      .orderBy(col("cls"))
+    Materialize.releasing(
+      labeled.join(guessed, Seq("cls"), "full_outer")
+        .join(tp, Seq("cls"), "left")
+        .select(col("cls"),
+          coalesce(col("n_labeled"), lit(0L)).cast("bigint").as("n_labeled"),
+          coalesce(col("n_guessed"), lit(0L)).cast("bigint").as("n_guessed"),
+          coalesce(col("tp"), lit(0L)).cast("bigint").as("tp"))
+        .withColumn("prec", when(col("n_guessed") > 0,
+          round(col("tp").cast("double") / col("n_guessed"), 4)))
+        .withColumn("rec", when(col("n_labeled") > 0,
+          round(col("tp").cast("double") / col("n_labeled"), 4)))
+        .withColumn("f1", when(col("n_labeled") + col("n_guessed") > 0,
+          round(lit(2.0) * col("tp") / (col("n_labeled") + col("n_guessed")), 4)))
+        .orderBy(col("cls")),
+      m)
   }
 
   private val classifierPrfSql = {
@@ -288,19 +290,21 @@ object TextAnalysis extends QueryModule {
       .join(byCol, col("lang") === col("g")) // classes absent on one side contribute 0
       .agg(coalesce(sum(col("n_row").cast("decimal(38,0)") * col("n_col")),
         lit(java.math.BigDecimal.ZERO)).as("s_rc"))
-    tot.crossJoin(chance)
-      .withColumn("n_dec", col("n_all").cast("decimal(38,0)"))
-      .withColumn("num", col("n_dec") * col("n_agree") - col("s_rc"))
-      .withColumn("den", col("n_dec") * col("n_all") - col("s_rc"))
-      .select(
-        col("n_all").cast("bigint").as("n_docs"),
-        col("n_agree").cast("bigint").as("n_agree"),
-        round(col("n_agree").cast("double") / col("n_all"), 6).as("p_o"),
-        round(col("s_rc").cast("double") /
-          (col("n_dec") * col("n_all")).cast("double"), 6).as("p_e"),
-        when(col("den") =!= 0,
-          round(col("num").cast("double") / col("den").cast("double"), 6))
-          .as("kappa"))
+    Materialize.releasing(
+      tot.crossJoin(chance)
+        .withColumn("n_dec", col("n_all").cast("decimal(38,0)"))
+        .withColumn("num", col("n_dec") * col("n_agree") - col("s_rc"))
+        .withColumn("den", col("n_dec") * col("n_all") - col("s_rc"))
+        .select(
+          col("n_all").cast("bigint").as("n_docs"),
+          col("n_agree").cast("bigint").as("n_agree"),
+          round(col("n_agree").cast("double") / col("n_all"), 6).as("p_o"),
+          round(col("s_rc").cast("double") /
+            (col("n_dec") * col("n_all")).cast("double"), 6).as("p_e"),
+          when(col("den") =!= 0,
+            round(col("num").cast("double") / col("den").cast("double"), 6))
+            .as("kappa")),
+      m)
   }
 
   private val cohenKappaSql = {
@@ -607,15 +611,17 @@ object TextAnalysis extends QueryModule {
       .select(explode(
         graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
-    cands
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .filter(col("jaccard") >= 0.4)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    Materialize.releasing(
+      cands
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      docs)
   }
 
   private val prefixFilterPairsSql =
@@ -666,19 +672,21 @@ object TextAnalysis extends QueryModule {
       .groupBy(col("w")).agg(count_distinct(col("doc_id")).as("df"))
     val tf = words.join(broadcast(queryTerms), Seq("w"))
       .groupBy(col("doc_id"), col("len"), col("w")).agg(count(lit(1)).as("tf"))
-    tf.join(broadcast(df), Seq("w"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-      .withColumn("s", col("idf") * col("tf") * lit(bm25K1 + 1) /
-        (col("tf") + lit(bm25K1) *
-          (lit(1.0) - bm25B + lit(bm25B) * col("len") / col("avglen"))))
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("s")), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
-      .select(col("doc_id"), col("n_terms_hit").cast("bigint").as("n_terms_hit"),
-        col("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
+    Materialize.releasing(
+      tf.join(broadcast(df), Seq("w"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("s", col("idf") * col("tf") * lit(bm25K1 + 1) /
+          (col("tf") + lit(bm25K1) *
+            (lit(1.0) - bm25B + lit(bm25B) * col("len") / col("avglen"))))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("s")), 4).as("bm25"), count(lit(1)).as("n_terms_hit"))
+        .select(col("doc_id"), col("n_terms_hit").cast("bigint").as("n_terms_hit"),
+          col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20),
+      docs)
   }
 
   private val bm25Sql =
@@ -828,10 +836,12 @@ object TextAnalysis extends QueryModule {
       .drop("__rn", "fp")
       .persist() // feeds both the pair graph and the final join
     val groups = Dedup.dupGroups(jaccardPairsOn(exactDeduped))
-    exactDeduped.join(groups, Seq("doc_id"), "left")
-      .filter(col("group_id").isNull || col("group_id") === col("doc_id"))
-      .select(col("doc_id"), col("lang"), col("n_tokens"))
-      .orderBy(col("doc_id"))
+    Materialize.releasing(
+      exactDeduped.join(groups, Seq("doc_id"), "left")
+        .filter(col("group_id").isNull || col("group_id") === col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id")),
+      exactDeduped)
   }
 
   def corpusPrepQuery(spark: SparkSession, dir: String): DataFrame =

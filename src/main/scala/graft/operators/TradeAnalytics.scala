@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QueryDef, QueryModule, Tables}
+import graft.{Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -490,10 +490,12 @@ object TradeAnalytics extends QueryModule {
           coalesce(lit(1.0) / (col("r_count") + rrfK), lit(0.0)))
       .orderBy(col("rrf").desc, col("o_custkey"))
       .limit(20)
-    fused.select(col("o_custkey"),
-      col("r_spend").cast("int").as("r_spend"),
-      col("r_count").cast("int").as("r_count"),
-      round(col("rrf"), 6).as("rrf"))
+    Materialize.releasing(
+      fused.select(col("o_custkey"),
+        col("r_spend").cast("int").as("r_spend"),
+        col("r_count").cast("int").as("r_count"),
+        round(col("rrf"), 6).as("rrf")),
+      pts)
   }
 
   private val rrfFusionSql =
@@ -808,13 +810,15 @@ object TradeAnalytics extends QueryModule {
     val chi = j.select(sum(
       pow(col("n") - col("ra").cast("double") * col("cb") / col("nn"), 2) /
         (col("ra").cast("double") * col("cb") / col("nn"))).as("chi2"))
-    mi.crossJoin(chi).crossJoin(broadcast(tot))
-      .select(col("nn").cast("bigint").as("n_orders"),
-        col("ka").cast("int").as("n_priorities"),
-        col("kb").cast("int").as("n_statuses"),
-        round(col("mi"), 6).as("mutual_info_nats"),
-        round(sqrt(col("chi2") / (col("nn") *
-          (least(col("ka"), col("kb")) - 1))), 6).as("cramers_v"))
+    Materialize.releasing(
+      mi.crossJoin(chi).crossJoin(broadcast(tot))
+        .select(col("nn").cast("bigint").as("n_orders"),
+          col("ka").cast("int").as("n_priorities"),
+          col("kb").cast("int").as("n_statuses"),
+          round(col("mi"), 6).as("mutual_info_nats"),
+          round(sqrt(col("chi2") / (col("nn") *
+            (least(col("ka"), col("kb")) - 1))), 6).as("cramers_v")),
+      cells)
   }
 
   private val categoricalDependenceSql =
@@ -1085,12 +1089,14 @@ object TradeAnalytics extends QueryModule {
     def pick(q: Int): DataFrame = cum.crossJoin(broadcast(tot))
       .filter(col("cum") * 100 >= col("n_gaps") * q)
       .agg(min(col("gap")).as(s"p${q}_gap_days"))
-    custStats.crossJoin(broadcast(tot))
-      .crossJoin(pick(50)).crossJoin(pick(90))
-      .select(col("n_customers").cast("bigint").as("n_customers"),
-        col("n_repeat").cast("bigint").as("n_repeat"),
-        col("n_gaps").cast("bigint").as("n_gaps"),
-        col("p50_gap_days"), col("p90_gap_days"))
+    Materialize.releasing(
+      custStats.crossJoin(broadcast(tot))
+        .crossJoin(pick(50)).crossJoin(pick(90))
+        .select(col("n_customers").cast("bigint").as("n_customers"),
+          col("n_repeat").cast("bigint").as("n_repeat"),
+          col("n_gaps").cast("bigint").as("n_gaps"),
+          col("p50_gap_days"), col("p90_gap_days")),
+      gaps)
   }
 
   private val repurchaseIntervalsSql =
@@ -1778,13 +1784,15 @@ object TradeAnalytics extends QueryModule {
       .select(col("item"))
     val w = Window.partitionBy(col("item"))
       .orderBy(col("cosine").desc, col("neighbor"))
-    sym.join(broadcast(top50), Seq("item"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("item"), col("rank"), col("neighbor"),
-        col("co").cast("bigint").as("n_co_buyers"),
-        round(col("cosine"), 4).as("cosine"))
-      .orderBy(col("item"), col("rank"))
+    Materialize.releasing(
+      sym.join(broadcast(top50), Seq("item"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("item"), col("rank"), col("neighbor"),
+          col("co").cast("bigint").as("n_co_buyers"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("item"), col("rank")),
+      itemN)
   }
 
   private val itemNeighborsSql =
@@ -1946,11 +1954,13 @@ object TradeAnalytics extends QueryModule {
       Seq("cust", "neighbor"), "left_anti")
     val wUser = Window.partitionBy(col("cust"))
       .orderBy(col("score").desc, col("neighbor"))
-    hard.withColumn("rank", row_number().over(wUser))
-      .filter(col("rank") <= 3)
-      .select(col("cust").as("user_id"), col("rank"),
-        col("neighbor").as("item"), round(col("score"), 4).as("score"))
-      .orderBy(col("user_id"), col("rank"))
+    Materialize.releasing(
+      hard.withColumn("rank", row_number().over(wUser))
+        .filter(col("rank") <= 3)
+        .select(col("cust").as("user_id"), col("rank"),
+          col("neighbor").as("item"), round(col("score"), 4).as("score"))
+        .orderBy(col("user_id"), col("rank")),
+      b)
   }
 
   private val hardNegativesSql =
