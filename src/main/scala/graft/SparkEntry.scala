@@ -16,6 +16,7 @@ object SparkEntry {
     operators.SqlSurface,
     operators.Temporal,
     streaming.EventStreams,
+    streaming.StateReplay,
     operators.EventAnalytics,
     operators.TextAnalysis,
     operators.CorpusStats,

@@ -62,8 +62,10 @@ object StateV2 {
 
     override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
         timers: TimerValues): Iterator[UserSnapshot] = {
-      // deterministic fold order regardless of shuffle arrival order
-      val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      // deterministic fold order regardless of shuffle arrival order —
+      // full sub-millisecond precision (getTime alone truncates to ms,
+      // which could diverge from the micros-ordered q242/q243 replay)
+      val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
       if (batch.isEmpty) return Iterator.empty
       val cents = batch.map(e => math.round(e.value * 100))
       val prev = if (agg.exists()) agg.get() else LifetimeAgg(0L, 0L, Long.MinValue)

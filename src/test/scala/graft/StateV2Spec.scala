@@ -92,4 +92,82 @@ class StateV2Spec extends SparkSpec {
       }
     }
   }
+
+  test("q242/q243 replays equal the streaming processor under day-ordered micro-batches") {
+    import graft.streaming.{StateReplay, StateV2}
+    // 10-day slice, one landing file per day => 10 time-ordered
+    // micro-batches — exactly the q243 contract
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosPerDay = 86400000000000L
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val d0 = raw.agg(min(col("ts"))).head().getLong(0) / nanosPerDay
+    val slice = raw.filter(col("ts") / nanosPerDay < d0 + 10)
+    val dir = java.nio.file.Files.createTempDirectory("tws_replay").toString
+    slice.write.parquet(s"$dir/events.parquet")
+
+    val days = slice.select((col("ts") / nanosPerDay).cast("long").as("d"))
+      .distinct().orderBy(col("d")).collect().map(_.getLong(0))
+    val landing = new java.io.File(s"$dir/landing"); landing.mkdirs()
+    days.zipWithIndex.foreach { case (d, i) =>
+      slice.filter((col("ts") / nanosPerDay).cast("long") === d)
+        .coalesce(1).write.parquet(s"$dir/stage/b$i")
+      val part = new java.io.File(s"$dir/stage/b$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        new java.io.File(landing, f"$i%02d.parquet").toPath)
+    }
+
+    val prevConfs = StateV2.twsConfs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    StateV2.twsConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val stream = spark.readStream
+        .schema(Tables.events(spark, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+      val q = StateV2.lifetimeSnapshots(stream).writeStream
+        .format("memory").queryName("tws_replay_snapshots")
+        .outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+
+      def key(r: org.apache.spark.sql.Row, iU: Int, iN: Int) =
+        (r.getLong(iU), r.getLong(iN))
+      val got = spark.table("tws_replay_snapshots").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+
+      // every (user, cumulative-count) snapshot matches the q243 replay
+      val want = StateReplay.twsDailyTrajectory(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2)) ->
+          (r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+      assert(got.keySet === want.keySet)
+      got.foreach { case (k, (s, m, ra)) =>
+        val (ws, wm, wra) = want(k)
+        assert(s == ws && m == wm, s"state at $k")
+        assert(math.abs(ra - wra) < 1e-6, s"recent window at $k")
+      }
+
+      // the last snapshot per user matches the q242 final replay
+      val finals = got.groupBy(_._1._1).map { case (u, snaps) =>
+        val ((_, n), v) = snaps.maxBy(_._1._2); (u, n, v)
+      }.toSet
+      val finalWant = StateReplay.twsLifetimeReplay(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          (r.getLong(2), r.getLong(3), r.getDouble(4)))).toSet
+      assert(finals.map(t => (t._1, t._2, t._3._1, t._3._2)) ===
+        finalWant.map(t => (t._1, t._2, t._3._1, t._3._2)))
+      finals.foreach { case (u, n, (_, _, ra)) =>
+        val w = finalWant.find(t => t._1 == u).get._3._3
+        assert(math.abs(ra - w) < 1e-6, s"final recent window for user $u")
+      }
+    } finally {
+      prevConfs.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
