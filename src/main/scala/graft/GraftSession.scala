@@ -49,11 +49,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
-      // events.parquet stores TIMESTAMP(NANOS), which Spark 4 rejects
-      // outright unless it's read as a raw long — Tables.events requires
-      // this conf and converts long nanos → timestamp_micros itself.
-      // Setting it here (rather than mutating the conf inside
-      // Tables.events) keeps session state consistent for the whole run.
+      // events.parquet stores TIMESTAMP(NANOS). On Spark ≤4.0 this conf
+      // is REQUIRED to read it at all (as raw long nanos); on 4.1+ the
+      // reader yields timestamp_ntz natively and the conf is a no-op.
+      // Tables.events dispatches on whichever type actually loads.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

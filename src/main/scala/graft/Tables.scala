@@ -22,16 +22,39 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
-    * (legacy conf) and truncate to microseconds — Spark's native timestamp
-    * precision. Truncation (floor) matches a DuckDB TIMESTAMP_NS→TIMESTAMP
-    * cast, which the oracle side relies on.
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS). How Spark
+    * surfaces that has CHANGED across versions, so this loader dispatches
+    * on the schema the reader actually produced instead of assuming one:
+    *
+    *  - Spark ≤4.0 rejects NANOS outright unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, which yields a raw
+    *    `LongType` of nanos → divide to micros (truncation matches a
+    *    DuckDB TIMESTAMP_NS→TIMESTAMP cast, which the oracle relies on).
+    *  - Spark 4.1+ reads NANOS natively as `TimestampNTZType`, already
+    *    truncated to micros; the legacy conf is a no-op. Cast NTZ →
+    *    session-zoned TimestampType (UTC session ⇒ identical micros).
+    *
+    * Either path ends at the same `TimestampType` micros values, so every
+    * consumer (and the driver's hashed oracle compare) sees one schema.
+    * TablesSpec pins both branches against value-identical fixtures.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(load(spark, dir, "events"))
+  }
+
+  /** Normalize an events-shaped frame's `ts` column to TimestampType
+    * micros, whatever type the parquet reader surfaced (see [[events]]).
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other — extend Tables.normalizeTs")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

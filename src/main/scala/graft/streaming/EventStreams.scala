@@ -56,25 +56,28 @@ object EventStreams extends QueryModule {
         col("n_events"), col("sum_value"))
 
   /** Streaming source over the events parquet directory — the readStream
-    * twin of Tables.events (same nanos→micros handling; file source needs
-    * an explicit schema). `maxFilesPerTrigger` is left to the caller's
-    * trigger; with Trigger.AvailableNow the whole directory drains in
-    * bounded batches.
+    * twin of Tables.events (file source needs an explicit schema, and the
+    * physical `ts` type depends on the Spark version's parquet reader:
+    * legacy long-nanos vs native timestamp_ntz — see Tables.events). A
+    * one-off static read probes the type the reader will produce, then
+    * `Tables.normalizeTs` applies the same dispatch as the batch loader.
+    * `maxFilesPerTrigger` is left to the caller's trigger; with
+    * Trigger.AvailableNow the whole directory drains in bounded batches.
     */
   def eventsStream(spark: SparkSession, eventsDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(eventsDir).schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // file source takes a DIRECTORY of parquet files (new files = new
     // micro-batch data — the production landing-zone shape)
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeTs(reader.parquet(eventsDir))
   }
 
   /** Exactly-once event dedup across micro-batches: state holds event

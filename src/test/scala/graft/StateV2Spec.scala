@@ -96,20 +96,21 @@ class StateV2Spec extends SparkSpec {
   test("q242/q243 replays equal the streaming processor under day-ordered micro-batches") {
     import graft.streaming.{StateReplay, StateV2}
     // 10-day slice, one landing file per day => 10 time-ordered
-    // micro-batches — exactly the q243 contract
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosPerDay = 86400000000000L
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val d0 = raw.agg(min(col("ts"))).head().getLong(0) / nanosPerDay
-    val slice = raw.filter(col("ts") / nanosPerDay < d0 + 10)
+    // micro-batches — exactly the q243 contract. Slicing is built on
+    // Tables.events output (normalized TimestampType), not a raw read,
+    // so the spec is immune to how the parquet reader surfaces the
+    // stored TIMESTAMP(NANOS) across Spark versions.
+    val ev = Tables.events(spark, sfDir).withColumn("day", to_date(col("ts")))
+    val d0 = ev.agg(min(col("day"))).head().getDate(0).toLocalDate
+    val slice = ev.filter(col("day") < lit(java.sql.Date.valueOf(d0.plusDays(10))))
     val dir = java.nio.file.Files.createTempDirectory("tws_replay").toString
-    slice.write.parquet(s"$dir/events.parquet")
+    slice.drop("day").write.parquet(s"$dir/events.parquet")
 
-    val days = slice.select((col("ts") / nanosPerDay).cast("long").as("d"))
-      .distinct().orderBy(col("d")).collect().map(_.getLong(0))
+    val days = slice.select(col("day"))
+      .distinct().orderBy(col("day")).collect().map(_.getDate(0))
     val landing = new java.io.File(s"$dir/landing"); landing.mkdirs()
     days.zipWithIndex.foreach { case (d, i) =>
-      slice.filter((col("ts") / nanosPerDay).cast("long") === d)
+      slice.filter(col("day") === lit(d)).drop("day")
         .coalesce(1).write.parquet(s"$dir/stage/b$i")
       val part = new java.io.File(s"$dir/stage/b$i").listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -133,8 +134,6 @@ class StateV2Spec extends SparkSpec {
         .start()
       q.awaitTermination(300000)
 
-      def key(r: org.apache.spark.sql.Row, iU: Int, iN: Int) =
-        (r.getLong(iU), r.getLong(iN))
       val got = spark.table("tws_replay_snapshots").collect()
         .map(r => (r.getLong(0), r.getLong(1)) ->
           (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
