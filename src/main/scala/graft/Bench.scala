@@ -25,12 +25,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warmup: touch every table + exercise codegen/shuffle machinery once.
+    // Per-table try: one broken loader must not kill the whole bench
+    // (round 6 lost ALL timings to a single events read failure) — the
+    // queries that depend on it will record their own -1 sentinel below.
     Tables.names.foreach { n =>
-      val df = if (n == "events") Tables.events(spark, sfDir)
-               else Tables.load(spark, sfDir, n)
-      df.count()
+      try {
+        val df = if (n == "events") Tables.events(spark, sfDir)
+                 else Tables.load(spark, sfDir, n)
+        df.count()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+      }
     }
-    operators.Relational.pricingSummary(spark, sfDir).count()
+    try operators.Relational.pricingSummary(spark, sfDir).count()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup query failed: ${e.getMessage}")
+    }
 
     // per-query warmup run (codegen compile, page cache), then two timed
     // runs; report the min. Caches are cleared before each timed run so

@@ -87,6 +87,17 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle_sql = json.load(f)
     results = {}
+    # failure-loud contract: Verify records every query that threw in
+    # errors.json — surface each as an explicit FAIL row, and treat a
+    # missing errors.json (pre-r7 dump) as its own failure signal.
+    err_path = f"{out_dir}/errors.json"
+    if os.path.exists(err_path):
+        with open(err_path) as f:
+            for name, msg in json.load(f).items():
+                if not only or name in only:
+                    results[name] = f"FAIL verify-error: {msg[:200]}"
+    else:
+        print("WARNING: no errors.json in outDir (stale Verify?)", file=sys.stderr)
     names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*")
                    if os.path.isdir(p))
     for name in names:
