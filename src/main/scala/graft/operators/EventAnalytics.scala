@@ -70,9 +70,11 @@ object EventAnalytics extends QueryModule {
   /** q82: ordered conversion funnel — view → click-after-view →
     * purchase-after-click, the strictly-sequenced funnel (a click
     * BEFORE the first view doesn't count). Three stage aggregates, each
-    * a semi-join of the event table against the (tiny, per-user) prior
-    * stage — broadcast at any corpus size because rows-per-stage is
-    * bounded by |users|.
+    * an equi-join of the event table against the prior stage on
+    * user_id. The stage relations are O(|users|) — NOT broadcastable at
+    * the 100 TB design point — so the joins carry no hints: both sides
+    * hash-partition on user_id (one shared shuffle key across stages)
+    * and AQE still converts to broadcast at small scale factors.
     */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -80,11 +82,11 @@ object EventAnalytics extends QueryModule {
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
     val c = e.filter(col("event_type") === "click")
-      .join(broadcast(v), Seq("user_id"))
+      .join(v, Seq("user_id"))
       .filter(col("us") >= col("v_us"))
       .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
     val p = e.filter(col("event_type") === "purchase")
-      .join(broadcast(c), Seq("user_id"))
+      .join(c, Seq("user_id"))
       .filter(col("us") >= col("c_us"))
       .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
     v.agg(count(lit(1)).as("n_view_users"))
@@ -939,9 +941,10 @@ object EventAnalytics extends QueryModule {
   /** q170: segment-sliced funnel — q82's strictly-sequenced
     * view→click→purchase funnel broken out by customer market segment
     * (events enrich against the customer dimension on user_id, the
-    * stream-static join's batch twin). Per-user stage times are
-    * |users|-bounded; the segment dimension broadcasts; output is
-    * |segments| rows with stage counts and rates.
+    * stream-static join's batch twin). Per-user stage relations are
+    * O(|users|) so their joins are unhinted (user_id-partitioned, AQE
+    * picks broadcast only when actually small); output is |segments|
+    * rows with stage counts and rates.
     */
   def segmentFunnel(spark: SparkSession, dir: String): DataFrame = {
     val seg = Tables.customer(spark, dir)
@@ -951,11 +954,11 @@ object EventAnalytics extends QueryModule {
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
     val c = e.filter(col("event_type") === "click")
-      .join(broadcast(v), Seq("user_id"))
+      .join(v, Seq("user_id"))
       .filter(col("us") >= col("v_us"))
       .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
     val p = e.filter(col("event_type") === "purchase")
-      .join(broadcast(c), Seq("user_id"))
+      .join(c, Seq("user_id"))
       .filter(col("us") >= col("c_us"))
       .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
     v.join(c, Seq("user_id"), "left")

@@ -372,15 +372,21 @@ object SqlSurface extends QueryModule {
     * VARIANT column once, then typed paths come back out through
     * `variant_get` (binary-encoded access, no per-row re-parse, unlike
     * q20's `get_json_object` which re-parses the string per call):
-    * per event type, the extracted-key statistics, the inferred
-    * `schema_of_variant` (proves the binary encoding carries type
-    * structure), and a `try_variant_get` probe of a missing path
-    * (NULL-safe access — the semi-structured contract at scale where
-    * payload drift is the norm, exercised here on a uniform corpus).
+    * per event type, the extracted-key statistics, the count of
+    * distinct payload KEY SHAPES (sorted top-level key list — a
+    * normalized, engine-neutral structure proxy), and a
+    * `try_variant_get` probe of a missing path (NULL-safe access — the
+    * semi-structured contract at scale where payload drift is the
+    * norm, exercised here on a uniform corpus).
     *
     * DuckDB has no VARIANT; the oracle extracts the same paths with
     * its JSON functions — identical VALUES is exactly the point: the
-    * type is an encoding choice, not a semantics change.
+    * type is an encoding choice, not a semantics change. The shape
+    * proxy is deliberately NOT `schema_of_variant` vs DuckDB's
+    * `json_structure`: engines are free to partition payloads into
+    * inferred-schema classes differently (int vs bigint widening,
+    * field ordering), so only a normalized key list is comparable
+    * across them (ADVICE r5).
     *
     * Scale shape: parse once per row map-side, aggregate on the
     * already-shuffled event_type key; VARIANT's binary form is what
@@ -390,19 +396,19 @@ object SqlSurface extends QueryModule {
     Tables.events(spark, dir).createOrReplaceTempView("events_q238")
     spark.sql(
       """WITH v AS (
-        |  SELECT event_type, parse_json(props) AS pv FROM events_q238
+        |  SELECT event_type, props, parse_json(props) AS pv FROM events_q238
         |), e AS (
         |  SELECT event_type,
         |    variant_get(pv, '$.k', 'bigint') AS k,
         |    try_variant_get(pv, '$.absent', 'bigint') AS missing_probe,
-        |    schema_of_variant(pv) AS vschema
+        |    array_join(array_sort(json_object_keys(props)), ',') AS key_shape
         |  FROM v
         |)
         |SELECT event_type, count(*) AS n_events,
         |  CAST(sum(k) AS BIGINT) AS sum_k,
         |  CAST(min(k) AS BIGINT) AS min_k,
         |  CAST(max(k) AS BIGINT) AS max_k,
-        |  count(DISTINCT vschema) AS n_schemas,
+        |  count(DISTINCT key_shape) AS n_key_shapes,
         |  CAST(sum(CASE WHEN missing_probe IS NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_missing
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)
@@ -413,13 +419,13 @@ object SqlSurface extends QueryModule {
       |  SELECT event_type,
       |    json_extract(props, '$.k')::BIGINT AS k,
       |    json_extract(props, '$.absent')::BIGINT AS missing_probe,
-      |    json_structure(props) AS vschema
+      |    array_to_string(list_sort(json_keys(props)), ',') AS key_shape
       |  FROM events
       |)
       |SELECT event_type, count(*)::BIGINT AS n_events,
       |  sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k,
       |  max(k)::BIGINT AS max_k,
-      |  count(DISTINCT vschema)::BIGINT AS n_schemas,
+      |  count(DISTINCT key_shape)::BIGINT AS n_key_shapes,
       |  sum(CASE WHEN missing_probe IS NULL THEN 1 ELSE 0 END)::BIGINT
       |    AS n_missing
       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin

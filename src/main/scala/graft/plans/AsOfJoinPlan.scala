@@ -50,6 +50,17 @@ object AsOfJoinPlan {
       leftKey: Attribute, rightKey: Attribute,
       leftTime: Attribute, rightTime: Attribute,
       rightVals: Seq[Attribute]) extends BinaryNode {
+    // key/time must be atomic: the exec's merge holds the match key
+    // across right-cursor advances, and its deep-copy handles exactly
+    // the atomic buffer-backed case (UTF8String; UnsafeRow.getBinary
+    // already copies). A struct/array/map key would alias the reused
+    // row buffer and corrupt silently — reject it at analysis instead.
+    for ((a, role) <- Seq(leftKey -> "left key", rightKey -> "right key",
+        leftTime -> "left time", rightTime -> "right time")) {
+      require(PlanBridge.isAtomic(a.dataType),
+        s"as-of join $role '${a.name}' has non-atomic type ${a.dataType}; " +
+          "only atomic key/time types are supported")
+    }
     override def output: Seq[Attribute] =
       left.output ++ rightVals.map(_.withNullability(true))
     override protected def withNewChildrenInternal(

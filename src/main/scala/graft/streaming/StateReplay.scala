@@ -138,6 +138,11 @@ object StateReplay extends QueryModule {
     * hour closes once a later event of the same type lands), i.e. the
     * exact append-mode output after the stream drains. The per-type max
     * is |types| rows → broadcast.
+    *
+    * Hour bucketing assumes ts ≥ epoch (corpus invariant, pinned by
+    * TablesSpec's 2024-range check): Spark's `div` truncates toward
+    * zero while the DuckDB twin's `//` floors, and the two only diverge
+    * for negative (pre-1970) micros.
     */
   def ewmaClosedHours(spark: SparkSession, dir: String): DataFrame = {
     val mx = Tables.events(spark, dir)

@@ -15,4 +15,11 @@ object PlanBridge {
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
 
   def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  /** `AtomicType` itself is `protected[sql]` in Spark 4; expose the
+    * instance check for extension nodes that must restrict key types
+    * (e.g. the as-of join's merge-copy contract).
+    */
+  def isAtomic(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt.isInstanceOf[org.apache.spark.sql.types.AtomicType]
 }

@@ -363,6 +363,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("funnel stage joins carry no broadcast hints (user-keyed relations)") {
+    // q82/q170: the per-user stage aggregates are O(|users|) — a hinted
+    // broadcast of one is a driver/executor OOM at the 100 TB design
+    // point. The joins must stay unhinted so AQE converts to broadcast
+    // only when a stage relation is ACTUALLY small at runtime.
+    Seq(operators.EventAnalytics.funnel(spark, sfDir),
+        operators.EventAnalytics.segmentFunnel(spark, sfDir)).foreach { df =>
+      val hints = df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.isEmpty,
+        s"funnel must not hint-broadcast user-keyed relations: $hints")
+    }
+  }
+
   test("q168 ABC prefix sum runs range-partitioned, no data-sized global sort") {
     assertNoDataSizedSinglePartition(
       operators.TradeAnalytics.abcClassification(spark, sfDir))

@@ -154,8 +154,8 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(r.getAs[Long]("sum_k") === s)
       assert(r.getAs[Long]("min_k") === mn)
       assert(r.getAs[Long]("max_k") === mx)
-      // uniform corpus: one inferred variant schema per type
-      assert(r.getAs[Long]("n_schemas") === 1L)
+      // uniform corpus: one normalized payload key shape per type
+      assert(r.getAs[Long]("n_key_shapes") === 1L)
       // the absent path is NULL for every row (NULL-safe access)
       assert(r.getAs[Long]("n_missing") === n)
     }

@@ -182,4 +182,21 @@ class TemporalSpec extends SparkSpec {
       "l4" -> None,       // key never appears on the right
       "l5" -> Some(300L)))
   }
+
+  test("as-of exec rejects non-atomic key types at analysis, not silently at runtime") {
+    val sess = spark
+    import sess.implicits._
+    // an array key would alias the exec's reused row buffer across
+    // right-cursor advances (copyVal only deep-copies atomic values) —
+    // the node must refuse it up front
+    val left = Seq((Seq(1L), Timestamp.valueOf("2024-01-02 00:00:00"), "l"))
+      .toDF("k", "t", "tag")
+    val right = Seq((Seq(1L), Timestamp.valueOf("2024-01-01 00:00:00"), 7L))
+      .toDF("k", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOfJoinPlan
+        .asOfJoinExec(spark, left, right, "k", "t", "rt", Seq("v"))
+    }
+    assert(e.getMessage.contains("non-atomic"))
+  }
 }
