@@ -45,6 +45,10 @@ object Verify {
         System.err.println(s"[verify] $name FAILED: $e")
         errors(name) = Option(e.getMessage).getOrElse(e.toString).take(1000)
       }
+      // release per-query persisted intermediates (ScaledWindows pass-1
+      // materialization, Materialize caches) so a 244-query battery
+      // doesn't accrete executor storage
+      finally spark.catalog.clearCache()
     }
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")

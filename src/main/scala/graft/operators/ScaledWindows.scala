@@ -50,10 +50,33 @@ object ScaledWindows {
   /** Range-partition `df` by `order` (Columns, `.desc` respected) and
     * tag each row with its range-partition id. Ids ascend with the
     * global sort order — the invariant every helper below leans on.
+    *
+    * The tagged relation is PERSISTED (pass-1 materialization of the
+    * classic two-pass algorithm), and that persistence is load-bearing
+    * for correctness, not a speedup: the offsets branch and the main
+    * branch both consume this relation, and `RangePartitioner` samples
+    * its range bounds with a seed derived from the RDD id — two
+    * independent executions of the exchange can place the partition
+    * boundaries DIFFERENTLY, making branch A's per-partition offsets
+    * misalign with branch B's partition ids. At small inputs the
+    * per-partition sample covers every row, so bounds are exact and the
+    * branches happen to agree — which is why the bug only surfaced at
+    * sf0.1 (caught by the round-7 cross-scale sweep: q172/q191/q200/
+    * q229). The cache pins ONE layout; Spark's block-manager
+    * get-or-compute locking guarantees each partition is computed once
+    * even when both branches race. MEMORY_AND_DISK: at cluster scale
+    * pass 1 of a distributed prefix sum is an intermediate dataset —
+    * spilling it is expected, recomputing it is wrong.
+    *
+    * Callers' terminal actions (Verify per-query, Bench clearCache,
+    * Materialize.releasing) release the storage; the helper itself must
+    * NOT unpersist eagerly — the offsets are only valid against the
+    * layout they were computed from.
     */
   private def rangeTag(df: DataFrame, order: Seq[Column], numParts: Int): DataFrame =
     df.repartitionByRange(numParts, order: _*)
       .withColumn(PID, spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Cumulative sum of `value` over rows globally ordered by `order`,
     * named `out`. `exclusive = true` gives the UNBOUNDED PRECEDING →
