@@ -1997,6 +1997,43 @@ object EventAnalytics extends QueryModule {
       |  round(n_b * (od - bd) * (od - bd) / n_all, 6) AS res_term
       |FROM d ORDER BY bin""".stripMargin
 
+  /** q245: 90-day rolling distinct users (MAU) via mergeable HLL
+    * sketches — the wide-window companion q146's scaladoc promises.
+    * q146's exact cover-set expansion is linear in window width ×
+    * |user-days|; at 90 days that 90× blowup dominates, and the
+    * textbook scale path is DataSketches HLL: ONE ~16 KB sketch per
+    * day (`hll_sketch_agg`, lgK=14 ⇒ ~0.8% typical error), then each
+    * window unions its ≤90 daily sketches (`hll_union_agg`). The
+    * expansion relation is |days| × 90 — calendar-sized metadata, not
+    * data — so the plan's cost is one pass over events plus sketch
+    * merges, independent of |users|.
+    *
+    * No DuckDB oracle: the estimate is a DataSketches artifact another
+    * engine cannot replay (rows-only driver check). HllMauSpec pins the
+    * estimate against q146-style exact cover-set counts (<2% observed
+    * at lgK=14) and pins determinism across runs — the sketch is a
+    * deterministic fold of its input.
+    */
+  def hllMau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    // day-spine expansion: day d's sketch covers windows ENDING on
+    // d..d+89; keep only window ends that are observed days
+    val spine = daily.select(col("day").as("w_end"))
+    daily
+      .select(col("sk"), explode(sequence(col("day"),
+        date_add(col("day"), 89))).as("w_end"))
+      .join(broadcast(spine), Seq("w_end"))
+      .groupBy(col("w_end"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("mau_est"),
+        count(lit(1)).cast("bigint").as("n_days_in_window"))
+      .orderBy(col("w_end"))
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -2034,6 +2071,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q236_sprt_monitor", sprtMonitor, Some(sprtMonitorSql)),
     QueryDef("q240_absorption_probs", absorptionProbs,
       Some(absorptionProbsSql)),
+    QueryDef("q245_hll_mau", hllMau, None),
   )
 
 }
