@@ -365,6 +365,30 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.catalog.clearCache() // release ScaledWindows pass-1 cache
   }
 
+  test("events scans prune the wide props column unless a query reads it") {
+    // events carries a wide JSON string column; at 100 TB, dragging it
+    // through scans that never touch it is pure wasted IO. Pin that
+    // column pruning reaches the parquet scan for the heavy event-time
+    // operators (sessionize, funnel, hourly rollup, as-of join).
+    Seq(
+      operators.EventAnalytics.sessionize(spark, sfDir),
+      operators.EventAnalytics.funnel(spark, sfDir),
+      streaming.EventStreams.tumblingStats(Tables.events(spark, sfDir)),
+      operators.Temporal.asOfExecQuery(spark, sfDir)
+    ).foreach { df =>
+      val plan = explainText(df)
+      assert(plan.contains("ReadSchema"), s"no scan schema to audit:\n$plan")
+      assert(!plan.contains("props:string"),
+        s"events scan reads the unused props column:\n$plan")
+    }
+  }
+
+  test("sessionize windows are user-partitioned: no single-partition exchange") {
+    val plan = finalPlan(operators.EventAnalytics.sessionize(spark, sfDir)).toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"sessionize must never serialize the event stream:\n$plan")
+  }
+
   test("funnel stage joins carry no broadcast hints (user-keyed relations)") {
     // q82/q170: the per-user stage aggregates are O(|users|) — a hinted
     // broadcast of one is a driver/executor OOM at the 100 TB design
