@@ -54,6 +54,7 @@ object Bench {
       try d.build(spark, sfDir).count()
       catch { case _: Throwable => () }
       val samples = (1 to 2).map { _ =>
+        operators.ScaledWindows.release()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok =

@@ -50,7 +50,15 @@ object Tables {
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ→zoned cast reinterprets wall-clock values in the
+        // SESSION zone; only UTC preserves the stored micros (the
+        // long-nanos path never depended on the zone). Fail loudly
+        // rather than silently shifting every event by a zone offset.
+        require(df.sparkSession.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events requires spark.sql.session.timeZone=UTC to cast " +
+            "timestamp_ntz without shifting values")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(
         s"events.ts read as unsupported type $other — extend Tables.normalizeTs")

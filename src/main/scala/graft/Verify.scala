@@ -48,11 +48,28 @@ object Verify {
       // release per-query persisted intermediates (ScaledWindows pass-1
       // materialization, Materialize caches) so a 244-query battery
       // doesn't accrete executor storage
-      finally spark.catalog.clearCache()
+      finally {
+        operators.ScaledWindows.release()
+        spark.catalog.clearCache()
+      }
     }
-    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+    // subset runs must MERGE with prior errors: rewriting errors.json
+    // with only the subset's failures would erase the recorded failure
+    // of every query outside the subset (silent-absence, again)
+    val errPath = Paths.get(s"$outDir/errors.json")
+    // prior pairs are kept VERBATIM (already escaped in the file;
+    // re-escaping would double-escape). Query names contain no escape
+    // characters, so filtering on the raw key is exact.
+    val prior: Seq[String] =
+      if (only.nonEmpty && Files.exists(errPath)) {
+        val re = """"((?:[^"\\]|\\.)+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+        re.findAllMatchIn(Files.readString(errPath))
+          .filterNot(m => only(m.group(1))) // re-run queries: fresh verdict
+          .map(m => s""""${m.group(1)}": "${m.group(2)}"""").toSeq
+      } else Seq.empty
+    val errJson = (prior ++ errors.map { case (k, v) => s"${q(k)}: ${q(v)}" })
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    Files.writeString(errPath, errJson)
     if (errors.nonEmpty)
       System.err.println(
         s"[verify] ${errors.size}/${ran.size} queries FAILED: " +

@@ -2015,14 +2015,20 @@ object EventAnalytics extends QueryModule {
     * deterministic fold of its input.
     */
   def hllMau(spark: SparkSession, dir: String): DataFrame = {
+    // persisted so the spine branch reads the calendar-sized sketch
+    // table instead of re-deriving it with a second events scan — the
+    // "one pass over events" cost model holds in the plan, not just in
+    // prose. Graft.Materialize releases it once the (|days|-row) result
+    // is materialized.
     val daily = Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .groupBy(col("day"))
       .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .persist()
     // day-spine expansion: day d's sketch covers windows ENDING on
     // d..d+89; keep only window ends that are observed days
     val spine = daily.select(col("day").as("w_end"))
-    daily
+    val out = daily
       .select(col("sk"), explode(sequence(col("day"),
         date_add(col("day"), 89))).as("w_end"))
       .join(broadcast(spine), Seq("w_end"))
@@ -2032,6 +2038,7 @@ object EventAnalytics extends QueryModule {
           .as("mau_est"),
         count(lit(1)).cast("bigint").as("n_days_in_window"))
       .orderBy(col("w_end"))
+    graft.Materialize.releasing(out, daily)
   }
 
   override val defs: Seq[QueryDef] = Seq(

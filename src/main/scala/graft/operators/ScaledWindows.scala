@@ -73,10 +73,28 @@ object ScaledWindows {
     * NOT unpersist eagerly — the offsets are only valid against the
     * layout they were computed from.
     */
-  private def rangeTag(df: DataFrame, order: Seq[Column], numParts: Int): DataFrame =
-    df.repartitionByRange(numParts, order: _*)
+  private def rangeTag(df: DataFrame, order: Seq[Column], numParts: Int): DataFrame = {
+    val tagged = df.repartitionByRange(numParts, order: _*)
       .withColumn(PID, spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pending.synchronized { pending += tagged }
+    tagged
+  }
+
+  // pass-1 relations persisted since the last release() — gives callers
+  // an owning handle (release() after the terminal action) instead of
+  // requiring a catalog-wide clearCache convention. Verify/Bench clear
+  // per query; SparkSpec clears per suite.
+  private val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Unpersist every pass-1 relation created since the last call. Call
+    * AFTER the terminal action of the consuming query — the offsets are
+    * only valid against the materialized layout (see rangeTag).
+    */
+  def release(): Unit = pending.synchronized {
+    pending.foreach(_.unpersist(false))
+    pending.clear()
+  }
 
   /** Cumulative sum of `value` over rows globally ordered by `order`,
     * named `out`. `exclusive = true` gives the UNBOUNDED PRECEDING →

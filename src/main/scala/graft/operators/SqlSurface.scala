@@ -386,7 +386,11 @@ object SqlSurface extends QueryModule {
     * `json_structure`: engines are free to partition payloads into
     * inferred-schema classes differently (int vs bigint widening,
     * field ordering), so only a normalized key list is comparable
-    * across them (ADVICE r5).
+    * across them (ADVICE r5). The key probe reads the RAW string
+    * (`json_object_keys(props)`) — a second parse of the wide column,
+    * paid knowingly: VARIANT exposes no key-enumeration function, and
+    * the path accesses (the hot repeated operation the binary encoding
+    * exists for) still go through the parsed variant.
     *
     * Scale shape: parse once per row map-side, aggregate on the
     * already-shuffled event_type key; VARIANT's binary form is what

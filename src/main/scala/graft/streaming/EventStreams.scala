@@ -68,7 +68,12 @@ object EventStreams extends QueryModule {
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(eventsDir).schema("ts").dataType
+    // empty/not-yet-populated landing dir (the normal cold-start of a
+    // landing zone): nothing to probe — default to the current runtime's
+    // native surface for TIMESTAMP(NANOS), timestamp_ntz (Spark 4.1+);
+    // normalizeTs handles whichever type the files then deliver
+    val tsType = try spark.read.parquet(eventsDir).schema("ts").dataType
+      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),

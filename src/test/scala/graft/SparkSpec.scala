@@ -19,7 +19,17 @@ object TestSpark {
   val sfDir = "/root/testdata/sf0.001"
 }
 
-trait SparkSpec extends AnyFunSuite {
+trait SparkSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   def spark: SparkSession = TestSpark.spark
   def sfDir: String = TestSpark.sfDir
+
+  /** The session is shared across every suite: release per-suite cache
+    * accretion (ScaledWindows pass-1 relations, query-local persists) so
+    * a long `sbt test` run doesn't grow executor storage suite by suite.
+    */
+  override protected def afterAll(): Unit = {
+    graft.operators.ScaledWindows.release()
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
 }

@@ -55,7 +55,10 @@ class StateRecoverySpec extends SparkSpec {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      val drained = q.awaitTermination(180000)
+      if (!drained) q.stop()
+      assert(drained, "drain timed out — a second query on the same " +
+        "checkpoint while this one runs would corrupt state")
     }
 
     val prevConfs = StateV2.twsConfs.keys

@@ -12,6 +12,16 @@ import org.apache.spark.sql.streaming.Trigger
   */
 class StreamingSpec extends SparkSpec {
 
+  test("eventsStream cold-starts on an empty landing directory") {
+    // the production landing-zone shape: the stream is deployed BEFORE
+    // the first file arrives — the schema probe must fall back, not throw
+    val empty = java.nio.file.Files.createTempDirectory("events_empty").toString
+    val stream = graft.streaming.EventStreams.eventsStream(spark, empty)
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   /** File-source landing zone: the sf events parquet staged into a
     * directory (the source requires a dir, new files become batches).
     */

@@ -103,7 +103,15 @@ def main():
     for name in names:
         if only and name not in only:
             continue
-        mine = pd.read_parquet(f"{out_dir}/{name}")
+        if name in results:
+            # already marked FAIL from errors.json — a stale output dir
+            # from a previous run must not overwrite the failure row
+            continue
+        try:
+            mine = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            results[name] = f"FAIL read-output: {e}"
+            continue
         if name not in oracle_sql:
             results[name] = f"rows-only: {len(mine)} rows" + (" FAIL(empty)" if len(mine) == 0 else " OK")
             continue
