@@ -48,6 +48,9 @@ object GraftFunctions {
     ("simhash_md5_60",
       new ExpressionInfo(classOf[SimHashMd5].getName, "simhash_md5_60"),
       (exprs: Seq[Expression]) => SimHashMd5(exprs.head)),
+    ("jaro_winkler",
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -398,6 +398,49 @@ object Dedup extends QueryModule {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q246: Jaro-Winkler re-rank of the q141 candidate blocks — the
+    * short-edit matcher's similarity twin. Same (lang, 16-char prefix,
+    * length band) equi-join blocking (never all-pairs); the verify
+    * stage scores each candidate with the custom codegen'd
+    * `jaro_winkler` expression (functions.JaroWinklerSim, semantics
+    * pinned to DuckDB's jaro_winkler_similarity) over the 128-char
+    * heads, keeping pairs at ≥ 0.90 after 4-dp rounding (rounding
+    * before the threshold keeps the cut ulp-stable across engines).
+    * Complements q141: Levenshtein counts edits (length-sensitive),
+    * JW rewards shared prefixes — entity-resolution's usual pairing.
+    */
+  def jaroWinklerRerank(spark: SparkSession, dir: String): DataFrame = {
+    def side(suffix: String): DataFrame =
+      Tables.documents(spark, dir).select(
+        col("doc_id").as(s"id_$suffix"),
+        col("lang"),
+        substring(col("text"), 1, levBlockPfx).as("pfx"),
+        substring(col("text"), 1, levHead).as(s"head_$suffix"),
+        col("n_chars").as(s"n_$suffix"))
+    side("a").join(side("b"), Seq("lang", "pfx"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("n_a") - col("n_b")) <= levLenBand)
+      .withColumn("jw", round(graft.functions.StringSimilarityFunctions
+        .jaroWinkler(col("head_a"), col("head_b")), 4))
+      .filter(col("jw") >= 0.90)
+      .select(col("id_a"), col("id_b"), col("lang"), col("jw"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val jaroWinklerRerankSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, substr(text, 1, $levBlockPfx) AS pfx,
+       |    substr(text, 1, $levHead) AS head, n_chars
+       |  FROM documents
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang,
+       |  round(jaro_winkler_similarity(a.head, b.head), 4) AS jw
+       |FROM d a JOIN d b
+       |  ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+       | AND abs(a.n_chars - b.n_chars) <= $levLenBand
+       |WHERE round(jaro_winkler_similarity(a.head, b.head), 4) >= 0.90
+       |ORDER BY id_a, id_b""".stripMargin
+
   private val blockedLevPairsSql =
     s"""WITH d AS (
        |  SELECT doc_id, lang, substr(text, 1, $levBlockPfx) AS pfx,
@@ -684,6 +727,8 @@ object Dedup extends QueryModule {
     QueryDef("q41_simhash", simHashQuery, Some(simHashOracleSql), benchmark = true),
     QueryDef("q53_dup_groups", dupGroupsQuery, Some(dupGroupsSql)),
     QueryDef("q141_blocked_lev_pairs", blockedLevPairs, Some(blockedLevPairsSql)),
+    QueryDef("q246_jaro_winkler_rerank", jaroWinklerRerank,
+      Some(jaroWinklerRerankSql)),
     QueryDef("q148_golden_record", goldenRecord, Some(goldenRecordSql)),
     QueryDef("q184_dup_cluster_profile", dupClusterProfile,
       Some(dupClusterProfileSql)),

@@ -140,6 +140,40 @@ class FunctionsSpec extends SparkSpec {
     m.foreach { case (w, c) => assert(c <= exact(w)) }
   }
 
+  test("jaro_winkler matches DuckDB's jaro_winkler_similarity on pinned cases") {
+    // expected values probed from duckdb.jaro_winkler_similarity — the
+    // q246 oracle; covers matches, transpositions, the 0.7 boost
+    // threshold (no boost at 0.5873 despite a 2-char prefix), the 4-char
+    // prefix cap (6-char common prefix boosts as 4), and empties
+    val cases = Seq(
+      ("martha", "marhta", 0.961111), ("dixon", "dicksonx", 0.813333),
+      ("jellyfish", "smellyfish", 0.896296), ("abc", "abc", 1.0),
+      ("", "abc", 0.0), ("", "", 0.0), ("ab", "ba", 0.0),
+      ("CRATE", "TRACE", 0.733333), ("DwAyNE", "DuANE", 0.840000),
+      ("apple corp", "apple corporation", 0.917647),
+      ("abhello", "abgoodbye", 0.587302), ("aaaaaabb", "aaaaaacc", 0.900000))
+    cases.foreach { case (a, b, want) =>
+      val got = graft.functions.JaroWinklerImpl.similarity(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(math.abs(got - want) < 5e-7, s"jw($a, $b): got $got want $want")
+    }
+  }
+
+  test("jaro_winkler expression: SQL registration, codegen path, null propagation") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS jw, " +
+        "jaro_winkler('martha', CAST(NULL AS STRING)) AS jwn").head()
+    assert(math.abs(r.getDouble(0) - 0.961111) < 5e-7)
+    assert(r.isNullAt(1))
+    // column API over real data stays inside whole-stage codegen
+    val df = Tables.documents(spark, sfDir).limit(50)
+      .select(graft.functions.StringSimilarityFunctions
+        .jaroWinkler(col("text"), col("text")).as("self"))
+    assert(df.collect().forall(_.getDouble(0) == 1.0))
+  }
+
   test("q143 heavy hitters equal the exact over-threshold word set") {
     val rows = graft.operators.TextAnalysis.heavyHitters(spark, sfDir).collect()
     val exact = Tables.documents(spark, sfDir)
