@@ -43,11 +43,14 @@ object Bench {
     }
 
     // per-query warmup run (codegen compile, page cache), then two timed
-    // runs; report the min. Caches are cleared before each timed run so
-    // queries that persist intermediates (signature tables) re-pay that
-    // cost in the measured run. Min-of-2 damps transient host contention
-    // (a co-scheduled process can inflate one sample 10-30x; see
-    // BUILD_NOTES round-4 trajectory) without hiding real plan cost.
+    // runs; report the min AND every raw sample. Caches are cleared
+    // before each timed run so queries that persist intermediates
+    // (signature tables) re-pay that cost in the measured run. Min-of-2
+    // damps transient host contention (a co-scheduled process can
+    // inflate one sample 10-30x; see BUILD_NOTES round-4 trajectory)
+    // without hiding real plan cost; the per-sample spread in the JSON
+    // makes the two cases distinguishable after the fact — a query at
+    // samples [2.1, 8.6] was contended, one at [8.4, 8.6] regressed.
     // a failed query records -1 (not its near-zero elapsed time) so a
     // broken benchmark can't silently read as fast-and-successful
     val results = SparkEntry.benchQueries.map { d =>
@@ -65,14 +68,27 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      d.name -> (if (samples.exists(_ < 0)) -1.0 else samples.min)
+      (d.name, if (samples.exists(_ < 0)) -1.0 else samples.min, samples)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val spread = results.map { case (k, _, ss) =>
+      "\"" + k + "\":" + ss.map(s => f"$s%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
     val errsJson = if (errors.isEmpty) "" else errors.mkString(""","errors":[""", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$errsJson,"sf":"$sfDir"}""")
+    // the round-1..7 benchmark set, reported as its own subtotal so the
+    // cross-round trajectory stays comparable after the set widened
+    val core16 = Set(
+      "q01_pricing_summary", "q02_revenue_filter", "q03_top_revenue_orders",
+      "q04_region_revenue", "q11_window_running_total", "q20_json_events",
+      "q26_hourly_events", "q46_asof_join", "q29_session_windows",
+      "q36_corpus_prep", "q32_quality_score", "q35_jaccard_pairs",
+      "q40_minhash_lsh", "q41_simhash", "q42_knn_bruteforce",
+      "q43_ann_hyperplane")
+    val coreTotal = results.collect { case (k, v, _) if core16(k) && v >= 0 => v }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16_total":$coreTotal%.3f,"queries":$qs,"samples":$spread$errsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 object NgramImpl {
@@ -33,6 +33,39 @@ object NgramImpl {
     }
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
   }
+
+  /** Distinct xxhash64 values of the space-joined word n-grams, first-
+    * occurrence order — bit-identical to `xxhash64(shingle)` over the
+    * strings [[wordNgrams]] emits (XXH64, seed 42, over the joined
+    * UTF-8 bytes), so posting lists built from either representation
+    * group identically. Emitting the 8-byte hash directly skips the
+    * per-shingle UTF8String retention + string hash-set dedup that
+    * dominates shingling allocation cost: downstream consumers (an
+    * inverted-index join key) only ever need the hash.
+    */
+  def wordNgramHashes(arr: ArrayData, n: Int): ArrayData = {
+    val cnt = arr.numElements()
+    if (cnt < n) return new GenericArrayData(new Array[Long](0))
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i <= cnt - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      val s = UTF8String.concatWs(sep, parts: _*)
+      seen.add(XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /** Distinct word n-gram shingles of an array<string> — custom codegen'd
@@ -55,7 +88,30 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingle HASHES (xxhash64) of an array<string> —
+  * the allocation-light variant of [[WordNgrams]] for consumers that
+  * only join/group on the shingle (inverted-index candidate
+  * generation): one UTF8String concat per position, no string
+  * retention, an 8-byte array element instead of a ~25-byte string.
+  */
+case class WordNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_ngram_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramImpl.wordNgramHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramImpl.wordNgramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramHashes =
+    copy(child = newChild)
+}
+
 object NgramFunctions {
   def wordNgrams(c: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(c), n))
+  def wordNgramHashes(c: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramHashes(ColumnBridge.expression(c), n))
 }

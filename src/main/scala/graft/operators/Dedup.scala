@@ -292,6 +292,17 @@ object Dedup extends QueryModule {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
+    // Empty graph short-circuit: a clean corpus (every near-dup already
+    // removed upstream, the common steady-state for q36's post-gate
+    // composite) has NO edges; the iterative machinery below would
+    // still pay ~4 fixed-overhead jobs (init agg, hop, checkpoint,
+    // convergence count) to conclude nothing. One cheap limit(1) job on
+    // the just-persisted edges decides instead.
+    if (edges.limit(1).count() == 0L) {
+      val out = edges.select(col("src").as("doc_id"), col("dst").as("group_id")).limit(0)
+      edges.unpersist()
+      return out
+    }
     // init = identity + first hop fused: label(v) = min(v, min neighbor).
     // Saves one full propagation round (≈6 fixed-overhead jobs) — for
     // the shallow star/pair components near-dup graphs mostly contain,

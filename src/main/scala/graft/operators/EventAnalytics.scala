@@ -2046,7 +2046,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
     QueryDef("q83_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
     QueryDef("q92_activity_streaks", activityStreaks, Some(activityStreaksSql)),
-    QueryDef("q103_scd2_user_state", scd2UserState, Some(scd2UserStateSql)),
+    QueryDef("q103_scd2_user_state", scd2UserState, Some(scd2UserStateSql), benchmark = true),
     QueryDef("q104_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     QueryDef("q105_decayed_engagement", decayedEngagement, Some(decayedEngagementSql)),
     QueryDef("q106_conversion_latency", conversionLatency, Some(conversionLatencySql)),

@@ -374,7 +374,7 @@ object Temporal extends QueryModule {
     QueryDef("q46_asof_join", asOfQuery, Some(asOfSql), benchmark = true),
     QueryDef("q205_asof_exec", asOfExecQuery, Some(asOfSql)),
     QueryDef("q47_range_join", rangeQuery, Some(rangeSql)),
-    QueryDef("q121_gap_fill_interpolate", gapFillInterpolate, Some(gapFillInterpolateSql)),
+    QueryDef("q121_gap_fill_interpolate", gapFillInterpolate, Some(gapFillInterpolateSql), benchmark = true),
     QueryDef("q124_twap", twapByNation, Some(twapByNationSql)),
     QueryDef("q190_business_day_leads", businessDayLeadTimes,
       Some(businessDayLeadTimesSql)),

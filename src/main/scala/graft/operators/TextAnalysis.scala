@@ -44,6 +44,14 @@ object TextAnalysis extends QueryModule {
   def shingles3(toks: Column): Column =
     graft.functions.NgramFunctions.wordNgrams(toks, 3)
 
+  /** Distinct trigram-shingle xxhash64 set — same shingles as
+    * [[shingles3]] but emitted as 8-byte hashes (bit-identical to
+    * `xxhash64(explode(shingles3(toks)))`), for consumers that only
+    * group/join on the shingle. Skips string retention entirely.
+    */
+  def shingleHashes3(toks: Column): Column =
+    graft.functions.NgramFunctions.wordNgramHashes(toks, 3)
+
   /** Per-language token statistics. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -445,14 +453,26 @@ object TextAnalysis extends QueryModule {
     * dfs are small and the output is exact, matching the all-pairs
     * oracle.
     */
-  def jaccardPairsOn(input: DataFrame, maxDf: Option[Int] = None): DataFrame = {
-    val docs = input
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("lang"), shingles3(col("toks")).as("sh"))
-    val posts = docs.select(col("doc_id"), col("lang"), size(col("sh")).as("nsh"),
-      explode(col("sh")).as("shingle"))
-      .select(col("lang"), xxhash64(col("shingle")).as("shash"), col("doc_id"), col("nsh"))
+  def jaccardPairsOn(input: DataFrame, maxDf: Option[Int] = None): DataFrame =
+    jaccardPairsOnShingled(
+      input
+        .withColumn("toks", tokens(col("text")))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          shingleHashes3(col("toks")).as("shh")),
+      maxDf)
+
+  /** Same operator over a pre-shingled (doc_id, lang, shh: array<long>)
+    * relation — the seam composites (q36) use so a corpus tokenized and
+    * shingled once upstream (e.g. inside a persisted dedup relation)
+    * never pays the split/ngram pass twice. `shh` is the distinct
+    * shingle-hash set ([[shingleHashes3]]); |shh| IS the shingle-set
+    * cardinality, so Jaccard needs nothing else from the text.
+    */
+  def jaccardPairsOnShingled(docs: DataFrame, maxDf: Option[Int] = None): DataFrame = {
+    val posts = docs.select(col("doc_id"), col("lang"), size(col("shh")).as("nsh"),
+      explode(col("shh")).as("shash"))
+      .select(col("lang"), col("shash"), col("doc_id"), col("nsh"))
     // maxDf: the 100 TB boilerplate guard — drop shingles shared by more
     // than maxDf docs before pair expansion. Such shingles ("one of the")
     // are non-discriminative: each adds ≤1 to every affected pair's
@@ -820,7 +840,14 @@ object TextAnalysis extends QueryModule {
     * composition.
     */
   def corpusPrep(input: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // ONE map pass computes everything any later stage needs from the
+    // text — token count, quality, dedup fingerprint, shingle-hash set
+    // — and then drops the text before the first shuffle. Every
+    // downstream stage moves (doc_id, lang, n_tokens, fp|shh) rows:
+    // the wide string never shuffles, and tokenize/shingle is paid
+    // exactly once (shh feeds candidate generation via
+    // jaccardPairsOnShingled; n_tokens ≥ 10 guarantees ≥ 3 tokens, so
+    // the pair stage's usual short-doc filter is subsumed by the gate).
     val scored = input
       .withColumn("n_tokens", tokenCount(col("text")))
       .withColumn("stop_ratio",
@@ -828,17 +855,33 @@ object TextAnalysis extends QueryModule {
       .withColumn("quality",
         least(col("n_tokens") / lit(100.0), lit(1.0)) * (lit(1.0) - col("stop_ratio")))
       .filter(col("n_tokens") >= 10 && col("quality") >= 0.3)
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        md5(lower(substring(col("text"), 1, 100))).as("fp"),
+        shingleHashes3(tokens(col("text"))).as("shh"))
+    // Exact dedup keep-min-doc_id as a partial-aggregable min_by — a
+    // map-side-combining hash aggregate instead of the previous
+    // row_number window (full shuffle + SORT of every surviving row):
+    // duplicate fingerprints collapse before the exchange and nothing
+    // is ever sorted.
     val exactDeduped = scored
-      .withColumn("fp", md5(lower(substring(col("text"), 1, 100))))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "fp")
+      .groupBy(col("fp"))
+      .agg(min_by(
+        struct(col("doc_id"), col("lang"), col("n_tokens"), col("shh")),
+        col("doc_id")).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.lang").as("lang"),
+        col("d.n_tokens").as("n_tokens"), col("d.shh").as("shh"))
       .persist() // feeds both the pair graph and the final join
-    val groups = Dedup.dupGroups(jaccardPairsOn(exactDeduped))
+    val groups = Dedup.dupGroups(
+      jaccardPairsOnShingled(exactDeduped.select(col("doc_id"), col("lang"), col("shh"))))
+    // Keep a doc unless it is a non-representative group member. The
+    // removal set (members minus representatives) is O(near-dups) —
+    // tiny relative to the corpus — so phrasing the final step as an
+    // anti join lets AQE broadcast it and the surviving corpus never
+    // shuffles; the previous left-join-then-filter phrasing shuffled
+    // both sides.
+    val removals = groups.filter(col("group_id") =!= col("doc_id")).select(col("doc_id"))
     Materialize.releasing(
-      exactDeduped.join(groups, Seq("doc_id"), "left")
-        .filter(col("group_id").isNull || col("group_id") === col("doc_id"))
+      exactDeduped.join(removals, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy(col("doc_id")),
       exactDeduped)

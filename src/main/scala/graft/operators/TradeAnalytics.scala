@@ -2732,7 +2732,7 @@ object TradeAnalytics extends QueryModule {
       |ORDER BY n_name""".stripMargin
 
   override val defs: Seq[QueryDef] = Seq(
-    QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql)),
+    QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql), benchmark = true),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
     QueryDef("q90_product_profit", productProfit, Some(productProfitSql)),
     QueryDef("q91_regression_battery", regressionBattery, Some(regressionBatterySql)),
@@ -2769,7 +2769,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q191_rfm_segments", rfmSegments, Some(rfmSegmentsSql)),
     QueryDef("q198_seasonal_anomalies", seasonalAnomalies,
       Some(seasonalAnomaliesSql)),
-    QueryDef("q200_decile_mobility", decileMobility, Some(decileMobilitySql)),
+    QueryDef("q200_decile_mobility", decileMobility, Some(decileMobilitySql), benchmark = true),
     QueryDef("q201_price_volume_mix", priceVolumeMix, Some(priceVolumeMixSql)),
     QueryDef("q204_item_neighbors", itemNeighbors, Some(itemNeighborsSql)),
     QueryDef("q212_negative_samples", negativeSamples, Some(negativeSamplesSql)),

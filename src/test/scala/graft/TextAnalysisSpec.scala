@@ -35,6 +35,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mismatches.count() === 0)
   }
 
+  test("WordNgramHashes equals xxhash64 over the WordNgrams strings") {
+    val toks = split(col("text"), " ")
+    // element order AND values must agree: zip the two arrays positionally
+    val mismatches = Tables.documents(spark, sfDir)
+      .filter(size(toks) >= 3)
+      .select(TextAnalysis.shingleHashes3(toks).as("hashed"),
+        transform(TextAnalysis.shingles3(toks), s => xxhash64(s)).as("viaStrings"))
+      .filter(col("hashed") =!= col("viaStrings"))
+    assert(mismatches.count() === 0)
+  }
+
   test("inverted-index jaccardPairs equals the all-pairs block join on sf0.001") {
     val docs = Tables.documents(spark, sfDir)
       .withColumn("toks", split(col("text"), " "))
