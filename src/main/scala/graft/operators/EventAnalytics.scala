@@ -2008,8 +2008,10 @@ object EventAnalytics extends QueryModule {
     * data — so the plan's cost is one pass over events plus sketch
     * merges, independent of |users|.
     *
-    * No DuckDB oracle: the estimate is a DataSketches artifact another
-    * engine cannot replay (rows-only driver check). HllMauSpec pins the
+    * The raw estimate is a DataSketches artifact another engine cannot
+    * replay, so this operator itself carries no SQL oracle; the GATED
+    * form is [[hllMauChecked]] (q245), which folds the estimate into a
+    * replayable verdict column. HllMauSpec additionally pins the
     * estimate against q146-style exact cover-set counts (<2% observed
     * at lgK=14) and pins determinism across runs — the sketch is a
     * deterministic fold of its input.
@@ -2040,6 +2042,74 @@ object EventAnalytics extends QueryModule {
       .orderBy(col("w_end"))
     graft.Materialize.releasing(out, daily)
   }
+
+  /** q245 (gated): [[hllMau]]'s estimate pinned to a driver-checkable
+    * verdict. Output = (w_end, n_days_in_window, mau_exact,
+    * within_bound) where `mau_exact` is the true 90-day rolling
+    * distinct-user count (the q146 cover-set shape, exact and
+    * DuckDB-replayable) and `within_bound` asserts the HLL estimate
+    * lies inside a declared ±2.5% envelope of it (lgK=14 ⇒ ~0.8%
+    * typical relative error, so 2.5% has wide margin). The oracle
+    * computes the same exact counts and emits literal TRUE: a sketch
+    * drifting out of envelope — a Spark/DataSketches behavior change,
+    * the round-6 silent-upgrade failure class — flips the column and
+    * fails the hash compare.
+    *
+    * Scale note: the exact cover-set twin (|user-days| × 90 expansion)
+    * exists FOR THE GATE — it is the very cost the sketch path avoids.
+    * Production callers use [[hllMau]] alone; this checked form is the
+    * harness's replayable evidence that the cheap path tracks the
+    * expensive truth.
+    */
+  def hllMauChecked(spark: SparkSession, dir: String): DataFrame = {
+    val est = hllMau(spark, dir) // (w_end, mau_est, n_days_in_window)
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .persist() // read by the cover expansion and the observed-day spine
+    val cover = pairs
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 89))).as("w_end"))
+      .distinct()
+    val days = pairs.select(col("day").as("w_end")).distinct()
+    val exact = cover.join(days, Seq("w_end"))
+      .groupBy(col("w_end")).agg(count(lit(1)).as("mau_exact"))
+    graft.Materialize.releasing(
+      est.join(exact, Seq("w_end"))
+        .select(col("w_end"), col("n_days_in_window"),
+          col("mau_exact").cast("bigint").as("mau_exact"),
+          (abs(col("mau_est") - col("mau_exact")) <=
+            col("mau_exact") * lit(0.025)).as("within_bound"))
+        .orderBy(col("w_end")),
+      pairs)
+  }
+
+  private val hllMauCheckedSql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+      |), cover AS (
+      |  SELECT DISTINCT user_id, d2 FROM (
+      |    SELECT user_id,
+      |      unnest(generate_series(day, day + INTERVAL 89 DAY,
+      |        INTERVAL 1 DAY))::DATE AS d2
+      |    FROM pairs)
+      |), days AS (
+      |  SELECT DISTINCT day AS d2 FROM pairs
+      |), mau AS (
+      |  SELECT d2, count(*) AS mau_exact FROM cover JOIN days USING (d2)
+      |  GROUP BY d2
+      |), nd AS (
+      |  SELECT d2, count(*) AS n_days FROM (
+      |    SELECT unnest(generate_series(d0, d0 + INTERVAL 89 DAY,
+      |        INTERVAL 1 DAY))::DATE AS d2
+      |    FROM (SELECT DISTINCT day AS d0 FROM pairs)) x
+      |  JOIN days USING (d2)
+      |  GROUP BY d2
+      |)
+      |SELECT m.d2 AS w_end, n.n_days::BIGINT AS n_days_in_window,
+      |  m.mau_exact::BIGINT AS mau_exact, TRUE AS within_bound
+      |FROM mau m JOIN nd n ON m.d2 = n.d2
+      |ORDER BY w_end""".stripMargin
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
@@ -2078,7 +2148,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q236_sprt_monitor", sprtMonitor, Some(sprtMonitorSql)),
     QueryDef("q240_absorption_probs", absorptionProbs,
       Some(absorptionProbsSql)),
-    QueryDef("q245_hll_mau", hllMau, None),
+    QueryDef("q245_hll_mau", hllMauChecked, Some(hllMauCheckedSql)),
   )
 
 }
