@@ -121,10 +121,11 @@ object Dedup extends QueryModule {
   }
 
   /** q40: MinHash-LSH near-dups on `documents`. The oracle is the exact
-    * global all-pairs Jaccard ≥ 0.5 (SQL) — valid because 32×2 banding's
-    * per-pair miss probability at j ≥ 0.5 is ≤ 1e-4 and the output was
-    * cross-checked against the exact result at every sf (see
-    * DedupSpec): on this corpus LSH recall is exactly 1.
+    * global Jaccard ≥ 0.5 (SQL, posting-join shape so it replays at
+    * sf0.1 — see TextAnalysis.jaccardPairsSql's note) — valid because
+    * 32×2 banding's per-pair miss probability at j ≥ 0.5 is ≤ 1e-4 and
+    * the output was cross-checked against the exact result at every sf
+    * (see DedupSpec): on this corpus LSH recall is exactly 1.
     */
   def minHashQuery(spark: SparkSession, dir: String): DataFrame =
     minHashLsh(Tables.documents(spark, dir), "doc_id", "text")
@@ -137,13 +138,18 @@ object Dedup extends QueryModule {
       |    list_distinct(list_transform(generate_series(1, len(toks)-2),
       |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
       |  FROM t WHERE len(toks) >= 3
+      |), p AS (
+      |  SELECT doc_id, len(sh) AS nsh, unnest(sh) AS shingle FROM s
+      |), pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.nsh AS nsh_a, b.nsh AS nsh_b, count(*) AS inter
+      |  FROM p a JOIN p b
+      |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
       |)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
-      |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-      |FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |SELECT doc_a, doc_b,
+      |  round(inter::DOUBLE / (nsh_a + nsh_b - inter), 4) AS jaccard
+      |FROM pr WHERE inter::DOUBLE / (nsh_a + nsh_b - inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // --- SimHash ---------------------------------------------------------
@@ -349,6 +355,9 @@ object Dedup extends QueryModule {
     dupGroups(TextAnalysis.jaccardPairs(spark, dir))
       .orderBy(col("doc_id"))
 
+  // Pair generation in the subquadratic posting-join shape (see
+  // TextAnalysis.jaccardPairsSql's note) so the recursive-CC oracle is
+  // replayable at sf0.1; the all-pairs equivalence is spec-pinned.
   private val dupGroupsSql =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
@@ -357,11 +366,17 @@ object Dedup extends QueryModule {
       |    list_distinct(list_transform(generate_series(1, len(toks)-2),
       |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
       |  FROM t WHERE len(toks) >= 3
+      |), p AS (
+      |  SELECT doc_id, lang, len(sh) AS nsh, unnest(sh) AS shingle FROM s
+      |), pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.nsh AS nsh_a, b.nsh AS nsh_b, count(*) AS inter
+      |  FROM p a JOIN p b
+      |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
       |), pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |  SELECT doc_a, doc_b FROM pr
+      |  WHERE inter::DOUBLE / (nsh_a + nsh_b - inter) >= 0.5
       |), edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs

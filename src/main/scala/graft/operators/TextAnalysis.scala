@@ -500,6 +500,13 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // Oracle in the SAME subquadratic posting-join shape the engine uses
+  // (unnest → equi-join on (lang, shingle) → count = |A∩B|): the naive
+  // all-pairs list_intersect form is O(n²·|sh|) and exceeds 600 s at
+  // sf0.1, which kept this query out of the cross-scale sweep. The two
+  // formulations are proven equivalent by TextAnalysisSpec's
+  // "inverted-index equals all-pairs block join" test, so independence
+  // of the check is preserved by the spec, not the SQL.
   private val jaccardPairsSql =
     """WITH t AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
@@ -508,13 +515,18 @@ object TextAnalysis extends QueryModule {
       |    list_distinct(list_transform(generate_series(1, len(toks)-2),
       |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
       |  FROM t WHERE len(toks) >= 3
+      |), p AS (
+      |  SELECT doc_id, lang, len(sh) AS nsh, unnest(sh) AS shingle FROM s
+      |), pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.nsh AS nsh_a, b.nsh AS nsh_b, count(*) AS inter
+      |  FROM p a JOIN p b
+      |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
       |)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
-      |        / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-      |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-      |      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |SELECT doc_a, doc_b,
+      |  round(inter::DOUBLE / (nsh_a + nsh_b - inter), 4) AS jaccard
+      |FROM pr WHERE inter::DOUBLE / (nsh_a + nsh_b - inter) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** q176: containment pairs — the ASYMMETRIC near-dup detector Jaccard
@@ -568,6 +580,9 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_small"), col("doc_big"))
   }
 
+  // Posting-join oracle (see jaccardPairsSql's note): subquadratic, so
+  // the sf0.1 sweep can replay it; equivalence with the all-pairs form
+  // is spec-pinned.
   private val containmentPairsSql =
     """WITH t AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
@@ -577,19 +592,21 @@ object TextAnalysis extends QueryModule {
       |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
       |  FROM t WHERE len(toks) >= 3
       |), p AS (
-      |  SELECT
-      |    CASE WHEN len(a.sh) < len(b.sh)
-      |           OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id)
-      |         THEN a.doc_id ELSE b.doc_id END AS doc_small,
-      |    CASE WHEN len(a.sh) < len(b.sh)
-      |           OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id)
-      |         THEN b.doc_id ELSE a.doc_id END AS doc_big,
-      |    len(list_intersect(a.sh, b.sh))::DOUBLE
-      |      / least(len(a.sh), len(b.sh)) AS containment
-      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  SELECT doc_id, lang, len(sh) AS nsh, unnest(sh) AS shingle FROM s
+      |), pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.nsh AS nsh_a, b.nsh AS nsh_b, count(*) AS inter
+      |  FROM p a JOIN p b
+      |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
       |)
-      |SELECT doc_small, doc_big, round(containment, 4) AS containment
-      |FROM p WHERE containment >= 0.6
+      |SELECT
+      |  CASE WHEN nsh_a < nsh_b OR (nsh_a = nsh_b AND doc_a < doc_b)
+      |       THEN doc_a ELSE doc_b END AS doc_small,
+      |  CASE WHEN nsh_a < nsh_b OR (nsh_a = nsh_b AND doc_a < doc_b)
+      |       THEN doc_b ELSE doc_a END AS doc_big,
+      |  round(inter::DOUBLE / least(nsh_a, nsh_b), 4) AS containment
+      |FROM pr WHERE inter::DOUBLE / least(nsh_a, nsh_b) >= 0.6
       |ORDER BY doc_small, doc_big""".stripMargin
 
   /** q154: set-similarity join by PREFIX FILTERING (the PPJoin/AllPairs
@@ -915,11 +932,17 @@ object TextAnalysis extends QueryModule {
       |      i -> concat_ws(' ', string_split(text, ' ')[i],
       |           string_split(text, ' ')[i+1], string_split(text, ' ')[i+2]))) AS sh
       |  FROM exact_dedup WHERE len(string_split(text, ' ')) >= 3
+      |), p AS (
+      |  SELECT doc_id, lang, len(sh) AS nsh, unnest(sh) AS shingle FROM s
+      |), pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.nsh AS nsh_a, b.nsh AS nsh_b, count(*) AS inter
+      |  FROM p a JOIN p b
+      |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
       |), pairs AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-      |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-      |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+      |  SELECT doc_a, doc_b FROM pr
+      |  WHERE inter::DOUBLE / (nsh_a + nsh_b - inter) >= 0.5
       |), edges AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs
