@@ -11,11 +11,14 @@ import org.apache.spark.sql.types._
   * shuffle), so the design scales to 100 TB by adding executors.
   *
   * The Spark-side plumbing — schema, batch iteration shape, partition
-  * sizing, frame slicing — is real and tested. The codec itself is a
-  * STUB (`StubDecoder`): this container has no image/audio libraries, so
-  * decode produces deterministic pseudo-features derived from the bytes.
-  * A production deployment swaps `MediaDecoder` for a JNI/ffi-backed
-  * implementation with the same signature; nothing else changes.
+  * sizing, frame slicing — is real and tested. The codec layer is
+  * split: formats the JDK itself decodes (PNG/JPEG/BMP/GIF via
+  * `javax.imageio`, a public API needing no external library) go
+  * through [[Multimodal.ImageIoDecoder]] for REAL byte decoding
+  * (q247 round-trips actual PNG payloads); formats the JDK lacks
+  * (audio/video codecs) keep the deterministic [[Multimodal.StubDecoder]]
+  * seam — a production deployment swaps in a JNI/ffi-backed
+  * `MediaDecoder` with the same signature and nothing else changes.
   */
 object Multimodal extends QueryModule {
 
@@ -210,6 +213,111 @@ object Multimodal extends QueryModule {
       |  round(avg(f0), 4) AS avg_f0
       |FROM f GROUP BY kind ORDER BY kind""".stripMargin
 
+  // --- real JDK codec path (javax.imageio) ------------------------------
+
+  /** Real-codec decoder over the same [[MediaDecoder]] seam: decodes
+    * PNG/JPEG/BMP/GIF payloads with `javax.imageio` (public JDK API —
+    * present in every Java runtime, no external library) and emits
+    * [width, height, bands, sum of band-0 samples]. Payloads ImageIO
+    * cannot sniff fall back to [[StubDecoder]]'s pseudo-features — the
+    * documented split: JDK-supported formats decode for real,
+    * everything else keeps the stub seam.
+    *
+    * featureDim = 4; sum_gray for the fixture images is ≤ 403·255,
+    * exactly representable in Float (< 2²⁴), so the generic float
+    * feature channel loses nothing.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    val featureDim = 4
+    def decode(kind: String, bytes: Array[Byte], nFrames: Int): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) StubDecoder.decode(kind, bytes, nFrames).take(featureDim)
+      else {
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        Array(w.toFloat, h.toFloat, raster.getNumBands.toFloat, sum.toFloat)
+      }
+    }
+  }
+
+  /** Deterministic REAL-PNG media table: each document becomes an
+    * 8-bit grayscale (1 + doc_id mod 31) × (1 + doc_id mod 13) image
+    * whose row-major pixel k is text byte (k mod len) — encoded through
+    * the JDK's actual PNG writer, so downstream consumers decode real
+    * compressed image bytes, not a fixture masquerading as one. PNG is
+    * lossless 8-bit gray, so decode(encode(px)) == px and every decoded
+    * quantity has a closed form over (doc_id, text) that the SQL oracle
+    * replays WITHOUT a codec. Encode is partition-local (mapPartitions,
+    * like the decode seam) — no shuffle, scales by adding executors.
+    */
+  def pngMediaFromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.mapPartitions { it =>
+      it.map { case (id, text) =>
+        val w = 1 + (id % 31).toInt
+        val h = 1 + (id % 13).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var k = 0
+        while (k < w * h) {
+          raster.setSample(k % w, k / w, 0, bytes(k % bytes.length) & 0xff)
+          k += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image", bos.toByteArray, 1)
+      }
+    }.toDF("media_id", "kind", "bytes", "n_frames")
+  }
+
+  /** q247: real-codec image decode — PNG payloads produced by the JDK
+    * encoder are decoded back through `javax.imageio` on executors and
+    * reduced to exact integer facts (geometry, band count, pixel sum).
+    * The oracle recomputes the same facts from the generator's closed
+    * form (pure ASCII corpus: byte k == code point of char k+1) — the
+    * hash compare therefore pins the whole encode→decode round trip.
+    */
+  def imageDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = pngMediaFromDocuments(spark, dir)
+      .withColumn("meta", struct(
+        lit("png").as("format"), lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("sample_rate"), col("n_frames")))
+    decodeFeatures(media, ImageIoDecoder)
+      .toDF()
+      .select(col("media_id"),
+        element_at(col("feature"), 1).cast("int").as("width"),
+        element_at(col("feature"), 2).cast("int").as("height"),
+        element_at(col("feature"), 3).cast("int").as("channels"),
+        element_at(col("feature"), 4).cast("bigint").as("sum_gray"))
+      .orderBy(col("media_id"))
+  }
+
+  private val imageDecodeSql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    (1 + doc_id % 31)::INT AS width, (1 + doc_id % 13)::INT AS height
+      |  FROM documents WHERE length(text) >= 1
+      |)
+      |SELECT doc_id AS media_id, width, height, 1::INT AS channels,
+      |  list_sum(list_transform(
+      |    generate_series(0, width * height - 1, 1),
+      |    k -> unicode(substring(text, (k % len + 1)::INT, 1))))::BIGINT
+      |    AS sum_gray
+      |FROM d ORDER BY media_id""".stripMargin
+
   /** q80: media dedup by payload head hash — the binary-asset dedup
     * pattern at blob scale: hashing a fixed-size HEAD of the payload
     * (here 256 bytes) instead of whole multi-MB blobs keeps the dedup
@@ -249,5 +357,6 @@ object Multimodal extends QueryModule {
     QueryDef("q51_frame_sample", frameSampleQuery, Some(frameSampleSql)),
     QueryDef("q52_media_decode", decodeQuery, Some(decodeSql)),
     QueryDef("q80_media_dedup", mediaDedupQuery, Some(mediaDedupSql)),
+    QueryDef("q247_image_decode", imageDecodeQuery, Some(imageDecodeSql)),
   )
 }

@@ -61,6 +61,35 @@ class MultimodalSpec extends SparkSpec {
       Tables.documents(spark, sfDir).count())
   }
 
+  test("pngMedia payloads are real PNGs and ImageIoDecoder round-trips them exactly") {
+    val media = Multimodal.pngMediaFromDocuments(spark, sfDir)
+      .orderBy(col("media_id")).limit(5).collect()
+    val doc = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 1)
+      .orderBy(col("doc_id")).limit(5).collect()
+    media.zip(doc).foreach { case (m, d) =>
+      val id = m.getAs[Long]("media_id")
+      val bytes = m.getAs[Array[Byte]]("bytes")
+      // PNG magic: 89 50 4E 47 — proves the JDK encoder really ran
+      assert((bytes(0) & 0xff) === 0x89 && bytes(1) === 'P' &&
+        bytes(2) === 'N' && bytes(3) === 'G')
+      val f = Multimodal.ImageIoDecoder.decode("image", bytes, 1)
+      val (w, h) = (1 + (id % 31).toInt, 1 + (id % 13).toInt)
+      assert(f(0) === w.toFloat && f(1) === h.toFloat)
+      assert(f(2) === 1.0f) // grayscale: one band
+      val text = d.getAs[String]("text").getBytes("UTF-8")
+      val expected = (0 until w * h).map(k => (text(k % text.length) & 0xff).toLong).sum
+      assert(f(3) === expected.toFloat) // lossless round trip: exact pixel sum
+    }
+  }
+
+  test("ImageIoDecoder falls back to the stub for bytes no JDK codec sniffs") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val viaDecoder = Multimodal.ImageIoDecoder.decode("image", junk, 1)
+    val viaStub = Multimodal.StubDecoder.decode("image", junk, 1).take(4)
+    assert(viaDecoder.toSeq === viaStub.toSeq)
+  }
+
   test("media dedup: exactly one min-id keeper per head-hash group") {
     val out = Multimodal.mediaDedupQuery(spark, sfDir).collect()
     assert(out.length === Tables.documents(spark, sfDir).count())
