@@ -10,6 +10,46 @@ import java.nio.file.{Files, Paths}
   * correctness report (round-6 lesson: 51 queries vanished traceless).
   */
 object Verify {
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Merge a subset run's failures into the prior errors.json: prior
+    * entries OUTSIDE the re-run set survive verbatim (their queries
+    * were not exercised, so their last verdict stands); entries IN the
+    * re-run set are replaced by the fresh outcome — including absence,
+    * which is how a fixed query clears its record. The prior file is
+    * parsed with a real JSON reader (json4s, on Spark's classpath) and
+    * decoded values re-escape through the writer's own `q`, so the
+    * merge is exact regardless of how the prior file was formatted
+    * (pretty-printing, escaped-quote keys, re-serialization by an
+    * external tool) — the previous regex scan was correct only for the
+    * writer's own compact output.
+    */
+  private[graft] def mergeErrors(priorJson: Option[String],
+      fresh: Seq[(String, String)], rerun: Set[String]): String = {
+    import org.json4s._
+    val prior: Seq[(String, String)] = priorJson.toSeq.flatMap { s =>
+      org.json4s.jackson.JsonMethods.parse(s) match {
+        case JObject(fields) =>
+          fields.collect { case (k, JString(v)) if !rerun(k) => (k, v) }
+        case _ => Seq.empty
+      }
+    }
+    (prior ++ fresh).map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Verify <sfDir> <outDir> [query ...]")
     val (sfDir, outDir) = (args(0), args(1))
@@ -23,18 +63,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val ran = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -57,19 +85,10 @@ object Verify {
     // with only the subset's failures would erase the recorded failure
     // of every query outside the subset (silent-absence, again)
     val errPath = Paths.get(s"$outDir/errors.json")
-    // prior pairs are kept VERBATIM (already escaped in the file;
-    // re-escaping would double-escape). Query names contain no escape
-    // characters, so filtering on the raw key is exact.
-    val prior: Seq[String] =
-      if (only.nonEmpty && Files.exists(errPath)) {
-        val re = """"((?:[^"\\]|\\.)+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-        re.findAllMatchIn(Files.readString(errPath))
-          .filterNot(m => only(m.group(1))) // re-run queries: fresh verdict
-          .map(m => s""""${m.group(1)}": "${m.group(2)}"""").toSeq
-      } else Seq.empty
-    val errJson = (prior ++ errors.map { case (k, v) => s"${q(k)}: ${q(v)}" })
-      .mkString("{", ",", "}")
-    Files.writeString(errPath, errJson)
+    val priorJson =
+      if (only.nonEmpty && Files.exists(errPath)) Some(Files.readString(errPath))
+      else None
+    Files.writeString(errPath, mergeErrors(priorJson, errors.toSeq, only))
     if (errors.nonEmpty)
       System.err.println(
         s"[verify] ${errors.size}/${ran.size} queries FAILED: " +
