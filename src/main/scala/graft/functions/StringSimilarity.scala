@@ -24,9 +24,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object JaroWinklerImpl {
 
+  /** Operates on UTF-8 BYTES, not UTF-16 code units: DuckDB's
+    * implementation is byte-based (probed: 'café'≍'cafe' → 0.848333…,
+    * which is the 5-byte-vs-4-byte score; the 4-codepoint score would
+    * be 0.883), so byte semantics is what keeps the oracle twin exact
+    * on non-ASCII text — FunctionsSpec pins accented and astral-plane
+    * cases against DuckDB-probed values. ASCII scores are unchanged.
+    * Bonus: no String materialization on the per-pair hot path.
+    */
   def similarity(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.getBytes
+    val b = ub.getBytes
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
@@ -40,7 +48,7 @@ object JaroWinklerImpl {
       var j = math.max(0, i - window)
       var matched = false
       while (j <= hi && !matched) {
-        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bMatch(j) && a(i) == b(j)) {
           aMatch(i) = true; bMatch(j) = true; m += 1; matched = true
         }
         j += 1
@@ -54,7 +62,7 @@ object JaroWinklerImpl {
     while (i < la) {
       if (aMatch(i)) {
         while (!bMatch(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) halfT += 1
+        if (a(i) != b(k)) halfT += 1
         k += 1
       }
       i += 1
@@ -64,7 +72,7 @@ object JaroWinklerImpl {
     if (jaro > 0.7) {
       val maxL = math.min(4, math.min(la, lb))
       var l = 0
-      while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+      while (l < maxL && a(l) == b(l)) l += 1
       jaro + l * 0.1 * (1.0 - jaro)
     } else jaro
   }

@@ -77,7 +77,7 @@ object ScaledWindows {
     val tagged = df.repartitionByRange(numParts, order: _*)
       .withColumn(PID, spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pending.synchronized { pending += tagged }
+    pending.get() += tagged
     tagged
   }
 
@@ -85,15 +85,29 @@ object ScaledWindows {
   // an owning handle (release() after the terminal action) instead of
   // requiring a catalog-wide clearCache convention. Verify/Bench clear
   // per query; SparkSpec clears per suite.
-  private val pending = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  //
+  // THREAD-LOCAL: a query is built and released on one caller thread
+  // (Verify/Bench loops, Materialize.releasing), so scoping the
+  // registry per thread makes release() drop only the calling query's
+  // pass-1 relations — a release issued while another thread still
+  // holds an unexecuted rangeTag relation can no longer yank that
+  // relation's load-bearing persist out from under it (the
+  // nondeterministic-offsets bug the persist exists to prevent).
+  private val pending =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[DataFrame]] {
+      override def initialValue() =
+        scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    }
 
-  /** Unpersist every pass-1 relation created since the last call. Call
-    * AFTER the terminal action of the consuming query — the offsets are
-    * only valid against the materialized layout (see rangeTag).
+  /** Unpersist every pass-1 relation created by THIS thread since its
+    * last call. Call AFTER the terminal action of the consuming query —
+    * the offsets are only valid against the materialized layout (see
+    * rangeTag). Relations built by other threads are untouched.
     */
-  def release(): Unit = pending.synchronized {
-    pending.foreach(_.unpersist(false))
-    pending.clear()
+  def release(): Unit = {
+    val buf = pending.get()
+    buf.foreach(_.unpersist(false))
+    buf.clear()
   }
 
   /** Cumulative sum of `value` over rows globally ordered by `order`,

@@ -69,11 +69,20 @@ object EventStreams extends QueryModule {
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // empty/not-yet-populated landing dir (the normal cold-start of a
-    // landing zone): nothing to probe — default to the current runtime's
-    // native surface for TIMESTAMP(NANOS), timestamp_ntz (Spark 4.1+);
-    // normalizeTs handles whichever type the files then deliver
+    // landing zone): nothing to probe — fall back to what THIS runtime's
+    // parquet reader will produce for TIMESTAMP(NANOS) once files land:
+    // Spark ≥4.1 reads it natively as timestamp_ntz; older readers (for
+    // which the nanosAsLong conf set above is load-bearing) deliver raw
+    // long nanos. Version-dispatching the fallback keeps the declared
+    // stream schema consistent with the arriving files on either
+    // runtime; normalizeTs then maps both shapes to TimestampType.
     val tsType = try spark.read.parquet(eventsDir).schema("ts").dataType
-      catch { case _: org.apache.spark.sql.AnalysisException => TimestampNTZType }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          val Array(maj, min) = spark.version.split("[.\\-]").take(2)
+            .map(s => s.takeWhile(_.isDigit).toInt)
+          if (maj > 4 || (maj == 4 && min >= 1)) TimestampNTZType else LongType
+      }
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),

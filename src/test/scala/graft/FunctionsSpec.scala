@@ -151,7 +151,14 @@ class FunctionsSpec extends SparkSpec {
       ("", "abc", 0.0), ("", "", 0.0), ("ab", "ba", 0.0),
       ("CRATE", "TRACE", 0.733333), ("DwAyNE", "DuANE", 0.840000),
       ("apple corp", "apple corporation", 0.917647),
-      ("abhello", "abgoodbye", 0.587302), ("aaaaaabb", "aaaaaacc", 0.900000))
+      ("abhello", "abgoodbye", 0.587302), ("aaaaaabb", "aaaaaacc", 0.900000),
+      // non-ASCII: DuckDB scores UTF-8 BYTES (probed 2026-08); these
+      // pin the byte semantics — the UTF-16 code-unit scores differ
+      // (e.g. café/cafe would read 0.883 under code units)
+      ("café", "cafe", 0.848333), ("naïve", "naive", 0.857778),
+      ("über", "uber", 0.783333), ("a𝟘b", "ab", 0.555556),
+      ("résumé", "resume", 0.75), ("café", "café", 1.0),
+      ("crème brûlée", "creme brulee", 0.797037))
     cases.foreach { case (a, b, want) =>
       val got = graft.functions.JaroWinklerImpl.similarity(
         org.apache.spark.unsafe.types.UTF8String.fromString(a),
