@@ -94,6 +94,42 @@ object SigImpl {
     out
   }
 
+  /** MinHash over PRE-HASHED shingles (array<long>, e.g.
+    * [[graft.operators.TextAnalysis.shingleHashes3]]): slot j is the min
+    * over shingles of `XXH64.hashLong(h, seed_j')` where h is the
+    * shingle's 64-bit content hash and seed_j' the same per-slot seed
+    * derivation as [[minHash]]. One 8-byte hashLong per (shingle, slot)
+    * instead of re-hashing the ~25-byte shingle STRING k times — the
+    * string's bytes are hashed exactly once (into h, upstream), which
+    * at 64 slots removes ~98% of the byte-hashing work per document.
+    * A different (equally uniform) hash family than [[minHash]], so
+    * signatures differ — recall properties are the statistical banding
+    * bound either way, and q40's exact-verify stage makes the OUTPUT
+    * independent of the family (DedupSpec pins recall=1 vs the exact
+    * result at every sf).
+    */
+  def minHashFromHashes(arr: ArrayData, seeds: Array[Long]): Array[Long] = {
+    val k = seeds.length
+    val seedAcc = new Array[Long](k)
+    var j = 0
+    while (j < k) { seedAcc(j) = XXH64.hashLong(seeds(j), 42L); j += 1 }
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      j = 0
+      while (j < k) {
+        val v = XXH64.hashLong(h, seedAcc(j))
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
+
   def minHash(arr: ArrayData, seeds: Array[Long]): Array[Long] = {
     val k = seeds.length
     val mins = new Array[Long](k)
@@ -177,6 +213,33 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** MinHash signature of an already-hashed shingle set (array<long>) —
+  * the allocation- and byte-hash-light variant of [[MinHashSig]] for
+  * pipelines that carry [[WordNgramHashes]] shingles (see
+  * [[SigImpl.minHashFromHashes]]).
+  */
+case class MinHashSigFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_hashed"
+
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numHashes)(i => i * 2654435761L + 0x9e3779b9L)
+
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(SigImpl.minHashFromHashes(input.asInstanceOf[ArrayData], seeds))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.SigImpl.minHashFromHashes($c, $seedsRef))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigFromHashes =
+    copy(child = newChild)
+}
+
 object HashFunctions {
   /** Column API for the custom expressions. */
   def simhash64(c: Column): Column =
@@ -187,4 +250,7 @@ object HashFunctions {
 
   def minhashSig(c: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), numHashes))
+
+  def minhashSigHashed(c: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSigFromHashes(ColumnBridge.expression(c), numHashes))
 }

@@ -89,27 +89,35 @@ object Dedup extends QueryModule {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val toks = split(col(textCol), " ")
-    // One cached table carries both the shingle set (for exact verify)
-    // and the signature (for banding): the bucket self-join reads it
-    // twice and the verification joins twice more, so persisting once
-    // means the (expensive, 64-hash) signature computation runs once per
-    // document — the same compute-once design a cluster run would use
-    // (materialize signatures, then join). A separate persist per
-    // intermediate would double the cache footprint for no reuse gain.
+    // One cached table carries both the shingle-HASH set (for exact
+    // verify) and the signature (for banding): the bucket self-join
+    // reads it twice and the verification joins twice more, so
+    // persisting once means the (expensive, 64-hash) signature
+    // computation runs once per document — the same compute-once design
+    // a cluster run would use (materialize signatures, then join).
+    // Shingles ride as their 64-bit content hashes end to end
+    // (WordNgramHashes → MinHashSigFromHashes): the shingle STRING's
+    // bytes are hashed exactly once, each signature slot is a cheap
+    // 8-byte hashLong, the exact-verify intersects long arrays instead
+    // of string arrays, and the cached rows shrink ~3×. Jaccard on the
+    // hash sets equals Jaccard on the string sets barring a 2^-64
+    // cross-shingle collision (same documented argument as q35's
+    // posting keys).
     val shingled = docs
       .withColumn("__toks", toks)
       .filter(size(col("__toks")) >= 3)
-      .select(col(idCol), TextAnalysis.shingles3(col("__toks")).as("__sh"))
-      .withColumn("__sig", minHashSignature(col("__sh"), numHashes))
+      .select(col(idCol), TextAnalysis.shingleHashes3(col("__toks")).as("__shh"))
+      .withColumn("__sig",
+        graft.functions.HashFunctions.minhashSigHashed(col("__shh"), numHashes))
       .persist()
     val signed = shingled.select(col(idCol), col("__sig"))
 
     val candidates = lshCandidates(signed, idCol, "__sig", bands, rowsPerBand)
-    val sets = shingled.select(col(idCol), col("__sh"))
+    val sets = shingled.select(col(idCol), col("__shh"))
     Materialize.releasing(
       candidates
-        .join(sets.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
-        .join(sets.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+        .join(sets.select(col(idCol).as("id_a"), col("__shh").as("sh_a")), Seq("id_a"))
+        .join(sets.select(col(idCol).as("id_b"), col("__shh").as("sh_b")), Seq("id_b"))
         .withColumn("jaccard",
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))))

@@ -730,6 +730,95 @@ object Similarity extends QueryModule {
 
   // lazy: q202's SQL val is declared below this list (forward reference
   // would otherwise capture null at object init — same fix as Governance)
+  /** q248: hybrid retrieval fusion — the two ranking stacks the engine
+    * already has (lexical BM25, q159; embedding cosine KNN, q42) fused
+    * by Reciprocal Rank Fusion: score(d) = Σ_lists 1/(60 + rank_d),
+    * lists contribute 0 where d is absent. RRF is the standard
+    * zero-tuning hybrid-search combiner (rank-based, so the two
+    * scores' incomparable scales never matter). Lexical side: top-20
+    * BM25 docs against the corpus's own top-3-term query; semantic
+    * side: top-20 cosine neighbors of probe vec 0 (doc_id ≡ vec_id in
+    * the fixture corpus).
+    *
+    * Scale shape: both inputs are ALREADY top-k-bounded (≤20 rows
+    * each), so the fusion itself — full outer join + arithmetic + a
+    * top-10 — is driver-trivial at any corpus size; the heavy lifting
+    * lives in the underlying rankers, which carry their own scale
+    * stories (bm25: broadcast query terms + one map pass + partial
+    * agg; knnTopKAgg: partial top-k Aggregator, no window shuffle).
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val rrfK = 60
+    val lex = TextAnalysis.bm25(spark, dir)
+      .select(col("doc_id"),
+        row_number().over( // ≤20 rows: the single-partition window is bounded
+          Window.orderBy(col("bm25").desc, col("doc_id"))).as("rank_lex"))
+    val sem = knnTopKAgg(Tables.embeddings(spark, dir), nQueries = 1, k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("int").as("rank_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("rank_sem")), lit(0.0)))
+      .select(col("doc_id"), col("rank_lex").cast("int").as("rank_lex"),
+        col("rank_sem"), round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val hybridRrfSql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS len
+      |  FROM documents
+      |), stats AS (
+      |  SELECT count(*)::BIGINT AS n_docs, avg(len::DOUBLE) AS avglen FROM d
+      |), words AS (
+      |  SELECT doc_id, len, unnest(toks) AS w FROM d
+      |), qt AS (
+      |  SELECT w FROM words GROUP BY w ORDER BY count(*) DESC, w LIMIT 3
+      |), dfx AS (
+      |  SELECT w, count(DISTINCT doc_id)::BIGINT AS df
+      |  FROM words JOIN qt USING (w) GROUP BY w
+      |), tf AS (
+      |  SELECT doc_id, len, w, count(*)::BIGINT AS tf
+      |  FROM words JOIN qt USING (w) GROUP BY doc_id, len, w
+      |), bm AS (
+      |  SELECT tf.doc_id,
+      |    ln(1.0::DOUBLE + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+      |      * tf.tf * (1.2 + 1) /
+      |      (tf.tf + 1.2 * (1.0::DOUBLE - 0.75 + 0.75 * tf.len / stats.avglen))
+      |      AS s
+      |  FROM tf JOIN dfx USING (w) CROSS JOIN stats
+      |), lex_top AS (
+      |  SELECT doc_id, round(sum(s), 4) AS bm25
+      |  FROM bm GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20
+      |), lex AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+      |  FROM lex_top
+      |), c AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+      |), q AS (
+      |  SELECT vec AS qvec FROM c WHERE vec_id = 0
+      |), sem_ranked AS (
+      |  SELECT c.vec_id AS doc_id,
+      |    row_number() OVER (
+      |      ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id)
+      |      AS rank_sem
+      |  FROM c CROSS JOIN q WHERE c.vec_id <> 0
+      |), sem AS (
+      |  SELECT doc_id, rank_sem FROM sem_ranked WHERE rank_sem <= 20
+      |), f AS (
+      |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+      |    l.rank_lex, s.rank_sem,
+      |    coalesce(1.0 / (60 + l.rank_lex), 0)
+      |      + coalesce(1.0 / (60 + s.rank_sem), 0) AS rrf
+      |  FROM lex l FULL JOIN sem s ON l.doc_id = s.doc_id
+      |)
+      |SELECT doc_id, rank_lex::INT AS rank_lex, rank_sem::INT AS rank_sem,
+      |  round(rrf, 6) AS rrf
+      |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_knn_bruteforce", knnQuery, Some(knnOracleSql), benchmark = true),
     QueryDef("q57_semantic_search", semanticSearch, Some(semanticSearchSql)),
@@ -744,6 +833,7 @@ object Similarity extends QueryModule {
     QueryDef("q202_semantic_composition", semanticComposition,
       Some(semanticCompositionSql)),
     QueryDef("q223_hof_battery", hofBattery, Some(hofBatterySql)),
+    QueryDef("q248_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
   )
 
   /** q202: semantic source composition — the cross-modal auto-labeling

@@ -24,6 +24,26 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.head.getSeq[Long](2).length === 8)
   }
 
+  test("minhash_sig_hashed equals the per-slot min of hashLong over the shingle hashes") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val docs = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.shingleHashes3(split(col("text"), " ")).as("shh"))
+      .withColumn("sig", HashFunctions.minhashSigHashed(col("shh"), 16))
+      .orderBy(col("doc_id")).limit(20).collect()
+    val seeds = Array.tabulate(16)(i => i * 2654435761L + 0x9e3779b9L)
+    docs.foreach { r =>
+      val shh = r.getSeq[Long](1)
+      val sig = r.getSeq[Long](2)
+      val ref = seeds.map { s =>
+        val acc = XXH64.hashLong(s, 42L)
+        shh.map(h => XXH64.hashLong(h, acc)).min
+      }
+      assert(sig === ref.toSeq, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("deflate_ratio: bounds, repetition monotonicity, codegen ≡ kernel") {
     import graft.functions.{CompressFunctions, CompressImpl}
     // corpus-wide bounds (map-side expression over real documents)
