@@ -2111,6 +2111,86 @@ object EventAnalytics extends QueryModule {
       |FROM mau m JOIN nd n ON m.d2 = n.d2
       |ORDER BY w_end""".stripMargin
 
+  /** q249: audience-overlap matrix via THETA sketches — the sketch
+    * family that closes the gap HLL leaves: theta supports set
+    * INTERSECTION, so "how many users did segments A and B share" needs
+    * only two ~2^lgK-entry summaries per segment pair instead of a
+    * user-level join. One pass over events builds a sketch per
+    * event_type ([[graft.functions.ThetaSketchAgg]], a live-object
+    * TypedImperativeAggregate in the mold of Spark's own HllSketchAgg);
+    * the pairwise matrix is |types|² over kilobyte summaries —
+    * driver-trivial at any |users|.
+    *
+    * Gate pattern as q245: the query joins the sketch estimates to the
+    * exact per-type and pairwise-overlap counts (DuckDB-replayable) and
+    * emits a within_bound verdict — intersection error concentrates
+    * relative to the SMALLER operand, so the envelope is
+    * ±max(2.5% · least(|A|,|B|), 1). The exact twin (a user-level
+    * self-join) is the cost the sketch path avoids; it runs here only
+    * as the gate's evidence.
+    */
+  def thetaOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ThetaFunctions._
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    val sk = ev.groupBy(col("event_type"))
+      .agg(thetaSketchAgg(col("user_id"), 12).as("sk"))
+      .withColumn("est_n", thetaEstimate(col("sk")))
+    val skPairs = sk.select(col("event_type").as("type_a"), col("sk").as("sk_a"),
+        col("est_n").as("est_a"))
+      .join(sk.select(col("event_type").as("type_b"), col("sk").as("sk_b"),
+        col("est_n").as("est_b")), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("est_a"), col("est_b"),
+        thetaIntersectEstimate(col("sk_a"), col("sk_b")).as("est_inter"))
+    val ut = ev.distinct().persist() // read by per-type counts and the pair join
+    val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    val interExact = ut.select(col("event_type").as("type_a"), col("user_id"))
+      .join(ut.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("inter_exact"))
+    Materialize.releasing(
+      skPairs
+        .join(perType.select(col("event_type").as("type_a"), col("n_users").as("users_a")),
+          Seq("type_a"))
+        .join(perType.select(col("event_type").as("type_b"), col("n_users").as("users_b")),
+          Seq("type_b"))
+        .join(interExact, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"),
+          col("users_a").cast("bigint").as("users_a"),
+          col("users_b").cast("bigint").as("users_b"),
+          col("inter_exact").cast("bigint").as("inter_exact"),
+          round(col("inter_exact") /
+            (col("users_a") + col("users_b") - col("inter_exact")), 4).as("jaccard"),
+          (abs(col("est_inter") - col("inter_exact")) <=
+            greatest(least(col("users_a"), col("users_b")) * 0.025, lit(1.0)) &&
+           abs(col("est_a") - col("users_a")) <= col("users_a") * 0.025 &&
+           abs(col("est_b") - col("users_b")) <= col("users_b") * 0.025)
+            .as("within_bound"))
+        .orderBy(col("type_a"), col("type_b")),
+      ut)
+  }
+
+  private val thetaOverlapSql =
+    """WITH ut AS (
+      |  SELECT DISTINCT event_type, user_id FROM events
+      |), per_type AS (
+      |  SELECT event_type, count(*)::BIGINT AS n_users FROM ut GROUP BY 1
+      |), ix AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    count(*)::BIGINT AS inter_exact
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ix.type_a, ix.type_b,
+      |  pa.n_users AS users_a, pb.n_users AS users_b, ix.inter_exact,
+      |  round(ix.inter_exact::DOUBLE
+      |    / (pa.n_users + pb.n_users - ix.inter_exact), 4) AS jaccard,
+      |  TRUE AS within_bound
+      |FROM ix
+      |JOIN per_type pa ON pa.event_type = ix.type_a
+      |JOIN per_type pb ON pb.event_type = ix.type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -2149,6 +2229,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q240_absorption_probs", absorptionProbs,
       Some(absorptionProbsSql)),
     QueryDef("q245_hll_mau", hllMauChecked, Some(hllMauCheckedSql)),
+    QueryDef("q249_theta_overlap", thetaOverlap, Some(thetaOverlapSql)),
   )
 
 }
