@@ -564,6 +564,54 @@ object Relational extends QueryModule {
       |  round(max(o_totalprice), 4) AS max_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** q250: mergeable quantiles via KLL sketches — completes the sketch
+    * family (bloom q76, HLL q245, theta q249, Misra–Gries q143) with
+    * the quantile member: per-group `KllDoublesAgg` summaries merge
+    * associatively (per-shard/per-day rollup without raw data, the
+    * property `percentile()` lacks and `approx_percentile` only has
+    * with order-sensitive accuracy), carrying a formal ±1.65%
+    * normalized-rank-error guarantee at k=200.
+    *
+    * Gate pattern as q245/q249: output carries the EXACT interpolated
+    * percentiles (DuckDB `quantile_cont`-replayable) and a
+    * within_bound verdict asserting each KLL quantile estimate lies
+    * between the exact percentiles at rank ±0.03 (margin above the
+    * 1.65% bound — KLL compaction is randomized, so the verdict is
+    * pinned to the guarantee's envelope, not to an unstable estimate
+    * value). The oracle emits literal TRUE.
+    */
+  def kllQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllFunctions._
+    def exact(q: Double): Column = expr(s"percentile(o_totalprice, $q)")
+    val m = 0.03
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n"),
+        kllAgg(col("o_totalprice"), 200).as("sk"),
+        round(exact(0.5), 4).as("p50"),
+        round(exact(0.9), 4).as("p90"),
+        round(exact(0.99), 4).as("p99"),
+        exact(0.5 - m).as("lo50"), exact(0.5 + m).as("hi50"),
+        exact(0.9 - m).as("lo90"), exact(0.9 + m).as("hi90"),
+        exact(0.99 - m).as("lo99"), exact(1.0).as("hi99"))
+      .withColumn("within_bound",
+        kllQuantile(col("sk"), 0.5).between(col("lo50"), col("hi50")) &&
+          kllQuantile(col("sk"), 0.9).between(col("lo90"), col("hi90")) &&
+          kllQuantile(col("sk"), 0.99).between(col("lo99"), col("hi99")))
+      .select(col("o_orderstatus"), col("n"), col("p50"), col("p90"),
+        col("p99"), col("within_bound"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val kllQuantilesSql =
+    """SELECT o_orderstatus, count(*)::BIGINT AS n,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+      |  TRUE AS within_bound
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Tumbling-window (1h) aggregation over the events table — the batch
     * form of the Structured Streaming query in graft.streaming.
     */
@@ -1150,6 +1198,7 @@ object Relational extends QueryModule {
     QueryDef("q23_rollup_revenue", revenueRollup, Some(revenueRollupSql)),
     QueryDef("q24_cube_status_priority", statusPriorityCube, Some(statusPriorityCubeSql)),
     QueryDef("q25_percentiles", pricePercentiles, Some(pricePercentilesSql)),
+    QueryDef("q250_kll_quantiles", kllQuantiles, Some(kllQuantilesSql)),
     QueryDef("q26_hourly_events", hourlyEventStats, Some(hourlyEventStatsSql), benchmark = true),
   )
 }
