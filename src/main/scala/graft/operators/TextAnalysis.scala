@@ -958,6 +958,58 @@ object TextAnalysis extends QueryModule {
       |WHERE g.group_id IS NULL OR g.group_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q251: unigram-LM perplexity scoring — the model-based quality
+    * signal (CCNet-style) that length/stopword heuristics (q32) miss:
+    * score each document by its cross-entropy under the corpus's own
+    * unigram distribution, H(d) = −Σ ln p(w) / |d|, and surface the 20
+    * most surprising documents (highest perplexity = off-distribution:
+    * boilerplate in another register, encoding junk, topic outliers).
+    * In a production curation pipeline the unigram table comes from a
+    * trusted reference corpus; here the corpus is its own reference,
+    * which makes the operator self-contained and the oracle exact.
+    *
+    * Scale shape: one explode pass → vocabulary-keyed aggregation (the
+    * freq table is O(vocab), not O(corpus)) → postings join back on
+    * word (AQE broadcasts the freq table when small; hash join on the
+    * vocabulary key otherwise) → doc-keyed partial aggregation. The
+    * grand total rides along as a broadcast single-row cross join.
+    */
+  def unigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val freq = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("total"))
+    Materialize.releasing(
+      words.join(freq, Seq("w"))
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+          sum(log(col("total").cast("double") / col("c"))).as("sum_h"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("sum_h") / col("n_tokens"), 4).as("cross_entropy"),
+          round(exp(col("sum_h") / col("n_tokens")), 4).as("ppl"))
+        .orderBy(col("ppl").desc, col("doc_id"))
+        .limit(20))
+  }
+
+  private val unigramPerplexitySql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), freq AS (
+      |  SELECT w, count(*)::BIGINT AS c FROM words GROUP BY w
+      |), tot AS (
+      |  SELECT sum(c)::BIGINT AS total FROM freq
+      |), scored AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |    sum(ln(tot.total::DOUBLE / freq.c)) AS sum_h
+      |  FROM words JOIN freq USING (w) CROSS JOIN tot
+      |  GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_tokens,
+      |  round(sum_h / n_tokens, 4) AS cross_entropy,
+      |  round(exp(sum_h / n_tokens), 4) AS ppl
+      |FROM scored ORDER BY ppl DESC, doc_id LIMIT 20""".stripMargin
+
   /** q37: whitespace vs BPE-ish token counts per source — the
     * token-budget accounting a training pipeline runs over every shard.
     */
@@ -1287,6 +1339,7 @@ object TextAnalysis extends QueryModule {
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_corpus_prep", corpusPrepQuery, Some(corpusPrepSql), benchmark = true),
+    QueryDef("q251_unigram_ppl", unigramPerplexity, Some(unigramPerplexitySql)),
     QueryDef("q37_bpe_tokens", bpeTokenStats, Some(bpeTokenStatsSql)),
     QueryDef("q38_stratified_sample", stratifiedSampleQuery, Some(stratifiedSampleSql)),
     QueryDef("q39_rolling_fingerprint", rollingFingerprintQuery, Some(rollingFingerprintSql)),
