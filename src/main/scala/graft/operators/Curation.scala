@@ -1148,6 +1148,81 @@ object Curation extends QueryModule {
        |    least(ci * $chunkStride + $chunkSize, nw)), ' ')) AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q254: cross-split leakage audit — after a group-aware train/val/
+    * test split (the q213 md5-bucket assignment, here at the document
+    * grain), how much near-duplicate content still LEAKS across the
+    * split boundary? Entity-grouped splits stop the same ROW appearing
+    * twice, but near-dup documents with different ids slip through and
+    * quietly inflate eval scores; auditing that leak is a standard
+    * pre-training QA step. Dup relation: the q34 exact fingerprint
+    * (md5 of the lowercased first 100 chars).
+    *
+    * Scale shape: NO pair generation — aggregate to (fp, split) counts
+    * first, then join the count tables, so a boilerplate fingerprint
+    * shared by a million docs contributes one row per split, not 10¹²
+    * pairs; `leaked_pairs` is the exact Σ n_a·n_b in integer algebra.
+    * Linear scans + two small shuffles; holds at 100 TB.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+        "as bigint) % 100")
+    val perFpSplit = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(lower(substring(col("text"), 1, 100))).as("fp"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      .groupBy(col("fp"), col("split"))
+      .agg(count(lit(1)).as("n"))
+    val splitTotals = perFpSplit.groupBy(col("split"))
+      .agg(sum(col("n")).as("split_docs"))
+    val a = perFpSplit.select(col("fp"), col("split").as("split_a"), col("n").as("n_a"))
+    val b = perFpSplit.select(col("fp"), col("split").as("split_b"), col("n").as("n_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("split_a") < col("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).cast("bigint").as("shared_fps"),
+        sum(col("n_a") * col("n_b")).cast("bigint").as("leaked_pairs"),
+        sum(col("n_b")).cast("bigint").as("leaked_docs_b"))
+      .join(broadcast(splitTotals.select(col("split").as("split_b"),
+        col("split_docs").as("docs_b"))), Seq("split_b"))
+      .select(col("split_a"), col("split_b"), col("shared_fps"),
+        col("leaked_pairs"), col("leaked_docs_b"),
+        round(col("leaked_docs_b").cast("double") / col("docs_b"), 4)
+          .as("leak_rate_b"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  private val splitLeakageSql =
+    """WITH d AS (
+      |  SELECT doc_id, md5(lower(substr(text, 1, 100))) AS fp,
+      |    CASE
+      |      WHEN list_reduce(list_transform(generate_series(1, 15),
+      |          i -> strpos('0123456789abcdef',
+      |                 substring(md5(doc_id::VARCHAR), i, 1)) - 1),
+      |        (acc, dd) -> acc * 16 + dd) % 100 < 80 THEN 'train'
+      |      WHEN list_reduce(list_transform(generate_series(1, 15),
+      |          i -> strpos('0123456789abcdef',
+      |                 substring(md5(doc_id::VARCHAR), i, 1)) - 1),
+      |        (acc, dd) -> acc * 16 + dd) % 100 < 90 THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM documents
+      |), fs AS (
+      |  SELECT fp, split, count(*)::BIGINT AS n FROM d GROUP BY 1, 2
+      |), st AS (
+      |  SELECT split, sum(n)::BIGINT AS split_docs FROM fs GROUP BY 1
+      |)
+      |SELECT a.split AS split_a, b.split AS split_b,
+      |  count(*)::BIGINT AS shared_fps,
+      |  sum(a.n * b.n)::BIGINT AS leaked_pairs,
+      |  sum(b.n)::BIGINT AS leaked_docs_b,
+      |  round(sum(b.n)::DOUBLE / any_value(st.split_docs), 4) AS leak_rate_b
+      |FROM fs a
+      |JOIN fs b ON a.fp = b.fp AND a.split < b.split
+      |JOIN st ON st.split = b.split
+      |GROUP BY a.split, b.split
+      |ORDER BY split_a, split_b""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q62_decontamination", decontamination, Some(decontaminationSql)),
     QueryDef("q63_sequence_packing", sequencePacking, Some(sequencePackingSql)),
@@ -1166,5 +1241,6 @@ object Curation extends QueryModule {
     QueryDef("q209_curation_funnel", curationFunnel, Some(curationFunnelSql)),
     QueryDef("q218_packing_efficiency", packingEfficiency,
       Some(packingEfficiencySql)),
+    QueryDef("q254_split_leakage", splitLeakage, Some(splitLeakageSql)),
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Materialize, QueryDef, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2191,6 +2191,89 @@ object EventAnalytics extends QueryModule {
       |JOIN per_type pb ON pb.event_type = ix.type_b
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** q252: point-frequency estimation via a Count-Min sketch — the
+    * frequency member of the sketch family (cardinality: HLL q245,
+    * intersection: theta q249, quantiles: KLL q250, top-k: Misra–Gries
+    * q143, membership: bloom q69). The sketch is d=4 hash rows × w=256
+    * counters built in ONE pass as a plain groupBy — per-partition
+    * partial aggregation IS the cell-wise CMS merge (cells are
+    * counters; merge is +), so the shuffle moves at most d·w·|parts|
+    * rows no matter how many events stream through, and per-shard /
+    * per-day sketches roll up by the same addition. A point estimate is
+    * min over the d counters the key hashes to; it never undercounts.
+    *
+    * Unlike the randomized DataSketches summaries (q245/q249/q250),
+    * every counter here derives from the portable md5 60-bit hash, so
+    * the DuckDB oracle replays the ENTIRE sketch and the estimates
+    * hash-match exactly — the gate pins the estimate itself, not an
+    * error envelope. Probes: the 15 heaviest users (exact count,
+    * user_id tie-break); `overcount` exposes the collision mass
+    * (~N/w per row at this scale) that min-over-rows suppresses.
+    */
+  def countMin(spark: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 256
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    def bucket(i: Column, key: Column): Column =
+      pmod(conv(substring(md5(concat(i.cast("string"), lit(":"),
+        key.cast("string"))), 1, 15), 16, 10).cast("long"), lit(w.toLong))
+    val rows = ev.select(col("user_id"),
+        explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .select(col("i"), bucket(col("i"), col("user_id")).as("bucket"))
+    val cms = rows.groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+      .limit(15)
+    probes
+      .select(col("user_id"), col("exact_n"),
+        explode(sequence(lit(0), lit(d - 1))).as("i"))
+      .withColumn("bucket", bucket(col("i"), col("user_id")))
+      .join(broadcast(cms), Seq("i", "bucket"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("c")).as("est_n"))
+      .select(col("user_id"),
+        col("exact_n").cast("bigint").as("exact_n"),
+        col("est_n").cast("bigint").as("est_n"),
+        (col("est_n") - col("exact_n")).cast("bigint").as("overcount"),
+        (col("est_n") >= col("exact_n")).as("sound"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
+  private val countMinSql =
+    """WITH hx AS (
+      |  SELECT e.user_id, s.i,
+      |    list_reduce(list_transform(generate_series(1, 15),
+      |        j -> strpos('0123456789abcdef',
+      |               substring(md5(s.i::VARCHAR || ':' || e.user_id::VARCHAR),
+      |                         j, 1)) - 1),
+      |      (acc, dd) -> acc * 16 + dd) % 256 AS bucket
+      |  FROM events e
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) s
+      |), cms AS (
+      |  SELECT i, bucket, count(*)::BIGINT AS c FROM hx GROUP BY 1, 2
+      |), probes AS (
+      |  SELECT user_id, count(*)::BIGINT AS exact_n FROM events
+      |  GROUP BY 1 ORDER BY exact_n DESC, user_id LIMIT 15
+      |), pb AS (
+      |  SELECT p.user_id, p.exact_n, s.i,
+      |    list_reduce(list_transform(generate_series(1, 15),
+      |        j -> strpos('0123456789abcdef',
+      |               substring(md5(s.i::VARCHAR || ':' || p.user_id::VARCHAR),
+      |                         j, 1)) - 1),
+      |      (acc, dd) -> acc * 16 + dd) % 256 AS bucket
+      |  FROM probes p
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) s
+      |)
+      |SELECT pb.user_id, pb.exact_n,
+      |  min(c.c)::BIGINT AS est_n,
+      |  (min(c.c) - pb.exact_n)::BIGINT AS overcount,
+      |  min(c.c) >= pb.exact_n AS sound
+      |FROM pb JOIN cms c ON c.i = pb.i AND c.bucket = pb.bucket
+      |GROUP BY pb.user_id, pb.exact_n
+      |ORDER BY pb.exact_n DESC, pb.user_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
@@ -2230,6 +2313,7 @@ object EventAnalytics extends QueryModule {
       Some(absorptionProbsSql)),
     QueryDef("q245_hll_mau", hllMauChecked, Some(hllMauCheckedSql)),
     QueryDef("q249_theta_overlap", thetaOverlap, Some(thetaOverlapSql)),
+    QueryDef("q252_count_min", countMin, Some(countMinSql)),
   )
 
 }

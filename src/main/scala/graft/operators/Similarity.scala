@@ -68,12 +68,14 @@ object Similarity extends QueryModule {
     * see the Aggregator's scaladoc for why this beats the row_number
     * window at scale).
     */
-  private[operators] def topKRanked(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKRanked(scored: DataFrame, k: Int,
+      roundTo: Option[Int] = Some(4)): DataFrame = {
     import org.apache.spark.sql.Encoders
     val rowEnc = Encoders.tuple(Encoders.scalaLong,
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
     val hitEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
     val topK = new graft.functions.TopKBySim(k)
+    val simOut = roundTo.fold(col("hit._2"))(d => round(col("hit._2"), d))
     scored.select(col("query_id"), struct(col("vec_id"), col("sim")).as("hit"))
       .as[(Long, (Long, Double))](rowEnc)
       .groupByKey(_._1)(Encoders.scalaLong)
@@ -82,7 +84,7 @@ object Similarity extends QueryModule {
       .toDF("query_id", "hits")
       .select(col("query_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("hit._1").as("neighbor_id"), round(col("hit._2"), 4).as("cosine_sim"))
+        col("hit._1").as("neighbor_id"), simOut.as("cosine_sim"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -819,6 +821,168 @@ object Similarity extends QueryModule {
       |  round(rrf, 6) AS rrf
       |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  /** q253: product-quantization ADC search with exact re-rank — the
+    * compression half of the IVF-PQ design that makes billion-vector
+    * (100 TB) ANN feasible. Each dim-64 float vector is encoded as m=8
+    * codes of log2(16)=4 bits (32 bits/vector vs 2048 raw — a 64×
+    * footprint cut), and queries rank the corpus by Asymmetric Distance
+    * Computation: per (query, subspace) the 16 codeword L2² distances
+    * form a lookup array computed ONCE on the 5-row query side, so
+    * scanning a corpus row costs m `element_at`s on narrow int codes —
+    * the candidate scan never touches the raw vectors. The production
+    * second stage follows: the ADC top-100 candidates (partial-agg
+    * [[graft.functions.TopKBySim]], sim = −adc, only |queries|×100 rows
+    * cross the wire) are re-ranked by exact cosine — at corpus scale
+    * that is full-precision IO on a fixed candidate count, not on the
+    * corpus. Codebooks are the deterministic md5-ordered corpus sample
+    * (the q45 IVF pick, one bounded ksub×dim collect).
+    *
+    * All arithmetic is fixed-order left-fold double math replayed
+    * exactly by the oracle (encode argmin, LUT, left-nested ADC sum),
+    * so the gate hash-pins codes, candidate sets, re-ranked order, and
+    * the `in_exact_topk` recall flags against exact cosine top-k.
+    * (Same ~1e-13 float-tie exposure as q45/q74 argmax, accepted
+    * there.)
+    */
+  def pqAdc(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64, nCand: Int = 100): DataFrame = {
+    val sub = dim / m
+    val corpus = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    // ksub rows — the same bounded codebook collect as ivfAssign.
+    val seeds: Array[Seq[Double]] = corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(ksub)
+      .select(col("vec")).collect().map(_.getSeq[Double](0))
+    def subCol(v: Column, s: Int): Column = slice(v, s * sub + 1, sub)
+    def seedSub(j: Int, s: Int): Seq[Double] = seeds(j).slice(s * sub, (s + 1) * sub)
+    def l2sq(a: Column, b: Seq[Double]): Column =
+      aggregate(zip_with(a, array(b.map(lit): _*), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    // per-subspace encode: array_min over (dist, j) structs — smallest
+    // distance, ties toward the lower codeword index.
+    def codeCol(v: Column, s: Int): Column =
+      array_min(array((0 until ksub).map { j =>
+        struct(l2sq(subCol(v, s), seedSub(j, s)).as("d"), lit(j).as("j"))
+      }: _*)).getField("j")
+    val coded = corpus.select(
+      col("vec_id") +: (0 until m).map(s => codeCol(col("vec"), s).as(s"c$s")): _*)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val qlut = queries.select(
+      col("query_id") +: (0 until m).map { s =>
+        array((0 until ksub).map(j => l2sq(subCol(col("qvec"), s), seedSub(j, s))): _*)
+          .as(s"lut$s")
+      }: _*)
+    val adc = (0 until m)
+      .map(s => element_at(col(s"lut$s"), col(s"c$s") + 1))
+      .reduceLeft(_ + _)
+    val scored = coded.join(broadcast(qlut), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), (-adc).as("sim"))
+    // candidate stage: unrounded −adc keeps the top-100 cut exact.
+    val cand = topKRanked(scored, nCand, roundTo = None)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cosine_sim")).as("adc_dist"))
+    // re-rank stage: exact cosine on the fixed-size candidate pool.
+    val rer = corpus.join(
+        broadcast(cand.withColumnRenamed("neighbor_id", "vec_id")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("sim_exact", cosine(col("vec"), col("qvec")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim_exact").desc, col("vec_id")))) // pool ≤ |queries|×100
+      .filter(col("rank") <= k)
+    val exactTop = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("vec"), col("qvec")))
+      .withColumn("xr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("xr") <= k)
+      .select(col("query_id"), col("vec_id"), lit(true).as("hit"))
+    rer.join(exactTop, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adc_dist"), 4).as("adc_dist"),
+        round(col("sim_exact"), 4).as("cosine_sim"),
+        coalesce(col("hit"), lit(false)).as("in_exact_topk"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def pqAdcQuery(spark: SparkSession, dir: String): DataFrame =
+    pqAdc(Tables.embeddings(spark, dir))
+
+  private val pqAdcSql =
+    """WITH c AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+      |), seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j,
+      |    vec
+      |  FROM c ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+      |), sp AS (
+      |  SELECT unnest(generate_series(0, 7)) AS s
+      |), enc AS (
+      |  SELECT c.vec_id, sp.s, sd.j,
+      |    list_reduce(list_transform(generate_series(1, 8),
+      |        i -> (c.vec[sp.s*8+i] - sd.vec[sp.s*8+i])
+      |           * (c.vec[sp.s*8+i] - sd.vec[sp.s*8+i])),
+      |      (a, b) -> a + b) AS d
+      |  FROM c CROSS JOIN sp CROSS JOIN seeds sd
+      |), codes AS (
+      |  SELECT vec_id, s, j AS code FROM (
+      |    SELECT vec_id, s, j,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+      |    FROM enc) WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 5
+      |), qd AS (
+      |  SELECT q.query_id, sp.s, sd.j,
+      |    list_reduce(list_transform(generate_series(1, 8),
+      |        i -> (q.qvec[sp.s*8+i] - sd.vec[sp.s*8+i])
+      |           * (q.qvec[sp.s*8+i] - sd.vec[sp.s*8+i])),
+      |      (a, b) -> a + b) AS d
+      |  FROM q CROSS JOIN sp CROSS JOIN seeds sd
+      |), adcw AS (
+      |  SELECT qd.query_id, cd.vec_id,
+      |    max(CASE WHEN cd.s = 0 THEN qd.d END) AS d0,
+      |    max(CASE WHEN cd.s = 1 THEN qd.d END) AS d1,
+      |    max(CASE WHEN cd.s = 2 THEN qd.d END) AS d2,
+      |    max(CASE WHEN cd.s = 3 THEN qd.d END) AS d3,
+      |    max(CASE WHEN cd.s = 4 THEN qd.d END) AS d4,
+      |    max(CASE WHEN cd.s = 5 THEN qd.d END) AS d5,
+      |    max(CASE WHEN cd.s = 6 THEN qd.d END) AS d6,
+      |    max(CASE WHEN cd.s = 7 THEN qd.d END) AS d7
+      |  FROM codes cd JOIN qd ON qd.s = cd.s AND qd.j = cd.code
+      |  WHERE cd.vec_id <> qd.query_id
+      |  GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT query_id, vec_id, adc FROM (
+      |    SELECT query_id, vec_id,
+      |      ((((((d0 + d1) + d2) + d3) + d4) + d5) + d6) + d7 AS adc,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY ((((((d0 + d1) + d2) + d3) + d4) + d5) + d6) + d7,
+      |          vec_id) AS arank
+      |    FROM adcw) WHERE arank <= 100
+      |), rer AS (
+      |  SELECT cand.query_id, cand.vec_id, cand.adc,
+      |    list_cosine_similarity(cv.vec, q.qvec) AS sim_exact,
+      |    row_number() OVER (PARTITION BY cand.query_id
+      |      ORDER BY list_cosine_similarity(cv.vec, q.qvec) DESC,
+      |        cand.vec_id) AS rank
+      |  FROM cand
+      |  JOIN c cv ON cv.vec_id = cand.vec_id
+      |  JOIN q ON q.query_id = cand.query_id
+      |), xtop AS (
+      |  SELECT z.query_id, z.vec_id FROM (
+      |    SELECT q.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id) AS xr
+      |    FROM c JOIN q ON c.vec_id <> q.query_id) z
+      |  WHERE z.xr <= 10
+      |)
+      |SELECT r.query_id, r.rank::INT AS rank, r.vec_id AS neighbor_id,
+      |  round(r.adc, 4) AS adc_dist,
+      |  round(r.sim_exact, 4) AS cosine_sim,
+      |  (x.vec_id IS NOT NULL) AS in_exact_topk
+      |FROM rer r LEFT JOIN xtop x
+      |  ON x.query_id = r.query_id AND x.vec_id = r.vec_id
+      |WHERE r.rank <= 10
+      |ORDER BY r.query_id, r.rank""".stripMargin
+
   override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_knn_bruteforce", knnQuery, Some(knnOracleSql), benchmark = true),
     QueryDef("q57_semantic_search", semanticSearch, Some(semanticSearchSql)),
@@ -834,6 +998,7 @@ object Similarity extends QueryModule {
       Some(semanticCompositionSql)),
     QueryDef("q223_hof_battery", hofBattery, Some(hofBatterySql)),
     QueryDef("q248_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
+    QueryDef("q253_pq_adc", pqAdcQuery, Some(pqAdcSql)),
   )
 
   /** q202: semantic source composition — the cross-modal auto-labeling

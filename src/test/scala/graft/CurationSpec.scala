@@ -347,6 +347,40 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q254: split-leakage counts match a brute-force cross-split pair count") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.splitLeakage(spark, sfDir).collect()
+    // the audit only ever emits the three ordered split pairs
+    val pairs = rows.map(r => (r.getAs[String]("split_a"), r.getAs[String]("split_b")))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.distinct.length === pairs.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("leaked_pairs") >= r.getAs[Long]("shared_fps"))
+      assert(r.getAs[Long]("leaked_docs_b") >= r.getAs[Long]("shared_fps"))
+      val rate = r.getAs[Double]("leak_rate_b")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // brute-force: materialize (doc, fp, split) and count cross-split pairs
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) " +
+        "as bigint) % 100")
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(lower(substring(col("text"), 1, 100))).as("fp"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"),
+        r.getAs[String]("split")))
+    val brute = (for {
+      a <- d; b <- d
+      if a._2 == b._2 && a._3 < b._3
+    } yield (a._3, b._3)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.length === brute.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("split_a"), r.getAs[String]("split_b"))
+      assert(r.getAs[Long]("leaked_pairs") === brute(k), s"pair $k")
+    }
+  }
+
   test("quantizationQa: reconstruction error bounded by scale/2, cosine stays high") {
     val qa = Curation.quantizationQa(spark, sfDir).collect()
     assert(qa.length === Tables.embeddings(spark, sfDir).count())

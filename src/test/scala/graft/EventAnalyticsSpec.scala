@@ -781,4 +781,28 @@ class EventAnalyticsSpec extends SparkSpec {
       r.getAs[Double]("iso_rate") * n }.sum
     assert(math.abs(mass - bins.map(_._3).sum) <= 1e-3 * bins.map(_._3).sum)
   }
+
+  test("q252: count-min estimates are sound (never undercount) and exact-probed") {
+    val rows = EventAnalytics.countMin(spark, sfDir).collect()
+    assert(rows.length === 15)
+    // probes are the true heavy hitters: exact counts non-increasing
+    rows.map(_.getAs[Long]("exact_n")).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_n")
+      val est = r.getAs[Long]("est_n")
+      assert(est >= exact, s"CMS undercounted: est=$est exact=$exact")
+      assert(r.getAs[Long]("overcount") === est - exact)
+      assert(r.getAs[Boolean]("sound"))
+    }
+    // the probes' exact counts match a direct recompute
+    val direct = Tables.events(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.col("user_id")).count()
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      assert(direct(r.getAs[Long]("user_id")) === r.getAs[Long]("exact_n"))
+    }
+  }
 }

@@ -290,6 +290,22 @@ class SimilaritySpec extends SparkSpec {
       vecs.count(v => srcOf.contains(v._1)).toLong)
   }
 
+  test("q253: PQ+rerank recall >= 0.8 on clustered data; pure-ADC candidates sound") {
+    val out = Similarity.pqAdc(clustered, nQueries = 3, k = 10).collect()
+    assert(out.length === 30)
+    // ranks are 1..10 per query, adc distances non-negative
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 10))
+    }
+    assert(out.forall(_.getAs[Double]("adc_dist") >= 0.0))
+    // exact re-rank over ADC candidates recovers most of the true top-10
+    val recall = out.count(_.getAs[Boolean]("in_exact_topk")).toDouble / out.length
+    assert(recall >= 0.8, s"PQ rerank recall $recall")
+    // deterministic under re-execution (codebook collect + argmin encode)
+    val again = Similarity.pqAdc(clustered, nQueries = 3, k = 10).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("q223: HOF battery matches a driver-side array recompute") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("label"), col("embedding").cast("array<double>"))

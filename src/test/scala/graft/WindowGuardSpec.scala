@@ -88,6 +88,9 @@ class WindowGuardSpec extends AnyFunSuite {
       "top-k pool: .limit(k)/.limit(depth) applied before the window"),
     Allowed("Incremental.scala", """val wCum = Window.orderBy(col("d"))""",
       "1..depth RBO spine: fixed depth rows"),
+    // --- Similarity: limit-k retrieval pool
+    Allowed("Similarity.scala", """Window.orderBy(col("bm25").desc, col("doc_id"))).as("rank_lex"))""",
+      "q248 lexical arm: bm25() ends in .limit(20) — the window ranks a 20-row pool"),
     // --- CorpusStats: document-length value domain
     Allowed("CorpusStats.scala", """val w = org.apache.spark.sql.expressions.Window.orderBy(col("n_chars"))""",
       "distinct doc-length domain: bounded by max doc size"),
