@@ -1148,6 +1148,119 @@ object Curation extends QueryModule {
        |    least(ci * $chunkStride + $chunkSize, nw)), ' ')) AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q255: k-core decomposition of the chunk-share graph — bounded
+    * iterative peeling (drop vertices with degree < k and their edges,
+    * repeat), the graph-density screen that separates boilerplate-web
+    * cores from incidental chunk overlaps; completes the graph family
+    * (CC q195, BFS q136, PageRank q75, label-prop q180, triangles
+    * q107) with its degeneracy member. Four synchronous peel rounds
+    * per k ∈ {2,3}, each round persisted so lineage stays flat; a
+    * `converged` flag reports fixpoint honestly (edge sets shrink
+    * monotonically, so equal successive edge COUNTS imply equal SETS —
+    * the cheap fixpoint test). Same bounded-round contract as q75/q180.
+    *
+    * Scale shape: each round is one degree aggregation + two key
+    * joins — linear in surviving |edges|; the df-capped posting-pair
+    * edge build is the q107 relation. Peeling at 100 TB runs exactly
+    * this loop with checkpoint() in place of persist().
+    */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val ks = Seq(2, 3)
+    val rounds = 4
+    val docs = withChunkCols(Tables.documents(spark, dir))
+    val p = chunkPostings(docs).select(col("doc_id"), col("chunk")).distinct()
+    val hot = p.groupBy(col("chunk")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 64)).select(col("chunk"))
+    val e = p.join(broadcast(hot), Seq("chunk"))
+    val edges0 = e.join(e.withColumnRenamed("doc_id", "dst"), Seq("chunk"))
+      .filter(col("doc_id") < col("dst"))
+      .select(col("doc_id").as("src"), col("dst")).distinct()
+      .persist()
+    val rows = ks.map { k =>
+      var live = edges0
+      var prevCnt = edges0.count()
+      var lastCnt = prevCnt
+      val held = scala.collection.mutable.Buffer.empty[DataFrame]
+      for (_ <- 1 to rounds) {
+        val deg = live.select(col("src").as("v"))
+          .unionAll(live.select(col("dst").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        val keep = deg.filter(col("deg") >= k).select(col("v"))
+        val next = live
+          .join(keep.withColumnRenamed("v", "src"), Seq("src"))
+          .join(keep.withColumnRenamed("v", "dst"), Seq("dst"))
+          .select(col("src"), col("dst")).persist()
+        prevCnt = lastCnt
+        lastCnt = next.count()
+        held += next
+        live = next
+      }
+      val nNodes = live.select(col("src")).unionAll(live.select(col("dst")))
+        .distinct().count()
+      held.foreach(_.unpersist())
+      (k, nNodes, lastCnt, prevCnt == lastCnt)
+    }
+    edges0.unpersist()
+    import spark.implicits._
+    rows.toDF("k", "n_nodes", "n_edges", "converged").orderBy(col("k"))
+  }
+
+  /** One peel round of the oracle chain: degree table over the previous
+    * edge set, then both-endpoints-survive filter. */
+  private def kcorePeelSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    var prev = "edges"
+    for (r <- 1 to rounds) {
+      sb.append(
+        s"""d${k}_${r - 1} AS (
+           |  SELECT v, count(*) AS deg FROM (
+           |    SELECT src AS v FROM $prev UNION ALL SELECT dst AS v FROM $prev)
+           |  GROUP BY v
+           |), e${k}_$r AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM $prev e
+           |  JOIN d${k}_${r - 1} a ON a.v = e.src
+           |  JOIN d${k}_${r - 1} b ON b.v = e.dst
+           |  WHERE a.deg >= $k AND b.deg >= $k
+           |), """.stripMargin)
+      prev = s"e${k}_$r"
+    }
+    sb.toString.stripSuffix(", ")
+  }
+
+  private def kcoreFinalSql(k: Int, rounds: Int): String =
+    s"""SELECT $k::INT AS k,
+       |  (SELECT count(DISTINCT v)::BIGINT FROM (
+       |     SELECT src AS v FROM e${k}_$rounds
+       |     UNION ALL SELECT dst AS v FROM e${k}_$rounds)) AS n_nodes,
+       |  (SELECT count(*)::BIGINT FROM e${k}_$rounds) AS n_edges,
+       |  ((SELECT count(*) FROM e${k}_${rounds - 1})
+       |     = (SELECT count(*) FROM e${k}_$rounds)) AS converged""".stripMargin
+
+  private val kCoreSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), c AS (
+       |  SELECT doc_id, len(toks) // $chunkW AS k, toks FROM t
+       |), posting AS (
+       |  SELECT DISTINCT doc_id, chunk FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(0, k - 1),
+       |        i -> array_to_string(toks[i * $chunkW + 1 : i * $chunkW + $chunkW], ' '))) AS chunk
+       |    FROM c WHERE k >= 1)
+       |), hot AS (
+       |  SELECT chunk FROM posting GROUP BY chunk
+       |  HAVING count(*) BETWEEN 2 AND 64
+       |), ep AS (
+       |  SELECT p.chunk, p.doc_id FROM posting p JOIN hot USING (chunk)
+       |), edges AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM ep a JOIN ep b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |), ${kcorePeelSql(2, 4)}, ${kcorePeelSql(3, 4)}
+       |${kcoreFinalSql(2, 4)}
+       |UNION ALL
+       |${kcoreFinalSql(3, 4)}
+       |ORDER BY k""".stripMargin
+
   /** q254: cross-split leakage audit — after a group-aware train/val/
     * test split (the q213 md5-bucket assignment, here at the document
     * grain), how much near-duplicate content still LEAKS across the
@@ -1242,5 +1355,6 @@ object Curation extends QueryModule {
     QueryDef("q218_packing_efficiency", packingEfficiency,
       Some(packingEfficiencySql)),
     QueryDef("q254_split_leakage", splitLeakage, Some(splitLeakageSql)),
+    QueryDef("q255_kcore", kCore, Some(kCoreSql)),
   )
 }

@@ -418,7 +418,64 @@ object Governance extends QueryModule {
       |FROM dev JOIN m2 ON dev.p = m2.p
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q257: differentially-private count release — the privacy layer a
+    * governance stack needs when publishing usage aggregates: per
+    * (event_type, day) event counts with Laplace(1/ε) noise at ε = 1.
+    * Each event contributes to exactly one released cell, so the cells
+    * compose in PARALLEL and the whole table costs ε = 1 (event-level
+    * DP; user-level DP would add per-user contribution clipping
+    * first — the q213 user-grain groupBy is the hook).
+    *
+    * Noise is the inverse-CDF Laplace transform of a uniform drawn
+    * from the portable md5 hash of the cell key: deterministic, so
+    * retries/engines release IDENTICAL values (re-randomizing on retry
+    * would burn privacy budget twice) and the oracle replays the noisy
+    * release exactly. In production the uniform's seed is a secret
+    * release key; the md5-of-cell-key stand-in keeps the pipeline
+    * shape and the reproducibility contract testable.
+    *
+    * Scale shape: one partial-aggregated groupBy plus per-row scalar
+    * noise math; nothing else.
+    */
+  def dpCountRelease(spark: SparkSession, dir: String): DataFrame = {
+    val two60 = math.pow(2.0, 60)
+    val u = expr(
+      "(cast(conv(substring(md5(concat(event_type, ':', cast(day as string))), " +
+        "1, 15), 16, 10) as bigint) + 0.5) / " + s"$two60")
+    Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("true_n"))
+      .withColumn("u", u)
+      .withColumn("noise",
+        -signum(col("u") - 0.5) * log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
+      .select(col("event_type"), col("day"),
+        col("true_n").cast("bigint").as("true_n"),
+        round(col("noise"), 4).as("noise"),
+        round(col("true_n") + col("noise"), 4).as("released_n"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val dpCountReleaseSql =
+    s"""WITH g AS (
+       |  SELECT event_type, ts::TIMESTAMP::DATE AS day, count(*)::BIGINT AS true_n
+       |  FROM events GROUP BY 1, 2
+       |), n AS (
+       |  SELECT event_type, day, true_n,
+       |    (list_reduce(list_transform(generate_series(1, 15),
+       |        i -> strpos('0123456789abcdef',
+       |               substring(md5(event_type || ':' || day::VARCHAR), i, 1)) - 1),
+       |      (acc, d) -> acc * 16 + d) + 0.5) / ${math.pow(2.0, 60)} AS u
+       |  FROM g
+       |)
+       |SELECT event_type, day, true_n,
+       |  round(-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noise,
+       |  round(true_n + (-sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))), 4)
+       |    AS released_n
+       |FROM n ORDER BY event_type, day""".stripMargin
+
   override lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("q257_dp_count_release", dpCountRelease, Some(dpCountReleaseSql)),
     QueryDef("q97_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("q98_quality_rules", qualityRules, Some(qualityRulesSql)),
     QueryDef("q99_winsorized_spend", winsorizedSpend, Some(winsorizedSpendSql)),

@@ -2731,8 +2731,126 @@ object TradeAnalytics extends QueryModule {
       |FROM grp g JOIN tg ON g.n_name = tg.n_name CROSS JOIN tot t
       |ORDER BY n_name""".stripMargin
 
+  /** q256: split-conformal prediction intervals — the
+    * distribution-free uncertainty wrapper production ML pipelines put
+    * around any point model: fit on train, take the ⌈0.9·(n+1)⌉-th
+    * smallest absolute residual on a held-out calibration split as the
+    * interval half-width (qhat), then AUDIT the promised ≥90% coverage
+    * on a disjoint test split. Model here is the per-priority mean
+    * (integer-cents sum / count — engine-order-proof), splits are the
+    * portable md5 bucket of the order key (80/10/10), and qhat is an
+    * exact order statistic (rank via row_number, orderkey tie-break) —
+    * no interpolation, so both engines pick the identical residual.
+    *
+    * Scale shape: one aggregation for the means, one rank-k selection
+    * per group on the calibration split (10% of rows), one broadcast
+    * join + aggregation for the coverage audit. Nothing quadratic,
+    * nothing driver-side.
+    */
+  def conformalIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(o_orderkey as string)), 1, 15), 16, 10) " +
+        "as bigint) % 100")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("yc"),
+        when(bucket < 80, "train").when(bucket < 90, "cal").otherwise("test")
+          .as("split"))
+    val model = o.filter(col("split") === "train")
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_train"), sum(col("yc")).as("sc"))
+      .withColumn("mean_y", col("sc") / 100.0 / col("n_train"))
+      .select(col("prio"), col("n_train"), col("mean_y"))
+    val cal = o.filter(col("split") === "cal")
+      .join(broadcast(model), Seq("prio"))
+      .withColumn("r", abs(col("yc") / 100.0 - col("mean_y")))
+    val nCal = cal.groupBy(col("prio")).agg(count(lit(1)).as("n_cal"))
+    // per-group rank without a |groups|-reducer window: global 2-pass
+    // rank over (prio, r, key), then subtract each group's base rank —
+    // the ScaledWindows shape, so 5 priorities never serialize 10% of
+    // the fact into 5 tasks.
+    val granked = ScaledWindows.rowNumber(cal,
+      Seq(col("prio"), col("r"), col("o_orderkey")), "grn")
+    val base = granked.groupBy(col("prio")).agg(min(col("grn")).as("base"))
+    val qhat = granked
+      .join(broadcast(base), Seq("prio"))
+      .withColumn("rk", col("grn") - col("base") + 1L)
+      .join(broadcast(nCal), Seq("prio"))
+      .filter(col("rk") ===
+        least(ceil((col("n_cal") + 1) * 0.9).cast("long"), col("n_cal")))
+      .select(col("prio"), col("n_cal"), col("r").as("qhat"))
+    val test = o.filter(col("split") === "test")
+      .join(broadcast(model.select(col("prio"), col("mean_y"))), Seq("prio"))
+      .join(broadcast(qhat), Seq("prio"))
+      .groupBy(col("prio"), col("n_cal"), col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("yc") / 100.0 - col("mean_y")) <= col("qhat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+    model.join(test.drop("mean_y"), Seq("prio"))
+      .select(col("prio"), col("n_train").cast("bigint").as("n_train"),
+        col("n_cal").cast("bigint").as("n_cal"),
+        col("n_test").cast("bigint").as("n_test"),
+        round(col("mean_y"), 4).as("mean_y"),
+        round(col("qhat"), 4).as("qhat"),
+        round(col("n_covered").cast("double") / col("n_test"), 4)
+          .as("coverage"))
+      .orderBy(col("prio"))
+  }
+
+  private val conformalIntervalsSql =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority AS prio,
+      |    round(o_totalprice * 100)::BIGINT AS yc,
+      |    CASE
+      |      WHEN list_reduce(list_transform(generate_series(1, 15),
+      |          i -> strpos('0123456789abcdef',
+      |                 substring(md5(o_orderkey::VARCHAR), i, 1)) - 1),
+      |        (acc, d) -> acc * 16 + d) % 100 < 80 THEN 'train'
+      |      WHEN list_reduce(list_transform(generate_series(1, 15),
+      |          i -> strpos('0123456789abcdef',
+      |                 substring(md5(o_orderkey::VARCHAR), i, 1)) - 1),
+      |        (acc, d) -> acc * 16 + d) % 100 < 90 THEN 'cal'
+      |      ELSE 'test' END AS split
+      |  FROM orders
+      |), model AS (
+      |  SELECT prio, count(*)::BIGINT AS n_train,
+      |    sum(yc)::BIGINT / 100.0 / count(*) AS mean_y
+      |  FROM o WHERE split = 'train' GROUP BY prio
+      |), cal AS (
+      |  SELECT o.prio, o.o_orderkey, abs(o.yc / 100.0 - m.mean_y) AS r
+      |  FROM o JOIN model m ON o.prio = m.prio WHERE o.split = 'cal'
+      |), ncal AS (
+      |  SELECT prio, count(*)::BIGINT AS n_cal FROM cal GROUP BY prio
+      |), qh AS (
+      |  SELECT c.prio, n.n_cal, c.r AS qhat FROM (
+      |    SELECT prio, r,
+      |      row_number() OVER (PARTITION BY prio ORDER BY r, o_orderkey) AS rk
+      |    FROM cal) c
+      |  JOIN ncal n ON n.prio = c.prio
+      |  AND c.rk = least(ceil((n.n_cal + 1) * 0.9)::BIGINT, n.n_cal)
+      |), test AS (
+      |  SELECT o.prio, count(*)::BIGINT AS n_test,
+      |    sum(CASE WHEN abs(o.yc / 100.0 - m.mean_y) <= q.qhat
+      |        THEN 1 ELSE 0 END)::BIGINT AS n_covered
+      |  FROM o
+      |  JOIN model m ON o.prio = m.prio
+      |  JOIN qh q ON o.prio = q.prio
+      |  WHERE o.split = 'test'
+      |  GROUP BY o.prio
+      |)
+      |SELECT m.prio, m.n_train, q.n_cal, t.n_test,
+      |  round(m.mean_y, 4) AS mean_y,
+      |  round(q.qhat, 4) AS qhat,
+      |  round(t.n_covered::DOUBLE / t.n_test, 4) AS coverage
+      |FROM model m
+      |JOIN qh q ON q.prio = m.prio
+      |JOIN test t ON t.prio = m.prio
+      |ORDER BY m.prio""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql), benchmark = true),
+    QueryDef("q256_conformal_intervals", conformalIntervals,
+      Some(conformalIntervalsSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
     QueryDef("q90_product_profit", productProfit, Some(productProfitSql)),
     QueryDef("q91_regression_battery", regressionBattery, Some(regressionBatterySql)),

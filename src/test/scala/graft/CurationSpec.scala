@@ -381,6 +381,48 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q255: bounded peeling matches driver k-core at fixpoint; cores nest") {
+    val rows = Curation.kCore(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("k") -> r).toMap
+    // 3-core is a subgraph of the 2-core
+    assert(rows(3).getAs[Long]("n_nodes") <= rows(2).getAs[Long]("n_nodes"))
+    assert(rows(3).getAs[Long]("n_edges") <= rows(2).getAs[Long]("n_edges"))
+    // driver recompute: exact k-core by peeling the q107 edge relation
+    // to fixpoint (the fixture graph is tiny)
+    val docs = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val postings = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      (0 until toks.length / 8).map(i =>
+        (toks.slice(i * 8, i * 8 + 8).mkString(" "), id))
+    }.distinct
+    val byChunk = postings.groupBy(_._1).filter { case (_, g) =>
+      g.length >= 2 && g.length <= 64 }
+    var edges = byChunk.values.flatMap { g =>
+      val ids = g.map(_._2).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        yield (ids(i), ids(j))
+    }.toSet
+    for (k <- Seq(2, 3)) {
+      var cur = edges
+      var done = false
+      while (!done) {
+        val deg = cur.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val next = cur.filter(e => deg(e._1) >= k && deg(e._2) >= k)
+        done = next == cur
+        cur = next
+      }
+      if (rows(k).getAs[Boolean]("converged")) {
+        assert(rows(k).getAs[Long]("n_edges") === cur.size.toLong, s"k=$k edges")
+        assert(rows(k).getAs[Long]("n_nodes") ===
+          cur.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong, s"k=$k nodes")
+      }
+    }
+  }
+
   test("quantizationQa: reconstruction error bounded by scale/2, cosine stays high") {
     val qa = Curation.quantizationQa(spark, sfDir).collect()
     assert(qa.length === Tables.embeddings(spark, sfDir).count())

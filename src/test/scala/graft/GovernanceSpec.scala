@@ -184,4 +184,25 @@ class GovernanceSpec extends SparkSpec {
       assert(parts === order.filter(parts.contains), s"canonical order in $s")
     }
   }
+
+  test("q257: DP release noise is reproducible Laplace(1) with consistent algebra") {
+    val rows = Governance.dpCountRelease(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // released = true + noise (both rounded to 4dp independently)
+      assert(math.abs(r.getAs[Double]("released_n") -
+        r.getAs[Long]("true_n") - r.getAs[Double]("noise")) <= 1.1e-3)
+    }
+    // Laplace(b=1): E|X| = 1 and signs are ~balanced; cell count at
+    // sf0.001 gives generous tolerances
+    val noise = rows.map(_.getAs[Double]("noise"))
+    val meanAbs = noise.map(math.abs).sum / noise.length
+    assert(meanAbs >= 0.6 && meanAbs <= 1.4, s"E|noise| $meanAbs")
+    val posShare = noise.count(_ > 0).toDouble / noise.length
+    assert(posShare >= 0.3 && posShare <= 0.7, s"sign balance $posShare")
+    // deterministic: a re-release publishes identical values (no
+    // second privacy spend on retry)
+    val again = Governance.dpCountRelease(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }

@@ -1175,4 +1175,41 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q256: conformal qhat is the exact calibration order statistic; coverage near 90%") {
+    val rows = TradeAnalytics.conformalIntervals(spark, sfDir).collect()
+    assert(rows.length === 5)
+    // driver recompute of the full split/model/calibration pipeline
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .collect().map { r =>
+      val key = r.getAs[Long]("o_orderkey")
+      val h = BigInt(java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8")).take(8).map("%02x".format(_))
+        .mkString.take(15), 16).toLong % 100
+      val split = if (h < 80) "train" else if (h < 90) "cal" else "test"
+      (key, r.getAs[String]("o_orderpriority"),
+        math.round(r.getAs[Double]("o_totalprice") * 100), split)
+    }
+    rows.foreach { r =>
+      val prio = r.getAs[String]("prio")
+      val g = orders.filter(_._2 == prio)
+      val train = g.filter(_._4 == "train")
+      val mean = train.map(_._3).sum.toDouble / 100.0 / train.length
+      val cal = g.filter(_._4 == "cal")
+        .map(o => (math.abs(o._3 / 100.0 - mean), o._1)).sortBy(identity)
+      val m = math.min(math.ceil((cal.length + 1) * 0.9).toLong, cal.length.toLong)
+      assert(r.getAs[Long]("n_train") === train.length.toLong)
+      assert(r.getAs[Long]("n_cal") === cal.length.toLong)
+      assert(math.abs(r.getAs[Double]("qhat") - cal((m - 1).toInt)._1) <= 5.1e-5,
+        s"$prio qhat")
+      val cov = r.getAs[Double]("coverage")
+      assert(cov >= 0.8 && cov <= 1.0, s"$prio coverage $cov")
+    }
+    // marginal coverage across groups honors the 90% promise (±5pp)
+    val tot = rows.map(r => r.getAs[Long]("n_test").toDouble).sum
+    val covd = rows.map(r =>
+      r.getAs[Double]("coverage") * r.getAs[Long]("n_test")).sum / tot
+    assert(covd >= 0.85, s"marginal coverage $covd")
+  }
+
 }
