@@ -844,50 +844,44 @@ object Similarity extends QueryModule {
     * (Same ~1e-13 float-tie exposure as q45/q74 argmax, accepted
     * there.)
     */
-  def pqAdc(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
-      m: Int = 8, ksub: Int = 16, dim: Int = 64, nCand: Int = 100): DataFrame = {
-    val sub = dim / m
-    val corpus = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    // ksub rows — the same bounded codebook collect as ivfAssign.
-    val seeds: Array[Seq[Double]] = corpus
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(ksub)
+  /** The ksub md5-ordered sample vectors — PQ codebook source (one
+    * bounded ksub×dim collect, the ivfAssign shape). */
+  private def pqSeeds(corpus: DataFrame, ksub: Int): Array[Seq[Double]] =
+    corpus.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(ksub)
       .select(col("vec")).collect().map(_.getSeq[Double](0))
-    def subCol(v: Column, s: Int): Column = slice(v, s * sub + 1, sub)
-    def seedSub(j: Int, s: Int): Seq[Double] = seeds(j).slice(s * sub, (s + 1) * sub)
-    def l2sq(a: Column, b: Seq[Double]): Column =
-      aggregate(zip_with(a, array(b.map(lit): _*), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    // per-subspace encode: array_min over (dist, j) structs — smallest
-    // distance, ties toward the lower codeword index.
-    def codeCol(v: Column, s: Int): Column =
-      array_min(array((0 until ksub).map { j =>
-        struct(l2sq(subCol(v, s), seedSub(j, s)).as("d"), lit(j).as("j"))
-      }: _*)).getField("j")
-    val coded = corpus.select(
-      col("vec_id") +: (0 until m).map(s => codeCol(col("vec"), s).as(s"c$s")): _*)
-    val queries = corpus.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-    val qlut = queries.select(
-      col("query_id") +: (0 until m).map { s =>
-        array((0 until ksub).map(j => l2sq(subCol(col("qvec"), s), seedSub(j, s))): _*)
-          .as(s"lut$s")
-      }: _*)
-    val adc = (0 until m)
-      .map(s => element_at(col(s"lut$s"), col(s"c$s") + 1))
-      .reduceLeft(_ + _)
-    val scored = coded.join(broadcast(qlut), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), (-adc).as("sim"))
-    // candidate stage: unrounded −adc keeps the top-100 cut exact.
-    val cand = topKRanked(scored, nCand, roundTo = None)
-      .select(col("query_id"), col("neighbor_id"),
-        (-col("cosine_sim")).as("adc_dist"))
-    // re-rank stage: exact cosine on the fixed-size candidate pool.
+
+  /** Fixed-order left-fold L2² of an array slice vs a literal — the
+    * arithmetic both engines replay bit-for-bit. */
+  private def pqL2sq(a: Column, b: Seq[Double]): Column =
+    aggregate(zip_with(a, array(b.map(lit): _*), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Per-subspace codeword argmin: array_min over (dist, j) structs —
+    * smallest distance, ties toward the lower codeword index. */
+  private def pqCode(seeds: Array[Seq[Double]], v: Column, s: Int,
+      ksub: Int, sub: Int): Column =
+    array_min(array((0 until ksub).map { j =>
+      struct(pqL2sq(slice(v, s * sub + 1, sub),
+        seeds(j).slice(s * sub, (s + 1) * sub)).as("d"), lit(j).as("j"))
+    }: _*)).getField("j")
+
+  /** Per-(query, subspace) codeword-distance lookup array. */
+  private def pqLut(seeds: Array[Seq[Double]], qv: Column, s: Int,
+      ksub: Int, sub: Int): Column =
+    array((0 until ksub).map(j => pqL2sq(slice(qv, s * sub + 1, sub),
+      seeds(j).slice(s * sub, (s + 1) * sub))): _*)
+
+  /** Exact-cosine re-rank of an (query_id, neighbor_id, adc_dist)
+    * candidate pool to top-k, flagged against the true exact top-k
+    * (`in_exact_topk`) — the shared tail of q253/q259. */
+  private def rerankWithRecall(corpus: DataFrame, queries: DataFrame,
+      cand: DataFrame, k: Int): DataFrame = {
     val rer = corpus.join(
         broadcast(cand.withColumnRenamed("neighbor_id", "vec_id")), Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("sim_exact", cosine(col("vec"), col("qvec")))
       .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("sim_exact").desc, col("vec_id")))) // pool ≤ |queries|×100
+        .orderBy(col("sim_exact").desc, col("vec_id")))) // pool ≤ |queries|×nCand
       .filter(col("rank") <= k)
     val exactTop = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("sim", cosine(col("vec"), col("qvec")))
@@ -903,8 +897,183 @@ object Similarity extends QueryModule {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  def pqAdc(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      m: Int = 8, ksub: Int = 16, dim: Int = 64, nCand: Int = 100): DataFrame = {
+    val sub = dim / m
+    val corpus = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val seeds = pqSeeds(corpus, ksub)
+    val coded = corpus.select(
+      col("vec_id") +:
+        (0 until m).map(s => pqCode(seeds, col("vec"), s, ksub, sub).as(s"c$s")): _*)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val qlut = queries.select(
+      col("query_id") +:
+        (0 until m).map(s => pqLut(seeds, col("qvec"), s, ksub, sub).as(s"lut$s")): _*)
+    val adc = (0 until m)
+      .map(s => element_at(col(s"lut$s"), col(s"c$s") + 1))
+      .reduceLeft(_ + _)
+    val scored = coded.join(broadcast(qlut), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), (-adc).as("sim"))
+    // candidate stage: unrounded −adc keeps the top-100 cut exact.
+    val cand = topKRanked(scored, nCand, roundTo = None)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cosine_sim")).as("adc_dist"))
+    rerankWithRecall(corpus, queries, cand, k)
+  }
+
   def pqAdcQuery(spark: SparkSession, dir: String): DataFrame =
     pqAdc(Tables.embeddings(spark, dir))
+
+  /** q259: IVF-PQ end-to-end — the production billion-vector search
+    * pipeline assembled from its two verified halves: IVF routing
+    * (q45: argmax-assign every vector to one of 16 centroid lists,
+    * probe the 4 lists nearest each query) PRUNES the scan to
+    * ~nProbe/nLists of the corpus, PQ codes (q253: m=8×4-bit) shrink
+    * what the scan READS by 64×, ADC lookup arrays make each scanned
+    * row cost 8 `element_at`s, and the exact-cosine re-rank of the
+    * top-100 candidates restores precision on a fixed-size pool. The
+    * two prunings compose multiplicatively: at 10⁹ vectors a query
+    * touches 25% of rows × 0.8% of bytes ≈ 0.2% of the raw-scan IO
+    * before reranking kilobytes.
+    *
+    * Everything is the deterministic arithmetic of its parents, so the
+    * oracle replays routing, codes, candidates, and recall flags
+    * exactly; `in_exact_topk` exposes the recall the double pruning
+    * costs vs q42's exact scan.
+    */
+  def ivfPq(embeddings: DataFrame, nQueries: Int = 5, k: Int = 10,
+      nLists: Int = 16, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      dim: Int = 64, nCand: Int = 100): DataFrame = {
+    val sub = dim / m
+    val corpus = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val (assigned, centroids) = ivfAssign(corpus, nLists)
+    val seeds = pqSeeds(corpus, ksub)
+    val coded = assigned.select(
+      col("vec_id") +: col("list_id") +:
+        (0 until m).map(s => pqCode(seeds, col("vec"), s, ksub, sub).as(s"c$s")): _*)
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", cosine(col("qvec"), col("cvec")))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id"))))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("centroid_id").as("list_id"))
+    val qlut = queries.select(
+      col("query_id") +:
+        (0 until m).map(s => pqLut(seeds, col("qvec"), s, ksub, sub).as(s"lut$s")): _*)
+    val adc = (0 until m)
+      .map(s => element_at(col(s"lut$s"), col(s"c$s") + 1))
+      .reduceLeft(_ + _)
+    val scored = coded.join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qlut), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), (-adc).as("sim"))
+    val cand = topKRanked(scored, nCand, roundTo = None)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("cosine_sim")).as("adc_dist"))
+    rerankWithRecall(corpus, queries, cand, k)
+  }
+
+  def ivfPqQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfPq(Tables.embeddings(spark, dir))
+
+  private val ivfPqSql =
+    """WITH c AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
+      |), cents AS (
+      |  SELECT vec_id AS centroid_id, vec AS cvec FROM c
+      |  ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+      |), asg AS (
+      |  SELECT vec_id, centroid_id AS list_id FROM (
+      |    SELECT c.vec_id, t.centroid_id,
+      |      row_number() OVER (PARTITION BY c.vec_id
+      |        ORDER BY list_cosine_similarity(c.vec, t.cvec) DESC, t.centroid_id) AS rn
+      |    FROM c CROSS JOIN cents t) WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS query_id, vec AS qvec FROM c WHERE vec_id < 5
+      |), probes AS (
+      |  SELECT query_id, centroid_id AS list_id FROM (
+      |    SELECT q.query_id, t.centroid_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_cosine_similarity(q.qvec, t.cvec) DESC, t.centroid_id) AS prank
+      |    FROM q CROSS JOIN cents t) WHERE prank <= 4
+      |), seeds AS (
+      |  SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS j,
+      |    vec
+      |  FROM c ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+      |), sp AS (
+      |  SELECT unnest(generate_series(0, 7)) AS s
+      |), enc AS (
+      |  SELECT c.vec_id, sp.s, sd.j,
+      |    list_reduce(list_transform(generate_series(1, 8),
+      |        i -> (c.vec[sp.s*8+i] - sd.vec[sp.s*8+i])
+      |           * (c.vec[sp.s*8+i] - sd.vec[sp.s*8+i])),
+      |      (a, b) -> a + b) AS d
+      |  FROM c CROSS JOIN sp CROSS JOIN seeds sd
+      |), codes AS (
+      |  SELECT vec_id, s, j AS code FROM (
+      |    SELECT vec_id, s, j,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+      |    FROM enc) WHERE rn = 1
+      |), qd AS (
+      |  SELECT q.query_id, sp.s, sd.j,
+      |    list_reduce(list_transform(generate_series(1, 8),
+      |        i -> (q.qvec[sp.s*8+i] - sd.vec[sp.s*8+i])
+      |           * (q.qvec[sp.s*8+i] - sd.vec[sp.s*8+i])),
+      |      (a, b) -> a + b) AS d
+      |  FROM q CROSS JOIN sp CROSS JOIN seeds sd
+      |), adcw AS (
+      |  SELECT qd.query_id, cd.vec_id,
+      |    max(CASE WHEN cd.s = 0 THEN qd.d END) AS d0,
+      |    max(CASE WHEN cd.s = 1 THEN qd.d END) AS d1,
+      |    max(CASE WHEN cd.s = 2 THEN qd.d END) AS d2,
+      |    max(CASE WHEN cd.s = 3 THEN qd.d END) AS d3,
+      |    max(CASE WHEN cd.s = 4 THEN qd.d END) AS d4,
+      |    max(CASE WHEN cd.s = 5 THEN qd.d END) AS d5,
+      |    max(CASE WHEN cd.s = 6 THEN qd.d END) AS d6,
+      |    max(CASE WHEN cd.s = 7 THEN qd.d END) AS d7
+      |  FROM codes cd
+      |  JOIN asg a ON a.vec_id = cd.vec_id
+      |  JOIN probes p ON p.list_id = a.list_id
+      |  JOIN qd ON qd.s = cd.s AND qd.j = cd.code
+      |    AND qd.query_id = p.query_id
+      |  WHERE cd.vec_id <> p.query_id
+      |  GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT query_id, vec_id, adc FROM (
+      |    SELECT query_id, vec_id,
+      |      ((((((d0 + d1) + d2) + d3) + d4) + d5) + d6) + d7 AS adc,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY ((((((d0 + d1) + d2) + d3) + d4) + d5) + d6) + d7,
+      |          vec_id) AS arank
+      |    FROM adcw) WHERE arank <= 100
+      |), rer AS (
+      |  SELECT cand.query_id, cand.vec_id, cand.adc,
+      |    list_cosine_similarity(cv.vec, q.qvec) AS sim_exact,
+      |    row_number() OVER (PARTITION BY cand.query_id
+      |      ORDER BY list_cosine_similarity(cv.vec, q.qvec) DESC,
+      |        cand.vec_id) AS rank
+      |  FROM cand
+      |  JOIN c cv ON cv.vec_id = cand.vec_id
+      |  JOIN q ON q.query_id = cand.query_id
+      |), xtop AS (
+      |  SELECT z.query_id, z.vec_id FROM (
+      |    SELECT q.query_id, c.vec_id,
+      |      row_number() OVER (PARTITION BY q.query_id
+      |        ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id) AS xr
+      |    FROM c JOIN q ON c.vec_id <> q.query_id) z
+      |  WHERE z.xr <= 10
+      |)
+      |SELECT r.query_id, r.rank::INT AS rank, r.vec_id AS neighbor_id,
+      |  round(r.adc, 4) AS adc_dist,
+      |  round(r.sim_exact, 4) AS cosine_sim,
+      |  (x.vec_id IS NOT NULL) AS in_exact_topk
+      |FROM rer r LEFT JOIN xtop x
+      |  ON x.query_id = r.query_id AND x.vec_id = r.vec_id
+      |WHERE r.rank <= 10
+      |ORDER BY r.query_id, r.rank""".stripMargin
 
   private val pqAdcSql =
     """WITH c AS (
@@ -999,6 +1168,7 @@ object Similarity extends QueryModule {
     QueryDef("q223_hof_battery", hofBattery, Some(hofBatterySql)),
     QueryDef("q248_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("q253_pq_adc", pqAdcQuery, Some(pqAdcSql)),
+    QueryDef("q259_ivf_pq", ivfPqQuery, Some(ivfPqSql)),
   )
 
   /** q202: semantic source composition — the cross-modal auto-labeling

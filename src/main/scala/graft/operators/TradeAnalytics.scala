@@ -2731,6 +2731,109 @@ object TradeAnalytics extends QueryModule {
       |FROM grp g JOIN tg ON g.n_name = tg.n_name CROSS JOIN tot t
       |ORDER BY n_name""".stripMargin
 
+  /** q258: exact permutation test for the q119 contrast (URGENT vs LOW
+    * mean order value) — the nonparametric companion to Welch's t: under
+    * H₀ labels are exchangeable, so the null distribution is the mean
+    * difference over label PERMUTATIONS. B=200 deterministic
+    * permutations: per replicate b every row draws the portable md5
+    * uniform of (b, orderkey), rows are ranked within the replicate,
+    * and the n_A smallest ranks take group A — an exact relabeling
+    * (group sizes preserved), not a Bernoulli approximation. The
+    * per-replicate rank rides the same ScaledWindows trick as q256:
+    * one GLOBAL 2-pass rank over (b, u, key), then subtract each
+    * replicate's base rank — B never becomes a reducer count.
+    * p = (1 + #{|diff_b| ≥ |obs|}) / (B+1), the add-one estimator.
+    *
+    * All replicate sums are integer cents; the only doubles are two
+    * fixed-order divisions per replicate, so the oracle replays every
+    * comparison bit-for-bit. Scale note: the B× row expansion is the
+    * honest cost of permutation inference — at corpus scale you first
+    * fix a per-group md5 subsample (the q125 shape), THEN permute;
+    * B stays a constant factor, never a shuffle-key cardinality.
+    */
+  def randomizationTest(spark: SparkSession, dir: String): DataFrame = {
+    val nPerm = 200
+    val s = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderkey"),
+        (col("o_orderpriority") === "1-URGENT").as("is_a"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+    val tot = s.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).cast("bigint").as("n_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).cast("bigint").as("n_b"),
+      sum(when(col("is_a"), col("c")).otherwise(0L)).cast("bigint").as("s_a"),
+      sum(col("c")).cast("bigint").as("s_tot"))
+    val obsDiff = col("s_a") / col("n_a") -
+      (col("s_tot") - col("s_a")) / col("n_b")
+    val rep = s.select(col("o_orderkey"), col("c"),
+        explode(sequence(lit(1), lit(nPerm))).as("b"))
+      .withColumn("u", expr(
+        "cast(conv(substring(md5(concat(cast(b as string), ':', " +
+          "cast(o_orderkey as string))), 1, 15), 16, 10) as bigint)"))
+    val granked = ScaledWindows.rowNumber(rep,
+      Seq(col("b"), col("u"), col("o_orderkey")), "grn")
+    val baseRank = granked.groupBy(col("b")).agg(min(col("grn")).as("base"))
+    val perms = granked
+      .join(broadcast(baseRank), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("in_a", col("grn") - col("base") + 1L <= col("n_a"))
+      .groupBy(col("b"), col("n_a"), col("n_b"), col("s_tot"))
+      .agg(sum(when(col("in_a"), col("c")).otherwise(0L)).cast("bigint")
+        .as("s_ab"))
+      .withColumn("diff_b", col("s_ab") / col("n_a") -
+        (col("s_tot") - col("s_ab")) / col("n_b"))
+    perms
+      .crossJoin(broadcast(tot.select(obsDiff.as("obs"))))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        round(first(col("obs")) / 100.0, 4).as("obs_diff_d"),
+        sum(when(abs(col("diff_b")) >= abs(col("obs")), 1L).otherwise(0L))
+          .cast("bigint").as("n_extreme"))
+      .withColumn("p_value",
+        round((col("n_extreme") + 1.0) / (nPerm + 1.0), 4))
+  }
+
+  private val randomizationTestSql =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderpriority = '1-URGENT' AS is_a,
+      |    round(o_totalprice * 100, 0)::BIGINT AS c
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |), tot AS (
+      |  SELECT sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+      |    sum(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS n_b,
+      |    sum(CASE WHEN is_a THEN c ELSE 0 END)::BIGINT AS s_a,
+      |    sum(c)::BIGINT AS s_tot
+      |  FROM s
+      |), rep AS (
+      |  SELECT s.o_orderkey, s.c, g.b,
+      |    list_reduce(list_transform(generate_series(1, 15),
+      |        i -> strpos('0123456789abcdef',
+      |               substring(md5(g.b::VARCHAR || ':' || s.o_orderkey::VARCHAR),
+      |                         i, 1)) - 1),
+      |      (acc, d) -> acc * 16 + d) AS u
+      |  FROM s CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS b) g
+      |), ranked AS (
+      |  SELECT b, c,
+      |    row_number() OVER (PARTITION BY b ORDER BY u, o_orderkey) AS rk
+      |  FROM rep
+      |), perms AS (
+      |  SELECT r.b,
+      |    sum(CASE WHEN r.rk <= t.n_a THEN r.c ELSE 0 END)::BIGINT AS s_ab
+      |  FROM ranked r CROSS JOIN tot t
+      |  GROUP BY r.b
+      |), diffs AS (
+      |  SELECT p.s_ab / t.n_a - (t.s_tot - p.s_ab) / t.n_b AS diff_b,
+      |    t.s_a / t.n_a - (t.s_tot - t.s_a) / t.n_b AS obs,
+      |    t.n_a, t.n_b
+      |  FROM perms p CROSS JOIN tot t
+      |)
+      |SELECT any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+      |  round(any_value(obs) / 100.0, 4) AS obs_diff_d,
+      |  sum(CASE WHEN abs(diff_b) >= abs(obs) THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_extreme,
+      |  round((sum(CASE WHEN abs(diff_b) >= abs(obs) THEN 1 ELSE 0 END) + 1.0)
+      |    / 201.0, 4) AS p_value
+      |FROM diffs""".stripMargin
+
   /** q256: split-conformal prediction intervals — the
     * distribution-free uncertainty wrapper production ML pipelines put
     * around any point model: fit on train, take the ⌈0.9·(n+1)⌉-th
@@ -2851,6 +2954,8 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql), benchmark = true),
     QueryDef("q256_conformal_intervals", conformalIntervals,
       Some(conformalIntervalsSql)),
+    QueryDef("q258_randomization_test", randomizationTest,
+      Some(randomizationTestSql)),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
     QueryDef("q90_product_profit", productProfit, Some(productProfitSql)),
     QueryDef("q91_regression_battery", regressionBattery, Some(regressionBatterySql)),

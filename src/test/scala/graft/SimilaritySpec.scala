@@ -306,6 +306,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("q259: IVF-PQ pipeline keeps recall >= 0.7 on clustered data") {
+    val out = Similarity.ivfPq(clustered, nQueries = 3, k = 10).collect()
+    assert(out.length === 30)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, g) =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 10))
+    }
+    // double pruning (IVF lists + PQ codes) still finds most true
+    // neighbors on clusterable data — the regime IVF is built for
+    val recall = out.count(_.getAs[Boolean]("in_exact_topk")).toDouble / out.length
+    assert(recall >= 0.7, s"IVF-PQ recall $recall")
+    // candidates are a subset of the probed lists: every neighbor the
+    // pipeline returns must also be in q253's (unrouted) PQ output or
+    // scored worse there — sanity: no neighbor appears with a BETTER
+    // adc than the same pair in full-corpus PQ scoring
+    val full = Similarity.pqAdc(clustered, nQueries = 3, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("adc_dist")).toMap
+    out.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      full.get(key).foreach { adcFull =>
+        assert(math.abs(adcFull - r.getAs[Double]("adc_dist")) <= 5.1e-5,
+          s"ADC disagrees between routed and full scan for $key")
+      }
+    }
+  }
+
   test("q223: HOF battery matches a driver-side array recompute") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("label"), col("embedding").cast("array<double>"))

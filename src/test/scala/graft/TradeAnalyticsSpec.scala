@@ -1212,4 +1212,37 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(covd >= 0.85, s"marginal coverage $covd")
   }
 
+  test("q258: permutation p-value matches a brute-force driver replay") {
+    val r = TradeAnalytics.randomizationTest(spark, sfDir).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val rows = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .collect().map(x => (x.getAs[Long]("o_orderkey"),
+        x.getAs[String]("o_orderpriority") == "1-URGENT",
+        math.round(x.getAs[Double]("o_totalprice") * 100)))
+    val nA = rows.count(_._2).toLong
+    val nB = rows.length - nA
+    val sTot = rows.map(_._3).sum
+    val sA = rows.filter(_._2).map(_._3).sum
+    val obs = sA.toDouble / nA - (sTot - sA).toDouble / nB
+    assert(r.getAs[Long]("n_a") === nA)
+    assert(r.getAs[Long]("n_b") === nB)
+    assert(math.abs(r.getAs[Double]("obs_diff_d") - obs / 100.0) <= 5.1e-5)
+    var extreme = 0L
+    for (b <- 1 to 200) {
+      val labeled = rows.map(x => (h60(s"$b:${x._1}"), x._1, x._3))
+        .sortBy(x => (x._1, x._2))
+      val sAb = labeled.take(nA.toInt).map(_._3).sum
+      val diff = sAb.toDouble / nA - (sTot - sAb).toDouble / nB
+      if (math.abs(diff) >= math.abs(obs)) extreme += 1
+    }
+    assert(r.getAs[Long]("n_extreme") === extreme)
+    assert(math.abs(r.getAs[Double]("p_value") - (extreme + 1.0) / 201.0) <= 5.1e-5)
+  }
+
 }
