@@ -474,8 +474,95 @@ object Governance extends QueryModule {
        |    AS released_n
        |FROM n ORDER BY event_type, day""".stripMargin
 
+  /** q260: corpus datasheet — the one-shot "datasheet for a dataset"
+    * summary a curation pipeline publishes with every corpus snapshot:
+    * volume, source/language diversity and concentration, exact-dup
+    * incidence (q34 fingerprints), length distribution, and PII-like
+    * incidence (the q97 email pattern), as a tall (metric, value)
+    * table ready for diffing between snapshots (the q196 watchlist
+    * shape). Everything reduces in one pass plus two tiny
+    * concentration aggregates — counts, distincts, exact percentiles;
+    * no metric needs more than a partial-aggregated groupBy, so the
+    * datasheet costs one corpus scan at any size.
+    */
+  def corpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(lower(substring(col("text"), 1, 100))).as("fp"),
+        col("text").rlike(email).as("has_email"))
+    val base = d.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      countDistinct(col("source")).cast("double").as("n_sources"),
+      countDistinct(col("lang")).cast("double").as("n_langs"),
+      countDistinct(col("fp")).cast("double").as("n_fp"),
+      sum(col("n_chars")).cast("double").as("sum_chars"),
+      expr("percentile(n_chars, 0.5)").as("p50_chars"),
+      expr("percentile(n_chars, 0.95)").as("p95_chars"),
+      sum(when(col("has_email"), 1.0).otherwise(0.0)).as("n_email"))
+    val topSource = d.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).cast("double").as("max_source"))
+    val topLang = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).cast("double").as("max_lang"))
+    base.crossJoin(topSource).crossJoin(topLang)
+      .select(expr(
+        """stack(10,
+          |  'dup_fp_rate', round(1.0 - n_fp / n_docs, 4),
+          |  'email_doc_rate', round(n_email / n_docs, 4),
+          |  'mean_chars', round(sum_chars / n_docs, 4),
+          |  'n_docs', n_docs,
+          |  'n_langs', n_langs,
+          |  'n_sources', n_sources,
+          |  'p50_chars', round(p50_chars, 4),
+          |  'p95_chars', round(p95_chars, 4),
+          |  'top_lang_share', round(max_lang / n_docs, 4),
+          |  'top_source_share', round(max_source / n_docs, 4)
+          |) as (metric, value)""".stripMargin))
+      .orderBy(col("metric"))
+  }
+
+  private val corpusDatasheetSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    md5(lower(substr(text, 1, 100))) AS fp,
+      |    regexp_matches(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS has_email
+      |  FROM documents
+      |), base AS (
+      |  SELECT count(*)::DOUBLE AS n_docs,
+      |    count(DISTINCT source)::DOUBLE AS n_sources,
+      |    count(DISTINCT lang)::DOUBLE AS n_langs,
+      |    count(DISTINCT fp)::DOUBLE AS n_fp,
+      |    sum(n_chars)::DOUBLE AS sum_chars,
+      |    quantile_cont(n_chars, 0.5) AS p50_chars,
+      |    quantile_cont(n_chars, 0.95) AS p95_chars,
+      |    sum(CASE WHEN has_email THEN 1.0 ELSE 0.0 END) AS n_email
+      |  FROM d
+      |), ts AS (
+      |  SELECT max(c)::DOUBLE AS max_source FROM (
+      |    SELECT count(*) AS c FROM d GROUP BY source)
+      |), tl AS (
+      |  SELECT max(c)::DOUBLE AS max_lang FROM (
+      |    SELECT count(*) AS c FROM d GROUP BY lang)
+      |)
+      |SELECT metric, value FROM base, ts, tl, LATERAL (VALUES
+      |  ('dup_fp_rate', round(1.0 - n_fp / n_docs, 4)),
+      |  ('email_doc_rate', round(n_email / n_docs, 4)),
+      |  ('mean_chars', round(sum_chars / n_docs, 4)),
+      |  ('n_docs', n_docs),
+      |  ('n_langs', n_langs),
+      |  ('n_sources', n_sources),
+      |  ('p50_chars', round(p50_chars, 4)),
+      |  ('p95_chars', round(p95_chars, 4)),
+      |  ('top_lang_share', round(max_lang / n_docs, 4)),
+      |  ('top_source_share', round(max_source / n_docs, 4))
+      |) AS v(metric, value)
+      |ORDER BY metric""".stripMargin
+
   override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q257_dp_count_release", dpCountRelease, Some(dpCountReleaseSql)),
+    QueryDef("q260_corpus_datasheet", corpusDatasheet,
+      Some(corpusDatasheetSql)),
     QueryDef("q97_pii_scrub", piiScrub, Some(piiScrubSql)),
     QueryDef("q98_quality_rules", qualityRules, Some(qualityRulesSql)),
     QueryDef("q99_winsorized_spend", winsorizedSpend, Some(winsorizedSpendSql)),

@@ -205,4 +205,27 @@ class GovernanceSpec extends SparkSpec {
     val again = Governance.dpCountRelease(spark, sfDir).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("q260: datasheet metrics reconcile with direct recomputes") {
+    val m = Governance.corpusDatasheet(spark, sfDir).collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(m.keySet === Set("dup_fp_rate", "email_doc_rate", "mean_chars",
+      "n_docs", "n_langs", "n_sources", "p50_chars", "p95_chars",
+      "top_lang_share", "top_source_share"))
+    val d = Tables.documents(spark, sfDir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(lower(substring(col("text"), 1, 100))).as("fp"))
+      .collect()
+    assert(m("n_docs") === d.length.toDouble)
+    assert(m("n_sources") === d.map(_.getAs[String]("source")).distinct.length.toDouble)
+    assert(m("n_langs") === d.map(_.getAs[String]("lang")).distinct.length.toDouble)
+    val nFp = d.map(_.getAs[String]("fp")).distinct.length.toDouble
+    assert(math.abs(m("dup_fp_rate") - (1.0 - nFp / d.length)) <= 5.1e-5)
+    val topSrc = d.groupBy(_.getAs[String]("source")).values.map(_.size).max.toDouble
+    assert(math.abs(m("top_source_share") - topSrc / d.length) <= 5.1e-5)
+    assert(m("email_doc_rate") >= 0.0 && m("email_doc_rate") <= 1.0)
+    assert(m("p50_chars") <= m("p95_chars"))
+    assert(math.abs(m("mean_chars") -
+      d.map(_.getAs[Long]("n_chars")).sum.toDouble / d.length) <= 5.1e-3)
+  }
 }
