@@ -979,7 +979,9 @@ object Similarity extends QueryModule {
   def ivfPqQuery(spark: SparkSession, dir: String): DataFrame =
     ivfPq(Tables.embeddings(spark, dir))
 
-  private val ivfPqSql =
+  /** Shared CTE prefix (through rer/xtop) for q259's oracle and the
+    * q261 NDCG eval built on top of the same pipeline. */
+  private val ivfPqCtes =
     """WITH c AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings
       |), cents AS (
@@ -1059,13 +1061,16 @@ object Similarity extends QueryModule {
       |  JOIN c cv ON cv.vec_id = cand.vec_id
       |  JOIN q ON q.query_id = cand.query_id
       |), xtop AS (
-      |  SELECT z.query_id, z.vec_id FROM (
+      |  SELECT z.query_id, z.vec_id, z.xr FROM (
       |    SELECT q.query_id, c.vec_id,
       |      row_number() OVER (PARTITION BY q.query_id
       |        ORDER BY list_cosine_similarity(c.vec, q.qvec) DESC, c.vec_id) AS xr
       |    FROM c JOIN q ON c.vec_id <> q.query_id) z
       |  WHERE z.xr <= 10
-      |)
+      |)""".stripMargin
+
+  private val ivfPqSql = ivfPqCtes +
+    """
       |SELECT r.query_id, r.rank::INT AS rank, r.vec_id AS neighbor_id,
       |  round(r.adc, 4) AS adc_dist,
       |  round(r.sim_exact, 4) AS cosine_sim,
@@ -1152,6 +1157,83 @@ object Similarity extends QueryModule {
       |WHERE r.rank <= 10
       |ORDER BY r.query_id, r.rank""".stripMargin
 
+  /** q261: NDCG@10 offline eval of the q259 IVF-PQ retriever — the
+    * ranking-quality metric a retrieval pipeline publishes next to
+    * recall: graded relevance (rel = 11 − exact rank for true top-10
+    * neighbors, 0 otherwise — pure integers, no float gains) and the
+    * log2 position discount. Complements q207's RBO (two observed
+    * rankings) with the ideal-referenced form.
+    *
+    * Float-parity design (the q207 trick): the ten 1/log2(i+1)
+    * discounts and the ideal-DCG constant are computed ONCE in Scala
+    * and embedded as shortest-roundtrip double literals in BOTH plans,
+    * and the 10-term DCG sum is left-nested per rank slot (max-CASE
+    * pivot) rather than an order-undefined aggregate — libm log never
+    * runs inside either engine and every addition has a fixed operand
+    * order, so DCG/NDCG hash-match bit-for-bit.
+    */
+  private val ndcgK = 10
+  private val ndcgW: IndexedSeq[Double] =
+    (1 to ndcgK).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private val ndcgIdcg: Double =
+    ndcgW.zipWithIndex.foldLeft(0.0) { case (a, (w, idx)) =>
+      a + (ndcgK - idx) * w }
+
+  def ndcgEval(spark: SparkSession, dir: String): DataFrame = {
+    val res = ivfPq(Tables.embeddings(spark, dir))
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
+    val xt = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("vec"), col("qvec")))
+      .withColumn("xr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))))
+      .filter(col("xr") <= ndcgK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("xr"))
+    val per = res.join(xt, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel",
+        coalesce(lit(ndcgK + 1) - col("xr"), lit(0)).cast("double"))
+    val terms = (1 to ndcgK).map { i =>
+      max(when(col("rank") === i, col("rel") * lit(ndcgW(i - 1)))
+        .otherwise(0.0)).as(s"t$i")
+    }
+    val hits = sum(when(col("rel") > 0, 1L).otherwise(0L))
+      .cast("bigint").as("n_hits")
+    val ag = per.groupBy(col("query_id")).agg(terms.head, (terms.tail :+ hits): _*)
+    val dcgRaw = (1 to ndcgK).map(i => col(s"t$i")).reduceLeft(_ + _)
+    ag.select(col("query_id"), col("n_hits"),
+        round(dcgRaw, 4).as("dcg"),
+        round(dcgRaw / lit(ndcgIdcg), 4).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  private val ndcgSql: String = {
+    val termDefs = (1 to ndcgK).map { i =>
+      s"    max(CASE WHEN rank = $i THEN rel * ${ndcgW(i - 1)} ELSE 0.0 END) AS t$i"
+    }.mkString(",\n")
+    val dcgExpr = (2 to ndcgK).foldLeft("t1")((acc, i) => s"($acc + t$i)")
+    ivfPqCtes +
+      s"""
+         |, per AS (
+         |  SELECT r.query_id, r.rank,
+         |    coalesce(${ndcgK + 1} - x.xr, 0)::DOUBLE AS rel
+         |  FROM rer r LEFT JOIN xtop x
+         |    ON x.query_id = r.query_id AND x.vec_id = r.vec_id
+         |  WHERE r.rank <= $ndcgK
+         |), ag AS (
+         |  SELECT query_id,
+         |$termDefs,
+         |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS n_hits
+         |  FROM per GROUP BY query_id
+         |)
+         |SELECT query_id, n_hits,
+         |  round($dcgExpr, 4) AS dcg,
+         |  round($dcgExpr / $ndcgIdcg, 4) AS ndcg
+         |FROM ag ORDER BY query_id""".stripMargin
+  }
+
   override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_knn_bruteforce", knnQuery, Some(knnOracleSql), benchmark = true),
     QueryDef("q57_semantic_search", semanticSearch, Some(semanticSearchSql)),
@@ -1169,6 +1251,7 @@ object Similarity extends QueryModule {
     QueryDef("q248_hybrid_rrf", hybridRrf, Some(hybridRrfSql)),
     QueryDef("q253_pq_adc", pqAdcQuery, Some(pqAdcSql)),
     QueryDef("q259_ivf_pq", ivfPqQuery, Some(ivfPqSql)),
+    QueryDef("q261_ndcg_eval", ndcgEval, Some(ndcgSql)),
   )
 
   /** q202: semantic source composition — the cross-modal auto-labeling

@@ -332,6 +332,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q261: NDCG matches a driver recompute from the retriever output") {
+    val ndcg = Similarity.ndcgEval(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("dcg"), r.getAs[Double]("ndcg")))
+      .toMap
+    // rebuild relevance from the retriever's own output + exact KNN
+    val retrieved = Similarity.ivfPq(Tables.embeddings(spark, sfDir)).collect()
+    val exact = Similarity.knnBruteForce(Tables.embeddings(spark, sfDir)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Int]("rank")).toMap
+    val w = (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val idcg = w.zipWithIndex.foldLeft(0.0) { case (a, (x, i)) => a + (10 - i) * x }
+    retrieved.groupBy(_.getAs[Long]("query_id")).foreach { case (q, g) =>
+      val dcg = g.map { r =>
+        val xr = exact.get((q, r.getAs[Long]("neighbor_id")))
+        val rel = xr.map(11 - _).getOrElse(0).toDouble
+        rel * w(r.getAs[Int]("rank") - 1)
+      }.sum
+      val hits = g.count(r => exact.contains((q, r.getAs[Long]("neighbor_id"))))
+      val (nh, d, n) = ndcg(q)
+      assert(nh === hits.toLong, s"q$q hits")
+      assert(math.abs(d - dcg) <= 5.1e-4, s"q$q dcg")
+      assert(math.abs(n - dcg / idcg) <= 5.1e-4, s"q$q ndcg")
+      assert(n >= 0.0 && n <= 1.0)
+    }
+  }
+
   test("q223: HOF battery matches a driver-side array recompute") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("label"), col("embedding").cast("array<double>"))
