@@ -594,6 +594,62 @@ object CorpusStats extends QueryModule {
       |  round(exp(-sum(k * lnp) / sum(k)), 2) AS perplexity
       |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
+  /** q265: Hill tail-index estimate of the document-length
+    * distribution, per source. The Hill estimator over the top-k order
+    * statistics, α̂ = 1 / ( (1/k)·Σᵢ₌₁..k ln(x₍ᵢ₎ / x₍ₖ₊₁₎) ), is the
+    * standard measure of how heavy a power-law tail is — corpus
+    * curation uses it to flag sources whose length distribution is
+    * dominated by extreme outliers (small α = heavy tail → truncation
+    * / length-capping policies bite hardest there). Complements q139
+    * (Zipf slope = token-frequency tail) with the document-size tail.
+    *
+    * Determinism: ties in n_chars are broken by doc_id in the order
+    * statistic, so the k-th value is unique in both engines.
+    *
+    * Scale shape: only the top k+1 rows per source survive the window
+    * filter; the per-source sort is the standard top-k window shape
+    * and, at 100 TB, would swap to the bounded-heap
+    * [[graft.functions.TopKAggregator]] path (q156) — k is a constant,
+    * so per-task state stays O(k) either way. The final per-source
+    * aggregation touches k+1 rows per group.
+    */
+  def hillTailIndex(spark: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k + 1)
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("rn") <= k, log(col("n_chars").cast("double")))).as("sl"),
+        max(when(col("rn") === k + 1, col("n_chars"))).as("xk"))
+      .filter(col("xk").isNotNull)
+      .select(col("source"), lit(k).cast("bigint").as("n_tail"),
+        col("xk").cast("bigint").as("x_tail_min"),
+        round(lit(1.0) / (col("sl") / k - log(col("xk").cast("double"))), 4)
+          .as("hill_alpha"))
+      .orderBy(col("source"))
+  }
+
+  private val hillTailIndexSql =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents
+      |), s AS (
+      |  SELECT source,
+      |    sum(CASE WHEN rn <= 10 THEN ln(n_chars::DOUBLE) END) AS sl,
+      |    max(CASE WHEN rn = 11 THEN n_chars END) AS xk
+      |  FROM r WHERE rn <= 11 GROUP BY source
+      |)
+      |SELECT source, 10::BIGINT AS n_tail, xk::BIGINT AS x_tail_min,
+      |  round(1.0 / (sl / 10 - ln(xk::DOUBLE)), 4) AS hill_alpha
+      |FROM s WHERE xk IS NOT NULL ORDER BY source""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q93_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
     QueryDef("q94_source_entropy", sourceEntropy, Some(sourceEntropySql)),
@@ -605,5 +661,6 @@ object CorpusStats extends QueryModule {
     QueryDef("q155_log_odds_words", logOddsWords, Some(logOddsWordsSql)),
     QueryDef("q182_readability", readability, Some(readabilitySql)),
     QueryDef("q225_cross_entropy", crossEntropy, Some(crossEntropySql)),
+    QueryDef("q265_hill_tail_index", hillTailIndex, Some(hillTailIndexSql)),
   )
 }

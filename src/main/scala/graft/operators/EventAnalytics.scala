@@ -2274,7 +2274,9 @@ object EventAnalytics extends QueryModule {
       |GROUP BY pb.user_id, pb.exact_n
       |ORDER BY pb.exact_n DESC, pb.user_id""".stripMargin
 
-  override val defs: Seq[QueryDef] = Seq(
+  // lazy: the Seq references oracle-SQL vals declared later in the file;
+  // a strict val would capture them as null at object init
+  override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q82_funnel", funnel, Some(funnelSql)),
     QueryDef("q83_cohort_retention", cohortRetention, Some(cohortRetentionSql)),
@@ -2314,6 +2316,132 @@ object EventAnalytics extends QueryModule {
     QueryDef("q245_hll_mau", hllMauChecked, Some(hllMauCheckedSql)),
     QueryDef("q249_theta_overlap", thetaOverlap, Some(thetaOverlapSql)),
     QueryDef("q252_count_min", countMin, Some(countMinSql)),
+    QueryDef("q264_cuped", cuped, Some(cupedSql)),
+    QueryDef("q267_jackknife_ratio", jackknifeRatio, Some(jackknifeRatioSql)),
   )
+
+  /** q264: CUPED variance reduction (Deng et al. 2013, "Improving the
+    * Sensitivity of Online Controlled Experiments") — the standard
+    * industrial A/B trick: adjust each user's experiment-period metric
+    * Y by their PRE-period covariate X, Y' = Y − θ·(X − E[X]) with
+    * θ = cov(X,Y)/var(X), which preserves the treatment-effect
+    * estimate while shrinking its variance by the squared X–Y
+    * correlation. Variant assignment is the deterministic user-id hash
+    * bucket every experimentation platform uses (here pmod 2); the
+    * period cut is the calendar midpoint of the fixture's Jan-2024
+    * window. Output: per-variant user count, raw and adjusted metric
+    * means, raw and adjusted variance, and the realized variance
+    * reduction — the numbers an experiment readout page shows.
+    *
+    * Scale shape: ONE pass over events into a user-keyed partial-agg
+    * groupBy (conditional sums — no separate pre/post scans), then θ
+    * and E[X] ride along as a broadcast single-row cross join (never a
+    * driver collect), then one variant-keyed aggregation of 2 rows.
+    * Shuffles: user key, then variant key — both map-side combined.
+    */
+  def cuped(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("ts") < cut, col("value"))), lit(0.0)).as("x"),
+        coalesce(sum(when(col("ts") >= cut, col("value"))), lit(0.0)).as("y"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+    val theta = users.agg(
+      (covar_pop(col("x"), col("y")) / var_pop(col("x"))).as("theta"),
+      avg(col("x")).as("mean_x"))
+    users.crossJoin(broadcast(theta))
+      .withColumn("y_adj", col("y") - col("theta") * (col("x") - col("mean_x")))
+      .groupBy(col("variant"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        round(avg(col("y")), 4).as("mean_y"),
+        round(avg(col("y_adj")), 4).as("mean_y_adj"),
+        round(var_pop(col("y")), 4).as("var_y"),
+        round(var_pop(col("y_adj")), 4).as("var_y_adj"),
+        round(lit(1.0) - var_pop(col("y_adj")) / var_pop(col("y")), 4)
+          .as("var_reduction"))
+      .orderBy(col("variant"))
+  }
+
+  /** q267: leave-one-bucket-out jackknife CI for a ratio metric
+    * (revenue per click). Ratio metrics violate the iid assumption the
+    * naive SE needs (numerator and denominator are correlated per
+    * user), so experimentation platforms estimate their variance by
+    * bucket jackknife: users hash into B buckets, each replicate
+    * recomputes the ratio with one bucket deleted, and
+    * SE² = (B−1)/B · Σ(rᵢ − r̄)². Complements q158 (delta method) and
+    * q239 (bootstrap): three standard variance estimators, three
+    * different compute shapes.
+    *
+    * Scale shape: one event pass into B bucket partial-sums; every
+    * replicate is TOTAL − bucket (no second data pass — the classic
+    * "leave-one-out from sufficient statistics" trick), so post-scan
+    * cost is O(B) regardless of event count; totals ride along as a
+    * broadcast single-row cross join.
+    */
+  def jackknifeRatio(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(spark, dir)
+      .groupBy(pmod(col("user_id"), lit(20)).as("bkt"))
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase", col("value"))),
+          lit(0.0)).as("sy"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("sn"))
+    val t = b.agg(sum(col("sy")).as("ty"), sum(col("sn")).as("tn"),
+      count(lit(1)).as("nb"))
+    b.crossJoin(broadcast(t))
+      .withColumn("ri", (col("ty") - col("sy")) / (col("tn") - col("sn")))
+      .groupBy(col("ty"), col("tn"), col("nb"))
+      .agg(var_pop(col("ri")).as("vr"))
+      .select(
+        round(col("ty") / col("tn"), 4).as("ratio"),
+        col("nb").cast("bigint").as("n_buckets"),
+        round(sqrt((col("nb") - 1) * col("vr")), 4).as("jk_se"),
+        round(col("ty") / col("tn") - lit(1.96) * sqrt((col("nb") - 1) * col("vr")), 4)
+          .as("ci_lo"),
+        round(col("ty") / col("tn") + lit(1.96) * sqrt((col("nb") - 1) * col("vr")), 4)
+          .as("ci_hi"))
+  }
+
+  private val jackknifeRatioSql =
+    """WITH b AS (
+      |  SELECT user_id % 20 AS bkt,
+      |    coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0) AS sy,
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS sn
+      |  FROM events GROUP BY 1
+      |), t AS (
+      |  SELECT sum(sy) AS ty, sum(sn) AS tn, count(*) AS nb FROM b
+      |), r AS (
+      |  SELECT ty, tn, nb, (ty - sy) / (tn - sn) AS ri
+      |  FROM b CROSS JOIN t
+      |), s AS (
+      |  SELECT ty, tn, nb, var_pop(ri) AS vr FROM r GROUP BY 1, 2, 3
+      |)
+      |SELECT round(ty / tn, 4) AS ratio, nb::BIGINT AS n_buckets,
+      |  round(sqrt((nb - 1) * vr), 4) AS jk_se,
+      |  round(ty / tn - 1.96 * sqrt((nb - 1) * vr), 4) AS ci_lo,
+      |  round(ty / tn + 1.96 * sqrt((nb - 1) * vr), 4) AS ci_hi
+      |FROM s""".stripMargin
+
+  private val cupedSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN value END), 0) AS x,
+      |    coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value END), 0) AS y,
+      |    (user_id % 2)::INT AS variant
+      |  FROM events GROUP BY user_id
+      |), g AS (
+      |  SELECT covar_pop(x, y) / var_pop(x) AS theta, avg(x) AS mean_x FROM u
+      |), a AS (
+      |  SELECT variant, y, y - theta * (x - mean_x) AS y_adj
+      |  FROM u CROSS JOIN g
+      |)
+      |SELECT variant, count(*)::BIGINT AS n_users,
+      |  round(avg(y), 4) AS mean_y,
+      |  round(avg(y_adj), 4) AS mean_y_adj,
+      |  round(var_pop(y), 4) AS var_y,
+      |  round(var_pop(y_adj), 4) AS var_y_adj,
+      |  round(1.0 - var_pop(y_adj) / var_pop(y), 4) AS var_reduction
+      |FROM a GROUP BY variant ORDER BY variant""".stripMargin
 
 }

@@ -1234,6 +1234,144 @@ object Similarity extends QueryModule {
          |FROM ag ORDER BY query_id""".stripMargin
   }
 
+  /** q262: embedding covariance matrix in ONE distributed pass — the
+    * d×d second-moment summary that feeds PCA/whitening/ZCA of an
+    * embedding store. Built by [[graft.functions.GramianAgg]], a
+    * mergeable typed Aggregator whose per-task state is O(d²)
+    * regardless of row count (see its scaladoc for why the
+    * posexplode+covar_pop SQL shape does NOT scale: it shuffles d²×
+    * the table). The dense result explodes into (i, j, cov) rows,
+    * upper triangle only, matching the oracle's covar_pop.
+    */
+  def embeddingCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val gram = udaf(new graft.functions.GramianAgg(d))
+    Tables.embeddings(spark, dir)
+      .agg(gram(col("embedding")).as("cov"))
+      .select(posexplode(col("cov")).as(Seq("idx", "v")))
+      .select((col("idx") / lit(d)).cast("int").as("i"),
+        pmod(col("idx"), lit(d)).cast("int").as("j"), col("v"))
+      .filter(col("i") <= col("j"))
+      .select(col("i"), col("j"), round(col("v"), 6).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  private val embeddingCovarianceSql =
+    """WITH u AS (
+      |  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+      |  FROM embeddings, unnest(generate_series(1, 64)) t(i)
+      |)
+      |SELECT (a.i - 1)::INT AS i, (b.i - 1)::INT AS j,
+      |  round(covar_pop(a.x, b.x), 6) AS cov
+      |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Driver-side power iteration for the top principal component of a
+    * row-major d×d covariance matrix (as produced by
+    * [[graft.functions.GramianAgg]]): fixed deterministic init
+    * (uniform 1/√d), fixed iteration count, no data-dependent
+    * stopping. The matrix is d×d — collected state is independent of
+    * corpus size, the same driver-bounded contract as the IVF/k-means
+    * centroid pulls. Returns (unit eigenvector, Rayleigh-quotient
+    * eigenvalue). Spec-gated (PcaSpec): an eigensolve is not
+    * DuckDB-expressible, so its evidence is the eigen-equation
+    * residual test, not an oracle row hash.
+    */
+  def pc1(cov: Array[Double], d: Int, iters: Int = 50): (Array[Double], Double) = {
+    require(cov.length == d * d, s"expected ${d * d} entries, got ${cov.length}")
+    def matVec(v: Array[Double]): Array[Double] = {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += cov(i * d + j) * v(j); j += 1 }
+        w(i) = acc
+        i += 1
+      }
+      w
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iters) {
+      val w = matVec(v)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      if (norm > 0) v = w.map(_ / norm)
+    }
+    val cv = matVec(v)
+    val lambda = v.zip(cv).map { case (a, b) => a * b }.sum
+    (v, lambda)
+  }
+
+  /** q266: simplified silhouette score per cluster — the standard
+    * clustering-quality readout (Rousseeuw 1987), in its linear-time
+    * centroid form: for each point, a = distance to its OWN cluster
+    * centroid, b = distance to the nearest OTHER centroid,
+    * s = (b−a)/max(a,b) ∈ [−1, 1]. The exact silhouette is O(n²)
+    * (all-pairs distances); the centroid form is the one every
+    * large-scale library ships (e.g. Spark MLlib's
+    * ClusteringEvaluator) because it is ONE pass over the points
+    * against a broadcast k×d centroid table. Clusters here are the
+    * fixture's `label` column (the ground-truth partition q74's
+    * k-means is evaluated against), so the score doubles as a
+    * label-coherence audit of the embedding space.
+    *
+    * Scale shape: centroids are a |labels|-row partial-agg (element-
+    * wise array sums — no posexplode of the point table); the distance
+    * pass is a broadcast nested loop over k centroids per point with
+    * the arithmetic in `zip_with`/`aggregate` higher-order
+    * expressions; final rollup is a label-keyed groupBy. No shuffle
+    * ever carries a vector — only (point, k) scalars.
+    */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val cents = e.select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)")
+        .as("cvec"))
+      .select(col("label").as("clabel"), col("cvec"))
+    val dist = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        sqrt(aggregate(
+          zip_with(col("v"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)).as("d"))
+    dist.groupBy(col("vec_id"), col("label"))
+      .agg(
+        max(when(col("label") === col("clabel"), col("d"))).as("a"),
+        min(when(col("label") =!= col("clabel"), col("d"))).as("b"))
+      .withColumn("s", (col("b") - col("a")) / greatest(col("a"), col("b")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("s")), 4).as("mean_silhouette"),
+        round(avg(col("a")), 4).as("mean_intra"),
+        round(avg(col("b")), 4).as("mean_nearest_other"))
+      .orderBy(col("label"))
+  }
+
+  private val silhouetteSql =
+    """WITH u AS (
+      |  SELECT vec_id, label, i, embedding[i]::DOUBLE AS x
+      |  FROM embeddings, unnest(generate_series(1, 64)) t(i)
+      |), c AS (
+      |  SELECT label AS clabel, i, avg(x) AS cx FROM u GROUP BY 1, 2
+      |), dist AS (
+      |  SELECT u.vec_id, u.label, c.clabel,
+      |    sqrt(sum((u.x - c.cx) * (u.x - c.cx))) AS d
+      |  FROM u JOIN c ON u.i = c.i
+      |  GROUP BY 1, 2, 3
+      |), ab AS (
+      |  SELECT vec_id, label,
+      |    max(CASE WHEN label = clabel THEN d END) AS a,
+      |    min(CASE WHEN label <> clabel THEN d END) AS b
+      |  FROM dist GROUP BY 1, 2
+      |)
+      |SELECT label, count(*)::BIGINT AS n,
+      |  round(avg((b - a) / greatest(a, b)), 4) AS mean_silhouette,
+      |  round(avg(a), 4) AS mean_intra,
+      |  round(avg(b), 4) AS mean_nearest_other
+      |FROM ab GROUP BY label ORDER BY label""".stripMargin
+
   override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_knn_bruteforce", knnQuery, Some(knnOracleSql), benchmark = true),
     QueryDef("q57_semantic_search", semanticSearch, Some(semanticSearchSql)),
@@ -1252,6 +1390,9 @@ object Similarity extends QueryModule {
     QueryDef("q253_pq_adc", pqAdcQuery, Some(pqAdcSql)),
     QueryDef("q259_ivf_pq", ivfPqQuery, Some(ivfPqSql)),
     QueryDef("q261_ndcg_eval", ndcgEval, Some(ndcgSql)),
+    QueryDef("q262_embedding_covariance", embeddingCovariance,
+      Some(embeddingCovarianceSql)),
+    QueryDef("q266_silhouette", silhouette, Some(silhouetteSql)),
   )
 
   /** q202: semantic source composition — the cross-modal auto-labeling

@@ -1327,6 +1327,65 @@ object TextAnalysis extends QueryModule {
     * of source/length skew and re-runs land identical shard contents),
     * one parquet file per shard capped by maxRecordsPerFile.
     */
+  /** q263: duplicate-span coverage — for every document, the fraction
+    * of its distinct 8-token sliding windows that also occur in at
+    * least one OTHER document: the per-document "how much of this text
+    * exists elsewhere in the corpus" signal that substring-level
+    * training-data dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — suffix-array ExactSubstr)
+    * thresholds on. Complements q35 (whole-doc Jaccard) and q70
+    * (aligned chunk boundaries): sliding windows catch copied spans at
+    * ANY offset, the distributed stand-in for a suffix array.
+    *
+    * Scale shape: windows live only as 8-byte xxhash64 keys from the
+    * one-pass codegen'd [[graft.functions.NgramFunctions]] kernel — no
+    * gram strings are materialized or shuffled. Duplicated grams fall
+    * out of ONE hash-keyed groupBy (map-side partial count), coverage
+    * from a second doc-keyed groupBy; both shuffles move (8-byte key,
+    * count) rows — linear in corpus tokens, no pair expansion, so
+    * unlike q35 there is no df² term to cap. The gram inventory is
+    * persisted across its two consumers and released on return.
+    */
+  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        graft.functions.NgramFunctions.wordNgramHashes(col("toks"), 8).as("ghs"))
+      .select(col("doc_id"), size(col("ghs")).cast("bigint").as("n_grams"),
+        explode(col("ghs")).as("gh"))
+      .persist() // read twice: dup-gram derivation + coverage join
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("gh"))
+    Materialize.releasing(
+      grams.join(dup, Seq("gh"))
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_grams"), 4).as("coverage"))
+        .orderBy(col("doc_id")),
+      grams)
+  }
+
+  private val dupSpanCoverageSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i : i + 7], ' ') AS gram
+      |  FROM t, unnest(generate_series(1, len(toks) - 7)) s(i)
+      |  WHERE len(toks) >= 8
+      |), n AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_grams FROM g GROUP BY doc_id
+      |), dup AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+      |), d AS (
+      |  SELECT g.doc_id, count(*)::BIGINT AS n_dup
+      |  FROM g JOIN dup USING (gram) GROUP BY g.doc_id
+      |)
+      |SELECT d.doc_id, n.n_grams, d.n_dup,
+      |  round(d.n_dup::DOUBLE / n.n_grams, 4) AS coverage
+      |FROM d JOIN n USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   def writeShards(docs: DataFrame, path: String, nShards: Int,
       maxRecordsPerFile: Long = 1000000L): Unit =
     docs
@@ -1358,5 +1417,6 @@ object TextAnalysis extends QueryModule {
     QueryDef("q162_word_burstiness", wordBurstiness, Some(wordBurstinessSql)),
     QueryDef("q165_kwic", kwic, Some(kwicSql)),
     QueryDef("q176_containment_pairs", containmentPairs, Some(containmentPairsSql)),
+    QueryDef("q263_dup_span_coverage", dupSpanCoverage, Some(dupSpanCoverageSql)),
   )
 }
