@@ -51,6 +51,15 @@ object GraftFunctions {
     ("jaro_winkler",
       new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))),
+    ("vec_dot",
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))),
+    ("vec_cosine",
+      new ExpressionInfo(classOf[VecCosine].getName, "vec_cosine"),
+      (exprs: Seq[Expression]) => VecCosine(exprs(0), exprs(1))),
+    ("vec_l2sq",
+      new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
+      (exprs: Seq[Expression]) => VecL2Sq(exprs(0), exprs(1))),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -20,20 +20,26 @@ import org.apache.spark.sql.functions._
   *    re-ranking within buckets. Linear shuffle on the bucket key —
   *    the scale path when |queries| is large or for all-pairs search.
   *
-  * Cosine is computed with higher-order functions (zip_with + aggregate)
-  * in double precision — stays inside codegen, no UDF.
+  * Cosine/dot/L2 are codegen'd native expressions
+  * ([[graft.functions.VecDot]] family) in double precision — one static
+  * call per row inside whole-stage codegen, no UDF, bit-identical to the
+  * zip_with + aggregate higher-order spelling they replaced.
   */
 object Similarity extends QueryModule {
 
   /** Dot product of two array<double> columns (left-to-right fold —
     * matches the oracle engine's sequential list accumulation).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  // Codegen'd kernels (functions.VecDot / VecCosine) — bit-identical to
+  // the aggregate(zip_with(...)) HOF forms they replaced (FunctionsSpec
+  // pins the equivalence), but one static call inside whole-stage
+  // codegen instead of two interpreted lambdas per element; cosine
+  // fuses its three accumulators into one array traversal.
+  def dot(a: Column, b: Column): Column = graft.functions.VecFunctions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.VecFunctions.vecCosine(a, b)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -853,8 +859,7 @@ object Similarity extends QueryModule {
   /** Fixed-order left-fold L2² of an array slice vs a literal — the
     * arithmetic both engines replay bit-for-bit. */
   private def pqL2sq(a: Column, b: Seq[Double]): Column =
-    aggregate(zip_with(a, array(b.map(lit): _*), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VecFunctions.vecL2Sq(a, array(b.map(lit): _*))
 
   /** Per-subspace codeword argmin: array_min over (dist, j) structs —
     * smallest distance, ties toward the lower codeword index. */
@@ -1318,8 +1323,8 @@ object Similarity extends QueryModule {
     * Scale shape: centroids are a |labels|-row partial-agg (element-
     * wise array sums — no posexplode of the point table); the distance
     * pass is a broadcast nested loop over k centroids per point with
-    * the arithmetic in `zip_with`/`aggregate` higher-order
-    * expressions; final rollup is a label-keyed groupBy. No shuffle
+    * the arithmetic in the codegen'd [[graft.functions.VecL2Sq]]
+    * kernel; final rollup is a label-keyed groupBy. No shuffle
     * ever carries a vector — only (point, k) scalars.
     */
   def silhouette(spark: SparkSession, dir: String): DataFrame = {
@@ -1333,9 +1338,7 @@ object Similarity extends QueryModule {
       .select(col("label").as("clabel"), col("cvec"))
     val dist = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"), col("clabel"),
-        sqrt(aggregate(
-          zip_with(col("v"), col("cvec"), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)).as("d"))
+        sqrt(graft.functions.VecFunctions.vecL2Sq(col("v"), col("cvec"))).as("d"))
     dist.groupBy(col("vec_id"), col("label"))
       .agg(
         max(when(col("label") === col("clabel"), col("d"))).as("a"),

@@ -213,4 +213,76 @@ class FunctionsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("n_total") === n))
     assert(rows.nonEmpty, "the synthetic corpus has >0.5% tokens")
   }
+
+  test("vec_dot/vec_cosine/vec_l2sq are bit-identical to the HOF forms") {
+    import graft.functions.VecFunctions
+    // real float embeddings, cast to double — the production shape
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.join(
+      e.select(col("vec_id").as("id2"), col("v").as("w")),
+      col("vec_id") =!= col("id2")).limit(500)
+    val hofDot = aggregate(zip_with(col("v"), col("w"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val hofL2 = aggregate(zip_with(col("v"), col("w"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val hofNorm = (a: org.apache.spark.sql.Column) =>
+      sqrt(aggregate(zip_with(a, a, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x))
+    val hofCos = hofDot / (hofNorm(col("v")) * hofNorm(col("w")))
+    val bad = pairs.select(
+        VecFunctions.vecDot(col("v"), col("w")).as("d"), hofDot.as("hd"),
+        VecFunctions.vecCosine(col("v"), col("w")).as("c"), hofCos.as("hc"),
+        VecFunctions.vecL2Sq(col("v"), col("w")).as("l"), hofL2.as("hl"))
+      .filter(col("d") =!= col("hd") || col("c") =!= col("hc") ||
+        col("l") =!= col("hl"))
+    assert(bad.count() === 0L)
+  }
+
+  test("vec kernels: float input, null element, and length mismatch semantics") {
+    import graft.functions.VecFunctions
+    import TestSpark.spark.implicits._
+    // float arrays straight from the table (no cast) equal the cast path
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val both = e.select(
+      VecFunctions.vecCosine(col("embedding"), col("embedding")).as("f"),
+      VecFunctions.vecCosine(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("d"))
+    assert(both.filter(col("f") =!= col("d")).count() === 0L)
+    // null element / length mismatch → null, matching zip_with+aggregate
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)),
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](3.0, 4.0))
+    ).toDF("a", "b")
+    val rows = df.select(
+        VecFunctions.vecDot(col("a"), col("b")).as("d"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("hd"))
+      .collect()
+    assert(rows(0).getDouble(0) === 11.0 && rows(0).getDouble(1) === 11.0)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+  }
+
+  test("vec kernels are registered for SQL and agree with the Column API") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.embeddings(spark, sfDir).limit(20)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .createOrReplaceTempView("vec_fn_t")
+    val viaSql = spark.sql(
+      "SELECT vec_dot(v, v) AS d, vec_cosine(v, v) AS c, vec_l2sq(v, v) AS l FROM vec_fn_t ORDER BY vec_id")
+      .collect()
+    val viaCol = spark.table("vec_fn_t").orderBy(col("vec_id"))
+      .select(graft.functions.VecFunctions.vecDot(col("v"), col("v")),
+        graft.functions.VecFunctions.vecCosine(col("v"), col("v")),
+        graft.functions.VecFunctions.vecL2Sq(col("v"), col("v")))
+      .collect()
+    viaSql.zip(viaCol).foreach { case (a, b) =>
+      assert(a.getDouble(0) === b.getDouble(0))
+      assert(a.getDouble(1) === b.getDouble(1))
+      assert(a.getDouble(2) === b.getDouble(2))
+    }
+    assert(viaSql.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-12))
+  }
 }
