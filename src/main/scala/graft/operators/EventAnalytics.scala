@@ -2318,6 +2318,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q252_count_min", countMin, Some(countMinSql)),
     QueryDef("q264_cuped", cuped, Some(cupedSql)),
     QueryDef("q267_jackknife_ratio", jackknifeRatio, Some(jackknifeRatioSql)),
+    QueryDef("q269_bh_fdr", bhFdr, Some(bhFdrSql)),
   )
 
   /** q264: CUPED variance reduction (Deng et al. 2013, "Improving the
@@ -2422,6 +2423,105 @@ object EventAnalytics extends QueryModule {
       |  round(ty / tn - 1.96 * sqrt((nb - 1) * vr), 4) AS ci_lo,
       |  round(ty / tn + 1.96 * sqrt((nb - 1) * vr), 4) AS ci_hi
       |FROM s""".stripMargin
+
+  /** q269: Benjamini–Hochberg FDR control over a battery of A/B metric
+    * tests — the multiple-comparisons step every experimentation
+    * platform runs when one experiment reads out dozens of metrics:
+    * 35 (event_type × weekday) cells each get a Welch t between the
+    * user-id-parity variants, p-values rank ascending, and the BH
+    * step-up rule rejects every rank ≤ max{r : p_r ≤ r·q/m} at
+    * q = 0.10. Two-sided p comes from the standard algebraic
+    * normal-tail approximation p ≈ exp(−0.717·|t| − 0.416·t²)
+    * (Lin 1989) — pure arithmetic, so both engines compute the
+    * IDENTICAL value (an erf-based CDF exists in neither SQL dialect).
+    *
+    * Cross-engine determinism: per-cell moments are exact integer
+    * cents (q119's discipline); ranking ties break on the cell key.
+    *
+    * Scale shape: one conditional-aggregation pass over events into
+    * (cell × variant) moments; everything after — t, p, ranks, the
+    * step-up cummax — operates on the m-row TEST table, so the
+    * whole-set window costs O(m log m) on metadata, never a data
+    * shuffle. 10¹² events, 35 rows of window work.
+    */
+  def bhFdr(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"), dayofweek(col("ts")).as("dow"),
+        (pmod(col("user_id"), lit(2)) === 1).as("is_b"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .withColumn("c2", (col("c") * col("c")).cast("decimal(38,0)"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(
+        sum(when(!col("is_b"), 1L).otherwise(0L)).cast("bigint").as("n0"),
+        sum(when(col("is_b"), 1L).otherwise(0L)).cast("bigint").as("n1"),
+        sum(when(!col("is_b"), col("c"))).cast("double").as("s0"),
+        sum(when(col("is_b"), col("c"))).cast("double").as("s1"),
+        sum(when(!col("is_b"), col("c2"))).cast("double").as("q0"),
+        sum(when(col("is_b"), col("c2"))).cast("double").as("q1"))
+      .filter(col("n0") >= 2 && col("n1") >= 2)
+      .withColumn("u0", (col("q0") - col("s0") * col("s0") / col("n0"))
+        / (col("n0") - 1) / col("n0"))
+      .withColumn("u1", (col("q1") - col("s1") * col("s1") / col("n1"))
+        / (col("n1") - 1) / col("n1"))
+      .withColumn("t", (col("s1") / col("n1") - col("s0") / col("n0"))
+        / sqrt(col("u0") + col("u1")))
+      .withColumn("p", least(lit(1.0),
+        exp(lit(-0.717) * abs(col("t")) - lit(0.416) * col("t") * col("t"))))
+    val wRank = Window.orderBy(col("p"), col("event_type"), col("dow"))
+    val wAll = Window.partitionBy()
+    cells
+      .withColumn("p_rank", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("max_r", max(when(
+        col("p") <= col("p_rank") * 0.10 / col("m"), col("p_rank"))).over(wAll))
+      .select(col("event_type"), col("dow").cast("int").as("dow"),
+        col("n0"), col("n1"),
+        round(col("t"), 4).as("t_stat"), round(col("p"), 6).as("p_value"),
+        col("p_rank").cast("bigint").as("p_rank"),
+        coalesce(col("p_rank") <= col("max_r"), lit(false)).as("rejected"))
+      .orderBy(col("p_rank"))
+  }
+
+  /** DuckDB `dayofweek` is 0=Sunday; Spark's is 1=Sunday → +1 shift. */
+  private val bhFdrSql =
+    """WITH s AS (
+      |  SELECT event_type, dayofweek(ts) + 1 AS dow,
+      |    user_id % 2 = 1 AS is_b, round(value * 100)::BIGINT AS c
+      |  FROM events
+      |), g AS (
+      |  SELECT event_type, dow,
+      |    sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END)::BIGINT AS n0,
+      |    sum(CASE WHEN is_b THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(CASE WHEN NOT is_b THEN c END)::DOUBLE AS s0,
+      |    sum(CASE WHEN is_b THEN c END)::DOUBLE AS s1,
+      |    sum(CASE WHEN NOT is_b THEN c * c END)::DOUBLE AS q0,
+      |    sum(CASE WHEN is_b THEN c * c END)::DOUBLE AS q1
+      |  FROM s GROUP BY 1, 2
+      |  HAVING n0 >= 2 AND n1 >= 2
+      |), d AS (
+      |  SELECT event_type, dow, n0, n1,
+      |    (s1 / n1 - s0 / n0) /
+      |      sqrt((q0 - s0 * s0 / n0) / (n0 - 1) / n0
+      |         + (q1 - s1 * s1 / n1) / (n1 - 1) / n1) AS t
+      |  FROM g
+      |), p AS (
+      |  SELECT *, least(1.0, exp(-0.717 * abs(t) - 0.416 * t * t)) AS p
+      |  FROM d
+      |), r AS (
+      |  SELECT *,
+      |    row_number() OVER (ORDER BY p, event_type, dow) AS p_rank,
+      |    count(*) OVER () AS m
+      |  FROM p
+      |), f AS (
+      |  SELECT *,
+      |    max(CASE WHEN p <= p_rank * 0.10 / m THEN p_rank END) OVER () AS max_r
+      |  FROM r
+      |)
+      |SELECT event_type, dow::INT AS dow, n0, n1,
+      |  round(t, 4) AS t_stat, round(p, 6) AS p_value,
+      |  p_rank::BIGINT AS p_rank,
+      |  coalesce(p_rank <= max_r, false) AS rejected
+      |FROM f ORDER BY p_rank""".stripMargin
 
   private val cupedSql =
     """WITH u AS (

@@ -1375,6 +1375,90 @@ object Similarity extends QueryModule {
       |  round(avg(b), 4) AS mean_nearest_other
       |FROM ab GROUP BY label ORDER BY label""".stripMargin
 
+  /** q268: Johnson–Lindenstrauss random projection (64 → 16 dims) with
+    * a distance-distortion audit. The projection matrix is the
+    * Achlioptas ±1 sign matrix, entries derived from the portable md5
+    * hash of "(i:k)" (same reproducible-randomness idiom as q257's DP
+    * noise): r(i,k) = +1 iff the first hex digit of md5("i:k") < 8,
+    * scaled by 1/√m — so Spark and the oracle build the IDENTICAL
+    * matrix with no RNG state, and a re-run or engine migration
+    * projects byte-identically. The audit pairs each vector with its
+    * successor and histograms projected/original distance ratios —
+    * JL says they concentrate near 1 (E[ratio²]=1, spread ~1/√m).
+    *
+    * Why it matters at 100 TB: projecting embeddings 4× smaller before
+    * LSH/clustering cuts every downstream shuffle and scan by 4×, and
+    * the distortion histogram is the acceptance test for doing so. The
+    * projection itself is map-only: m codegen'd [[graft.functions
+    * .VecDot]] calls per row against broadcast literal rows of the
+    * matrix — no shuffle, no driver state beyond the d×m literals.
+    */
+  def jlProjection(spark: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val m = 16
+    def sign(i: Int, k: Int): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$k".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    val scale = 1.0 / math.sqrt(m.toDouble)
+    val rk: Seq[Array[Double]] =
+      (0 until m).map(k => Array.tabulate(d)(i => sign(i, k) * scale))
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .withColumn("pvec", array(rk.map(r =>
+        dot(col("vec"), array(r.map(lit).toSeq: _*))): _*))
+    val a = base.select(col("vec_id").as("id_a"),
+      col("vec").as("va"), col("pvec").as("pa"))
+    val b = base.select((col("vec_id") - 1).as("id_a"),
+      col("vec").as("vb"), col("pvec").as("pb"))
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"),
+        sqrt(graft.functions.VecFunctions.vecL2Sq(col("va"), col("vb"))).as("od"),
+        sqrt(graft.functions.VecFunctions.vecL2Sq(col("pa"), col("pb"))).as("pd"))
+      .filter(col("od") > 0)
+      .withColumn("ratio", col("pd") / col("od"))
+      .groupBy(round(floor(col("ratio") * 10) / 10, 1).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("ratio")), 4).as("mean_ratio"))
+      .orderBy(col("bucket"))
+  }
+
+  private val jlProjectionSql =
+    """WITH p AS (
+      |  SELECT i.i AS i, k.k AS k,
+      |    CASE WHEN strpos('01234567',
+      |        substring(md5(i.i::VARCHAR || ':' || k.k::VARCHAR), 1, 1)) > 0
+      |      THEN 1.0 ELSE -1.0 END / sqrt(16.0) AS r
+      |  FROM unnest(generate_series(0, 63)) i(i),
+      |       unnest(generate_series(0, 15)) k(k)
+      |), u AS (
+      |  SELECT vec_id, t.i AS i, embedding[t.i + 1]::DOUBLE AS x
+      |  FROM embeddings, unnest(generate_series(0, 63)) t(i)
+      |), y AS (
+      |  SELECT vec_id, k, sum(x * r) AS yk
+      |  FROM u JOIN p USING (i) GROUP BY 1, 2
+      |), pr AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |), od AS (
+      |  SELECT pr.id_a, sqrt(sum((ua.x - ub.x) * (ua.x - ub.x))) AS od
+      |  FROM pr JOIN u ua ON ua.vec_id = pr.id_a
+      |          JOIN u ub ON ub.vec_id = pr.id_b AND ub.i = ua.i
+      |  GROUP BY 1
+      |), pd AS (
+      |  SELECT pr.id_a, sqrt(sum((ya.yk - yb.yk) * (ya.yk - yb.yk))) AS pd
+      |  FROM pr JOIN y ya ON ya.vec_id = pr.id_a
+      |          JOIN y yb ON yb.vec_id = pr.id_b AND yb.k = ya.k
+      |  GROUP BY 1
+      |), r AS (
+      |  SELECT od.id_a, pd.pd / od.od AS ratio
+      |  FROM od JOIN pd USING (id_a) WHERE od.od > 0
+      |)
+      |SELECT round(floor(ratio * 10) / 10, 1) AS bucket,
+      |  count(*)::BIGINT AS n_pairs, round(avg(ratio), 4) AS mean_ratio
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_knn_bruteforce", knnQuery, Some(knnOracleSql), benchmark = true),
     QueryDef("q57_semantic_search", semanticSearch, Some(semanticSearchSql)),
@@ -1396,6 +1480,7 @@ object Similarity extends QueryModule {
     QueryDef("q262_embedding_covariance", embeddingCovariance,
       Some(embeddingCovarianceSql)),
     QueryDef("q266_silhouette", silhouette, Some(silhouetteSql)),
+    QueryDef("q268_jl_projection", jlProjection, Some(jlProjectionSql)),
   )
 
   /** q202: semantic source composition — the cross-modal auto-labeling
