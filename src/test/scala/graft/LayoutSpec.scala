@@ -62,4 +62,34 @@ class LayoutSpec extends SparkSpec {
     // lossless rewrite
     assert(spark.read.parquet(s"$base/z").count() === 4096)
   }
+
+  test("bloom sidecar prunes needle-in-haystack lookups to ~1 file, exactly") {
+    val base = java.nio.file.Files.createTempDirectory("bloomidx").toString
+    // clustered by ts (the layout key), bloom-indexed on the near-unique
+    // event_id — the key whose values scatter across every min/max range
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    Layout.writeBloomIndexed(events, s"$base/e", clusterKey = "ts",
+      indexKey = "event_id", nFiles = 8)
+
+    val probes = Seq(3L, 499L, 907L)
+    probes.foreach { id =>
+      val (df, total, read) = Layout.readBloomPruned(spark, s"$base/e", "event_id", id)
+      val got = df.select(col("event_id"), col("user_id")).collect()
+      val want = events.filter(col("event_id") === id)
+        .select(col("event_id"), col("user_id")).collect()
+      assert(got.map(_.toString).sorted.toSeq === want.map(_.toString).sorted.toSeq)
+      assert(total === 8)
+      // a unique key lives in exactly 1 file; fpp=0.01 over 8 files makes
+      // >2 surviving files astronomically unlikely
+      assert(read <= 2, s"event_id=$id read $read of $total files")
+    }
+
+    // absent key: bloom may pass ≤ fpp·nFiles files, but the exact
+    // filter on top returns nothing
+    val (dfMiss, _, readMiss) = Layout.readBloomPruned(
+      spark, s"$base/e", "event_id", -12345L)
+    assert(dfMiss.count() === 0L)
+    assert(readMiss <= 2)
+  }
 }
