@@ -171,8 +171,12 @@ object Temporal extends QueryModule {
     * (aggregate-sized); windows partition by nation.
     */
   def gapFillInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    // customer is |customers|-sized (NOT broadcast — the q82/q170
+    // lesson: AQE converts it when genuinely small); only the pruned
+    // 2-column projection joins
     val daily = Tables.orders(spark, dir)
-      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_c"))
@@ -186,7 +190,13 @@ object Temporal extends QueryModule {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(col("n_name")).orderBy(col("day"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    spine.join(daily, Seq("n_name", "day"), "left")
+    // daily is (nation × calendar-day) — dimension × calendar sized,
+    // bounded like the q245 day-spine expansions, so broadcasting it
+    // turns the spine join into a map-side BHJ (the SMJ form paid a
+    // (n_name, day) shuffle+sort on BOTH sides and then re-exchanged
+    // on n_name for the fill windows anyway; now only the window's own
+    // n_name exchange remains).
+    spine.join(broadcast(daily), Seq("n_name", "day"), "left")
       .withColumn("pv", last(col("rev_c"), ignoreNulls = true).over(wb))
       .withColumn("pd", last(when(col("rev_c").isNotNull, col("day")), ignoreNulls = true).over(wb))
       .withColumn("nv", first(col("rev_c"), ignoreNulls = true).over(wf))
