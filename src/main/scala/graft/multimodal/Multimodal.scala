@@ -353,10 +353,134 @@ object Multimodal extends QueryModule {
       |FROM m JOIN g ON m.head_md5 = g.head_md5
       |ORDER BY m.media_id""".stripMargin
 
+  /** Real-codec AUDIO decoder over the same [[MediaDecoder]] seam: a
+    * chunk-walking RIFF/WAV PCM-16 parser in pure JVM code (WAV is a
+    * 44-byte header + little-endian samples — no codec library exists
+    * for it because none is needed). Walks RIFF chunks to `fmt ` and
+    * `data` (never assumes fixed offsets), and emits
+    * [sampleRate, channels, nSamples, Σ|sample|]. Non-RIFF payloads
+    * fall back to [[StubDecoder]] — the same JDK-decodes-for-real /
+    * stub-for-the-rest split as [[ImageIoDecoder]].
+    *
+    * Σ|s| for the fixture audio is < 2²⁴ so the generic float feature
+    * channel is exact.
+    */
+  object WavDecoder extends MediaDecoder {
+    val featureDim = 4
+    def decode(kind: String, bytes: Array[Byte], nFrames: Int): Array[Float] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bytes.length < 12 || bb.getInt(0) != 0x46464952 /* "RIFF" LE */ ||
+          bb.getInt(8) != 0x45564157 /* "WAVE" LE */ )
+        return StubDecoder.decode(kind, bytes, nFrames).take(featureDim)
+      var pos = 12
+      var sampleRate = 0
+      var channels = 0
+      var bits = 0
+      var nSamples = 0L
+      var sumAbs = 0L
+      while (pos + 8 <= bytes.length) {
+        val cid = bb.getInt(pos)
+        val sz = bb.getInt(pos + 4)
+        if (cid == 0x20746d66) { // "fmt "
+          channels = bb.getShort(pos + 10).toInt
+          sampleRate = bb.getInt(pos + 12)
+          bits = bb.getShort(pos + 22).toInt
+        } else if (cid == 0x61746164 && bits == 16) { // "data"
+          val n = sz / 2
+          var k = 0
+          while (k < n) {
+            sumAbs += math.abs(bb.getShort(pos + 8 + 2 * k).toLong)
+            k += 1
+          }
+          nSamples = n / math.max(channels, 1)
+        }
+        pos += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      Array(sampleRate.toFloat, channels.toFloat, nSamples.toFloat, sumAbs.toFloat)
+    }
+  }
+
+  /** Deterministic REAL-WAV media table: each document becomes an
+    * 8 kHz mono PCM-16 clip of 50 + (doc_id mod 101) samples, sample k
+    * = ((u_k·131 + 7k) mod 65536) − 32768 with u_k the code point of
+    * text char (k mod len) — written through a real RIFF encoder, so
+    * consumers parse genuine WAV bytes, and every decoded quantity has
+    * a closed form over (doc_id, text) the SQL oracle replays without
+    * a parser. Encode is partition-local; no shuffle.
+    */
+  def wavMediaFromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.mapPartitions { it =>
+      it.map { case (id, text) =>
+        val n = 50 + (id % 101).toInt
+        val dataSize = 2 * n
+        val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(0x46464952).putInt(36 + dataSize).putInt(0x45564157) // RIFF..WAVE
+        bb.putInt(0x20746d66).putInt(16) // "fmt ", PCM header size
+          .putShort(1).putShort(1)       // PCM, mono
+          .putInt(8000).putInt(16000)    // rate, byte rate
+          .putShort(2).putShort(16)      // block align, bits
+        bb.putInt(0x61746164).putInt(dataSize) // "data"
+        var k = 0
+        while (k < n) {
+          val u = text.codePointAt(k % text.length)
+          bb.putShort((((u * 131 + 7 * k) % 65536) - 32768).toShort)
+          k += 1
+        }
+        (id, "audio", bb.array(), 1)
+      }
+    }.toDF("media_id", "kind", "bytes", "n_frames")
+  }
+
+  /** q270: real-codec audio decode — RIFF/WAV payloads produced by a
+    * real encoder are chunk-parsed back on executors and reduced to
+    * exact integer facts (rate, channels, sample count, Σ|sample|,
+    * duration). The oracle recomputes the same facts from the
+    * generator's closed form, so the hash compare pins the whole
+    * encode→parse round trip, including header layout and
+    * little-endian sample packing.
+    */
+  def audioDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = wavMediaFromDocuments(spark, dir)
+      .withColumn("meta", struct(
+        lit("wav").as("format"), lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(8000).as("sample_rate"), col("n_frames")))
+    decodeFeatures(media, WavDecoder)
+      .toDF()
+      .select(col("media_id"),
+        element_at(col("feature"), 1).cast("int").as("sample_rate"),
+        element_at(col("feature"), 2).cast("int").as("channels"),
+        element_at(col("feature"), 3).cast("int").as("n_samples"),
+        element_at(col("feature"), 4).cast("bigint").as("sum_abs"))
+      .withColumn("duration_ms",
+        round(col("n_samples") * 1000.0 / col("sample_rate"), 0).cast("int"))
+      .orderBy(col("media_id"))
+  }
+
+  private val audioDecodeSql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    (50 + doc_id % 101)::INT AS n
+      |  FROM documents WHERE length(text) >= 1
+      |)
+      |SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels, n AS n_samples,
+      |  list_sum(list_transform(
+      |    generate_series(0, n - 1, 1),
+      |    k -> abs((unicode(substring(text, (k % len + 1)::INT, 1)) * 131 + 7 * k)
+      |           % 65536 - 32768)))::BIGINT AS sum_abs,
+      |  round(n * 1000.0 / 8000, 0)::INT AS duration_ms
+      |FROM d ORDER BY media_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q51_frame_sample", frameSampleQuery, Some(frameSampleSql)),
     QueryDef("q52_media_decode", decodeQuery, Some(decodeSql)),
     QueryDef("q80_media_dedup", mediaDedupQuery, Some(mediaDedupSql)),
     QueryDef("q247_image_decode", imageDecodeQuery, Some(imageDecodeSql)),
+    QueryDef("q270_audio_decode", audioDecodeQuery, Some(audioDecodeSql)),
   )
 }
