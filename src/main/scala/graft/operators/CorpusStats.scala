@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level statistical text analysis — the distribution-aware
@@ -650,6 +651,156 @@ object CorpusStats extends QueryModule {
       |  round(1.0 / (sl / 10 - ln(xk::DOUBLE)), 4) AS hill_alpha
       |FROM s WHERE xk IS NOT NULL ORDER BY source""".stripMargin
 
+  /** q271: water-filling token-budget allocation across sources — the
+    * data-mixing step that answers "we can afford B tokens; how much
+    * of each source do we keep?" under the max-min fair rule every
+    * mixture paper uses: find the cap C with Σ min(nₛ, C) = B, keep
+    * min(nₛ, C) from each source. Small sources keep everything;
+    * over-represented sources are clipped to the common water level —
+    * exactly how LLM corpora down-weight web crawl vs books.
+    *
+    * The cap has a closed form on the ASC-sorted source table: capping
+    * starts at the first k where cum_{k−1} + (S−k+1)·n_k exceeds B,
+    * and C = (B − cum_{k−1})/(S−k+1). All of that — cumsum, the
+    * bracket search, the cap broadcast — is window algebra over the
+    * |sources|-row AGGREGATE (metadata, like q269's test table); the
+    * corpus contributes one partial-agg token-count pass.
+    */
+  def waterFilling(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(graft.operators.TextAnalysis.tokenCount(col("text"))
+        .cast("long")).as("n"))
+    val wAsc = Window.orderBy(col("n"), col("source"))
+    val wAll = Window.partitionBy()
+    perSource
+      .withColumn("k", row_number().over(wAsc))
+      .withColumn("cum_prev",
+        coalesce(sum(col("n")).over(wAsc.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("s_total", count(lit(1)).over(wAll))
+      .withColumn("budget", floor(sum(col("n")).over(wAll) * 0.6).cast("long"))
+      .withColumn("k_cap", min(when(
+        col("cum_prev") + (col("s_total") - col("k") + 1) * col("n") > col("budget"),
+        col("k"))).over(wAll))
+      .withColumn("cap", max(when(col("k") === col("k_cap"),
+        (col("budget") - col("cum_prev")).cast("double")
+          / (col("s_total") - col("k") + 1))).over(wAll))
+      .withColumn("alloc", when(col("cap").isNull, col("n"))
+        .otherwise(least(col("n"), floor(col("cap")).cast("long"))))
+      .select(col("source"), col("n").as("n_tokens"),
+        col("alloc").cast("bigint").as("alloc_tokens"),
+        (col("n") > col("alloc")).as("capped"),
+        round(col("cap"), 4).as("water_level"))
+      .orderBy(col("source"))
+  }
+
+  private val waterFillingSql =
+    """WITH s AS (
+      |  SELECT source, sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS n
+      |  FROM documents GROUP BY source
+      |), r AS (
+      |  SELECT source, n,
+      |    row_number() OVER w AS k,
+      |    coalesce(sum(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS cum_prev,
+      |    count(*) OVER () AS s_total,
+      |    floor(sum(n) OVER () * 0.6)::BIGINT AS budget
+      |  FROM s
+      |  WINDOW w AS (ORDER BY n, source)
+      |), b AS (
+      |  SELECT *,
+      |    min(CASE WHEN cum_prev + (s_total - k + 1) * n > budget
+      |        THEN k END) OVER () AS k_cap
+      |  FROM r
+      |), c AS (
+      |  SELECT *,
+      |    max(CASE WHEN k = k_cap THEN
+      |      (budget - cum_prev)::DOUBLE / (s_total - k + 1) END) OVER () AS cap
+      |  FROM b
+      |)
+      |SELECT source, n AS n_tokens,
+      |  (CASE WHEN cap IS NULL THEN n
+      |        ELSE least(n, floor(cap)::BIGINT) END)::BIGINT AS alloc_tokens,
+      |  n > (CASE WHEN cap IS NULL THEN n
+      |        ELSE least(n, floor(cap)::BIGINT) END) AS capped,
+      |  round(cap, 4) AS water_level
+      |FROM c ORDER BY source""".stripMargin
+
+  /** q272: quantile normalization of per-source length distributions
+    * onto the pooled corpus distribution — the batch-effect correction
+    * (classic in microarray statistics, equally apt for "source A's
+    * quality scores run hot") that replaces each document's value with
+    * the POOLED quantile at the document's within-source quantile
+    * position: v′ = G⁻¹((r − ½)/mₛ), with G⁻¹ linearly interpolated
+    * between adjacent pooled order statistics. After mapping, every
+    * source has (near-)identical distribution; the per-source mean of
+    * v′ converging to the pooled mean is the emitted evidence.
+    *
+    * Scale shape: within-source ranks are ordinary partitioned
+    * windows; the pooled inverse-CDF is the [[ScaledWindows]] 2-pass
+    * global row_number (range-partitioned — no single-reducer sort),
+    * and the interpolation lookup is two equi-joins on the integer
+    * rank key, each a plain hash shuffle. No collect, no global
+    * single-partition window.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val ranked = docs
+      .withColumn("m_s", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("r", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))))
+    val g = graft.operators.ScaledWindows.rowNumber(
+        docs.select(col("n_chars"), col("doc_id")),
+        Seq(col("n_chars"), col("doc_id")), "g")
+      .select(col("g"), col("n_chars").as("v"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val pos = (col("r") - 0.5) / col("m_s") * (col("n_total") - 1) + 1
+    ranked.crossJoin(broadcast(n))
+      .withColumn("pos", pos)
+      .withColumn("lo", floor(col("pos")))
+      .withColumn("hi", ceil(col("pos")))
+      .join(g.select(col("g").as("lo"), col("v").as("v_lo")), Seq("lo"))
+      .join(g.select(col("g").as("hi"), col("v").as("v_hi")), Seq("hi"))
+      .withColumn("vn",
+        col("v_lo") + (col("v_hi") - col("v_lo")) * (col("pos") - floor(col("pos"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        round(avg(col("n_chars")), 4).as("mean_raw"),
+        round(avg(col("vn")), 4).as("mean_norm"))
+      .orderBy(col("source"))
+  }
+
+  private val quantileNormalizeSql =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |), m AS (
+      |  SELECT doc_id, source, n_chars,
+      |    count(*) OVER (PARTITION BY source) AS m_s,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars, doc_id) AS r
+      |  FROM d
+      |), g AS (
+      |  SELECT n_chars AS v,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS g
+      |  FROM d
+      |), t AS (
+      |  SELECT count(*) AS n_total FROM d
+      |), x AS (
+      |  SELECT m.source, m.n_chars,
+      |    (r - 0.5) / m_s * (n_total - 1) + 1 AS pos
+      |  FROM m CROSS JOIN t
+      |), y AS (
+      |  SELECT x.source, x.n_chars,
+      |    gl.v + (gh.v - gl.v) * (pos - floor(pos)) AS vn
+      |  FROM x JOIN g gl ON gl.g = floor(pos)::BIGINT
+      |         JOIN g gh ON gh.g = ceil(pos)::BIGINT
+      |)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  round(avg(n_chars), 4) AS mean_raw, round(avg(vn), 4) AS mean_norm
+      |FROM y GROUP BY source ORDER BY source""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q93_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
     QueryDef("q94_source_entropy", sourceEntropy, Some(sourceEntropySql)),
@@ -662,5 +813,7 @@ object CorpusStats extends QueryModule {
     QueryDef("q182_readability", readability, Some(readabilitySql)),
     QueryDef("q225_cross_entropy", crossEntropy, Some(crossEntropySql)),
     QueryDef("q265_hill_tail_index", hillTailIndex, Some(hillTailIndexSql)),
+    QueryDef("q271_water_filling", waterFilling, Some(waterFillingSql)),
+    QueryDef("q272_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
   )
 }
