@@ -119,4 +119,66 @@ class PropertySpec extends SparkSpec {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
   }
+
+  test("vec kernels equal a scalar left-fold reference on random vectors") {
+    import TestSpark.spark.implicits._
+    val dims = List(1, 2, 7, 64)
+    val rows = dims.flatMap { d =>
+      List.fill(50)((List.fill(d)(rng.nextDouble() * 4 - 2),
+        List.fill(d)(rng.nextDouble() * 4 - 2)))
+    }
+    val df = rows.map { case (a, b) => (a.toSeq, b.toSeq) }.toDF("a", "b")
+    val got = df.select(
+        graft.functions.VecFunctions.vecDot(col("a"), col("b")),
+        graft.functions.VecFunctions.vecCosine(col("a"), col("b")),
+        graft.functions.VecFunctions.vecL2Sq(col("a"), col("b")))
+      .collect()
+    rows.zip(got).foreach { case ((a, b), r) =>
+      // the kernels contract a strict left-to-right fold — replay it
+      var dot = 0.0; var aa = 0.0; var bb = 0.0; var l2 = 0.0
+      a.zip(b).foreach { case (x, y) =>
+        dot += x * y; aa += x * x; bb += y * y
+        val dxy = x - y; l2 += dxy * dxy
+      }
+      assert(r.getDouble(0) === dot)
+      assert(r.getDouble(1) === dot / (math.sqrt(aa) * math.sqrt(bb)))
+      assert(r.getDouble(2) === l2)
+    }
+  }
+
+  test("WavDecoder round-trips the RIFF encoder for random rates/lengths") {
+    for (_ <- 1 to 40) {
+      val rate = 4000 + rng.nextInt(44100)
+      val n = 1 + rng.nextInt(300)
+      val samples = Array.fill(n)((rng.nextInt(65536) - 32768).toShort)
+      val dataSize = 2 * n
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0x46464952).putInt(36 + dataSize).putInt(0x45564157)
+      bb.putInt(0x20746d66).putInt(16).putShort(1).putShort(1)
+        .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      bb.putInt(0x61746164).putInt(dataSize)
+      samples.foreach(s => bb.putShort(s))
+      val f = multimodal.Multimodal.WavDecoder.decode("audio", bb.array(), 1)
+      assert(f(0) === rate.toFloat)
+      assert(f(1) === 1.0f)
+      assert(f(2) === n.toFloat)
+      assert(f(3) === samples.map(s => math.abs(s.toLong)).sum.toFloat)
+    }
+    // non-RIFF payloads fall back to the stub (same split as ImageIO)
+    val junk = Array.fill(64)(rng.nextInt(256).toByte)
+    val fb = multimodal.Multimodal.WavDecoder.decode("audio", junk, 1)
+    assert(fb.length === multimodal.Multimodal.WavDecoder.featureDim)
+  }
+
+  test("GramianAgg covariance is invariant to row order") {
+    import TestSpark.spark.implicits._
+    val vecs = List.fill(60)(List.fill(8)((rng.nextInt(400) - 200).toFloat / 16f))
+    val gram = udaf(new graft.functions.GramianAgg(8))
+    def cov(rows: List[List[Float]]): Seq[Double] =
+      rows.map(_.toSeq).toDF("v").agg(gram(col("v"))).collect()(0).getSeq[Double](0)
+    // sixteenths are dyadic — sums are EXACT in double, so any
+    // accumulation order gives identical bits
+    assert(cov(vecs) === cov(rng.shuffle(vecs)))
+  }
 }
