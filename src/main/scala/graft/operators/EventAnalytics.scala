@@ -2319,6 +2319,8 @@ object EventAnalytics extends QueryModule {
     QueryDef("q264_cuped", cuped, Some(cupedSql)),
     QueryDef("q267_jackknife_ratio", jackknifeRatio, Some(jackknifeRatioSql)),
     QueryDef("q269_bh_fdr", bhFdr, Some(bhFdrSql)),
+    QueryDef("q273_two_proportion", twoProportionTest, Some(twoProportionTestSql)),
+    QueryDef("q274_qini_curve", qiniCurve, Some(qiniCurveSql)),
   )
 
   /** q264: CUPED variance reduction (Deng et al. 2013, "Improving the
@@ -2423,6 +2425,181 @@ object EventAnalytics extends QueryModule {
       |  round(ty / tn - 1.96 * sqrt((nb - 1) * vr), 4) AS ci_lo,
       |  round(ty / tn + 1.96 * sqrt((nb - 1) * vr), 4) AS ci_hi
       |FROM s""".stripMargin
+
+  /** q273: two-proportion z-test + Wilson intervals for conversion —
+    * the canonical binary-outcome experiment readout (did the variant
+    * move the high-value-purchase rate?): pooled-variance z on the converter
+    * proportions, algebraic normal-tail p (same Lin approximation as
+    * q269 so both engines agree bit-for-bit), and a Wilson 95% score
+    * interval per variant (the interval that behaves at small n and
+    * extreme rates, vs the Wald interval's collapse). Complements
+    * q119/q264/q269 (means) with the proportions side of the A/B
+    * toolkit.
+    *
+    * Scale shape: one user-keyed conditional aggregation (partial
+    * combine) → per-variant counts → pure scalar algebra on a 2-row
+    * table folded to one readout row.
+    */
+  def twoProportionTest(spark: SparkSession, dir: String): DataFrame = {
+    val z = 1.96
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 180, 1L)
+        .otherwise(0L)).as("conv"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+    def wilson(p: Column, n: Column, side: Int): Column =
+      (p + lit(z * z) / (n * 2)
+        + lit(side) * lit(z) * sqrt(p * (lit(1.0) - p) / n
+          + lit(z * z) / (n * n * 4))) / (lit(1.0) + lit(z * z) / n)
+    users.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).cast("double").as("n0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).cast("double").as("n1"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L))
+          .cast("double").as("c0"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L))
+          .cast("double").as("c1"))
+      .withColumn("p0", col("c0") / col("n0"))
+      .withColumn("p1", col("c1") / col("n1"))
+      .withColumn("pp", (col("c0") + col("c1")) / (col("n0") + col("n1")))
+      .withColumn("zstat", (col("p1") - col("p0"))
+        / sqrt(col("pp") * (lit(1.0) - col("pp"))
+          * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))))
+      .select(
+        col("n0").cast("bigint").as("n_control"),
+        col("n1").cast("bigint").as("n_treat"),
+        col("c0").cast("bigint").as("conv_control"),
+        col("c1").cast("bigint").as("conv_treat"),
+        round(col("p0"), 4).as("rate_control"),
+        round(col("p1"), 4).as("rate_treat"),
+        round(col("zstat"), 4).as("z_stat"),
+        round(least(lit(1.0), exp(lit(-0.717) * abs(col("zstat"))
+          - lit(0.416) * col("zstat") * col("zstat"))), 6).as("p_value"),
+        round(wilson(col("p0"), col("n0"), -1), 4).as("wilson_lo_control"),
+        round(wilson(col("p0"), col("n0"), 1), 4).as("wilson_hi_control"),
+        round(wilson(col("p1"), col("n1"), -1), 4).as("wilson_lo_treat"),
+        round(wilson(col("p1"), col("n1"), 1), 4).as("wilson_hi_treat"))
+  }
+
+  private val twoProportionTestSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS conv,
+      |    user_id % 2 AS variant
+      |  FROM events GROUP BY user_id
+      |), g AS (
+      |  SELECT
+      |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::DOUBLE AS n0,
+      |    sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::DOUBLE AS n1,
+      |    sum(CASE WHEN variant = 0 THEN conv ELSE 0 END)::DOUBLE AS c0,
+      |    sum(CASE WHEN variant = 1 THEN conv ELSE 0 END)::DOUBLE AS c1
+      |  FROM u
+      |), d AS (
+      |  SELECT *, c0 / n0 AS p0, c1 / n1 AS p1,
+      |    (c0 + c1) / (n0 + n1) AS pp
+      |  FROM g
+      |), zt AS (
+      |  SELECT *,
+      |    (p1 - p0) / sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)) AS zstat
+      |  FROM d
+      |)
+      |SELECT n0::BIGINT AS n_control, n1::BIGINT AS n_treat,
+      |  c0::BIGINT AS conv_control, c1::BIGINT AS conv_treat,
+      |  round(p0, 4) AS rate_control, round(p1, 4) AS rate_treat,
+      |  round(zstat, 4) AS z_stat,
+      |  round(least(1.0, exp(-0.717 * abs(zstat) - 0.416 * zstat * zstat)), 6)
+      |    AS p_value,
+      |  round((p0 + (1.96 * 1.96) / (2 * n0) - 1.96 * sqrt(p0 * (1.0 - p0) / n0
+      |    + (1.96 * 1.96) / (4 * n0 * n0))) / (1.0 + (1.96 * 1.96) / n0), 4)
+      |    AS wilson_lo_control,
+      |  round((p0 + (1.96 * 1.96) / (2 * n0) + 1.96 * sqrt(p0 * (1.0 - p0) / n0
+      |    + (1.96 * 1.96) / (4 * n0 * n0))) / (1.0 + (1.96 * 1.96) / n0), 4)
+      |    AS wilson_hi_control,
+      |  round((p1 + (1.96 * 1.96) / (2 * n1) - 1.96 * sqrt(p1 * (1.0 - p1) / n1
+      |    + (1.96 * 1.96) / (4 * n1 * n1))) / (1.0 + (1.96 * 1.96) / n1), 4)
+      |    AS wilson_lo_treat,
+      |  round((p1 + (1.96 * 1.96) / (2 * n1) + 1.96 * sqrt(p1 * (1.0 - p1) / n1
+      |    + (1.96 * 1.96) / (4 * n1 * n1))) / (1.0 + (1.96 * 1.96) / n1), 4)
+      |    AS wilson_hi_treat
+      |FROM zt""".stripMargin
+
+  /** q274: Qini curve — uplift quality by score decile, the standard
+    * audit of a targeting model: rank users by a score (here the
+    * deterministic pre-period activity count, the covariate q264 uses),
+    * cut into deciles, and per cumulative decile compare treated
+    * conversions against control conversions scaled to the treated
+    * exposure: qini(k) = Yt(k) − Yc(k)·Nt(k)/Nc(k). A useful score
+    * front-loads uplift (steep early curve); a useless one tracks the
+    * diagonal. Treatment is the user-id parity split, outcome the
+    * q273 high-value-purchase conversion.
+    *
+    * Scale shape: ONE event pass into user-keyed (score, outcome)
+    * aggregates; the user-domain decile cut routes through the
+    * [[ScaledWindows]] 2-pass global ntile (range-partitioned, no
+    * single-reducer sort — q200's discipline); the cumulative curve is
+    * a 10-row window on the decile AGGREGATE.
+    */
+  def qiniCurve(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < cut, 1L).otherwise(0L)).as("score"),
+        max(when(col("event_type") === "purchase" && col("value") > 180
+          && col("ts") >= cut, 1L).otherwise(0L)).as("y"))
+      .withColumn("treated", pmod(col("user_id"), lit(2)))
+    val deciled = ScaledWindows.ntile(users,
+      Seq(col("score").desc, col("user_id")), 10, "decile")
+    val perDecile = deciled.groupBy(col("decile"))
+      .agg(
+        sum(when(col("treated") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treated") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("treated") === 1, col("y")).otherwise(0L)).as("y_t"),
+        sum(when(col("treated") === 0, col("y")).otherwise(0L)).as("y_c"))
+    val wCum = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDecile
+      .withColumn("cum_nt", sum(col("n_t")).over(wCum))
+      .withColumn("cum_nc", sum(col("n_c")).over(wCum))
+      .withColumn("cum_yt", sum(col("y_t")).over(wCum))
+      .withColumn("cum_yc", sum(col("y_c")).over(wCum))
+      .select(col("decile"),
+        col("n_t").cast("bigint").as("n_t"), col("n_c").cast("bigint").as("n_c"),
+        col("cum_yt").cast("bigint").as("cum_conv_treat"),
+        col("cum_yc").cast("bigint").as("cum_conv_control"),
+        round(col("cum_yt") - col("cum_yc").cast("double")
+          * col("cum_nt") / col("cum_nc"), 4).as("qini"))
+      .orderBy(col("decile"))
+  }
+
+  private val qiniCurveSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS score,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 180
+      |        AND ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS y,
+      |    user_id % 2 AS treated
+      |  FROM events GROUP BY user_id
+      |), d AS (
+      |  SELECT *, ntile(10) OVER (ORDER BY score DESC, user_id) AS decile FROM u
+      |), g AS (
+      |  SELECT decile,
+      |    sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS n_t,
+      |    sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS n_c,
+      |    sum(CASE WHEN treated = 1 THEN y ELSE 0 END) AS y_t,
+      |    sum(CASE WHEN treated = 0 THEN y ELSE 0 END) AS y_c
+      |  FROM d GROUP BY decile
+      |), c AS (
+      |  SELECT decile, n_t, n_c,
+      |    sum(y_t) OVER w AS cum_yt, sum(y_c) OVER w AS cum_yc,
+      |    sum(n_t) OVER w AS cum_nt, sum(n_c) OVER w AS cum_nc
+      |  FROM g
+      |  WINDOW w AS (ORDER BY decile
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT decile, n_t::BIGINT AS n_t, n_c::BIGINT AS n_c,
+      |  cum_yt::BIGINT AS cum_conv_treat, cum_yc::BIGINT AS cum_conv_control,
+      |  round(cum_yt - cum_yc::DOUBLE * cum_nt / cum_nc, 4) AS qini
+      |FROM c ORDER BY decile""".stripMargin
 
   /** q269: Benjamini–Hochberg FDR control over a battery of A/B metric
     * tests — the multiple-comparisons step every experimentation
