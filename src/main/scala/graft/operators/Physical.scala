@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.functions.ZOrderFunctions.zorder2
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -386,7 +386,104 @@ object Physical extends QueryModule {
       |  SELECT unnest(['csv', 'json', 'orc', 'parquet']) AS format) f
       |ORDER BY f.format""".stripMargin
 
+  /** q276: consistent-hashing rebalance audit — how much data MOVES
+    * when the shard count grows 16 → 20, ring hashing vs mod hashing.
+    * Mod hashing reassigns ~1 − gcd/lcm of the keys (here 80%); a
+    * hash ring with virtual nodes moves only the arc the new nodes
+    * claim (~new/total = 20%) — THE property that makes shard/cache
+    * topology changes survivable at 100 TB, quantified on real keys.
+    *
+    * Both ring positions derive from the portable md5 uniform (the
+    * q257/q268 idiom) so Spark and the oracle build the identical
+    * ring with no RNG state. Assignment = the lowest vnode position
+    * ≥ the doc's position (wrap to the global minimum) — resolved
+    * with min-aggregates against the BROADCAST vnode table (S·R ≤ 160
+    * rows); no shuffle beyond the final 1-row aggregation.
+    */
+  def consistentHashing(spark: SparkSession, dir: String): DataFrame = {
+    val two60 = math.pow(2.0, 60)
+    def mdU(s: Column): Column =
+      (conv(substring(md5(s), 1, 15), 16, 10).cast("bigint") + 0.5) / two60
+    def vnodes(nShards: Int): DataFrame = {
+      val rows = spark.range(nShards).select(col("id").cast("int").as("shard"))
+        .crossJoin(spark.range(8).select(col("id").cast("int").as("replica")))
+      rows.select(col("shard"),
+        mdU(concat(lit("n:"), col("shard").cast("string"), lit(":"),
+          col("replica").cast("string"))).as("vu"))
+    }
+    def assign(docs: DataFrame, vn: DataFrame, out: String): DataFrame = {
+      val j = docs.crossJoin(broadcast(vn))
+      j.groupBy(col("doc_id"), col("du"))
+        .agg(
+          min(when(col("vu") >= col("du"), struct(col("vu"), col("shard")))).as("nx"),
+          min(struct(col("vu"), col("shard"))).as("wr"))
+        .select(col("doc_id"), col("du"),
+          coalesce(col("nx.shard"), col("wr.shard")).as(out))
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        mdU(concat(lit("d:"), col("doc_id").cast("string"))).as("du"))
+    val r16 = assign(docs, vnodes(16), "s16")
+    val r20 = assign(docs, vnodes(20), "s20")
+    r16.join(r20, Seq("doc_id"))
+      .withColumn("m16", pmod(col("doc_id"), lit(16)))
+      .withColumn("m20", pmod(col("doc_id"), lit(20)))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("s16") =!= col("s20"), 1L).otherwise(0L))
+          .cast("bigint").as("moved_ring"),
+        sum(when(col("m16") =!= col("m20"), 1L).otherwise(0L))
+          .cast("bigint").as("moved_mod"))
+      .withColumn("frac_ring",
+        round(col("moved_ring").cast("double") / col("n_docs"), 4))
+      .withColumn("frac_mod",
+        round(col("moved_mod").cast("double") / col("n_docs"), 4))
+  }
+
+  private val consistentHashingSql = {
+    val u = (s: String) =>
+      s"(list_reduce(list_transform(generate_series(1, 15), " +
+        s"i -> strpos('0123456789abcdef', substring(md5($s), i, 1)) - 1), " +
+        s"(acc, d) -> acc * 16 + d) + 0.5) / ${math.pow(2.0, 60)}"
+    s"""WITH docs AS (
+       |  SELECT doc_id, ${u("'d:' || doc_id::VARCHAR")} AS du FROM documents
+       |), vn AS (
+       |  SELECT n.n AS n_shards, s.s AS shard,
+       |    ${u("'n:' || s.s::VARCHAR || ':' || r.r::VARCHAR")} AS vu
+       |  FROM (SELECT unnest([16, 20]) AS n) n,
+       |       unnest(generate_series(0, 19)) s(s),
+       |       unnest(generate_series(0, 7)) r(r)
+       |  WHERE s.s < n.n
+       |), asg AS (
+       |  SELECT d.doc_id, v.n_shards,
+       |    coalesce(
+       |      min(CASE WHEN v.vu >= d.du THEN v.vu END),
+       |      min(v.vu)) AS chosen_vu
+       |  FROM docs d CROSS JOIN vn v
+       |  WHERE v.n_shards IN (16, 20)
+       |  GROUP BY 1, 2
+       |), shardof AS (
+       |  SELECT a.doc_id, a.n_shards, v.shard
+       |  FROM asg a JOIN vn v
+       |    ON v.n_shards = a.n_shards AND v.vu = a.chosen_vu
+       |), wide AS (
+       |  SELECT s16.doc_id, s16.shard AS s16, s20.shard AS s20
+       |  FROM shardof s16 JOIN shardof s20
+       |    ON s16.doc_id = s20.doc_id AND s16.n_shards = 16 AND s20.n_shards = 20
+       |)
+       |SELECT count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN s16 <> s20 THEN 1 ELSE 0 END)::BIGINT AS moved_ring,
+       |  sum(CASE WHEN doc_id % 16 <> doc_id % 20 THEN 1 ELSE 0 END)::BIGINT
+       |    AS moved_mod,
+       |  round(sum(CASE WHEN s16 <> s20 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+       |    AS frac_ring,
+       |  round(sum(CASE WHEN doc_id % 16 <> doc_id % 20 THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 4) AS frac_mod
+       |FROM wide""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q276_consistent_hashing", consistentHashing,
+      Some(consistentHashingSql)),
     QueryDef("q108_zorder_profile", zorderProfile, Some(zorderProfileSql)),
     QueryDef("q109_table_stats", tableStats, Some(tableStatsSql)),
     QueryDef("q128_shard_plan", shardPlan, Some(shardPlanSql)),

@@ -1459,6 +1459,58 @@ object Similarity extends QueryModule {
       |  count(*)::BIGINT AS n_pairs, round(avg(ratio), 4) AS mean_ratio
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q275: embedding-space drift between two populations — per-dimension
+    * standardized mean difference (SMD) and variance ratio between label
+    * groups A (label < 4) and B (rest), the monitoring check that
+    * catches an embedding-model upgrade or a data-mix shift silently
+    * rotating the space (the embedding analogue of q118's PSI on
+    * scalar features). SMD = (μA−μB)/√((σ²A+σ²B)/2) is the standard
+    * balance diagnostic; |SMD| > 0.1 is the conventional flag.
+    *
+    * Scale shape: one posexplode pass into (dim × group) moment
+    * aggregates — 128 rows of state regardless of corpus size, partial
+    * map-side combine; everything downstream is algebra on the 64-row
+    * dim table.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val moments = Tables.embeddings(spark, dir)
+      .select((col("label") < 4).as("is_a"), posexplode(asDouble(col("embedding"))))
+      .groupBy(col("pos"), col("is_a"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("col")).as("s"), sum(col("col") * col("col")).as("q"))
+      .withColumn("m", col("s") / col("n"))
+      .withColumn("v", (col("q") - col("s") * col("s") / col("n")) / col("n"))
+    val a = moments.filter(col("is_a")).select(col("pos"),
+      col("m").as("m_a"), col("v").as("v_a"))
+    val b = moments.filter(!col("is_a")).select(col("pos"),
+      col("m").as("m_b"), col("v").as("v_b"))
+    a.join(b, Seq("pos"))
+      .select(col("pos").cast("int").as("dim"),
+        round(col("m_a"), 4).as("mean_a"), round(col("m_b"), 4).as("mean_b"),
+        round((col("m_a") - col("m_b"))
+          / sqrt((col("v_a") + col("v_b")) / 2), 4).as("smd"),
+        round(col("v_a") / col("v_b"), 4).as("var_ratio"))
+      .orderBy(col("dim"))
+  }
+
+  private val embeddingDriftSql =
+    """WITH u AS (
+      |  SELECT label < 4 AS is_a, t.i - 1 AS pos, embedding[t.i]::DOUBLE AS x
+      |  FROM embeddings, unnest(generate_series(1, 64)) t(i)
+      |), m AS (
+      |  SELECT pos, is_a, count(*)::DOUBLE AS n,
+      |    sum(x) AS s, sum(x * x) AS q
+      |  FROM u GROUP BY 1, 2
+      |), d AS (
+      |  SELECT pos, is_a, s / n AS m, (q - s * s / n) / n AS v FROM m
+      |)
+      |SELECT a.pos::INT AS dim,
+      |  round(a.m, 4) AS mean_a, round(b.m, 4) AS mean_b,
+      |  round((a.m - b.m) / sqrt((a.v + b.v) / 2), 4) AS smd,
+      |  round(a.v / b.v, 4) AS var_ratio
+      |FROM d a JOIN d b ON a.pos = b.pos AND a.is_a AND NOT b.is_a
+      |ORDER BY dim""".stripMargin
+
   override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_knn_bruteforce", knnQuery, Some(knnOracleSql), benchmark = true),
     QueryDef("q57_semantic_search", semanticSearch, Some(semanticSearchSql)),
@@ -1481,6 +1533,7 @@ object Similarity extends QueryModule {
       Some(embeddingCovarianceSql)),
     QueryDef("q266_silhouette", silhouette, Some(silhouetteSql)),
     QueryDef("q268_jl_projection", jlProjection, Some(jlProjectionSql)),
+    QueryDef("q275_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
   )
 
   /** q202: semantic source composition — the cross-modal auto-labeling
