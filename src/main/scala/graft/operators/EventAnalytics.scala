@@ -2321,6 +2321,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q269_bh_fdr", bhFdr, Some(bhFdrSql)),
     QueryDef("q273_two_proportion", twoProportionTest, Some(twoProportionTestSql)),
     QueryDef("q274_qini_curve", qiniCurve, Some(qiniCurveSql)),
+    QueryDef("q277_shapley_attribution", shapleyAttribution, Some(shapleyAttributionSql)),
   )
 
   /** q264: CUPED variance reduction (Deng et al. 2013, "Improving the
@@ -2600,6 +2601,84 @@ object EventAnalytics extends QueryModule {
       |  cum_yt::BIGINT AS cum_conv_treat, cum_yc::BIGINT AS cum_conv_control,
       |  round(cum_yt - cum_yc::DOUBLE * cum_nt / cum_nc, 4) AS qini
       |FROM c ORDER BY decile""".stripMargin
+
+  /** q277: exact Shapley-value channel attribution — the game-theoretic
+    * answer to "which touchpoint deserves the conversion credit":
+    * coalition value v(S) = conversion rate of users whose touched
+    * channel set is exactly S, and each channel's Shapley value is the
+    * weighted average of its marginal contribution v(S∪{i}) − v(S)
+    * over all coalitions. With 3 channels the 2³ coalition table is
+    * exact (no sampling); marketing stacks run the same computation
+    * with sampled permutations at higher channel counts. Complements
+    * q111 (last-touch) and q122 (linear) with the order-free,
+    * axiomatically fair attribution.
+    *
+    * Scale shape: one event pass into user-keyed channel bitmasks →
+    * an 8-row coalition table; the Shapley sum is a 12-row literal
+    * (channel, S, S∪{i}, weight) joined twice against that table.
+    * Everything after the first pass is constant-size algebra.
+    */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        (max(when(col("event_type") === "click", 1L).otherwise(0L))
+          + max(when(col("event_type") === "view", 2L).otherwise(0L))
+          + max(when(col("event_type") === "signup", 4L).otherwise(0L))).as("mask"),
+        max(when(col("event_type") === "purchase" && col("value") > 180, 1L)
+          .otherwise(0L)).as("y"))
+    val v = users.groupBy(col("mask"))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("y")).cast("double").as("c"))
+      .select(col("mask"), (col("c") / col("n")).as("v"))
+    // (channel, coalition-without, weight |S|!(3-|S|-1)!/3!) for all S ∌ i
+    val terms = Seq(
+      ("click", 1L), ("view", 2L), ("signup", 4L)
+    ).flatMap { case (name, bit) =>
+      (0L to 7L).filter(s => (s & bit) == 0).map { s =>
+        val size = java.lang.Long.bitCount(s)
+        val w = (1 to size).product.toDouble *
+          (1 to (3 - size - 1)).product.toDouble / 6.0
+        (name, s, s | bit, w)
+      }
+    }.toDF("channel", "s_without", "s_with", "w")
+    terms
+      .join(v.select(col("mask").as("s_without"), col("v").as("v0")),
+        Seq("s_without"), "left")
+      .join(v.select(col("mask").as("s_with"), col("v").as("v1")),
+        Seq("s_with"), "left")
+      .groupBy(col("channel"))
+      .agg(round(sum(col("w") * (coalesce(col("v1"), lit(0.0))
+        - coalesce(col("v0"), lit(0.0)))), 4).as("shapley"))
+      .orderBy(col("channel"))
+  }
+
+  private val shapleyAttributionSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      + max(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END)
+      |      + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS mask,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 180
+      |        THEN 1 ELSE 0 END) AS y
+      |  FROM events GROUP BY user_id
+      |), v AS (
+      |  SELECT mask, sum(y)::DOUBLE / count(*) AS v FROM u GROUP BY mask
+      |), terms AS (
+      |  SELECT ch.channel, ch.bit, s.s AS s_without, s.s + ch.bit AS s_with,
+      |    CASE bit_count(s.s::BIGINT)
+      |      WHEN 0 THEN 2.0 / 6 WHEN 1 THEN 1.0 / 6 WHEN 2 THEN 2.0 / 6
+      |    END AS w
+      |  FROM (VALUES ('click', 1), ('view', 2), ('signup', 4)) ch(channel, bit),
+      |       unnest(generate_series(0, 7)) s(s)
+      |  WHERE (s.s & ch.bit) = 0
+      |)
+      |SELECT t.channel,
+      |  round(sum(t.w * (coalesce(v1.v, 0) - coalesce(v0.v, 0))), 4) AS shapley
+      |FROM terms t
+      |LEFT JOIN v v0 ON v0.mask = t.s_without
+      |LEFT JOIN v v1 ON v1.mask = t.s_with
+      |GROUP BY t.channel ORDER BY t.channel""".stripMargin
 
   /** q269: Benjamini–Hochberg FDR control over a battery of A/B metric
     * tests — the multiple-comparisons step every experimentation
