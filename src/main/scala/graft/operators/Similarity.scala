@@ -1532,7 +1532,8 @@ object Similarity extends QueryModule {
     QueryDef("q262_embedding_covariance", embeddingCovariance,
       Some(embeddingCovarianceSql)),
     QueryDef("q266_silhouette", silhouette, Some(silhouetteSql)),
-    QueryDef("q268_jl_projection", jlProjection, Some(jlProjectionSql)),
+    QueryDef("q268_jl_projection", jlProjection, Some(jlProjectionSql),
+      benchmark = true),
     QueryDef("q275_embedding_drift", embeddingDrift, Some(embeddingDriftSql)),
   )
 

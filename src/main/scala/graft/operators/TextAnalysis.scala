@@ -1417,6 +1417,7 @@ object TextAnalysis extends QueryModule {
     QueryDef("q162_word_burstiness", wordBurstiness, Some(wordBurstinessSql)),
     QueryDef("q165_kwic", kwic, Some(kwicSql)),
     QueryDef("q176_containment_pairs", containmentPairs, Some(containmentPairsSql)),
-    QueryDef("q263_dup_span_coverage", dupSpanCoverage, Some(dupSpanCoverageSql)),
+    QueryDef("q263_dup_span_coverage", dupSpanCoverage, Some(dupSpanCoverageSql),
+      benchmark = true),
   )
 }

@@ -52,6 +52,16 @@ class WindowGuardSpec extends AnyFunSuite {
       "day spine: calendar-bounded"),
     Allowed("EventAnalytics.scala", """val wCum = Window.orderBy(col("bin"))""",
       "histogram bin spine: fixed bin count"),
+    Allowed("EventAnalytics.scala", """val wRank = Window.orderBy(col("p"), col("event_type"), col("dow"))""",
+      "q269 BH test battery: 35 (event_type x weekday) cells"),
+    Allowed("EventAnalytics.scala", """val wAll = Window.partitionBy()""",
+      "q269 BH test battery: 35 cells (m and step-up cummax)"),
+    Allowed("EventAnalytics.scala", """val wCum = Window.orderBy(col("decile"))""",
+      "q274 Qini decile spine: 10 rows"),
+    Allowed("CorpusStats.scala", """val wAsc = Window.orderBy(col("n"), col("source"))""",
+      "q271 water-filling source spine: |sources| rows"),
+    Allowed("CorpusStats.scala", """val wAll = Window.partitionBy()""",
+      "q271 water-filling source totals: |sources| rows"),
     // --- Physical: frequency-of-frequency histogram
     Allowed("Physical.scala", """val wCum = Window.orderBy(col("c"))""",
       "multiplicity histogram: |distinct per-key counts| rows, sublinear"),
