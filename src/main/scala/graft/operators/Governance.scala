@@ -559,8 +559,97 @@ object Governance extends QueryModule {
       |) AS v(metric, value)
       |ORDER BY metric""".stripMargin
 
+  /** q278: k-anonymity / l-diversity audit — the release-readiness
+    * check a governance review runs before publishing a dataset keyed
+    * by quasi-identifiers: group users by the QI tuple (event mix
+    * bucket × weekday-of-first-event × value band), report the
+    * equivalence-class size distribution, the share of users in
+    * classes smaller than k = 5 (re-identifiable under linkage), and
+    * each class's l-diversity (distinct values of the sensitive
+    * attribute — the dominant event type). Complements q97/q185
+    * (free-text PII) and q257 (DP release) with the tabular-release
+    * side of the privacy toolkit.
+    *
+    * Scale shape: one user-keyed aggregation pass, one QI-keyed
+    * aggregation; the report rolls up class sizes (a histogram-sized
+    * relation). Nothing driver-side.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_ev"),
+        min(col("ts")).as("first_ts"),
+        sum(col("value")).as("spend"))
+    // dominant event type needs a per-(user, type) count first
+    val dom = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(max_by(col("event_type"), struct(col("c"), col("event_type")))
+        .as("dominant_type"))
+    val qi = users.join(dom, Seq("user_id"))
+      .select(col("user_id"), col("dominant_type"),
+        // quasi-identifiers: activity band, first-seen weekday, spend band
+        (floor(log(col("n_ev").cast("double")) / math.log(2.0))).cast("int")
+          .as("activity_band"),
+        dayofweek(col("first_ts")).cast("int").as("first_dow"),
+        floor(col("spend") / 1000).cast("int").as("spend_band"))
+    val classes = qi.groupBy(col("activity_band"), col("first_dow"), col("spend_band"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("dominant_type")).as("l_div"))
+    classes.agg(
+        count(lit(1)).cast("bigint").as("n_classes"),
+        sum(col("class_size")).cast("bigint").as("n_users"),
+        min(col("class_size")).cast("bigint").as("min_class"),
+        sum(when(col("class_size") < 5, col("class_size")).otherwise(0L))
+          .cast("bigint").as("users_below_k5"),
+        round(sum(when(col("class_size") < 5, col("class_size")).otherwise(0L))
+          .cast("double") / sum(col("class_size")), 4).as("frac_below_k5"),
+        min(col("l_div")).cast("bigint").as("min_l_diversity"),
+        round(avg(col("l_div")), 4).as("avg_l_diversity"))
+  }
+
+  private val kAnonymitySql =
+    """WITH u AS (
+      |  SELECT user_id, count(*) AS n_ev, min(ts) AS first_ts,
+      |    sum(value) AS spend
+      |  FROM events GROUP BY user_id
+      |), pt AS (
+      |  SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY user_id, event_type
+      |), dom AS (
+      |  SELECT user_id, event_type AS dominant_type FROM (
+      |    SELECT user_id, event_type,
+      |      row_number() OVER (PARTITION BY user_id
+      |                         ORDER BY c DESC, event_type DESC) AS rn
+      |    FROM pt) WHERE rn = 1
+      |), qi AS (
+      |  SELECT u.user_id, dom.dominant_type,
+      |    floor(ln(u.n_ev::DOUBLE) / ln(2.0))::INT AS activity_band,
+      |    (dayofweek(u.first_ts) + 1)::INT AS first_dow,
+      |    floor(u.spend / 1000)::INT AS spend_band
+      |  FROM u JOIN dom USING (user_id)
+      |), cls AS (
+      |  SELECT activity_band, first_dow, spend_band,
+      |    count(*) AS class_size,
+      |    count(DISTINCT dominant_type) AS l_div
+      |  FROM qi GROUP BY 1, 2, 3
+      |)
+      |SELECT count(*)::BIGINT AS n_classes,
+      |  sum(class_size)::BIGINT AS n_users,
+      |  min(class_size)::BIGINT AS min_class,
+      |  sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)::BIGINT
+      |    AS users_below_k5,
+      |  round(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)::DOUBLE
+      |    / sum(class_size), 4) AS frac_below_k5,
+      |  min(l_div)::BIGINT AS min_l_diversity,
+      |  round(avg(l_div), 4) AS avg_l_diversity
+      |FROM cls""".stripMargin
+
   override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q257_dp_count_release", dpCountRelease, Some(dpCountReleaseSql)),
+    QueryDef("q278_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("q260_corpus_datasheet", corpusDatasheet,
       Some(corpusDatasheetSql)),
     QueryDef("q97_pii_scrub", piiScrub, Some(piiScrubSql)),
