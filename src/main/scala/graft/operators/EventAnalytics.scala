@@ -2322,6 +2322,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q273_two_proportion", twoProportionTest, Some(twoProportionTestSql)),
     QueryDef("q274_qini_curve", qiniCurve, Some(qiniCurveSql)),
     QueryDef("q277_shapley_attribution", shapleyAttribution, Some(shapleyAttributionSql)),
+    QueryDef("q279_offline_policy_eval", offlinePolicyEval, Some(offlinePolicyEvalSql)),
   )
 
   /** q264: CUPED variance reduction (Deng et al. 2013, "Improving the
@@ -2679,6 +2680,61 @@ object EventAnalytics extends QueryModule {
       |LEFT JOIN v v0 ON v0.mask = t.s_without
       |LEFT JOIN v v1 ON v1.mask = t.s_with
       |GROUP BY t.channel ORDER BY t.channel""".stripMargin
+
+  /** q279: offline policy evaluation (IPS / SNIPS) — the counterfactual
+    * question every recommender/bandit team asks of logged data: "what
+    * reward WOULD a new policy have earned?" Inverse-propensity
+    * scoring reweights logged (action, reward) pairs by
+    * 1[π(x) = a]/p_log(a); SNIPS normalizes by the weight mass, the
+    * standard variance fix. Here the log is the event stream (action =
+    * event type, uniform logging propensity 1/5 over the five types,
+    * reward = high-value purchase indicator), and the target policy is
+    * a deterministic context rule (engaged users → 'purchase', others →
+    * 'click'). Evaluating a policy becomes ONE pass over logs — no
+    * simulator, no online test.
+    *
+    * Scale shape: a user-keyed context pass (activity), then a
+    * map-side weighted aggregation over events joined to the
+    * per-user context — two shuffles, both partial-aggregated, output
+    * one readout row.
+    */
+  def offlinePolicyEval(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+      .withColumn("target_action",
+        when(col("n_ev") >= 67, lit("purchase")).otherwise(lit("click")))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("a"),
+        when(col("event_type") === "purchase" && col("value") > 180, 1.0)
+          .otherwise(0.0).as("r"))
+      .join(ctx, Seq("user_id"))
+      .withColumn("w", when(col("a") === col("target_action"), lit(5.0))
+        .otherwise(lit(0.0)))
+      .agg(count(lit(1)).cast("bigint").as("n_logged"),
+        round(avg(col("r")), 6).as("logged_value"),
+        round(avg(col("r") * col("w")), 6).as("ips_value"),
+        round(sum(col("r") * col("w")) / sum(col("w")), 6).as("snips_value"),
+        round(avg(when(col("w") > 0, 1.0).otherwise(0.0)), 4).as("match_rate"))
+  }
+
+  private val offlinePolicyEvalSql =
+    """WITH ctx AS (
+      |  SELECT user_id, count(*) AS n_ev,
+      |    CASE WHEN count(*) >= 67 THEN 'purchase' ELSE 'click' END AS target_action
+      |  FROM events GROUP BY user_id
+      |), lg AS (
+      |  SELECT e.user_id, e.event_type AS a,
+      |    CASE WHEN e.event_type = 'purchase' AND e.value > 180
+      |      THEN 1.0 ELSE 0.0 END AS r,
+      |    CASE WHEN e.event_type = c.target_action THEN 5.0 ELSE 0.0 END AS w
+      |  FROM events e JOIN ctx c USING (user_id)
+      |)
+      |SELECT count(*)::BIGINT AS n_logged,
+      |  round(avg(r), 6) AS logged_value,
+      |  round(avg(r * w), 6) AS ips_value,
+      |  round(sum(r * w) / sum(w), 6) AS snips_value,
+      |  round(avg(CASE WHEN w > 0 THEN 1.0 ELSE 0.0 END), 4) AS match_rate
+      |FROM lg""".stripMargin
 
   /** q269: Benjamini–Hochberg FDR control over a battery of A/B metric
     * tests — the multiple-comparisons step every experimentation
