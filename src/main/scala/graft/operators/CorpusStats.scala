@@ -801,6 +801,147 @@ object CorpusStats extends QueryModule {
       |  round(avg(n_chars), 4) AS mean_raw, round(avg(vn), 4) AS mean_norm
       |FROM y GROUP BY source ORDER BY source""".stripMargin
 
+  /** q280: add-one smoothed bigram LM perplexity per source — the
+    * next-order companion to q251's unigram model: p(b|a) =
+    * (c₂(a,b)+1)/(c₁(a)+V) over corpus-global counts, scored on each
+    * source's own bigram stream, PPL = exp(−mean ln p). Sources whose
+    * word ORDER deviates from the corpus (not just word choice — that
+    * is q251) surface with higher bigram perplexity; the spread
+    * between the two models is the classic fluency-vs-topicality
+    * diagnostic used in corpus QA.
+    *
+    * Scale shape: bigram and unigram count tables are vocabulary-
+    * sized with map-side partial aggregation; scoring joins each
+    * source's bigram instances to the count tables on the word keys —
+    * the same two-shuffle profile as q96's DSIR weights. The vocab
+    * scalar rides along as a broadcast 1-row cross join.
+    */
+  def bigramPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val pairs = toks.select(col("source"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("a"),
+            element_at(col("t"), i + 2).as("b")))).as("p"))
+      .select(col("source"), col("p.a").as("a"), col("p.b").as("b"))
+    val c2 = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy(col("a")).agg(count(lit(1)).as("c1"))
+    val v = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    pairs
+      .join(c2, Seq("a", "b"))
+      .join(c1, Seq("a"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp", log((col("c2") + 1).cast("double") / (col("c1") + col("v"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_bigrams"),
+        round(exp(-avg(col("lp"))), 4).as("bigram_ppl"))
+      .orderBy(col("source"))
+  }
+
+  private val bigramPerplexitySql =
+    """WITH t AS (
+      |  SELECT source, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2
+      |), pairs AS (
+      |  SELECT source,
+      |    unnest(list_transform(generate_series(1, len(t) - 1),
+      |      i -> struct_pack(a := t[i], b := t[i + 1]))) AS p
+      |  FROM t
+      |), pr AS (
+      |  SELECT source, p.a AS a, p.b AS b FROM pairs
+      |), c2 AS (
+      |  SELECT a, b, count(*) AS c2 FROM pr GROUP BY a, b
+      |), c1 AS (
+      |  SELECT a, count(*) AS c1 FROM pr GROUP BY a
+      |), v AS (
+      |  SELECT count(DISTINCT w) AS v FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |)
+      |SELECT pr.source, count(*)::BIGINT AS n_bigrams,
+      |  round(exp(-avg(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)))), 4)
+      |    AS bigram_ppl
+      |FROM pr JOIN c2 USING (a, b) JOIN c1 USING (a) CROSS JOIN v
+      |GROUP BY pr.source ORDER BY pr.source""".stripMargin
+
+  /** q286: term–source mutual information — the feature-selection
+    * ranking (Manning & Schütze §13.5) behind "which words identify a
+    * source": MI(T; S) = Σ_{x∈{0,1}, s} p(x,s)·ln(p(x,s)/(p(x)p(s)))
+    * over document-level term PRESENCE, computed for the 20 highest-df
+    * terms. High-MI terms are source fingerprints (a leakage signal
+    * for train/test splits); near-zero MI means the term carries no
+    * source information. Complements q95's weighted log-odds (which
+    * contrasts ONE source vs rest) with the symmetric all-source
+    * statistic. Zero cells contribute 0 (lim p·ln p); all cell
+    * probabilities are ratios of exact integer counts.
+    *
+    * Scale shape: presence counts are one (word,source)-keyed
+    * aggregation with map-side partials; the top-20 selection is a
+    * partial top-k (TakeOrderedAndProject), and the MI algebra runs on
+    * a broadcast 20×|sources| spine — vocabulary-sized work, no
+    * second pass over documents.
+    */
+  def termSourceMi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val presence = docs
+      .select(col("source"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .groupBy(col("w"), col("source")).agg(count(lit(1)).as("n11"))
+    val df = presence.groupBy(col("w")).agg(sum(col("n11")).as("df"))
+    val top = df.orderBy(col("df").desc, col("w")).limit(20)
+    val srcTotals = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("ns"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val spine = broadcast(top).crossJoin(broadcast(srcTotals))
+      .crossJoin(broadcast(n))
+      .join(presence, Seq("w", "source"), "left")
+      .withColumn("a", coalesce(col("n11"), lit(0L)).cast("double"))
+      .withColumn("b", (col("ns") - coalesce(col("n11"), lit(0L))).cast("double"))
+    val nT = col("n_total").cast("double")
+    val mi1 = when(col("a") > 0,
+      (col("a") / nT) * log((col("a") / nT)
+        / ((col("df") / nT) * (col("ns") / nT)))).otherwise(0.0)
+    val mi0 = when(col("b") > 0,
+      (col("b") / nT) * log((col("b") / nT)
+        / (((nT - col("df")) / nT) * (col("ns") / nT)))).otherwise(0.0)
+    spine
+      .groupBy(col("w"))
+      .agg(max(col("df")).cast("bigint").as("df"),
+        round(sum(mi1 + mi0), 6).as("mi"))
+      .orderBy(col("w"))
+  }
+
+  private val termSourceMiSql =
+    """WITH pres AS (
+      |  SELECT w, source, count(*)::BIGINT AS n11 FROM (
+      |    SELECT source, unnest(list_distinct(string_split(text, ' '))) AS w
+      |    FROM documents)
+      |  GROUP BY w, source
+      |), dfx AS (
+      |  SELECT w, sum(n11)::BIGINT AS df FROM pres GROUP BY w
+      |  ORDER BY df DESC, w LIMIT 20
+      |), st AS (
+      |  SELECT source, count(*)::BIGINT AS ns FROM documents GROUP BY source
+      |), nt AS (
+      |  SELECT count(*)::BIGINT AS n_total FROM documents
+      |), spine AS (
+      |  SELECT d.w, d.df, s.source, s.ns, nt.n_total,
+      |    coalesce(p.n11, 0)::DOUBLE AS a,
+      |    (s.ns - coalesce(p.n11, 0))::DOUBLE AS b
+      |  FROM dfx d CROSS JOIN st s CROSS JOIN nt
+      |  LEFT JOIN pres p ON p.w = d.w AND p.source = s.source
+      |)
+      |SELECT w, max(df)::BIGINT AS df,
+      |  round(sum(
+      |    CASE WHEN a > 0 THEN (a / n_total) * ln((a / n_total)
+      |      / ((df::DOUBLE / n_total) * (ns::DOUBLE / n_total))) ELSE 0 END
+      |    + CASE WHEN b > 0 THEN (b / n_total) * ln((b / n_total)
+      |      / (((n_total - df)::DOUBLE / n_total) * (ns::DOUBLE / n_total)))
+      |      ELSE 0 END), 6) AS mi
+      |FROM spine GROUP BY w ORDER BY w""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q93_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
     QueryDef("q94_source_entropy", sourceEntropy, Some(sourceEntropySql)),
@@ -815,5 +956,7 @@ object CorpusStats extends QueryModule {
     QueryDef("q265_hill_tail_index", hillTailIndex, Some(hillTailIndexSql)),
     QueryDef("q271_water_filling", waterFilling, Some(waterFillingSql)),
     QueryDef("q272_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
+    QueryDef("q280_bigram_ppl", bigramPerplexity, Some(bigramPerplexitySql)),
+    QueryDef("q286_term_source_mi", termSourceMi, Some(termSourceMiSql)),
   )
 }

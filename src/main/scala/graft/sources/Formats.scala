@@ -32,4 +32,22 @@ object Formats {
       case _ => r
     }).load(path)
   }
+
+  /** Append a batch whose schema may have GROWN (new nullable columns)
+    * relative to what is already at `path` — the additive half of
+    * schema evolution every long-lived table needs. Parquet stores
+    * each file's own schema, so old files simply lack the new columns.
+    */
+  def appendEvolved(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** Read a parquet table whose files carry heterogeneous (grown)
+    * schemas: `mergeSchema` unions all per-file schemas (footer-only
+    * work, distributed) and back-fills nulls for columns a file
+    * predates. The explicit-schema `read` stays the hot path — merged
+    * reads are for evolution boundaries, where the union IS the
+    * contract. FormatsSpec pins add-a-column evolution end-to-end.
+    */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

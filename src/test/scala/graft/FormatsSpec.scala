@@ -37,4 +37,27 @@ class FormatsSpec extends SparkSpec {
       assert(back.collect().map(_.mkString("|")).toSeq === want, s"$fmt data drift")
     }
   }
+
+  test("additive schema evolution: merged read unions file schemas, nulls backfill") {
+    import TestSpark.spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString + "/t"
+    // epoch 1: (id, a)
+    Formats.appendEvolved(Seq((1L, "x"), (2L, "y")).toDF("id", "a"), dir)
+    // epoch 2: a new nullable column arrives
+    Formats.appendEvolved(Seq((3L, "z", 30)).toDF("id", "a", "b"), dir)
+    val merged = Formats.readMerged(spark, dir).orderBy(col("id"))
+    assert(merged.columns.sorted.toSeq === Seq("a", "b", "id"))
+    val rows = merged.select(col("id"), col("a"), col("b")).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.take(2).forall(_.isNullAt(2)), "old files backfill null for b")
+    assert(rows(2).getInt(2) === 30)
+    // the un-merged explicit-schema hot path still reads the old columns
+    val narrow = Formats.read(spark, "parquet", dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.StringType))))
+    assert(narrow.count() === 3L)
+  }
 }
