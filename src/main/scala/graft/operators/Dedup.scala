@@ -756,7 +756,86 @@ object Dedup extends QueryModule {
       |GROUP BY a.source, b.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** q285: Fellegi–Sunter probabilistic record linkage scoring — the
+    * classical (1969 JASA) decision framework under every entity-
+    * resolution system (Splink, dedupe.io): each candidate pair gets a
+    * log-likelihood-ratio weight Σᵢ log(mᵢ/uᵢ) over agreeing fields
+    * (log((1−mᵢ)/(1−uᵢ)) when disagreeing), then thresholds split
+    * match / clerical-review / non-match. Candidates come from
+    * deterministic blocking on (nation, mktsegment) — the FS
+    * complement to q141's edit-distance blocking and q246's
+    * Jaro–Winkler re-rank, which score SIMILARITY; FS turns field
+    * agreements into calibrated decision weights. The field m/u
+    * parameters are fixed literals (their log-odds pre-folded to exact
+    * double literals so both engines add identical constants — no
+    * cross-engine ln() drift), thresholds sit mid-gap between the 8
+    * achievable weight sums.
+    *
+    * Scale shape: blocked self-join — pairs exist only within a
+    * (nation, segment) shuffle bucket, never all-pairs; per-pair work
+    * is a constant 3-field compare. Block-size skew would salt exactly
+    * like q141 (same key family). Output is a 3-row decision readout.
+    */
+  def fellegiSunter(spark: SparkSession, dir: String): DataFrame = {
+    // log(m/u) / log((1-m)/(1-u)) for (m=.9,u=.1), (m=.9,u=.1), (m=.95,u=.01)
+    val (a1, d1) = (2.1972, -2.1972)
+    val (a2, d2) = (2.1972, -2.1972)
+    val (a3, d3) = (4.5539, -2.9857)
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+      col("c_mktsegment").as("seg"),
+      round(col("c_acctbal") * 100).cast("bigint").as("bal_c"))
+    val l = c.columns.foldLeft(c)((d, cn) => d.withColumnRenamed(cn, cn + "_l"))
+    val r = c.columns.foldLeft(c)((d, cn) => d.withColumnRenamed(cn, cn + "_r"))
+    val scored = l.join(r,
+      col("nk_l") === col("nk_r") && col("seg_l") === col("seg_r") &&
+        col("k_l") < col("k_r"))
+      .withColumn("w",
+        when(floor(col("bal_c_l") / 50000) === floor(col("bal_c_r") / 50000),
+          a1).otherwise(d1)
+        + when(pmod(col("k_l"), lit(10)) === pmod(col("k_r"), lit(10)), a2)
+          .otherwise(d2)
+        + when(pmod(col("k_l"), lit(97)) === pmod(col("k_r"), lit(97)), a3)
+          .otherwise(d3))
+      .withColumn("decision",
+        when(col("w") >= 4.0, lit("match"))
+          .when(col("w") <= -2.0, lit("non_match"))
+          .otherwise(lit("possible")))
+    scored.groupBy(col("decision"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        round(avg(col("w")), 4).as("avg_w"),
+        round(min(col("w")), 4).as("min_w"),
+        round(max(col("w")), 4).as("max_w"))
+      .orderBy(col("decision"))
+  }
+
+  private val fellegiSunterSql =
+    """WITH c AS (
+      |  SELECT c_custkey AS k, c_nationkey AS nk, c_mktsegment AS seg,
+      |    round(c_acctbal * 100)::BIGINT AS bal_c
+      |  FROM customer
+      |), p AS (
+      |  SELECT
+      |    CASE WHEN floor(l.bal_c / 50000) = floor(r.bal_c / 50000)
+      |      THEN 2.1972 ELSE -2.1972 END
+      |    + CASE WHEN l.k % 10 = r.k % 10 THEN 2.1972 ELSE -2.1972 END
+      |    + CASE WHEN l.k % 97 = r.k % 97 THEN 4.5539 ELSE -2.9857 END AS w
+      |  FROM c l JOIN c r
+      |    ON l.nk = r.nk AND l.seg = r.seg AND l.k < r.k
+      |)
+      |SELECT
+      |  CASE WHEN w >= 4.0 THEN 'match'
+      |       WHEN w <= -2.0 THEN 'non_match'
+      |       ELSE 'possible' END AS decision,
+      |  count(*)::BIGINT AS n_pairs,
+      |  round(avg(w), 4) AS avg_w,
+      |  round(min(w), 4) AS min_w,
+      |  round(max(w), 4) AS max_w
+      |FROM p
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q285_fellegi_sunter", fellegiSunter, Some(fellegiSunterSql)),
     QueryDef("q40_minhash_lsh", minHashQuery, Some(minHashOracleSql), benchmark = true),
     QueryDef("q41_simhash", simHashQuery, Some(simHashOracleSql), benchmark = true),
     QueryDef("q53_dup_groups", dupGroupsQuery, Some(dupGroupsSql)),

@@ -2323,6 +2323,8 @@ object EventAnalytics extends QueryModule {
     QueryDef("q274_qini_curve", qiniCurve, Some(qiniCurveSql)),
     QueryDef("q277_shapley_attribution", shapleyAttribution, Some(shapleyAttributionSql)),
     QueryDef("q279_offline_policy_eval", offlinePolicyEval, Some(offlinePolicyEvalSql)),
+    QueryDef("q281_diff_in_diff", diffInDiff, Some(diffInDiffSql)),
+    QueryDef("q282_doubly_robust", doublyRobustEval, Some(doublyRobustEvalSql)),
   )
 
   /** q264: CUPED variance reduction (Deng et al. 2013, "Improving the
@@ -2855,5 +2857,160 @@ object EventAnalytics extends QueryModule {
       |  round(var_pop(y_adj), 4) AS var_y_adj,
       |  round(1.0 - var_pop(y_adj) / var_pop(y), 4) AS var_reduction
       |FROM a GROUP BY variant ORDER BY variant""".stripMargin
+
+  /** q281: difference-in-differences — the workhorse quasi-experimental
+    * estimator for launches WITHOUT randomization (a feature ships to
+    * one cohort at a date; the other cohort is the counterfactual
+    * trend). Unit = user, outcome = purchase revenue per period,
+    * groups = user-id parity, cutover = the fixture's Jan-2024
+    * midpoint. DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre);
+    * inference uses the per-user post−pre delta (equivalent to the
+    * interaction coefficient), SE² = s²_t/n_t + s²_c/n_c, which is
+    * robust to per-user level differences.
+    *
+    * Scale shape: one user-keyed conditional aggregation (map-side
+    * partial) → per-user panel, then a 2-row group aggregate. The
+    * window-free two-shuffle profile of q264's CUPED; 10¹² events
+    * reduce to |users| rows then 1 readout row.
+    */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val purch = col("event_type") === "purchase"
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(purch && col("ts") < cut, col("value"))), lit(0.0)).as("y_pre"),
+        coalesce(sum(when(purch && col("ts") >= cut, col("value"))), lit(0.0)).as("y_post"))
+      .withColumn("treat", (pmod(col("user_id"), lit(2)) === 1).cast("int"))
+      .withColumn("delta", col("y_post") - col("y_pre"))
+      .groupBy()
+      .agg(
+        sum(when(col("treat") === 1, 1L).otherwise(0L)).cast("bigint").as("n_treat"),
+        sum(when(col("treat") === 0, 1L).otherwise(0L)).cast("bigint").as("n_ctrl"),
+        round(avg(when(col("treat") === 1, col("y_pre"))), 4).as("treat_pre"),
+        round(avg(when(col("treat") === 1, col("y_post"))), 4).as("treat_post"),
+        round(avg(when(col("treat") === 0, col("y_pre"))), 4).as("ctrl_pre"),
+        round(avg(when(col("treat") === 0, col("y_post"))), 4).as("ctrl_post"),
+        round(avg(when(col("treat") === 1, col("delta")))
+          - avg(when(col("treat") === 0, col("delta"))), 4).as("did"),
+        round(sqrt(
+          var_samp(when(col("treat") === 1, col("delta")))
+            / sum(when(col("treat") === 1, 1L).otherwise(0L))
+          + var_samp(when(col("treat") === 0, col("delta")))
+            / sum(when(col("treat") === 0, 1L).otherwise(0L))), 4).as("se"),
+        round((avg(when(col("treat") === 1, col("delta")))
+            - avg(when(col("treat") === 0, col("delta"))))
+          / sqrt(
+            var_samp(when(col("treat") === 1, col("delta")))
+              / sum(when(col("treat") === 1, 1L).otherwise(0L))
+            + var_samp(when(col("treat") === 0, col("delta")))
+              / sum(when(col("treat") === 0, 1L).otherwise(0L))), 4).as("t_stat"))
+  }
+
+  private val diffInDiffSql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    coalesce(sum(CASE WHEN event_type = 'purchase'
+      |      AND ts < TIMESTAMP '2024-01-16' THEN value END), 0) AS y_pre,
+      |    coalesce(sum(CASE WHEN event_type = 'purchase'
+      |      AND ts >= TIMESTAMP '2024-01-16' THEN value END), 0) AS y_post,
+      |    (user_id % 2)::INT AS treat
+      |  FROM events GROUP BY user_id
+      |), d AS (
+      |  SELECT treat, y_pre, y_post, y_post - y_pre AS delta FROM u
+      |)
+      |SELECT
+      |  sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+      |  sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ctrl,
+      |  round(avg(CASE WHEN treat = 1 THEN y_pre END), 4) AS treat_pre,
+      |  round(avg(CASE WHEN treat = 1 THEN y_post END), 4) AS treat_post,
+      |  round(avg(CASE WHEN treat = 0 THEN y_pre END), 4) AS ctrl_pre,
+      |  round(avg(CASE WHEN treat = 0 THEN y_post END), 4) AS ctrl_post,
+      |  round(avg(CASE WHEN treat = 1 THEN delta END)
+      |    - avg(CASE WHEN treat = 0 THEN delta END), 4) AS did,
+      |  round(sqrt(
+      |    var_samp(CASE WHEN treat = 1 THEN delta END)
+      |      / sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END)
+      |    + var_samp(CASE WHEN treat = 0 THEN delta END)
+      |      / sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END)), 4) AS se,
+      |  round((avg(CASE WHEN treat = 1 THEN delta END)
+      |      - avg(CASE WHEN treat = 0 THEN delta END))
+      |    / sqrt(
+      |      var_samp(CASE WHEN treat = 1 THEN delta END)
+      |        / sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END)
+      |      + var_samp(CASE WHEN treat = 0 THEN delta END)
+      |        / sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END)), 4) AS t_stat
+      |FROM d""".stripMargin
+
+  /** q282: doubly-robust off-policy evaluation — the estimator that
+    * dominates plain IPS (q279) in practice (Dudík, Langford & Li
+    * 2011): DR = E[ q̂(x, π(x)) + w·(r − q̂(x, a)) ] combines a direct
+    * outcome model q̂ with the propensity correction, is unbiased if
+    * EITHER is right, and has strictly lower variance than IPS when
+    * q̂ explains any reward signal. Same logged bandit view as q279
+    * (uniform 1/5 logging propensity, deterministic target policy);
+    * q̂(x, a) is the empirical mean reward per (context-bucket,
+    * action) cell estimated from the same logs. Output shows the
+    * direct-method, IPS, SNIPS and DR readouts side by side.
+    *
+    * Scale shape: the q279 two-shuffle profile plus one |contexts|×
+    * |actions| model table (10 rows) joined back by broadcast — the
+    * model stage adds no data shuffle at any corpus size.
+    */
+  def doublyRobustEval(spark: SparkSession, dir: String): DataFrame = {
+    val ctx = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_ev"))
+      .withColumn("engaged", (col("n_ev") >= 67).cast("int"))
+      .withColumn("target_action",
+        when(col("engaged") === 1, lit("purchase")).otherwise(lit("click")))
+    val logs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("a"),
+        when(col("event_type") === "purchase" && col("value") > 180, 1.0)
+          .otherwise(0.0).as("r"))
+      .join(ctx, Seq("user_id"))
+    val qhat = logs.groupBy(col("engaged"), col("a"))
+      .agg(avg(col("r")).as("q"))
+    logs
+      .join(broadcast(qhat), Seq("engaged", "a"))
+      .join(broadcast(qhat.select(col("engaged"),
+          col("a").as("target_action"), col("q").as("q_pi"))),
+        Seq("engaged", "target_action"))
+      .withColumn("w", when(col("a") === col("target_action"), lit(5.0))
+        .otherwise(lit(0.0)))
+      .agg(count(lit(1)).cast("bigint").as("n_logged"),
+        round(avg(col("q_pi")), 6).as("dm_value"),
+        round(avg(col("r") * col("w")), 6).as("ips_value"),
+        round(sum(col("r") * col("w")) / sum(col("w")), 6).as("snips_value"),
+        round(avg(col("q_pi") + col("w") * (col("r") - col("q"))), 6)
+          .as("dr_value"))
+  }
+
+  private val doublyRobustEvalSql =
+    """WITH ctx AS (
+      |  SELECT user_id, count(*) AS n_ev,
+      |    (count(*) >= 67)::INT AS engaged,
+      |    CASE WHEN count(*) >= 67 THEN 'purchase' ELSE 'click' END
+      |      AS target_action
+      |  FROM events GROUP BY user_id
+      |), lg AS (
+      |  SELECT e.user_id, e.event_type AS a, c.engaged, c.target_action,
+      |    CASE WHEN e.event_type = 'purchase' AND e.value > 180
+      |      THEN 1.0 ELSE 0.0 END AS r
+      |  FROM events e JOIN ctx c USING (user_id)
+      |), qhat AS (
+      |  SELECT engaged, a, avg(r) AS q FROM lg GROUP BY engaged, a
+      |), j AS (
+      |  SELECT lg.r, qa.q, qp.q AS q_pi,
+      |    CASE WHEN lg.a = lg.target_action THEN 5.0 ELSE 0.0 END AS w
+      |  FROM lg
+      |  JOIN qhat qa ON qa.engaged = lg.engaged AND qa.a = lg.a
+      |  JOIN qhat qp ON qp.engaged = lg.engaged AND qp.a = lg.target_action
+      |)
+      |SELECT count(*)::BIGINT AS n_logged,
+      |  round(avg(q_pi), 6) AS dm_value,
+      |  round(avg(r * w), 6) AS ips_value,
+      |  round(sum(r * w) / sum(w), 6) AS snips_value,
+      |  round(avg(q_pi + w * (r - q)), 6) AS dr_value
+      |FROM j""".stripMargin
 
 }

@@ -647,7 +647,70 @@ object Governance extends QueryModule {
       |  round(avg(l_div), 4) AS avg_l_diversity
       |FROM cls""".stripMargin
 
+  /** q283: Fleiss' kappa multi-rater agreement — q232 handles TWO
+    * raters (Cohen); real labeling efforts run panels, and Fleiss
+    * (1971) is the statistic their QA reports: per item,
+    * P_i = Σ_k n_ik(n_ik−1)/(n(n−1)) measures within-panel agreement,
+    * P̄ averages it, P̄_e = Σ_k p_k² is the chance floor from category
+    * marginals, κ = (P̄−P̄_e)/(1−P̄_e). The panel here is three
+    * deterministic quality raters every doc gets (char-length,
+    * word-count, distinct-word gates — correlated but distinct, the
+    * realistic regime), reported per language so a low-κ slice flags
+    * where the rubric is ambiguous.
+    *
+    * Scale shape: per-row map to three 0/1 votes → the per-item P_i is
+    * closed-form in the vote sum; one lang-keyed aggregation with
+    * map-side partials and the κ algebra on the |langs|-row readout.
+    */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val nR = 3.0
+    val votes = Tables.documents(spark, dir)
+      .select(col("lang"),
+        ((col("n_chars") >= 300).cast("int")
+          + (size(split(col("text"), " ")) >= 52).cast("int")
+          + (size(array_distinct(split(col("text"), " "))) >= 25).cast("int"))
+          .as("v"))
+      // P_i over 3 raters: pairs agreeing / 3 = (v(v-1) + (3-v)(2-v)) / 6
+      .withColumn("p_i",
+        (col("v") * (col("v") - 1)
+          + (lit(3) - col("v")) * (lit(2) - col("v"))).cast("double") / 6.0)
+    votes
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        avg(col("p_i")).as("pbar"),
+        avg(col("v").cast("double") / nR).as("p1"))
+      .withColumn("pe", col("p1") * col("p1")
+        + (lit(1.0) - col("p1")) * (lit(1.0) - col("p1")))
+      .select(col("lang"), col("n_docs"),
+        round(col("pbar"), 4).as("p_observed"),
+        round(col("pe"), 4).as("p_expected"),
+        round((col("pbar") - col("pe")) / (lit(1.0) - col("pe")), 4).as("kappa"))
+      .orderBy(col("lang"))
+  }
+
+  private val fleissKappaSql =
+    """WITH l AS (
+      |  SELECT lang,
+      |    (n_chars >= 300)::INT
+      |      + (len(string_split(text, ' ')) >= 52)::INT
+      |      + (len(list_distinct(string_split(text, ' '))) >= 25)::INT AS v
+      |  FROM documents
+      |), g AS (
+      |  SELECT lang, count(*)::BIGINT AS n_docs,
+      |    avg((v * (v - 1) + (3 - v) * (2 - v))::DOUBLE / 6.0) AS pbar,
+      |    avg(v::DOUBLE / 3.0) AS p1
+      |  FROM l GROUP BY lang
+      |)
+      |SELECT lang, n_docs,
+      |  round(pbar, 4) AS p_observed,
+      |  round(p1 * p1 + (1.0 - p1) * (1.0 - p1), 4) AS p_expected,
+      |  round((pbar - (p1 * p1 + (1.0 - p1) * (1.0 - p1)))
+      |    / (1.0 - (p1 * p1 + (1.0 - p1) * (1.0 - p1))), 4) AS kappa
+      |FROM g ORDER BY lang""".stripMargin
+
   override lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("q283_fleiss_kappa", fleissKappa, Some(fleissKappaSql)),
     QueryDef("q257_dp_count_release", dpCountRelease, Some(dpCountReleaseSql)),
     QueryDef("q278_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("q260_corpus_datasheet", corpusDatasheet,

@@ -2950,8 +2950,79 @@ object TradeAnalytics extends QueryModule {
       |JOIN test t ON t.prio = m.prio
       |ORDER BY m.prio""".stripMargin
 
+  /** q284: exponential-smoothing forecast backtest — the one-parameter
+    * SES baseline (ŷ_t = α·Σ_k (1−α)^(k−1)·y_{t−k}) walked forward over
+    * each nation's daily-revenue series, the standard "beat this before
+    * shipping a model" benchmark one rung above q179's seasonal-naive.
+    * α = 1/2 on purpose: every weight is a power of two, so each term
+    * y·2^(−k) is a dyadic rational computed EXACTLY by both engines and
+    * the in-order fold is bit-identical — the usual pow()-drift
+    * cross-engine hazard never arises. The window truncates at 60 lags
+    * (tail weight 2⁻⁶⁰ ≈ 1e−18, below cent resolution); days with <20
+    * lags of history are warm-up and excluded from scoring.
+    *
+    * Scale shape: the fact table reduces to a |nations|×|days| spine
+    * first (one shuffle, map-side partial); the walk-forward window is
+    * partitioned per nation over that bounded spine — never a global
+    * sort, never a second pass over facts. The per-row lag list is ≤60
+    * elements regardless of corpus size.
+    */
+  def sesBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("y_c"))
+    val w = Window.partitionBy(col("nk")).orderBy(col("day"))
+      .rowsBetween(-60, -1)
+    val scored = daily
+      .withColumn("win", collect_list(col("y_c")).over(w))
+      .filter(size(col("win")) >= 20)
+      .withColumn("fc", expr(
+        """aggregate(
+          |  transform(sequence(1, size(win)),
+          |    j -> element_at(win, size(win) + 1 - j) * pow(0.5, j)),
+          |  0D, (acc, x) -> acc + x)""".stripMargin))
+    scored
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("nk") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_days"),
+        round(avg(abs(col("y_c") - col("fc"))) / 100, 2).as("mae"),
+        round(avg(abs(col("y_c") - col("fc"))
+          / ((col("y_c") + col("fc")) / 2)), 4).as("smape"))
+      .orderBy(col("n_name"))
+  }
+
+  private val sesBacktestSql =
+    """WITH daily AS (
+      |  SELECT c_nationkey AS nk, o_orderdate::DATE AS day,
+      |    sum(round(o_totalprice * 100)::BIGINT) AS y_c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |), wd AS (
+      |  SELECT nk, day, y_c,
+      |    list(y_c) OVER (PARTITION BY nk ORDER BY day
+      |      ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING) AS win
+      |  FROM daily
+      |), sc AS (
+      |  SELECT nk, y_c,
+      |    list_reduce(list_transform(generate_series(1, len(win)),
+      |      j -> win[len(win) + 1 - j] * pow(0.5, j)),
+      |      (acc, x) -> acc + x) AS fc
+      |  FROM wd WHERE len(win) >= 20
+      |)
+      |SELECT n_name, count(*)::BIGINT AS n_days,
+      |  round(avg(abs(y_c - fc)) / 100, 2) AS mae,
+      |  round(avg(abs(y_c - fc) / ((y_c + fc) / 2)), 4) AS smape
+      |FROM sc JOIN nation ON nk = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql), benchmark = true),
+    QueryDef("q284_ses_backtest", sesBacktest, Some(sesBacktestSql)),
     QueryDef("q256_conformal_intervals", conformalIntervals,
       Some(conformalIntervalsSql)),
     QueryDef("q258_randomization_test", randomizationTest,

@@ -203,4 +203,36 @@ class CorpusStatsSpec extends SparkSpec {
     val selfRow = rows.find(_.getAs[String]("source") == "src0").get
     assert(selfRow.getAs[Double]("oov_context_rate") === 0.0)
   }
+
+  test("term-source MI: non-negative, bounded by ln|S|, df ordering respected") {
+    val rows = CorpusStats.termSourceMi(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val nSources = Tables.documents(spark, sfDir)
+      .select(col("source")).distinct().count()
+    val bound = math.log(nSources.toDouble)
+    rows.foreach { r =>
+      val mi = r.getAs[Double]("mi")
+      // MI(T;S) ≥ 0 up to the 1e-6 output rounding; ≤ min(H(T), H(S)) ≤ ln|S|
+      assert(mi >= -1e-6, s"${r.getAs[String]("w")}: mi $mi negative")
+      assert(mi <= bound + 1e-6, s"${r.getAs[String]("w")}: mi $mi > ln|S|")
+      assert(r.getAs[Long]("df") > 0)
+    }
+    // the 20 selected terms are exactly the top-20 by (df desc, word asc)
+    val df = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .groupBy(col("w")).count().collect()
+      .map(r => r.getAs[String]("w") -> r.getAs[Long]("count"))
+    val want = df.sortBy { case (w, n) => (-n, w) }.take(20).map(_._1).sorted
+    assert(rows.map(_.getAs[String]("w")).sorted.toSeq === want.toSeq)
+  }
+
+  test("bigram perplexity: add-one smoothed PPL is at least 1 per source") {
+    val rows = CorpusStats.bigramPerplexity(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bigrams") > 0)
+      // PPL = exp(−mean ln p) with p ≤ 1 → PPL ≥ 1; smoothing keeps p < 1
+      assert(r.getAs[Double]("bigram_ppl") >= 1.0)
+    }
+  }
 }

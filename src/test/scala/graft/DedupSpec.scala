@@ -265,4 +265,33 @@ class DedupSpec extends SparkSpec {
         r.getAs[Long]("n_docs_b")) === expected(pair), s"pair $pair")
     }
   }
+
+  test("fellegi-sunter: decisions partition the blocked pairs, weights bounded") {
+    val rows = Dedup.fellegiSunter(spark, sfDir).collect()
+    // decisions partition the candidate set: totals match an independent
+    // count of within-block i<j pairs
+    val blocks = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment")).count()
+      .collect().map(_.getAs[Long]("count"))
+    val expectedPairs = blocks.map(n => n * (n - 1) / 2).sum
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === expectedPairs)
+    // weight range: [all-disagree, all-agree] = [-7.3801, 8.9483]
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_w") >= -7.3802)
+      assert(r.getAs[Double]("max_w") <= 8.9484)
+      assert(r.getAs[Double]("avg_w") >= r.getAs[Double]("min_w") - 1e-9)
+      assert(r.getAs[Double]("avg_w") <= r.getAs[Double]("max_w") + 1e-9)
+    }
+    // threshold semantics: the match bucket's min clears the upper cut,
+    // the non-match bucket's max clears the lower cut
+    rows.find(_.getAs[String]("decision") == "match")
+      .foreach(r => assert(r.getAs[Double]("min_w") >= 4.0))
+    rows.find(_.getAs[String]("decision") == "non_match")
+      .foreach(r => assert(r.getAs[Double]("max_w") <= -2.0))
+    rows.find(_.getAs[String]("decision") == "possible")
+      .foreach { r =>
+        assert(r.getAs[Double]("min_w") > -2.0)
+        assert(r.getAs[Double]("max_w") < 4.0)
+      }
+  }
 }

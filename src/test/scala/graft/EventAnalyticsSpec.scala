@@ -805,4 +805,32 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(direct(r.getAs[Long]("user_id")) === r.getAs[Long]("exact_n"))
     }
   }
+
+  test("diff-in-diff: cell algebra reconciles and the panel covers every user") {
+    val r = EventAnalytics.diffInDiff(spark, sfDir).head()
+    val nUsers = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(r.getAs[Long]("n_treat") + r.getAs[Long]("n_ctrl") === nUsers)
+    val did = r.getAs[Double]("did")
+    val fromCells = (r.getAs[Double]("treat_post") - r.getAs[Double]("treat_pre")) -
+      (r.getAs[Double]("ctrl_post") - r.getAs[Double]("ctrl_pre"))
+    // cells and did are rounded independently; 4 roundings at 1e-4 each
+    assert(math.abs(did - fromCells) < 4e-4, s"did=$did cells=$fromCells")
+    assert(r.getAs[Double]("se") > 0)
+    assert(math.abs(r.getAs[Double]("t_stat") - did / r.getAs[Double]("se")) < 0.01)
+  }
+
+  test("doubly-robust: DM/SNIPS bounded by reward range, IPS agrees with q279") {
+    val r = EventAnalytics.doublyRobustEval(spark, sfDir).head()
+    // rewards are 0/1 → any reward-model or self-normalized readout is in [0,1]
+    assert(r.getAs[Double]("dm_value") >= 0 && r.getAs[Double]("dm_value") <= 1)
+    assert(r.getAs[Double]("snips_value") >= 0 && r.getAs[Double]("snips_value") <= 1)
+    // identical log, propensity, and target policy as q279 → identical IPS
+    val ips279 = EventAnalytics.offlinePolicyEval(spark, sfDir)
+      .head().getAs[Double]("ips_value")
+    assert(r.getAs[Double]("ips_value") === ips279)
+    // DR = DM + IPS-correction-of-model-residual: with a log-fitted model the
+    // readout stays near DM/SNIPS, and never outside 5× the weight cap
+    assert(math.abs(r.getAs[Double]("dr_value")) <= 5.0)
+  }
 }

@@ -228,4 +228,24 @@ class GovernanceSpec extends SparkSpec {
     assert(math.abs(m("mean_chars") -
       d.map(_.getAs[Long]("n_chars")).sum.toDouble / d.length) <= 5.1e-3)
   }
+
+  test("fleiss kappa: chance-corrected multi-rater algebra holds per lang") {
+    val rows = Governance.fleissKappa(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.foreach { r =>
+      val (po, pe, k) = (r.getAs[Double]("p_observed"),
+        r.getAs[Double]("p_expected"), r.getAs[Double]("kappa"))
+      // P̄ ∈ [1/3, 1] for 3 raters (worst split 2-1 gives P_i = 1/3);
+      // binary P̄_e ∈ [1/2, 1)
+      assert(po >= 1.0 / 3 - 1e-9 && po <= 1)
+      assert(pe >= 0.5 - 1e-9 && pe < 1)
+      assert(k <= 1.0, s"kappa $k > 1")
+      // κ reconciles with its own rounded inputs (3 independent roundings)
+      assert(math.abs(k - (po - pe) / (1 - pe)) < 5e-3,
+        s"lang=${r.getAs[String]("lang")} k=$k po=$po pe=$pe")
+      assert((k >= 0) === (po >= pe))
+    }
+  }
 }

@@ -1245,4 +1245,39 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("p_value") - (extreme + 1.0) / 201.0) <= 5.1e-5)
   }
 
+  test("SES backtest: MAE matches a local walk-forward recompute per nation") {
+    val rows = TradeAnalytics.sesBacktest(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mae") >= 0)
+      val s = r.getAs[Double]("smape")
+      assert(s >= 0 && s <= 2.0, s"smape $s outside [0,2]")
+    }
+    // independent recompute: pick each nation's series from the raw tables,
+    // run the identical truncated-SES fold in plain Scala
+    val daily = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("y_c"))
+      .orderBy(col("n_name"), col("day")).collect()
+      .groupBy(_.getAs[String]("n_name"))
+    rows.foreach { r =>
+      val series = daily(r.getAs[String]("n_name")).map(_.getAs[Long]("y_c"))
+      val errs = series.indices.flatMap { t =>
+        val win = series.slice(math.max(0, t - 60), t)
+        if (win.length < 20) None
+        else {
+          val fc = (1 to win.length)
+            .map(j => win(win.length - j) * math.pow(0.5, j)).sum
+          Some(math.abs(series(t) - fc))
+        }
+      }
+      assert(errs.nonEmpty === true)
+      val mae = errs.sum / errs.length / 100
+      assert(math.abs(r.getAs[Double]("mae") - mae) <= 5.1e-3 + mae * 1e-9,
+        s"${r.getAs[String]("n_name")}: got ${r.getAs[Double]("mae")} want $mae")
+      assert(r.getAs[Long]("n_days") === errs.length)
+    }
+  }
 }
