@@ -709,8 +709,71 @@ object Governance extends QueryModule {
       |    / (1.0 - (p1 * p1 + (1.0 - p1) * (1.0 - p1))), 4) AS kappa
       |FROM g ORDER BY lang""".stripMargin
 
+  /** q288: 1-D Wasserstein (earth-mover) drift per source — the
+    * transport-distance upgrade of q118's PSI: W₁ between two empirical
+    * distributions is the area between their quantile functions, so it
+    * stays finite and interpretable (in CHARACTERS here) where
+    * bin-based divergences saturate or blow up on disjoint support.
+    * Each source's doc-length distribution is compared against the
+    * reference source (q225's convention): Ŵ₁ = mean over a 20-point
+    * equi-spaced quantile grid of |F⁻¹_s(u) − F⁻¹_ref(u)|, with exact
+    * integer order statistics (rank ⌈n(2k−1)/40⌉, doc_id tiebreak) —
+    * no interpolation, no floats until the final mean of 20 integers.
+    * The signed companion (mean quantile shift) says WHICH WAY the
+    * lengths moved.
+    *
+    * Scale shape: quantile extraction is a per-source window
+    * (row_number partitioned by source — millions of independent
+    * partitions, never global) + a 20-row broadcast spine join; the
+    * readout is |sources|×20 metadata. The data is touched once.
+    */
+  def wassersteinDrift(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val ks = spark.range(1, 21).toDF("k")
+    val quants = ranked.join(broadcast(ks),
+        col("rn") === expr("(n * (2 * k - 1) + 39) div 40"))
+      .select(col("source"), col("k"), col("n"), col("n_chars").as("q"))
+    val ref = quants.filter(col("source") === "src0")
+      .select(col("k"), col("q").as("q_ref"))
+    quants.join(broadcast(ref), Seq("k"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).cast("bigint").as("n_docs"),
+        round(avg(abs(col("q") - col("q_ref")).cast("double")), 4)
+          .as("w1_chars"),
+        round(avg((col("q") - col("q_ref")).cast("double")), 4)
+          .as("shift_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val wassersteinDriftSql =
+    """WITH ranked AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents
+      |), quants AS (
+      |  SELECT source, k, n, n_chars AS q
+      |  FROM ranked JOIN (SELECT unnest(generate_series(1, 20)) AS k)
+      |    ON rn = (n * (2 * k - 1) + 39) // 40
+      |), ref AS (
+      |  SELECT k, q AS q_ref FROM quants WHERE source = 'src0'
+      |)
+      |SELECT source, max(n)::BIGINT AS n_docs,
+      |  round(avg(abs(q - q_ref)::DOUBLE), 4) AS w1_chars,
+      |  round(avg((q - q_ref)::DOUBLE), 4) AS shift_chars
+      |FROM quants JOIN ref USING (k)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q283_fleiss_kappa", fleissKappa, Some(fleissKappaSql)),
+    QueryDef("q288_wasserstein_drift", wassersteinDrift,
+      Some(wassersteinDriftSql)),
     QueryDef("q257_dp_count_release", dpCountRelease, Some(dpCountReleaseSql)),
     QueryDef("q278_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("q260_corpus_datasheet", corpusDatasheet,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -410,7 +410,95 @@ object Sampling extends QueryModule {
        |GROUP BY t.n_days, r.n_used, t.sx""".stripMargin
   }
 
+  /** q287: iterative proportional fitting (raking) of the corpus mix —
+    * the survey-statistics reweighting (Deming & Stephan 1940) a
+    * data-mixing pipeline runs when the training recipe fixes BOTH
+    * margins: "equal mass per language AND equal mass per source",
+    * while the raw (lang × source) cell counts satisfy neither. IPF
+    * alternately rescales rows then columns to their targets; three
+    * full sweeps land within fractions of a percent on real tables.
+    * Output: per-cell raked weight and the per-doc multiplier vs
+    * uniform — the number a sampler or loss-weighting stage consumes.
+    *
+    * Cross-engine determinism: margin sums follow the q240 ordered-
+    * fold discipline (array_sort+aggregate ≡ list(ORDER BY)+
+    * list_reduce, both left folds with 0+t₁=t₁), so six successive
+    * float rescalings stay bit-identical in both engines.
+    *
+    * Scale shape: ONE data-sized pass (the (lang,source) groupBy with
+    * map-side partials); all six IPF sweeps run on the |L|×|S| cell
+    * relation — margin folds over ≤max(|L|,|S|) elements. At 10¹²
+    * docs the iteration cost is unchanged: aggregate-table algebra,
+    * the q271/q272 pattern.
+    */
+  def ipfRaking(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val consts = cells.agg(
+      countDistinct(col("lang")).as("nl"),
+      countDistinct(col("source")).as("ns"),
+      sum(col("n")).as("n_total"))
+    def scaleTo(df: DataFrame, key: String, ord: String, tgt: Column): DataFrame = {
+      val sums = df.groupBy(col(key)).agg(
+        expr("aggregate(array_sort(collect_list(struct(" + ord + ", w))), " +
+          "0D, (a, x) -> a + x.w)").as("msum"))
+      df.join(sums, key).withColumn("w", col("w") * tgt / col("msum"))
+        .drop("msum")
+    }
+    var w = cells.crossJoin(broadcast(consts))
+      .withColumn("w", col("n").cast("double") / col("n_total"))
+    for (_ <- 1 to 3) {
+      w = scaleTo(w, "lang", "source", lit(1.0) / col("nl"))
+      w = scaleTo(w, "source", "lang", lit(1.0) / col("ns"))
+    }
+    w.select(col("lang"), col("source"), col("n").cast("bigint").as("n_docs"),
+        round(col("w"), 6).as("weight"),
+        round(col("w") * col("n_total") / col("n"), 6).as("doc_multiplier"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val ipfRakingSql = {
+    def rowCte(in: String, out: String) =
+      s"""$out AS (
+         |  SELECT c.lang, c.source, c.n, c.nl, c.ns, c.n_total,
+         |    c.w * ((1.0 / c.nl) / m.msum) AS w
+         |  FROM $in c JOIN (
+         |    SELECT lang, list_reduce(list(w ORDER BY source),
+         |      (a, x) -> a + x) AS msum
+         |    FROM $in GROUP BY lang) m USING (lang)
+         |)"""
+    def colCte(in: String, out: String) =
+      s"""$out AS (
+         |  SELECT c.lang, c.source, c.n, c.nl, c.ns, c.n_total,
+         |    c.w * ((1.0 / c.ns) / m.msum) AS w
+         |  FROM $in c JOIN (
+         |    SELECT source, list_reduce(list(w ORDER BY lang),
+         |      (a, x) -> a + x) AS msum
+         |    FROM $in GROUP BY source) m USING (source)
+         |)"""
+    (s"""WITH cells AS (
+        |  SELECT lang, source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY lang, source
+        |), it0 AS (
+        |  SELECT lang, source, n,
+        |    (SELECT count(DISTINCT lang) FROM cells) AS nl,
+        |    (SELECT count(DISTINCT source) FROM cells) AS ns,
+        |    (SELECT sum(n) FROM cells) AS n_total,
+        |    n::DOUBLE / (SELECT sum(n) FROM cells) AS w
+        |  FROM cells
+        |), """ +
+      rowCte("it0", "it1r") + ", " + colCte("it1r", "it1") + ", " +
+      rowCte("it1", "it2r") + ", " + colCte("it2r", "it2") + ", " +
+      rowCte("it2", "it3r") + ", " + colCte("it3r", "it3") + """
+        |SELECT lang, source, n AS n_docs,
+        |  round(w, 6) AS weight,
+        |  round(w * n_total / n, 6) AS doc_multiplier
+        |FROM it3 ORDER BY lang, source""").stripMargin
+  }
+
   override lazy val defs: Seq[QueryDef] = Seq(
+    QueryDef("q287_ipf_raking", ipfRaking, Some(ipfRakingSql)),
     QueryDef("q101_weighted_sample", weightedSample, Some(weightedSampleSql)),
     QueryDef("q102_top_p_sources", topPSources, Some(topPSourcesSql)),
     QueryDef("q125_fixed_k_sample", fixedKSample, Some(fixedKSampleSql)),

@@ -3020,9 +3020,197 @@ object TradeAnalytics extends QueryModule {
       |FROM sc JOIN nation ON nk = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** q289: Mann–Kendall trend test + Sen's slope per nation — the
+    * nonparametric monotone-trend battery (Mann 1945, Sen 1968) used
+    * when a level shift or outliers would wreck an OLS slope: S counts
+    * concordant minus discordant month pairs, Var(S) gets the tie
+    * correction Σt(t−1)(2t+5), Z applies the continuity correction,
+    * and Sen's slope is the MEDIAN of all pairwise slopes — a 29%-
+    * breakdown-point trend estimate. Verdict at |Z| > 1.96.
+    *
+    * Cross-engine determinism: S, the tie term and Var(S)·18 are exact
+    * integers; pairwise slopes are single divisions of exact cents by
+    * exact month gaps (IEEE-identical), and the median is an explicit
+    * order-statistic pick from the sorted slope array — no engine
+    * median() semantics in play.
+    *
+    * Scale shape: the fact table reduces to a |nations|×|months| spine
+    * first; the pair join is within-nation over that BOUNDED spine
+    * (≤ 80 months → 3k pairs per nation), so the quadratic lives on
+    * metadata. The per-nation slope array (≤3k doubles) sorts inside
+    * one task — never a data-sized sort.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        ((year(col("o_orderdate")) - 1995) * 12
+          + month(col("o_orderdate")) - 1).as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("y_c"))
+    val a = monthly.select(col("nk"), col("m").as("mi"), col("y_c").as("yi"))
+    val b = monthly.select(col("nk"), col("m").as("mj"), col("y_c").as("yj"))
+    val pairs = a.join(b, Seq("nk")).filter(col("mi") < col("mj"))
+      .withColumn("sgn", signum(col("yj") - col("yi")).cast("long"))
+      .withColumn("slope",
+        (col("yj") - col("yi")).cast("double") / (col("mj") - col("mi")))
+    val perNation = pairs.groupBy(col("nk"))
+      .agg(sum(col("sgn")).as("s"),
+        sort_array(collect_list(col("slope"))).as("slopes"),
+        count(lit(1)).as("n_pairs"))
+    val counts = monthly.groupBy(col("nk"))
+      .agg(count(lit(1)).as("n_months"))
+    val ties = monthly.groupBy(col("nk"), col("y_c")).agg(count(lit(1)).as("t"))
+      .groupBy(col("nk"))
+      .agg(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"))
+    val n = col("n_months")
+    val var18 = (n * (n - 1) * (n * 2 + 5) - col("tie_term")).cast("double")
+    val p = col("n_pairs")
+    val med = when(pmod(p, lit(2)) === 1,
+        element_at(col("slopes"), ((p + 1) / 2).cast("int")))
+      .otherwise((element_at(col("slopes"), (p / 2).cast("int"))
+        + element_at(col("slopes"), (p / 2 + 1).cast("int"))) / 2)
+    val z = when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(var18 / 18))
+      .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(var18 / 18))
+      .otherwise(0.0)
+    perNation.join(counts, Seq("nk")).join(ties, Seq("nk"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("nk") === col("n_nationkey"))
+      .select(col("n_name"),
+        col("n_months").cast("bigint").as("n_months"),
+        col("s").cast("bigint").as("s"),
+        round(var18 / 18, 4).as("var_s"),
+        round(z, 4).as("z"),
+        round(med / 100, 4).as("sen_slope_usd_per_month"),
+        when(abs(z) <= 1.96, "none").when(col("s") > 0, "up").otherwise("down")
+          .as("trend"))
+      .orderBy(col("n_name"))
+  }
+
+  private val mannKendallSql =
+    """WITH monthly AS (
+      |  SELECT c_nationkey AS nk,
+      |    (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS m,
+      |    sum(round(o_totalprice * 100)::BIGINT) AS y_c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT a.nk, sign(b.y_c - a.y_c)::BIGINT AS sgn,
+      |    (b.y_c - a.y_c)::DOUBLE / (b.m - a.m) AS slope
+      |  FROM monthly a JOIN monthly b ON a.nk = b.nk AND a.m < b.m
+      |), pn AS (
+      |  SELECT nk, sum(sgn) AS s,
+      |    list_sort(list(slope)) AS slopes,
+      |    count(*) AS n_pairs
+      |  FROM pairs GROUP BY nk
+      |), cnt AS (
+      |  SELECT nk, count(*) AS n_months FROM monthly GROUP BY nk
+      |), ties AS (
+      |  SELECT nk, sum(t * (t - 1) * (2 * t + 5)) AS tie_term FROM (
+      |    SELECT nk, y_c, count(*) AS t FROM monthly GROUP BY nk, y_c)
+      |  GROUP BY nk
+      |), f AS (
+      |  SELECT n_name, n_months, s, n_pairs, slopes,
+      |    (n_months * (n_months - 1) * (2 * n_months + 5) - tie_term)::DOUBLE
+      |      AS var18,
+      |    CASE WHEN n_pairs % 2 = 1 THEN slopes[((n_pairs + 1) / 2)::INT]
+      |      ELSE (slopes[(n_pairs / 2)::INT]
+      |        + slopes[(n_pairs / 2 + 1)::INT]) / 2 END AS med,
+      |    CASE WHEN s > 0 THEN (s - 1)::DOUBLE / sqrt((n_months * (n_months - 1)
+      |        * (2 * n_months + 5) - tie_term)::DOUBLE / 18)
+      |      WHEN s < 0 THEN (s + 1)::DOUBLE / sqrt((n_months * (n_months - 1)
+      |        * (2 * n_months + 5) - tie_term)::DOUBLE / 18)
+      |      ELSE 0.0 END AS z
+      |  FROM pn JOIN cnt USING (nk) JOIN ties USING (nk)
+      |  JOIN nation ON nk = n_nationkey
+      |)
+      |SELECT n_name, n_months::BIGINT AS n_months, s::BIGINT AS s,
+      |  round(var18 / 18, 4) AS var_s,
+      |  round(z, 4) AS z,
+      |  round(med / 100, 4) AS sen_slope_usd_per_month,
+      |  CASE WHEN abs(z) <= 1.96 THEN 'none'
+      |       WHEN s > 0 THEN 'up' ELSE 'down' END AS trend
+      |FROM f ORDER BY n_name""".stripMargin
+
+  /** q290: classical additive seasonal decomposition of daily revenue —
+    * y = trend + seasonal + residual, the moving-average construction
+    * under every STL-style decompose(): trend is the centered 7-day
+    * MA, the weekday seasonal is the mean of the detrended series per
+    * weekday, the residual is what's left. Readout: per-weekday
+    * seasonal component and mean absolute residual — "how big is the
+    * weekly cycle vs the noise floor".
+    *
+    * Cross-engine determinism: detrended values are kept as EXACT
+    * integers scaled by 7 (detr7 = 7y − Σ₇y); the weekday residual is
+    * cross-multiplied to scale 7·n_w (n_w·detr7 − Σ_w detr7, still
+    * integer), so every aggregate is an exact integer sum and each
+    * output is ONE final double division — the q229/q230 discipline.
+    *
+    * Scale shape: facts reduce to the day spine (one map-side-partial
+    * shuffle); the MA window is a global ORDER BY over that BOUNDED
+    * spine (calendar-sized — WindowGuardSpec-allowlisted), and the
+    * weekday rollup is a 7-row aggregate.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("y_c"))
+    val wMa = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val detr = daily
+      .withColumn("n_win", count(lit(1)).over(wMa))
+      .withColumn("sum7", sum(col("y_c")).over(wMa))
+      .filter(col("n_win") === 7)
+      .withColumn("detr7", col("y_c") * 7 - col("sum7"))
+      .withColumn("dow", dayofweek(col("day")))
+    detr
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("detr7")).as("s_w"),
+        collect_list(struct(col("day"), col("detr7"))).as("ds"))
+      .withColumn("sum_abs_r", expr(
+        """aggregate(
+          |  transform(ds,
+          |    x -> CAST(abs(n_days * x.detr7 - s_w) AS DECIMAL(38, 0))),
+          |  CAST(0 AS DECIMAL(38, 0)), (a, x) -> CAST(a + x AS DECIMAL(38, 0)))"""
+          .stripMargin))
+      .select(col("dow").cast("int").as("dow"),
+        col("n_days").cast("bigint").as("n_days"),
+        round(col("s_w").cast("double") / (col("n_days") * 700), 2)
+          .as("seasonal_usd"),
+        round(col("sum_abs_r").cast("double")
+          / (col("n_days") * col("n_days") * 700), 2).as("mean_abs_resid_usd"))
+      .orderBy(col("dow"))
+  }
+
+  private val seasonalDecomposeSql =
+    """WITH daily AS (
+      |  SELECT o_orderdate::DATE AS day,
+      |    sum(round(o_totalprice * 100)::BIGINT) AS y_c
+      |  FROM orders GROUP BY 1
+      |), ma AS (
+      |  SELECT day, y_c,
+      |    count(*) OVER w AS n_win,
+      |    sum(y_c) OVER w AS sum7
+      |  FROM daily
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |), detr AS (
+      |  SELECT dayofweek(day) + 1 AS dow, y_c * 7 - sum7 AS detr7
+      |  FROM ma WHERE n_win = 7
+      |), g AS (
+      |  SELECT dow, count(*) AS n_days, sum(detr7) AS s_w,
+      |    list(detr7) AS ds
+      |  FROM detr GROUP BY dow
+      |)
+      |SELECT dow::INT AS dow, n_days::BIGINT AS n_days,
+      |  round(s_w::DOUBLE / (n_days * 700), 2) AS seasonal_usd,
+      |  round(list_sum(list_transform(ds, x -> abs(n_days * x - s_w)))::DOUBLE
+      |    / (n_days * n_days * 700), 2) AS mean_abs_resid_usd
+      |FROM g ORDER BY dow""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql), benchmark = true),
     QueryDef("q284_ses_backtest", sesBacktest, Some(sesBacktestSql)),
+    QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),
+    QueryDef("q290_seasonal_decompose", seasonalDecompose,
+      Some(seasonalDecomposeSql)),
     QueryDef("q256_conformal_intervals", conformalIntervals,
       Some(conformalIntervalsSql)),
     QueryDef("q258_randomization_test", randomizationTest,

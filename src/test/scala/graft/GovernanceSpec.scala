@@ -248,4 +248,19 @@ class GovernanceSpec extends SparkSpec {
       assert((k >= 0) === (po >= pe))
     }
   }
+
+  test("wasserstein drift: reference distance zero, W1 dominates |shift|") {
+    val rows = Governance.wassersteinDrift(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ref = rows.find(_.getAs[String]("source") == "src0").get
+    assert(ref.getAs[Double]("w1_chars") === 0.0)
+    assert(ref.getAs[Double]("shift_chars") === 0.0)
+    rows.foreach { r =>
+      val (w1, shift) = (r.getAs[Double]("w1_chars"), r.getAs[Double]("shift_chars"))
+      assert(w1 >= 0)
+      // mean |q−q_ref| ≥ |mean (q−q_ref)| (triangle inequality)
+      assert(w1 >= math.abs(shift) - 1e-4, s"${r.getAs[String]("source")}")
+      assert(r.getAs[Long]("n_docs") > 0)
+    }
+  }
 }

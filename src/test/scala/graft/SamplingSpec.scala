@@ -241,4 +241,25 @@ class SamplingSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_rev") <= r.getAs[Double]("ci_hi"))
     assert(r.getAs[Double]("ci_lo") < r.getAs[Double]("ci_hi"))
   }
+
+  test("IPF raking: source margins exact, lang margins near target, mass 1") {
+    val rows = Sampling.ipfRaking(spark, sfDir).collect()
+    val langs = rows.map(_.getAs[String]("lang")).distinct
+    val sources = rows.map(_.getAs[String]("source")).distinct
+    val total = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(total - 1.0) < 1e-3, s"total mass $total")
+    // the LAST scaling was by source → source margins hit 1/|S| (up to
+    // the 1e-6 output rounding accumulated over ≤|L| cells)
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+      .map { case (_, rs) => rs.map(_.getAs[Double]("weight")).sum }
+    bySource.foreach(m =>
+      assert(math.abs(m - 1.0 / sources.length) < 1e-5, s"source margin $m"))
+    // lang margins converge after 3 sweeps (loose band: within 5% relative)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+      .map { case (_, rs) => rs.map(_.getAs[Double]("weight")).sum }
+    byLang.foreach(m =>
+      assert(math.abs(m - 1.0 / langs.length) < 0.05 / langs.length,
+        s"lang margin $m"))
+    rows.foreach(r => assert(r.getAs[Double]("doc_multiplier") > 0))
+  }
 }

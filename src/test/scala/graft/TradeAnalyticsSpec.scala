@@ -1280,4 +1280,60 @@ class TradeAnalyticsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_days") === errs.length)
     }
   }
+
+  test("mann-kendall: S/Var/Z reconcile with a local pairwise recompute") {
+    val rows = TradeAnalytics.mannKendall(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val monthly = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sfDir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("y"))
+      .collect().groupBy(_.getAs[String]("n_name"))
+    rows.foreach { r =>
+      val series = monthly(r.getAs[String]("n_name"))
+        .sortBy(_.getAs[Int]("m")).map(_.getAs[Long]("y"))
+      val n = series.length
+      val prs = for (i <- series.indices; j <- (i + 1) until n) yield (i, j)
+      val s = prs.map { case (i, j) => java.lang.Long.signum(series(j) - series(i)).toLong }.sum
+      assert(r.getAs[Long]("n_months") === n.toLong)
+      assert(r.getAs[Long]("s") === s)
+      val ties = series.groupBy(identity).values.map(_.length.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val varS = (n.toLong * (n - 1) * (2L * n + 5) - ties) / 18.0
+      assert(math.abs(r.getAs[Double]("var_s") - varS) < 5.1e-4 + varS * 1e-9)
+      val z = r.getAs[Double]("z")
+      if (s > 0) assert(z > 0) else if (s < 0) assert(z < 0) else assert(z === 0.0)
+      // Sen slope lies within the pairwise slope range
+      val slopes = prs.map { case (i, j) => (series(j) - series(i)).toDouble / (j - i) }
+      assert(r.getAs[Double]("sen_slope_usd_per_month") * 100 >= slopes.min - 1e-6)
+      assert(r.getAs[Double]("sen_slope_usd_per_month") * 100 <= slopes.max + 1e-6)
+      val trend = r.getAs[String]("trend")
+      if (math.abs(z) <= 1.96) assert(trend === "none")
+      else assert(trend === (if (s > 0) "up" else "down"))
+    }
+  }
+
+  test("seasonal decompose: 7 weekday rows covering all full-window days") {
+    val rows = TradeAnalytics.seasonalDecompose(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("dow")).sorted.toSeq === (1 to 7))
+    val nDays = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate"))).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_days")).sum === nDays - 6)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_abs_resid_usd") >= 0)
+    }
+    // weighted seasonal components sum to the total detrended mass... which
+    // telescopes: Σ detr7 = 7Σy − Σ(7-day sums) over full windows only — not
+    // zero, but bounded by the window-edge days' revenue (≤12 edge days,
+    // each counted ≤7 times). Sanity-check magnitude against that bound.
+    val weighted = rows.map(r =>
+      r.getAs[Long]("n_days") * r.getAs[Double]("seasonal_usd")).sum
+    val maxDaily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")))
+      .agg(sum(col("o_totalprice")).as("d")).agg(max(col("d")))
+      .head().getDouble(0)
+    assert(math.abs(weighted) <= 100 * maxDaily)
+  }
 }

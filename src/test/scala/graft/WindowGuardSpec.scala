@@ -93,6 +93,8 @@ class WindowGuardSpec extends AnyFunSuite {
       "day spine: calendar-bounded (top-5 drawup/drawdown scan)"),
     Allowed("TradeAnalytics.scala", """val w = Window.orderBy(col("day")).rowsBetween(-3, 3)""",
       "day spine: calendar-bounded (Hampel +-3 window)"),
+    Allowed("TradeAnalytics.scala", """val wMa = Window.orderBy(col("day")).rowsBetween(-3, 3)""",
+      "day spine: calendar-bounded (q290 centered 7-day MA)"),
     // --- Incremental: limit-k pools and 1..depth spines
     Allowed("Incremental.scala", """val w = Window.orderBy(col(revCol).desc, col("o_custkey"))""",
       "top-k pool: .limit(k)/.limit(depth) applied before the window"),
