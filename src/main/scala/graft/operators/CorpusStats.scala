@@ -942,7 +942,10 @@ object CorpusStats extends QueryModule {
       |      ELSE 0 END), 6) AS mi
       |FROM spine GROUP BY w ORDER BY w""".stripMargin
 
-  override val defs: Seq[QueryDef] = Seq(
+  // lazy: q291's oracle SQL is declared below this registry; a strict
+  // val would capture it as null at object init (same pattern as
+  // EventAnalytics.defs)
+  override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q93_bigram_pmi", bigramPmi, Some(bigramPmiSql)),
     QueryDef("q94_source_entropy", sourceEntropy, Some(sourceEntropySql)),
     QueryDef("q95_novelty_scan", noveltyScan, Some(noveltyScanSql)),
@@ -958,5 +961,65 @@ object CorpusStats extends QueryModule {
     QueryDef("q272_quantile_normalize", quantileNormalize, Some(quantileNormalizeSql)),
     QueryDef("q280_bigram_ppl", bigramPerplexity, Some(bigramPerplexitySql)),
     QueryDef("q286_term_source_mi", termSourceMi, Some(termSourceMiSql)),
+    QueryDef("q291_chao1_vocab", chao1Vocab, Some(chao1VocabSql)),
   )
+
+  /** q291: vocabulary richness estimation per source — Chao1
+    * (Chao 1984) and the simple Good–Turing unseen mass (Good 1953):
+    * from the frequency-of-frequencies profile, V̂ = V + N₁²/(2N₂)
+    * estimates how many word types the source WOULD show with
+    * unbounded sampling, and P₀ = N₁/N estimates the probability the
+    * next token is an unseen type. The corpus-QA companion to q139's
+    * Zipf slope and q94's entropy: "how much of this source's
+    * vocabulary have we actually seen?" — the number that says
+    * whether more crawling of a source buys new tokens or repeats.
+    * (Bias-corrected Chao1 form N₁(N₁−1)/(2(N₂+1)) is used so N₂ = 0
+    * never divides by zero.)
+    *
+    * Scale shape: (source, word) counts with map-side partials → the
+    * frequency-of-frequencies rollup is (source, count)-keyed and
+    * sublinear (≤ distinct counts per source); the estimators are
+    * per-source scalar algebra on exact integers. Two shuffles total,
+    * both partially aggregated.
+    */
+  def chao1Vocab(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    wc.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("v_types"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"),
+        col("v_types").cast("bigint").as("v_types"),
+        col("n_tokens").cast("bigint").as("n_tokens"),
+        col("n1").cast("bigint").as("n1"),
+        col("n2").cast("bigint").as("n2"),
+        round(col("v_types") + col("n1") * (col("n1") - 1)
+          / (lit(2.0) * (col("n2") + 1)), 4).as("chao1_vocab"),
+        round(col("n1").cast("double") / col("n_tokens"), 6)
+          .as("gt_unseen_mass"))
+      .orderBy(col("source"))
+  }
+
+  private val chao1VocabSql =
+    """WITH wc AS (
+      |  SELECT source, w, count(*)::BIGINT AS c FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY source, w
+      |)
+      |SELECT source,
+      |  count(*)::BIGINT AS v_types,
+      |  sum(c)::BIGINT AS n_tokens,
+      |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |  sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+      |  round(count(*) + sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+      |      * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+      |      / (2.0 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)), 4)
+      |    AS chao1_vocab,
+      |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE / sum(c), 6)
+      |    AS gt_unseen_mass
+      |FROM wc GROUP BY source ORDER BY source""".stripMargin
 }

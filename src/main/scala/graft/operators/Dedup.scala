@@ -834,8 +834,69 @@ object Dedup extends QueryModule {
       |FROM p
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q293: capture–recapture corpus-size estimation (Chapman 1951) —
+    * the mark-recapture trick applied to dedup: treat two independent
+    * "crawls" (here the even/odd doc_id halves) as captures of the
+    * underlying CONTENT population (distinct text fingerprints);
+    * the overlap m between the halves funds
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 with its closed-form SE. This is how
+    * a pipeline estimates "how many distinct documents exist out
+    * there" from overlapping crawl snapshots WITHOUT deduping the
+    * union — and, against the known truth here, how biased the
+    * two-snapshot estimate is. All inputs are exact distinct counts;
+    * the estimate is one final division.
+    *
+    * Scale shape: fingerprint + parity is a per-row map; n₁/n₂/m come
+    * from ONE (fp)-keyed aggregation counting per-parity presence —
+    * the same single-shuffle profile as q206's cross-source dups. No
+    * pairwise joins anywhere.
+    */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val caps = Tables.documents(spark, dir)
+      .select(md5(col("text")).as("fp"),
+        pmod(col("doc_id"), lit(2)).as("parity"))
+      .groupBy(col("fp"))
+      .agg(max(when(col("parity") === 0, 1).otherwise(0)).as("in_a"),
+        max(when(col("parity") === 1, 1).otherwise(0)).as("in_b"))
+    caps.agg(
+        sum(col("in_a")).cast("bigint").as("n1"),
+        sum(col("in_b")).cast("bigint").as("n2"),
+        sum(col("in_a") * col("in_b")).cast("bigint").as("m"),
+        count(lit(1)).cast("bigint").as("true_distinct"))
+      .withColumn("chapman_est",
+        round((col("n1") + 1).cast("double") * (col("n2") + 1)
+          / (col("m") + 1) - 1, 4))
+      .withColumn("se", round(sqrt(
+        (col("n1") + 1).cast("double") * (col("n2") + 1)
+          * (col("n1") - col("m")) * (col("n2") - col("m"))
+          / ((col("m") + 1).cast("double") * (col("m") + 1) * (col("m") + 2))), 4))
+      .withColumn("rel_bias", round(
+        (col("chapman_est") - col("true_distinct")) / col("true_distinct"), 6))
+  }
+
+  private val captureRecaptureSql =
+    """WITH caps AS (
+      |  SELECT md5(text) AS fp,
+      |    max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
+      |    max(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS in_b
+      |  FROM documents GROUP BY md5(text)
+      |), s AS (
+      |  SELECT sum(in_a)::BIGINT AS n1, sum(in_b)::BIGINT AS n2,
+      |    sum(in_a * in_b)::BIGINT AS m, count(*)::BIGINT AS true_distinct
+      |  FROM caps
+      |)
+      |SELECT n1, n2, m, true_distinct,
+      |  round((n1 + 1)::DOUBLE * (n2 + 1) / (m + 1) - 1, 4) AS chapman_est,
+      |  round(sqrt((n1 + 1)::DOUBLE * (n2 + 1) * (n1 - m) * (n2 - m)
+      |    / ((m + 1)::DOUBLE * (m + 1) * (m + 2))), 4) AS se,
+      |  round((round((n1 + 1)::DOUBLE * (n2 + 1) / (m + 1) - 1, 4)
+      |    - true_distinct) / true_distinct, 6) AS rel_bias
+      |FROM s""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q285_fellegi_sunter", fellegiSunter, Some(fellegiSunterSql)),
+    QueryDef("q293_capture_recapture", captureRecapture,
+      Some(captureRecaptureSql)),
     QueryDef("q40_minhash_lsh", minHashQuery, Some(minHashOracleSql), benchmark = true),
     QueryDef("q41_simhash", simHashQuery, Some(simHashOracleSql), benchmark = true),
     QueryDef("q53_dup_groups", dupGroupsQuery, Some(dupGroupsSql)),

@@ -3205,12 +3205,101 @@ object TradeAnalytics extends QueryModule {
       |    / (n_days * n_days * 700), 2) AS mean_abs_resid_usd
       |FROM g ORDER BY dow""".stripMargin
 
+  /** q292: beta-binomial empirical-Bayes shrinkage of part return
+    * rates — the hierarchical fix for q234's problem from the OTHER
+    * direction: instead of widening thin evidence's interval (Wilson),
+    * EB shrinks each part's rate toward the population prior, with
+    * strength set BY THE DATA (method of moments: K = m(1−m)/v − 1,
+    * α = mK). A part with 3/5 returns reads ~prior; a part with
+    * 300/500 keeps its own rate. The ranking every marketplace uses
+    * for "worst seller" lists once Wilson's pessimism is too blunt.
+    *
+    * Cross-engine determinism: prior moments are computed on
+    * ×10⁶-floored INTEGER rates (floor of an IEEE division is
+    * engine-identical), with the variance cross-multiplied in
+    * DECIMAL(38,0)/HUGEINT (q229's discipline); K, α and every
+    * shrunk rate are then single IEEE op chains over exact integers.
+    *
+    * Scale shape: one partkey aggregation (map-side partial) → the
+    * prior is a 1-row broadcast over the part relation → partial
+    * top-k. No global sort, no second fact pass.
+    */
+  def ebShrinkage(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      .filter(col("n") >= 10)
+      .withColumn("ip", floor(col("r") * lit(1000000L) / col("n")).cast("long"))
+    val prior = parts.agg(
+        count(lit(1)).as("p_parts"),
+        sum(col("ip")).as("s1"),
+        sum((col("ip") * col("ip")).cast("decimal(38,0)")).as("s2"))
+      .withColumn("mean_ip", col("s1").cast("double") / col("p_parts"))
+      .withColumn("var_ip",
+        (col("p_parts").cast("decimal(38,0)") * col("s2")
+          - (col("s1").cast("decimal(38,0)") * col("s1")).cast("decimal(38,0)"))
+          .cast("double")
+          / (col("p_parts").cast("double") * (col("p_parts") - 1)))
+      .withColumn("m", col("mean_ip") / 1000000.0)
+      .withColumn("v", col("var_ip") / 1000000.0 / 1000000.0)
+      .withColumn("k_prior",
+        greatest(col("m") * (lit(1.0) - col("m")) / col("v") - 1, lit(1.0)))
+      .withColumn("alpha", col("m") * col("k_prior"))
+      .select(col("m"), col("k_prior"), col("alpha"))
+    parts.crossJoin(broadcast(prior))
+      .withColumn("shrunk",
+        (col("r") + col("alpha")) / (col("n") + col("k_prior")))
+      .orderBy(col("shrunk").desc, col("l_partkey"))
+      .limit(15)
+      .select(col("l_partkey"), col("n").cast("bigint").as("n"),
+        col("r").cast("bigint").as("n_returns"),
+        round(col("r").cast("double") / col("n"), 6).as("raw_rate"),
+        round(col("shrunk"), 6).as("shrunk_rate"),
+        round(col("m"), 6).as("prior_mean"),
+        round(col("k_prior"), 4).as("prior_strength"))
+  }
+
+  private val ebShrinkageSql =
+    """WITH p AS (
+      |  SELECT l_partkey, count(*)::BIGINT AS n,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS r
+      |  FROM lineitem GROUP BY l_partkey HAVING count(*) >= 10
+      |), ip AS (
+      |  SELECT l_partkey, n, r,
+      |    floor(r * 1000000 / n)::BIGINT AS ip
+      |  FROM p
+      |), pr AS (
+      |  SELECT count(*)::BIGINT AS p_parts,
+      |    sum(ip)::HUGEINT AS s1,
+      |    sum((ip * ip)::HUGEINT) AS s2
+      |  FROM ip
+      |), c AS (
+      |  SELECT
+      |    (s1::DOUBLE / p_parts) / 1000000.0 AS m,
+      |    ((p_parts::HUGEINT * s2 - s1 * s1)::DOUBLE
+      |      / (p_parts::DOUBLE * (p_parts - 1))) / 1000000.0 / 1000000.0 AS v
+      |  FROM pr
+      |), k AS (
+      |  SELECT m, greatest(m * (1.0 - m) / v - 1, 1.0) AS k_prior,
+      |    m * greatest(m * (1.0 - m) / v - 1, 1.0) AS alpha
+      |  FROM c
+      |)
+      |SELECT l_partkey, n, r AS n_returns,
+      |  round(r::DOUBLE / n, 6) AS raw_rate,
+      |  round((r + alpha) / (n + k_prior), 6) AS shrunk_rate,
+      |  round(m, 6) AS prior_mean,
+      |  round(k_prior, 4) AS prior_strength
+      |FROM ip CROSS JOIN k
+      |ORDER BY (r + alpha) / (n + k_prior) DESC, l_partkey LIMIT 15""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql), benchmark = true),
     QueryDef("q284_ses_backtest", sesBacktest, Some(sesBacktestSql)),
     QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),
     QueryDef("q290_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),
+    QueryDef("q292_eb_shrinkage", ebShrinkage, Some(ebShrinkageSql)),
     QueryDef("q256_conformal_intervals", conformalIntervals,
       Some(conformalIntervalsSql)),
     QueryDef("q258_randomization_test", randomizationTest,

@@ -226,6 +226,20 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("w")).sorted.toSeq === want.toSeq)
   }
 
+  test("chao1: estimate dominates observed richness, GT mass in [0,1]") {
+    val rows = CorpusStats.chao1Vocab(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, n, n1, n2) = (r.getAs[Long]("v_types"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n1"), r.getAs[Long]("n2"))
+      assert(n1 + 2 * n2 <= n, "singletons+doubletons exceed token mass")
+      assert(n1 <= v && n2 <= v)
+      assert(r.getAs[Double]("chao1_vocab") >= v, "Chao1 below observed richness")
+      val gt = r.getAs[Double]("gt_unseen_mass")
+      assert(gt >= 0 && gt <= 1)
+    }
+  }
+
   test("bigram perplexity: add-one smoothed PPL is at least 1 per source") {
     val rows = CorpusStats.bigramPerplexity(spark, sfDir).collect()
     assert(rows.nonEmpty)

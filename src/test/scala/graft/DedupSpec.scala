@@ -266,6 +266,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("capture-recapture: overlap/population invariants hold") {
+    val r = Dedup.captureRecapture(spark, sfDir).head()
+    val (n1, n2, m, truth) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("m"), r.getAs[Long]("true_distinct"))
+    assert(m <= math.min(n1, n2))
+    assert(truth >= math.max(n1, n2))
+    assert(truth <= n1 + n2, "union bound: distinct fps ≤ n1 + n2")
+    val est = r.getAs[Double]("chapman_est")
+    // Chapman never falls below either capture alone
+    assert(est >= math.max(n1, n2) - 1e-9)
+    assert(r.getAs[Double]("se") >= 0)
+    assert(math.abs(r.getAs[Double]("rel_bias") - (est - truth) / truth) < 1e-5)
+  }
+
   test("fellegi-sunter: decisions partition the blocked pairs, weights bounded") {
     val rows = Dedup.fellegiSunter(spark, sfDir).collect()
     // decisions partition the candidate set: totals match an independent

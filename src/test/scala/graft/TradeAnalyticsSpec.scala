@@ -1315,6 +1315,26 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("EB shrinkage: every shrunk rate lies between its raw rate and the prior") {
+    val rows = TradeAnalytics.ebShrinkage(spark, sfDir).collect()
+    assert(rows.length === 15)
+    rows.foreach { r =>
+      val (raw, shrunk, prior) = (r.getAs[Double]("raw_rate"),
+        r.getAs[Double]("shrunk_rate"), r.getAs[Double]("prior_mean"))
+      assert(raw >= 0 && raw <= 1)
+      val lo = math.min(raw, prior) - 1e-6
+      val hi = math.max(raw, prior) + 1e-6
+      assert(shrunk >= lo && shrunk <= hi,
+        s"part ${r.get(0)}: shrunk $shrunk outside [$lo, $hi]")
+      assert(r.getAs[Double]("prior_strength") >= 1.0)
+    }
+    // ranked output: shrunk rates non-increasing
+    rows.map(_.getAs[Double]("shrunk_rate")).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+  }
+
   test("seasonal decompose: 7 weekday rows covering all full-window days") {
     val rows = TradeAnalytics.seasonalDecompose(spark, sfDir).collect()
     assert(rows.map(_.getAs[Int]("dow")).sorted.toSeq === (1 to 7))
