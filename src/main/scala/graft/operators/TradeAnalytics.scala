@@ -3293,9 +3293,154 @@ object TradeAnalytics extends QueryModule {
       |FROM ip CROSS JOIN k
       |ORDER BY (r + alpha) / (n + k_prior) DESC, l_partkey LIMIT 15""".stripMargin
 
+  /** q294: one ALS-WR round of a rank-2 matrix factorization over the
+    * customer×part purchase matrix (Zhou et al. 2008, "Large-scale
+    * Parallel Collaborative Filtering for the Netflix Prize") — the
+    * canonical distributed recommender: fix item factors, solve every
+    * user's 2×2 ridge system in closed form (λ·n_u weighted
+    * regularization), then re-solve items against the new user
+    * factors, and score. No MLlib — the whole round is declarative
+    * DataFrame algebra: the per-key normal equations are ordered
+    * folds over each key's bounded rating list, the 2×2 inverse is
+    * algebraic (det = d11·d22 − m12²), and the md5-derived item init
+    * makes the run replayable anywhere.
+    *
+    * Cross-engine determinism: every Σ (Gramian terms, right-hand
+    * sides, per-user SSE) is the q240 ordered fold over part-/cust-
+    * sorted structs — unordered float aggregation appears nowhere.
+    *
+    * Scale shape: exactly ALS's: ratings shuffle once per half-step
+    * (by item to attach factors, by user to solve — both map-side
+    * combinable joins), per-key work is O(items-per-user · k²) on a
+    * bounded list, and factors are (key, 2-vector) relations. At
+    * 10¹² ratings you'd add the standard user-block×item-block
+    * routing; nothing here collects to the driver.
+    */
+  def alsFactorization(spark: SparkSession, dir: String): DataFrame = {
+    val lam = 0.1
+    def fold(term: String) = expr(s"aggregate(ds, 0D, (a, x) -> a + $term)")
+    val ratings = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(sum(col("l_quantity")).cast("bigint").as("r"))
+    val items0 = ratings.select(col("p")).distinct()
+      .withColumn("h", md5(col("p").cast("string")))
+      .select(col("p"),
+        (lit(0.5) + pmod(conv(substring(col("h"), 1, 8), 16, 10).cast("long"),
+          lit(1000)) / 2000.0).as("v1"),
+        (lit(0.5) - pmod(conv(substring(col("h"), 9, 8), 16, 10).cast("long"),
+          lit(1000)) / 2000.0).as("v2"))
+    def solve(rated: DataFrame, key: String, ord: String,
+        f1: String, f2: String): DataFrame =
+      rated
+        .groupBy(col(key))
+        .agg(expr(s"array_sort(collect_list(struct($ord, r, $f1, $f2)))")
+          .as("ds"))
+        .withColumn("n", size(col("ds")))
+        .withColumn("m11", fold(s"x.$f1 * x.$f1"))
+        .withColumn("m12", fold(s"x.$f1 * x.$f2"))
+        .withColumn("m22", fold(s"x.$f2 * x.$f2"))
+        .withColumn("b1", fold(s"x.r * x.$f1"))
+        .withColumn("b2", fold(s"x.r * x.$f2"))
+        .withColumn("d11", col("m11") + lit(lam) * col("n"))
+        .withColumn("d22", col("m22") + lit(lam) * col("n"))
+        .withColumn("det", col("d11") * col("d22") - col("m12") * col("m12"))
+        .select(col(key), col("n"),
+          ((col("d22") * col("b1") - col("m12") * col("b2")) / col("det"))
+            .as("s1"),
+          ((col("d11") * col("b2") - col("m12") * col("b1")) / col("det"))
+            .as("s2"))
+    val users = solve(ratings.join(items0, Seq("p")), "c", "p", "v1", "v2")
+      .withColumnRenamed("s1", "u1").withColumnRenamed("s2", "u2")
+      .withColumnRenamed("n", "n_items")
+    val items1 = solve(
+        ratings.join(users.select(col("c"), col("u1"), col("u2")), Seq("c")),
+        "p", "c", "u1", "u2")
+      .select(col("p"), col("s1").as("w1"), col("s2").as("w2"))
+    ratings
+      .join(users, Seq("c")).join(items1, Seq("p"))
+      .withColumn("pred", col("u1") * col("w1") + col("u2") * col("w2"))
+      .groupBy(col("c"))
+      .agg(max(col("n_items")).as("n_items"),
+        max(col("u1")).as("u1"), max(col("u2")).as("u2"),
+        expr("array_sort(collect_list(struct(p, r, pred)))").as("ds"))
+      .withColumn("sse", fold("(x.r - x.pred) * (x.r - x.pred)"))
+      .select(col("c").as("custkey"), col("n_items").cast("bigint").as("n_items"),
+        round(col("u1"), 6).as("u1"), round(col("u2"), 6).as("u2"),
+        round(sqrt(col("sse") / col("n_items")), 6).as("rmse"))
+      .orderBy(col("custkey")).limit(15)
+  }
+
+  private val alsFactorizationSql = {
+    def hex(off: Int) =
+      s"""list_reduce(list_transform(generate_series(1, 8),
+         |      i -> strpos('0123456789abcdef',
+         |             substring(md5(p::VARCHAR), i + $off, 1)) - 1),
+         |      (a, d) -> a * 16 + d)"""
+    def folds(f1: String, f2: String) =
+      s"""len(ds) AS n,
+         |    list_reduce(list_transform(ds, x -> x.$f1 * x.$f1), (a,b)->a+b) AS m11,
+         |    list_reduce(list_transform(ds, x -> x.$f1 * x.$f2), (a,b)->a+b) AS m12,
+         |    list_reduce(list_transform(ds, x -> x.$f2 * x.$f2), (a,b)->a+b) AS m22,
+         |    list_reduce(list_transform(ds, x -> x.r * x.$f1), (a,b)->a+b) AS b1,
+         |    list_reduce(list_transform(ds, x -> x.r * x.$f2), (a,b)->a+b) AS b2"""
+    s"""WITH ratings AS (
+       |  SELECT o_custkey AS c, l_partkey AS p, sum(l_quantity)::BIGINT AS r
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2
+       |), items0 AS (
+       |  SELECT p,
+       |    0.5 + (${hex(0)} % 1000) / 2000.0 AS v1,
+       |    0.5 - (${hex(8)} % 1000) / 2000.0 AS v2
+       |  FROM (SELECT DISTINCT p FROM ratings)
+       |), uds AS (
+       |  SELECT c, list(struct_pack(p := p, r := r, v1 := v1, v2 := v2)
+       |    ORDER BY p) AS ds
+       |  FROM ratings JOIN items0 USING (p) GROUP BY c
+       |), ug AS (
+       |  SELECT c, ${folds("v1", "v2")}
+       |  FROM uds
+       |), users AS (
+       |  SELECT c, n AS n_items,
+       |    ((m22 + 0.1 * n) * b1 - m12 * b2)
+       |      / ((m11 + 0.1 * n) * (m22 + 0.1 * n) - m12 * m12) AS u1,
+       |    ((m11 + 0.1 * n) * b2 - m12 * b1)
+       |      / ((m11 + 0.1 * n) * (m22 + 0.1 * n) - m12 * m12) AS u2
+       |  FROM ug
+       |), ids AS (
+       |  SELECT p, list(struct_pack(c := c, r := r, u1 := u1, u2 := u2)
+       |    ORDER BY c) AS ds
+       |  FROM ratings JOIN users USING (c) GROUP BY p
+       |), ig AS (
+       |  SELECT p, ${folds("u1", "u2")}
+       |  FROM ids
+       |), items1 AS (
+       |  SELECT p,
+       |    ((m22 + 0.1 * n) * b1 - m12 * b2)
+       |      / ((m11 + 0.1 * n) * (m22 + 0.1 * n) - m12 * m12) AS w1,
+       |    ((m11 + 0.1 * n) * b2 - m12 * b1)
+       |      / ((m11 + 0.1 * n) * (m22 + 0.1 * n) - m12 * m12) AS w2
+       |  FROM ig
+       |), scored AS (
+       |  SELECT c, max(n_items) AS n_items, max(u1) AS u1, max(u2) AS u2,
+       |    list(struct_pack(p := p, r := r,
+       |        pred := u1 * w1 + u2 * w2) ORDER BY p) AS ds
+       |  FROM ratings JOIN users USING (c) JOIN items1 USING (p)
+       |  GROUP BY c
+       |)
+       |SELECT c AS custkey, n_items::BIGINT AS n_items,
+       |  round(u1, 6) AS u1, round(u2, 6) AS u2,
+       |  round(sqrt(list_reduce(list_transform(ds,
+       |      x -> (x.r - x.pred) * (x.r - x.pred)), (a,b)->a+b) / n_items), 6)
+       |    AS rmse
+       |FROM scored ORDER BY custkey LIMIT 15""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql), benchmark = true),
     QueryDef("q284_ses_backtest", sesBacktest, Some(sesBacktestSql)),
+    QueryDef("q294_als_factorization", alsFactorization,
+      Some(alsFactorizationSql)),
     QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),
     QueryDef("q290_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),

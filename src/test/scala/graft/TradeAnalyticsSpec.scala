@@ -1335,6 +1335,26 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("ALS round: deterministic across runs, factors finite, counts reconcile") {
+    val a = TradeAnalytics.alsFactorization(spark, sfDir).collect()
+    val b = TradeAnalytics.alsFactorization(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
+      "ALS readout must be bit-identical across runs (md5 init, ordered folds)")
+    assert(a.length === 15)
+    // n_items per user matches an independent (cust, part) pair count
+    val pairCounts = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .groupBy(col("o_custkey")).count().collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r.getAs[Long]("count")).toMap
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_items") === pairCounts(r.getAs[Long]("custkey")))
+      assert(r.getAs[Double]("rmse") >= 0)
+      assert(!r.getAs[Double]("u1").isNaN && !r.getAs[Double]("u1").isInfinite)
+      assert(!r.getAs[Double]("u2").isNaN && !r.getAs[Double]("u2").isInfinite)
+    }
+  }
+
   test("seasonal decompose: 7 weekday rows covering all full-window days") {
     val rows = TradeAnalytics.seasonalDecompose(spark, sfDir).collect()
     assert(rows.map(_.getAs[Int]("dow")).sorted.toSeq === (1 to 7))
