@@ -420,4 +420,27 @@ class PlanAuditSpec extends SparkSpec {
   test("q191 RFM ntiles run range-partitioned, no customer-domain global sort") {
     assertNoDataSizedSinglePartition(operators.TradeAnalytics.rfmSegments(spark, sfDir))
   }
+
+  test("q294 ALS round: keyed equi-joins only — no BNLJ/cartesian, partial aggs") {
+    val df = operators.TradeAnalytics.alsFactorization(spark, sfDir)
+    val plan = finalPlan(df).toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "ALS must never nest-loop join the ratings")
+    assert(!plan.contains("CartesianProduct"), "ALS must never cross join")
+    assert(plan.contains("partial_"),
+      "rating aggregation should partially aggregate map-side")
+  }
+
+  test("q285 Fellegi-Sunter pairs join on block keys (equi join, no BNLJ)") {
+    val plan = finalPlan(operators.Dedup.fellegiSunter(spark, sfDir)).toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "blocked linkage must join on (nation, segment) equality")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q289 Mann-Kendall pair join is nation-keyed over the month spine") {
+    val plan = finalPlan(operators.TradeAnalytics.mannKendall(spark, sfDir)).toString
+    assert(!plan.contains("CartesianProduct"),
+      "pairwise S must come from the within-nation equi join")
+  }
 }
