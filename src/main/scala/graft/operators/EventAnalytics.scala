@@ -2325,7 +2325,196 @@ object EventAnalytics extends QueryModule {
     QueryDef("q279_offline_policy_eval", offlinePolicyEval, Some(offlinePolicyEvalSql)),
     QueryDef("q281_diff_in_diff", diffInDiff, Some(diffInDiffSql)),
     QueryDef("q282_doubly_robust", doublyRobustEval, Some(doublyRobustEvalSql)),
+    QueryDef("q296_decision_stump", decisionStump, Some(decisionStumpSql)),
+    QueryDef("q297_entropy_rate", entropyRate, Some(entropyRateSql)),
   )
+
+  /** q296: decision-stump split finding — the inner loop of every
+    * tree/GBM trainer, run once: for the feature "events per user"
+    * and label "high-value purchaser", scan every candidate threshold
+    * and score the split by Gini impurity decrease
+    * ΔG = G(parent) − (n_L/N)·G_L − (n_R/N)·G_R. The candidate scan is
+    * the classic sorted-histogram trick: aggregate users onto the
+    * DISTINCT feature-value spine, cumulative (n, positives) along it
+    * fund every split's four cell counts at once. Top-5 thresholds
+    * reported — what a feature-importance audit reads.
+    *
+    * Cross-engine determinism: all cell counts are exact integers via
+    * one cumsum; each ΔG is a fixed chain of IEEE ops on those ints;
+    * ranking ties break on the threshold value.
+    *
+    * Scale shape: users aggregate map-side onto the value spine
+    * (bounded: distinct per-user event counts, ≤ max activity); the
+    * cumsum window is a bounded-spine global (allowlisted), and every
+    * threshold is scored in the same pass — 10¹² events, one shuffle,
+    * |spine| window rows.
+    */
+  def decisionStump(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("f"),
+        max(when(col("event_type") === "purchase" && col("value") > 180, 1L)
+          .otherwise(0L)).as("y"))
+    val spine = users.groupBy(col("f"))
+      .agg(count(lit(1)).as("n_v"), sum(col("y")).as("p_v"))
+    val wCumF = Window.orderBy(col("f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = spine.agg(sum(col("n_v")).as("n"), sum(col("p_v")).as("p"))
+    val scored = spine.crossJoin(broadcast(tot))
+      .withColumn("nl", sum(col("n_v")).over(wCumF))
+      .withColumn("pl", sum(col("p_v")).over(wCumF))
+      .filter(col("nl") < col("n")) // right side must be non-empty
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("pr", col("p") - col("pl"))
+      .withColumn("g_parent",
+        lit(1.0) - (col("p") / col("n")) * (col("p") / col("n"))
+          - ((col("n") - col("p")) / col("n"))
+            * ((col("n") - col("p")) / col("n")))
+      .withColumn("g_l",
+        lit(1.0) - (col("pl") / col("nl")) * (col("pl") / col("nl"))
+          - ((col("nl") - col("pl")) / col("nl"))
+            * ((col("nl") - col("pl")) / col("nl")))
+      .withColumn("g_r",
+        lit(1.0) - (col("pr") / col("nr")) * (col("pr") / col("nr"))
+          - ((col("nr") - col("pr")) / col("nr"))
+            * ((col("nr") - col("pr")) / col("nr")))
+      .withColumn("gain", col("g_parent")
+        - (col("nl") / col("n")) * col("g_l")
+        - (col("nr") / col("n")) * col("g_r"))
+    scored.orderBy(col("gain").desc, col("f"))
+      .limit(5)
+      .select(col("f").cast("bigint").as("threshold"),
+        col("nl").cast("bigint").as("n_left"),
+        col("pl").cast("bigint").as("pos_left"),
+        col("nr").cast("bigint").as("n_right"),
+        col("pr").cast("bigint").as("pos_right"),
+        round(col("gain"), 6).as("gini_gain"))
+  }
+
+  private val decisionStumpSql =
+    """WITH u AS (
+      |  SELECT user_id, count(*)::BIGINT AS f,
+      |    max(CASE WHEN event_type = 'purchase' AND value > 180
+      |      THEN 1 ELSE 0 END)::BIGINT AS y
+      |  FROM events GROUP BY user_id
+      |), spine AS (
+      |  SELECT f, count(*)::BIGINT AS n_v, sum(y)::BIGINT AS p_v
+      |  FROM u GROUP BY f
+      |), t AS (
+      |  SELECT sum(n_v)::BIGINT AS n, sum(p_v)::BIGINT AS p FROM spine
+      |), c AS (
+      |  SELECT f, n, p,
+      |    sum(n_v) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING)::BIGINT AS nl,
+      |    sum(p_v) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING)::BIGINT AS pl
+      |  FROM spine CROSS JOIN t
+      |), s AS (
+      |  SELECT f, nl, pl, n - nl AS nr, p - pl AS pr,
+      |    (1.0 - (p / n) * (p / n) - ((n - p) / n) * ((n - p) / n))
+      |    - (nl / n) * (1.0 - (pl / nl) * (pl / nl)
+      |        - ((nl - pl) / nl) * ((nl - pl) / nl))
+      |    - ((n - nl) / n) * (1.0 - ((p - pl) / (n - nl)) * ((p - pl) / (n - nl))
+      |        - (((n - nl) - (p - pl)) / (n - nl))
+      |          * (((n - nl) - (p - pl)) / (n - nl))) AS gain
+      |  FROM c WHERE nl < n
+      |)
+      |SELECT f AS threshold, nl AS n_left, pl AS pos_left,
+      |  nr AS n_right, pr AS pos_right,
+      |  round(gain, 6) AS gini_gain
+      |FROM s ORDER BY gain DESC, f LIMIT 5""".stripMargin
+
+  /** q297: event-stream predictability via conditional entropy — the
+    * information-theoretic readout on q104's transition matrix:
+    * H(X_{t+1}|X_t) = −Σ_ij p(i,j)·ln(p(j|i)) says how predictable
+    * the next event is given the current one; against the marginal
+    * H(X) it yields the predictability gain (mutual information
+    * between consecutive events). Per previous-state rows show WHERE
+    * the stream is deterministic vs noisy; the readout row carries
+    * the stream-level rate. Everything is ratios of exact transition
+    * counts.
+    *
+    * Scale shape: transitions come from the q81-style per-user lag
+    * (user-partitioned window, millions of small partitions), reduce
+    * to a |states|² cell table, and the entropy algebra runs on those
+    * ≤25 cells.
+    */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type").as("b"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("a", lag(col("b"), 1).over(w))
+      .filter(col("a").isNotNull)
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val ra = trans.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val terms = trans.join(ra, Seq("a"))
+      .withColumn("term",
+        -(col("n_ab") / col("n_a")) * log(col("n_ab") / col("n_a")))
+    val rows = terms.groupBy(col("a"))
+      .agg(max(col("n_a")).as("n_a"),
+        expr("array_sort(collect_list(struct(b, term)))").as("ds"))
+      .withColumn("h_cond",
+        expr("aggregate(ds, 0D, (acc, x) -> acc + x.term)"))
+    val nTot = ra.agg(sum(col("n_a")).as("n_tot"))
+    val margTerms = ra.crossJoin(broadcast(nTot))
+      .withColumn("mterm",
+        -(col("n_a") / col("n_tot")) * log(col("n_a") / col("n_tot")))
+    val tot = rows.agg(
+        expr("aggregate(array_sort(collect_list(struct(a, n_a, h_cond))), 0D," +
+          "(acc, x) -> acc + x.n_a * x.h_cond)").as("h_num"))
+      .crossJoin(margTerms.agg(
+        max(col("n_tot")).as("n_tot"),
+        expr("aggregate(array_sort(collect_list(struct(a, mterm))), 0D," +
+          "(acc, x) -> acc + x.mterm)").as("h_marg")))
+    rows.crossJoin(broadcast(tot))
+      .select(col("a").as("prev_state"),
+        col("n_a").cast("bigint").as("n_transitions"),
+        round(col("h_cond"), 6).as("h_cond_nats"),
+        round(col("h_num") / col("n_tot"), 6).as("entropy_rate_nats"),
+        round(col("h_marg"), 6).as("h_marginal_nats"),
+        round(col("h_marg") - col("h_num") / col("n_tot"), 6)
+          .as("predictability_gain_nats"))
+      .orderBy(col("prev_state"))
+  }
+
+  private val entropyRateSql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS b,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS a
+      |  FROM events
+      |), trans AS (
+      |  SELECT a, b, count(*)::BIGINT AS n_ab FROM seq
+      |  WHERE a IS NOT NULL GROUP BY a, b
+      |), ra AS (
+      |  SELECT a, sum(n_ab)::BIGINT AS n_a FROM trans GROUP BY a
+      |), terms AS (
+      |  SELECT t.a, t.b, r.n_a,
+      |    -(t.n_ab / r.n_a) * ln(t.n_ab / r.n_a) AS term
+      |  FROM trans t JOIN ra r USING (a)
+      |), rh AS (
+      |  SELECT a, max(n_a)::BIGINT AS n_a,
+      |    list_reduce(list(term ORDER BY b), (p, q) -> p + q) AS h_cond
+      |  FROM terms GROUP BY a
+      |), nt AS (
+      |  SELECT sum(n_a)::BIGINT AS n_tot FROM ra
+      |), mt AS (
+      |  SELECT -(r.n_a / nt.n_tot) * ln(r.n_a / nt.n_tot) AS mterm, r.a
+      |  FROM ra r CROSS JOIN nt
+      |), tot AS (
+      |  SELECT
+      |    (SELECT list_reduce(list(n_a * h_cond ORDER BY a), (p, q) -> p + q)
+      |     FROM rh) AS h_num,
+      |    (SELECT list_reduce(list(mterm ORDER BY a), (p, q) -> p + q)
+      |     FROM mt) AS h_marg,
+      |    (SELECT n_tot FROM nt) AS n_tot
+      |)
+      |SELECT rh.a AS prev_state, rh.n_a AS n_transitions,
+      |  round(rh.h_cond, 6) AS h_cond_nats,
+      |  round(tot.h_num / tot.n_tot, 6) AS entropy_rate_nats,
+      |  round(tot.h_marg, 6) AS h_marginal_nats,
+      |  round(tot.h_marg - tot.h_num / tot.n_tot, 6)
+      |    AS predictability_gain_nats
+      |FROM rh CROSS JOIN tot ORDER BY prev_state""".stripMargin
 
   /** q264: CUPED variance reduction (Deng et al. 2013, "Improving the
     * Sensitivity of Online Controlled Experiments") — the standard

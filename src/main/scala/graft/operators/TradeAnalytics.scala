@@ -3436,11 +3436,114 @@ object TradeAnalytics extends QueryModule {
        |FROM scored ORDER BY custkey LIMIT 15""".stripMargin
   }
 
+  /** q295: Bradley–Terry preference-strength aggregation — the model
+    * under every pairwise-preference pipeline (reward-model data QA,
+    * ranker evaluation, match-making): P(i beats j) = γᵢ/(γᵢ+γⱼ),
+    * fitted by two of Hunter (2004)'s MM updates
+    * γᵢ ← Wᵢ / Σⱼ nᵢⱼ/(γᵢ+γⱼ) from uniform init. Contests here are
+    * within-order part pairs decided by quantity (the engine-level
+    * shape of "annotator preferred completion A"), with a +1-win /
+    * virtual-opponent regularizer so isolated or winless items stay
+    * finite (the comparison graph need not be connected). Readout:
+    * top-15 strengths with contest/win counts.
+    *
+    * Cross-engine determinism: Wᵢ and nᵢⱼ are exact integers; each
+    * MM denominator is an ordered fold over the opponent list
+    * (sorted by opponent id), so both engines fold identical IEEE
+    * sequences. No unordered float aggregation.
+    *
+    * Scale shape: contest generation is a within-order self-join
+    * (orders are tiny groups — bounded pair fan-out), pair stats
+    * aggregate with map-side partials, and each MM sweep is one join
+    * of the pair relation to the (item, γ) relation plus a per-item
+    * fold over its BOUNDED opponent list — two shuffles per sweep,
+    * the ALS (q294) envelope. Strengths never leave the cluster.
+    */
+  def bradleyTerry(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        col("l_quantity").cast("long").as("q"))
+    val a = li.select(col("ok"), col("pk").as("i"), col("q").as("qi"))
+    val b = li.select(col("ok"), col("pk").as("j"), col("q").as("qj"))
+    // both directions: one row per ordered pair (i, j), i beats j on quantity
+    val contests = a.join(b, Seq("ok"))
+      .filter(col("i") =!= col("j") && col("qi") =!= col("qj"))
+      .select(col("i"), col("j"),
+        when(col("qi") > col("qj"), 1L).otherwise(0L).as("win"))
+    val pairs = contests.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("win")).as("w"))
+    val wins = pairs.groupBy(col("i"))
+      .agg(sum(col("w")).as("w_i"), sum(col("n")).as("n_i"))
+    def sweep(gamma: DataFrame): DataFrame =
+      pairs
+        .join(gamma.select(col("i"), col("g").as("gi")), Seq("i"))
+        .join(gamma.select(col("i").as("j"), col("g").as("gj")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(expr("array_sort(collect_list(struct(j, n, gi, gj)))").as("ds"))
+        .withColumn("denom",
+          expr("aggregate(ds, 0D, (a, x) -> a + x.n / (x.gi + x.gj))")
+            + lit(2.0) / (element_at(col("ds"), 1).getField("gi") + 1.0))
+        .join(wins, Seq("i"))
+        .select(col("i"),
+          ((col("w_i") + 1).cast("double") / col("denom")).as("g"))
+    val g0 = wins.select(col("i"), lit(1.0).as("g"))
+    val g2 = sweep(sweep(g0))
+    g2.join(wins, Seq("i"))
+      .orderBy(col("g").desc, col("i"))
+      .limit(15)
+      .select(col("i").as("partkey"),
+        col("n_i").cast("bigint").as("n_contests"),
+        col("w_i").cast("bigint").as("n_wins"),
+        round(col("g"), 6).as("bt_strength"))
+  }
+
+  private val bradleyTerrySql = {
+    def sweepCte(gin: String, gout: String) =
+      s"""${gout}_ds AS (
+         |  SELECT p.i,
+         |    list(struct_pack(j := p.j, n := p.n, gi := gi.g, gj := gj.g)
+         |      ORDER BY p.j) AS ds
+         |  FROM pairs p
+         |  JOIN $gin gi ON gi.i = p.i
+         |  JOIN $gin gj ON gj.i = p.j
+         |  GROUP BY p.i
+         |), $gout AS (
+         |  SELECT d.i,
+         |    (w.w_i + 1)::DOUBLE
+         |      / (list_reduce(list_transform(d.ds, x -> x.n / (x.gi + x.gj)),
+         |           (a, b) -> a + b)
+         |         + 2.0 / (d.ds[1].gi + 1.0)) AS g
+         |  FROM ${gout}_ds d JOIN wins w ON w.i = d.i
+         |)"""
+    s"""WITH li AS (
+       |  SELECT l_orderkey AS ok, l_partkey AS pk, l_quantity::BIGINT AS q
+       |  FROM lineitem
+       |), contests AS (
+       |  SELECT a.pk AS i, b.pk AS j,
+       |    CASE WHEN a.q > b.q THEN 1 ELSE 0 END AS win
+       |  FROM li a JOIN li b ON a.ok = b.ok
+       |  WHERE a.pk <> b.pk AND a.q <> b.q
+       |), pairs AS (
+       |  SELECT i, j, count(*)::BIGINT AS n, sum(win)::BIGINT AS w
+       |  FROM contests GROUP BY i, j
+       |), wins AS (
+       |  SELECT i, sum(w)::BIGINT AS w_i, sum(n)::BIGINT AS n_i
+       |  FROM pairs GROUP BY i
+       |), g0 AS (
+       |  SELECT i, 1.0::DOUBLE AS g FROM wins
+       |), ${sweepCte("g0", "g1")}, ${sweepCte("g1", "g2")}
+       |SELECT g2.i AS partkey, w.n_i AS n_contests, w.w_i AS n_wins,
+       |  round(g2.g, 6) AS bt_strength
+       |FROM g2 JOIN wins w ON w.i = g2.i
+       |ORDER BY g2.g DESC, g2.i LIMIT 15""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql), benchmark = true),
     QueryDef("q284_ses_backtest", sesBacktest, Some(sesBacktestSql)),
     QueryDef("q294_als_factorization", alsFactorization,
       Some(alsFactorizationSql)),
+    QueryDef("q295_bradley_terry", bradleyTerry, Some(bradleyTerrySql)),
     QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),
     QueryDef("q290_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),

@@ -833,4 +833,48 @@ class EventAnalyticsSpec extends SparkSpec {
     // readout stays near DM/SNIPS, and never outside 5× the weight cap
     assert(math.abs(r.getAs[Double]("dr_value")) <= 5.0)
   }
+
+  test("decision stump: Gini gain non-negative, split cells partition the panel") {
+    val rows = EventAnalytics.decisionStump(spark, sfDir).collect()
+    assert(rows.length === 5)
+    val users = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("f"),
+        max(when(col("event_type") === "purchase" && col("value") > 180, 1L)
+          .otherwise(0L)).as("y"))
+      .collect()
+    val n = users.length.toLong
+    val p = users.map(_.getAs[Long]("y")).sum
+    rows.foreach { r =>
+      // Gini is concave → any split's impurity decrease is ≥ 0
+      assert(r.getAs[Double]("gini_gain") >= -1e-9)
+      assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") === n)
+      assert(r.getAs[Long]("pos_left") + r.getAs[Long]("pos_right") === p)
+      // cell recount at this threshold
+      val t = r.getAs[Long]("threshold")
+      val left = users.filter(_.getAs[Long]("f") <= t)
+      assert(r.getAs[Long]("n_left") === left.length.toLong)
+      assert(r.getAs[Long]("pos_left") === left.map(_.getAs[Long]("y")).sum)
+    }
+  }
+
+  test("entropy rate: bounded by ln|states|, rate is the weighted row mean") {
+    val rows = EventAnalytics.entropyRate(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val lnS = math.log(rows.length.toDouble)
+    val rate = rows.head.getAs[Double]("entropy_rate_nats")
+    rows.foreach { r =>
+      val h = r.getAs[Double]("h_cond_nats")
+      assert(h >= 0 && h <= lnS + 1e-6)
+      assert(r.getAs[Double]("h_marginal_nats") <= lnS + 1e-6)
+      assert(r.getAs[Double]("entropy_rate_nats") === rate, "rate is global")
+    }
+    // rate ≡ Σ n_a·h_a / Σ n_a within output rounding
+    val num = rows.map(r => r.getAs[Long]("n_transitions") * r.getAs[Double]("h_cond_nats")).sum
+    val den = rows.map(_.getAs[Long]("n_transitions")).sum
+    assert(math.abs(rate - num / den) < 1e-4)
+    // conditioning can't hurt much: gain ≥ ~0 (marginals differ only by
+    // sequence-boundary effects)
+    assert(rows.head.getAs[Double]("predictability_gain_nats") >= -0.01)
+  }
 }

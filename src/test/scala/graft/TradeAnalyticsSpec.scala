@@ -1355,6 +1355,23 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("bradley-terry: strengths positive, wins bounded, runs deterministic") {
+    val a = TradeAnalytics.bradleyTerry(spark, sfDir).collect()
+    val b = TradeAnalytics.bradleyTerry(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    assert(a.length === 15)
+    a.foreach { r =>
+      assert(r.getAs[Double]("bt_strength") > 0)
+      assert(r.getAs[Long]("n_wins") <= r.getAs[Long]("n_contests"))
+      assert(r.getAs[Long]("n_contests") > 0)
+    }
+    // ranked: strengths non-increasing
+    a.map(_.getAs[Double]("bt_strength")).sliding(2).foreach {
+      case Array(x, y) => assert(x >= y)
+      case _ =>
+    }
+  }
+
   test("seasonal decompose: 7 weekday rows covering all full-window days") {
     val rows = TradeAnalytics.seasonalDecompose(spark, sfDir).collect()
     assert(rows.map(_.getAs[Int]("dow")).sorted.toSeq === (1 to 7))

@@ -58,6 +58,8 @@ class WindowGuardSpec extends AnyFunSuite {
       "q269 BH test battery: 35 cells (m and step-up cummax)"),
     Allowed("EventAnalytics.scala", """val wCum = Window.orderBy(col("decile"))""",
       "q274 Qini decile spine: 10 rows"),
+    Allowed("EventAnalytics.scala", """val wCumF = Window.orderBy(col("f"))""",
+      "q296 distinct per-user activity-count spine: bounded by max events/user"),
     Allowed("CorpusStats.scala", """val wAsc = Window.orderBy(col("n"), col("source"))""",
       "q271 water-filling source spine: |sources| rows"),
     Allowed("CorpusStats.scala", """val wAll = Window.partitionBy()""",
