@@ -770,10 +770,100 @@ object Governance extends QueryModule {
       |FROM quants JOIN ref USING (k)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** q299: Otsu threshold selection — the data-driven way to set a
+    * quality-gate cutoff instead of hand-picking one (q98's rules use
+    * fixed thresholds): over a 32-bin histogram of the doc-length
+    * score, choose the split maximizing between-class variance
+    * σ_B² = w₀w₁(μ₀−μ₁)²/W² — Otsu (1979), the standard bimodal-
+    * separation criterion ported from image binarization to score
+    * distributions. Output: the winning bin, its raw-value boundary,
+    * and both classes' occupancy and mean — what a curation review
+    * needs to accept the gate.
+    *
+    * Cross-engine determinism: bin assignment is exact integer
+    * div-arithmetic from global min/max; all candidate scores derive
+    * from exact cumulative integer counts through an identical IEEE
+    * chain, and the argmax tiebreaks on the bin index.
+    *
+    * Scale shape: one map-side-partial histogram pass (32 cells), a
+    * 2-row min/max broadcast, and the threshold scan is a cumsum
+    * window over the 32-row bin spine. 10¹² docs → 32 rows of
+    * metadata work.
+    */
+  def otsuThreshold(spark: SparkSession, dir: String): DataFrame = {
+    val ext = Tables.documents(spark, dir)
+      .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+    val bins = Tables.documents(spark, dir)
+      .crossJoin(broadcast(ext))
+      .select(expr("(n_chars - lo) * 32 div (hi - lo + 1)").as("b"),
+        col("lo"), col("hi"))
+      .groupBy(col("b"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = bins.agg(sum(col("c")).as("w_all"),
+      sum(col("b") * col("c")).as("s_all"))
+    val scored = bins.crossJoin(broadcast(tot))
+      .withColumn("w0", sum(col("c")).over(wCum))
+      .withColumn("s0", sum(col("b") * col("c")).over(wCum))
+      .filter(col("w0") < col("w_all"))
+      .withColumn("w1", col("w_all") - col("w0"))
+      .withColumn("s1", col("s_all") - col("s0"))
+      .withColumn("m0", col("s0").cast("double") / col("w0"))
+      .withColumn("m1", col("s1").cast("double") / col("w1"))
+      .withColumn("score",
+        col("w0").cast("double") * col("w1") * (col("m0") - col("m1"))
+          * (col("m0") - col("m1"))
+          / (col("w_all").cast("double") * col("w_all")))
+    scored.orderBy(col("score").desc, col("b"))
+      .limit(1)
+      .select(col("b").cast("int").as("best_bin"),
+        expr("lo + (b + 1) * (hi - lo + 1) div 32")
+          .cast("bigint").as("boundary_chars"),
+        col("w0").cast("bigint").as("n_below"),
+        col("w1").cast("bigint").as("n_above"),
+        round(col("m0"), 4).as("mean_bin_below"),
+        round(col("m1"), 4).as("mean_bin_above"),
+        round(col("score"), 6).as("between_class_var"))
+  }
+
+  private val otsuThresholdSql =
+    """WITH ext AS (
+      |  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents
+      |), bins AS (
+      |  SELECT (n_chars - lo) * 32 // (hi - lo + 1) AS b, lo, hi,
+      |    count(*)::BIGINT AS c
+      |  FROM documents CROSS JOIN ext GROUP BY 1, 2, 3
+      |), t AS (
+      |  SELECT sum(c)::BIGINT AS w_all, sum(b * c)::BIGINT AS s_all FROM bins
+      |), cum AS (
+      |  SELECT b, lo, hi, w_all, s_all,
+      |    sum(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)::BIGINT AS w0,
+      |    sum(b * c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)::BIGINT AS s0
+      |  FROM bins CROSS JOIN t
+      |), sc AS (
+      |  SELECT b, lo, hi, w0, w_all - w0 AS w1,
+      |    s0::DOUBLE / w0 AS m0,
+      |    (s_all - s0)::DOUBLE / (w_all - w0) AS m1,
+      |    w0::DOUBLE * (w_all - w0)
+      |      * (s0::DOUBLE / w0 - (s_all - s0)::DOUBLE / (w_all - w0))
+      |      * (s0::DOUBLE / w0 - (s_all - s0)::DOUBLE / (w_all - w0))
+      |      / (w_all::DOUBLE * w_all) AS score
+      |  FROM cum WHERE w0 < w_all
+      |)
+      |SELECT b::INT AS best_bin,
+      |  (lo + (b + 1) * (hi - lo + 1) // 32)::BIGINT AS boundary_chars,
+      |  w0 AS n_below, w1 AS n_above,
+      |  round(m0, 4) AS mean_bin_below,
+      |  round(m1, 4) AS mean_bin_above,
+      |  round(score, 6) AS between_class_var
+      |FROM sc ORDER BY score DESC, b LIMIT 1""".stripMargin
+
   override lazy val defs: Seq[QueryDef] = Seq(
     QueryDef("q283_fleiss_kappa", fleissKappa, Some(fleissKappaSql)),
     QueryDef("q288_wasserstein_drift", wassersteinDrift,
       Some(wassersteinDriftSql)),
+    QueryDef("q299_otsu_threshold", otsuThreshold, Some(otsuThresholdSql)),
     QueryDef("q257_dp_count_release", dpCountRelease, Some(dpCountReleaseSql)),
     QueryDef("q278_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("q260_corpus_datasheet", corpusDatasheet,

@@ -3538,12 +3538,119 @@ object TradeAnalytics extends QueryModule {
        |ORDER BY g2.g DESC, g2.i LIMIT 15""".stripMargin
   }
 
+  /** q298: Kruskal–Wallis H test — the k-sample generalization of
+    * q172's Mann–Whitney: do the 25 nations' monthly-revenue
+    * distributions share a location, judged on RANKS (robust to the
+    * heavy right tail revenue always has)?
+    * H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1), tie-corrected by
+    * C = 1 − Σ(t³−t)/(N³−N), verdict against the χ²(24) 5% critical
+    * value. The last member of the engine's nonparametric family
+    * (MW, KS, permutation, Mann–Kendall, Spearman).
+    *
+    * Cross-engine determinism: q172's discipline — average ranks kept
+    * as EXACT 2×-scaled integers from a distributed exclusive prefix
+    * sum over the distinct-value relation (ScaledWindows, never a
+    * global window), group rank-sums cross-multiplied in
+    * DECIMAL(38,0), and the final 25-term Σ as an ordered fold.
+    *
+    * Scale shape: facts reduce to the nation×month spine; the rank
+    * pass is the two-phase range-partitioned prefix sum over distinct
+    * values; everything after is 25-row metadata algebra.
+    */
+  def kruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        ((year(col("o_orderdate")) - 1995) * 12
+          + month(col("o_orderdate")) - 1).as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("y_c"))
+    val byV = monthly.groupBy(col("y_c")).agg(count(lit(1)).as("ntv"))
+    val ranked = ScaledWindows.prefixSum(byV, Seq(col("y_c")), col("ntv"),
+        "cum_prev", exclusive = true)
+      .withColumn("r2", lit(2L) * col("cum_prev") + col("ntv") + lit(1L))
+    val byGV = monthly.groupBy(col("nk"), col("y_c"))
+      .agg(count(lit(1)).as("n_gv"))
+    val groups = byGV.join(ranked, Seq("y_c"))
+      .groupBy(col("nk"))
+      .agg(sum(col("n_gv")).cast("bigint").as("n_g"),
+        sum(col("n_gv").cast("decimal(38,0)") * col("r2"))
+          .cast("double").as("r2_g"))
+    val ties = ranked.agg(
+      sum(col("ntv")).cast("bigint").as("n"),
+      sum(col("ntv").cast("decimal(38,0)") * col("ntv") * col("ntv")
+        - col("ntv")).cast("double").as("tie"))
+    val folded = groups.agg(
+      count(lit(1)).cast("bigint").as("n_groups"),
+      expr("aggregate(array_sort(collect_list(struct(nk, n_g, r2_g))), 0D," +
+        "(acc, x) -> acc + (x.r2_g * x.r2_g / 4.0) / x.n_g)").as("sum_terms"))
+    folded.crossJoin(broadcast(ties))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("h", lit(12.0) / (col("nd") * (col("nd") + 1))
+        * col("sum_terms") - lit(3.0) * (col("nd") + 1))
+      .withColumn("c_tie", lit(1.0)
+        - col("tie") / (col("nd") * col("nd") * col("nd") - col("nd")))
+      .select(col("n").as("n_total"), col("n_groups"),
+        round(col("h"), 4).as("h"),
+        round(col("h") / col("c_tie"), 4).as("h_tie_corrected"),
+        (col("n_groups") - 1).cast("bigint").as("df"),
+        lit(36.415).as("chi2_crit_05"),
+        (col("h") / col("c_tie") > 36.415).as("reject_equal_location"))
+  }
+
+  private val kruskalWallisSql =
+    """WITH monthly AS (
+      |  SELECT c_nationkey AS nk,
+      |    (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS m,
+      |    sum(round(o_totalprice * 100)::BIGINT) AS y_c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |), byv AS (
+      |  SELECT y_c, count(*)::BIGINT AS ntv FROM monthly GROUP BY y_c
+      |), ranked AS (
+      |  SELECT y_c, ntv,
+      |    coalesce(sum(ntv) OVER (ORDER BY y_c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      |  FROM byv
+      |), r2t AS (
+      |  SELECT y_c, ntv, 2 * cum_prev + ntv + 1 AS r2 FROM ranked
+      |), groups AS (
+      |  SELECT nk, sum(n_gv)::BIGINT AS n_g,
+      |    sum(n_gv::HUGEINT * r2)::DOUBLE AS r2_g
+      |  FROM (SELECT nk, y_c, count(*)::BIGINT AS n_gv
+      |        FROM monthly GROUP BY nk, y_c) g
+      |  JOIN r2t USING (y_c) GROUP BY nk
+      |), ties AS (
+      |  SELECT sum(ntv)::BIGINT AS n,
+      |    sum(ntv::HUGEINT * ntv * ntv - ntv)::DOUBLE AS tie
+      |  FROM r2t
+      |), folded AS (
+      |  SELECT count(*)::BIGINT AS n_groups,
+      |    list_reduce(list((r2_g * r2_g / 4.0) / n_g ORDER BY nk),
+      |      (a, b) -> a + b) AS sum_terms
+      |  FROM groups
+      |)
+      |SELECT n AS n_total, n_groups,
+      |  round(12.0 / (n::DOUBLE * (n::DOUBLE + 1)) * sum_terms
+      |    - 3.0 * (n::DOUBLE + 1), 4) AS h,
+      |  round((12.0 / (n::DOUBLE * (n::DOUBLE + 1)) * sum_terms
+      |      - 3.0 * (n::DOUBLE + 1))
+      |    / (1.0 - tie / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)), 4)
+      |    AS h_tie_corrected,
+      |  (n_groups - 1)::BIGINT AS df,
+      |  36.415 AS chi2_crit_05,
+      |  ((12.0 / (n::DOUBLE * (n::DOUBLE + 1)) * sum_terms
+      |      - 3.0 * (n::DOUBLE + 1))
+      |    / (1.0 - tie / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE))
+      |    > 36.415) AS reject_equal_location
+      |FROM folded CROSS JOIN ties""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql), benchmark = true),
     QueryDef("q284_ses_backtest", sesBacktest, Some(sesBacktestSql)),
     QueryDef("q294_als_factorization", alsFactorization,
       Some(alsFactorizationSql)),
     QueryDef("q295_bradley_terry", bradleyTerry, Some(bradleyTerrySql)),
+    QueryDef("q298_kruskal_wallis", kruskalWallis, Some(kruskalWallisSql)),
     QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),
     QueryDef("q290_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),

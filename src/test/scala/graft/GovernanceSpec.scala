@@ -263,4 +263,30 @@ class GovernanceSpec extends SparkSpec {
       assert(r.getAs[Long]("n_docs") > 0)
     }
   }
+
+  test("otsu: winning split maximizes between-class variance vs a recount") {
+    val r = Governance.otsuThreshold(spark, sfDir).head()
+    val chars = Tables.documents(spark, sfDir)
+      .select(col("n_chars")).collect().map(_.getLong(0))
+    val (lo, hi) = (chars.min, chars.max)
+    val binOf = (x: Long) => ((x - lo) * 32 / (hi - lo + 1)).toInt
+    val hist = chars.groupBy(binOf).map { case (b, xs) => b -> xs.length.toLong }
+    assert(r.getAs[Long]("n_below") + r.getAs[Long]("n_above") === chars.length.toLong)
+    // replay the scan: the reported bin must achieve the max score
+    val n = chars.length.toDouble
+    val scores = (0 to 30).flatMap { t =>
+      val w0 = hist.filter(_._1 <= t).values.sum
+      val w1 = chars.length - w0
+      if (w0 == 0 || w1 == 0) None
+      else {
+        val s0 = hist.filter(_._1 <= t).map { case (b, c) => b.toLong * c }.sum
+        val s1 = hist.map { case (b, c) => b.toLong * c }.sum - s0
+        val (m0, m1) = (s0.toDouble / w0, s1.toDouble / w1)
+        Some(t -> w0.toDouble * w1 * (m0 - m1) * (m0 - m1) / (n * n))
+      }
+    }
+    val best = scores.maxBy { case (t, s) => (s, -t) }
+    assert(r.getAs[Int]("best_bin") === best._1)
+    assert(math.abs(r.getAs[Double]("between_class_var") - best._2) < 5.1e-6)
+  }
 }

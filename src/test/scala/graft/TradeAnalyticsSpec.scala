@@ -1372,6 +1372,36 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("kruskal-wallis: H reconciles with a local tied-rank recompute") {
+    val r = TradeAnalytics.kruskalWallis(spark, sfDir).head()
+    val data = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"),
+        ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("y"))
+      .collect().map(x => (x.getAs[Int]("c_nationkey"), x.getAs[Long]("y")))
+    val n = data.length
+    assert(r.getAs[Long]("n_total") === n.toLong)
+    assert(r.getAs[Long]("n_groups") === data.map(_._1).distinct.length.toLong)
+    // average ranks
+    val sorted = data.map(_._2).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> (xs.map(_._2 + 1).sum.toDouble / xs.length) }
+    val byG = data.groupBy(_._1)
+    val sumTerms = byG.values.map { xs =>
+      val rg = xs.map(x => rankOf(x._2)).sum
+      rg * rg / xs.length
+    }.sum
+    val h = 12.0 / (n.toDouble * (n + 1)) * sumTerms - 3.0 * (n + 1)
+    assert(math.abs(r.getAs[Double]("h") - h) < 5.1e-4 + math.abs(h) * 1e-9,
+      s"got ${r.getAs[Double]("h")} want $h")
+    val ties = data.map(_._2).groupBy(identity).values
+      .map(g => g.length.toDouble).map(t => t * t * t - t).sum
+    val c = 1.0 - ties / (n.toDouble * n * n - n)
+    assert(math.abs(r.getAs[Double]("h_tie_corrected") - h / c) < 5.1e-4 + math.abs(h / c) * 1e-9)
+    assert(r.getAs[Boolean]("reject_equal_location") === (h / c > 36.415))
+  }
+
   test("seasonal decompose: 7 weekday rows covering all full-window days") {
     val rows = TradeAnalytics.seasonalDecompose(spark, sfDir).collect()
     assert(rows.map(_.getAs[Int]("dow")).sorted.toSeq === (1 to 7))

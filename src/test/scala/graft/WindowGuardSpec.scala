@@ -40,6 +40,9 @@ class WindowGuardSpec extends AnyFunSuite {
       "bootstrap replicate spine: 200 rows"),
     Allowed("Sampling.scala", """Window.rowsBetween(Window.unboundedPreceding,""",
       "bootstrap replicate spine: 200 rows"),
+    // --- Governance: fixed-width histogram bin spine
+    Allowed("Governance.scala", """val wCum = Window.orderBy(col("b"))""",
+      "q299 Otsu scan: 32-bin histogram spine"),
     // --- Dedup: cluster-size histogram (distinct sizes, log-bounded)
     Allowed("Dedup.scala", """val wAll = Window.rowsBetween(""",
       "cluster-size histogram: |distinct sizes| rows, sublinear"),
