@@ -1396,7 +1396,109 @@ object TextAnalysis extends QueryModule {
       .partitionBy("shard")
       .parquet(path)
 
+  /** q300: TextTiling-style topic-boundary chunking (Hearst 1997) —
+    * the semantic upgrade of fixed-token RAG chunking: split each doc
+    * into 15-word blocks, score adjacent blocks by lexical cosine on
+    * their word-count vectors, and declare a topic boundary where
+    * cohesion collapses. A chunker that cuts on topic shifts instead
+    * of byte counts keeps retrieval chunks self-contained. Readout per
+    * source: blocks, boundaries, boundary rate, mean segment length —
+    * what a chunking-policy review compares across corpora.
+    *
+    * Cross-engine determinism: the boundary decision
+    * cos(a,b) < 0.1 is evaluated as the EXACT integer inequality
+    * 100·dot² < ‖a‖²·‖b‖² — no float ever decides anything; reported
+    * rates are single divisions of exact counts.
+    *
+    * Scale shape: fully relational — (doc, block, word, count) is one
+    * map-side-partial aggregation; the adjacent-block dot products
+    * are an equi-join on (doc, word, block+1); block norms and the
+    * pair spine are per-doc bounded relations. No per-doc arrays, no
+    * UDFs — the whole chunker is joins and aggregations over
+    * partitionable keys.
+    */
+  def textTiling(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("blk", expr("pos div 15"))
+    val bc = toks.groupBy(col("source"), col("doc_id"), col("blk"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val norms = bc.groupBy(col("source"), col("doc_id"), col("blk"))
+      .agg(sum(col("c") * col("c")).as("n2"))
+    val pairs = norms.alias("a").join(norms.alias("b"),
+        col("a.doc_id") === col("b.doc_id")
+          && col("b.blk") === col("a.blk") + 1)
+      .select(col("a.source").as("source"), col("a.doc_id").as("doc_id"),
+        col("a.blk").as("blk"), col("a.n2").as("na"), col("b.n2").as("nb"))
+    val dots = bc.alias("x").join(bc.alias("y"),
+        col("x.doc_id") === col("y.doc_id") && col("x.w") === col("y.w")
+          && col("y.blk") === col("x.blk") + 1)
+      .groupBy(col("x.doc_id").as("doc_id"), col("x.blk").as("blk"))
+      .agg(sum(col("x.c") * col("y.c")).as("dot"))
+    val scored = pairs.join(dots, Seq("doc_id", "blk"), "left")
+      .withColumn("dot", coalesce(col("dot"), lit(0L)))
+      .withColumn("boundary",
+        (lit(100L) * col("dot") * col("dot") < col("na") * col("nb"))
+          .cast("long"))
+    val perDoc = scored.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("boundary")).as("n_bnd"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_pairs") + 1).cast("bigint").as("n_blocks"),
+        sum(col("n_bnd")).cast("bigint").as("n_boundaries"),
+        round(sum(col("n_bnd")).cast("double") / sum(col("n_pairs")), 4)
+          .as("boundary_rate"),
+        round(sum(col("n_pairs") + 1).cast("double")
+          / (sum(col("n_bnd")) + count(lit(1))), 4).as("mean_segment_blocks"))
+      .orderBy(col("source"))
+  }
+
+  private val textTilingSql =
+    """WITH toks AS (
+      |  SELECT source, doc_id, (u.pos - 1) // 15 AS blk, u.w
+      |  FROM (
+      |    SELECT source, doc_id,
+      |      unnest(list_transform(generate_series(1, len(t)),
+      |        i -> struct_pack(pos := i, w := t[i]))) AS u
+      |    FROM (SELECT source, doc_id, string_split(text, ' ') AS t
+      |          FROM documents))
+      |), bc AS (
+      |  SELECT source, doc_id, blk, w, count(*)::BIGINT AS c
+      |  FROM toks GROUP BY 1, 2, 3, 4
+      |), norms AS (
+      |  SELECT source, doc_id, blk, sum(c * c)::BIGINT AS n2
+      |  FROM bc GROUP BY 1, 2, 3
+      |), pairs AS (
+      |  SELECT a.source, a.doc_id, a.blk, a.n2 AS na, b.n2 AS nb
+      |  FROM norms a JOIN norms b
+      |    ON a.doc_id = b.doc_id AND b.blk = a.blk + 1
+      |), dots AS (
+      |  SELECT x.doc_id, x.blk, sum(x.c * y.c)::BIGINT AS dot
+      |  FROM bc x JOIN bc y
+      |    ON x.doc_id = y.doc_id AND x.w = y.w AND y.blk = x.blk + 1
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT p.source, p.doc_id,
+      |    CASE WHEN 100 * coalesce(d.dot, 0) * coalesce(d.dot, 0)
+      |      < p.na * p.nb THEN 1 ELSE 0 END AS boundary
+      |  FROM pairs p LEFT JOIN dots d
+      |    ON d.doc_id = p.doc_id AND d.blk = p.blk
+      |), per_doc AS (
+      |  SELECT source, doc_id, count(*)::BIGINT AS n_pairs,
+      |    sum(boundary)::BIGINT AS n_bnd
+      |  FROM scored GROUP BY source, doc_id
+      |)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(n_pairs + 1)::BIGINT AS n_blocks,
+      |  sum(n_bnd)::BIGINT AS n_boundaries,
+      |  round(sum(n_bnd)::DOUBLE / sum(n_pairs), 4) AS boundary_rate,
+      |  round(sum(n_pairs + 1)::DOUBLE / (sum(n_bnd) + count(*)), 4)
+      |    AS mean_segment_blocks
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q300_text_tiling", textTiling, Some(textTilingSql)),
     QueryDef("q36_corpus_prep", corpusPrepQuery, Some(corpusPrepSql), benchmark = true),
     QueryDef("q251_unigram_ppl", unigramPerplexity, Some(unigramPerplexitySql)),
     QueryDef("q37_bpe_tokens", bpeTokenStats, Some(bpeTokenStatsSql)),

@@ -344,4 +344,25 @@ class TextAnalysisSpec extends SparkSpec {
     val po = r.getAs[Double]("p_o"); val pe = r.getAs[Double]("p_e")
     assert(math.signum(po - pe) * math.signum(r.getAs[Double]("kappa")) >= 0)
   }
+
+  test("text tiling: block counts reconcile with doc word counts") {
+    val rows = TextAnalysis.textTiling(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val wc = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).as("nw"))
+      .collect().groupBy(_.getAs[String]("source"))
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      // docs with ≥2 blocks (>15 words) are the chunkable population
+      val chunkable = wc(src).map(_.getAs[Int]("nw")).filter(_ > 15)
+      assert(r.getAs[Long]("n_docs") === chunkable.length.toLong)
+      val blocks = chunkable.map(nw => (nw + 14) / 15).map(_.toLong).sum
+      assert(r.getAs[Long]("n_blocks") === blocks,
+        s"$src: got ${r.getAs[Long]("n_blocks")} want $blocks")
+      assert(r.getAs[Long]("n_boundaries") <= blocks - chunkable.length)
+      val rate = r.getAs[Double]("boundary_rate")
+      assert(rate >= 0 && rate <= 1)
+      assert(r.getAs[Double]("mean_segment_blocks") >= 1.0)
+    }
+  }
 }
