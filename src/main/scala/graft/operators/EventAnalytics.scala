@@ -2327,7 +2327,199 @@ object EventAnalytics extends QueryModule {
     QueryDef("q282_doubly_robust", doublyRobustEval, Some(doublyRobustEvalSql)),
     QueryDef("q296_decision_stump", decisionStump, Some(decisionStumpSql)),
     QueryDef("q297_entropy_rate", entropyRate, Some(entropyRateSql)),
+    QueryDef("q301_markov_attribution", markovAttribution,
+      Some(markovAttributionSql)),
   )
+
+  /** q301: Markov removal-effect attribution — the data-driven
+    * attribution model that completes the family (q111 last-touch,
+    * q122 linear, q277 Shapley): build the journey Markov chain,
+    * compute conversion probability from the empirical first-event
+    * distribution, then REMOVE each channel (its transitions die, the
+    * mass that would have flowed through it is lost) and re-compute;
+    * removal effect R_c = 1 − P₋c/P and the normalized shares are the
+    * attribution (Anderl et al. 2016). Four absorbing chains (full +
+    * three removals), each unrolled 8 steps exactly like q240.
+    *
+    * Cross-engine determinism: transition probabilities are ratios of
+    * exact counts, every Σ P·a and the final start-vector dot product
+    * are ordered folds, and all four chains share the identical
+    * literal iteration depth.
+    *
+    * Scale shape: ONE data pass funds the |types|² transition counts
+    * and the first-event distribution; all 32 iteration joins run on
+    * that persisted metadata relation. 10¹² events → a 25-cell matrix
+    * problem.
+    */
+  def markovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val trans = base
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("s"), col("event_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_s", sum(col("n")).over(Window.partitionBy(col("s"))))
+      .withColumn("p", col("n").cast("double") / col("n_s"))
+      .filter(col("s") =!= "purchase")
+      .select(col("s"), col("t"), col("p"))
+      .persist()
+    val vstart = base
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type").as("state"))
+      .agg(count(lit(1)).as("n_first"))
+      .withColumn("n_users",
+        sum(col("n_first")).over(Window.partitionBy()))
+      .withColumn("p0", col("n_first").cast("double") / col("n_users"))
+      .select(col("state"), col("p0"))
+      .persist()
+    val states = trans.select(col("s").as("state")).distinct()
+      .unionByName(spark.createDataFrame(Seq(Tuple1("purchase"))).toDF("state"))
+      .distinct()
+    def convProb(removed: Option[String]): DataFrame = {
+      val m = removed.fold(trans)(c =>
+        trans.filter(col("s") =!= c && col("t") =!= c))
+      val st = removed.fold(states)(c => states.filter(col("state") =!= c))
+      def step(a: DataFrame): DataFrame = {
+        val folded = m
+          .join(a.select(col("state").as("t2"), col("prob")),
+            col("t") === col("t2"))
+          .withColumn("term", col("p") * col("prob"))
+          .groupBy(col("s"))
+          .agg(aggregate(
+            array_sort(collect_list(struct(col("t"), col("term")))),
+            lit(0.0), (acc, x) => acc + x.getField("term")).as("v"))
+        st.join(folded, col("state") === col("s"), "left")
+          .select(col("state"),
+            when(col("state") === "purchase", lit(1.0))
+              .otherwise(coalesce(col("v"), lit(0.0))).as("prob"))
+      }
+      val a0 = st.select(col("state"),
+        when(col("state") === "purchase", 1.0).otherwise(0.0).as("prob"))
+      val a8 = Iterator.iterate(a0)(step).drop(8).next()
+      a8.join(vstart, Seq("state"))
+        .agg(aggregate(
+          array_sort(collect_list(struct(col("state"),
+            (col("p0") * col("prob")).as("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("p_conv"))
+    }
+    val channels = Seq("click", "view", "signup")
+    val full = convProb(None).select(col("p_conv").as("p_full"))
+    val removals = channels.map { c =>
+      convProb(Some(c)).select(lit(c).as("channel"),
+        col("p_conv").as("p_without"))
+    }.reduce(_.unionByName(_))
+    val effects = removals.crossJoin(broadcast(full))
+      .withColumn("removal_effect",
+        lit(1.0) - col("p_without") / col("p_full"))
+    val totalEff = effects.agg(aggregate(
+      array_sort(collect_list(struct(col("channel"),
+        col("removal_effect").as("term")))),
+      lit(0.0), (acc, x) => acc + x.getField("term")).as("sum_eff"))
+    Materialize.releasing(
+      effects.crossJoin(broadcast(totalEff))
+        .select(col("channel"),
+          round(col("p_full"), 6).as("p_conv_full"),
+          round(col("p_without"), 6).as("p_conv_without"),
+          round(col("removal_effect"), 6).as("removal_effect"),
+          round(col("removal_effect") / col("sum_eff"), 6)
+            .as("attribution_share"))
+        .orderBy(col("channel")),
+      trans, vstart)
+  }
+
+  private val markovAttributionSql = {
+    def stepCte(tag: String, k: Int, mSrc: String, stSrc: String): String =
+      s"""a$tag$k AS (
+         |  SELECT st.state,
+         |    CASE WHEN st.state = 'purchase' THEN 1.0
+         |      ELSE coalesce(f.v, 0.0) END AS prob
+         |  FROM $stSrc st LEFT JOIN (
+         |    SELECT m.s,
+         |      list_reduce(
+         |        list_prepend(0.0, list(m.p * a.prob ORDER BY m.t)),
+         |        (acc, x) -> acc + x) AS v
+         |    FROM $mSrc m JOIN a$tag${k - 1} a ON a.state = m.t
+         |    GROUP BY m.s) f ON f.s = st.state
+         |)"""
+    def chain(tag: String, mSrc: String, stSrc: String): String = {
+      val init =
+        s"""a${tag}0 AS (
+           |  SELECT state,
+           |    CASE WHEN state = 'purchase' THEN 1.0 ELSE 0.0 END AS prob
+           |  FROM $stSrc
+           |)"""
+      val steps = (1 to 8).map(stepCte(tag, _, mSrc, stSrc)).mkString(",\n")
+      val dot =
+        s"""p$tag AS (
+           |  SELECT list_reduce(
+           |    list_prepend(0.0, list(v.p0 * a.prob ORDER BY a.state)),
+           |    (acc, x) -> acc + x) AS p_conv
+           |  FROM a${tag}8 a JOIN vstart v ON v.state = a.state
+           |)"""
+      Seq(init, steps, dot).mkString(",\n")
+    }
+    def removedCtes(c: String, tag: String): String =
+      s"""m_$tag AS (SELECT * FROM m WHERE s <> '$c' AND t <> '$c'),
+         |st_$tag AS (SELECT state FROM states WHERE state <> '$c'),
+         |${chain(tag, s"m_$tag", s"st_$tag")}"""
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+       |), pr AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+       |      AS prev
+       |  FROM e
+       |), cnt AS (
+       |  SELECT prev AS s, event_type AS t, count(*)::BIGINT AS n
+       |  FROM pr WHERE prev IS NOT NULL GROUP BY 1, 2
+       |), m AS (
+       |  SELECT s, t, n::DOUBLE / sum(n) OVER (PARTITION BY s) AS p
+       |  FROM cnt WHERE s <> 'purchase'
+       |), states AS (
+       |  SELECT DISTINCT s AS state FROM m
+       |  UNION SELECT 'purchase'
+       |), firsts AS (
+       |  SELECT event_type AS state, count(*)::BIGINT AS n_first FROM (
+       |    SELECT event_type,
+       |      row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+       |        AS rn
+       |    FROM e) WHERE rn = 1 GROUP BY 1
+       |), vstart AS (
+       |  SELECT state, n_first::DOUBLE / (SELECT sum(n_first) FROM firsts)
+       |    AS p0
+       |  FROM firsts
+       |),
+       |${chain("F", "m", "states")},
+       |${removedCtes("click", "C")},
+       |${removedCtes("view", "V")},
+       |${removedCtes("signup", "S")},
+       |eff AS (
+       |  SELECT ch.channel, pF.p_conv AS p_full, pc.p_conv AS p_without,
+       |    1.0 - pc.p_conv / pF.p_conv AS removal_effect
+       |  FROM (VALUES ('click'), ('view'), ('signup')) ch(channel)
+       |  CROSS JOIN pF
+       |  JOIN (
+       |    SELECT 'click' AS channel, p_conv FROM pC
+       |    UNION ALL SELECT 'view', p_conv FROM pV
+       |    UNION ALL SELECT 'signup', p_conv FROM pS) pc
+       |    USING (channel)
+       |), tot AS (
+       |  SELECT list_reduce(
+       |    list_prepend(0.0, list(removal_effect ORDER BY channel)),
+       |    (acc, x) -> acc + x) AS sum_eff
+       |  FROM eff
+       |)
+       |SELECT channel,
+       |  round(p_full, 6) AS p_conv_full,
+       |  round(p_without, 6) AS p_conv_without,
+       |  round(removal_effect, 6) AS removal_effect,
+       |  round(removal_effect / sum_eff, 6) AS attribution_share
+       |FROM eff CROSS JOIN tot ORDER BY channel""".stripMargin
+  }
 
   /** q296: decision-stump split finding — the inner loop of every
     * tree/GBM trainer, run once: for the feature "events per user"

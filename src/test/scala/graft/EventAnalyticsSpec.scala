@@ -877,4 +877,21 @@ class EventAnalyticsSpec extends SparkSpec {
     // sequence-boundary effects)
     assert(rows.head.getAs[Double]("predictability_gain_nats") >= -0.01)
   }
+
+  test("markov attribution: removal only hurts, shares sum to 1") {
+    val rows = EventAnalytics.markovAttribution(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("channel")).sorted.toSeq ===
+      Seq("click", "signup", "view"))
+    val pFull = rows.head.getAs[Double]("p_conv_full")
+    assert(pFull > 0 && pFull <= 1)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p_conv_full") === pFull)
+      // removing a channel can only lose conversion mass
+      assert(r.getAs[Double]("p_conv_without") <= pFull + 1e-9)
+      assert(r.getAs[Double]("removal_effect") >= -1e-6)
+      assert(r.getAs[Double]("removal_effect") <= 1.0 + 1e-9)
+    }
+    val shares = rows.map(_.getAs[Double]("attribution_share")).sum
+    assert(math.abs(shares - 1.0) < 5e-3, s"shares sum $shares")
+  }
 }
