@@ -3644,6 +3644,139 @@ object TradeAnalytics extends QueryModule {
       |    > 36.415) AS reject_equal_location
       |FROM folded CROSS JOIN ties""".stripMargin
 
+  /** q302: leave-last-out recommender backtest — the offline eval that
+    * decides whether a recommender ships: hide each customer's LAST
+    * order, train item-item co-occurrence on the earlier ones, score
+    * unseen candidates by profile-weighted co-counts, and measure
+    * hit-rate@1/@3 against the held-out basket plus catalog coverage
+    * (the health metric that catches popularity collapse). The eval
+    * harness around q204's neighbor model, leakage-safe by
+    * construction: the held-out order contributes NOTHING to training.
+    *
+    * Cross-engine determinism: scores are exact integer co-counts,
+    * ranking tiebreaks on the item key, and every rate divides exact
+    * counts.
+    *
+    * Scale shape: co-occurrence is a within-order self-join (bounded
+    * basket fan-out) with map-side-partial aggregation; candidate
+    * scoring is profile ⋈ cooc on the item key (the one large join,
+    * partitioned by item); top-k per customer is a partitioned
+    * window. The held-out split is a per-customer max — no global
+    * sort anywhere.
+    */
+  def recsysBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val wLast = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val tagged = orders
+      .withColumn("rn", row_number().over(wLast))
+      .withColumn("n_orders",
+        count(lit(1)).over(Window.partitionBy(col("o_custkey"))))
+      .filter(col("n_orders") >= 2)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val trainItems = tagged.filter(col("rn") > 1)
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("o_orderkey").as("ok"),
+        col("l_partkey").as("item")).distinct()
+    val heldOut = tagged.filter(col("rn") === 1)
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("item")).distinct()
+    val cooc = trainItems.alias("x").join(trainItems.alias("y"),
+        col("x.ok") === col("y.ok") && col("x.item") =!= col("y.item"))
+      .groupBy(col("x.item").as("i"), col("y.item").as("j"))
+      .agg(count(lit(1)).as("w"))
+    val profile = trainItems.select(col("c"), col("item")).distinct()
+    val scores = profile.join(cooc, col("item") === col("i"))
+      .groupBy(col("c"), col("j"))
+      .agg(sum(col("w")).as("score"))
+      .join(profile.select(col("c"), col("item").as("j")),
+        Seq("c", "j"), "left_anti") // recommend only unseen items
+    val wTop = Window.partitionBy(col("c"))
+      .orderBy(col("score").desc, col("j"))
+    val topk = scores.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+    val hits = topk.join(heldOut,
+        topk("c") === heldOut("c") && col("j") === heldOut("item"))
+      .groupBy(topk("c").as("cc"))
+      .agg(min(col("rk")).as("best_rk"))
+    val nEval = tagged.filter(col("rn") === 1)
+      .select(col("o_custkey")).distinct().count()
+    val catalog = li.select(col("l_partkey")).distinct().count()
+    hits.agg(
+        sum(when(col("best_rk") === 1, 1L).otherwise(0L)).as("h1"),
+        count(lit(1)).as("h3"))
+      .crossJoin(topk.agg(countDistinct(col("j")).as("n_rec_items")))
+      .select(
+        lit(nEval).cast("bigint").as("n_customers"),
+        col("h1").cast("bigint").as("hits_at_1"),
+        col("h3").cast("bigint").as("hits_at_3"),
+        round(col("h1").cast("double") / nEval, 6).as("hitrate_at_1"),
+        round(col("h3").cast("double") / nEval, 6).as("hitrate_at_3"),
+        col("n_rec_items").cast("bigint").as("n_rec_items"),
+        round(col("n_rec_items").cast("double") / catalog, 6).as("coverage"))
+  }
+
+  private val recsysBacktestSql =
+    """WITH tagged AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+      |    count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      |  FROM orders
+      |), t2 AS (
+      |  SELECT * FROM tagged WHERE n_orders >= 2
+      |), train AS (
+      |  SELECT DISTINCT t.o_custkey AS c, t.o_orderkey AS ok,
+      |    l.l_partkey AS item
+      |  FROM t2 t JOIN lineitem l ON t.o_orderkey = l.l_orderkey
+      |  WHERE t.rn > 1
+      |), held AS (
+      |  SELECT DISTINCT t.o_custkey AS c, l.l_partkey AS item
+      |  FROM t2 t JOIN lineitem l ON t.o_orderkey = l.l_orderkey
+      |  WHERE t.rn = 1
+      |), cooc AS (
+      |  SELECT x.item AS i, y.item AS j, count(*)::BIGINT AS w
+      |  FROM train x JOIN train y ON x.ok = y.ok AND x.item <> y.item
+      |  GROUP BY 1, 2
+      |), profile AS (
+      |  SELECT DISTINCT c, item FROM train
+      |), scores AS (
+      |  SELECT p.c, co.j, sum(co.w)::BIGINT AS score
+      |  FROM profile p JOIN cooc co ON p.item = co.i
+      |  GROUP BY p.c, co.j
+      |), unseen AS (
+      |  SELECT s.* FROM scores s
+      |  LEFT JOIN profile p ON p.c = s.c AND p.item = s.j
+      |  WHERE p.item IS NULL
+      |), topk AS (
+      |  SELECT c, j, row_number() OVER (PARTITION BY c
+      |    ORDER BY score DESC, j) AS rk
+      |  FROM unseen QUALIFY rk <= 3
+      |), hits AS (
+      |  SELECT t.c, min(t.rk) AS best_rk
+      |  FROM topk t JOIN held h ON h.c = t.c AND h.item = t.j
+      |  GROUP BY t.c
+      |), n_eval AS (
+      |  SELECT count(DISTINCT o_custkey)::BIGINT AS n FROM t2 WHERE rn = 1
+      |), cat AS (
+      |  SELECT count(DISTINCT l_partkey)::BIGINT AS n FROM lineitem
+      |)
+      |SELECT n_eval.n AS n_customers,
+      |  coalesce(sum(CASE WHEN best_rk = 1 THEN 1 ELSE 0 END), 0)::BIGINT
+      |    AS hits_at_1,
+      |  coalesce(count(hits.c), 0)::BIGINT AS hits_at_3,
+      |  round(coalesce(sum(CASE WHEN best_rk = 1 THEN 1 ELSE 0 END), 0)::DOUBLE
+      |    / n_eval.n, 6) AS hitrate_at_1,
+      |  round(coalesce(count(hits.c), 0)::DOUBLE / n_eval.n, 6)
+      |    AS hitrate_at_3,
+      |  (SELECT count(DISTINCT j)::BIGINT FROM topk) AS n_rec_items,
+      |  round((SELECT count(DISTINCT j) FROM topk)::DOUBLE / cat.n, 6)
+      |    AS coverage
+      |FROM hits CROSS JOIN n_eval CROSS JOIN cat
+      |GROUP BY n_eval.n, cat.n""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql), benchmark = true),
     QueryDef("q284_ses_backtest", sesBacktest, Some(sesBacktestSql)),
@@ -3651,6 +3784,7 @@ object TradeAnalytics extends QueryModule {
       Some(alsFactorizationSql)),
     QueryDef("q295_bradley_terry", bradleyTerry, Some(bradleyTerrySql)),
     QueryDef("q298_kruskal_wallis", kruskalWallis, Some(kruskalWallisSql)),
+    QueryDef("q302_recsys_backtest", recsysBacktest, Some(recsysBacktestSql)),
     QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),
     QueryDef("q290_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),

@@ -1402,6 +1402,20 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("reject_equal_location") === (h / c > 36.415))
   }
 
+  test("recsys backtest: rates bounded, hit counts consistent, leakage-safe denominator") {
+    val r = TradeAnalytics.recsysBacktest(spark, sfDir).head()
+    val n = r.getAs[Long]("n_customers")
+    // denominator = customers with >= 2 orders (independent recount)
+    val multi = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey")).count().filter(col("count") >= 2).count()
+    assert(n === multi)
+    assert(r.getAs[Long]("hits_at_1") <= r.getAs[Long]("hits_at_3"))
+    assert(r.getAs[Long]("hits_at_3") <= n)
+    assert(r.getAs[Double]("hitrate_at_1") <= r.getAs[Double]("hitrate_at_3"))
+    assert(r.getAs[Double]("coverage") > 0 && r.getAs[Double]("coverage") <= 1)
+    assert(r.getAs[Long]("n_rec_items") <= 3 * n)
+  }
+
   test("seasonal decompose: 7 weekday rows covering all full-window days") {
     val rows = TradeAnalytics.seasonalDecompose(spark, sfDir).collect()
     assert(rows.map(_.getAs[Int]("dow")).sorted.toSeq === (1 to 7))
