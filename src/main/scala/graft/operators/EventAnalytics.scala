@@ -2329,7 +2329,233 @@ object EventAnalytics extends QueryModule {
     QueryDef("q297_entropy_rate", entropyRate, Some(entropyRateSql)),
     QueryDef("q301_markov_attribution", markovAttribution,
       Some(markovAttributionSql)),
+    QueryDef("q303_meta_analysis", metaAnalysis, Some(metaAnalysisSql)),
+    QueryDef("q304_mde_power", mdePower, Some(mdePowerSql)),
   )
+
+  /** q303: DerSimonian–Laird random-effects meta-analysis — how a
+    * platform POOLS one experiment measured across 7 independent
+    * strata (sites/cohorts): per-stratum effect d_s ± SE_s, Cochran's
+    * Q heterogeneity, I², the DL between-stratum variance τ², and
+    * both fixed-effects (precision-weighted) and random-effects
+    * (τ²-widened) pooled estimates with CIs. When I² is high the FE
+    * estimate is overconfident — exactly the failure mode this
+    * readout exists to expose.
+    *
+    * Cross-engine determinism: per-stratum moments are exact integer
+    * cents with DECIMAL(38,0) squares (q119/q269 discipline); all
+    * Σw-style reductions over the 7 strata are ordered folds.
+    *
+    * Scale shape: one conditional-aggregation pass over purchase
+    * events → (stratum × variant) moment cells; everything after
+    * runs on 14 rows of metadata.
+    */
+  def metaAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val units = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(round(col("value") * 100, 0).cast("long").as("y_c"),
+        pmod(col("user_id"), lit(2)).as("variant"),
+        dayofweek(col("ts")).as("stratum"))
+    val cells = units.groupBy(col("stratum"), col("variant"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y_c")).as("s1"),
+        sum((col("y_c") * col("y_c")).cast("decimal(38,0)")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      // n = 1 cells carry no variance information; null here, and the
+      // stratum filter below drops any stratum with an unusable cell
+      .withColumn("vars", when(col("n") > 1,
+        (col("n").cast("decimal(38,0)") * col("s2")
+          - (col("s1").cast("decimal(38,0)") * col("s1"))
+            .cast("decimal(38,0)")).cast("double")
+          / (col("n").cast("double") * (col("n") - 1))))
+    val strata = cells.groupBy(col("stratum"))
+      .agg(
+        max(when(col("variant") === 1, col("mean"))).as("m1"),
+        max(when(col("variant") === 0, col("mean"))).as("m0"),
+        max(when(col("variant") === 1, col("vars"))).as("v1"),
+        max(when(col("variant") === 0, col("vars"))).as("v0"),
+        max(when(col("variant") === 1, col("n"))).as("n1"),
+        max(when(col("variant") === 0, col("n"))).as("n0"))
+      .filter(col("v1").isNotNull && col("v0").isNotNull
+        && col("m1").isNotNull && col("m0").isNotNull)
+      .withColumn("d", (col("m1") - col("m0")) / 100)
+      .withColumn("se2",
+        (col("v1") / col("n1") + col("v0") / col("n0")) / 10000)
+      .withColumn("w", lit(1.0) / col("se2"))
+    def fold(term: String) = expr(
+      s"aggregate(array_sort(collect_list(struct(stratum, $term))), 0D," +
+        "(acc, x) -> acc + x.t)")
+    val pooled = strata
+      .agg(count(lit(1)).cast("bigint").as("k"),
+        fold("w AS t").as("sw"),
+        fold("(w * d) AS t").as("swd"),
+        fold("(w * w) AS t").as("sw2"),
+        fold("(w * d * d) AS t").as("swd2"))
+      .withColumn("fe", col("swd") / col("sw"))
+      .withColumn("q", col("swd2") - col("swd") * col("swd") / col("sw"))
+      .withColumn("tau2", greatest(lit(0.0),
+        (col("q") - (col("k") - 1))
+          / (col("sw") - col("sw2") / col("sw"))))
+      .withColumn("i2", when(col("q") > 0, greatest(lit(0.0),
+        (col("q") - (col("k") - 1)) / col("q"))).otherwise(0.0))
+    val reWeights = strata.crossJoin(broadcast(pooled.select(col("tau2"))))
+      .withColumn("wr", lit(1.0) / (col("se2") + col("tau2")))
+      .agg(fold("wr AS t").as("swr"), fold("(wr * d) AS t").as("swrd"))
+      .withColumn("re", col("swrd") / col("swr"))
+      .withColumn("re_se", sqrt(lit(1.0) / col("swr")))
+    pooled.crossJoin(broadcast(reWeights))
+      .select(col("k").as("n_strata"),
+        round(col("fe"), 4).as("fixed_effect_usd"),
+        round(col("q"), 4).as("cochran_q"),
+        round(col("i2"), 4).as("i_squared"),
+        round(col("tau2"), 6).as("tau_squared"),
+        round(col("re"), 4).as("random_effect_usd"),
+        round(col("re") - lit(1.96) * col("re_se"), 4).as("re_ci_lo"),
+        round(col("re") + lit(1.96) * col("re_se"), 4).as("re_ci_hi"))
+  }
+
+  private val metaAnalysisSql =
+    """WITH tagged AS (
+      |  SELECT round(value * 100)::BIGINT AS y_c,
+      |    (user_id % 2) AS variant, dayofweek(ts) + 1 AS stratum
+      |  FROM events WHERE event_type = 'purchase'
+      |), cells AS (
+      |  SELECT stratum, variant, count(*)::BIGINT AS n,
+      |    sum(y_c)::BIGINT AS s1, sum((y_c * y_c)::HUGEINT) AS s2
+      |  FROM tagged GROUP BY stratum, variant
+      |), cm AS (
+      |  SELECT stratum, variant, n,
+      |    s1::DOUBLE / n AS mean,
+      |    CASE WHEN n > 1 THEN
+      |      (n::HUGEINT * s2 - s1::HUGEINT * s1)::DOUBLE
+      |        / (n::DOUBLE * (n - 1)) END AS vars
+      |  FROM cells
+      |), strata AS (
+      |  SELECT stratum,
+      |    (max(CASE WHEN variant = 1 THEN mean END)
+      |      - max(CASE WHEN variant = 0 THEN mean END)) / 100 AS d,
+      |    (max(CASE WHEN variant = 1 THEN vars END)
+      |        / max(CASE WHEN variant = 1 THEN n END)
+      |      + max(CASE WHEN variant = 0 THEN vars END)
+      |        / max(CASE WHEN variant = 0 THEN n END)) / 10000 AS se2
+      |  FROM cm GROUP BY stratum
+      |  HAVING max(CASE WHEN variant = 1 THEN vars END) IS NOT NULL
+      |    AND max(CASE WHEN variant = 0 THEN vars END) IS NOT NULL
+      |    AND max(CASE WHEN variant = 1 THEN mean END) IS NOT NULL
+      |    AND max(CASE WHEN variant = 0 THEN mean END) IS NOT NULL
+      |), sw AS (
+      |  SELECT stratum, d, se2, 1.0 / se2 AS w FROM strata
+      |), pooled AS (
+      |  SELECT count(*)::BIGINT AS k,
+      |    list_reduce(list(w ORDER BY stratum), (a, b) -> a + b) AS sw,
+      |    list_reduce(list(w * d ORDER BY stratum), (a, b) -> a + b) AS swd,
+      |    list_reduce(list(w * w ORDER BY stratum), (a, b) -> a + b) AS sw2,
+      |    list_reduce(list(w * d * d ORDER BY stratum), (a, b) -> a + b)
+      |      AS swd2
+      |  FROM sw
+      |), pd AS (
+      |  SELECT k, sw, swd, sw2, swd2,
+      |    swd / sw AS fe,
+      |    swd2 - swd * swd / sw AS q,
+      |    greatest(0.0, (swd2 - swd * swd / sw - (k - 1))
+      |      / (sw - sw2 / sw)) AS tau2,
+      |    CASE WHEN swd2 - swd * swd / sw > 0 THEN
+      |      greatest(0.0, (swd2 - swd * swd / sw - (k - 1))
+      |        / (swd2 - swd * swd / sw)) ELSE 0.0 END AS i2
+      |  FROM pooled
+      |), re AS (
+      |  SELECT
+      |    list_reduce(list(1.0 / (s.se2 + p.tau2) ORDER BY s.stratum),
+      |      (a, b) -> a + b) AS swr,
+      |    list_reduce(list((1.0 / (s.se2 + p.tau2)) * s.d ORDER BY s.stratum),
+      |      (a, b) -> a + b) AS swrd
+      |  FROM sw s CROSS JOIN pd p
+      |)
+      |SELECT pd.k AS n_strata,
+      |  round(pd.fe, 4) AS fixed_effect_usd,
+      |  round(pd.q, 4) AS cochran_q,
+      |  round(pd.i2, 4) AS i_squared,
+      |  round(pd.tau2, 6) AS tau_squared,
+      |  round(re.swrd / re.swr, 4) AS random_effect_usd,
+      |  round(re.swrd / re.swr - 1.96 * sqrt(1.0 / re.swr), 4) AS re_ci_lo,
+      |  round(re.swrd / re.swr + 1.96 * sqrt(1.0 / re.swr), 4) AS re_ci_hi
+      |FROM pd CROSS JOIN re""".stripMargin
+
+  /** q304: MDE / power sizing — the "how long must this test run"
+    * readout (the prospective companion to q273's retrospective
+    * test): per metric cell, the current standard error, the minimum
+    * detectable effect at 80% power / 5% α (MDE = 2.8·SE, the
+    * standard z-sum approximation), and the per-arm sample size
+    * required to detect a 1%-of-mean lift. Exact integer-cent
+    * moments; every output is a fixed IEEE chain.
+    *
+    * Scale shape: one conditional-aggregation pass into |event_type|
+    * cells; sizing algebra on 5 rows.
+    */
+  def mdePower(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (pmod(col("user_id"), lit(2)) === 1).as("is_b"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(!col("is_b"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("is_b"), 1L).otherwise(0L)).as("n1"),
+        sum(col("c")).as("s1"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+      .withColumn("n", col("n0") + col("n1"))
+      .withColumn("mean_c", col("s1").cast("double") / col("n"))
+      .withColumn("sd_c", sqrt(
+        (col("n").cast("decimal(38,0)") * col("s2")
+          - (col("s1").cast("decimal(38,0)") * col("s1"))
+            .cast("decimal(38,0)")).cast("double")
+          / (col("n").cast("double") * (col("n") - 1))))
+      .withColumn("se_c",
+        col("sd_c") * sqrt(lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+      .withColumn("target_c", col("mean_c") / 100)
+    cells.select(col("event_type"),
+        col("n0").cast("bigint").as("n0"),
+        col("n1").cast("bigint").as("n1"),
+        round(col("mean_c") / 100, 4).as("mean_usd"),
+        round(col("se_c") / 100, 6).as("se_usd"),
+        round(lit(2.8) * col("se_c") / 100, 6).as("mde80_usd"),
+        round(lit(2.8) * col("se_c") / col("mean_c"), 6)
+          .as("mde80_rel"),
+        ceil(lit(2.0) * (lit(2.8) * col("sd_c") / col("target_c"))
+          * (lit(2.8) * col("sd_c") / col("target_c")))
+          .cast("bigint").as("n_per_arm_for_1pct"))
+      .orderBy(col("event_type"))
+  }
+
+  private val mdePowerSql =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+      |    sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(round(value * 100)::BIGINT)::BIGINT AS s1,
+      |    sum((round(value * 100)::BIGINT * round(value * 100)::BIGINT)::HUGEINT)
+      |      AS s2
+      |  FROM events GROUP BY event_type
+      |), m AS (
+      |  SELECT event_type, n0, n1, n0 + n1 AS n,
+      |    s1::DOUBLE / (n0 + n1) AS mean_c,
+      |    sqrt(((n0 + n1)::HUGEINT * s2 - s1::HUGEINT * s1)::DOUBLE
+      |      / ((n0 + n1)::DOUBLE * (n0 + n1 - 1))) AS sd_c
+      |  FROM cells
+      |), f AS (
+      |  SELECT event_type, n0, n1, mean_c, sd_c,
+      |    sd_c * sqrt(1.0 / n0 + 1.0 / n1) AS se_c,
+      |    mean_c / 100 AS target_c
+      |  FROM m
+      |)
+      |SELECT event_type, n0, n1,
+      |  round(mean_c / 100, 4) AS mean_usd,
+      |  round(se_c / 100, 6) AS se_usd,
+      |  round(2.8 * se_c / 100, 6) AS mde80_usd,
+      |  round(2.8 * se_c / mean_c, 6) AS mde80_rel,
+      |  ceil(2.0 * (2.8 * sd_c / target_c) * (2.8 * sd_c / target_c))::BIGINT
+      |    AS n_per_arm_for_1pct
+      |FROM f ORDER BY event_type""".stripMargin
 
   /** q301: Markov removal-effect attribution — the data-driven
     * attribution model that completes the family (q111 last-touch,

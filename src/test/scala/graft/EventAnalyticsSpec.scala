@@ -894,4 +894,28 @@ class EventAnalyticsSpec extends SparkSpec {
     val shares = rows.map(_.getAs[Double]("attribution_share")).sum
     assert(math.abs(shares - 1.0) < 5e-3, s"shares sum $shares")
   }
+
+  test("meta-analysis: CI brackets RE estimate, heterogeneity stats bounded") {
+    val r = EventAnalytics.metaAnalysis(spark, sfDir).head()
+    assert(r.getAs[Long]("n_strata") === 7L)
+    val re = r.getAs[Double]("random_effect_usd")
+    assert(r.getAs[Double]("re_ci_lo") <= re && re <= r.getAs[Double]("re_ci_hi"))
+    assert(r.getAs[Double]("re_ci_lo") < r.getAs[Double]("re_ci_hi"))
+    val i2 = r.getAs[Double]("i_squared")
+    assert(i2 >= 0 && i2 <= 1)
+    assert(r.getAs[Double]("tau_squared") >= 0)
+    assert(r.getAs[Double]("cochran_q") >= -1e-9)
+  }
+
+  test("mde/power: MDE is 2.8 standard errors, sizing positive") {
+    val rows = EventAnalytics.mdePower(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n0") + r.getAs[Long]("n1") > 0)
+      val se = r.getAs[Double]("se_usd")
+      assert(math.abs(r.getAs[Double]("mde80_usd") - 2.8 * se) < 3e-6 + se * 1e-6)
+      assert(r.getAs[Double]("mde80_rel") > 0)
+      assert(r.getAs[Long]("n_per_arm_for_1pct") > 0)
+    }
+  }
 }
