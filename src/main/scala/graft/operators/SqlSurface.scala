@@ -214,7 +214,83 @@ object SqlSurface extends QueryModule {
     QueryDef("q237_path_signatures", pathSignatures,
       Some(pathSignaturesSql)),
     QueryDef("q238_variant_events", variantEvents, Some(variantEventsSql)),
+    QueryDef("q306_burst_viterbi", burstViterbi, Some(burstViterbiSql)),
   )
+
+  /** q306: Kleinberg-style burst detection over the daily purchase
+    * stream — a 2-state (base λ₀ / burst 2λ₀) HMM decoded by a
+    * forward Viterbi cost recursion with an entry penalty γ, run as a
+    * WITH RECURSIVE chain (the q235 pattern: Spark 4.x executes the
+    * SAME ANSI text the DuckDB oracle runs). Per-state readout: days,
+    * run structure, mean daily count — the burst summary an incident
+    * review reads. The decoded state is the forward-cost argmin
+    * (online decoding); the full backward pass would need a second
+    * recursion and changes nothing on well-separated bursts.
+    *
+    * Cross-engine determinism: the Poisson cost constants
+    * (λ·1000, 1000·ln λ) are quantized ONCE to integers, so the whole
+    * DP is exact integer arithmetic — no float comparison inside the
+    * recursion where an ulp could flip a min().
+    *
+    * Scale shape: the recursion runs over the bounded day spine
+    * (calendar-sized), never the event stream; the data pass is one
+    * conditional count by day. Recursion depth = |days| (a month
+    * here; chunk by epoch for multi-year spines).
+    */
+  def burstViterbi(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(burstViterbiSql)
+  }
+
+  private val burstViterbiSql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS c
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), numbered AS (
+      |  SELECT c, day, row_number() OVER (ORDER BY day) AS i FROM daily
+      |), consts AS (
+      |  SELECT
+      |    CAST(round(1000 * (CAST(sum(c) AS DOUBLE) / count(*))) AS BIGINT)
+      |      AS a0,
+      |    CAST(round(2000 * (CAST(sum(c) AS DOUBLE) / count(*))) AS BIGINT)
+      |      AS a1,
+      |    CAST(round(1000 * ln(CAST(sum(c) AS DOUBLE) / count(*)))
+      |      AS BIGINT) AS l0,
+      |    CAST(round(1000 * ln(2 * (CAST(sum(c) AS DOUBLE) / count(*))))
+      |      AS BIGINT) AS l1
+      |  FROM numbered
+      |), chain AS (
+      |  SELECT n.i, n.day, n.c,
+      |    k.a0 - n.c * k.l0 AS c0,
+      |    1000 + k.a1 - n.c * k.l1 AS c1
+      |  FROM numbered n CROSS JOIN consts k WHERE n.i = 1
+      |  UNION ALL
+      |  SELECT n.i, n.day, n.c,
+      |    least(ch.c0, ch.c1) + k.a0 - n.c * k.l0,
+      |    least(ch.c1, ch.c0 + 1000) + k.a1 - n.c * k.l1
+      |  FROM chain ch
+      |  JOIN numbered n ON n.i = ch.i + 1
+      |  CROSS JOIN consts k
+      |), st AS (
+      |  SELECT i, c, CASE WHEN c1 < c0 THEN 1 ELSE 0 END AS burst
+      |  FROM chain
+      |), runs AS (
+      |  SELECT burst, grp, count(*) AS run_len FROM (
+      |    SELECT burst, i,
+      |      i - row_number() OVER (PARTITION BY burst ORDER BY i) AS grp
+      |    FROM st)
+      |  GROUP BY burst, grp
+      |)
+      |SELECT s.burst, count(*) AS n_days,
+      |  CAST(sum(s.c) AS BIGINT) AS n_events,
+      |  round(CAST(sum(s.c) AS DOUBLE) / count(*), 2) AS mean_daily,
+      |  r.n_runs, r.longest_run
+      |FROM st s JOIN (
+      |  SELECT burst, CAST(count(*) AS BIGINT) AS n_runs,
+      |    CAST(max(run_len) AS BIGINT) AS longest_run
+      |  FROM runs GROUP BY burst) r ON r.burst = s.burst
+      |GROUP BY s.burst, r.n_runs, r.longest_run
+      |ORDER BY s.burst""".stripMargin
 
   /** q226: WITH RECURSIVE executed by Spark itself (4.x recursive-CTE
     * support) — a damped revenue-momentum index chained month over

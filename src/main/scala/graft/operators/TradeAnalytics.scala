@@ -3777,6 +3777,95 @@ object TradeAnalytics extends QueryModule {
       |FROM hits CROSS JOIN n_eval CROSS JOIN cat
       |GROUP BY n_eval.n, cat.n""".stripMargin
 
+  /** q305: Haar wavelet energy decomposition of the daily revenue
+    * series — the multi-resolution companion to q173's ACF and q290's
+    * weekly decomposition: detail energy at level ℓ measures
+    * variation at the 2^ℓ-day scale (ℓ=1 day-to-day noise, ℓ=3
+    * weekly-ish structure, ℓ=5 monthly drift), the standard dyadic
+    * screen for WHERE a series' variance lives. First 512 days, Haar
+    * detail energy Eℓ = Σ_blocks (ΣL − ΣR)²/2^ℓ.
+    *
+    * Cross-engine determinism: block sums and squared differences are
+    * exact integers (DECIMAL(38,0)/HUGEINT squares), and /2^ℓ is a
+    * dyadic-exact double op; level energies never touch an unordered
+    * float sum.
+    *
+    * Scale shape: facts reduce to the day spine; the 5 levels expand
+    * each day row ×5 (a 2560-row relation) and aggregate by
+    * (level, block) with map-side partials. Pure metadata work after
+    * the first shuffle.
+    */
+  def haarEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("bigint")).as("y_c"))
+    val idx = daily
+      .withColumn("rn", row_number().over(Window.orderBy(col("day"))))
+      .filter(col("rn") <= 512)
+    val lv = idx.select(col("rn"), col("y_c"),
+        explode(sequence(lit(1), lit(5))).as("l"))
+      .withColumn("block", expr("(rn - 1) div shiftleft(1, l)"))
+      .withColumn("sgn",
+        when(pmod(expr("(rn - 1) div shiftleft(1, l - 1)"), lit(2)) === 0, 1L)
+          .otherwise(-1L))
+    val blocks = lv.groupBy(col("l"), col("block"))
+      .agg(sum(col("sgn") * col("y_c")).as("diff"),
+        count(lit(1)).as("n_in_block"))
+      .filter(col("n_in_block") === expr("shiftleft(1, l)")) // complete blocks only
+      .withColumn("e_c2",
+        (col("diff").cast("decimal(38,0)") * col("diff"))
+          .cast("double") / expr("CAST(shiftleft(1, l) AS DOUBLE)"))
+    val energies = blocks.groupBy(col("l"))
+      .agg(count(lit(1)).cast("bigint").as("n_blocks"),
+        expr("aggregate(array_sort(collect_list(struct(block, e_c2))), 0D," +
+          "(acc, x) -> acc + x.e_c2)").as("energy_c2"))
+    val tot = energies.agg(
+      expr("aggregate(array_sort(collect_list(struct(l, energy_c2))), 0D," +
+        "(acc, x) -> acc + x.energy_c2)").as("tot_e"))
+    energies.crossJoin(broadcast(tot))
+      .select(col("l").cast("int").as("level"), col("n_blocks"),
+        round(col("energy_c2") / 1e8, 2).as("detail_energy_musd2"),
+        round(col("energy_c2") / col("tot_e"), 4).as("energy_share"))
+      .orderBy(col("level"))
+  }
+
+  private val haarEnergySql =
+    """WITH daily AS (
+      |  SELECT o_orderdate::DATE AS day,
+      |    sum(round(o_totalprice * 100)::BIGINT) AS y_c
+      |  FROM orders GROUP BY 1
+      |), idx AS (
+      |  SELECT y_c, row_number() OVER (ORDER BY day) AS rn FROM daily
+      |  QUALIFY rn <= 512
+      |), lv AS (
+      |  SELECT rn, y_c, l,
+      |    (rn - 1) // (1 << l) AS block,
+      |    CASE WHEN ((rn - 1) // (1 << (l - 1))) % 2 = 0
+      |      THEN 1 ELSE -1 END AS sgn
+      |  FROM idx CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS l)
+      |), blocks AS (
+      |  SELECT l, block, sum(sgn * y_c)::BIGINT AS diff,
+      |    count(*) AS n_in_block
+      |  FROM lv GROUP BY l, block
+      |), e AS (
+      |  SELECT l, block,
+      |    (diff::HUGEINT * diff)::DOUBLE / (1 << l)::DOUBLE AS e_c2
+      |  FROM blocks WHERE n_in_block = (1 << l)
+      |), energies AS (
+      |  SELECT l, count(*)::BIGINT AS n_blocks,
+      |    list_reduce(list(e_c2 ORDER BY block), (a, b) -> a + b)
+      |      AS energy_c2
+      |  FROM e GROUP BY l
+      |), tot AS (
+      |  SELECT list_reduce(list(energy_c2 ORDER BY l), (a, b) -> a + b)
+      |    AS tot_e
+      |  FROM energies
+      |)
+      |SELECT l::INT AS level, n_blocks,
+      |  round(energy_c2 / 1e8, 2) AS detail_energy_musd2,
+      |  round(energy_c2 / tot_e, 4) AS energy_share
+      |FROM energies CROSS JOIN tot ORDER BY level""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_nation_trade_flow", nationTradeFlow, Some(nationTradeFlowSql), benchmark = true),
     QueryDef("q284_ses_backtest", sesBacktest, Some(sesBacktestSql)),
@@ -3785,6 +3874,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q295_bradley_terry", bradleyTerry, Some(bradleyTerrySql)),
     QueryDef("q298_kruskal_wallis", kruskalWallis, Some(kruskalWallisSql)),
     QueryDef("q302_recsys_backtest", recsysBacktest, Some(recsysBacktestSql)),
+    QueryDef("q305_haar_energy", haarEnergy, Some(haarEnergySql)),
     QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),
     QueryDef("q290_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),

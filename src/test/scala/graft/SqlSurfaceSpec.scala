@@ -160,4 +160,27 @@ class SqlSurfaceSpec extends SparkSpec {
       assert(r.getAs[Long]("n_missing") === n)
     }
   }
+
+  test("burst viterbi: states partition the day spine, runs consistent") {
+    import graft.operators.SqlSurface
+    val rows = SqlSurface.burstViterbi(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 2)
+    val totalDays = Tables.events(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts"))).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_days")).sum === totalDays)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("longest_run") <= r.getAs[Long]("n_days"))
+      assert(r.getAs[Long]("n_runs") >= 1)
+      assert(r.getAs[Double]("mean_daily") > 0)
+    }
+    // burst days (if any) must have a higher mean rate than base days
+    (rows.find(_.getAs[Int]("burst") == 1),
+      rows.find(_.getAs[Int]("burst") == 0)) match {
+      case (Some(b), Some(base)) =>
+        assert(b.getAs[Double]("mean_daily") > base.getAs[Double]("mean_daily"))
+      case _ =>
+    }
+  }
 }

@@ -1416,6 +1416,17 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rec_items") <= 3 * n)
   }
 
+  test("haar energy: shares sum to 1, block counts halve per level") {
+    val rows = TradeAnalytics.haarEnergy(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("level")).toSeq === (1 to 5))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_blocks") === (512L >> r.getAs[Int]("level")))
+      assert(r.getAs[Double]("detail_energy_musd2") >= 0)
+    }
+    val shares = rows.map(_.getAs[Double]("energy_share")).sum
+    assert(math.abs(shares - 1.0) < 5e-3, s"shares sum $shares")
+  }
+
   test("seasonal decompose: 7 weekday rows covering all full-window days") {
     val rows = TradeAnalytics.seasonalDecompose(spark, sfDir).collect()
     assert(rows.map(_.getAs[Int]("dow")).sorted.toSeq === (1 to 7))
