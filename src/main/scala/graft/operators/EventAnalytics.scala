@@ -2331,7 +2331,107 @@ object EventAnalytics extends QueryModule {
       Some(markovAttributionSql)),
     QueryDef("q303_meta_analysis", metaAnalysis, Some(metaAnalysisSql)),
     QueryDef("q304_mde_power", mdePower, Some(mdePowerSql)),
+    QueryDef("q308_group_sequential", groupSequential,
+      Some(groupSequentialSql)),
   )
+
+  /** q308: O'Brien–Fleming group-sequential monitoring — the
+    * peeking-safe interim-analysis schedule (4 weekly looks, two-sided
+    * α = 0.05 ⇒ boundaries 4.333 / 2.963 / 2.359 / 2.014) that lets an
+    * experiment stop early for a real effect without inflating false
+    * positives — the prospective counterpart to q236's SPRT. Each
+    * look recomputes the purchase-value z on the data accumulated so
+    * far; `crossed` marks boundary hits.
+    *
+    * Cross-engine determinism: per-look moments are exact integer
+    * cents with DECIMAL(38,0)/HUGEINT squares (q119's discipline);
+    * z and the boundary compare are fixed IEEE chains against literal
+    * constants.
+    *
+    * Scale shape: the look spine is a 4-row broadcast; the one pass
+    * over events lands in 8 (look × variant) moment cells via the
+    * non-equi broadcast join (4-row build side — the q115-style
+    * deliberate BNLJ). 10¹² events, 8 cells.
+    */
+  def groupSequential(spark: SparkSession, dir: String): DataFrame = {
+    val looks = spark.createDataFrame(Seq(
+      (1, "2024-01-08", 4.333), (2, "2024-01-15", 2.963),
+      (3, "2024-01-22", 2.359), (4, "2024-01-29", 2.014)))
+      .toDF("look", "cutoff", "boundary")
+      .withColumn("cutoff", col("cutoff").cast("timestamp"))
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("ts"), pmod(col("user_id"), lit(2)).as("variant"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+    val cells = purchases.join(broadcast(looks), col("ts") < col("cutoff"))
+      .groupBy(col("look"), col("boundary"), col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("vars",
+        (col("n").cast("decimal(38,0)") * col("s2")
+          - (col("s1").cast("decimal(38,0)") * col("s1"))
+            .cast("decimal(38,0)")).cast("double")
+          / (col("n").cast("double") * (col("n") - 1)))
+    cells.groupBy(col("look"), col("boundary"))
+      .agg(
+        max(when(col("variant") === 0, col("n"))).cast("bigint").as("n0"),
+        max(when(col("variant") === 1, col("n"))).cast("bigint").as("n1"),
+        max(when(col("variant") === 1, col("mean"))).as("m1"),
+        max(when(col("variant") === 0, col("mean"))).as("m0"),
+        max(when(col("variant") === 1, col("vars"))).as("v1"),
+        max(when(col("variant") === 0, col("vars"))).as("v0"))
+      .withColumn("se_c", sqrt(col("v1") / col("n1") + col("v0") / col("n0")))
+      .withColumn("z", (col("m1") - col("m0")) / col("se_c"))
+      .select(col("look").cast("int").as("look"), col("n0"), col("n1"),
+        round((col("m1") - col("m0")) / 100, 4).as("diff_usd"),
+        round(col("se_c") / 100, 4).as("se_usd"),
+        round(col("z"), 4).as("z"),
+        col("boundary"),
+        (abs(col("z")) > col("boundary")).as("crossed"))
+      .orderBy(col("look"))
+  }
+
+  private val groupSequentialSql =
+    """WITH looks(look, cutoff, boundary) AS (VALUES
+      |  (1, TIMESTAMP '2024-01-08', 4.333),
+      |  (2, TIMESTAMP '2024-01-15', 2.963),
+      |  (3, TIMESTAMP '2024-01-22', 2.359),
+      |  (4, TIMESTAMP '2024-01-29', 2.014)
+      |), p AS (
+      |  SELECT ts, (user_id % 2) AS variant,
+      |    round(value * 100)::BIGINT AS c
+      |  FROM events WHERE event_type = 'purchase'
+      |), cells AS (
+      |  SELECT l.look, l.boundary, p.variant,
+      |    count(*)::BIGINT AS n, sum(p.c)::BIGINT AS s1,
+      |    sum((p.c * p.c)::HUGEINT) AS s2
+      |  FROM p JOIN looks l ON p.ts < l.cutoff
+      |  GROUP BY 1, 2, 3
+      |), cm AS (
+      |  SELECT look, boundary, variant, n,
+      |    s1::DOUBLE / n AS mean,
+      |    (n::HUGEINT * s2 - s1::HUGEINT * s1)::DOUBLE
+      |      / (n::DOUBLE * (n - 1)) AS vars
+      |  FROM cells
+      |), g AS (
+      |  SELECT look, boundary,
+      |    max(CASE WHEN variant = 0 THEN n END)::BIGINT AS n0,
+      |    max(CASE WHEN variant = 1 THEN n END)::BIGINT AS n1,
+      |    max(CASE WHEN variant = 1 THEN mean END) AS m1,
+      |    max(CASE WHEN variant = 0 THEN mean END) AS m0,
+      |    max(CASE WHEN variant = 1 THEN vars END) AS v1,
+      |    max(CASE WHEN variant = 0 THEN vars END) AS v0
+      |  FROM cm GROUP BY look, boundary
+      |)
+      |SELECT look::INT AS look, n0, n1,
+      |  round((m1 - m0) / 100, 4) AS diff_usd,
+      |  round(sqrt(v1 / n1 + v0 / n0) / 100, 4) AS se_usd,
+      |  round((m1 - m0) / sqrt(v1 / n1 + v0 / n0), 4) AS z,
+      |  boundary::DOUBLE AS boundary,
+      |  (abs((m1 - m0) / sqrt(v1 / n1 + v0 / n0)) > boundary::DOUBLE)
+      |    AS crossed
+      |FROM g ORDER BY look""".stripMargin
 
   /** q303: DerSimonian–Laird random-effects meta-analysis — how a
     * platform POOLS one experiment measured across 7 independent

@@ -3777,6 +3777,73 @@ object TradeAnalytics extends QueryModule {
       |FROM hits CROSS JOIN n_eval CROSS JOIN cat
       |GROUP BY n_eval.n, cat.n""".stripMargin
 
+  /** q307: log-log price elasticity of demand per market segment —
+    * the grouped econometric regression every pricing team runs:
+    * elasticity = d ln(quantity)/d ln(unit price), estimated by OLS
+    * per segment with its standard error
+    * SE(b) = √((S_yy/S_xx − b²)/(n−2)/S_xx · S_xx)⁻¹… computed from
+    * the `regr_*` aggregate family both engines share (q91's
+    * discipline — identical built-in moment aggregates, one final
+    * algebra chain). |elasticity/SE| > 1.96 flags segments with a
+    * statistically resolvable price response.
+    *
+    * Scale shape: one map-side-partial aggregation into |segments|
+    * rows of regression moments — the grouped-OLS shape that needs no
+    * per-row residual pass because regr_syy/regr_sxx carry the
+    * sufficient statistics.
+    */
+  def priceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        log(col("l_quantity")).as("ly"),
+        log(col("l_extendedprice") / col("l_quantity")).as("lx"))
+    base.groupBy(col("segment"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        regr_slope(col("ly"), col("lx")).as("b"),
+        regr_intercept(col("ly"), col("lx")).as("a"),
+        regr_r2(col("ly"), col("lx")).as("r2"),
+        expr("regr_sxx(ly, lx)").as("sxx"),
+        expr("regr_syy(ly, lx)").as("syy"))
+      .withColumn("se", sqrt(
+        (col("syy") - col("b") * col("b") * col("sxx"))
+          / (col("n") - 2) / col("sxx")))
+      .select(col("segment"), col("n"),
+        round(col("b"), 6).as("elasticity"),
+        round(col("a"), 4).as("intercept"),
+        round(col("r2"), 6).as("r2"),
+        round(col("se"), 6).as("se"),
+        (abs(col("b")) > lit(1.96) * col("se")).as("resolvable"))
+      .orderBy(col("segment"))
+  }
+
+  private val priceElasticitySql =
+    """WITH base AS (
+      |  SELECT c_mktsegment AS segment,
+      |    ln(l_quantity) AS ly,
+      |    ln(l_extendedprice / l_quantity) AS lx
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |), g AS (
+      |  SELECT segment, count(*)::BIGINT AS n,
+      |    regr_slope(ly, lx) AS b,
+      |    regr_intercept(ly, lx) AS a,
+      |    regr_r2(ly, lx) AS r2,
+      |    regr_sxx(ly, lx) AS sxx,
+      |    regr_syy(ly, lx) AS syy
+      |  FROM base GROUP BY segment
+      |)
+      |SELECT segment, n,
+      |  round(b, 6) AS elasticity,
+      |  round(a, 4) AS intercept,
+      |  round(r2, 6) AS r2,
+      |  round(sqrt((syy - b * b * sxx) / (n - 2) / sxx), 6) AS se,
+      |  (abs(b) > 1.96 * sqrt((syy - b * b * sxx) / (n - 2) / sxx))
+      |    AS resolvable
+      |FROM g ORDER BY segment""".stripMargin
+
   /** q305: Haar wavelet energy decomposition of the daily revenue
     * series — the multi-resolution companion to q173's ACF and q290's
     * weekly decomposition: detail energy at level ℓ measures
@@ -3875,6 +3942,8 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q298_kruskal_wallis", kruskalWallis, Some(kruskalWallisSql)),
     QueryDef("q302_recsys_backtest", recsysBacktest, Some(recsysBacktestSql)),
     QueryDef("q305_haar_energy", haarEnergy, Some(haarEnergySql)),
+    QueryDef("q307_price_elasticity", priceElasticity,
+      Some(priceElasticitySql)),
     QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),
     QueryDef("q290_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),

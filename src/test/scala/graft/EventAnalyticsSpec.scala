@@ -907,6 +907,26 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("cochran_q") >= -1e-9)
   }
 
+  test("group sequential: looks accumulate, boundaries decay, flags consistent") {
+    val rows = EventAnalytics.groupSequential(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Int]("look")).toSeq === (1 to 4))
+    // sample sizes accumulate across looks
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n0") <= b.getAs[Long]("n0"))
+        assert(a.getAs[Long]("n1") <= b.getAs[Long]("n1"))
+        assert(a.getAs[Double]("boundary") > b.getAs[Double]("boundary"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Double]("se_usd") > 0)
+      val z = r.getAs[Double]("z")
+      val crossed = math.abs(z) > r.getAs[Double]("boundary")
+      if (math.abs(math.abs(z) - r.getAs[Double]("boundary")) > 1e-3)
+        assert(r.getAs[Boolean]("crossed") === crossed)
+    }
+  }
+
   test("mde/power: MDE is 2.8 standard errors, sizing positive") {
     val rows = EventAnalytics.mdePower(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -1416,6 +1416,24 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rec_items") <= 3 * n)
   }
 
+  test("price elasticity: slope/SE reconcile with regr_* identities") {
+    val rows = TradeAnalytics.priceElasticity(spark, sfDir).collect()
+    assert(rows.length === 5) // the five market segments
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") > 2)
+      assert(r.getAs[Double]("r2") >= 0 && r.getAs[Double]("r2") <= 1)
+      assert(r.getAs[Double]("se") > 0)
+      // the resolvable flag is exactly the 1.96-SE rule on its own columns
+      val res = math.abs(r.getAs[Double]("elasticity")) >
+        1.96 * r.getAs[Double]("se")
+      // rounded columns may sit on the flag boundary; allow the rounded
+      // recompute to disagree only within one output-rounding quantum
+      val margin = math.abs(math.abs(r.getAs[Double]("elasticity"))
+        - 1.96 * r.getAs[Double]("se"))
+      if (margin > 1e-5) assert(r.getAs[Boolean]("resolvable") === res)
+    }
+  }
+
   test("haar energy: shares sum to 1, block counts halve per level") {
     val rows = TradeAnalytics.haarEnergy(spark, sfDir).collect()
     assert(rows.map(_.getAs[Int]("level")).toSeq === (1 to 5))
