@@ -1336,7 +1336,64 @@ object Curation extends QueryModule {
       |GROUP BY a.split, b.split
       |ORDER BY split_a, split_b""".stripMargin
 
+  /** q309: duplicate-aware training weights — the soft alternative to
+    * dropping duplicates (q09/q36): weight every doc 1/|its duplicate
+    * cluster| so each distinct CONTENT contributes unit mass to the
+    * loss regardless of how many copies the crawl collected (the
+    * repetition-control knob behind "count each document once").
+    * Clusters here are exact-content fingerprint groups, which may
+    * span sources — so a source full of cross-source copies sees its
+    * effective mass collapse. Readout per source: raw docs, docs in
+    * multi-copy clusters, effective mass Σ 1/size, and the retention
+    * ratio a mixing table would apply.
+    *
+    * Cross-engine determinism: cluster sizes are exact counts; each
+    * doc's weight is one division, and the per-source mass sums
+    * integer-reciprocal doubles via an ordered fold keyed by doc_id.
+    *
+    * Scale shape: one fp-keyed aggregation for sizes (map-side
+    * partials), one join back on fp, one source rollup — the q206
+    * single-shuffle profile; no pairwise joins, no CC iteration
+    * (exact clusters need none).
+    */
+  def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), md5(col("text")).as("fp"))
+    val sizes = docs.groupBy(col("fp")).agg(count(lit(1)).as("sz"))
+    docs.join(sizes, Seq("fp"))
+      .withColumn("w", lit(1.0) / col("sz"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("sz") > 1, 1L).otherwise(0L)).cast("bigint")
+          .as("n_in_dup_clusters"),
+        expr("aggregate(array_sort(collect_list(struct(doc_id, w))), 0D," +
+          "(acc, x) -> acc + x.w)").as("eff_mass"))
+      .select(col("source"), col("n_docs"), col("n_in_dup_clusters"),
+        round(col("eff_mass"), 4).as("effective_mass"),
+        round(col("eff_mass") / col("n_docs"), 4).as("retention_ratio"))
+      .orderBy(col("source"))
+  }
+
+  private val dedupWeightsSql =
+    """WITH docs AS (
+      |  SELECT source, doc_id, md5(text) AS fp FROM documents
+      |), sizes AS (
+      |  SELECT fp, count(*)::BIGINT AS sz FROM docs GROUP BY fp
+      |), j AS (
+      |  SELECT d.source, d.doc_id, s.sz, 1.0 / s.sz AS w
+      |  FROM docs d JOIN sizes s USING (fp)
+      |)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_in_dup_clusters,
+      |  round(list_reduce(list(w ORDER BY doc_id), (a, b) -> a + b), 4)
+      |    AS effective_mass,
+      |  round(list_reduce(list(w ORDER BY doc_id), (a, b) -> a + b)
+      |    / count(*), 4) AS retention_ratio
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q309_dedup_weights", dedupWeights, Some(dedupWeightsSql)),
     QueryDef("q62_decontamination", decontamination, Some(decontaminationSql)),
     QueryDef("q63_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("q64_quantization_qa", quantizationQa, Some(quantizationQaSql)),

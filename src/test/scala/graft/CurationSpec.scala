@@ -434,4 +434,20 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Double]("cos_sim") >= 0.99)
     }
   }
+
+  test("dedup weights: effective mass counts each distinct content once") {
+    val rows = Curation.dedupWeights(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalMass = rows.map(_.getAs[Double]("effective_mass")).sum
+    val distinctFp = Tables.documents(spark, sfDir)
+      .select(md5(col("text"))).distinct().count()
+    // Σ over all docs of 1/|cluster| = number of distinct contents
+    assert(math.abs(totalMass - distinctFp) < 1e-2,
+      s"mass $totalMass vs distinct $distinctFp")
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("retention_ratio")
+      assert(ratio > 0 && ratio <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("n_in_dup_clusters") <= r.getAs[Long]("n_docs"))
+    }
+  }
 }
