@@ -962,7 +962,74 @@ object CorpusStats extends QueryModule {
     QueryDef("q280_bigram_ppl", bigramPerplexity, Some(bigramPerplexitySql)),
     QueryDef("q286_term_source_mi", termSourceMi, Some(termSourceMiSql)),
     QueryDef("q291_chao1_vocab", chao1Vocab, Some(chao1VocabSql)),
+    QueryDef("q311_mix_diversity", mixDiversity, Some(mixDiversitySql)),
   )
+
+  /** q311: corpus-mix diversity indices — the composition-monitoring
+    * readout for a training-data mixture: per doc-id epoch (a proxy
+    * for ingestion batches), Shannon diversity exp(H) ("effective
+    * number of sources") and inverse-Simpson 1/Σp² (the
+    * concentration-weighted variant; = 1/HHI, q181's reciprocal) over
+    * the source shares, plus the share of the dominant source. A
+    * collapsing exp(H) across epochs is the early-warning that one
+    * crawler is taking over the mix. All inputs are exact counts; the
+    * Σp² and Σp·ln p reductions are ordered folds over ≤|sources|
+    * terms.
+    *
+    * Scale shape: one (epoch, source) aggregation with map-side
+    * partials; the index algebra runs on an |epochs|×|sources|
+    * metadata relation.
+    */
+  def mixDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val mx = Tables.documents(spark, dir).agg(max(col("doc_id")).as("m"))
+    val cells = Tables.documents(spark, dir)
+      .crossJoin(broadcast(mx))
+      .select(expr("CAST(doc_id * 4 div (m + 1) AS INT)").as("epoch"),
+        col("source"))
+      .groupBy(col("epoch"), col("source")).agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy(col("epoch")).agg(sum(col("n")).as("n_tot"),
+      count(lit(1)).as("n_sources"), max(col("n")).as("n_max"))
+    cells.join(tot, Seq("epoch"))
+      .withColumn("p", col("n").cast("double") / col("n_tot"))
+      .groupBy(col("epoch"), col("n_tot"), col("n_sources"), col("n_max"))
+      .agg(
+        expr("aggregate(array_sort(collect_list(struct(source, p))), 0D," +
+          "(acc, x) -> acc - x.p * ln(x.p))").as("h"),
+        expr("aggregate(array_sort(collect_list(struct(source, p))), 0D," +
+          "(acc, x) -> acc + x.p * x.p)").as("simpson"))
+      .select(col("epoch"),
+        col("n_tot").cast("bigint").as("n_docs"),
+        col("n_sources").cast("bigint").as("n_sources"),
+        round(exp(col("h")), 4).as("effective_sources_shannon"),
+        round(lit(1.0) / col("simpson"), 4).as("effective_sources_simpson"),
+        round(col("n_max").cast("double") / col("n_tot"), 4)
+          .as("dominant_share"))
+      .orderBy(col("epoch"))
+  }
+
+  private val mixDiversitySql =
+    """WITH mx AS (
+      |  SELECT max(doc_id) AS m FROM documents
+      |), cells AS (
+      |  SELECT (doc_id * 4 // (mx.m + 1))::INT AS epoch, source,
+      |    count(*)::BIGINT AS n
+      |  FROM documents CROSS JOIN mx GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT epoch, sum(n)::BIGINT AS n_tot, count(*)::BIGINT AS n_sources,
+      |    max(n)::BIGINT AS n_max
+      |  FROM cells GROUP BY epoch
+      |), p AS (
+      |  SELECT c.epoch, t.n_tot, t.n_sources, t.n_max, c.source,
+      |    c.n::DOUBLE / t.n_tot AS p
+      |  FROM cells c JOIN tot t USING (epoch)
+      |)
+      |SELECT epoch, n_tot AS n_docs, n_sources,
+      |  round(exp(list_reduce(list(-p * ln(p) ORDER BY source),
+      |    (a, b) -> a + b)), 4) AS effective_sources_shannon,
+      |  round(1.0 / list_reduce(list(p * p ORDER BY source),
+      |    (a, b) -> a + b), 4) AS effective_sources_simpson,
+      |  round(n_max::DOUBLE / n_tot, 4) AS dominant_share
+      |FROM p GROUP BY epoch, n_tot, n_sources, n_max ORDER BY epoch""".stripMargin
 
   /** q291: vocabulary richness estimation per source — Chao1
     * (Chao 1984) and the simple Good–Turing unseen mass (Good 1953):

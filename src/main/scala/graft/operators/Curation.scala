@@ -1392,8 +1392,91 @@ object Curation extends QueryModule {
       |    / count(*), 4) AS retention_ratio
       |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+  /** q312: degree assortativity of the co-purchase graph (Newman
+    * 2002) — do high-degree items link to other high-degree items
+    * (assortative, r > 0) or to the long tail (disassortative,
+    * r < 0)? The one-number structure diagnostic that complements
+    * q107's triangle census and q255's k-core: recommender graphs are
+    * typically disassortative (hubs bridge the tail), and a sign flip
+    * after an ingestion change is a red flag. r is the Pearson
+    * correlation of end-degrees over the directed edge list.
+    *
+    * Cross-engine determinism: degrees and all five correlation
+    * moments are exact integers; the cross-multiplied numerator /
+    * denominator ride in DECIMAL(38,0)/HUGEINT (q177's Spearman
+    * discipline) with one final double division.
+    *
+    * Scale shape: edges from the within-order self-join (bounded
+    * basket fan-out) → distinct edge list; degrees are one groupBy
+    * over edge ends; the moment pass is one map-side-partial
+    * aggregation over edges joined to two broadcastable degree
+    * relations (item-keyed, shuffle-partitioned at scale).
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val edges = items.alias("a").join(items.alias("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("i"), col("b.p").as("j")).distinct()
+    val ends = edges.select(col("i").as("v"), col("j").as("w"))
+      .unionByName(edges.select(col("j").as("v"), col("i").as("w")))
+    val deg = ends.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val moments = ends
+      .join(deg.select(col("v"), col("d").as("dx")), Seq("v"))
+      .join(deg.select(col("v").as("w"), col("d").as("dy")), Seq("w"))
+      .agg(count(lit(1)).as("m2"),
+        sum(col("dx")).as("sx"),
+        sum((col("dx") * col("dy")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"))
+    val nodes = deg.count()
+    val nEdges = edges.count()
+    moments
+      .withColumn("num",
+        (col("m2").cast("decimal(38,0)") * col("sxy")
+          - (col("sx").cast("decimal(38,0)") * col("sx"))
+            .cast("decimal(38,0)")).cast("double"))
+      .withColumn("den",
+        (col("m2").cast("decimal(38,0)") * col("sxx")
+          - (col("sx").cast("decimal(38,0)") * col("sx"))
+            .cast("decimal(38,0)")).cast("double"))
+      .select(lit(nodes).cast("bigint").as("n_nodes"),
+        lit(nEdges).cast("bigint").as("n_edges"),
+        round(col("sx").cast("double") / col("m2"), 4).as("avg_end_degree"),
+        round(col("num") / col("den"), 6).as("assortativity"))
+  }
+
+  private val assortativitySql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |), edges AS (
+      |  SELECT DISTINCT a.p AS i, b.p AS j
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+      |), ends AS (
+      |  SELECT i AS v, j AS w FROM edges
+      |  UNION ALL SELECT j AS v, i AS w FROM edges
+      |), deg AS (
+      |  SELECT v, count(*)::BIGINT AS d FROM ends GROUP BY v
+      |), mo AS (
+      |  SELECT count(*)::BIGINT AS m2,
+      |    sum(dx.d)::BIGINT AS sx,
+      |    sum((dx.d * dy.d)::HUGEINT) AS sxy,
+      |    sum((dx.d * dx.d)::HUGEINT) AS sxx
+      |  FROM ends e
+      |  JOIN deg dx ON dx.v = e.v
+      |  JOIN deg dy ON dy.v = e.w
+      |)
+      |SELECT
+      |  (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+      |  (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+      |  round(sx::DOUBLE / m2, 4) AS avg_end_degree,
+      |  round((m2::HUGEINT * sxy - sx::HUGEINT * sx)::DOUBLE
+      |    / (m2::HUGEINT * sxx - sx::HUGEINT * sx)::DOUBLE, 6)
+      |    AS assortativity
+      |FROM mo""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q309_dedup_weights", dedupWeights, Some(dedupWeightsSql)),
+    QueryDef("q312_assortativity", assortativity, Some(assortativitySql)),
     QueryDef("q62_decontamination", decontamination, Some(decontaminationSql)),
     QueryDef("q63_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("q64_quantization_qa", quantizationQa, Some(quantizationQaSql)),

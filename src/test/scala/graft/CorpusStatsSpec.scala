@@ -240,6 +240,22 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("mix diversity: Hill-number ordering and share bounds hold per epoch") {
+    val rows = CorpusStats.mixDiversity(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 4)
+    val totalDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === totalDocs)
+    rows.foreach { r =>
+      val ns = r.getAs[Long]("n_sources").toDouble
+      val n1 = r.getAs[Double]("effective_sources_shannon")
+      val n2 = r.getAs[Double]("effective_sources_simpson")
+      // Hill numbers decrease in order: richness ≥ exp(H) ≥ 1/Σp²
+      assert(n1 <= ns + 1e-6 && n2 <= n1 + 1e-3, s"$ns ≥ $n1 ≥ $n2 violated")
+      assert(n2 >= 1.0)
+      assert(r.getAs[Double]("dominant_share") >= 1.0 / ns - 1e-9)
+    }
+  }
+
   test("bigram perplexity: add-one smoothed PPL is at least 1 per source") {
     val rows = CorpusStats.bigramPerplexity(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -435,6 +435,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("assortativity: r matches a local edge-end Pearson recompute") {
+    val r = Curation.assortativity(spark, sfDir).head()
+    val items = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct().collect().map(x => (x.getLong(0), x.getLong(1)))
+    val edges = items.groupBy(_._1).values.flatMap { basket =>
+      val ps: Seq[Long] = basket.map(_._2).distinct.sorted.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    assert(r.getAs[Long]("n_edges") === edges.size.toLong)
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    assert(r.getAs[Long]("n_nodes") === deg.size.toLong)
+    val ends = edges.toSeq.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+    val m = ends.size.toDouble
+    val xs = ends.map(e => deg(e._1).toDouble)
+    val ys = ends.map(e => deg(e._2).toDouble)
+    val sx: Double = xs.sum
+    val sxy: Double = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx: Double = xs.map(a => a * a).sum
+    val want = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    assert(math.abs(r.getAs[Double]("assortativity") - want) < 5.1e-6,
+      s"got ${r.getAs[Double]("assortativity")} want $want")
+    assert(math.abs(r.getAs[Double]("assortativity")) <= 1.0 + 1e-9)
+  }
+
   test("dedup weights: effective mass counts each distinct content once") {
     val rows = Curation.dedupWeights(spark, sfDir).collect()
     assert(rows.nonEmpty)

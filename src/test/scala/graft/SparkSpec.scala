@@ -13,6 +13,12 @@ object TestSpark {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the status store retains plan-description strings per execution
+    // (default 1000) even with the UI off — across a 40-suite run over
+    // hundreds of wide plans that is the dominant driver-heap leak
+    .config("spark.sql.ui.retainedExecutions", "20")
+    .config("spark.ui.retainedJobs", "100")
+    .config("spark.ui.retainedStages", "100")
     .getOrCreate()
 
   /** Smallest driver corpus — read-only, used for cross-checks. */
