@@ -2333,7 +2333,163 @@ object EventAnalytics extends QueryModule {
     QueryDef("q304_mde_power", mdePower, Some(mdePowerSql)),
     QueryDef("q308_group_sequential", groupSequential,
       Some(groupSequentialSql)),
+    QueryDef("q310_spectral_gap", spectralGap, Some(spectralGapSql)),
   )
+
+  /** q310: spectral gap / relaxation time of the event Markov chain —
+    * the convergence-rate readout that completes the chain family
+    * (q104 matrix, q199 stationary, q240 absorption, q297 entropy,
+    * q301 removal): |λ₂| estimated by power iteration on the
+    * stationary-deflated operator B = P − 1·πᵀ (π itself from 10
+    * left-multiplication sweeps), relaxation time 1/(1−|λ₂|) and the
+    * ε = 0.05 mixing-time bound t_rel·ln(1/ε). A gap collapsing
+    * toward 0 means user behavior develops long-memory modes —
+    * windowed metrics stop being representative. The estimate is the
+    * operational power-iteration quantity ‖Bv₁₀‖/‖v₁₀‖ (exact when
+    * the subdominant eigenvalue is real-dominant, the generic case
+    * for these 5-state chains).
+    *
+    * Cross-engine determinism: P's cells are ratios of exact counts;
+    * every Σ (matrix-vector products, norms) is an ordered fold, and
+    * each iteration renormalizes through one identical sqrt — 20
+    * sweeps of bit-identical IEEE chains.
+    *
+    * Scale shape: one data pass funds the |S|² dense cell spine;
+    * all 20 sweeps run on that persisted 25-cell relation, q301's
+    * envelope. 10¹² events → a 5×5 eigenproblem.
+    */
+  def spectralGap(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("s"), col("event_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_s", sum(col("n")).over(Window.partitionBy(col("s"))))
+      .withColumn("p", col("n").cast("double") / col("n_s"))
+      .select(col("s"), col("t"), col("p"))
+    val states = trans.select(col("s").as("state")).distinct()
+    val nStates = states.count()
+    val dense = states.select(col("state").as("s"))
+      .crossJoin(states.select(col("state").as("t")))
+      .join(trans, Seq("s", "t"), "left")
+      .withColumn("p", coalesce(col("p"), lit(0.0)))
+      .persist()
+    def fold(term: String, ord: String) = expr(
+      s"aggregate(array_sort(collect_list(struct($ord, ($term) AS tm))), 0D," +
+        "(acc, x) -> acc + x.tm)")
+    // π: 10 sweeps of π' = πP
+    var pi = states.select(col("state"), lit(1.0 / nStates).as("pi"))
+    for (_ <- 1 to 10) {
+      pi = dense
+        .join(pi.select(col("state").as("s"), col("pi")), Seq("s"))
+        .groupBy(col("t")).agg(fold("p * pi", "s").as("pi"))
+        .select(col("t").as("state"), col("pi"))
+    }
+    val piB = pi.withColumnRenamed("pi", "pi_t")
+      .withColumnRenamed("state", "t")
+    val b = dense.join(broadcast(piB), Seq("t"))
+      .select(col("s"), col("t"), (col("p") - col("pi_t")).as("bv"))
+      .persist()
+    val ext = states.agg(min(col("state")).as("st0"),
+      max(col("state")).as("st1"))
+    var v = states.crossJoin(broadcast(ext))
+      .select(col("state"),
+        when(col("state") === col("st0"), 1.0)
+          .when(col("state") === col("st1"), -1.0)
+          .otherwise(0.0).as("v"))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to 10) {
+      // localCheckpoint: vNext is consumed TWICE (norm + renormalized v);
+      // without lineage truncation the plan doubles per sweep (2^10 blowup)
+      val vNext = b.join(v.select(col("state").as("t"), col("v")), Seq("t"))
+        .groupBy(col("s")).agg(fold("bv * v", "t").as("v"))
+        .select(col("s").as("state"), col("v"))
+        .localCheckpoint()
+      lastNorm = vNext.agg(
+        sqrt(fold("v * v", "state")).as("nrm"))
+      v = vNext.crossJoin(broadcast(lastNorm))
+        .select(col("state"), (col("v") / col("nrm")).as("v"))
+    }
+    Materialize.releasing(
+      lastNorm
+        .select(lit(nStates).cast("bigint").as("n_states"),
+          round(col("nrm"), 6).as("lambda2_abs"),
+          round(lit(1.0) - col("nrm"), 6).as("spectral_gap"),
+          round(lit(1.0) / (lit(1.0) - col("nrm")), 4).as("relaxation_time"),
+          round(log(lit(20.0)) / (lit(1.0) - col("nrm")), 4)
+            .as("t_mix_bound_eps05")),
+      dense, b)
+  }
+
+  private val spectralGapSql = {
+    def piCte(k: Int): String =
+      s"""pi$k AS (
+         |  SELECT d.t AS state,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(d.p * p.pi ORDER BY d.s)), (a, x) -> a + x) AS pi
+         |  FROM dense d JOIN pi${k - 1} p ON p.state = d.s
+         |  GROUP BY d.t
+         |)"""
+    def vCte(k: Int): String =
+      s"""vr$k AS MATERIALIZED (
+         |  SELECT b.s AS state,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(b.bv * v.v ORDER BY b.t)), (a, x) -> a + x) AS v
+         |  FROM b JOIN v${k - 1} v ON v.state = b.t
+         |  GROUP BY b.s
+         |), nrm$k AS (
+         |  SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(v * v ORDER BY state)), (a, x) -> a + x)) AS nrm
+         |  FROM vr$k
+         |), v$k AS (
+         |  SELECT state, v / nrm AS v FROM vr$k CROSS JOIN nrm$k
+         |)"""
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+       |), pr AS (
+       |  SELECT event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+       |      AS prev
+       |  FROM e
+       |), cnt AS (
+       |  SELECT prev AS s, event_type AS t, count(*)::BIGINT AS n
+       |  FROM pr WHERE prev IS NOT NULL GROUP BY 1, 2
+       |), m AS (
+       |  SELECT s, t, n::DOUBLE / sum(n) OVER (PARTITION BY s) AS p
+       |  FROM cnt
+       |), states AS MATERIALIZED (
+       |  SELECT DISTINCT s AS state FROM m
+       |), ns AS MATERIALIZED (
+       |  SELECT count(*)::BIGINT AS k FROM states
+       |), dense AS MATERIALIZED (
+       |  SELECT a.state AS s, c.state AS t, coalesce(m.p, 0.0) AS p
+       |  FROM states a CROSS JOIN states c
+       |  LEFT JOIN m ON m.s = a.state AND m.t = c.state
+       |), pi0 AS (
+       |  SELECT state, 1.0 / (SELECT k FROM ns) AS pi FROM states
+       |),
+       |${(1 to 10).map(piCte).mkString(",\n")},
+       |b AS MATERIALIZED (
+       |  SELECT d.s, d.t, d.p - p.pi AS bv
+       |  FROM dense d JOIN pi10 p ON p.state = d.t
+       |), v0 AS (
+       |  SELECT state,
+       |    CAST(CASE WHEN state = (SELECT min(state) FROM states) THEN 1.0
+       |      WHEN state = (SELECT max(state) FROM states) THEN -1.0
+       |      ELSE 0.0 END AS DOUBLE) AS v
+       |  FROM states
+       |),
+       |${(1 to 10).map(vCte).mkString(",\n")}
+       |SELECT (SELECT k FROM ns) AS n_states,
+       |  round(nrm, 6) AS lambda2_abs,
+       |  round(1.0 - nrm, 6) AS spectral_gap,
+       |  round(1.0 / (1.0 - nrm), 4) AS relaxation_time,
+       |  round(ln(20.0) / (1.0 - nrm), 4) AS t_mix_bound_eps05
+       |FROM nrm10""".stripMargin
+  }
 
   /** q308: O'Brien–Fleming group-sequential monitoring — the
     * peeking-safe interim-analysis schedule (4 weekly looks, two-sided

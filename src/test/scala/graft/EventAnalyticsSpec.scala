@@ -927,6 +927,18 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("spectral gap: lambda2 sub-unit, relaxation algebra consistent") {
+    val r = EventAnalytics.spectralGap(spark, sfDir).head()
+    val l2 = r.getAs[Double]("lambda2_abs")
+    // deflated operator: subdominant modulus strictly inside the unit disk
+    assert(l2 >= 0 && l2 < 1, s"lambda2 $l2")
+    assert(math.abs(r.getAs[Double]("spectral_gap") - (1 - l2)) < 2e-6)
+    val tRel = r.getAs[Double]("relaxation_time")
+    assert(math.abs(tRel - 1.0 / (1 - l2)) < 1e-3 + tRel * 1e-6)
+    assert(r.getAs[Double]("t_mix_bound_eps05") >= tRel * math.log(20) - 1e-3)
+    assert(r.getAs[Long]("n_states") >= 2)
+  }
+
   test("mde/power: MDE is 2.8 standard errors, sizing positive") {
     val rows = EventAnalytics.mdePower(spark, sfDir).collect()
     assert(rows.nonEmpty)
