@@ -2334,7 +2334,99 @@ object EventAnalytics extends QueryModule {
     QueryDef("q308_group_sequential", groupSequential,
       Some(groupSequentialSql)),
     QueryDef("q310_spectral_gap", spectralGap, Some(spectralGapSql)),
+    QueryDef("q313_markov_order", markovOrderTest, Some(markovOrderTestSql)),
   )
+
+  /** q313: Markov order test — is the event stream really order-1
+    * (the assumption under q104/q199/q240/q297/q301/q310)? Compare
+    * the conditional entropies H(X_{t+1}|X_t) and
+    * H(X_{t+1}|X_t, X_{t−1}): their difference is the extra
+    * information a second-order context carries
+    * (= I(X_{t+1}; X_{t−1} | X_t)); near zero ⇒ the order-1 chain
+    * family is a faithful model, large ⇒ sequences have longer
+    * memory and sessionized features should widen. Also reports the
+    * per-observation log-likelihood-ratio statistic
+    * 2·N·ln2·(gain in bits)≈G² for the nested-model comparison.
+    *
+    * Scale shape: two lag windows over user-partitioned sequences
+    * (one pass), reducing to |S|² and |S|³ cell tables; the entropy
+    * algebra is ordered folds over those metadata relations.
+    */
+  def markovOrderTest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val seq3 = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type").as("c"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("b", lag(col("c"), 1).over(w))
+      .withColumn("a", lag(col("c"), 2).over(w))
+      .filter(col("a").isNotNull)
+      .persist()
+    def condEntropy(ctxCols: Seq[String]): DataFrame = {
+      val cells = seq3.groupBy((ctxCols :+ "c").map(col): _*)
+        .agg(count(lit(1)).as("n_xc"))
+      val ctx = cells.groupBy(ctxCols.map(col): _*)
+        .agg(sum(col("n_xc")).as("n_x"))
+      cells.join(ctx, ctxCols)
+        .withColumn("term", -(col("n_xc").cast("double"))
+          * log(col("n_xc").cast("double") / col("n_x")))
+        .agg((expr("aggregate(array_sort(collect_list(struct(" +
+          (ctxCols :+ "c").mkString(", ") + ", term AS tm))), 0D," +
+          "(acc, x) -> acc + x.tm)")
+          / sum(col("n_xc"))).as("h"),
+          sum(col("n_xc")).as("n_obs"))
+    }
+    val h1 = condEntropy(Seq("b"))
+      .select(col("h").as("h_order1"), col("n_obs"))
+    val h2 = condEntropy(Seq("a", "b")).select(col("h").as("h_order2"))
+    Materialize.releasing(
+      h1.crossJoin(h2)
+        .withColumn("gain", col("h_order1") - col("h_order2"))
+        .select(col("n_obs").cast("bigint").as("n_obs"),
+          round(col("h_order1"), 6).as("h_cond_order1_nats"),
+          round(col("h_order2"), 6).as("h_cond_order2_nats"),
+          round(col("gain"), 6).as("order2_info_gain_nats"),
+          round(col("gain") * col("n_obs") * 2, 4).as("g2_stat")),
+      seq3)
+  }
+
+  private val markovOrderTestSql =
+    """WITH s3 AS (
+      |  SELECT c,
+      |    lag(c, 1) OVER w AS b,
+      |    lag(c, 2) OVER w AS a
+      |  FROM (SELECT user_id, event_id, event_type AS c, epoch_us(ts) AS us
+      |        FROM events)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), f AS (
+      |  SELECT a, b, c FROM s3 WHERE a IS NOT NULL
+      |), c1 AS (
+      |  SELECT b, c, count(*)::BIGINT AS n_xc FROM f GROUP BY b, c
+      |), x1 AS (
+      |  SELECT b, sum(n_xc)::BIGINT AS n_x FROM c1 GROUP BY b
+      |), h1 AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(-(c1.n_xc::DOUBLE) * ln(c1.n_xc::DOUBLE / x1.n_x)
+      |        ORDER BY c1.b, c1.c)), (p, q) -> p + q)
+      |      / sum(c1.n_xc) AS h,
+      |    sum(c1.n_xc)::BIGINT AS n_obs
+      |  FROM c1 JOIN x1 USING (b)
+      |), c2 AS (
+      |  SELECT a, b, c, count(*)::BIGINT AS n_xc FROM f GROUP BY a, b, c
+      |), x2 AS (
+      |  SELECT a, b, sum(n_xc)::BIGINT AS n_x FROM c2 GROUP BY a, b
+      |), h2 AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(-(c2.n_xc::DOUBLE) * ln(c2.n_xc::DOUBLE / x2.n_x)
+      |        ORDER BY c2.a, c2.b, c2.c)), (p, q) -> p + q)
+      |      / sum(c2.n_xc) AS h
+      |  FROM c2 JOIN x2 USING (a, b)
+      |)
+      |SELECT h1.n_obs,
+      |  round(h1.h, 6) AS h_cond_order1_nats,
+      |  round(h2.h, 6) AS h_cond_order2_nats,
+      |  round(h1.h - h2.h, 6) AS order2_info_gain_nats,
+      |  round((h1.h - h2.h) * h1.n_obs * 2, 4) AS g2_stat
+      |FROM h1 CROSS JOIN h2""".stripMargin
 
   /** q310: spectral gap / relaxation time of the event Markov chain —
     * the convergence-rate readout that completes the chain family

@@ -927,6 +927,19 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("markov order test: conditioning on more context never adds entropy") {
+    val r = EventAnalytics.markovOrderTest(spark, sfDir).head()
+    val h1 = r.getAs[Double]("h_cond_order1_nats")
+    val h2 = r.getAs[Double]("h_cond_order2_nats")
+    // H(X|Y,Z) ≤ H(X|Y): extra context can only reduce uncertainty
+    assert(h2 <= h1 + 1e-6, s"h2 $h2 > h1 $h1")
+    assert(h1 >= 0 && h2 >= 0)
+    val gain = r.getAs[Double]("order2_info_gain_nats")
+    assert(math.abs(gain - (h1 - h2)) < 3e-6)
+    assert(r.getAs[Double]("g2_stat") >= -1e-6)
+    assert(r.getAs[Long]("n_obs") > 0)
+  }
+
   test("spectral gap: lambda2 sub-unit, relaxation algebra consistent") {
     val r = EventAnalytics.spectralGap(spark, sfDir).head()
     val l2 = r.getAs[Double]("lambda2_abs")
