@@ -893,10 +893,137 @@ object Dedup extends QueryModule {
       |    - true_distinct) / true_distinct, 6) AS rel_bias
       |FROM s""".stripMargin
 
+  /** q314: blocking-quality audit — the two numbers that justify any
+    * blocking scheme (Christen 2012): reduction ratio
+    * RR = 1 − |candidates|/|all pairs| (how much work blocking saves)
+    * and pair completeness PC = |true pairs co-blocked|/|true pairs|
+    * (how much recall it forfeits). Ground truth is the EXACT
+    * Jaccard ≥ 0.5 near-dup pair set (q35's inverted-index kernel —
+    * subquadratic, so even the truth side is 100 TB-shaped). Two
+    * schemes audited: content blocking (lang × 100-char length band —
+    * near-dups have similar length, so PC stays high at a large RR)
+    * vs shard blocking (docs compared only within their doc-id
+    * shard — the scheme an embarrassingly-parallel dedup implicitly
+    * uses, and exactly why cross-shard dups leak until an
+    * incremental pass (q68) runs).
+    *
+    * Scale shape: candidate counts come from Σ C(n,2) over block
+    * sizes (never materialized); the truth relation is q35's
+    * two-shuffle posting join; PC is one join of that small pair set
+    * to the doc block keys. Linear-space audit of a quadratic
+    * process.
+    */
+  def blockingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("blk_content",
+        concat_ws("|", col("lang"), expr("n_chars div 100")))
+      .withColumn("blk_shard", expr("doc_id div 64").cast("string"))
+    def pairsOf(c: Column): Column =
+      ((c * (c - 1)).cast("long") / 2).cast("long")
+    val nTotal = docs.count()
+    val truth = TextAnalysis.jaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val truthKeyed = truth
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("blk_content").as("ca"), col("blk_shard").as("sa")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("blk_content").as("cb"), col("blk_shard").as("sb")), Seq("doc_b"))
+      .persist()
+    val truthPairs = truthKeyed.count()
+    def scheme(name: String, blkCol: String, aCol: String,
+        bCol: String): DataFrame = {
+      val cand = docs.groupBy(col(blkCol)).agg(count(lit(1)).as("n"))
+        .agg(sum(pairsOf(col("n"))).as("cand"),
+          count(lit(1)).as("n_blocks"))
+      val cob = truthKeyed.agg(
+        sum(when(col(aCol) === col(bCol), 1L).otherwise(0L)).as("tp"))
+      cand.crossJoin(cob)
+        .select(lit(name).as("scheme"),
+          col("n_blocks").cast("bigint").as("n_blocks"),
+          col("cand").cast("bigint").as("candidate_pairs"),
+          round(lit(1.0) - col("cand")
+            / (lit(nTotal).cast("double") * (nTotal - 1) / 2), 6)
+            .as("reduction_ratio"),
+          col("tp").cast("bigint").as("true_pairs_coblocked"),
+          lit(truthPairs).cast("bigint").as("true_pairs"),
+          round(col("tp").cast("double") / truthPairs, 6)
+            .as("pair_completeness"))
+    }
+    Materialize.releasing(
+      scheme("content_lang_lenband", "blk_content", "ca", "cb")
+        .unionByName(scheme("shard_docid_64", "blk_shard", "sa", "sb"))
+        .orderBy(col("scheme")),
+      truthKeyed)
+  }
+
+  private val blockingAuditSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+      |), s AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+      |  FROM t WHERE len(toks) >= 3
+      |), p AS (
+      |  SELECT doc_id, lang, len(sh) AS nsh, unnest(sh) AS shingle FROM s
+      |), pr AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.nsh AS nsh_a, b.nsh AS nsh_b, count(*) AS inter
+      |  FROM p a JOIN p b
+      |    ON a.lang = b.lang AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4
+      |), truth AS (
+      |  SELECT doc_a, doc_b FROM pr
+      |  WHERE inter::DOUBLE / (nsh_a + nsh_b - inter) >= 0.5
+      |), docs AS (
+      |  SELECT doc_id,
+      |    lang || '|' || (n_chars // 100)::VARCHAR AS blk_content,
+      |    (doc_id // 64)::VARCHAR AS blk_shard
+      |  FROM documents
+      |), tot AS (
+      |  SELECT count(*)::BIGINT AS n FROM docs
+      |), tk AS (
+      |  SELECT da.blk_content AS ca, db.blk_content AS cb,
+      |    da.blk_shard AS sa, db.blk_shard AS sb
+      |  FROM truth
+      |  JOIN docs da ON da.doc_id = truth.doc_a
+      |  JOIN docs db ON db.doc_id = truth.doc_b
+      |), tcnt AS (
+      |  SELECT count(*)::BIGINT AS tp_all FROM tk
+      |), sc AS (
+      |  SELECT 'content_lang_lenband' AS scheme, blk_content AS blk FROM docs
+      |  UNION ALL SELECT 'shard_docid_64', blk_shard FROM docs
+      |), cand AS (
+      |  SELECT scheme, count(*)::BIGINT AS n_blocks,
+      |    sum((n * (n - 1)) // 2)::BIGINT AS cand FROM (
+      |    SELECT scheme, blk, count(*)::BIGINT AS n FROM sc
+      |    GROUP BY scheme, blk)
+      |  GROUP BY scheme
+      |), cob AS (
+      |  SELECT 'content_lang_lenband' AS scheme,
+      |    coalesce(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END), 0)::BIGINT AS tp
+      |  FROM tk
+      |  UNION ALL
+      |  SELECT 'shard_docid_64',
+      |    coalesce(sum(CASE WHEN sa = sb THEN 1 ELSE 0 END), 0)::BIGINT
+      |  FROM tk
+      |)
+      |SELECT c.scheme, c.n_blocks, c.cand AS candidate_pairs,
+      |  round(1.0 - c.cand / (t.n::DOUBLE * (t.n - 1) / 2), 6)
+      |    AS reduction_ratio,
+      |  b.tp AS true_pairs_coblocked,
+      |  tr.tp_all AS true_pairs,
+      |  round(b.tp::DOUBLE / tr.tp_all, 6) AS pair_completeness
+      |FROM cand c JOIN cob b USING (scheme)
+      |CROSS JOIN tot t CROSS JOIN tcnt tr
+      |ORDER BY c.scheme""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q285_fellegi_sunter", fellegiSunter, Some(fellegiSunterSql)),
     QueryDef("q293_capture_recapture", captureRecapture,
       Some(captureRecaptureSql)),
+    QueryDef("q314_blocking_audit", blockingAudit, Some(blockingAuditSql)),
     QueryDef("q40_minhash_lsh", minHashQuery, Some(minHashOracleSql), benchmark = true),
     QueryDef("q41_simhash", simHashQuery, Some(simHashOracleSql), benchmark = true),
     QueryDef("q53_dup_groups", dupGroupsQuery, Some(dupGroupsSql)),

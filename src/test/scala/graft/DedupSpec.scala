@@ -266,6 +266,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("blocking audit: PC/RR bounds, truth pairs match q35's pair set") {
+    val rows = Dedup.blockingAudit(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("scheme")).sorted.toSeq ===
+      Seq("content_lang_lenband", "shard_docid_64"))
+    val truthCount = TextAnalysis.jaccardPairs(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("true_pairs") === truthCount)
+      assert(r.getAs[Long]("true_pairs_coblocked") <= truthCount)
+      val rr = r.getAs[Double]("reduction_ratio")
+      val pc = r.getAs[Double]("pair_completeness")
+      assert(rr > 0 && rr <= 1, s"rr $rr")
+      assert(pc >= 0 && pc <= 1, s"pc $pc")
+      assert(r.getAs[Long]("candidate_pairs") >= r.getAs[Long]("true_pairs_coblocked"))
+    }
+    // sharding must lose at least as much recall as content blocking gains
+    val byScheme = rows.map(r => r.getAs[String]("scheme")
+      -> r.getAs[Double]("pair_completeness")).toMap
+    assert(byScheme("content_lang_lenband") >= byScheme("shard_docid_64") - 1e-9,
+      "content blocking should retain at least shard blocking's recall")
+  }
+
   test("capture-recapture: overlap/population invariants hold") {
     val r = Dedup.captureRecapture(spark, sfDir).head()
     val (n1, n2, m, truth) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
