@@ -67,8 +67,47 @@ object SigImpl {
     (v << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
+  // Direct-mapped, thread-local memo for hash60: token vocabularies are
+  // Zipfian, so most md5 digests (one MD5 block + a 16-byte allocation
+  // each) recompute a value the thread just produced. Keyed by the full
+  // 64-bit xxhash64 of the token bytes — a cache hit returns the md5
+  // value of SOME token with that 64-bit key, so the result is
+  // bit-identical to the uncached path barring a 2⁻⁶⁴ cross-token
+  // xxhash64 collision (the same documented collision stance as q35's
+  // posting keys and q40's hashed shingles). Caching never affects
+  // WHICH value a given token maps to — only whether md5 re-runs — so
+  // hit/miss patterns cannot perturb the output.
+  private val h60CacheBits = 15
+  private val h60CacheMask = (1 << h60CacheBits) - 1
+  private val h60Keys = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](1 << h60CacheBits)
+  }
+  private val h60Vals = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](1 << h60CacheBits)
+  }
+
+  /** [[hash60]] through the thread-local memo (0 is the empty-slot
+    * sentinel; a real key of 0 is nudged to 1 — both map through the
+    * same md5, so correctness is unaffected).
+    */
+  def hash60Cached(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val k0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+      s.numBytes, 0x517cc1b727220a95L)
+    val k = if (k0 == 0L) 1L else k0
+    val keys = h60Keys.get()
+    val idx = (k ^ (k >>> 29)).toInt & h60CacheMask
+    val vals = h60Vals.get()
+    if (keys(idx) == k) return vals(idx)
+    val v = hash60(s)
+    keys(idx) = k
+    vals(idx) = v
+    v
+  }
+
   /** SimHash over the portable 60-bit md5 token hash — same per-bit
-    * majority vote as [[simHash64]], one pass over the tokens.
+    * majority vote as [[simHash64]], one pass over the tokens. Token
+    * hashes route through [[hash60Cached]]; the vote loop is branchless
+    * (`2·bit − 1` instead of a per-bit conditional).
     */
   def simHashMd5(arr: ArrayData): Long = {
     val votes = new Array[Int](60)
@@ -76,10 +115,10 @@ object SigImpl {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = hash60(arr.getUTF8String(i))
+        val h = hash60Cached(arr.getUTF8String(i))
         var b = 0
         while (b < 60) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
           b += 1
         }
       }

@@ -12,13 +12,15 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, batch iteration shape, partition
   * sizing, frame slicing — is real and tested. The codec layer is
-  * split: formats the JDK itself decodes (PNG/JPEG/BMP/GIF via
-  * `javax.imageio`, a public API needing no external library) go
-  * through [[Multimodal.ImageIoDecoder]] for REAL byte decoding
-  * (q247 round-trips actual PNG payloads); formats the JDK lacks
-  * (audio/video codecs) keep the deterministic [[Multimodal.StubDecoder]]
-  * seam — a production deployment swaps in a JNI/ffi-backed
-  * `MediaDecoder` with the same signature and nothing else changes.
+  * split: formats the JDK itself decodes go through real decoders —
+  * [[Multimodal.ImageIoDecoder]] (PNG/JPEG/BMP/GIF via `javax.imageio`,
+  * q247), [[Multimodal.WavDecoder]] (RIFF/WAV PCM, q270), and
+  * [[Multimodal.VideoContainerDecoder]] (GVID frame-indexed PNG
+  * container, q315) — so every media kind in the fixtures round-trips
+  * REAL bytes. The deterministic [[Multimodal.StubDecoder]] remains as
+  * the seam for formats outside the JDK (H.264, MP3, …): a production
+  * deployment swaps in a JNI/ffi-backed `MediaDecoder` with the same
+  * signature and nothing else changes.
   */
 object Multimodal extends QueryModule {
 
@@ -138,10 +140,14 @@ object Multimodal extends QueryModule {
     def decode(kind: String, bytes: Array[Byte], nFrames: Int): Array[Float]
   }
 
-  /** STUB standing in for a real image/audio codec (none available in
-    * this container). Produces deterministic pseudo-features: byte
-    * histogram moments per 16-byte stripe. Swap with a JNI/ffm-backed
-    * decoder in production — same signature, same plumbing.
+  /** STUB decoder — the fallback seam for formats the JDK lacks (no
+    * remaining formats in the FIXTURES use it as their primary path:
+    * image/audio/video all decode real bytes via the JDK codecs below;
+    * the stub still backs their malformed-payload fallback and stands
+    * where H.264/MP3-class codecs would plug in). Produces
+    * deterministic pseudo-features: byte histogram moments per 16-byte
+    * stripe. Swap with a JNI/ffm-backed decoder in production — same
+    * signature, same plumbing.
     */
   object StubDecoder extends MediaDecoder {
     val featureDim = 16
@@ -381,7 +387,14 @@ object Multimodal extends QueryModule {
       while (pos + 8 <= bytes.length) {
         val cid = bb.getInt(pos)
         val sz = bb.getInt(pos + 4)
-        if (cid == 0x20746d66) { // "fmt "
+        // malformed-payload guard (ADVICE r8): a negative declared size
+        // would walk pos BACKWARD (infinite loop); an oversized one
+        // would read past the buffer. A general decoder seam must treat
+        // the declared size as untrusted — bail to the stub like any
+        // other undecodable payload.
+        if (sz < 0 || pos + 8 + sz > bytes.length)
+          return StubDecoder.decode(kind, bytes, nFrames).take(featureDim)
+        if (cid == 0x20746d66 && sz >= 16) { // "fmt "
           channels = bb.getShort(pos + 10).toInt
           sampleRate = bb.getInt(pos + 12)
           bits = bb.getShort(pos + 22).toInt
@@ -476,11 +489,183 @@ object Multimodal extends QueryModule {
       |  round(n * 1000.0 / 8000, 0)::INT AS duration_ms
       |FROM d ORDER BY media_id""".stripMargin
 
+  // --- real-codec VIDEO path (frame-indexed PNG container) --------------
+
+  /** Parse a GVID frame-indexed container (magic "GVID", big-endian
+    * int32 frame count, then per frame an int32 length + payload) into
+    * its frame payloads. Declared sizes are UNTRUSTED (the WavDecoder
+    * lesson): a negative or buffer-overrunning length aborts the parse
+    * (returns null → caller falls back to the stub).
+    */
+  private[graft] def parseGvidFrames(bytes: Array[Byte]): Array[Array[Byte]] = {
+    if (bytes.length < 8) return null
+    val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
+    if (bb.getInt(0) != 0x47564944 /* "GVID" */ ) return null
+    val n = bb.getInt(4)
+    if (n < 0 || n > (1 << 20)) return null
+    val out = new Array[Array[Byte]](n)
+    var pos = 8
+    var f = 0
+    while (f < n) {
+      if (pos + 4 > bytes.length) return null
+      val sz = bb.getInt(pos)
+      if (sz < 0 || pos + 4 + sz > bytes.length) return null
+      out(f) = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + sz)
+      pos += 4 + sz
+      f += 1
+    }
+    out
+  }
+
+  /** Real-codec VIDEO decoder over the same [[MediaDecoder]] seam: a
+    * GVID container of real PNG frames (Motion-JPEG's shape — an
+    * intra-only frame sequence — with the JDK's own still codec per
+    * frame, so `javax.imageio` alone plays it). Emits
+    * [nFrames, width, height, Σ gray over ALL frames]. Non-GVID or
+    * undecodable payloads fall back to [[StubDecoder]] — the same
+    * decodes-for-real / stub-for-the-rest split as the image and audio
+    * decoders. With this, every media kind in the fixtures decodes
+    * real bytes; the stub remains only as the seam a production
+    * deployment swaps richer codecs into.
+    */
+  object VideoContainerDecoder extends MediaDecoder {
+    val featureDim = 4
+    def decode(kind: String, bytes: Array[Byte], nFrames: Int): Array[Float] = {
+      val frames = parseGvidFrames(bytes)
+      if (frames == null)
+        return StubDecoder.decode(kind, bytes, nFrames).take(featureDim)
+      var w = 0
+      var h = 0
+      var sum = 0L
+      var f = 0
+      while (f < frames.length) {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(frames(f)))
+        if (img == null)
+          return StubDecoder.decode(kind, bytes, nFrames).take(featureDim)
+        val raster = img.getRaster
+        w = img.getWidth
+        h = img.getHeight
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        f += 1
+      }
+      Array(frames.length.toFloat, w.toFloat, h.toFloat, sum.toFloat)
+    }
+  }
+
+  /** Deterministic REAL-VIDEO media table: each document becomes a GVID
+    * container of 2 + (doc_id mod 5) real PNG frames, each frame an
+    * 8-bit gray (1 + doc_id mod 9) × (1 + doc_id mod 7) image whose
+    * row-major pixel k is text byte ((k + 37·f) mod len) for frame f —
+    * the per-frame phase shift makes every frame distinct, so a decode
+    * that muddles frame order or count cannot hash-match. Encoded
+    * through the JDK's actual PNG writer per frame (lossless, so every
+    * decoded quantity has a closed form over (doc_id, text) the SQL
+    * oracle replays without a codec). Encode is partition-local.
+    */
+  def videoMediaFromDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.mapPartitions { it =>
+      it.map { case (id, text) =>
+        val w = 1 + (id % 9).toInt
+        val h = 1 + (id % 7).toInt
+        val nf = 2 + (id % 5).toInt
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val payloads = Array.tabulate(nf) { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var k = 0
+          while (k < w * h) {
+            raster.setSample(k % w, k / w, 0,
+              bytes((k + 37 * f) % bytes.length) & 0xff)
+            k += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val total = 8 + payloads.map(_.length + 4).sum
+        val bb = java.nio.ByteBuffer.allocate(total)
+        bb.putInt(0x47564944).putInt(nf)
+        payloads.foreach { p => bb.putInt(p.length); bb.put(p) }
+        (id, "video", bb.array(), nf)
+      }
+    }.toDF("media_id", "kind", "bytes", "n_frames")
+  }
+
+  final case class FrameFacts(
+      media_id: Long, frame_idx: Int, width: Int, height: Int, sum_gray: Long)
+
+  /** q315: real-codec video frame sampling — every SECOND frame of each
+    * GVID container is container-parsed and PNG-decoded on executors
+    * (q52's frame-sampling plumbing, now over real compressed bytes)
+    * and reduced to exact per-frame integer facts. The oracle replays
+    * the generator's closed form per sampled frame, so the hash compare
+    * pins container layout, frame indexing, the sampling stride, and
+    * the per-frame PNG round trip at once. Partition-local decode — no
+    * shuffle before the final ORDER BY.
+    */
+  def videoDecodeQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoder
+    implicit val enc: Encoder[FrameFacts] = Encoders.product[FrameFacts]
+    videoMediaFromDocuments(spark, dir)
+      .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])](
+        Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .flatMap { case (id, bytes) =>
+        val frames = parseGvidFrames(bytes)
+        if (frames == null) Iterator.empty
+        else Iterator.range(0, frames.length, 2).map { f =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(frames(f)))
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          FrameFacts(id, f, w, h, sum)
+        }
+      }
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  private val videoDecodeSql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    (1 + doc_id % 9)::INT AS width, (1 + doc_id % 7)::INT AS height,
+      |    (2 + doc_id % 5)::INT AS nf
+      |  FROM documents WHERE length(text) >= 1
+      |), f AS (
+      |  SELECT doc_id, text, len, width, height,
+      |    unnest(generate_series(0, nf - 1, 2)) AS frame_idx
+      |  FROM d
+      |)
+      |SELECT doc_id AS media_id, frame_idx::INT AS frame_idx, width, height,
+      |  list_sum(list_transform(
+      |    generate_series(0, width * height - 1, 1),
+      |    k -> unicode(substring(text, ((k + 37 * frame_idx) % len + 1)::INT, 1))))::BIGINT
+      |    AS sum_gray
+      |FROM f ORDER BY media_id, frame_idx""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q51_frame_sample", frameSampleQuery, Some(frameSampleSql)),
     QueryDef("q52_media_decode", decodeQuery, Some(decodeSql)),
     QueryDef("q80_media_dedup", mediaDedupQuery, Some(mediaDedupSql)),
     QueryDef("q247_image_decode", imageDecodeQuery, Some(imageDecodeSql)),
     QueryDef("q270_audio_decode", audioDecodeQuery, Some(audioDecodeSql)),
+    QueryDef("q315_video_decode", videoDecodeQuery, Some(videoDecodeSql)),
   )
 }

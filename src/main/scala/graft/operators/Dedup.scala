@@ -921,7 +921,6 @@ object Dedup extends QueryModule {
       .withColumn("blk_shard", expr("doc_id div 64").cast("string"))
     def pairsOf(c: Column): Column =
       ((c * (c - 1)).cast("long") / 2).cast("long")
-    val nTotal = docs.count()
     val truth = TextAnalysis.jaccardPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
     val truthKeyed = truth
@@ -930,7 +929,11 @@ object Dedup extends QueryModule {
       .join(docs.select(col("doc_id").as("doc_b"),
         col("blk_content").as("cb"), col("blk_shard").as("sb")), Seq("doc_b"))
       .persist()
-    val truthPairs = truthKeyed.count()
+    // scalar denominators stay IN the plan as broadcast one-row
+    // relations (VERDICT r8 #2: an eager docs.count() here ran a Spark
+    // job at query-BUILD time, before the returned frame ever executed)
+    val tot = docs.agg(count(lit(1)).cast("bigint").as("n_total"))
+    val tcnt = truthKeyed.agg(count(lit(1)).cast("bigint").as("true_pairs"))
     def scheme(name: String, blkCol: String, aCol: String,
         bCol: String): DataFrame = {
       val cand = docs.groupBy(col(blkCol)).agg(count(lit(1)).as("n"))
@@ -939,15 +942,16 @@ object Dedup extends QueryModule {
       val cob = truthKeyed.agg(
         sum(when(col(aCol) === col(bCol), 1L).otherwise(0L)).as("tp"))
       cand.crossJoin(cob)
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(tcnt))
         .select(lit(name).as("scheme"),
           col("n_blocks").cast("bigint").as("n_blocks"),
           col("cand").cast("bigint").as("candidate_pairs"),
           round(lit(1.0) - col("cand")
-            / (lit(nTotal).cast("double") * (nTotal - 1) / 2), 6)
+            / (col("n_total").cast("double") * (col("n_total") - 1) / 2), 6)
             .as("reduction_ratio"),
           col("tp").cast("bigint").as("true_pairs_coblocked"),
-          lit(truthPairs).cast("bigint").as("true_pairs"),
-          round(col("tp").cast("double") / truthPairs, 6)
+          col("true_pairs"),
+          round(col("tp").cast("double") / col("true_pairs"), 6)
             .as("pair_completeness"))
     }
     Materialize.releasing(

@@ -3352,6 +3352,11 @@ object EventAnalytics extends QueryModule {
     val t = b.agg(sum(col("sy")).as("ty"), sum(col("sn")).as("tn"),
       count(lit(1)).as("nb"))
     b.crossJoin(broadcast(t))
+      // degenerate-replicate guard (ADVICE r8): a bucket holding ALL
+      // clicks makes the denominator zero, and Spark's non-ANSI divide
+      // (NULL) vs DuckDB may disagree on the poisoned replicate —
+      // filter identically in both engines before the variance
+      .filter(col("tn") - col("sn") > 0)
       .withColumn("ri", (col("ty") - col("sy")) / (col("tn") - col("sn")))
       .groupBy(col("ty"), col("tn"), col("nb"))
       .agg(var_pop(col("ri")).as("vr"))
@@ -3376,6 +3381,7 @@ object EventAnalytics extends QueryModule {
       |), r AS (
       |  SELECT ty, tn, nb, (ty - sy) / (tn - sn) AS ri
       |  FROM b CROSS JOIN t
+      |  WHERE tn - sn > 0
       |), s AS (
       |  SELECT ty, tn, nb, var_pop(ri) AS vr FROM r GROUP BY 1, 2, 3
       |)

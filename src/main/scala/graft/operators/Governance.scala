@@ -580,7 +580,10 @@ object Governance extends QueryModule {
       .agg(
         count(lit(1)).as("n_ev"),
         min(col("ts")).as("first_ts"),
-        sum(col("value")).as("spend"))
+        // integer cents: the band edges below must not depend on the
+        // order a double sum merged in (ADVICE r8 — a boundary flip
+        // changes equivalence-class sizes and fails the hash gate)
+        sum(round(col("value") * 100).cast("bigint")).as("spend_cents"))
     // dominant event type needs a per-(user, type) count first
     val dom = Tables.events(spark, dir)
       .groupBy(col("user_id"), col("event_type"))
@@ -590,11 +593,14 @@ object Governance extends QueryModule {
         .as("dominant_type"))
     val qi = users.join(dom, Seq("user_id"))
       .select(col("user_id"), col("dominant_type"),
-        // quasi-identifiers: activity band, first-seen weekday, spend band
-        (floor(log(col("n_ev").cast("double")) / math.log(2.0))).cast("int")
-          .as("activity_band"),
+        // quasi-identifiers: activity band, first-seen weekday, spend
+        // band — all INTEGER-derived: floor(log2 n) = bitlength(n) − 1
+        // (JVM Math.log vs libm can differ an ulp at power-of-two
+        // boundaries), spend bands from exact cents
+        (length(bin(col("n_ev"))) - lit(1)).cast("int").as("activity_band"),
         dayofweek(col("first_ts")).cast("int").as("first_dow"),
-        floor(col("spend") / 1000).cast("int").as("spend_band"))
+        floor(col("spend_cents").cast("double") / 100000.0).cast("int")
+          .as("spend_band"))
     val classes = qi.groupBy(col("activity_band"), col("first_dow"), col("spend_band"))
       .agg(count(lit(1)).as("class_size"),
         countDistinct(col("dominant_type")).as("l_div"))
@@ -613,7 +619,7 @@ object Governance extends QueryModule {
   private val kAnonymitySql =
     """WITH u AS (
       |  SELECT user_id, count(*) AS n_ev, min(ts) AS first_ts,
-      |    sum(value) AS spend
+      |    sum(round(value * 100)::BIGINT) AS spend_cents
       |  FROM events GROUP BY user_id
       |), pt AS (
       |  SELECT user_id, event_type, count(*) AS c
@@ -626,9 +632,9 @@ object Governance extends QueryModule {
       |    FROM pt) WHERE rn = 1
       |), qi AS (
       |  SELECT u.user_id, dom.dominant_type,
-      |    floor(ln(u.n_ev::DOUBLE) / ln(2.0))::INT AS activity_band,
+      |    (length(bin(u.n_ev)) - 1)::INT AS activity_band,
       |    (dayofweek(u.first_ts) + 1)::INT AS first_dow,
-      |    floor(u.spend / 1000)::INT AS spend_band
+      |    floor(u.spend_cents::DOUBLE / 100000.0)::INT AS spend_band
       |  FROM u JOIN dom USING (user_id)
       |), cls AS (
       |  SELECT activity_band, first_dow, spend_band,

@@ -3762,20 +3762,25 @@ object TradeAnalytics extends QueryModule {
       |  SELECT count(DISTINCT o_custkey)::BIGINT AS n FROM t2 WHERE rn = 1
       |), cat AS (
       |  SELECT count(DISTINCT l_partkey)::BIGINT AS n FROM lineitem
+      |), hagg AS (
+      |  -- global agg (no GROUP BY): exactly one row even when no
+      |  -- recommendation hits the held-out basket, matching the Spark
+      |  -- side's always-one-row summary (ADVICE r8)
+      |  SELECT coalesce(sum(CASE WHEN best_rk = 1 THEN 1 ELSE 0 END), 0)::BIGINT
+      |      AS h1,
+      |    count(*)::BIGINT AS h3
+      |  FROM hits
+      |), ragg AS (
+      |  SELECT count(DISTINCT j)::BIGINT AS n_rec_items FROM topk
       |)
       |SELECT n_eval.n AS n_customers,
-      |  coalesce(sum(CASE WHEN best_rk = 1 THEN 1 ELSE 0 END), 0)::BIGINT
-      |    AS hits_at_1,
-      |  coalesce(count(hits.c), 0)::BIGINT AS hits_at_3,
-      |  round(coalesce(sum(CASE WHEN best_rk = 1 THEN 1 ELSE 0 END), 0)::DOUBLE
-      |    / n_eval.n, 6) AS hitrate_at_1,
-      |  round(coalesce(count(hits.c), 0)::DOUBLE / n_eval.n, 6)
-      |    AS hitrate_at_3,
-      |  (SELECT count(DISTINCT j)::BIGINT FROM topk) AS n_rec_items,
-      |  round((SELECT count(DISTINCT j) FROM topk)::DOUBLE / cat.n, 6)
-      |    AS coverage
-      |FROM hits CROSS JOIN n_eval CROSS JOIN cat
-      |GROUP BY n_eval.n, cat.n""".stripMargin
+      |  hagg.h1 AS hits_at_1,
+      |  hagg.h3 AS hits_at_3,
+      |  round(hagg.h1::DOUBLE / n_eval.n, 6) AS hitrate_at_1,
+      |  round(hagg.h3::DOUBLE / n_eval.n, 6) AS hitrate_at_3,
+      |  ragg.n_rec_items,
+      |  round(ragg.n_rec_items::DOUBLE / cat.n, 6) AS coverage
+      |FROM hagg CROSS JOIN ragg CROSS JOIN n_eval CROSS JOIN cat""".stripMargin
 
   /** q307: log-log price elasticity of demand per market segment —
     * the grouped econometric regression every pricing team runs:

@@ -60,6 +60,65 @@ class DriftCanarySpec extends SparkSpec {
     }
   }
 
+  test("canary: q262 hashed columns are identical across partition layouts") {
+    // the round-8 red cell: GramianAgg's double sums merge in
+    // task-completion order, so hashing round(cov, 6) flipped between
+    // runs. The checked form hashes only the exact-integer-derived
+    // columns; this canary proves those are layout-independent by
+    // running the SAME query over adversarially different partition
+    // layouts (1 vs 32 partitions, shuffled row order) and requiring
+    // bit-identical doubles — not approximate agreement.
+    val spark = TestSpark.spark
+    val dir = TestSpark.sfDir
+    val base = Tables.embeddings(spark, dir)
+    def run(mutate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Array[(Int, Int, Double, Boolean)] = {
+      import spark.implicits._
+      val d = 64
+      val gram = udaf(new functions.GramianAgg(d))
+      val gramX = udaf(new functions.GramianExactAgg(d))
+      val agg = mutate(base)
+        .select(col("embedding"),
+          expr("transform(embedding, x -> cast(round(cast(x AS DOUBLE) * 1e6, 0) AS BIGINT))")
+            .as("q"))
+        .agg(gram(col("embedding")).as("cov"), gramX(col("q")).as("g"))
+      agg
+        .select(posexplode(col("cov")).as(Seq("idx", "v")),
+          col("g.n").as("n"), col("g.s").as("s"), col("g.p").as("p"))
+        .select((col("idx") / lit(d)).cast("int").as("i"),
+          pmod(col("idx"), lit(d)).cast("int").as("j"),
+          col("v"), col("n"), col("s"), col("p"))
+        .filter(col("i") <= col("j"))
+        .withColumn("k",
+          col("i") * lit(d) - (col("i") * (col("i") - lit(1))) / lit(2) +
+            (col("j") - col("i")))
+        .select(col("i"), col("j"), col("v"), col("n"),
+          element_at(col("s"), col("i") + lit(1)).as("si"),
+          element_at(col("s"), col("j") + lit(1)).as("sj"),
+          element_at(col("p"), col("k").cast("int") + lit(1)).as("pk"))
+        .withColumn("num",
+          col("n").cast("decimal(38,0)") * col("pk").cast("decimal(38,0)") -
+            col("si").cast("decimal(38,0)") * col("sj").cast("decimal(38,0)"))
+        .withColumn("cov_exact",
+          col("num").cast("double") /
+            (col("n").cast("double") * col("n").cast("double") * lit(1e12)))
+        .select(col("i"), col("j"), col("cov_exact"),
+          (abs(col("v") - col("cov_exact")) <= lit(1e-5)).as("within_bound"))
+        .orderBy(col("i"), col("j"))
+        .as[(Int, Int, Double, Boolean)].collect()
+    }
+    val one = run(_.coalesce(1))
+    val many = run(_.repartition(32))
+    val shuffled = run(df =>
+      df.orderBy(xxhash64(col("vec_id"), lit(9))).repartition(7))
+    assert(one.length === 64 * 65 / 2)
+    assert(one.forall(_._4), "float kernel outside 1e-5 of exact twin")
+    // bit-exact: java.lang.Double.doubleToLongBits equality via ==
+    // on values produced from identical exact integers
+    assert(many.sameElements(one), "32-partition layout changed hashed cols")
+    assert(shuffled.sameElements(one), "shuffled layout changed hashed cols")
+  }
+
   test("canary: ScaledWindows results are identical across repeated executions") {
     import TestSpark.spark.implicits._
     // large enough that RangePartitioner's per-partition sample does

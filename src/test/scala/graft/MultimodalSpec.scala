@@ -100,4 +100,71 @@ class MultimodalSpec extends SparkSpec {
       assert(keeper === rows.map(_.getAs[Long]("media_id")).min)
     }
   }
+
+  test("videoMedia containers hold real per-frame PNGs; decoder round-trips exactly") {
+    val media = Multimodal.videoMediaFromDocuments(spark, sfDir)
+      .orderBy(col("media_id")).limit(5).collect()
+    val doc = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 1)
+      .orderBy(col("doc_id")).limit(5).collect()
+    media.zip(doc).foreach { case (m, d) =>
+      val id = m.getAs[Long]("media_id")
+      val bytes = m.getAs[Array[Byte]]("bytes")
+      val frames = Multimodal.parseGvidFrames(bytes)
+      val nf = 2 + (id % 5).toInt
+      assert(frames.length === nf)
+      // every frame payload is a REAL PNG (JDK encoder ran per frame)
+      frames.foreach { p =>
+        assert((p(0) & 0xff) === 0x89 && p(1) === 'P' && p(2) === 'N' && p(3) === 'G')
+      }
+      val f = Multimodal.VideoContainerDecoder.decode("video", bytes, nf)
+      val (w, h) = (1 + (id % 9).toInt, 1 + (id % 7).toInt)
+      assert(f(0) === nf.toFloat && f(1) === w.toFloat && f(2) === h.toFloat)
+      val text = d.getAs[String]("text").getBytes("UTF-8")
+      val expected = (0 until nf).map { fr =>
+        (0 until w * h).map(k => (text((k + 37 * fr) % text.length) & 0xff).toLong).sum
+      }.sum
+      assert(f(3) === expected.toFloat)
+    }
+  }
+
+  test("VideoContainerDecoder treats declared sizes as untrusted") {
+    // negative frame count, negative frame size, overrunning frame size
+    def gvid(n: Int, entries: (Int, Array[Byte])*): Array[Byte] = {
+      val total = 8 + entries.map(_._2.length + 4).sum
+      val bb = java.nio.ByteBuffer.allocate(total)
+      bb.putInt(0x47564944).putInt(n)
+      entries.foreach { case (sz, p) => bb.putInt(sz); bb.put(p) }
+      bb.array()
+    }
+    val junk = Array.tabulate[Byte](16)(i => (i * 11).toByte)
+    val bad = Seq(
+      gvid(-1),
+      gvid(1, (-5, junk)),
+      gvid(2, (junk.length + 999, junk)),
+      Array.tabulate[Byte](32)(i => (i * 3).toByte)) // no magic
+    bad.foreach { b =>
+      assert(Multimodal.parseGvidFrames(b) === null)
+      val viaDecoder = Multimodal.VideoContainerDecoder.decode("video", b, 1)
+      val viaStub = Multimodal.StubDecoder.decode("video", b, 1).take(4)
+      assert(viaDecoder.toSeq === viaStub.toSeq)
+    }
+  }
+
+  test("WavDecoder bails to the stub on malformed RIFF chunk sizes") {
+    // well-formed RIFF/WAVE preamble, then a chunk with negative size
+    // (previously an infinite loop) and one that overruns the buffer
+    def riff(chunkSize: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(0x46464952).putInt(16).putInt(0x45564157)
+      bb.putInt(0x20746d66).putInt(chunkSize)
+      bb.array()
+    }
+    Seq(riff(-8), riff(4096)).foreach { b =>
+      val viaDecoder = Multimodal.WavDecoder.decode("audio", b, 1)
+      val viaStub = Multimodal.StubDecoder.decode("audio", b, 1).take(4)
+      assert(viaDecoder.toSeq === viaStub.toSeq)
+    }
+  }
 }
