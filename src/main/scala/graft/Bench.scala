@@ -88,7 +88,80 @@ object Bench {
       "q40_minhash_lsh", "q41_simhash", "q42_knn_bruteforce",
       "q43_ann_hyperplane")
     val coreTotal = results.collect { case (k, v, _) if core16(k) && v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16_total":$coreTotal%.3f,"queries":$qs,"samples":$spread$errsJson,"sf":"$sfDir"}""")
+    val vsPrev = vsPrevBlock(results)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16_total":$coreTotal%.3f,"queries":$qs,"samples":$spread$errsJson$vsPrev,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Mechanical round-over-round diff: locate the latest BENCH_r{N}.json
+    * the driver wrote in the repo root, extract its embedded result line,
+    * and emit per-query ratios plus a `flagged` subset (>1.5× either
+    * way) WITH both rounds' raw samples — so a flagged move is
+    * immediately classifiable as contention (wide spread) vs regression
+    * (tight spread) without narrative reconstruction. Absent or
+    * unparsable prior files degrade to an empty block, never a failure.
+    */
+  private def vsPrevBlock(
+      results: Seq[(String, Double, Seq[Double])]): String = {
+    try {
+      val rx = """BENCH_r(\d+)\.json""".r
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap { f =>
+          f.getName match {
+            case rx(n) => Some((n.toInt, f))
+            case _ => None
+          }
+        }
+      if (files.isEmpty) return ""
+      val (prevN, prevFile) = files.maxBy(_._1)
+      val text = new String(
+        java.nio.file.Files.readAllBytes(prevFile.toPath), "UTF-8")
+      import org.json4s._
+      // the driver wraps the result line inside a log-tail STRING field
+      // (quotes escaped) — parse the wrapper first, then regex inside
+      // the unescaped tail; fall back to the raw text for bare files
+      val outer = scala.util.Try(org.json4s.jackson.JsonMethods.parse(text))
+      val hay = outer.toOption.flatMap { o =>
+        (o \ "tail") match {
+          case JString(s) => Some(s)
+          case _ => None
+        }
+      }.getOrElse(text)
+      val lineRx = """\{"metric":"total".*?"sf":"[^"]*"\}""".r
+      val inner = lineRx.findAllIn(hay).toSeq.lastOption.getOrElse(return "")
+      val parsed = org.json4s.jackson.JsonMethods.parse(inner)
+      def numMap(field: String): Map[String, Double] = parsed \ field match {
+        case JObject(fs) => fs.collect {
+          case (k, JDouble(v)) => (k, v)
+          case (k, JInt(v)) => (k, v.toDouble)
+        }.toMap
+        case _ => Map.empty
+      }
+      val prevQ = numMap("queries")
+      val prevS = (parsed \ "samples") match {
+        case JObject(fs) => fs.collect { case (k, JArray(vs)) =>
+          (k, vs.collect { case JDouble(v) => v; case JInt(v) => v.toDouble })
+        }.toMap
+        case _ => Map.empty[String, List[Double]]
+      }
+      val ratios = results.flatMap { case (k, cur, _) =>
+        prevQ.get(k).filter(p => p > 0 && cur > 0).map(p => (k, p, cur, cur / p))
+      }
+      if (ratios.isEmpty) return ""
+      val rjson = ratios.map { case (k, _, _, r) => "\"" + k + "\":" + f"$r%.2f" }
+        .mkString("{", ",", "}")
+      val flagged = ratios.filter { case (_, _, _, r) => r > 1.5 || r < 1.0 / 1.5 }
+      val fjson = flagged.map { case (k, p, c, r) =>
+        val curS = results.find(_._1 == k).map(_._3).getOrElse(Seq.empty)
+        val ps = prevS.getOrElse(k, Nil).map(v => f"$v%.3f").mkString("[", ",", "]")
+        val cs = curS.map(v => f"$v%.3f").mkString("[", ",", "]")
+        "\"" + k + "\":" +
+          f"""{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,"prev_samples":$ps,"cur_samples":$cs}"""
+      }.mkString("{", ",", "}")
+      s""","vs_prev":{"prev_round":$prevN,"ratios":$rjson,"flagged":$fjson}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] vs_prev diff skipped: ${e.getMessage}")
+      ""
+    }
   }
 }

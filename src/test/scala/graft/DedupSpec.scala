@@ -329,4 +329,42 @@ class DedupSpec extends SparkSpec {
         assert(r.getAs[Double]("max_w") < 4.0)
       }
   }
+
+  test("q316: sharded-layout parallel dedup reconciles with the in-plan shard pass") {
+    // wire writeShards into the composite's story: persist the corpus in
+    // the hash-sharded layout, dedup EACH SHARD INDEPENDENTLY (reading
+    // only that shard's files — the embarrassingly-parallel deployment
+    // shape), and check the union of per-shard pair sets equals the
+    // composite's in-plan shard-local stage count. Then check the
+    // composite's union stage achieves content-blocking completeness.
+    val dir = sfDir
+    val out = java.nio.file.Files.createTempDirectory("shards316").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      // the composite shards by doc_id div 64; write the same layout so
+      // the two executions are comparable
+      .withColumn("shard", expr("doc_id div 64").cast("int"))
+    docs.write.mode("overwrite").partitionBy("shard").parquet(out)
+    val shardIds = spark.read.parquet(out)
+      .select(col("shard")).distinct().collect().map(_.getInt(0)).sorted
+    val perShard = shardIds.map { sh =>
+      operators.TextAnalysis.jaccardPairsOn(
+        spark.read.parquet(s"$out/shard=$sh"))
+        .select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val unionOfShards = perShard.flatten.toSet
+    val stats = operators.Dedup.dedupAcrossShards(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats("1_shard_local").getAs[Long]("pairs_found") ===
+      unionOfShards.size.toLong)
+    // the composite must recover content-blocking recall, not shard recall
+    val contentPc = stats("2_global_content_pass").getAs[Double]("pair_completeness")
+    val unionPc = stats("3_composite_union").getAs[Double]("pair_completeness")
+    assert(unionPc >= contentPc)
+    // survivors monotone: more recall can only remove more docs
+    assert(stats("3_composite_union").getAs[Long]("survivors") <=
+      stats("1_shard_local").getAs[Long]("survivors"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
 }
