@@ -31,6 +31,7 @@ object SparkEntry {
     operators.Spatial,
     operators.BloomJoin,
     multimodal.Multimodal,
+    pipeline.CapstoneGate,
   )
 
   def allDefs: Seq[QueryDef] = modules.flatMap(_.defs)
