@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-evidence probe (SCALE.md): runs the flagship corpus
+  * operators (q36 corpus-prep, q40 MinHash-LSH, q263 dup-span) at
+  * sf0.1 and at a synthesized 10× corpus, recording wall time and
+  * total shuffle read/write bytes per run — the observable basis for
+  * the linear-ish scaling the scaladocs argue.
+  *
+  * The 10× corpus replicates sf0.1's documents 10 times with every
+  * token PREFIXED by a replica tag: replicas are textually disjoint
+  * (no cross-replica shingle collides), so the duplicate RATE — the
+  * quantity that drives pair-expansion cost — matches the original
+  * corpus instead of exploding 100× the way verbatim copies would.
+  * That models "a corpus 10× bigger with the same dup structure",
+  * which is the scaling question 100 TB asks.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val tenXDir = "/tmp/graft_scale_10x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$tenXDir/documents.parquet").exists()) {
+      Tables.documents(spark, base)
+        .select(col("*"), explode(sequence(lit(0), lit(9))).as("r"))
+        .select(
+          (col("doc_id") * 10 + col("r")).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(lit("r"), col("r"), lit("x"), t)), " ").as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$tenXDir/documents.parquet")
+    }
+
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong()
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        shuffleRead.addAndGet(s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+
+    val probes = Seq("q36_corpus_prep", "q40_minhash_lsh", "q263_dup_span_coverage")
+    for (name <- probes; (label, dir) <- Seq(("sf0.1", base), ("10x", tenXDir))) {
+      val d = SparkEntry.allDefs.find(_.name == name).get
+      d.build(spark, dir).count() // warm (codegen + page cache)
+      val times = (1 to 2).map { _ =>
+        operators.ScaledWindows.release()
+        spark.catalog.clearCache()
+        shuffleRead.set(0); shuffleWrite.set(0)
+        val t0 = System.nanoTime()
+        val n = d.build(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        // listener events are async; drain before reading counters
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        (dt, n, shuffleRead.get(), shuffleWrite.get())
+      }
+      val (dt, n, sr, sw) = times.minBy(_._1)
+      println(f"[scale] $name%-24s $label%-6s rows=$n%-8d wall=$dt%7.3f s " +
+        f"shuffle_read=${sr / 1048576.0}%8.2f MiB shuffle_write=${sw / 1048576.0}%8.2f MiB")
+    }
+    spark.stop()
+  }
+}
