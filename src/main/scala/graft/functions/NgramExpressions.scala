@@ -66,6 +66,30 @@ object NgramImpl {
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** ALL-occurrence xxhash64 n-gram values (positional, duplicates
+    * kept) — for repetition statistics (q321) where the duplicate
+    * occurrences ARE the signal the distinct variants erase.
+    */
+  def wordNgramHashesAll(arr: ArrayData, n: Int): ArrayData = {
+    val cnt = arr.numElements()
+    if (cnt < n) return new GenericArrayData(new Array[Long](0))
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[Long](cnt - n + 1)
+    var i = 0
+    while (i <= cnt - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) {
+        parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      val s = UTF8String.concatWs(sep, parts: _*)
+      out(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Distinct word n-gram shingles of an array<string> — custom codegen'd
@@ -109,9 +133,31 @@ case class WordNgramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ALL-occurrence (positional) n-gram hashes — [[WordNgramHashes]]
+  * without the dedup, for per-occurrence statistics.
+  */
+case class WordNgramHashesAll(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_ngram_hashes_all"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramImpl.wordNgramHashesAll(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.NgramImpl.wordNgramHashesAll($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordNgramHashesAll = copy(child = newChild)
+}
+
 object NgramFunctions {
   def wordNgrams(c: Column, n: Int): Column =
     ColumnBridge.column(WordNgrams(ColumnBridge.expression(c), n))
   def wordNgramHashes(c: Column, n: Int): Column =
     ColumnBridge.column(WordNgramHashes(ColumnBridge.expression(c), n))
+  def wordNgramHashesAll(c: Column, n: Int): Column =
+    ColumnBridge.column(WordNgramHashesAll(ColumnBridge.expression(c), n))
 }

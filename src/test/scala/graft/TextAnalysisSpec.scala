@@ -365,4 +365,68 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[Double]("mean_segment_blocks") >= 1.0)
     }
   }
+
+  test("WordNgramHashesAll keeps every occurrence, positionally, hash-compatible") {
+    val toks = split(col("text"), " ")
+    // builtin form: NO dedup — one hash per window position, in order
+    val builtinForm = transform(
+      sequence(lit(1), size(toks) - 1),
+      i => xxhash64(concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    val mismatches = Tables.documents(spark, sfDir)
+      .filter(size(toks) >= 2)
+      .select(
+        graft.functions.NgramFunctions.wordNgramHashesAll(toks, 2).as("custom"),
+        builtinForm.as("builtin"))
+      .filter(col("custom") =!= col("builtin"))
+    assert(mismatches.count() === 0)
+    // and distinct(all) == the distinct kernel (set equality incl. order
+    // of first occurrence)
+    val setMismatch = Tables.documents(spark, sfDir)
+      .filter(size(toks) >= 2)
+      .select(
+        array_distinct(graft.functions.NgramFunctions
+          .wordNgramHashesAll(toks, 2)).as("viaAll"),
+        graft.functions.NgramFunctions.wordNgramHashes(toks, 2).as("direct"))
+      .filter(col("viaAll") =!= col("direct"))
+    assert(setMismatch.count() === 0)
+  }
+
+  test("q321 repetition stats recompute from raw token arrays") {
+    val rows = TextAnalysis.repetitionFilter(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).split(" ")
+      val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val counts = bigrams.groupBy(identity).view.mapValues(_.size)
+      assert(r.getAs[Long]("n_bigrams") === bigrams.size.toLong)
+      val dup2 = BigDecimal(1.0 - counts.size.toDouble / bigrams.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("dup2_frac") === dup2)
+      val top2 = BigDecimal(counts.values.max.toDouble / bigrams.size)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("top2_share") === top2)
+    }
+  }
+
+  test("q320 decontamination: hits are real 8-gram overlaps with the eval slice") {
+    val out = TextAnalysis.decontamination(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val evalGrams = docs.collect { case (id, toks) if id % 20 == 7 && toks.size >= 8 =>
+      toks.sliding(8).map(_.mkString(" ")).toSet
+    }.foldLeft(Set.empty[String])(_ ++ _)
+    // every train doc with an overlapping 8-gram is reported, and only those
+    val expected = docs.collect { case (id, toks) if id % 20 != 7 && toks.size >= 8 &&
+        toks.sliding(8).exists(g => evalGrams(g.mkString(" "))) => id }.toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === expected)
+    out.foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id"))
+      val hits = toks.sliding(8).map(_.mkString(" ")).toSet.count(evalGrams)
+      assert(r.getAs[Long]("n_hit") === hits.toLong)
+    }
+  }
 }
