@@ -1497,84 +1497,17 @@ object TextAnalysis extends QueryModule {
       |    AS mean_segment_blocks
       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
 
-  /** q320: benchmark decontamination scan — the train/eval n-gram
-    * overlap audit every serious pretraining pipeline runs (GPT-3
-    * appendix C, PaLM §7; the standard is "flag a training doc sharing
-    * any long n-gram with an eval benchmark"). Here src19 plays the
-    * held-out benchmark and every other source is trainside; grams are
-    * the q263 8-token windows. Per flagged train doc: how many of its
-    * grams hit the eval set, its gram count, the hit rate, and how
-    * many distinct eval docs it collides with — the readout that
-    * decides drop-vs-keep and attributes the leak. The eval slice is
-    * an id-residue split (doc_id ≡ 7 mod 20) rather than a source
-    * split: the corpus's near-dup structure crosses id neighborhoods,
-    * so the slice actually contains leaked grams — a source split here
-    * would gate an always-empty result.
-    *
-    * Scale shape: both sides reduce to 8-byte gram hashes from the
-    * codegen'd sliding-window kernel (the string is hashed once); the
-    * overlap is one hash-keyed equi-join of train postings against the
-    * (much smaller) DISTINCT eval gram set — linear shuffles both
-    * sides, nothing pairwise. At 100 TB the eval side is thousands of
-    * benchmark docs: AQE broadcasts it and the train side never
-    * shuffles at all.
-    */
-  def decontamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("toks", tokens(col("text")))
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), col("source"),
-        graft.functions.NgramFunctions.wordNgramHashes(col("toks"), 8)
-          .as("ghs"))
-    val isEval = pmod(col("doc_id"), lit(20)) === 7
-    val train = docs.filter(!isEval)
-      .select(col("doc_id"), col("source"), size(col("ghs")).as("n_grams"),
-        explode(col("ghs")).as("gh"))
-    val evalGrams = docs.filter(isEval)
-      .select(explode(col("ghs")).as("gh"), col("doc_id").as("eval_doc"))
-      .distinct()
-    train.join(evalGrams, Seq("gh"))
-      .groupBy(col("doc_id"), col("source"), col("n_grams"))
-      .agg(countDistinct(col("gh")).as("n_hit"),
-        countDistinct(col("eval_doc")).as("n_eval_docs"))
-      .select(col("doc_id"), col("source"), col("n_grams").cast("bigint"),
-        col("n_hit").cast("bigint").as("n_hit"),
-        round(col("n_hit").cast("double") / col("n_grams"), 4).as("hit_rate"),
-        col("n_eval_docs").cast("bigint").as("n_eval_docs"))
-      .orderBy(col("doc_id"))
-  }
-
-  private val decontaminationSql =
-    """WITH t AS (
-      |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
-      |), g AS (
-      |  SELECT doc_id, source,
-      |    list_distinct(list_transform(generate_series(1, len(toks) - 7),
-      |      i -> array_to_string(toks[i : i + 7], ' '))) AS grams
-      |  FROM t WHERE len(toks) >= 8
-      |), train AS (
-      |  SELECT doc_id, source, len(grams) AS n_grams, unnest(grams) AS gram
-      |  FROM g WHERE doc_id % 20 <> 7
-      |), ev AS (
-      |  SELECT DISTINCT gram, doc_id AS eval_doc FROM (
-      |    SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 = 7)
-      |)
-      |SELECT t.doc_id, t.source, t.n_grams::BIGINT AS n_grams,
-      |  count(DISTINCT t.gram)::BIGINT AS n_hit,
-      |  round(count(DISTINCT t.gram)::DOUBLE / t.n_grams, 4) AS hit_rate,
-      |  count(DISTINCT ev.eval_doc)::BIGINT AS n_eval_docs
-      |FROM train t JOIN ev ON ev.gram = t.gram
-      |GROUP BY t.doc_id, t.source, t.n_grams
-      |ORDER BY t.doc_id""".stripMargin
-
-  /** q321: intra-document repetition filter — the Gopher/MassiveText
-    * repetition gates (Rae et al. 2021, table A1): a doc whose n-grams
-    * repeat heavily is boilerplate/spam territory. Per doc and per
-    * n ∈ {2, 3}: the duplicate-occurrence fraction
-    * (1 − distinct/total) and, for n=2, the share of occurrences held
-    * by the single most frequent bigram. The keep verdict applies the
-    * published-style thresholds (dup₂ ≤ 0.2, dup₃ ≤ 0.18,
-    * top₂-share ≤ 0.08 — scaled to this corpus's short docs). Every
+  /** q320: intra-document repetition GATES — the Gopher/MassiveText
+    * multi-rule battery (Rae et al. 2021, table A1) completing
+    * [[graft.operators.Curation.repetitionFilter q65]]: q65 emits the
+    * single top-bigram share and leaves thresholding to the consumer;
+    * real curation stacks several repetition signals and a composite
+    * verdict. Per doc and per n ∈ {2, 3}: the duplicate-occurrence
+    * fraction (1 − distinct/total) and, for n=2, the share of
+    * occurrences held by the single most frequent bigram; the keep
+    * verdict applies the published-style thresholds (dup₂ ≤ 0.2,
+    * dup₃ ≤ 0.18, top₂-share ≤ 0.08 — scaled to this corpus's short
+    * docs). Every
     * ratio is a single division of exact integers, so the gate is
     * layout-deterministic by construction (the q262 lesson applied
     * at design time).
@@ -1584,7 +1517,7 @@ object TextAnalysis extends QueryModule {
     * per doc; the per-doc rollup is three integer aggregates. No
     * arrays survive the shuffle, no windows, nothing global.
     */
-  def repetitionFilter(spark: SparkSession, dir: String): DataFrame = {
+  def repetitionGates(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .withColumn("toks", tokens(col("text")))
       .filter(size(col("toks")) >= 3)
@@ -1613,7 +1546,7 @@ object TextAnalysis extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val repetitionFilterSql =
+  private val repetitionGatesSql =
     """WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       |), g2 AS (
@@ -1647,10 +1580,8 @@ object TextAnalysis extends QueryModule {
       |ORDER BY s2.doc_id""".stripMargin
 
   override val defs: Seq[QueryDef] = Seq(
-    QueryDef("q320_decontamination", decontamination,
-      Some(decontaminationSql)),
-    QueryDef("q321_repetition_filter", repetitionFilter,
-      Some(repetitionFilterSql)),
+    QueryDef("q320_repetition_gates", repetitionGates,
+      Some(repetitionGatesSql)),
     QueryDef("q300_text_tiling", textTiling, Some(textTilingSql)),
     QueryDef("q36_corpus_prep", corpusPrepQuery, Some(corpusPrepSql), benchmark = true),
     QueryDef("q251_unigram_ppl", unigramPerplexity, Some(unigramPerplexitySql)),

@@ -391,8 +391,8 @@ class TextAnalysisSpec extends SparkSpec {
     assert(setMismatch.count() === 0)
   }
 
-  test("q321 repetition stats recompute from raw token arrays") {
-    val rows = TextAnalysis.repetitionFilter(spark, sfDir).collect()
+  test("q320 repetition gates recompute from raw token arrays") {
+    val rows = TextAnalysis.repetitionGates(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -408,25 +408,6 @@ class TextAnalysisSpec extends SparkSpec {
       val top2 = BigDecimal(counts.values.max.toDouble / bigrams.size)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r.getAs[Double]("top2_share") === top2)
-    }
-  }
-
-  test("q320 decontamination: hits are real 8-gram overlaps with the eval slice") {
-    val out = TextAnalysis.decontamination(spark, sfDir).collect()
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text")).collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
-    val evalGrams = docs.collect { case (id, toks) if id % 20 == 7 && toks.size >= 8 =>
-      toks.sliding(8).map(_.mkString(" ")).toSet
-    }.foldLeft(Set.empty[String])(_ ++ _)
-    // every train doc with an overlapping 8-gram is reported, and only those
-    val expected = docs.collect { case (id, toks) if id % 20 != 7 && toks.size >= 8 &&
-        toks.sliding(8).exists(g => evalGrams(g.mkString(" "))) => id }.toSet
-    assert(out.map(_.getAs[Long]("doc_id")).toSet === expected)
-    out.foreach { r =>
-      val toks = docs(r.getAs[Long]("doc_id"))
-      val hits = toks.sliding(8).map(_.mkString(" ")).toSet.count(evalGrams)
-      assert(r.getAs[Long]("n_hit") === hits.toLong)
     }
   }
 }
