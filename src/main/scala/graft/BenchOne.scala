@@ -28,17 +28,36 @@ object BenchOne {
     val d = SparkEntry.allDefs.find(_.name == name)
       .getOrElse(sys.error(s"no such query: $name (see SparkEntry.allDefs)"))
     if (explain) d.build(spark, sfDir).explain("formatted")
+    val jobs = new java.util.concurrent.atomic.AtomicLong()
+    val stages = new java.util.concurrent.atomic.AtomicLong()
+    val taskTime = new java.util.concurrent.atomic.AtomicLong() // ms
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          taskTime.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+        }
+      })
     // warmup
     d.build(spark, sfDir).count()
     val times = (1 to reps).map { _ =>
       operators.ScaledWindows.release()
       spark.catalog.clearCache()
+      jobs.set(0); stages.set(0); taskTime.set(0)
       val t0 = System.nanoTime()
       d.build(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+      (dt, jobs.get(), stages.get(), taskTime.get())
     }
-    println(f"[bench-one] $name reps=$reps min=${times.min}%.3f " +
-      times.map(t => f"$t%.3f").mkString("samples=[", ",", "]"))
+    val best = times.minBy(_._1)
+    println(f"[bench-one] $name reps=$reps min=${best._1}%.3f " +
+      f"jobs=${best._2} stages=${best._3} task_time=${best._4 / 1000.0}%.2f s " +
+      times.map(t => f"${t._1}%.3f").mkString("samples=[", ",", "]"))
     spark.stop()
   }
 }

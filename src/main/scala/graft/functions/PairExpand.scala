@@ -89,7 +89,157 @@ case class PairExpand(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object PairExpandImplSim {
+
+  /** SimHash bucket pair generation — the grouped-posting sibling of
+    * [[PairExpandImpl.pairExpand]] for the pigeonhole-banding scheme:
+    * one (band, band-key) bucket's (id, signature) list expands into
+    * its qualifying pairs in a single kernel pass. Per ordered pair
+    * (id_a < id_b): XOR the signatures, popcount ≤ maxHamming gates
+    * the emit, and the FIRST band where the signatures agree rides
+    * along so the plan can keep each pair exactly once (filter
+    * first_band = this bucket's band) without a distinct() shuffle.
+    */
+  def simhashBucketPairs(arr: ArrayData, bitsPerBand: Int, nBands: Int,
+      maxHamming: Int): ArrayData = {
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val sims = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getStruct(i, 2)
+      ids(i) = s.getLong(0)
+      sims(i) = s.getLong(1)
+      i += 1
+    }
+    // insertion sort by id — buckets are small by banding design
+    i = 1
+    while (i < n) {
+      val id = ids(i); val sm = sims(i)
+      var j = i - 1
+      while (j >= 0 && ids(j) > id) {
+        ids(j + 1) = ids(j); sims(j + 1) = sims(j); j -= 1
+      }
+      ids(j + 1) = id; sims(j + 1) = sm
+      i += 1
+    }
+    val mask = (1L << bitsPerBand) - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val x = sims(i) ^ sims(j)
+        if (java.lang.Long.bitCount(x) <= maxHamming) {
+          var fb = 0
+          while (fb < nBands && ((x >>> (fb * bitsPerBand)) & mask) != 0L) fb += 1
+          out += new GenericInternalRow(Array[Any](
+            ids(i), ids(j), java.lang.Long.bitCount(x), fb))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `simhash_bucket_pairs(array<struct<id:long, sim:long>>)` →
+  * `array<struct<doc_a, doc_b, hamming:int, first_band:int>>`,
+  * doc_a < doc_b, hamming ≤ maxHamming.
+  */
+case class SimhashBucketPairs(child: Expression, bitsPerBand: Int,
+    nBands: Int, maxHamming: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("hamming", IntegerType, nullable = false),
+    StructField("first_band", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "simhash_bucket_pairs"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(fields), _)
+          if fields.length == 2 && fields(0).dataType == LongType &&
+            fields(1).dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_bucket_pairs expects array<struct<bigint, bigint>>, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PairExpandImplSim.simhashBucketPairs(
+      input.asInstanceOf[ArrayData], bitsPerBand, nBands, maxHamming)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PairExpandImplSim.simhashBucketPairs($c, $bitsPerBand, $nBands, $maxHamming)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashBucketPairs =
+    copy(child = newChild)
+}
+
+object PairExpandImplIds {
+
+  /** C(n,2) ordered id pairs of a bucket's member list — the bare-id
+    * variant of [[PairExpandImpl.pairExpand]] for LSH candidate
+    * generation where nothing but the ids need to ride.
+    */
+  def pairExpandIds(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val ids = arr.toLongArray()
+    java.util.Arrays.sort(ids)
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](ids(i), ids(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `pair_expand_ids(array<long>)` → `array<struct<id_a, id_b>>`, id_a < id_b. */
+case class PairExpandIds(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "pair_expand_ids"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pair_expand_ids expects array<bigint>, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PairExpandImplIds.pairExpandIds(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PairExpandImplIds.pairExpandIds($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PairExpandIds =
+    copy(child = newChild)
+}
+
 object PairExpandFunctions {
   def pairExpand(c: Column): Column =
     ColumnBridge.column(PairExpand(ColumnBridge.expression(c)))
+  def pairExpandIds(c: Column): Column =
+    ColumnBridge.column(PairExpandIds(ColumnBridge.expression(c)))
+  def simhashBucketPairs(c: Column, bitsPerBand: Int, nBands: Int,
+      maxHamming: Int): Column =
+    ColumnBridge.column(SimhashBucketPairs(
+      ColumnBridge.expression(c), bitsPerBand, nBands, maxHamming))
 }

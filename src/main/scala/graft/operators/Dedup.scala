@@ -67,18 +67,24 @@ object Dedup extends QueryModule {
   }
 
   /** Candidate pairs from LSH banding: ids sharing any (band, band_key)
-    * bucket. One shuffle on the bucket key; join only within buckets.
+    * bucket. Grouped-posting shape (the q35/q41 kernel discipline —
+    * ONE shuffle on the bucket key, pair expansion inside the
+    * codegen'd kernel) instead of the two-exchange bucket self-join;
+    * the cross-band distinct remains (a pair may collide in several
+    * bands, and unlike q41's XOR trick the minhash band keys are
+    * hashes, so first-collision-band is not recoverable from compact
+    * per-pair state).
     */
   def lshCandidates(df: DataFrame, idCol: String, sigCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val buckets = bandRows(df, idCol, sigCol, bands, rowsPerBand)
-    val a = buckets.select(col("band"), col("bkey"), col(idCol).as("id_a"))
-    val b = buckets.select(col("band"), col("bkey"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      bands: Int, rowsPerBand: Int): DataFrame =
+    bandRows(df, idCol, sigCol, bands, rowsPerBand)
+      .groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(graft.functions.PairExpandFunctions
+        .pairExpandIds(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-  }
 
   /** Full MinHash-LSH near-duplicate pipeline over a text corpus:
     * shingle → sign → band → bucket-join → exact-Jaccard verification.
@@ -203,15 +209,21 @@ object Dedup extends QueryModule {
     val nBands = maxHamming + 1
     require(nBits % nBands == 0, s"$nBits bits not divisible into $nBands bands")
     val bitsPerBand = nBits / nBands // e.g. 8 bands of 8 bits for maxHamming=7
-    // Persisted: the bucket self-join references the signature table on
-    // both sides; without persist the bit-vote signature expression
-    // would be evaluated twice per document.
+    // Single-shuffle grouped-posting shape (the q35 kernel discipline,
+    // replacing the earlier bucket SELF-JOIN which cost two shuffle
+    // stages plus a dedup pass): signatures are computed once in the
+    // map stage, band rows shuffle ONCE on (band, band-key), and each
+    // bucket's (id, sig) list expands to its qualifying pairs inside
+    // the codegen'd SimhashBucketPairs kernel — hamming filter applied
+    // in-kernel, and the FIRST band where the two signatures agree
+    // rides along so `first_band = band` keeps every pair exactly once
+    // with a map-side filter instead of a distinct() shuffle. Bucket
+    // list size is the banding design knob (bitsPerBand grows with
+    // corpus size, exactly like q35's posting-df guard).
     val signed = docs
       .withColumn("__toks", split(col(textCol), " "))
       .filter(size(col("__toks")) >= 1)
       .select(col(idCol), sigFn(col("__toks")).as("__sim"))
-      .persist()
-
     val bandStructs = array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
         // band value: bitsPerBand-bit slice of the signature
@@ -219,36 +231,21 @@ object Dedup extends QueryModule {
           .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("bkey"))
     }: _*)
     val buckets = signed.select(col(idCol), col("__sim"), explode(bandStructs).as("bb"))
-      .select(col(idCol), col("__sim"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-
-    val a = buckets.select(col("band"), col("bkey"), col(idCol).as("id_a"), col("__sim").as("sim_a"))
-    val b = buckets.select(col("band"), col("bkey"), col(idCol).as("id_b"), col("__sim").as("sim_b"))
-    // A pair colliding in k bands surfaces k times from the bucket join.
-    // Instead of a distinct() (a full extra shuffle + stage), keep only
-    // the row whose band is the FIRST band where the two signatures
-    // agree — computable from sim_a XOR sim_b alone, so dedup becomes a
-    // map-side filter: exactly one surviving row per candidate pair.
-    val xorSig = col("sim_a").bitwiseXOR(col("sim_b"))
-    val firstEqualBand = (0 until nBands).reverse.foldLeft(lit(nBands): Column) {
-      case (acc, bnd) =>
-        when(shiftrightunsigned(xorSig, bnd * bitsPerBand)
-          .bitwiseAND(lit((1L << bitsPerBand) - 1)) === 0L, lit(bnd))
-          .otherwise(acc)
-    }
-    // materialize the (small) verified pair set BEFORE the global sort:
-    // orderBy plans a range-bound sampling pass over its child, which
-    // would re-run the bucket join; sorting from the cached pair set
-    // runs the join exactly once
-    val pairs = a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("band") === firstEqualBand)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        hamming(col("sim_a"), col("sim_b")).as("hamming_dist"))
-      .filter(col("hamming_dist") <= maxHamming)
-      .persist()
-    Materialize.releasing(
-      pairs.orderBy(col("doc_a"), col("doc_b")),
-      signed, pairs)
+      .select(col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col(idCol), col("__sim"))
+    // No persist and no cache layer: the plan has exactly one exchange
+    // (the band-key shuffle), and the final orderBy's range-sampling
+    // pass shares it via exchange reuse within the single execution —
+    // the signature map stage and the bucket kernel run exactly once.
+    buckets.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(struct(col(idCol), col("__sim"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("band"), explode(graft.functions.PairExpandFunctions
+        .simhashBucketPairs(col("ds"), bitsPerBand, nBands, maxHamming)).as("p"))
+      .filter(col("p.first_band") === col("band"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.hamming").as("hamming_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** q41: SimHash near-dups on `documents` via the portable md5 variant
