@@ -1346,26 +1346,33 @@ object TextAnalysis extends QueryModule {
     * unlike q35 there is no df² term to cap. The gram inventory is
     * persisted across its two consumers and released on return.
     */
-  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    // Grouped-posting shape (one plan, two hash shuffles, zero persists
+    // — the r9 q41 lesson): gram postings group ONCE on the gram hash;
+    // single-doc grams die at that barrier (exact — a df=1 gram can't
+    // be a duplicate span), surviving posting lists explode straight
+    // back into per-doc duplicate counts. The earlier formulation
+    // persisted the exploded grams and self-joined against the dup-gram
+    // set — an extra exchange, a cache write of the corpus's full gram
+    // stream, and the cache-lifecycle bookkeeping, all for a relation
+    // this plan never needs twice (the sort's sampling pass shares the
+    // final exchange via reuse).
+    Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"),
         graft.functions.NgramFunctions.wordNgramHashes(col("toks"), 8).as("ghs"))
       .select(col("doc_id"), size(col("ghs")).cast("bigint").as("n_grams"),
         explode(col("ghs")).as("gh"))
-      .persist() // read twice: dup-gram derivation + coverage join
-    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select(col("gh"))
-    Materialize.releasing(
-      grams.join(dup, Seq("gh"))
-        .groupBy(col("doc_id"), col("n_grams"))
-        .agg(count(lit(1)).as("n_dup"))
-        .select(col("doc_id"), col("n_grams"), col("n_dup"),
-          round(col("n_dup").cast("double") / col("n_grams"), 4).as("coverage"))
-        .orderBy(col("doc_id")),
-      grams)
-  }
+      .groupBy(col("gh"))
+      .agg(collect_list(struct(col("doc_id"), col("n_grams"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(col("ds")).as("d"))
+      .groupBy(col("d.doc_id").as("doc_id"), col("d.n_grams").as("n_grams"))
+      .agg(count(lit(1)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_grams"), 4).as("coverage"))
+      .orderBy(col("doc_id"))
 
   private val dupSpanCoverageSql =
     """WITH t AS (
