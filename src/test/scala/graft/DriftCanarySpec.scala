@@ -119,6 +119,36 @@ class DriftCanarySpec extends SparkSpec {
     assert(shuffled.sameElements(one), "shuffled layout changed hashed cols")
   }
 
+  test("canary: representative float estimators are layout-stable across shuffle settings") {
+    // the offline evidence is tools/layout_diff.py over two FULL Verify
+    // dumps (r9: 319/319 bit-stable); this canary keeps the property
+    // CI-guarded for a representative slice of the float-heavy
+    // estimator families (off-policy DR, IPF raking, meta-analysis,
+    // covariance gate) — each runs under two sessions whose shuffle
+    // partitioning differs (3 vs 17), and every cell must be
+    // bit-identical, floats included. A query whose result depends on
+    // task-completion-ordered double merges fails here before it can
+    // flip the driver's hash gate.
+    val names = Seq("q282_doubly_robust", "q287_ipf_raking",
+      "q303_meta_analysis", "q262_embedding_covariance")
+    val defs = SparkEntry.allDefs.filter(d => names.contains(d.name))
+    assert(defs.size === names.size,
+      s"missing defs: ${names.diff(defs.map(_.name))}")
+    defs.foreach { d =>
+      def run(parts: String): Seq[String] = {
+        val s = TestSpark.spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", parts)
+        val out = d.build(s, sfDir).collect().map(_.toString).toSeq
+        operators.ScaledWindows.release()
+        s.catalog.clearCache()
+        out
+      }
+      val a = run("3")
+      val b = run("17")
+      assert(a === b, s"${d.name} differs across shuffle layouts")
+    }
+  }
+
   test("canary: ScaledWindows results are identical across repeated executions") {
     import TestSpark.spark.implicits._
     // large enough that RangePartitioner's per-partition sample does
