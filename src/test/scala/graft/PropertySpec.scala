@@ -181,4 +181,84 @@ class PropertySpec extends SparkSpec {
     // accumulation order gives identical bits
     assert(cov(vecs) === cov(rng.shuffle(vecs)))
   }
+
+  test("pair_expand_ids emits exactly the sorted C(n,2) id pairs") {
+    import TestSpark.spark.implicits._
+    val lists = List.fill(150)(
+      rng.shuffle((0L until 60L).toList).take(rng.nextInt(9) + 2))
+    val got = lists.map(_.toSeq).toDF("ids")
+      .select(graft.functions.PairExpandFunctions.pairExpandIds(col("ids")))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1))).toList).toList
+    val want = lists.map { l =>
+      val s = l.sorted
+      (for { i <- s.indices; j <- (i + 1) until s.size }
+        yield (s(i), s(j))).toList
+    }
+    assert(got === want)
+  }
+
+  test("simhash_bucket_pairs equals a brute-force reference incl. first-band tags") {
+    import TestSpark.spark.implicits._
+    val bitsPerBand = 10; val nBands = 6; val maxHamming = 5
+    // signatures drawn NEAR a few centers so hamming<=5 pairs exist
+    val centers = List.fill(4)(rng.nextLong() & ((1L << 60) - 1))
+    def near(c: Long): Long =
+      (0 until rng.nextInt(7)).foldLeft(c)((v, _) => v ^ (1L << rng.nextInt(60)))
+    val lists = List.fill(80)(
+      rng.shuffle((0L until 50L).toList).take(rng.nextInt(6) + 2)
+        .map(id => (id, near(centers(rng.nextInt(centers.size))))))
+    val got = lists.map(_.toSeq).toDF("ds")
+      .select(col("ds").cast("array<struct<id:bigint,sim:bigint>>").as("ds"))
+      .select(graft.functions.PairExpandFunctions
+        .simhashBucketPairs(col("ds"), bitsPerBand, nBands, maxHamming))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toList)
+      .toList
+    val mask = (1L << bitsPerBand) - 1
+    val want = lists.map { l =>
+      val s = l.sortBy(_._1)
+      (for { i <- s.indices; j <- (i + 1) until s.size
+             x = s(i)._2 ^ s(j)._2
+             if java.lang.Long.bitCount(x) <= maxHamming }
+        yield {
+          val fb = (0 until nBands)
+            .indexWhere(b => ((x >>> (b * bitsPerBand)) & mask) == 0L)
+          (s(i)._1, s(j)._1, java.lang.Long.bitCount(x),
+            if (fb < 0) nBands else fb)
+        }).toList
+    }
+    assert(got === want)
+  }
+
+  test("hash60Cached returns exactly hash60 across heavy repetition (memo is value-invisible)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // Zipf-ish stream: heavy repeats interleaved with uniques — exercises
+    // hits, misses, and slot evictions in the direct-mapped memo
+    val toks = (1 to 20000).map { i =>
+      if (i % 3 == 0) s"common${i % 7}" else s"tok$i"
+    }
+    toks.foreach { t =>
+      val u = UTF8String.fromString(t)
+      assert(graft.functions.SigImpl.hash60Cached(u) ===
+        graft.functions.SigImpl.hash60(u), s"memo changed value for $t")
+    }
+  }
+
+  test("wordNgramHashesAll: length, positions, and distinct-set agreement on random docs") {
+    import TestSpark.spark.implicits._
+    val docs = List.fill(120)(
+      List.fill(rng.nextInt(25) + 1)(vocab(rng.nextInt(vocab.size))))
+    val rows = docs.map(_.toSeq).toDF("toks")
+      .select(
+        graft.functions.NgramFunctions.wordNgramHashesAll(col("toks"), 3).as("all3"),
+        graft.functions.NgramFunctions.wordNgramHashes(col("toks"), 3).as("d3"))
+      .collect()
+    rows.zip(docs).foreach { case (r, toks) =>
+      val all3 = r.getSeq[Long](0)
+      val d3 = r.getSeq[Long](1)
+      assert(all3.length === math.max(0, toks.length - 2))
+      assert(all3.distinct === d3) // first-occurrence order agreement
+    }
+  }
 }
