@@ -157,18 +157,27 @@ object Temporal extends QueryModule {
       |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin
 
   /** q121: time-series gap fill by linear interpolation — per-nation
-    * daily revenue on a dense date spine; days with no orders get the
+    * daily revenue made dense; days with no orders get the
     * straight-line value between the nearest surrounding actual days
     * (edge days outside the first/last actual stay empty and are
-    * dropped). The sensor/metric repair primitive: spine join + two
-    * IGNORE-NULLS window passes (carry-back / carry-forward), never a
-    * per-gap self-join.
+    * dropped). Gap-emit shape: ONE lead() pass over the nation-day
+    * aggregate, then each actual row explodes `sequence(0, span−1)` to
+    * emit itself (Δ=0) plus its gap days directly — no dense spine
+    * relation, no spine join, no carry-back/carry-forward double
+    * window pass, and never a per-gap self-join. (The earlier
+    * spine-join + two IGNORE-NULLS windows form computed the same
+    * rows with a second source scan for the date bounds and a
+    * broadcast of the daily aggregate; this form is one scan and two
+    * exchanges, and the output row count is identical because every
+    * spine day in [first, last] belongs to exactly one actual row's
+    * gap range.)
     *
     * Determinism: actuals are exact integer cents; an interpolated value
     * is prev + (next−prev)·Δ/span rounded half-up IN INTEGER ARITHMETIC
     * ((2·num + span) div (2·span)) — no float touches the value on
     * either engine. Scale: the series is |nations|×|days|
-    * (aggregate-sized); windows partition by nation.
+    * (aggregate-sized); the lead window partitions by nation, and the
+    * explode is linear in output days.
     */
   def gapFillInterpolate(spark: SparkSession, dir: String): DataFrame = {
     // customer is |customers|-sized (NOT broadcast — the q82/q170
@@ -180,37 +189,24 @@ object Temporal extends QueryModule {
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("o_orderdate").cast("date").as("day"))
       .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_c"))
-    val bounds = Tables.orders(spark, dir)
-      .agg(min(col("o_orderdate")).cast("date").as("lo"), max(col("o_orderdate")).cast("date").as("hi"))
-    val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
-        expr("interval 1 day"))).as("ts"))
-      .select(col("ts").cast("date").as("day"))
-      .crossJoin(Tables.nation(spark, dir).select(col("n_name")))
-    val wb = Window.partitionBy(col("n_name")).orderBy(col("day"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy(col("n_name")).orderBy(col("day"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    // daily is (nation × calendar-day) — dimension × calendar sized,
-    // bounded like the q245 day-spine expansions, so broadcasting it
-    // turns the spine join into a map-side BHJ (the SMJ form paid a
-    // (n_name, day) shuffle+sort on BOTH sides and then re-exchanged
-    // on n_name for the fill windows anyway; now only the window's own
-    // n_name exchange remains).
-    spine.join(broadcast(daily), Seq("n_name", "day"), "left")
-      .withColumn("pv", last(col("rev_c"), ignoreNulls = true).over(wb))
-      .withColumn("pd", last(when(col("rev_c").isNotNull, col("day")), ignoreNulls = true).over(wb))
-      .withColumn("nv", first(col("rev_c"), ignoreNulls = true).over(wf))
-      .withColumn("nd", first(when(col("rev_c").isNotNull, col("day")), ignoreNulls = true).over(wf))
-      .withColumn("dd", datediff(col("day"), col("pd")).cast("long"))
-      .withColumn("span", datediff(col("nd"), col("pd")).cast("long"))
-      // exact integer round-half-up of (pv·span + (nv−pv)·dd)/span: no
-      // float ever touches the value, so both engines agree bit-for-bit
-      .withColumn("filled_c", when(col("rev_c").isNotNull, col("rev_c"))
-        .otherwise(expr("(2 * (pv * span + (nv - pv) * dd) + span) div (2 * span)")))
-      .filter(col("pv").isNotNull && col("nv").isNotNull)
-      .select(col("n_name"), col("day"),
-        col("filled_c").cast("long").as("revenue_c"),
-        when(col("rev_c").isNotNull, lit("actual")).otherwise(lit("interp")).as("kind"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("day"))
+    daily
+      .withColumn("nv", lead(col("rev_c"), 1).over(w))
+      .withColumn("span", datediff(lead(col("day"), 1).over(w), col("day")).cast("long"))
+      // Δ = 0 is the actual row itself; Δ ∈ [1, span−1] are its gap
+      // days. The per-nation LAST actual row has no lead → span null →
+      // sequence(0, 0) emits just the actual, so edge days past the
+      // last observation never exist (matching the dropped-edges rule).
+      .select(col("n_name"), col("day"), col("rev_c"), col("nv"), col("span"),
+        explode(sequence(lit(0L), coalesce(col("span") - 1L, lit(0L)))).as("dd"))
+      .select(col("n_name"),
+        date_add(col("day"), col("dd").cast("int")).as("day"),
+        // exact integer round-half-up of (pv·span + (nv−pv)·Δ)/span: no
+        // float ever touches the value, so both engines agree bit-for-bit
+        when(col("dd") === 0L, col("rev_c"))
+          .otherwise(expr("(2 * (rev_c * span + (nv - rev_c) * dd) + span) div (2 * span)"))
+          .cast("long").as("revenue_c"),
+        when(col("dd") === 0L, lit("actual")).otherwise(lit("interp")).as("kind"))
       .orderBy(col("n_name"), col("day"))
   }
 
