@@ -327,7 +327,18 @@ object Dedup extends QueryModule {
     // convergence count) to conclude nothing. One cheap limit(1) job on
     // the just-persisted edges decides instead.
     if (edges.limit(1).count() == 0L) {
-      val out = edges.select(col("src").as("doc_id"), col("dst").as("group_id")).limit(0)
+      // Return a LITERAL empty relation, not `edges.limit(0)`: the
+      // limit(0) plan still references the (just-unpersisted) edge
+      // subtree, and if the zero-limit fold is ever blocked downstream
+      // the whole pair pipeline re-executes to produce zero rows.
+      val spark = pairs.sparkSession
+      val out = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("group_id",
+            org.apache.spark.sql.types.LongType, nullable = false))))
       edges.unpersist()
       return out
     }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis surface for a large-scale training-data pipeline over the
@@ -875,19 +876,33 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         md5(lower(substring(col("text"), 1, 100))).as("fp"),
         shingleHashes3(tokens(col("text"))).as("shh"))
-    // Exact dedup keep-min-doc_id as a partial-aggregable min_by — a
-    // map-side-combining hash aggregate instead of the previous
-    // row_number window (full shuffle + SORT of every surviving row):
-    // duplicate fingerprints collapse before the exchange and nothing
-    // is ever sorted.
-    val exactDeduped = scored
+    // The persist boundary sits at SCORED, not at the dedup output:
+    // the one-map-pass projection above (two regexps, an md5, the
+    // shingle kernel) is the expensive per-row work, and without a
+    // boundary Catalyst's filter/project collapse re-expands those
+    // expressions into every consumer (the quality filter references
+    // n_tokens four times through stop_ratio/quality, so the inline
+    // map stage measured 6× its isolated cost at sf0.1). Caching the
+    // post-gate rows — (id, lang, n_tokens, fp, shh), the text already
+    // dropped — makes every downstream stage read 8-byte-hash arrays
+    // from storage instead of re-running regexps over text.
+    val scoredP = scored.persist()
+    // Exact dedup keep-min-doc_id as min(struct(doc_id, ...)) — a
+    // DECLARATIVE (codegen'd) aggregate whose struct ordering
+    // short-circuits on the leading doc_id (unique per row), so the
+    // shingle array is never compared and is copied at most once per
+    // surviving group; map-side-combining on fp, one exchange.
+    // Equivalent to min_by(..., doc_id) — doc_id leads the struct —
+    // without min_by's TypedImperativeAggregate buffer ser/de per
+    // input row. From the cached scoredP this aggregate costs ~0.2 s
+    // at sf0.1, so it is NOT persisted: its two consumers (pair graph,
+    // final anti join) just run it twice from cache, which is cheaper
+    // than a second cache-materialization pass.
+    val exactDeduped = scoredP
       .groupBy(col("fp"))
-      .agg(min_by(
-        struct(col("doc_id"), col("lang"), col("n_tokens"), col("shh")),
-        col("doc_id")).as("d"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("n_tokens"), col("shh"))).as("d"))
       .select(col("d.doc_id").as("doc_id"), col("d.lang").as("lang"),
         col("d.n_tokens").as("n_tokens"), col("d.shh").as("shh"))
-      .persist() // feeds both the pair graph and the final join
     val groups = Dedup.dupGroups(
       jaccardPairsOnShingled(exactDeduped.select(col("doc_id"), col("lang"), col("shh"))))
     // Keep a doc unless it is a non-representative group member. The
@@ -901,7 +916,7 @@ object TextAnalysis extends QueryModule {
       exactDeduped.join(removals, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy(col("doc_id")),
-      exactDeduped)
+      scoredP)
   }
 
   def corpusPrepQuery(spark: SparkSession, dir: String): DataFrame =
