@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis surface for a large-scale training-data pipeline over the
