@@ -128,8 +128,13 @@ object Bench {
         }
       }.getOrElse(text)
       val lineRx = """\{"metric":"total".*?"sf":"[^"]*"\}""".r
-      val inner = lineRx.findAllIn(hay).toSeq.lastOption.getOrElse(return "")
-      val parsed = org.json4s.jackson.JsonMethods.parse(inner)
+      // NOT `.getOrElse(return "")`: a non-local return from a by-name
+      // closure throws NonLocalReturnControl, which the enclosing
+      // `catch Throwable` would intercept and log as a spurious
+      // "vs_prev diff skipped: null" (ADVICE r9).
+      val innerOpt = lineRx.findAllIn(hay).toSeq.lastOption
+      if (innerOpt.isEmpty) return ""
+      val parsed = org.json4s.jackson.JsonMethods.parse(innerOpt.get)
       def numMap(field: String): Map[String, Double] = parsed \ field match {
         case JObject(fs) => fs.collect {
           case (k, JDouble(v)) => (k, v)
@@ -150,15 +155,48 @@ object Bench {
       if (ratios.isEmpty) return ""
       val rjson = ratios.map { case (k, _, _, r) => "\"" + k + "\":" + f"$r%.2f" }
         .mkString("{", ",", "}")
-      val flagged = ratios.filter { case (_, _, _, r) => r > 1.5 || r < 1.0 / 1.5 }
-      val fjson = flagged.map { case (k, p, c, r) =>
+      // Floor normalization (VERDICT r9 #7): q000_bench_floor measures
+      // the fixed per-query harness overhead (count over a 1-row
+      // relation). When both rounds carry it, ratios are compared on
+      // floor-SUBTRACTED times, so a 0.1 s drift in session overhead no
+      // longer reads as a 1.3× "regression" on a 0.3 s query. Degrades
+      // to raw ratios when either round lacks the floor entry.
+      val floorName = "q000_bench_floor"
+      val floorCur = results.find(_._1 == floorName).map(_._2).filter(_ > 0)
+      val floorPrev = prevQ.get(floorName).filter(_ > 0)
+      def adjRatio(k: String, p: Double, c: Double): Option[Double] = for {
+        fp <- floorPrev; fc <- floorCur
+        if k != floorName && p - fp > 0.02 && c - fc > 0
+      } yield (c - fc) / (p - fp)
+      // Tightened flag (VERDICT r9 #2): when BOTH rounds' samples are
+      // tight (max/min < 1.15 — no contention signature), a 1.25× move
+      // is already suspicious; the 1.5× band applies only when spread
+      // says a sample may be contended. r9's q29 (1.35×, two
+      // consistently-elevated samples) slipped under the flat 1.5×.
+      def tight(ss: Seq[Double]): Boolean =
+        ss.size >= 2 && ss.forall(_ > 0) && ss.max / ss.min < 1.15
+      val flagged = ratios.flatMap { case (k, p, c, r) =>
         val curS = results.find(_._1 == k).map(_._3).getOrElse(Seq.empty)
-        val ps = prevS.getOrElse(k, Nil).map(v => f"$v%.3f").mkString("[", ",", "]")
+        val pS = prevS.getOrElse(k, Nil)
+        val bothTight = tight(curS) && tight(pS)
+        val thr = if (bothTight) 1.25 else 1.5
+        val eff = adjRatio(k, p, c).getOrElse(r)
+        if (eff > thr || eff < 1.0 / thr) {
+          val note =
+            if (eff < 1.0) "improvement"
+            else if (bothTight) "tight-spread regression candidate"
+            else "wide-spread: likely contention drift, check samples"
+          Some((k, p, c, r, eff, thr, note, curS, pS))
+        } else None
+      }
+      val fjson = flagged.map { case (k, p, c, r, eff, thr, note, curS, pS) =>
+        val ps = pS.map(v => f"$v%.3f").mkString("[", ",", "]")
         val cs = curS.map(v => f"$v%.3f").mkString("[", ",", "]")
         "\"" + k + "\":" +
-          f"""{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,"prev_samples":$ps,"cur_samples":$cs}"""
+          f"""{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,"adj_ratio":$eff%.2f,"threshold":$thr%.2f,"note":"$note","prev_samples":$ps,"cur_samples":$cs}"""
       }.mkString("{", ",", "}")
-      s""","vs_prev":{"prev_round":$prevN,"ratios":$rjson,"flagged":$fjson}"""
+      val floorJson = floorCur.map(f => f""","floor":$f%.3f""").getOrElse("")
+      s""","vs_prev":{"prev_round":$prevN$floorJson,"ratios":$rjson,"flagged":$fjson}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] vs_prev diff skipped: ${e.getMessage}")
       ""

@@ -5,18 +5,31 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scaling-evidence probe (SCALE.md): runs the flagship corpus
-  * operators (q36 corpus-prep, q40 MinHash-LSH, q263 dup-span) at
-  * sf0.1 and at a synthesized 10× corpus, recording wall time and
-  * total shuffle read/write bytes per run — the observable basis for
-  * the linear-ish scaling the scaladocs argue.
+  * operators at sf0.1 and at a synthesized 10× corpus, recording wall
+  * time and total shuffle read/write bytes per run — the observable
+  * basis for the linear-ish scaling the scaladocs argue. Round 10
+  * widened the probed set from the original three (q36 corpus-prep,
+  * q40 MinHash-LSH, q263 dup-span) to also cover the pair-graph and
+  * embedding families (VERDICT r9 #4): q35 inverted-index pairs, q321
+  * (q316's two production dedup passes), and q42/q43 over a 10×
+  * embeddings synthesis.
   *
-  * The 10× corpus replicates sf0.1's documents 10 times with every
-  * token PREFIXED by a replica tag: replicas are textually disjoint
-  * (no cross-replica shingle collides), so the duplicate RATE — the
-  * quantity that drives pair-expansion cost — matches the original
-  * corpus instead of exploding 100× the way verbatim copies would.
-  * That models "a corpus 10× bigger with the same dup structure",
-  * which is the scaling question 100 TB asks.
+  * The 10× document corpus replicates sf0.1's documents 10 times with
+  * every token PREFIXED by a replica tag: replicas are textually
+  * disjoint (no cross-replica shingle collides), so the duplicate
+  * RATE — the quantity that drives pair-expansion cost — matches the
+  * original corpus instead of exploding 100× the way verbatim copies
+  * would. That models "a corpus 10× bigger with the same dup
+  * structure", which is the scaling question 100 TB asks.
+  *
+  * The 10× embeddings table replicates each vector 10 times with a
+  * small DETERMINISTIC per-(replica, element) perturbation (±5e-3,
+  * from an integer hash — no RNG, probe re-runs are bit-stable):
+  * verbatim copies would make every replica of a vector land in the
+  * same ANN bucket and tie every cosine, degenerating the candidate
+  * structure; the perturbation keeps the distributional shape while
+  * making replicas distinct points, which is what a 10×-bigger real
+  * embedding corpus looks like.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -43,6 +56,18 @@ object ScaleProbe {
         .withColumn("n_chars", length(col("text")))
         .write.mode("overwrite").parquet(s"$tenXDir/documents.parquet")
     }
+    if (!new java.io.File(s"$tenXDir/embeddings.parquet").exists()) {
+      Tables.embeddings(spark, base)
+        .select(col("*"), explode(sequence(lit(0), lit(9))).as("r"))
+        .select(
+          (col("vec_id") * 10 + col("r")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + (pmod(col("vec_id") * 31 + col("r") * 13 + i * 7, lit(97))
+              - lit(48)).cast("double") * lit(1e-4)).cast("float"))
+            .as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(s"$tenXDir/embeddings.parquet")
+    }
 
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong()
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
@@ -53,7 +78,10 @@ object ScaleProbe {
       }
     })
 
-    val probes = Seq("q36_corpus_prep", "q40_minhash_lsh", "q263_dup_span_coverage")
+    val probes = Seq(
+      "q36_corpus_prep", "q40_minhash_lsh", "q263_dup_span_coverage",
+      "q35_jaccard_pairs", "q321_sharded_dedup_production",
+      "q42_knn_bruteforce", "q43_ann_hyperplane")
     for (name <- probes; (label, dir) <- Seq(("sf0.1", base), ("10x", tenXDir))) {
       val d = SparkEntry.allDefs.find(_.name == name).get
       d.build(spark, dir).count() // warm (codegen + page cache)

@@ -76,7 +76,11 @@ object SigImpl {
   // xxhash64 collision (the same documented collision stance as q35's
   // posting keys and q40's hashed shingles). Caching never affects
   // WHICH value a given token maps to — only whether md5 re-runs — so
-  // hit/miss patterns cannot perturb the output.
+  // hit/miss patterns cannot perturb the output ABSENT a collision.
+  // Under a 2^-64 key collision the failure mode is schedule-dependent
+  // (the returned value depends on which colliding token the thread
+  // hashed last), unlike the repo's other collision stances which fail
+  // deterministically-wrong; accepted at the same risk level (ADVICE r9).
   private val h60CacheBits = 15
   private val h60CacheMask = (1 << h60CacheBits) - 1
   private val h60Keys = new ThreadLocal[Array[Long]] {

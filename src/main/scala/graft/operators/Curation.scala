@@ -948,15 +948,22 @@ object Curation extends QueryModule {
   /** q107: triangle census of the chunk-share graph — triangle count,
     * wedge count, and global clustering coefficient, the graph-shape
     * diagnostics that complement q75's PageRank on the same graph.
-    * Edges are oriented `src < dst`, so each triangle is enumerated
-    * exactly once by the two-hop join (a<b<c) plus a closing-edge
-    * probe. Wedges come from the degree table in closed form
-    * (Σ deg·(deg−1)/2) — no join at all. The df cap [2, 64] on shared
-    * chunks bounds per-chunk fanout, keeping the edge relation linear
-    * in the corpus; at cluster scale the standard refinement is
-    * degree-based orientation (low-degree endpoint first), which
-    * bounds the two-hop join fanout under power-law skew — id
-    * orientation keeps the oracle exact here.
+    * Each triangle is enumerated exactly once by a two-hop join over
+    * edges oriented by a TOTAL ORDER on vertices plus a closing-edge
+    * probe; the count is orientation-invariant, which is what lets the
+    * Spark side pick its orientation for scale while the id-oriented
+    * DuckDB oracle stays byte-identical. The orientation used is
+    * DEGREE-BASED — (degree, id) ascending, low-degree endpoint first,
+    * id as the deterministic tiebreak — the standard refinement
+    * (Ortmann & Brandes 2014; Suri & Vassilvitskii 2011) that bounds
+    * each node's OUT-degree by O(√m) under power-law skew, so the
+    * two-hop fanout Σ outdeg² stays near-linear where id orientation
+    * lets one low-id hub with degree d contribute d²/2 paths — the
+    * actual 100 TB graph shape (fanout measured on a skewed fixture in
+    * SCALE.md round 10). Wedges come from the degree table in closed
+    * form (Σ deg·(deg−1)/2) — no join at all. The df cap [2, 64] on
+    * shared chunks bounds per-chunk fanout, keeping the edge relation
+    * linear in the corpus.
     */
   def triangleCensus(spark: SparkSession, dir: String): DataFrame = {
     val docs = withChunkCols(Tables.documents(spark, dir))
@@ -968,14 +975,15 @@ object Curation extends QueryModule {
       .filter(col("doc_id") < col("dst"))
       .select(col("doc_id").as("src"), col("dst")).distinct()
       .persist()
+    // deg is consumed three times (two orient-attach joins + the stats
+    // aggregate) — persist so the union+agg over edges runs once, not
+    // per-consumer (each AQE broadcast would otherwise recompute it).
     val deg = edges.select(col("src").as("v"))
       .union(edges.select(col("dst").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val tri = edges.as("ab")
-      .join(edges.as("bc"), col("ab.dst") === col("bc.src"))
-      .join(edges.as("ac"),
-        col("ab.src") === col("ac.src") && col("bc.dst") === col("ac.dst"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .persist()
+    val oriented = orientLowDegreeFirst(edges, deg).persist()
+    val tri = countTrianglesOriented(oriented)
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),
       sum(col("deg")).cast("bigint").as("deg_sum"),
@@ -990,8 +998,45 @@ object Curation extends QueryModule {
           col("n_wedges"),
           col("n_triangles"),
           round(col("n_triangles") * 3.0 / col("n_wedges"), 4).as("clustering")),
-      edges)
+      edges, deg, oriented)
   }
+
+  /** Re-orient canonical undirected (src, dst) edges low-degree-first:
+    * `u` is the (deg, id)-smaller endpoint under the given degree table
+    * (`v`, `deg`). With the (deg, id) TOTAL order, each node's
+    * out-degree is bounded by O(√m) (a node with out-degree d has d
+    * neighbors of degree ≥ its own, each contributing ≥ d to the 2m
+    * degree sum), so the two-hop path count Σ indeg·outdeg stays
+    * near-linear under power-law skew where id orientation lets one
+    * low-id hub contribute deg²/2 paths. The degree table is O(nodes)
+    * rows of two longs — AQE broadcasts it locally; at cluster scale
+    * both attach joins are linear hash joins on the vertex id.
+    * TriangleOrientationSpec measures the fanout gap on a skewed
+    * fixture and pins count-invariance vs the id orientation.
+    */
+  private[graft] def orientLowDegreeFirst(edges: DataFrame,
+      deg: DataFrame): DataFrame = {
+    val srcFirst = col("deg_src") < col("deg_dst") ||
+      (col("deg_src") === col("deg_dst") && col("src") < col("dst"))
+    edges
+      .join(deg.select(col("v").as("src"), col("deg").as("deg_src")), Seq("src"))
+      .join(deg.select(col("v").as("dst"), col("deg").as("deg_dst")), Seq("dst"))
+      .select(
+        when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
+        when(srcFirst, col("dst")).otherwise(col("src")).as("w"))
+  }
+
+  /** Triangle count over edges oriented by ANY total vertex order
+    * (u ≺ w per row): two-hop join on the middle vertex plus a
+    * closing-edge probe; each triangle {a≺b≺c} is counted exactly once
+    * as (a→b, b→c, a→c), so the count is orientation-invariant.
+    */
+  private[graft] def countTrianglesOriented(oriented: DataFrame): DataFrame =
+    oriented.as("ab")
+      .join(oriented.as("bc"), col("ab.w") === col("bc.u"))
+      .join(oriented.as("ac"),
+        col("ab.u") === col("ac.u") && col("bc.w") === col("ac.w"))
+      .agg(count(lit(1)).as("n_triangles"))
 
   private val triangleCensusSql =
     s"""WITH t AS (
@@ -1486,7 +1531,7 @@ object Curation extends QueryModule {
     QueryDef("q72_mixture_resample", mixtureResample, Some(mixtureResampleSql)),
     QueryDef("q75_doc_centrality", docCentrality, Some(docCentralitySql)),
     QueryDef("q100_chunk_spine", chunkSpine, Some(chunkSpineSql)),
-    QueryDef("q107_triangle_census", triangleCensus, Some(triangleCensusSql)),
+    QueryDef("q107_triangle_census", triangleCensus, Some(triangleCensusSql), benchmark = true),
     QueryDef("q136_graph_bfs", graphBfs, Some(graphBfsSql)),
     QueryDef("q180_label_propagation", labelPropagation, Some(labelPropagationSql)),
     QueryDef("q195_connected_components", connectedComponents,

@@ -26,6 +26,19 @@ object Relational extends QueryModule {
 
   private val cutoff = "2001-09-01"
 
+  /** q000: bench-floor canary (VERDICT r9 #7) — a count over a 1-row
+    * in-memory relation, no table scan, no shuffle. Its measured time IS
+    * the fixed per-query harness overhead (job scheduling, codegen
+    * dispatch, cache-clear cost), which dominates small queries in the
+    * local[32] bench. Bench.vsPrevBlock subtracts it before computing
+    * round-over-round ratios, so drift in the floor is separable from a
+    * real plan regression.
+    */
+  def benchFloor(spark: SparkSession, dir: String): DataFrame =
+    spark.range(1).select(col("id").cast("bigint").as("one"))
+
+  private val benchFloorSql = "SELECT 0::BIGINT AS one"
+
   /** TPC-H Q1 — pricing summary. Single shuffle on the 2 flag columns. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
@@ -1171,6 +1184,7 @@ object Relational extends QueryModule {
     QueryDef("q60_intersect", intersectNations, Some(intersectNationsSql)),
     QueryDef("q61_vector_stats", vectorStats, Some(vectorStatsSql)),
     QueryDef("q55_range_frame", trailingOrderAvg, Some(trailingOrderAvgSql)),
+    QueryDef("q000_bench_floor", benchFloor, Some(benchFloorSql), benchmark = true),
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), benchmark = true),
     QueryDef("q02_revenue_filter", revenueFilter, Some(revenueFilterSql), benchmark = true),
     QueryDef("q03_top_revenue_orders", topRevenueOrders, Some(topRevenueOrdersSql), benchmark = true),

@@ -214,7 +214,7 @@ object SqlSurface extends QueryModule {
     QueryDef("q237_path_signatures", pathSignatures,
       Some(pathSignaturesSql)),
     QueryDef("q238_variant_events", variantEvents, Some(variantEventsSql)),
-    QueryDef("q306_burst_viterbi", burstViterbi, Some(burstViterbiSql)),
+    QueryDef("q306_burst_viterbi", burstViterbi, Some(burstViterbiSql), benchmark = true),
   )
 
   /** q306: Kleinberg-style burst detection over the daily purchase

@@ -1538,6 +1538,22 @@ object TextAnalysis extends QueryModule {
     * per doc; the per-doc rollup is three integer aggregates. No
     * arrays survive the shuffle, no windows, nothing global.
     */
+  /** q320 gate thresholds, surfaced as named constants (VERDICT r9 #5)
+    * so the composite verdict is tunable without touching the oracle
+    * twin (the SQL interpolates the same values). These are SCALED TO
+    * THIS CORPUS'S SHORT DOCS; the published MassiveText values (Rae
+    * et al. 2021, table A1) for the corresponding rules are:
+    * duplicate-2-gram char fraction ≤ 0.20, duplicate-3-gram ≤ 0.18,
+    * top-2-gram char fraction ≤ 0.20. We keep dup₂/dup₃ at the
+    * published values (occurrence- rather than char-weighted) and
+    * tighten top₂-share to 0.08 because ~50-token docs make a single
+    * repeated bigram a far larger occurrence share than in web-scale
+    * documents.
+    */
+  val Dup2FracMax = 0.2
+  val Dup3FracMax = 0.18
+  val Top2ShareMax = 0.08
+
   def repetitionGates(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir)
       .withColumn("toks", tokens(col("text")))
@@ -1562,13 +1578,13 @@ object TextAnalysis extends QueryModule {
         round(lit(1.0) - col("distinct_3").cast("double") / col("total_3"), 4)
           .as("dup3_frac"))
       .withColumn("keep",
-        col("dup2_frac") <= 0.2 && col("dup3_frac") <= 0.18 &&
-          col("top2_share") <= 0.08)
+        col("dup2_frac") <= Dup2FracMax && col("dup3_frac") <= Dup3FracMax &&
+          col("top2_share") <= Top2ShareMax)
       .orderBy(col("doc_id"))
   }
 
   private val repetitionGatesSql =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       |), g2 AS (
       |  SELECT doc_id, array_to_string(toks[i : i + 1], ' ') AS gram
@@ -1594,15 +1610,15 @@ object TextAnalysis extends QueryModule {
       |  round(1.0 - s2.distinct_2::DOUBLE / s2.total_2, 4) AS dup2_frac,
       |  round(s2.top_2::DOUBLE / s2.total_2, 4) AS top2_share,
       |  round(1.0 - s3.distinct_3::DOUBLE / s3.total_3, 4) AS dup3_frac,
-      |  (round(1.0 - s2.distinct_2::DOUBLE / s2.total_2, 4) <= 0.2
-      |   AND round(1.0 - s3.distinct_3::DOUBLE / s3.total_3, 4) <= 0.18
-      |   AND round(s2.top_2::DOUBLE / s2.total_2, 4) <= 0.08) AS keep
+      |  (round(1.0 - s2.distinct_2::DOUBLE / s2.total_2, 4) <= $Dup2FracMax
+      |   AND round(1.0 - s3.distinct_3::DOUBLE / s3.total_3, 4) <= $Dup3FracMax
+      |   AND round(s2.top_2::DOUBLE / s2.total_2, 4) <= $Top2ShareMax) AS keep
       |FROM s2 JOIN s3 ON s3.doc_id = s2.doc_id
       |ORDER BY s2.doc_id""".stripMargin
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q320_repetition_gates", repetitionGates,
-      Some(repetitionGatesSql)),
+      Some(repetitionGatesSql), benchmark = true),
     QueryDef("q300_text_tiling", textTiling, Some(textTilingSql)),
     QueryDef("q36_corpus_prep", corpusPrepQuery, Some(corpusPrepSql), benchmark = true),
     QueryDef("q251_unigram_ppl", unigramPerplexity, Some(unigramPerplexitySql)),

@@ -3946,7 +3946,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q295_bradley_terry", bradleyTerry, Some(bradleyTerrySql)),
     QueryDef("q298_kruskal_wallis", kruskalWallis, Some(kruskalWallisSql)),
     QueryDef("q302_recsys_backtest", recsysBacktest, Some(recsysBacktestSql)),
-    QueryDef("q305_haar_energy", haarEnergy, Some(haarEnergySql)),
+    QueryDef("q305_haar_energy", haarEnergy, Some(haarEnergySql), benchmark = true),
     QueryDef("q307_price_elasticity", priceElasticity,
       Some(priceElasticitySql)),
     QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),

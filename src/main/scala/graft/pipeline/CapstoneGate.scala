@@ -174,9 +174,9 @@ object CapstoneGate extends QueryModule {
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q317_capstone_calendar", capstoneCalendar,
-      Some(capstoneCalendarSql)),
+      Some(capstoneCalendarSql), benchmark = true),
     QueryDef("q318_capstone_country", capstoneCountry,
-      Some(capstoneCountrySql)),
-    QueryDef("q319_capstone_fact", capstoneFact, Some(capstoneFactSql)),
+      Some(capstoneCountrySql), benchmark = true),
+    QueryDef("q319_capstone_fact", capstoneFact, Some(capstoneFactSql), benchmark = true),
   )
 }

@@ -481,4 +481,31 @@ class PlanAuditSpec extends SparkSpec {
     // never as literals folded from a driver-side count
     assert(plan.contains("BroadcastExchange"), s"expected broadcast scalars:\n$plan")
   }
+
+  test("q107 triangle kernel: equi-joins only, bounded exchanges (degree-oriented)") {
+    // the orient + two-hop + closing-probe pipeline on a bare edge
+    // relation (no cache boundaries, so the exchange count is exact):
+    // 1 for the degree agg, ≤2 attaching deg to each endpoint, ≤3 for
+    // the three join keys of the triangle self-join (w, u, (u,w)) plus
+    // exchange reuse — a count above 8 means a distinct or non-equi
+    // join crept into the kernel; any CartesianProduct/BNLJ means the
+    // closing probe stopped being an equi join.
+    import testImplicits._
+    val edges = (0L until 200L)
+      .flatMap(i => Seq((i, i + 1), (i, i + 2))).toDF("src", "dst")
+    val deg = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val tri = operators.Curation.countTrianglesOriented(
+      operators.Curation.orientLowDegreeFirst(edges, deg))
+    assert(tri.head().getLong(0) === 199L) // {i, i+1, i+2} for i <= 198
+    val plan = explainText(tri)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle kernel must stay equi-join-only:\n$plan")
+    val shuffles = hashExchanges(plan)
+    assert(shuffles <= 8, s"expected <=8 hash exchanges, got $shuffles:\n$plan")
+  }
+
+  private lazy val testImplicits = spark.implicits
 }
