@@ -1,7 +1,8 @@
 package graft.operators
 
-import graft.{QueryDef, QueryModule, Tables}
+import graft.{Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The engine's second entry point — SQL text over temp views
   * (SURVEY.md §3.2: the reference keeps a dual DataFrame/SQL surface via
@@ -219,27 +220,98 @@ object SqlSurface extends QueryModule {
 
   /** q306: Kleinberg-style burst detection over the daily purchase
     * stream — a 2-state (base λ₀ / burst 2λ₀) HMM decoded by a
-    * forward Viterbi cost recursion with an entry penalty γ, run as a
-    * WITH RECURSIVE chain (the q235 pattern: Spark 4.x executes the
-    * SAME ANSI text the DuckDB oracle runs). Per-state readout: days,
-    * run structure, mean daily count — the burst summary an incident
-    * review reads. The decoded state is the forward-cost argmin
-    * (online decoding); the full backward pass would need a second
-    * recursion and changes nothing on well-separated bursts.
+    * forward Viterbi cost recursion with an entry penalty γ. Per-state
+    * readout: days, run structure, mean daily count — the burst
+    * summary an incident review reads. The decoded state is the
+    * forward-cost argmin (online decoding); the full backward pass
+    * would need a second recursion and changes nothing on
+    * well-separated bursts.
     *
     * Cross-engine determinism: the Poisson cost constants
     * (λ·1000, 1000·ln λ) are quantized ONCE to integers, so the whole
     * DP is exact integer arithmetic — no float comparison inside the
     * recursion where an ulp could flip a min().
     *
-    * Scale shape: the recursion runs over the bounded day spine
-    * (calendar-sized), never the event stream; the data pass is one
-    * conditional count by day. Recursion depth = |days| (a month
-    * here; chunk by epoch for multi-year spines).
+    * Scale shape (r10 reshape): the ORIGINAL Spark plan executed the
+    * oracle's WITH RECURSIVE text natively — and Spark's UnionLoop
+    * re-evaluates the step query's inputs every iteration, so the
+    * 30-day chain cost 30 × (events scan + agg) = 12.5 s at sf0.1 and
+    * would scale with |days| × fact-scan — a genuine scale-killer the
+    * round-10 bench widening caught. The recurrence is inherently
+    * sequential in TIME but its input is the CALENDAR-BOUNDED daily
+    * aggregate (≤ a few thousand rows for a decade, regardless of
+    * corpus bytes), so the scale-correct shape is: one conditional
+    * count by day (the only pass over the event stream), broadcast
+    * one-row constants, then a SINGLE-TASK sequential pass over the
+    * sorted day series computing the integer DP and run ids in one
+    * scan — the same bounded-relation discipline as the k×dim
+    * centroid collects, expressed as `mapPartitions` over
+    * `repartition(1)` (the second legitimate mapPartitions site in
+    * the repo, next to the codec seam: a non-associative recurrence
+    * over an aggregate-sized series). The DuckDB oracle still runs
+    * the recursive-CTE formulation — two genuinely independent
+    * evaluation strategies, bit-equal because the DP is exact-integer.
+    * q226 keeps the NATIVE Spark recursive-CTE execution demo (with
+    * its input pre-materialized so iterations stop re-scanning the
+    * fact table).
     */
   def burstViterbi(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir).createOrReplaceTempView("events")
-    spark.sql(burstViterbiSql)
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("c"))
+    // identical expression shapes to the oracle's consts CTE (round of
+    // 1000·mean / 1000·ln — one quantization, then pure Long math)
+    val consts = daily
+      .agg((sum(col("c")).cast("double") / count(lit(1))).as("mean"))
+      .select(
+        round(col("mean") * 1000).cast("bigint").as("a0"),
+        round(col("mean") * 2000).cast("bigint").as("a1"),
+        round(log(col("mean")) * 1000).cast("bigint").as("l0"),
+        round(log(col("mean") * 2) * 1000).cast("bigint").as("l1"))
+    val st = daily.crossJoin(broadcast(consts))
+      .repartition(1).sortWithinPartitions(col("day"))
+      .select(col("day"), col("c").cast("long"),
+        col("a0"), col("a1"), col("l0"), col("l1"))
+      .as[(java.sql.Date, Long, Long, Long, Long, Long)]
+      .mapPartitions { it =>
+        var c0 = 0L; var c1 = 0L
+        var first = true
+        var prevBurst = -1
+        var runId = 0L
+        it.map { case (day, c, a0, a1, l0, l1) =>
+          if (first) {
+            c0 = a0 - c * l0
+            c1 = 1000L + a1 - c * l1
+            first = false
+          } else {
+            val n0 = math.min(c0, c1) + a0 - c * l0
+            val n1 = math.min(c1, c0 + 1000L) + a1 - c * l1
+            c0 = n0; c1 = n1
+          }
+          val burst = if (c1 < c0) 1 else 0
+          if (burst != prevBurst) { runId += 1; prevBurst = burst }
+          (day, c, burst, runId)
+        }
+      }.toDF("day", "c", "burst", "run_id")
+      .persist()
+    val runAgg = st.groupBy(col("burst"), col("run_id"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("burst"))
+      .agg(count(lit(1)).cast("bigint").as("n_runs"),
+        max(col("run_len")).cast("bigint").as("longest_run"))
+    Materialize.releasing(
+      st.groupBy(col("burst"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("c")).cast("bigint").as("n_events"),
+          round(sum(col("c")).cast("double") / count(lit(1)), 2)
+            .as("mean_daily"))
+        .join(runAgg, Seq("burst"))
+        .select(col("burst"), col("n_days"), col("n_events"),
+          col("mean_daily"), col("n_runs"), col("longest_run"))
+        .orderBy(col("burst")),
+      st)
   }
 
   private val burstViterbiSql =
@@ -307,9 +379,69 @@ object SqlSurface extends QueryModule {
     * 1-row join — the driver never loops, Spark's UnionLoop executes
     * the fixpoint.
     */
-  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+  /** Pre-materialized month spine shared by the native recursive-CTE
+    * queries (q226/q235): Spark's UnionLoop RE-EVALUATES the step
+    * query's inputs on every iteration, so leaving the fact-table
+    * aggregation inside the CTE cost |months| × (orders scan + agg +
+    * window) — 728 jobs / ~30 s at sf0.1 (measured, r10) for an
+    * 84-step chain, scaling with data volume per step. Materializing
+    * the aggregate-sized numbered spine ONCE (persist + count) makes
+    * each iteration a 1-row join against an in-memory 84-row relation,
+    * which is the cost the scaladocs always claimed. The recursion
+    * itself still runs natively in Spark (UnionLoop) — that's the
+    * point of these two queries; q306 shows the alternative shape
+    * (single-task integer DP) for when native iteration overhead
+    * matters more than the demo.
+    */
+  private def materializedMonthSpine(spark: SparkSession, dir: String,
+      selectSql: String): DataFrame = {
     Tables.orders(spark, dir).createOrReplaceTempView("orders")
-    spark.sql(recursiveCteSql)
+    val spine = spark.sql(selectSql).persist()
+    spine.count()
+    spine.createOrReplaceTempView("numbered")
+    spine
+  }
+
+  /** Run `body` with AQE off: every UnionLoop iteration is its own
+    * adaptively-executed query over ≤84 cached rows, and AQE's
+    * stage-by-stage job submission inflates the per-iteration job
+    * count (measured r10: 415 → 331 jobs for the 84-step chain) while
+    * having nothing to adapt — the inputs are one cached
+    * aggregate-sized relation and a 1-row recursion state. Scoped and
+    * restored so the session-wide AQE default (load-bearing for the
+    * skew/coalesce paths) is untouched. What remains after this +
+    * spine materialization (~11 s wall, ~1.4 s task time at sf0.1) is
+    * UnionLoop's ~4-jobs-per-step scheduling floor on this runtime —
+    * the price of the NATIVE recursive-CTE operator these two queries
+    * exist to exercise; iteration count is calendar-bounded, so the
+    * overhead is constant in data volume. When the recurrence allows
+    * it, q306's single-task integer-DP shape is the scale answer.
+    */
+  private def withoutAqe[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    val spine = materializedMonthSpine(spark, dir,
+      """SELECT m, rev, row_number() OVER (ORDER BY m) AS i FROM (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM orders GROUP BY 1)""".stripMargin)
+    withoutAqe(spark)(graft.Materialize.releasing(spark.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT i, m, rev, CAST(100.0 AS DOUBLE) AS idx
+        |  FROM numbered WHERE i = 1
+        |  UNION ALL
+        |  SELECT n.i, n.m, n.rev,
+        |    c.idx * (1.0 + 0.5 * (CAST(n.rev AS DOUBLE) / c.rev - 1.0))
+        |  FROM chain c JOIN numbered n ON n.i = c.i + 1
+        |)
+        |SELECT m AS month, rev AS rev_cents, round(idx, 6) AS momentum_idx
+        |FROM chain ORDER BY month""".stripMargin), spine))
   }
 
   private val recursiveCteSql =
@@ -352,8 +484,29 @@ object SqlSurface extends QueryModule {
     * calendar, not the data volume.
     */
   def holtSmoothing(spark: SparkSession, dir: String): DataFrame = {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders")
-    spark.sql(holtSmoothingSql)
+    val spine = materializedMonthSpine(spark, dir,
+      """SELECT m, x, row_number() OVER (ORDER BY m) AS i FROM (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |    CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS DOUBLE) / 100.0 AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1)""".stripMargin)
+    withoutAqe(spark)(graft.Materialize.releasing(spark.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT i, m, x, x AS lvl, CAST(0.0 AS DOUBLE) AS trd,
+        |    CAST(NULL AS DOUBLE) AS fc
+        |  FROM numbered WHERE i = 1
+        |  UNION ALL
+        |  SELECT n.i, n.m, n.x,
+        |    0.5 * n.x + 0.5 * (c.lvl + c.trd),
+        |    0.5 * ((0.5 * n.x + 0.5 * (c.lvl + c.trd)) - c.lvl) + 0.5 * c.trd,
+        |    c.lvl + c.trd
+        |  FROM chain c JOIN numbered n ON n.i = c.i + 1
+        |)
+        |SELECT m AS month, round(x, 2) AS revenue,
+        |  round(lvl, 6) AS level, round(trd, 6) AS trend,
+        |  round(fc, 6) AS forecast,
+        |  round(x - fc, 6) AS residual
+        |FROM chain ORDER BY month""".stripMargin), spine))
   }
 
   private val holtSmoothingSql =
