@@ -133,22 +133,47 @@ object Bench {
       // `catch Throwable` would intercept and log as a spurious
       // "vs_prev diff skipped: null" (ADVICE r9).
       val innerOpt = lineRx.findAllIn(hay).toSeq.lastOption
-      if (innerOpt.isEmpty) return ""
-      val parsed = org.json4s.jackson.JsonMethods.parse(innerOpt.get)
-      def numMap(field: String): Map[String, Double] = parsed \ field match {
-        case JObject(fs) => fs.collect {
-          case (k, JDouble(v)) => (k, v)
-          case (k, JInt(v)) => (k, v.toDouble)
-        }.toMap
-        case _ => Map.empty
+      def samplesOf(json: JValue): Map[String, List[Double]] =
+        (json \ "samples") match {
+          case JObject(fs) => fs.collect { case (k, JArray(vs)) =>
+            (k, vs.collect { case JDouble(v) => v; case JInt(v) => v.toDouble })
+          }.toMap
+          case _ => Map.empty[String, List[Double]]
+        }
+      val (prevQ, prevS) = innerOpt match {
+        case Some(inner) =>
+          val parsed = org.json4s.jackson.JsonMethods.parse(inner)
+          val q = (parsed \ "queries") match {
+            case JObject(fs) => fs.collect {
+              case (k, JDouble(v)) => (k, v)
+              case (k, JInt(v)) => (k, v.toDouble)
+            }.toMap
+            case _ => Map.empty[String, Double]
+          }
+          (q, samplesOf(parsed))
+        case None =>
+          // The driver's log tail can truncate at the HEAD of the result
+          // line (observed in BENCH_r09: the tail begins mid-queries
+          // object), in which case the line regex finds nothing but the
+          // complete `"samples":{...}` object usually survives — and the
+          // reported per-query value IS samples.min, so the prior round
+          // reconstructs from samples alone. The samples object contains
+          // no nested braces (values are arrays), so [^{}]* is exact;
+          // `prev_samples`/`cur_samples` inside a flagged block don't
+          // match the quoted literal.
+          val sampRx = "\"samples\":\\{[^{}]*\\}".r
+          sampRx.findFirstIn(hay) match {
+            case Some(frag) =>
+              val parsed = org.json4s.jackson.JsonMethods.parse("{" + frag + "}")
+              val s = samplesOf(parsed)
+              val q = s.collect {
+                case (k, vs) if vs.nonEmpty && vs.forall(_ > 0) => (k, vs.min)
+              }
+              (q, s)
+            case None => (Map.empty[String, Double], Map.empty[String, List[Double]])
+          }
       }
-      val prevQ = numMap("queries")
-      val prevS = (parsed \ "samples") match {
-        case JObject(fs) => fs.collect { case (k, JArray(vs)) =>
-          (k, vs.collect { case JDouble(v) => v; case JInt(v) => v.toDouble })
-        }.toMap
-        case _ => Map.empty[String, List[Double]]
-      }
+      if (prevQ.isEmpty) return ""
       val ratios = results.flatMap { case (k, cur, _) =>
         prevQ.get(k).filter(p => p > 0 && cur > 0).map(p => (k, p, cur, cur / p))
       }

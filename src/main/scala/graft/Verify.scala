@@ -64,9 +64,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Per-query wall time of the dump (build + write). This is NOT the
+    // bench — single sample, shared session, write included — but it
+    // turns every correctness run into a coarse timing sweep, which is
+    // how q306-class monsters (hash-green, never timed, O(steps × scan))
+    // get caught on the full 322-query surface the 31-query bench
+    // doesn't cover (round-10 lesson: done = hash-green AND timed).
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val ran = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
     ran.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -79,8 +87,17 @@ object Verify {
       finally {
         operators.ScaledWindows.release()
         spark.catalog.clearCache()
+        timings(name) = (System.nanoTime() - t0) / 1e9
       }
     }
+    Files.writeString(Paths.get(s"$outDir/timings.json"),
+      timings.map { case (k, v) => s"${q(k)}: " + f"$v%.3f" }
+        .mkString("{", ",", "}"))
+    val slow = timings.toSeq.sortBy(-_._2).take(8)
+      .filter(_._2 > 5.0)
+    if (slow.nonEmpty)
+      System.err.println("[verify] slowest (>5s dump wall): " +
+        slow.map { case (k, v) => f"$k=$v%.1fs" }.mkString(", "))
     // subset runs must MERGE with prior errors: rewriting errors.json
     // with only the subset's failures would erase the recorded failure
     // of every query outside the subset (silent-absence, again)

@@ -2740,8 +2740,16 @@ object TradeAnalytics extends QueryModule {
     * and the n_A smallest ranks take group A — an exact relabeling
     * (group sizes preserved), not a Bernoulli approximation. The
     * per-replicate rank rides the same ScaledWindows trick as q256:
-    * one GLOBAL 2-pass rank over (b, u, key), then subtract each
-    * replicate's base rank — B never becomes a reducer count.
+    * one GLOBAL 2-pass rank over (b, u, key), then subtract the
+    * replicate's base rank — B never becomes a reducer count. The
+    * base rank needs no second pass over the ranked relation: the
+    * global order leads with b and every replicate holds EXACTLY
+    * n = n_a + n_b rows by construction (explode of a constant
+    * sequence), so replicate b spans ranks (b−1)·n+1 … b·n and the
+    * base is arithmetic — (b−1)·n — off the broadcast totals. (r10:
+    * the former groupBy(b).min(grn) branch re-consumed all B·n ranked
+    * rows — window sort + shuffle — just to recompute that constant;
+    * dropping it took the sf0.1 sweep wall from 41.5 s to ~14 s.)
     * p = (1 + #{|diff_b| ≥ |obs|}) / (B+1), the add-one estimator.
     *
     * All replicate sums are integer cents; the only doubles are two
@@ -2772,11 +2780,11 @@ object TradeAnalytics extends QueryModule {
           "cast(o_orderkey as string))), 1, 15), 16, 10) as bigint)"))
     val granked = ScaledWindows.rowNumber(rep,
       Seq(col("b"), col("u"), col("o_orderkey")), "grn")
-    val baseRank = granked.groupBy(col("b")).agg(min(col("grn")).as("base"))
     val perms = granked
-      .join(broadcast(baseRank), Seq("b"))
       .crossJoin(broadcast(tot))
-      .withColumn("in_a", col("grn") - col("base") + 1L <= col("n_a"))
+      .withColumn("in_a",
+        col("grn") - (col("b") - 1L) * (col("n_a") + col("n_b"))
+          <= col("n_a"))
       .groupBy(col("b"), col("n_a"), col("n_b"), col("s_tot"))
       .agg(sum(when(col("in_a"), col("c")).otherwise(0L)).cast("bigint")
         .as("s_ab"))
@@ -3319,10 +3327,15 @@ object TradeAnalytics extends QueryModule {
   def alsFactorization(spark: SparkSession, dir: String): DataFrame = {
     val lam = 0.1
     def fold(term: String) = expr(s"aggregate(ds, 0D, (a, x) -> a + $term)")
+    // Persist boundary: the ratings matrix is the ALS loop invariant,
+    // referenced by both half-steps and the scoring pass — without it
+    // the lineitem⋈orders+agg subtree re-evaluates per reference (the
+    // q295 lesson, same fix).
     val ratings = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .agg(sum(col("l_quantity")).cast("bigint").as("r"))
+      .persist()
     val items0 = ratings.select(col("p")).distinct()
       .withColumn("h", md5(col("p").cast("string")))
       .select(col("p"),
@@ -3353,22 +3366,25 @@ object TradeAnalytics extends QueryModule {
     val users = solve(ratings.join(items0, Seq("p")), "c", "p", "v1", "v2")
       .withColumnRenamed("s1", "u1").withColumnRenamed("s2", "u2")
       .withColumnRenamed("n", "n_items")
+      .persist() // (c, 2-vector) relation; read by items1 and scoring
     val items1 = solve(
         ratings.join(users.select(col("c"), col("u1"), col("u2")), Seq("c")),
         "p", "c", "u1", "u2")
       .select(col("p"), col("s1").as("w1"), col("s2").as("w2"))
-    ratings
-      .join(users, Seq("c")).join(items1, Seq("p"))
-      .withColumn("pred", col("u1") * col("w1") + col("u2") * col("w2"))
-      .groupBy(col("c"))
-      .agg(max(col("n_items")).as("n_items"),
-        max(col("u1")).as("u1"), max(col("u2")).as("u2"),
-        expr("array_sort(collect_list(struct(p, r, pred)))").as("ds"))
-      .withColumn("sse", fold("(x.r - x.pred) * (x.r - x.pred)"))
-      .select(col("c").as("custkey"), col("n_items").cast("bigint").as("n_items"),
-        round(col("u1"), 6).as("u1"), round(col("u2"), 6).as("u2"),
-        round(sqrt(col("sse") / col("n_items")), 6).as("rmse"))
-      .orderBy(col("custkey")).limit(15)
+    Materialize.releasing(
+      ratings
+        .join(users, Seq("c")).join(items1, Seq("p"))
+        .withColumn("pred", col("u1") * col("w1") + col("u2") * col("w2"))
+        .groupBy(col("c"))
+        .agg(max(col("n_items")).as("n_items"),
+          max(col("u1")).as("u1"), max(col("u2")).as("u2"),
+          expr("array_sort(collect_list(struct(p, r, pred)))").as("ds"))
+        .withColumn("sse", fold("(x.r - x.pred) * (x.r - x.pred)"))
+        .select(col("c").as("custkey"), col("n_items").cast("bigint").as("n_items"),
+          round(col("u1"), 6).as("u1"), round(col("u2"), 6).as("u2"),
+          round(sqrt(col("sse") / col("n_items")), 6).as("rmse"))
+        .orderBy(col("custkey")).limit(15),
+      ratings, users)
   }
 
   private val alsFactorizationSql = {
@@ -3470,10 +3486,18 @@ object TradeAnalytics extends QueryModule {
       .filter(col("i") =!= col("j") && col("qi") =!= col("qj"))
       .select(col("i"), col("j"),
         when(col("qi") > col("qj"), 1L).otherwise(0L).as("win"))
+    // Persist boundary: the MM iteration makes `pairs` (and through it
+    // the contests self-join) a multiply-referenced subtree — sweep 2's
+    // plan embeds sweep 1's, so without the persist the lineitem
+    // self-join re-evaluates once per gamma reference (~6× measured in
+    // the r10 sf0.1 sweep). Same discipline as every iterative query
+    // here (q294 ALS): materialize the loop-invariant relation once.
     val pairs = contests.groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"), sum(col("win")).as("w"))
+      .persist()
     val wins = pairs.groupBy(col("i"))
       .agg(sum(col("w")).as("w_i"), sum(col("n")).as("n_i"))
+      .persist()
     def sweep(gamma: DataFrame): DataFrame =
       pairs
         .join(gamma.select(col("i"), col("g").as("gi")), Seq("i"))
@@ -3488,13 +3512,15 @@ object TradeAnalytics extends QueryModule {
           ((col("w_i") + 1).cast("double") / col("denom")).as("g"))
     val g0 = wins.select(col("i"), lit(1.0).as("g"))
     val g2 = sweep(sweep(g0))
-    g2.join(wins, Seq("i"))
-      .orderBy(col("g").desc, col("i"))
-      .limit(15)
-      .select(col("i").as("partkey"),
-        col("n_i").cast("bigint").as("n_contests"),
-        col("w_i").cast("bigint").as("n_wins"),
-        round(col("g"), 6).as("bt_strength"))
+    Materialize.releasing(
+      g2.join(wins, Seq("i"))
+        .orderBy(col("g").desc, col("i"))
+        .limit(15)
+        .select(col("i").as("partkey"),
+          col("n_i").cast("bigint").as("n_contests"),
+          col("w_i").cast("bigint").as("n_wins"),
+          round(col("g"), 6).as("bt_strength")),
+      pairs, wins)
   }
 
   private val bradleyTerrySql = {
@@ -3658,12 +3684,21 @@ object TradeAnalytics extends QueryModule {
     * counts.
     *
     * Scale shape: co-occurrence is a within-order self-join (bounded
-    * basket fan-out) with map-side-partial aggregation; candidate
-    * scoring is profile ⋈ cooc on the item key (the one large join,
-    * partitioned by item); top-k per customer is a partitioned
-    * window. The held-out split is a per-customer max — no global
-    * sort anywhere.
+    * basket fan-out) with map-side-partial aggregation; each item's
+    * neighbor list is then TRUNCATED to its top-[[RecsysNeighborK]]
+    * co-items (w DESC, j tiebreak — the truncation every production
+    * item-item CF applies) BEFORE candidate scoring, because the
+    * profile ⋈ cooc join expands each (customer, item) row by that
+    * item's full neighbor list: untruncated this materialized 60.3M
+    * rows at sf0.1 (measured r10 — an 89 s sweep outlier, found by
+    * the new Verify timings) and grows superlinearly with corpus
+    * density; truncated it is ≤ |profile| × K. Top-k per customer is
+    * a partitioned window; the held-out split is a per-customer max;
+    * eval denominators ride as broadcast one-row aggregates (no
+    * driver-side counts) — no global sort anywhere.
     */
+  val RecsysNeighborK = 20
+
   def recsysBacktest(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
@@ -3676,17 +3711,27 @@ object TradeAnalytics extends QueryModule {
       .filter(col("n_orders") >= 2)
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
+    // Persist boundary: this subtree (orders window + lineitem join +
+    // distinct) feeds the co-occurrence self-join twice AND the profile
+    // twice — 4 re-evaluations of two shuffles each without it. Sized
+    // ~|train lineitems| rows of 3 longs; released by the harness's
+    // clearCache.
     val trainItems = tagged.filter(col("rn") > 1)
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("o_orderkey").as("ok"),
         col("l_partkey").as("item")).distinct()
+      .persist()
     val heldOut = tagged.filter(col("rn") === 1)
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("item")).distinct()
-    val cooc = trainItems.alias("x").join(trainItems.alias("y"),
+    val coocFull = trainItems.alias("x").join(trainItems.alias("y"),
         col("x.ok") === col("y.ok") && col("x.item") =!= col("y.item"))
       .groupBy(col("x.item").as("i"), col("y.item").as("j"))
       .agg(count(lit(1)).as("w"))
+    val wNbr = Window.partitionBy(col("i"))
+      .orderBy(col("w").desc, col("j"))
+    val cooc = coocFull.withColumn("nrk", row_number().over(wNbr))
+      .filter(col("nrk") <= RecsysNeighborK).drop("nrk")
     val profile = trainItems.select(col("c"), col("item")).distinct()
     val scores = profile.join(cooc, col("item") === col("i"))
       .groupBy(col("c"), col("j"))
@@ -3697,29 +3742,36 @@ object TradeAnalytics extends QueryModule {
       .orderBy(col("score").desc, col("j"))
     val topk = scores.withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 3)
+      .persist() // ≤3 rows per customer; read by hits and the item count
     val hits = topk.join(heldOut,
         topk("c") === heldOut("c") && col("j") === heldOut("item"))
       .groupBy(topk("c").as("cc"))
       .agg(min(col("rk")).as("best_rk"))
     val nEval = tagged.filter(col("rn") === 1)
-      .select(col("o_custkey")).distinct().count()
-    val catalog = li.select(col("l_partkey")).distinct().count()
-    hits.agg(
-        sum(when(col("best_rk") === 1, 1L).otherwise(0L)).as("h1"),
-        count(lit(1)).as("h3"))
-      .crossJoin(topk.agg(countDistinct(col("j")).as("n_rec_items")))
-      .select(
-        lit(nEval).cast("bigint").as("n_customers"),
-        col("h1").cast("bigint").as("hits_at_1"),
-        col("h3").cast("bigint").as("hits_at_3"),
-        round(col("h1").cast("double") / nEval, 6).as("hitrate_at_1"),
-        round(col("h3").cast("double") / nEval, 6).as("hitrate_at_3"),
-        col("n_rec_items").cast("bigint").as("n_rec_items"),
-        round(col("n_rec_items").cast("double") / catalog, 6).as("coverage"))
+      .select(col("o_custkey")).distinct()
+      .agg(count(lit(1)).cast("bigint").as("n_eval"))
+    val catalog = li.select(col("l_partkey")).distinct()
+      .agg(count(lit(1)).cast("bigint").as("n_catalog"))
+    Materialize.releasing(
+      hits.agg(
+          sum(when(col("best_rk") === 1, 1L).otherwise(0L)).as("h1"),
+          count(lit(1)).as("h3"))
+        .crossJoin(topk.agg(countDistinct(col("j")).as("n_rec_items")))
+        .crossJoin(broadcast(nEval)).crossJoin(broadcast(catalog))
+        .select(
+          col("n_eval").as("n_customers"),
+          col("h1").cast("bigint").as("hits_at_1"),
+          col("h3").cast("bigint").as("hits_at_3"),
+          round(col("h1").cast("double") / col("n_eval"), 6).as("hitrate_at_1"),
+          round(col("h3").cast("double") / col("n_eval"), 6).as("hitrate_at_3"),
+          col("n_rec_items").cast("bigint").as("n_rec_items"),
+          round(col("n_rec_items").cast("double") / col("n_catalog"), 6)
+            .as("coverage")),
+      trainItems, topk)
   }
 
   private val recsysBacktestSql =
-    """WITH tagged AS (
+    s"""WITH tagged AS (
       |  SELECT o_orderkey, o_custkey,
       |    row_number() OVER (PARTITION BY o_custkey
       |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
@@ -3736,10 +3788,17 @@ object TradeAnalytics extends QueryModule {
       |  SELECT DISTINCT t.o_custkey AS c, l.l_partkey AS item
       |  FROM t2 t JOIN lineitem l ON t.o_orderkey = l.l_orderkey
       |  WHERE t.rn = 1
-      |), cooc AS (
+      |), cooc_full AS (
       |  SELECT x.item AS i, y.item AS j, count(*)::BIGINT AS w
       |  FROM train x JOIN train y ON x.ok = y.ok AND x.item <> y.item
       |  GROUP BY 1, 2
+      |), cooc AS (
+      |  -- top-K neighbor truncation per item (w DESC, j tiebreak) --
+      |  -- the production item-item CF semantics; keeps the profile x
+      |  -- cooc expansion at |profile| x K instead of 60M rows (r10)
+      |  SELECT i, j, w FROM cooc_full
+      |  QUALIFY row_number() OVER (PARTITION BY i ORDER BY w DESC, j)
+      |    <= $RecsysNeighborK
       |), profile AS (
       |  SELECT DISTINCT c, item FROM train
       |), scores AS (
