@@ -90,8 +90,18 @@ object Verify {
         timings(name) = (System.nanoTime() - t0) / 1e9
       }
     }
-    Files.writeString(Paths.get(s"$outDir/timings.json"),
-      timings.map { case (k, v) => s"${q(k)}: " + f"$v%.3f" }
+    // like errors.json below, a subset run must MERGE with the prior
+    // sweep's timings — clobbering would erase the full-surface sweep
+    // the subset re-gate rode on
+    val timPath = Paths.get(s"$outDir/timings.json")
+    if (only.nonEmpty && Files.exists(timPath)) {
+      val numRx = """"([^"]+)"\s*:\s*([0-9.]+)""".r
+      for (m <- numRx.findAllMatchIn(Files.readString(timPath))
+           if !timings.contains(m.group(1)))
+        timings(m.group(1)) = m.group(2).toDouble
+    }
+    Files.writeString(timPath,
+      timings.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}: " + f"$v%.3f" }
         .mkString("{", ",", "}"))
     val slow = timings.toSeq.sortBy(-_._2).take(8)
       .filter(_._2 > 5.0)

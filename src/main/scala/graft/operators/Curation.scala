@@ -1199,15 +1199,26 @@ object Curation extends QueryModule {
     * cores from incidental chunk overlaps; completes the graph family
     * (CC q195, BFS q136, PageRank q75, label-prop q180, triangles
     * q107) with its degeneracy member. Four synchronous peel rounds
-    * per k ∈ {2,3}, each round persisted so lineage stays flat; a
+    * per k ∈ {2,3}, each round eagerly localCheckpoint-ed; a
     * `converged` flag reports fixpoint honestly (edge sets shrink
     * monotonically, so equal successive edge COUNTS imply equal SETS —
     * the cheap fixpoint test). Same bounded-round contract as q75/q180.
     *
+    * Lineage MUST be truncated per round, not merely persisted: each
+    * round's plan references the previous round THREE times (degree
+    * agg + both endpoint joins), so the logical tree grows ~3^r — by
+    * round 8 Catalyst re-optimizes hundreds of copies of the posting
+    * subtree per count (112 s at sf0.01, caught by the r10 Verify
+    * timing sweep; plan RENDERING alone overflows the stack) while the
+    * cached DATA sits unused upstream of the re-derived tree. Eager
+    * localCheckpoint makes every round start from a flat scan of the
+    * materialized blocks — the same discipline as dupGroups' pointer
+    * doubling (Dedup.scala), PageRank, and label-prop.
+    *
     * Scale shape: each round is one degree aggregation + two key
     * joins — linear in surviving |edges|; the df-capped posting-pair
     * edge build is the q107 relation. Peeling at 100 TB runs exactly
-    * this loop with checkpoint() in place of persist().
+    * this loop with checkpoint() in place of localCheckpoint().
     */
   def kCore(spark: SparkSession, dir: String): DataFrame = {
     val ks = Seq(2, 3)
@@ -1225,7 +1236,6 @@ object Curation extends QueryModule {
       var live = edges0
       var prevCnt = edges0.count()
       var lastCnt = prevCnt
-      val held = scala.collection.mutable.Buffer.empty[DataFrame]
       for (_ <- 1 to rounds) {
         val deg = live.select(col("src").as("v"))
           .unionAll(live.select(col("dst").as("v")))
@@ -1234,15 +1244,14 @@ object Curation extends QueryModule {
         val next = live
           .join(keep.withColumnRenamed("v", "src"), Seq("src"))
           .join(keep.withColumnRenamed("v", "dst"), Seq("dst"))
-          .select(col("src"), col("dst")).persist()
+          .select(col("src"), col("dst"))
+          .localCheckpoint() // eager: materializes + truncates lineage
         prevCnt = lastCnt
         lastCnt = next.count()
-        held += next
         live = next
       }
       val nNodes = live.select(col("src")).unionAll(live.select(col("dst")))
         .distinct().count()
-      held.foreach(_.unpersist())
       (k, nNodes, lastCnt, prevCnt == lastCnt)
     }
     edges0.unpersist()

@@ -2442,78 +2442,66 @@ object EventAnalytics extends QueryModule {
     * for these 5-state chains).
     *
     * Cross-engine determinism: P's cells are ratios of exact counts;
-    * every Σ (matrix-vector products, norms) is an ordered fold, and
-    * each iteration renormalizes through one identical sqrt — 20
-    * sweeps of bit-identical IEEE chains.
+    * every Σ (matrix-vector products, norms) is an ordered fold over
+    * the FULL dense grid (zero cells contribute their 0.0 terms, so
+    * the IEEE chain is position-identical to the oracle's list
+    * folds), and each iteration renormalizes through one identical
+    * sqrt — 20 sweeps of bit-identical IEEE chains.
     *
-    * Scale shape: one data pass funds the |S|² dense cell spine;
-    * all 20 sweeps run on that persisted 25-cell relation, q301's
-    * envelope. 10¹² events → a 5×5 eigenproblem.
+    * Scale shape: one data pass funds the |S|² cell counts; that is
+    * data-size-invariant metadata, so it is collected (SURVEY S9) and
+    * the 20 sweeps run as an exact driver-side power iteration — the
+    * q301/q306 discipline (measured r10: the join-chain formulation
+    * cost 102 AQE jobs / 6.4 s wall on a 25-cell problem; → <1 s).
+    * 10¹² events → a 5×5 eigenproblem, and a 5×5 eigenproblem must
+    * not be 20 distributed joins.
     */
   def spectralGap(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val trans = Tables.events(spark, dir)
+    val cells = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("s"), col("event_type").as("t"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("n_s", sum(col("n")).over(Window.partitionBy(col("s"))))
-      .withColumn("p", col("n").cast("double") / col("n_s"))
-      .select(col("s"), col("t"), col("p"))
-    val states = trans.select(col("s").as("state")).distinct()
-    val nStates = states.count()
-    val dense = states.select(col("state").as("s"))
-      .crossJoin(states.select(col("state").as("t")))
-      .join(trans, Seq("s", "t"), "left")
-      .withColumn("p", coalesce(col("p"), lit(0.0)))
-      .persist()
-    def fold(term: String, ord: String) = expr(
-      s"aggregate(array_sort(collect_list(struct($ord, ($term) AS tm))), 0D," +
-        "(acc, x) -> acc + x.tm)")
-    // π: 10 sweeps of π' = πP
-    var pi = states.select(col("state"), lit(1.0 / nStates).as("pi"))
+      .collect()
+    val outTot = cells.groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.map(_.getLong(2)).sum }
+    val pCell = cells.map(r => (r.getString(0), r.getString(1)) ->
+      r.getLong(2).toDouble / outTot(r.getString(0))).toMap
+    val states = outTot.keys.toSeq.sorted // ASCII: binary = lexicographic
+    val nStates = states.size.toLong
+    // dense grid incl. zero cells — every fold below walks it in full,
+    // ascending key order, exactly like the former in-plan array_sort
+    def p(s: String, t: String): Double = pCell.getOrElse((s, t), 0.0)
+    // π: 10 sweeps of π' = πP (fold over s ascending per target t)
+    var pi: Map[String, Double] = states.map(_ -> 1.0 / nStates).toMap
+    for (_ <- 1 to 10)
+      pi = states.map(t =>
+        t -> states.foldLeft(0.0)((acc, s) => acc + p(s, t) * pi(s))).toMap
+    // B = P − 1·πᵀ; v₀ = e_min − e_max; 10 sweeps with renormalization
+    def bv(s: String, t: String): Double = p(s, t) - pi(t)
+    var v: Map[String, Double] = states.map(s =>
+      s -> (if (s == states.head) 1.0
+            else if (s == states.last) -1.0 else 0.0)).toMap
+    var nrm = 0.0
     for (_ <- 1 to 10) {
-      pi = dense
-        .join(pi.select(col("state").as("s"), col("pi")), Seq("s"))
-        .groupBy(col("t")).agg(fold("p * pi", "s").as("pi"))
-        .select(col("t").as("state"), col("pi"))
+      val vNext = states.map(s =>
+        s -> states.foldLeft(0.0)((acc, t) => acc + bv(s, t) * v(t))).toMap
+      nrm = math.sqrt(states.foldLeft(0.0)((acc, s) =>
+        acc + vNext(s) * vNext(s)))
+      v = states.map(s => s -> vNext(s) / nrm).toMap
     }
-    val piB = pi.withColumnRenamed("pi", "pi_t")
-      .withColumnRenamed("state", "t")
-    val b = dense.join(broadcast(piB), Seq("t"))
-      .select(col("s"), col("t"), (col("p") - col("pi_t")).as("bv"))
-      .persist()
-    val ext = states.agg(min(col("state")).as("st0"),
-      max(col("state")).as("st1"))
-    var v = states.crossJoin(broadcast(ext))
-      .select(col("state"),
-        when(col("state") === col("st0"), 1.0)
-          .when(col("state") === col("st1"), -1.0)
-          .otherwise(0.0).as("v"))
-    var lastNorm: DataFrame = null
-    for (_ <- 1 to 10) {
-      // localCheckpoint: vNext is consumed TWICE (norm + renormalized v);
-      // without lineage truncation the plan doubles per sweep (2^10 blowup)
-      val vNext = b.join(v.select(col("state").as("t"), col("v")), Seq("t"))
-        .groupBy(col("s")).agg(fold("bv * v", "t").as("v"))
-        .select(col("s").as("state"), col("v"))
-        .localCheckpoint()
-      lastNorm = vNext.agg(
-        sqrt(fold("v * v", "state")).as("nrm"))
-      v = vNext.crossJoin(broadcast(lastNorm))
-        .select(col("state"), (col("v") / col("nrm")).as("v"))
-    }
-    Materialize.releasing(
-      lastNorm
-        .select(lit(nStates).cast("bigint").as("n_states"),
-          round(col("nrm"), 6).as("lambda2_abs"),
-          round(lit(1.0) - col("nrm"), 6).as("spectral_gap"),
-          round(lit(1.0) / (lit(1.0) - col("nrm")), 4).as("relaxation_time"),
-          round(log(lit(20.0)) / (lit(1.0) - col("nrm")), 4)
-            .as("t_mix_bound_eps05")),
-      dense, b)
+    // rounding stays a Spark `round` over the literal doubles (q301 note)
+    import spark.implicits._
+    Seq((nStates, nrm)).toDF("n_states", "nrm")
+      .select(col("n_states"),
+        round(col("nrm"), 6).as("lambda2_abs"),
+        round(lit(1.0) - col("nrm"), 6).as("spectral_gap"),
+        round(lit(1.0) / (lit(1.0) - col("nrm")), 4).as("relaxation_time"),
+        round(log(lit(20.0)) / (lit(1.0) - col("nrm")), 4)
+          .as("t_mix_bound_eps05"))
   }
 
   private val spectralGapSql = {
@@ -2917,92 +2905,85 @@ object EventAnalytics extends QueryModule {
     *
     * Cross-engine determinism: transition probabilities are ratios of
     * exact counts, every Σ P·a and the final start-vector dot product
-    * are ordered folds, and all four chains share the identical
-    * literal iteration depth.
+    * are ordered folds (ascending state/target key, ASCII so binary =
+    * lexicographic), and all four chains share the identical literal
+    * iteration depth.
     *
-    * Scale shape: ONE data pass funds the |types|² transition counts
-    * and the first-event distribution; all 32 iteration joins run on
-    * that persisted metadata relation. 10¹² events → a 25-cell matrix
-    * problem.
+    * Scale shape: ONE data pass (the per-user lag window — `prev IS
+    * NULL` ⟺ first event, so the transition counts and the
+    * first-event distribution fall out of the same aggregation) funds
+    * a ≤(|types|+1)·|types| count relation; that is DATA-SIZE-INVARIANT
+    * metadata, so it is collected (SURVEY S9) and the 4 chains × 8
+    * steps run as an exact driver-side DP — the q306 discipline:
+    * 10¹² events → a 25-cell matrix problem, and a 25-cell matrix
+    * problem must not be 32 distributed joins (measured r10: the
+    * join-chain formulation cost 310 AQE jobs / 200 s of task time on
+    * 20 cached rows; 15.9 → ~2 s). Every driver-side fold replays the
+    * former in-plan expression order bit-for-bit: terms sorted by
+    * target/state key, foldLeft from 0.0, java.math round half-up —
+    * the oracle hash is unchanged.
     */
   def markovAttribution(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val base = Tables.events(spark, dir)
+    val pairCounts = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
-    val trans = base
       .withColumn("prev", lag(col("event_type"), 1).over(w))
-      .filter(col("prev").isNotNull)
-      .groupBy(col("prev").as("s"), col("event_type").as("t"))
+      .groupBy(col("prev"), col("event_type").as("t"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("n_s", sum(col("n")).over(Window.partitionBy(col("s"))))
-      .withColumn("p", col("n").cast("double") / col("n_s"))
-      .filter(col("s") =!= "purchase")
-      .select(col("s"), col("t"), col("p"))
-      .persist()
-    val vstart = base
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("event_type").as("state"))
-      .agg(count(lit(1)).as("n_first"))
-      .withColumn("n_users",
-        sum(col("n_first")).over(Window.partitionBy()))
-      .withColumn("p0", col("n_first").cast("double") / col("n_users"))
-      .select(col("state"), col("p0"))
-      .persist()
-    val states = trans.select(col("s").as("state")).distinct()
-      .unionByName(spark.createDataFrame(Seq(Tuple1("purchase"))).toDF("state"))
-      .distinct()
-    def convProb(removed: Option[String]): DataFrame = {
-      val m = removed.fold(trans)(c =>
-        trans.filter(col("s") =!= c && col("t") =!= c))
-      val st = removed.fold(states)(c => states.filter(col("state") =!= c))
-      def step(a: DataFrame): DataFrame = {
-        val folded = m
-          .join(a.select(col("state").as("t2"), col("prob")),
-            col("t") === col("t2"))
-          .withColumn("term", col("p") * col("prob"))
-          .groupBy(col("s"))
-          .agg(aggregate(
-            array_sort(collect_list(struct(col("t"), col("term")))),
-            lit(0.0), (acc, x) => acc + x.getField("term")).as("v"))
-        st.join(folded, col("state") === col("s"), "left")
-          .select(col("state"),
-            when(col("state") === "purchase", lit(1.0))
-              .otherwise(coalesce(col("v"), lit(0.0))).as("prob"))
+      .collect()
+    // first-event distribution: rows whose lag is null ARE the rn=1 rows
+    val firsts = pairCounts.filter(_.isNullAt(0))
+      .map(r => r.getString(1) -> r.getLong(2))
+    val nUsers = firsts.map(_._2).sum
+    val p0 = firsts.map { case (st, n) => st -> n.toDouble / nUsers }.toMap
+    // transition matrix p(s→t) = n / Σ_t n, purchase absorbing (no rows out)
+    val pairs = pairCounts.filter(r => !r.isNullAt(0))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val outTot = pairs.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+    val trans = pairs.collect { case (s, t, n) if s != "purchase" =>
+      (s, t, n.toDouble / outTot(s))
+    }
+    val statesAll = (trans.map(_._1).distinct :+ "purchase").distinct.toSeq
+    def convProb(removed: Option[String]): Double = {
+      val m = removed.fold(trans)(c => trans.filter(r => r._1 != c && r._2 != c))
+      val st = removed.fold(statesAll)(c => statesAll.filter(_ != c))
+      var prob: Map[String, Double] =
+        st.map(s => s -> (if (s == "purchase") 1.0 else 0.0)).toMap
+      for (_ <- 1 to 8) {
+        // per-source fold of p·prob over targets in ascending t order —
+        // targets outside the live state set drop (the former inner join)
+        val folded = m.filter(r => prob.contains(r._2)).groupBy(_._1)
+          .map { case (s, rs) =>
+            s -> rs.sortBy(_._2).foldLeft(0.0)((acc, r) => acc + r._3 * prob(r._2))
+          }
+        prob = st.map(s =>
+          s -> (if (s == "purchase") 1.0 else folded.getOrElse(s, 0.0))).toMap
       }
-      val a0 = st.select(col("state"),
-        when(col("state") === "purchase", 1.0).otherwise(0.0).as("prob"))
-      val a8 = Iterator.iterate(a0)(step).drop(8).next()
-      a8.join(vstart, Seq("state"))
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("state"),
-            (col("p0") * col("prob")).as("term")))),
-          lit(0.0), (acc, x) => acc + x.getField("term")).as("p_conv"))
+      // start-vector dot product, ascending state order
+      firsts.filter { case (s, _) => prob.contains(s) }.sortBy(_._1)
+        .foldLeft(0.0) { case (acc, (s, _)) => acc + p0(s) * prob(s) }
     }
     val channels = Seq("click", "view", "signup")
-    val full = convProb(None).select(col("p_conv").as("p_full"))
-    val removals = channels.map { c =>
-      convProb(Some(c)).select(lit(c).as("channel"),
-        col("p_conv").as("p_without"))
-    }.reduce(_.unionByName(_))
-    val effects = removals.crossJoin(broadcast(full))
-      .withColumn("removal_effect",
-        lit(1.0) - col("p_without") / col("p_full"))
-    val totalEff = effects.agg(aggregate(
-      array_sort(collect_list(struct(col("channel"),
-        col("removal_effect").as("term")))),
-      lit(0.0), (acc, x) => acc + x.getField("term")).as("sum_eff"))
-    Materialize.releasing(
-      effects.crossJoin(broadcast(totalEff))
-        .select(col("channel"),
-          round(col("p_full"), 6).as("p_conv_full"),
-          round(col("p_without"), 6).as("p_conv_without"),
-          round(col("removal_effect"), 6).as("removal_effect"),
-          round(col("removal_effect") / col("sum_eff"), 6)
-            .as("attribution_share"))
-        .orderBy(col("channel")),
-      trans, vstart)
+    val pFull = convProb(None)
+    val effects = channels.map { c =>
+      val pW = convProb(Some(c)); (c, pW, 1.0 - pW / pFull)
+    }
+    val sumEff = effects.sortBy(_._1)
+      .foldLeft(0.0)((acc, e) => acc + e._3)
+    // rounding stays a Spark `round` over the literal doubles so its
+    // half-up-on-decimal-repr semantics are the engine's own, not a
+    // hand-rolled replica
+    import spark.implicits._
+    effects.map { case (c, pW, re) =>
+      (c, pFull, pW, re, re / sumEff)
+    }.toDF("channel", "pf", "pw", "re", "sh")
+      .select(col("channel"),
+        round(col("pf"), 6).as("p_conv_full"),
+        round(col("pw"), 6).as("p_conv_without"),
+        round(col("re"), 6).as("removal_effect"),
+        round(col("sh"), 6).as("attribution_share"))
+      .orderBy(col("channel"))
   }
 
   private val markovAttributionSql = {
