@@ -553,10 +553,15 @@ object Curation extends QueryModule {
         .join(labels.withColumnRenamed("v", "src")
           .withColumnRenamed("lbl", "slbl"), Seq("src"))
         .groupBy(col("dst").as("v")).agg(min(col("slbl")).as("nlbl"))
+      // eager localCheckpoint, not persist: each round references the
+      // prior labels three times (msgs, the least-merge, the changed
+      // count), so a persist-only loop re-analyzes a ~3^r tree per
+      // round — the q255 pathology; truncating lineage keeps every
+      // round's plan flat and analysis O(1)
       val next = labels.join(msgs, Seq("v"), "left")
         .select(col("v"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .persist()
+        .localCheckpoint()
       changed = next
         .join(labels.withColumnRenamed("lbl", "prev"), Seq("v"))
         .filter(col("lbl") =!= col("prev")).count()

@@ -1307,49 +1307,51 @@ object EventAnalytics extends QueryModule {
     * in the oracle) — bit-identical IEEE sums, no rounding slack.
     *
     * Scale shape: the matrix is (event types)², a broadcast-sized
-    * relation no matter the event volume — one linear lead() pass
-    * builds it, and the five iteration joins run on that tiny table.
+    * relation no matter the event volume — one linear lag() pass
+    * reduces to it, and since that is data-size-invariant metadata it
+    * is collected (SURVEY S9) and the five sweeps run as an exact
+    * driver DP replaying the in-plan fold order bit-for-bit — the
+    * q240/q301/q310 discipline. π entries exist only for states with
+    * ≥1 incoming kept edge from a π-carrying source, exactly like the
+    * former inner-join → groupBy chain.
     */
   def markovStationary(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val trans = Tables.events(spark, dir)
+    val pairs = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("from"), col("event_type").as("to"))
       .agg(count(lit(1)).as("n"))
-      .persist()
-    val states = trans.select(col("from").as("state")).distinct()
-    val kept = trans.join(states.withColumnRenamed("state", "to"), Seq("to"))
-    val p = kept
-      .withColumn("row_total", sum(col("n")).over(Window.partitionBy(col("from"))))
-      .withColumn("prob", col("n").cast("double") / col("row_total"))
-      .select(col("from"), col("to"), col("prob"))
-    val nStates = states.agg(count(lit(1)).as("k"))
-    var pi = states.crossJoin(broadcast(nStates))
-      .select(col("state"), (lit(1.0) / col("k")).as("pi"))
-    for (_ <- 1 to 5) {
-      pi = p.join(pi.withColumnRenamed("state", "from"), Seq("from"))
-        .withColumn("term", col("pi") * col("prob"))
-        .groupBy(col("to").as("state"))
-        .agg(aggregate(
-          transform(array_sort(collect_list(struct(col("from"), col("term")))),
-            x => x("term")),
-          lit(0.0), (acc, t) => acc + t).as("pi"))
-    }
-    val empirical = trans.groupBy(col("from").as("state"))
-      .agg(sum(col("n")).as("src_n"))
-    val totN = empirical.agg(sum(col("src_n")).as("tot"))
-    val out = pi.join(empirical, Seq("state"))
-      .crossJoin(broadcast(totN))
-      .select(col("state"), round(col("pi"), 4).as("stationary"),
-        round(col("src_n").cast("double") / col("tot"), 4).as("empirical_share"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val sources = pairs.map(_._1).distinct
+    // drop edges into dangling (never-source) types, THEN normalize —
+    // keeps P stochastic over the retained targets
+    val kept = pairs.filter(r => sources.contains(r._2))
+    val rowTot = kept.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+    val prob = kept.map { case (f, t, n) =>
+      (f, t) -> n.toDouble / rowTot(f)
+    }.toMap
+    var pi: Map[String, Double] = sources.map(_ -> 1.0 / sources.length).toMap
+    for (_ <- 1 to 5)
+      pi = kept.filter(r => pi.contains(r._1)).groupBy(_._2)
+        .map { case (t, rs) =>
+          t -> rs.sortBy(_._1).foldLeft(0.0)((acc, r) =>
+            acc + pi(r._1) * prob((r._1, r._2)))
+        }
+    val srcN = pairs.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
+    val totN = srcN.values.sum
+    // rounding stays a Spark `round` over the literal doubles (q301 note)
+    import spark.implicits._
+    pi.keys.toSeq.sorted.collect { case s if srcN.contains(s) =>
+        (s, pi(s), srcN(s).toDouble / totN)
+      }
+      .toDF("state", "st", "sh")
+      .select(col("state"), round(col("st"), 4).as("stationary"),
+        round(col("sh"), 4).as("empirical_share"))
       .orderBy(col("state"))
-    val materialized = out.cache()
-    materialized.count()
-    trans.unpersist()
-    materialized
   }
 
   private val markovStationarySql =
@@ -1643,55 +1645,55 @@ object EventAnalytics extends QueryModule {
     * discipline applied to linear algebra).
     *
     * Scale shape: the fact table reduces to the |types|² matrix in one
-    * lag + rollup pass; all 8 iterations run on that bounded relation.
-    * Iteration count is a constant of the QUERY, not the data.
+    * lag + rollup pass; that is data-size-invariant metadata, so it is
+    * collected (SURVEY S9) and the 8 iterations run as an exact
+    * driver-side DP — the q301/q306/q310 discipline (measured r10: the
+    * join-chain formulation cost 98 AQE jobs / 7.7 s on a 25-cell
+    * problem; → <1 s) — replaying the former in-plan fold order
+    * bit-for-bit. Iteration count is a constant of the QUERY, not the
+    * data.
     */
   def absorptionProbs(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val trans = Tables.events(spark, dir)
+    val pairCounts = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNotNull)
       .groupBy(col("prev").as("s"), col("event_type").as("t"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("n_s", sum(col("n")).over(Window.partitionBy(col("s"))))
-      .withColumn("p", col("n").cast("double") / col("n_s"))
-      .filter(col("s") =!= "purchase") // absorbing: no outgoing mass
-      .select(col("s"), col("t"), col("p"))
-      .persist() // tiny |types|² relation driving all 8 iterations
-    val states = trans.select(col("s").as("state")).distinct()
-      .unionByName(spark.createDataFrame(
-        Seq(Tuple1("purchase"))).toDF("state"))
-      .distinct()
-    def step(a: DataFrame): DataFrame = {
-      val folded = trans
-        .join(a.select(col("state").as("t2"), col("prob")),
-          col("t") === col("t2"))
-        .withColumn("term", col("p") * col("prob"))
-        .groupBy(col("s"))
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("t"), col("term")))),
-          lit(0.0), (acc, x) => acc + x.getField("term")).as("v"))
-      states.join(folded, col("state") === col("s"), "left")
-        .select(col("state"),
-          when(col("state") === "purchase", lit(1.0))
-            .otherwise(coalesce(col("v"), lit(0.0))).as("prob"))
+      .collect()
+    val pairs = pairCounts.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val outTot = pairs.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._3).sum }
+    // absorbing: purchase keeps no outgoing mass
+    val trans = pairs.collect { case (s, t, n) if s != "purchase" =>
+      (s, t, n.toDouble / outTot(s))
     }
-    val a0 = states.select(col("state"),
-      when(col("state") === "purchase", 1.0).otherwise(0.0).as("prob"))
-    val probs = Iterator.iterate(a0)(step).drop(1).take(8).toSeq
-    def at(k: Int, name: String) = probs(k - 1)
-      .select(col("state").as(s"st_$k"), round(col("prob"), 6).as(name))
-    Materialize.releasing(
-      states.select(col("state"))
-        .join(at(1, "p1"), col("state") === col("st_1"))
-        .join(at(2, "p2"), col("state") === col("st_2"))
-        .join(at(4, "p4"), col("state") === col("st_4"))
-        .join(at(8, "p8"), col("state") === col("st_8"))
-        .select(col("state"), col("p1"), col("p2"), col("p4"), col("p8"))
-        .orderBy(col("state")),
-      trans)
+    val states = (trans.map(_._1).distinct :+ "purchase").distinct.toSeq
+    var prob: Map[String, Double] =
+      states.map(s => s -> (if (s == "purchase") 1.0 else 0.0)).toMap
+    val snaps = scala.collection.mutable.Map.empty[Int, Map[String, Double]]
+    for (k <- 1 to 8) {
+      // per-source fold of p·prob over targets in ascending t order —
+      // targets outside the state set drop (the former inner join)
+      val folded = trans.filter(r => prob.contains(r._2)).groupBy(_._1)
+        .map { case (s, rs) =>
+          s -> rs.sortBy(_._2).foldLeft(0.0)((acc, r) => acc + r._3 * prob(r._2))
+        }
+      prob = states.map(s =>
+        s -> (if (s == "purchase") 1.0 else folded.getOrElse(s, 0.0))).toMap
+      snaps(k) = prob
+    }
+    // rounding stays a Spark `round` over the literal doubles (q301 note)
+    import spark.implicits._
+    states.sorted.map(s =>
+        (s, snaps(1)(s), snaps(2)(s), snaps(4)(s), snaps(8)(s)))
+      .toDF("state", "r1", "r2", "r4", "r8")
+      .select(col("state"),
+        round(col("r1"), 6).as("p1"), round(col("r2"), 6).as("p2"),
+        round(col("r4"), 6).as("p4"), round(col("r8"), 6).as("p8"))
+      .orderBy(col("state"))
   }
 
   private val absorptionProbsSql = {
@@ -2480,13 +2482,15 @@ object EventAnalytics extends QueryModule {
     for (_ <- 1 to 10)
       pi = states.map(t =>
         t -> states.foldLeft(0.0)((acc, s) => acc + p(s, t) * pi(s))).toMap
-    // B = P − 1·πᵀ; v₀ = e_min − e_max; 10 sweeps with renormalization
+    // B = P − 1·πᵀ; v₀ = e_min − e_max; 10 sweeps with renormalization.
+    // Degenerate empty chain (no consecutive events anywhere): nrm stays
+    // 0.0, matching the former in-plan folds-over-empty behavior.
     def bv(s: String, t: String): Double = p(s, t) - pi(t)
     var v: Map[String, Double] = states.map(s =>
       s -> (if (s == states.head) 1.0
             else if (s == states.last) -1.0 else 0.0)).toMap
     var nrm = 0.0
-    for (_ <- 1 to 10) {
+    for (_ <- 1 to 10 if states.nonEmpty) {
       val vNext = states.map(s =>
         s -> states.foldLeft(0.0)((acc, t) => acc + bv(s, t) * v(t))).toMap
       nrm = math.sqrt(states.foldLeft(0.0)((acc, s) =>
