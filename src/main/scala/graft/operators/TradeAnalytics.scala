@@ -2773,7 +2773,15 @@ object TradeAnalytics extends QueryModule {
       sum(col("c")).cast("bigint").as("s_tot"))
     val obsDiff = col("s_a") / col("n_a") -
       (col("s_tot") - col("s_a")) / col("n_b")
-    val rep = s.select(col("o_orderkey"), col("c"),
+    // repartition BEFORE the B× explode: the md5-uniform expansion is
+    // the expensive stage (B·n hash evaluations) and would otherwise
+    // inherit the orders SCAN's 1-2 parquet-split parallelism — r10
+    // measured 57 s of task time running ~2-wide (26.8 s wall); spread
+    // across the session's partitions it is embarrassingly parallel.
+    // Round-robin placement is value-safe: u depends only on row
+    // content, and the rangeTag persist downstream pins one layout.
+    val rep = s.repartition(32)
+      .select(col("o_orderkey"), col("c"),
         explode(sequence(lit(1), lit(nPerm))).as("b"))
       .withColumn("u", expr(
         "cast(conv(substring(md5(concat(cast(b as string), ':', " +
