@@ -1474,12 +1474,17 @@ object Curation extends QueryModule {
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    // persist: edges feeds ends (twice via the union), deg (through
+    // ends), and the edge count — without it the within-order self-join
+    // re-evaluates ~9x across the moments plan (r10: 37.9 s of task
+    // time for a one-pass graph, 6.9 s wall -> ~2 s)
     val edges = items.alias("a").join(items.alias("b"),
         col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
       .select(col("a.p").as("i"), col("b.p").as("j")).distinct()
+      .persist()
     val ends = edges.select(col("i").as("v"), col("j").as("w"))
       .unionByName(edges.select(col("j").as("v"), col("i").as("w")))
-    val deg = ends.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val deg = ends.groupBy(col("v")).agg(count(lit(1)).as("d")).persist()
     val moments = ends
       .join(deg.select(col("v"), col("d").as("dx")), Seq("v"))
       .join(deg.select(col("v").as("w"), col("d").as("dy")), Seq("w"))
@@ -1489,7 +1494,7 @@ object Curation extends QueryModule {
         sum((col("dx") * col("dx")).cast("decimal(38,0)")).as("sxx"))
     val nodes = deg.count()
     val nEdges = edges.count()
-    moments
+    Materialize.releasing(moments
       .withColumn("num",
         (col("m2").cast("decimal(38,0)") * col("sxy")
           - (col("sx").cast("decimal(38,0)") * col("sx"))
@@ -1501,7 +1506,8 @@ object Curation extends QueryModule {
       .select(lit(nodes).cast("bigint").as("n_nodes"),
         lit(nEdges).cast("bigint").as("n_edges"),
         round(col("sx").cast("double") / col("m2"), 4).as("avg_end_degree"),
-        round(col("num") / col("den"), 6).as("assortativity"))
+        round(col("num") / col("den"), 6).as("assortativity")),
+      edges, deg)
   }
 
   private val assortativitySql =

@@ -1764,16 +1764,20 @@ object TradeAnalytics extends QueryModule {
     val keep = baskets.groupBy(col("cust")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= 256).select(col("cust"))
     val b = baskets.join(keep, Seq("cust"))
+      .persist() // read by itemN and posts — one basket build, not two
     val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust")).persist()
     val posts = b.join(itemN, Seq("item"))
       .select(col("cust"), struct(col("item").as("doc_id"),
         col("n_cust").cast("int").as("nsh")).as("e"))
       .groupBy(col("cust")).agg(collect_list(col("e")).as("ds"))
+    // persist: sym reads pairs TWICE (the unionAll symmetrization) —
+    // without it the whole Σbsz² pairExpand kernel evaluates twice
     val pairs = posts.select(explode(
         graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
       .select(col("p.*"))
       .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
       .agg(count(lit(1)).as("co"))
+      .persist()
     val sym = pairs.select(col("doc_a").as("item"), col("doc_b").as("neighbor"),
         col("co"), col("nsh_a").as("ni"), col("nsh_b").as("nn"))
       .unionAll(pairs.select(col("doc_b").as("item"), col("doc_a").as("neighbor"),
@@ -1792,7 +1796,7 @@ object TradeAnalytics extends QueryModule {
           col("co").cast("bigint").as("n_co_buyers"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy(col("item"), col("rank")),
-      itemN)
+      itemN, b, pairs)
   }
 
   private val itemNeighborsSql =
@@ -1930,11 +1934,14 @@ object TradeAnalytics extends QueryModule {
       .select(col("cust"), struct(col("item").as("doc_id"),
         col("n_cust").cast("int").as("nsh")).as("e"))
       .groupBy(col("cust")).agg(collect_list(col("e")).as("ds"))
+    // persist: sym reads pairs TWICE (the unionAll symmetrization) —
+    // without it the whole Σbsz² pairExpand kernel evaluates twice
     val pairs = posts.select(explode(
         graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
       .select(col("p.*"))
       .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
       .agg(count(lit(1)).as("co"))
+      .persist()
     val sym = pairs.select(col("doc_a").as("item"), col("doc_b").as("neighbor"),
         col("co"), col("nsh_a").as("ni"), col("nsh_b").as("nn"))
       .unionAll(pairs.select(col("doc_b").as("item"), col("doc_a").as("neighbor"),
@@ -1960,7 +1967,7 @@ object TradeAnalytics extends QueryModule {
         .select(col("cust").as("user_id"), col("rank"),
           col("neighbor").as("item"), round(col("score"), 4).as("score"))
         .orderBy(col("user_id"), col("rank")),
-      b)
+      b, pairs)
   }
 
   private val hardNegativesSql =
