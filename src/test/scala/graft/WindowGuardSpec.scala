@@ -63,8 +63,8 @@ class WindowGuardSpec extends AnyFunSuite {
       "q274 Qini decile spine: 10 rows"),
     Allowed("EventAnalytics.scala", """val wCumF = Window.orderBy(col("f"))""",
       "q296 distinct per-user activity-count spine: bounded by max events/user"),
-    Allowed("EventAnalytics.scala", """sum(col("n_first")).over(Window.partitionBy()))""",
-      "q301 first-event distribution: |event types| rows"),
+    // (q301's first-event global window left with the r10 driver-DP
+    // reshape — the transition matrix is collected, no window remains)
     Allowed("CorpusStats.scala", """val wAsc = Window.orderBy(col("n"), col("source"))""",
       "q271 water-filling source spine: |sources| rows"),
     Allowed("CorpusStats.scala", """val wAll = Window.partitionBy()""",
