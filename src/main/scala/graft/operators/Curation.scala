@@ -1560,6 +1560,6 @@ object Curation extends QueryModule {
     QueryDef("q218_packing_efficiency", packingEfficiency,
       Some(packingEfficiencySql)),
     QueryDef("q254_split_leakage", splitLeakage, Some(splitLeakageSql)),
-    QueryDef("q255_kcore", kCore, Some(kCoreSql)),
+    QueryDef("q255_kcore", kCore, Some(kCoreSql), benchmark = true),
   )
 }

@@ -2330,7 +2330,7 @@ object EventAnalytics extends QueryModule {
     QueryDef("q296_decision_stump", decisionStump, Some(decisionStumpSql)),
     QueryDef("q297_entropy_rate", entropyRate, Some(entropyRateSql)),
     QueryDef("q301_markov_attribution", markovAttribution,
-      Some(markovAttributionSql)),
+      Some(markovAttributionSql), benchmark = true),
     QueryDef("q303_meta_analysis", metaAnalysis, Some(metaAnalysisSql)),
     QueryDef("q304_mde_power", mdePower, Some(mdePowerSql)),
     QueryDef("q308_group_sequential", groupSequential,

@@ -4030,7 +4030,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q256_conformal_intervals", conformalIntervals,
       Some(conformalIntervalsSql)),
     QueryDef("q258_randomization_test", randomizationTest,
-      Some(randomizationTestSql)),
+      Some(randomizationTestSql), benchmark = true),
     QueryDef("q89_market_share", marketShare, Some(marketShareSql)),
     QueryDef("q90_product_profit", productProfit, Some(productProfitSql)),
     QueryDef("q91_regression_battery", regressionBattery, Some(regressionBatterySql)),
