@@ -81,7 +81,11 @@ object ScaleProbe {
     val probes = Seq(
       "q36_corpus_prep", "q40_minhash_lsh", "q263_dup_span_coverage",
       "q35_jaccard_pairs", "q321_sharded_dedup_production",
-      "q42_knn_bruteforce", "q43_ann_hyperplane")
+      "q42_knn_bruteforce", "q43_ann_hyperplane",
+      // r10: the degree-oriented triangle join — replicas are textually
+      // disjoint, so the 10x chunk-share graph is 10 disjoint copies of
+      // the original and the two-hop intermediate must scale ~10x
+      "q107_triangle_census")
     for (name <- probes; (label, dir) <- Seq(("sf0.1", base), ("10x", tenXDir))) {
       val d = SparkEntry.allDefs.find(_.name == name).get
       d.build(spark, dir).count() // warm (codegen + page cache)
