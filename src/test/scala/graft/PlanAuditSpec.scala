@@ -507,5 +507,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 8, s"expected <=8 hash exchanges, got $shuffles:\n$plan")
   }
 
+  test("Markov-family metadata DPs stay driver-side (bounded job count)") {
+    // r10: these four reduce the fact table to a ≤(|types|+1)·|types|
+    // count matrix and run their sweeps as exact driver DPs (SURVEY S9).
+    // The distributed-join formulations they replaced ran 98–310 AQE
+    // jobs (200 s of pure scheduling for q301); the reshaped queries run
+    // ~6. A job count above 12 means the DP went distributed again.
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sc.addSparkListener(listener)
+    try {
+      val fams = Seq[(String, () => DataFrame)](
+        ("q199_markov_stationary",
+          () => operators.EventAnalytics.markovStationary(spark, sfDir)),
+        ("q240_absorption_probs",
+          () => operators.EventAnalytics.absorptionProbs(spark, sfDir)),
+        ("q301_markov_attribution",
+          () => operators.EventAnalytics.markovAttribution(spark, sfDir)),
+        ("q310_spectral_gap",
+          () => operators.EventAnalytics.spectralGap(spark, sfDir)))
+      for ((name, build) <- fams) {
+        org.apache.spark.graftbridge.ListenerBridge.drain(sc)
+        jobs.set(0)
+        build().collect()
+        org.apache.spark.graftbridge.ListenerBridge.drain(sc)
+        assert(jobs.get() <= 12,
+          s"$name ran ${jobs.get()} jobs — the metadata DP went distributed again")
+      }
+    } finally sc.removeSparkListener(listener)
+  }
+
   private lazy val testImplicits = spark.implicits
 }
