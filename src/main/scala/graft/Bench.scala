@@ -101,6 +101,61 @@ object Bench {
     * (tight spread) without narrative reconstruction. Absent or
     * unparsable prior files degrade to an empty block, never a failure.
     */
+  /** Extract a prior round's (per-query min times, per-query samples)
+    * from a driver log tail. Primary path: the full result line.
+    * Fallback: the driver's log tail can truncate at the HEAD of the
+    * result line (observed in BENCH_r09: the tail begins mid-queries
+    * object), in which case the line regex finds nothing but the
+    * complete `"samples":{...}` object usually survives — and the
+    * reported per-query value IS samples.min, so the prior round
+    * reconstructs from samples alone. The samples object contains no
+    * nested braces (values are arrays), so [^{}]* is exact;
+    * `prev_samples`/`cur_samples` inside a flagged block don't match
+    * the quoted literal. Package-private: BenchVsPrevSpec pins both
+    * paths. Never throws on garbage — returns empty maps.
+    */
+  private[graft] def parsePrevResult(
+      hay: String): (Map[String, Double], Map[String, List[Double]]) = {
+    import org.json4s._
+    val lineRx = """\{"metric":"total".*?"sf":"[^"]*"\}""".r
+    // NOT `.getOrElse(return ...)`: a non-local return from a by-name
+    // closure throws NonLocalReturnControl, which callers wrapping this
+    // in `catch Throwable` would intercept spuriously (ADVICE r9).
+    val innerOpt = lineRx.findAllIn(hay).toSeq.lastOption
+    def samplesOf(json: JValue): Map[String, List[Double]] =
+      (json \ "samples") match {
+        case JObject(fs) => fs.collect { case (k, JArray(vs)) =>
+          (k, vs.collect { case JDouble(v) => v; case JInt(v) => v.toDouble })
+        }.toMap
+        case _ => Map.empty[String, List[Double]]
+      }
+    innerOpt match {
+      case Some(inner) =>
+        val parsed = org.json4s.jackson.JsonMethods.parse(inner)
+        val q = (parsed \ "queries") match {
+          case JObject(fs) => fs.collect {
+            case (k, JDouble(v)) => (k, v)
+            case (k, JInt(v)) => (k, v.toDouble)
+          }.toMap
+          case _ => Map.empty[String, Double]
+        }
+        (q, samplesOf(parsed))
+      case None =>
+        val sampRx = "\"samples\":\\{[^{}]*\\}".r
+        sampRx.findFirstIn(hay) match {
+          case Some(frag) =>
+            val parsed = org.json4s.jackson.JsonMethods.parse("{" + frag + "}")
+            val s = samplesOf(parsed)
+            val q = s.collect {
+              case (k, vs) if vs.nonEmpty && vs.forall(_ > 0) => (k, vs.min)
+            }
+            (q, s)
+          case None =>
+            (Map.empty[String, Double], Map.empty[String, List[Double]])
+        }
+    }
+  }
+
   private def vsPrevBlock(
       results: Seq[(String, Double, Seq[Double])]): String = {
     try {
@@ -127,52 +182,7 @@ object Bench {
           case _ => None
         }
       }.getOrElse(text)
-      val lineRx = """\{"metric":"total".*?"sf":"[^"]*"\}""".r
-      // NOT `.getOrElse(return "")`: a non-local return from a by-name
-      // closure throws NonLocalReturnControl, which the enclosing
-      // `catch Throwable` would intercept and log as a spurious
-      // "vs_prev diff skipped: null" (ADVICE r9).
-      val innerOpt = lineRx.findAllIn(hay).toSeq.lastOption
-      def samplesOf(json: JValue): Map[String, List[Double]] =
-        (json \ "samples") match {
-          case JObject(fs) => fs.collect { case (k, JArray(vs)) =>
-            (k, vs.collect { case JDouble(v) => v; case JInt(v) => v.toDouble })
-          }.toMap
-          case _ => Map.empty[String, List[Double]]
-        }
-      val (prevQ, prevS) = innerOpt match {
-        case Some(inner) =>
-          val parsed = org.json4s.jackson.JsonMethods.parse(inner)
-          val q = (parsed \ "queries") match {
-            case JObject(fs) => fs.collect {
-              case (k, JDouble(v)) => (k, v)
-              case (k, JInt(v)) => (k, v.toDouble)
-            }.toMap
-            case _ => Map.empty[String, Double]
-          }
-          (q, samplesOf(parsed))
-        case None =>
-          // The driver's log tail can truncate at the HEAD of the result
-          // line (observed in BENCH_r09: the tail begins mid-queries
-          // object), in which case the line regex finds nothing but the
-          // complete `"samples":{...}` object usually survives — and the
-          // reported per-query value IS samples.min, so the prior round
-          // reconstructs from samples alone. The samples object contains
-          // no nested braces (values are arrays), so [^{}]* is exact;
-          // `prev_samples`/`cur_samples` inside a flagged block don't
-          // match the quoted literal.
-          val sampRx = "\"samples\":\\{[^{}]*\\}".r
-          sampRx.findFirstIn(hay) match {
-            case Some(frag) =>
-              val parsed = org.json4s.jackson.JsonMethods.parse("{" + frag + "}")
-              val s = samplesOf(parsed)
-              val q = s.collect {
-                case (k, vs) if vs.nonEmpty && vs.forall(_ > 0) => (k, vs.min)
-              }
-              (q, s)
-            case None => (Map.empty[String, Double], Map.empty[String, List[Double]])
-          }
-      }
+      val (prevQ, prevS) = parsePrevResult(hay)
       if (prevQ.isEmpty) return ""
       val ratios = results.flatMap { case (k, cur, _) =>
         prevQ.get(k).filter(p => p > 0 && cur > 0).map(p => (k, p, cur, cur / p))
