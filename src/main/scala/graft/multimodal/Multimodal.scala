@@ -392,11 +392,12 @@ object Multimodal extends QueryModule {
         // would read past the buffer. A general decoder seam must treat
         // the declared size as untrusted — bail to the stub like any
         // other undecodable payload.
-        // Long arithmetic: a declared size near Int.MaxValue would wrap
-        // `pos + 8 + sz` negative in Int, pass the guard, and surface as
-        // an uncaught executor exception instead of the bail-to-stub
-        // contract (ADVICE r9).
-        if (sz < 0 || pos + 8 + sz.toLong > bytes.length)
+        // Long arithmetic FROM THE FIRST OPERAND: a declared size near
+        // Int.MaxValue would wrap `pos + 8 + sz` negative in Int, pass
+        // the guard, and surface as an uncaught executor exception
+        // instead of the bail-to-stub contract (ADVICE r9); widening
+        // only `sz` still evaluated `pos + 8` in Int (ADVICE r10).
+        if (sz < 0 || pos.toLong + 8 + sz > bytes.length)
           return StubDecoder.decode(kind, bytes, nFrames).take(featureDim)
         if (cid == 0x20746d66 && sz >= 16) { // "fmt "
           channels = bb.getShort(pos + 10).toInt
@@ -513,8 +514,9 @@ object Multimodal extends QueryModule {
     while (f < n) {
       if (pos + 4 > bytes.length) return null
       val sz = bb.getInt(pos)
-      // Long arithmetic, same Int-overflow reasoning as the WAV guard.
-      if (sz < 0 || pos + 4 + sz.toLong > bytes.length) return null
+      // Long arithmetic from the first operand, same Int-overflow
+      // reasoning as the WAV guard (ADVICE r9 + r10).
+      if (sz < 0 || pos.toLong + 4 + sz > bytes.length) return null
       out(f) = java.util.Arrays.copyOfRange(bytes, pos + 4, pos + 4 + sz)
       pos += 4 + sz
       f += 1

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Materialize, QueryDef, QueryModule, Tables}
+import graft.{Checkpoints, Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -519,7 +519,8 @@ object Curation extends QueryModule {
     * quiescence is deterministic. Each round is one edge⋈label join +
     * one min-aggregation (linear in |E|); the number of rounds is the
     * graph diameter. At 100 TB the same loop runs with
-    * `localCheckpoint` per round to cut lineage, and the round count
+    * `spark.graft.checkpointDir` set (reliable per-round cuts,
+    * [[Checkpoints]]), and the round count
     * can be made O(log n) with the large-star/small-star contraction —
     * the per-round dataflow (join + partial min-agg) is unchanged.
     * Output: one row per component (root = smallest doc_id), its size,
@@ -548,24 +549,29 @@ object Curation extends QueryModule {
     var labels = pairs.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl")).persist()
     var changed = 1L
+    var labelsCut: Option[Checkpoints.Cut] = None
     while (changed > 0) {
       val msgs = pairs
         .join(labels.withColumnRenamed("v", "src")
           .withColumnRenamed("lbl", "slbl"), Seq("src"))
         .groupBy(col("dst").as("v")).agg(min(col("slbl")).as("nlbl"))
-      // eager localCheckpoint, not persist: each round references the
+      // eager checkpoint cut, not persist: each round references the
       // prior labels three times (msgs, the least-merge, the changed
       // count), so a persist-only loop re-analyzes a ~3^r tree per
       // round — the q255 pathology; truncating lineage keeps every
-      // round's plan flat and analysis O(1)
-      val next = labels.join(msgs, Seq("v"), "left")
+      // round's plan flat and analysis O(1). The prior round's blocks
+      // are released explicitly once this round's count has consumed
+      // them (unpersist() on a checkpointed Dataset is a no-op).
+      val nextCut = Checkpoints.cut(labels.join(msgs, Seq("v"), "left")
         .select(col("v"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+      val next = nextCut.df
       changed = next
         .join(labels.withColumnRenamed("lbl", "prev"), Seq("v"))
         .filter(col("lbl") =!= col("prev")).count()
-      labels.unpersist()
+      labels.unpersist() // real for the round-0 persist; no-op afterwards
+      labelsCut.foreach(_.release())
+      labelsCut = Some(nextCut)
       labels = next
     }
     val sigs = edges.select(col("src").as("v"), col("sig"))
@@ -579,7 +585,8 @@ object Curation extends QueryModule {
       .orderBy(col("component"))
     val materialized = out.cache()
     materialized.count() // force before unpersisting inputs
-    edges.unpersist(); pairs.unpersist(); labels.unpersist()
+    edges.unpersist(); pairs.unpersist()
+    labelsCut.foreach(_.release()) // final round, consumed by `materialized`
     materialized
   }
 
@@ -1204,7 +1211,8 @@ object Curation extends QueryModule {
     * cores from incidental chunk overlaps; completes the graph family
     * (CC q195, BFS q136, PageRank q75, label-prop q180, triangles
     * q107) with its degeneracy member. Four synchronous peel rounds
-    * per k ∈ {2,3}, each round eagerly localCheckpoint-ed; a
+    * per k ∈ {2,3}, each round an eager [[Checkpoints]] cut (prior
+    * round's blocks released as soon as consumed); a
     * `converged` flag reports fixpoint honestly (edge sets shrink
     * monotonically, so equal successive edge COUNTS imply equal SETS —
     * the cheap fixpoint test). Same bounded-round contract as q75/q180.
@@ -1215,15 +1223,16 @@ object Curation extends QueryModule {
     * round 8 Catalyst re-optimizes hundreds of copies of the posting
     * subtree per count (112 s at sf0.01, caught by the r10 Verify
     * timing sweep; plan RENDERING alone overflows the stack) while the
-    * cached DATA sits unused upstream of the re-derived tree. Eager
-    * localCheckpoint makes every round start from a flat scan of the
+    * cached DATA sits unused upstream of the re-derived tree. The
+    * eager cut makes every round start from a flat scan of the
     * materialized blocks — the same discipline as dupGroups' pointer
     * doubling (Dedup.scala), PageRank, and label-prop.
     *
     * Scale shape: each round is one degree aggregation + two key
     * joins — linear in surviving |edges|; the df-capped posting-pair
     * edge build is the q107 relation. Peeling at 100 TB runs exactly
-    * this loop with checkpoint() in place of localCheckpoint().
+    * this loop with `spark.graft.checkpointDir` set, which switches
+    * every cut to reliable, executor-loss-safe checkpoint().
     */
   def kCore(spark: SparkSession, dir: String): DataFrame = {
     val ks = Seq(2, 3)
@@ -1239,6 +1248,7 @@ object Curation extends QueryModule {
       .persist()
     val rows = ks.map { k =>
       var live = edges0
+      var liveCut: Option[Checkpoints.Cut] = None
       var prevCnt = edges0.count()
       var lastCnt = prevCnt
       for (_ <- 1 to rounds) {
@@ -1246,17 +1256,22 @@ object Curation extends QueryModule {
           .unionAll(live.select(col("dst").as("v")))
           .groupBy(col("v")).agg(count(lit(1)).as("deg"))
         val keep = deg.filter(col("deg") >= k).select(col("v"))
-        val next = live
+        val nextCut = Checkpoints.cut(live // eager: materializes + truncates lineage
           .join(keep.withColumnRenamed("v", "src"), Seq("src"))
           .join(keep.withColumnRenamed("v", "dst"), Seq("dst"))
-          .select(col("src"), col("dst"))
-          .localCheckpoint() // eager: materializes + truncates lineage
+          .select(col("src"), col("dst")))
         prevCnt = lastCnt
-        lastCnt = next.count()
-        live = next
+        lastCnt = nextCut.df.count()
+        // the cut's eager materialization consumed the prior round's
+        // blocks — release them now instead of stacking 4 rounds × 2 ks
+        // of checkpoint storage until the ContextCleaner notices
+        liveCut.foreach(_.release())
+        liveCut = Some(nextCut)
+        live = nextCut.df
       }
       val nNodes = live.select(col("src")).unionAll(live.select(col("dst")))
         .distinct().count()
+      liveCut.foreach(_.release()) // nNodes was this k's last read
       (k, nNodes, lastCnt, prevCnt == lastCnt)
     }
     edges0.unpersist()

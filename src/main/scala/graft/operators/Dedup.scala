@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Materialize, QueryDef, QueryModule, Tables}
+import graft.{Checkpoints, Materialize, QueryDef, QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -304,13 +304,13 @@ object Dedup extends QueryModule {
     * convergence, which one-hop propagation alone does NOT give (it
     * advances one edge per round). If the loop still hasn't converged at
     * `maxIter` it throws instead of returning silently-split groups.
-    * Each round's labels are eagerly localCheckpoint-ed (and the prior
-    * round unpersisted): persist alone caches data but leaves the
-    * LOGICAL plan growing — with doubling it nests geometrically and
-    * plan rendering alone OOMs after ~8 rounds; checkpointing truncates
-    * lineage so every round starts from a flat plan. (On a cluster with
-    * an HDFS checkpoint dir, `checkpoint()` gives the fault-tolerant
-    * equivalent.)
+    * Each round's labels are eagerly checkpointed via [[Checkpoints]]
+    * (and the prior round's blocks released): persist alone caches data
+    * but leaves the LOGICAL plan growing — with doubling it nests
+    * geometrically and plan rendering alone OOMs after ~8 rounds;
+    * checkpointing truncates lineage so every round starts from a flat
+    * plan. On a cluster, setting `spark.graft.checkpointDir` switches
+    * every round to reliable `checkpoint()` (executor-loss-safe).
     */
   def dupGroups(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // both edge directions from ONE evaluation of the (expensive) pair
@@ -352,6 +352,10 @@ object Dedup extends QueryModule {
       .persist()
     var changed = 1L
     var iter = 0
+    // prior round's checkpoint blocks, released once the next round has
+    // fully consumed them (Checkpoints doc: unpersist() on a
+    // checkpointed Dataset is a no-op, so the handle must be held)
+    var labelsCut: Option[Checkpoints.Cut] = None
     while (changed > 0 && iter < maxIter) {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
@@ -362,14 +366,16 @@ object Dedup extends QueryModule {
         .agg(min(col("label")).as("label"))
         .persist() // read twice by the doubling self-join below
       // pointer doubling: follow the label's own label
-      val next = hop.join(
+      val nextCut = Checkpoints.cut(hop.join( // eager: materializes + truncates lineage
           hop.select(col("id").as("label"), col("label").as("plabel")), Seq("label"))
-        .select(col("id"), col("plabel").as("label"))
-        .localCheckpoint() // eager: materializes + truncates lineage
+        .select(col("id"), col("plabel").as("label")))
+      val next = nextCut.df
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).count()
       hop.unpersist()
-      labels.unpersist()
+      labels.unpersist() // real for the round-0 persist; no-op afterwards
+      labelsCut.foreach(_.release()) // prior round: consumed by cut + changed-count
+      labelsCut = Some(nextCut)
       labels = next
       iter += 1
     }
@@ -378,7 +384,15 @@ object Dedup extends QueryModule {
       throw new IllegalStateException(
         s"dupGroups did not converge within $maxIter pointer-doubling rounds " +
           "(component diameter > 2^" + maxIter + "?)")
-    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+    // Hand the result back as a CacheManager-managed cache, not as bare
+    // checkpoint blocks: callers (and Verify's per-query clearCache)
+    // can see and free a cache, whereas the final round's checkpoint
+    // blocks would linger until the ContextCleaner GCs them.
+    val out = labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+      .cache()
+    out.count()
+    labelsCut.foreach(_.release())
+    out
   }
 
   /** q53: duplicate groups from the exact Jaccard≥0.5 pair graph; the
@@ -647,11 +661,13 @@ object Dedup extends QueryModule {
     // 16 md5 folds per shingle (~10M hash evaluations at sf0.1) and would
     // otherwise run at the documents SCAN's single-split parallelism
     // (r10: 9.6 s wall on 15.6 s task time). Per-row value, layout-free.
+    // Width = the session's own parallelism, not a literal core count
+    // (ADVICE r10): on a cluster defaultParallelism tracks total cores.
     val sh = Tables.documents(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), TextAnalysis.shingles3(col("toks")).as("sh"))
-      .repartition(32)
+      .repartition(spark.sparkContext.defaultParallelism)
       .persist()
     // portable 16-hash signature: h_i = min over shingles of the 60-bit
     // md5 fold of "i:shingle"

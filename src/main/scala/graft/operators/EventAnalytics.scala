@@ -1327,9 +1327,10 @@ object EventAnalytics extends QueryModule {
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val sources = pairs.map(_._1).distinct
+    val sourceSet = sources.toSet
     // drop edges into dangling (never-source) types, THEN normalize —
     // keeps P stochastic over the retained targets
-    val kept = pairs.filter(r => sources.contains(r._2))
+    val kept = pairs.filter(r => sourceSet(r._2))
     val rowTot = kept.groupBy(_._1).map { case (f, rs) => f -> rs.map(_._3).sum }
     val prob = kept.map { case (f, t, n) =>
       (f, t) -> n.toDouble / rowTot(f)

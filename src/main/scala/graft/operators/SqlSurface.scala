@@ -257,10 +257,15 @@ object SqlSurface extends QueryModule {
     */
   def burstViterbi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // persisted: read by the consts aggregate AND the DP crossJoin —
+    // without it the events scan + day aggregation executes twice,
+    // breaking the "one pass over the event stream" contract above
+    // (ADVICE r10). Released below alongside `st`.
     val daily = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("c"))
+      .persist()
     // identical expression shapes to the oracle's consts CTE (round of
     // 1000·mean / 1000·ln — one quantization, then pure Long math)
     val consts = daily
@@ -311,7 +316,7 @@ object SqlSurface extends QueryModule {
         .select(col("burst"), col("n_days"), col("n_events"),
           col("mean_daily"), col("n_runs"), col("longest_run"))
         .orderBy(col("burst")),
-      st)
+      st, daily)
   }
 
   private val burstViterbiSql =

@@ -2787,7 +2787,9 @@ object TradeAnalytics extends QueryModule {
     // across the session's partitions it is embarrassingly parallel.
     // Round-robin placement is value-safe: u depends only on row
     // content, and the rangeTag persist downstream pins one layout.
-    val rep = s.repartition(32)
+    // Width = the session's own parallelism, not a literal core count
+    // (ADVICE r10): on a cluster defaultParallelism tracks total cores.
+    val rep = s.repartition(spark.sparkContext.defaultParallelism)
       .select(col("o_orderkey"), col("c"),
         explode(sequence(lit(1), lit(nPerm))).as("b"))
       .withColumn("u", expr(
