@@ -1,0 +1,168 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+/** Full-surface timing sweep as a ROUND ARTIFACT (VERDICT r10 #1).
+  *
+  * The bench pins ~40 of 320+ queries; the other ~280 are timed only by
+  * Verify's per-query dump walls. Round 10 found three scale-pathology
+  * classes (lineage blowup, metadata-DP-as-joins, single-split
+  * serialization) through a ONE-OFF read of those walls — this object
+  * makes that reading mechanical and persistent, so the next q255-class
+  * pathology cannot regress silently between rounds:
+  *
+  *  - after every full/merged Verify dump at the gate scale (sf0.01),
+  *    the timing map is written to `TIMINGS_r{N}.json` in the repo
+  *    root (N inferred from the driver's CORRECTNESS/BENCH round files,
+  *    so builder-run and driver-run sweeps of the same round land on
+  *    the same name);
+  *  - the artifact embeds a `vs_prev` diff against the latest prior
+  *    round's artifact, flagging any query whose dump wall moved >2×
+  *    (either direction), floor-SUBTRACTED and absolute-guarded (see
+  *    [[diff]]) so session-overhead drift on sub-second queries does
+  *    not flag;
+  *  - the flagged set is also printed to stderr, where the driver log
+  *    (and the next round's judge) reads it without reconstruction.
+  *
+  * These are single-sample walls INCLUDING the parquet write — coarser
+  * than the bench's min-of-2 — which is exactly why the thresholds are
+  * 2× + 0.5 s absolute rather than the bench's 1.25×/1.5× bands: this
+  * gate exists to catch order-of-magnitude pathology on the unbenched
+  * tail, not sub-second drift (the bench's floor-adjusted vs_prev
+  * covers the pinned head at fine grain).
+  */
+object Timings {
+
+  /** The 1-row canary query: its dump wall IS the fixed per-query
+    * harness overhead (session + write + listener), subtracted from
+    * both sides of every ratio when present in both rounds. */
+  val floorName = "q000_bench_floor"
+
+  final case class Flag(name: String, prev: Double, cur: Double,
+      ratio: Double, adjRatio: Double, note: String)
+
+  /** Floor-aware mechanical diff of two rounds' timing maps.
+    *
+    * A query flags as a regression when its floor-subtracted wall grew
+    * more than 2× AND by more than 0.5 s absolute; as an improvement
+    * when it shrank by the same margins. The absolute guard is what
+    * keeps a 0.1 s → 0.25 s noise move (all within single-sample
+    * jitter) out of the report while a 4 s → 112 s lineage blowup — or
+    * a 12 s → 1 s reshape — always lands in it. Queries missing from
+    * either side, or with non-positive walls, are skipped (a THROWN
+    * query is errors.json's job, not this one's).
+    */
+  def diff(prev: Map[String, Double],
+      cur: Map[String, Double]): Seq[Flag] = {
+    val fp = prev.get(floorName).filter(_ > 0).getOrElse(0.0)
+    val fc = cur.get(floorName).filter(_ > 0).getOrElse(0.0)
+    // subtract the floor only when BOTH rounds carry it — an
+    // asymmetric subtraction would itself manufacture drift
+    val (subP, subC) = if (fp > 0 && fc > 0) (fp, fc) else (0.0, 0.0)
+    (prev.keySet intersect cur.keySet - floorName).toSeq.sorted.flatMap { n =>
+      val (p, c) = (prev(n), cur(n))
+      if (p <= 0 || c <= 0) None
+      else {
+        // clamp the adjusted prior at 1 ms so a query that previously
+        // ran AT the floor still produces a finite, large ratio
+        val ap = math.max(p - subP, 1e-3)
+        val ac = math.max(c - subC, 0.0)
+        val adjRatio = ac / ap
+        if (adjRatio > 2.0 && ac - ap > 0.5)
+          Some(Flag(n, p, c, c / p, adjRatio, "regression: >2x prior dump wall"))
+        else if (adjRatio < 0.5 && ap - ac > 0.5)
+          Some(Flag(n, p, c, c / p, adjRatio, "improvement"))
+        else None
+      }
+    }
+  }
+
+  /** Current round number = 1 + the latest round the driver has graded
+    * (its CORRECTNESS/BENCH files are written at round END, so during
+    * round N the maximum on disk is N-1). None outside the repo root —
+    * Verify run from elsewhere simply skips the artifact. */
+  private[graft] def currentRound(root: File): Option[Int] = {
+    val rx = """(?:CORRECTNESS|BENCH)_r(\d+)\.json""".r
+    val ns = Option(root.listFiles()).getOrElse(Array.empty[File])
+      .flatMap(f => f.getName match {
+        case rx(n) => Some(n.toInt)
+        case _ => None
+      })
+    if (ns.isEmpty) None else Some(ns.max + 1)
+  }
+
+  /** Latest TIMINGS_r{M}.json with M < n, parsed. Unreadable or
+    * mismatched-scale files degrade to None, never a failure. */
+  private[graft] def latestPrior(root: File, n: Int,
+      sf: String): Option[(Int, Map[String, Double])] = {
+    val rx = """TIMINGS_r(\d+)\.json""".r
+    val cands = Option(root.listFiles()).getOrElse(Array.empty[File])
+      .flatMap(f => f.getName match {
+        case rx(m) if m.toInt < n => Some((m.toInt, f))
+        case _ => None
+      })
+    cands.sortBy(-_._1).iterator.flatMap { case (m, f) =>
+      scala.util.Try {
+        import org.json4s._
+        val j = org.json4s.jackson.JsonMethods.parse(Files.readString(f.toPath))
+        val fileSf = (j \ "sf") match { case JString(s) => s; case _ => "" }
+        val tim = (j \ "timings") match {
+          case JObject(fs) => fs.collect {
+            case (k, JDouble(v)) => (k, v)
+            case (k, JInt(v)) => (k, v.toDouble)
+          }.toMap
+          case _ => Map.empty[String, Double]
+        }
+        if (fileSf == sf && tim.nonEmpty) Some((m, tim)) else None
+      }.toOption.flatten
+    }.nextOption()
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Write TIMINGS_r{N}.json (repo root) with the embedded vs_prev
+    * block, and print the flagged set. Only at the gate scale — a
+    * sf0.1 cross-check dump must not clobber the round's sf0.01
+    * artifact (the scale is also recorded in the file and matched on
+    * read, so a stale clobber would degrade to "no diff", not a bogus
+    * one). */
+  def writeRoundArtifact(root: File, sfDir: String,
+      timings: Map[String, Double], minQueries: Int = 0): Unit = {
+    val sf = new File(sfDir).getName
+    if (sf != "sf0.01" || timings.isEmpty || timings.size < minQueries) return
+    currentRound(root).foreach { n =>
+      val prior = latestPrior(root, n, sf)
+      val flags = prior.map(p => diff(p._2, timings)).getOrElse(Seq.empty)
+      val timJson = timings.toSeq.sortBy(_._1)
+        .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val flagJson = flags.map { fl =>
+        jstr(fl.name) + ":" + f"""{"prev":${fl.prev}%.3f,"cur":${fl.cur}%.3f,""" +
+          f""""ratio":${fl.ratio}%.2f,"adj_ratio":${fl.adjRatio}%.2f,""" +
+          s""""note":${jstr(fl.note)}}"""
+      }.mkString("{", ",", "}")
+      val vsPrev = prior.map { case (m, _) =>
+        s""","vs_prev":{"prev_round":$m,"flagged":$flagJson}"""
+      }.getOrElse("")
+      val body = s"""{"round":$n,"sf":${jstr(sf)},""" +
+        s""""n_queries":${timings.size},"timings":$timJson$vsPrev}"""
+      Files.writeString(new File(root, s"TIMINGS_r$n.json").toPath, body)
+      val msg = prior match {
+        case None => s"no prior artifact — baseline written"
+        case Some((m, _)) if flags.isEmpty => s"vs r$m: no flags"
+        case Some((m, _)) =>
+          s"vs r$m: ${flags.size} flagged — " + flags.map(f =>
+            f"${f.name}(${f.prev}%.1fs→${f.cur}%.1fs, adj ${f.adjRatio}%.2fx, ${f.note})")
+            .mkString("; ")
+      }
+      System.err.println(s"[verify] TIMINGS_r$n.json (${timings.size} queries): $msg")
+    }
+  }
+}

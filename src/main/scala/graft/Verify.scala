@@ -108,6 +108,12 @@ object Verify {
     if (slow.nonEmpty)
       System.err.println("[verify] slowest (>5s dump wall): " +
         slow.map { case (k, v) => f"$k=$v%.1fs" }.mkString(", "))
+    // round artifact + mechanical >2x diff vs the prior round's sweep
+    // (VERDICT r10 #1) — no-op outside the repo root / gate scale, and
+    // a subset re-run into a FRESH outDir (timings merge finds nothing)
+    // must not publish a thin artifact as the round's full sweep
+    Timings.writeRoundArtifact(new java.io.File("."), sfDir, timings.toMap,
+      minQueries = (SparkEntry.queries.size * 9) / 10)
     // subset runs must MERGE with prior errors: rewriting errors.json
     // with only the subset's failures would erase the recorded failure
     // of every query outside the subset (silent-absence, again)

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Timings]] — the full-surface timing-sweep round artifact
+  * (VERDICT r10 #1). Pure-function diff semantics plus the file-level
+  * round inference, including the demanded demonstration that a
+  * deliberately-slowed query flags.
+  */
+class TimingsSpec extends AnyFunSuite {
+
+  private val floor = Timings.floorName
+
+  test("a deliberately slowed query flags as a regression") {
+    val prev = Map(floor -> 0.1, "q255_kcore" -> 4.0, "q36_corpus_prep" -> 1.8)
+    val cur = Map(floor -> 0.1, "q255_kcore" -> 112.0, "q36_corpus_prep" -> 1.9)
+    val flags = Timings.diff(prev, cur)
+    assert(flags.map(_.name) === Seq("q255_kcore"))
+    assert(flags.head.note.startsWith("regression"))
+    assert(flags.head.adjRatio > 25)
+  }
+
+  test("floor drift alone does not flag sub-second queries") {
+    // r10's driver run: ~0.03 s/query of harness drift made q01/q11/q26
+    // read 1.2x raw — the floor subtraction must absorb exactly this
+    val prev = Map(floor -> 0.113, "q01" -> 0.35, "q11" -> 0.30, "q26" -> 0.40)
+    val cur = Map(floor -> 0.244, "q01" -> 0.50, "q11" -> 0.45, "q26" -> 0.55)
+    assert(Timings.diff(prev, cur).isEmpty)
+  }
+
+  test("absolute guard keeps small-wall noise out even at >2x") {
+    // 0.15s -> 0.45s is 3x but only +0.3s — single-sample jitter band
+    val prev = Map("qx" -> 0.15)
+    val cur = Map("qx" -> 0.45)
+    assert(Timings.diff(prev, cur).isEmpty)
+    // same ratio with >0.5s absolute movement must flag
+    assert(Timings.diff(Map("qy" -> 1.0), Map("qy" -> 3.1)).nonEmpty)
+  }
+
+  test("large improvements are reported as improvements") {
+    val flags = Timings.diff(Map("q306" -> 12.5), Map("q306" -> 1.2))
+    assert(flags.map(_.note) === Seq("improvement"))
+  }
+
+  test("missing, new, and errored queries are skipped") {
+    val prev = Map("gone" -> 9.0, "err" -> -1.0, "ok" -> 1.0)
+    val cur = Map("new" -> 9.0, "err" -> 9.0, "ok" -> 1.1)
+    assert(Timings.diff(prev, cur).isEmpty)
+  }
+
+  test("floor subtraction only applies when both rounds carry the floor") {
+    // without the prev floor, adj == raw: 1.0 -> 2.4 is 2.4x and +1.4s
+    val flags = Timings.diff(Map("q" -> 1.0), Map(floor -> 0.3, "q" -> 2.4))
+    assert(flags.nonEmpty && flags.head.adjRatio === 2.4)
+  }
+
+  test("round inference and artifact round-trip with vs_prev") {
+    val root = Files.createTempDirectory("graft-tim").toFile
+    assert(Timings.currentRound(root).isEmpty) // not a repo root
+    Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_r09.json").toPath, "{}")
+    assert(Timings.currentRound(root) === Some(11))
+
+    // r10 artifact on disk, then an r11 sweep with one slowed query
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q255" -> 4.0, "q36" -> 1.8))
+    val f10 = new java.io.File(root, "TIMINGS_r11.json")
+    assert(f10.exists()) // same round inference (CORRECTNESS max is r10)
+    // promote it to the prior round so the next write diffs against it
+    assert(f10.renameTo(new java.io.File(root, "TIMINGS_r10.json")))
+
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q255" -> 112.0, "q36" -> 1.85))
+    val text = Files.readString(new java.io.File(root, "TIMINGS_r11.json").toPath)
+    assert(text.contains(""""round":11"""))
+    assert(text.contains(""""prev_round":10"""))
+    assert(text.contains(""""q255":{"prev":4.000,"cur":112.000"""))
+    assert(!text.contains(""""q36":{"""), "unmoved query must not flag")
+
+    // a cross-scale dump must not clobber the gate artifact
+    Timings.writeRoundArtifact(root, "/data/sf0.1", Map("q255" -> 40.0))
+    assert(Files.readString(
+      new java.io.File(root, "TIMINGS_r11.json").toPath) === text)
+  }
+
+  test("a thin subset sweep does not publish a round artifact") {
+    val root = Files.createTempDirectory("graft-tim3").toFile
+    Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map("q01" -> 0.4, "q02" -> 0.3), minQueries = 100)
+    assert(!new java.io.File(root, "TIMINGS_r11.json").exists())
+  }
+
+  test("prior artifacts with a different scale are ignored in the diff") {
+    val root = Files.createTempDirectory("graft-tim2").toFile
+    Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "TIMINGS_r10.json").toPath,
+      """{"round":10,"sf":"sf0.1","timings":{"q255":40.0}}""")
+    Timings.writeRoundArtifact(root, "/data/sf0.01", Map("q255" -> 4.0))
+    val text = Files.readString(new java.io.File(root, "TIMINGS_r11.json").toPath)
+    assert(!text.contains("vs_prev"), "sf0.1 prior must not pair with sf0.01 sweep")
+  }
+}
