@@ -542,5 +542,52 @@ class PlanAuditSpec extends SparkSpec {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("expansion-heavy queries run their hot stage wide (class C pin)") {
+    // r10 class C: q258/q197's expensive map stage (B-fold explode /
+    // 16-hash signature pass) inherited the parquet SCAN's single-split
+    // parallelism — 57 s of task time running ~2-wide at sf0.1. The fix
+    // is a round-robin repartition of the compact pre-expansion
+    // relation; PlanAuditSpec's job-count pin covers class B but
+    // nothing pinned this, so dropping the repartition would return the
+    // serial pathology hash-green (VERDICT r10 #5). Listener-counted
+    // inverse of the job bound: the stage carrying the most executor
+    // task time must run with the session's full width — if the
+    // expansion collapses back into the 1-task scan stage, that stage
+    // dominates run time and the assertion fails. (The md5 kernels
+    // dominate even at sf0.001: ~2M digests vs trivial work elsewhere.)
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stages.put(s.stageInfo.stageId,
+          (s.stageInfo.numTasks, s.stageInfo.taskMetrics.executorRunTime))
+    }
+    val sc = spark.sparkContext
+    val width = sc.defaultParallelism
+    sc.addSparkListener(listener)
+    try {
+      val cases = Seq[(String, () => DataFrame)](
+        ("q258_randomization_test",
+          () => operators.TradeAnalytics.randomizationTest(spark, sfDir)),
+        ("q197_lsh_recall_audit",
+          () => operators.Dedup.lshRecallAudit(spark, sfDir)))
+      for ((name, build) <- cases) {
+        org.apache.spark.graftbridge.ListenerBridge.drain(sc)
+        stages.clear()
+        build().collect()
+        org.apache.spark.graftbridge.ListenerBridge.drain(sc)
+        import scala.jdk.CollectionConverters._
+        val byTime = stages.asScala.values.toSeq.sortBy(-_._2)
+        assert(byTime.nonEmpty, s"$name: no stages observed")
+        val (hotTasks, hotMs) = byTime.head
+        assert(hotTasks >= width,
+          s"$name: hottest stage ($hotMs ms of task time) ran with only " +
+            s"$hotTasks task(s) — the pre-expansion repartition is gone " +
+            s"and the expensive map stage serialized (expected >= $width)")
+        spark.catalog.clearCache()
+      }
+    } finally sc.removeSparkListener(listener)
+  }
+
   private lazy val testImplicits = spark.implicits
 }
