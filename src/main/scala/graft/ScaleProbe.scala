@@ -85,7 +85,14 @@ object ScaleProbe {
       // r10: the degree-oriented triangle join — replicas are textually
       // disjoint, so the 10x chunk-share graph is 10 disjoint copies of
       // the original and the two-hop intermediate must scale ~10x
-      "q107_triangle_census")
+      "q107_triangle_census",
+      // r11 (VERDICT r10 #3): the iterative/graph family — per-round
+      // Checkpoints cuts (join + agg per round, lineage truncated).
+      // Disjoint replicas again make the 10x graph 10 disjoint copies:
+      // same diameter, so the ROUND COUNT is unchanged and each round's
+      // join/agg shuffle must scale ~10x — the probed prediction.
+      "q255_kcore", "q195_connected_components", "q53_dup_groups",
+      "q75_doc_centrality")
     for (name <- probes; (label, dir) <- Seq(("sf0.1", base), ("10x", tenXDir))) {
       val d = SparkEntry.allDefs.find(_.name == name).get
       d.build(spark, dir).count() // warm (codegen + page cache)
