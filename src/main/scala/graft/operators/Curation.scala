@@ -1556,7 +1556,8 @@ object Curation extends QueryModule {
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q309_dedup_weights", dedupWeights, Some(dedupWeightsSql)),
-    QueryDef("q312_assortativity", assortativity, Some(assortativitySql)),
+    QueryDef("q312_assortativity", assortativity, Some(assortativitySql),
+      benchmark = true),
     QueryDef("q62_decontamination", decontamination, Some(decontaminationSql)),
     QueryDef("q63_sequence_packing", sequencePacking, Some(sequencePackingSql)),
     QueryDef("q64_quantization_qa", quantizationQa, Some(quantizationQaSql)),

@@ -210,7 +210,8 @@ object SqlSurface extends QueryModule {
     QueryDef("q115_band_join", bandJoin, Some(bandJoinSql)),
     QueryDef("q116_null_safe_join", nullSafeJoin, Some(nullSafeJoinSql)),
     QueryDef("q220_sql_custom_expr", sqlCustomExpr, Some(sqlCustomExprSql)),
-    QueryDef("q226_recursive_cte", recursiveCte, Some(recursiveCteSql)),
+    QueryDef("q226_recursive_cte", recursiveCte, Some(recursiveCteSql),
+      benchmark = true),
     QueryDef("q235_holt_smoothing", holtSmoothing, Some(holtSmoothingSql)),
     QueryDef("q237_path_signatures", pathSignatures,
       Some(pathSignaturesSql)),

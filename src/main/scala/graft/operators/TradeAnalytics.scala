@@ -1766,22 +1766,29 @@ object TradeAnalytics extends QueryModule {
     val b = baskets.join(keep, Seq("cust"))
       .persist() // read by itemN and posts — one basket build, not two
     val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust")).persist()
-    val posts = b.join(itemN, Seq("item"))
+    val posts = b
       .select(col("cust"), struct(col("item").as("doc_id"),
-        col("n_cust").cast("int").as("nsh")).as("e"))
+        lit(0).as("nsh")).as("e"))
       .groupBy(col("cust")).agg(collect_list(col("e")).as("ds"))
     // persist: sym reads pairs TWICE (the unionAll symmetrization) —
-    // without it the whole Σbsz² pairExpand kernel evaluates twice
+    // without it the whole Σbsz² pairExpand kernel evaluates twice.
+    // Pair-key-only kernel (r11, shared shape with q217): per-item
+    // degrees join back AFTER the Σbsz² aggregation from the bounded
+    // |catalog|-row degree dimension instead of riding every pair.
     val pairs = posts.select(explode(
         graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
-      .select(col("p.*"))
-      .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("co"))
       .persist()
     val sym = pairs.select(col("doc_a").as("item"), col("doc_b").as("neighbor"),
-        col("co"), col("nsh_a").as("ni"), col("nsh_b").as("nn"))
+        col("co"))
       .unionAll(pairs.select(col("doc_b").as("item"), col("doc_a").as("neighbor"),
-        col("co"), col("nsh_b").as("ni"), col("nsh_a").as("nn")))
+        col("co")))
+      .join(broadcast(itemN.select(col("item"), col("n_cust").as("ni"))),
+        Seq("item"))
+      .join(broadcast(itemN.select(col("item").as("neighbor"),
+        col("n_cust").as("nn"))), Seq("neighbor"))
       .withColumn("cosine", col("co").cast("double") /
         sqrt(col("ni").cast("double") * col("nn")))
     val top50 = itemN.orderBy(col("n_cust").desc, col("item")).limit(50)
@@ -1929,23 +1936,32 @@ object TradeAnalytics extends QueryModule {
     val keep = baskets.groupBy(col("cust")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= 256).select(col("cust"))
     val b = baskets.join(keep, Seq("cust")).persist()
-    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust"))
-    val posts = b.join(itemN, Seq("item"))
+    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust")).persist()
+    val posts = b
       .select(col("cust"), struct(col("item").as("doc_id"),
-        col("n_cust").cast("int").as("nsh")).as("e"))
+        lit(0).as("nsh")).as("e"))
       .groupBy(col("cust")).agg(collect_list(col("e")).as("ds"))
     // persist: sym reads pairs TWICE (the unionAll symmetrization) —
-    // without it the whole Σbsz² pairExpand kernel evaluates twice
+    // without it the whole Σbsz² pairExpand kernel evaluates twice.
+    // The Σbsz² relation carries ONLY the pair key: per-item degrees
+    // (nsh) are functionally dependent on the item ids, so shipping
+    // them through the kernel widened every emitted struct and the
+    // 12M-key aggregation for data derivable by a post-agg broadcast
+    // join against the |catalog|-row degree dimension.
     val pairs = posts.select(explode(
         graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
-      .select(col("p.*"))
-      .groupBy(col("doc_a"), col("doc_b"), col("nsh_a"), col("nsh_b"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("co"))
       .persist()
     val sym = pairs.select(col("doc_a").as("item"), col("doc_b").as("neighbor"),
-        col("co"), col("nsh_a").as("ni"), col("nsh_b").as("nn"))
+        col("co"))
       .unionAll(pairs.select(col("doc_b").as("item"), col("doc_a").as("neighbor"),
-        col("co"), col("nsh_b").as("ni"), col("nsh_a").as("nn")))
+        col("co")))
+      .join(broadcast(itemN.select(col("item"), col("n_cust").as("ni"))),
+        Seq("item"))
+      .join(broadcast(itemN.select(col("item").as("neighbor"),
+        col("n_cust").as("nn"))), Seq("neighbor"))
       .withColumn("cosine", col("co").cast("double") /
         sqrt(col("ni").cast("double") * col("nn")))
     val wItem = Window.partitionBy(col("item"))
@@ -1967,7 +1983,7 @@ object TradeAnalytics extends QueryModule {
         .select(col("cust").as("user_id"), col("rank"),
           col("neighbor").as("item"), round(col("score"), 4).as("score"))
         .orderBy(col("user_id"), col("rank")),
-      b, pairs)
+      b, pairs, itemN)
   }
 
   private val hardNegativesSql =
@@ -4021,7 +4037,8 @@ object TradeAnalytics extends QueryModule {
       Some(alsFactorizationSql)),
     QueryDef("q295_bradley_terry", bradleyTerry, Some(bradleyTerrySql)),
     QueryDef("q298_kruskal_wallis", kruskalWallis, Some(kruskalWallisSql)),
-    QueryDef("q302_recsys_backtest", recsysBacktest, Some(recsysBacktestSql)),
+    QueryDef("q302_recsys_backtest", recsysBacktest, Some(recsysBacktestSql),
+      benchmark = true),
     QueryDef("q305_haar_energy", haarEnergy, Some(haarEnergySql), benchmark = true),
     QueryDef("q307_price_elasticity", priceElasticity,
       Some(priceElasticitySql)),
@@ -4071,9 +4088,11 @@ object TradeAnalytics extends QueryModule {
       Some(seasonalAnomaliesSql)),
     QueryDef("q200_decile_mobility", decileMobility, Some(decileMobilitySql), benchmark = true),
     QueryDef("q201_price_volume_mix", priceVolumeMix, Some(priceVolumeMixSql)),
-    QueryDef("q204_item_neighbors", itemNeighbors, Some(itemNeighborsSql)),
+    QueryDef("q204_item_neighbors", itemNeighbors, Some(itemNeighborsSql),
+      benchmark = true),
     QueryDef("q212_negative_samples", negativeSamples, Some(negativeSamplesSql)),
-    QueryDef("q217_hard_negatives", hardNegatives, Some(hardNegativesSql)),
+    QueryDef("q217_hard_negatives", hardNegatives, Some(hardNegativesSql),
+      benchmark = true),
     QueryDef("q224_theil_decomposition", theilDecomposition,
       Some(theilDecompositionSql)),
     QueryDef("q229_abc_xyz_matrix", abcXyzMatrix, Some(abcXyzMatrixSql)),
