@@ -89,7 +89,21 @@ object Bench {
       "q43_ann_hyperplane")
     val coreTotal = results.collect { case (k, v, _) if core16(k) && v >= 0 => v }.sum
     val vsPrev = vsPrevBlock(results)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16_total":$coreTotal%.3f,"queries":$qs,"samples":$spread$errsJson$vsPrev,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16_total":$coreTotal%.3f,"queries":$qs,"samples":$spread$errsJson$vsPrev,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the COMPLETE result line as a repo-root round artifact:
+    // the driver's BENCH_r{N}.json stores only the last 2000 chars of
+    // the run log, and with 39 benched queries the result line no
+    // longer fits — r10's tail begins mid-samples-object, which is why
+    // parsePrevResult needs salvage paths at all. Next round's
+    // vsPrevBlock prefers this file (full fidelity) over the tail.
+    try Timings.currentRound(new java.io.File(".")).foreach { n =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"BENCHFULL_r$n.json"), line)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCHFULL artifact skipped: ${e.getMessage}")
+    }
     spark.stop()
   }
 
@@ -151,7 +165,26 @@ object Bench {
             }
             (q, s)
           case None =>
-            (Map.empty[String, Double], Map.empty[String, List[Double]])
+            // Last salvage: the tail can begin INSIDE the samples
+            // object (BENCH_r10 shape — the opener itself was cut), so
+            // neither regex above matches, yet most per-query sample
+            // arrays survive verbatim. Harvest every array-valued
+            // entry, excluding the flagged block's prev_samples/
+            // cur_samples (the only other array-valued keys this
+            // writer emits). Partial prior data yields a partial —
+            // still useful — vs_prev over the intersection.
+            val entryRx = """"([A-Za-z0-9_]+)"\s*:\s*\[([0-9.,\s-]*)\]""".r
+            val s = entryRx.findAllMatchIn(hay).collect {
+              case m if m.group(1) != "prev_samples" &&
+                  m.group(1) != "cur_samples" =>
+                (m.group(1), m.group(2).split(",").toList
+                  .map(_.trim).filter(_.nonEmpty)
+                  .flatMap(v => scala.util.Try(v.toDouble).toOption))
+            }.toMap
+            val q = s.collect {
+              case (k, vs) if vs.nonEmpty && vs.forall(_ > 0) => (k, vs.min)
+            }
+            (q, s)
         }
     }
   }
@@ -159,16 +192,26 @@ object Bench {
   private def vsPrevBlock(
       results: Seq[(String, Double, Seq[Double])]): String = {
     try {
-      val rx = """BENCH_r(\d+)\.json""".r
+      // BENCHFULL_r{N} (our own complete-line artifact) outranks the
+      // driver's BENCH_r{N} log tail for the same round: the tail is
+      // capped at 2000 chars and truncates mid-line once the bench set
+      // is large, degrading the prior round to a salvage parse
+      val rx = """(BENCHFULL|BENCH)_r(\d+)\.json""".r
+      // exclude the CURRENT round: a builder-run bench writes
+      // BENCHFULL_r{N} mid-round, and the driver's end-of-round run
+      // must still diff against round N-1, not against that artifact
+      val curRound = Timings.currentRound(new java.io.File("."))
+        .getOrElse(Int.MaxValue)
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .flatMap { f =>
           f.getName match {
-            case rx(n) => Some((n.toInt, f))
+            case rx(kind, n) if n.toInt < curRound =>
+              Some(((n.toInt, kind == "BENCHFULL"), f))
             case _ => None
           }
         }
       if (files.isEmpty) return ""
-      val (prevN, prevFile) = files.maxBy(_._1)
+      val ((prevN, _), prevFile) = files.maxBy(_._1)
       val text = new String(
         java.nio.file.Files.readAllBytes(prevFile.toPath), "UTF-8")
       import org.json4s._
