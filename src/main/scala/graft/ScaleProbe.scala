@@ -45,17 +45,24 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    if (!new java.io.File(s"$tenXDir/documents.parquet").exists()) {
-      Tables.documents(spark, base)
-        .select(col("*"), explode(sequence(lit(0), lit(9))).as("r"))
-        .select(
-          (col("doc_id") * 10 + col("r")).as("doc_id"),
-          array_join(transform(split(col("text"), " "),
-            t => concat(lit("r"), col("r"), lit("x"), t)), " ").as("text"),
-          col("lang"), col("source"))
-        .withColumn("n_chars", length(col("text")))
-        .write.mode("overwrite").parquet(s"$tenXDir/documents.parquet")
-    }
+    // `spread = true` writes the corpus over `cpus` files — the 100×
+    // tier uses it so the scan has real split parallelism, the way a
+    // 100 TB layout would; the 10× tier keeps its round-9 single-file
+    // layout so readings stay comparable across rounds.
+    def synthDocs(factor: Int, dir: String, spread: Boolean = false): Unit =
+      if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+        val df = Tables.documents(spark, base)
+          .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("r"))
+          .select(
+            (col("doc_id") * factor + col("r")).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              t => concat(lit("r"), col("r"), lit("x"), t)), " ").as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")))
+        (if (spread) df.repartition(cpus) else df)
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      }
+    synthDocs(10, tenXDir)
     if (!new java.io.File(s"$tenXDir/embeddings.parquet").exists()) {
       Tables.embeddings(spark, base)
         .select(col("*"), explode(sequence(lit(0), lit(9))).as("r"))
@@ -93,10 +100,10 @@ object ScaleProbe {
       // join/agg shuffle must scale ~10x — the probed prediction.
       "q255_kcore", "q195_connected_components", "q53_dup_groups",
       "q75_doc_centrality")
-    for (name <- probes; (label, dir) <- Seq(("sf0.1", base), ("10x", tenXDir))) {
+    def probe(name: String, label: String, dir: String, samples: Int): Unit = {
       val d = SparkEntry.allDefs.find(_.name == name).get
-      d.build(spark, dir).count() // warm (codegen + page cache)
-      val times = (1 to 2).map { _ =>
+      if (samples > 1) d.build(spark, dir).count() // warm (codegen + page cache)
+      val times = (1 to samples).map { _ =>
         operators.ScaledWindows.release()
         spark.catalog.clearCache()
         shuffleRead.set(0); shuffleWrite.set(0)
@@ -110,6 +117,23 @@ object ScaleProbe {
       val (dt, n, sr, sw) = times.minBy(_._1)
       println(f"[scale] $name%-24s $label%-6s rows=$n%-8d wall=$dt%7.3f s " +
         f"shuffle_read=${sr / 1048576.0}%8.2f MiB shuffle_write=${sw / 1048576.0}%8.2f MiB")
+    }
+    for (name <- probes; (label, dir) <- Seq(("sf0.1", base), ("10x", tenXDir)))
+      probe(name, label, dir, samples = 2)
+
+    // Optional third tier: `runMain graft.ScaleProbe 100` adds a 100×
+    // corpus (same disjoint-replica construction, written across many
+    // files so scan-split geometry matches a real large layout) for a
+    // flagship subset — three decades (1×/10×/100×) let SCALE.md fit
+    // the scaling exponent instead of extrapolating from one step.
+    // Single timed run, no warmup: at 30–100 s walls the one-time
+    // codegen cost is noise, and each extra sample is a minute.
+    if (args.contains("100")) {
+      val hundredXDir = "/tmp/graft_scale_100x"
+      synthDocs(100, hundredXDir, spread = true)
+      for (name <- Seq("q36_corpus_prep", "q40_minhash_lsh",
+          "q321_sharded_dedup_production", "q255_kcore"))
+        probe(name, "100x", hundredXDir, samples = 1)
     }
     spark.stop()
   }

@@ -118,11 +118,31 @@ object Dedup extends QueryModule {
       .persist()
     val signed = shingled.select(col(idCol), col("__sig"))
 
-    val candidates = lshCandidates(signed, idCol, "__sig", bands, rowsPerBand)
+    // Explicit broadcast: the candidate relation is DUP-RATE-sized (two
+    // longs per surviving band-bucket pair), orders of magnitude under
+    // any broadcast limit at every probed tier — but AQE's size
+    // ESTIMATE of the bucket-join subtree grows with corpus, and past
+    // the threshold it flips the verify joins to shuffle joins, putting
+    // the FULL shingle-hash-array relation on the wire twice (measured
+    // at the 100× probe tier: 2×210 MiB, a 30×-per-decade step on an
+    // otherwise linear query; wall 9.9→15+ s). The hint pins the plan
+    // the actual sizes want: arrays never shuffle, verification is a
+    // map-side probe of the cached corpus at every scale. (If a corpus'
+    // dup rate ever made candidates driver-hostile, the cluster
+    // alternative is the bucket-doc semi-join reduction — measured
+    // 3× fewer wire bytes but +50% local wall; see SCALE.md round 11.)
+    val candidates = broadcast(
+      lshCandidates(signed, idCol, "__sig", bands, rowsPerBand))
     val sets = shingled.select(col(idCol), col("__shh"))
+    // The second hint matters as much as the first: a hint does not
+    // survive through a join's OUTPUT, so without it the id_b probe
+    // replans by estimate and shuffles the full array relation
+    // (measured at 100×: one residual 210 MiB exchange). The hinted
+    // intermediate is candidates ⋈ sh_a — still dup-rate-sized.
     Materialize.releasing(
-      candidates
-        .join(sets.select(col(idCol).as("id_a"), col("__shh").as("sh_a")), Seq("id_a"))
+      broadcast(candidates
+        .join(sets.select(col(idCol).as("id_a"), col("__shh").as("sh_a")),
+          Seq("id_a")))
         .join(sets.select(col(idCol).as("id_b"), col("__shh").as("sh_b")), Seq("id_b"))
         .withColumn("jaccard",
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
