@@ -63,18 +63,21 @@ object ScaleProbe {
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       }
     synthDocs(10, tenXDir)
-    if (!new java.io.File(s"$tenXDir/embeddings.parquet").exists()) {
-      Tables.embeddings(spark, base)
-        .select(col("*"), explode(sequence(lit(0), lit(9))).as("r"))
-        .select(
-          (col("vec_id") * 10 + col("r")).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (x + (pmod(col("vec_id") * 31 + col("r") * 13 + i * 7, lit(97))
-              - lit(48)).cast("double") * lit(1e-4)).cast("float"))
-            .as("embedding"),
-          col("label"))
-        .write.mode("overwrite").parquet(s"$tenXDir/embeddings.parquet")
-    }
+    def synthEmb(factor: Int, dir: String, spread: Boolean = false): Unit =
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val df = Tables.embeddings(spark, base)
+          .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("r"))
+          .select(
+            (col("vec_id") * factor + col("r")).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              (x + (pmod(col("vec_id") * 31 + col("r") * 13 + i * 7, lit(97))
+                - lit(48)).cast("double") * lit(1e-4)).cast("float"))
+              .as("embedding"),
+            col("label"))
+        (if (spread) df.repartition(cpus) else df)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
+    synthEmb(10, tenXDir)
 
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong()
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
@@ -89,6 +92,10 @@ object ScaleProbe {
       "q36_corpus_prep", "q40_minhash_lsh", "q263_dup_span_coverage",
       "q35_jaccard_pairs", "q321_sharded_dedup_production",
       "q42_knn_bruteforce", "q43_ann_hyperplane",
+      // r11: simhash joined the 100× tier — give it the lower decades too
+      // so its (quadratic-by-construction) output growth reads against a
+      // full three-decade wire-bytes series
+      "q41_simhash",
       // r10: the degree-oriented triangle join — replicas are textually
       // disjoint, so the 10x chunk-share graph is 10 disjoint copies of
       // the original and the two-hop intermediate must scale ~10x
@@ -131,8 +138,14 @@ object ScaleProbe {
     if (args.contains("100")) {
       val hundredXDir = "/tmp/graft_scale_100x"
       synthDocs(100, hundredXDir, spread = true)
+      synthEmb(100, hundredXDir, spread = true)
       for (name <- Seq("q36_corpus_prep", "q40_minhash_lsh",
-          "q321_sharded_dedup_production", "q255_kcore"))
+          "q321_sharded_dedup_production", "q255_kcore",
+          // broadened after q40's cliff: every distinct candidate/pair
+          // kernel family gets a third decade — estimate-driven plan
+          // flips are invisible until the estimates get big
+          "q35_jaccard_pairs", "q41_simhash", "q107_triangle_census",
+          "q42_knn_bruteforce", "q43_ann_hyperplane"))
         probe(name, "100x", hundredXDir, samples = 1)
     }
     spark.stop()

@@ -172,16 +172,26 @@ object Similarity extends QueryModule {
 
     // candidate dedup on IDS ONLY (a pair can collide in several bands);
     // vectors join back after — distinct over the id pair shuffles 16
-    // bytes/row, not the embedding payloads
+    // bytes/row, not the embedding payloads. `queries` is nQueries×3 rows
+    // but its size ESTIMATE derives from the corpus-sized `banded` subtree,
+    // so without the hint AQE flips this to a shuffle join once the corpus
+    // estimate crosses the broadcast threshold (measured at the 100× probe
+    // tier: same cliff class as q40's verify joins).
     val candidates = banded.select(col("vec_id"), col("band"), col("bkey"))
-      .join(queries, Seq("band", "bkey"))
+      .join(broadcast(queries), Seq("band", "bkey"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id")).distinct()
 
     val vectors = corpus.select(col("vec_id"), col("vec"))
     val qvecs = vectors.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"))
-    val scored = candidates
+    // broadcast the id-pair candidate list so the fat embedding relation
+    // never shuffles: candidates ≈ nQueries × bands × avg-bucket rows of
+    // 16 bytes (≈1 MiB at the 100× tier vs ~100 MiB of vectors). At
+    // cluster scale nBits must grow with the corpus so buckets — and this
+    // relation — stay bounded; if it ever can't be broadcast, the shuffle
+    // join is the honest fallback, not a pathology.
+    val scored = broadcast(candidates)
       .join(vectors, Seq("vec_id"))
       .join(broadcast(qvecs), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("vec"), col("qvec")).as("sim"))
@@ -396,31 +406,38 @@ object Similarity extends QueryModule {
     val dim = 64
     val bandBits = nBits / nBands
     val planes = hyperplanes(nBits, dim, seed)
-    val banded = embeddings
+    // pair-keys-only kernel (same discipline as the q217 CF narrowing):
+    // the bucket self-join and the candidate distinct move 16-byte id
+    // pairs, never the 512-byte vectors — payloads join back AFTER the
+    // dedup, so wire bytes are 2×candidates(ids) + 2×corpus(linear)
+    // instead of candidates × two payloads (superlinear in bucket size)
+    val sigs = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
       .withColumn("sig", hyperplaneSignature(col("vec"), planes))
-      .select(col("vec_id"), col("vec"),
-        explode(array((0 until nBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("sig"), b * bandBits)
-              .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))
-        }: _*)).as("bb"))
-      .select(col("vec_id"), col("vec"),
-        col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       .persist()
-    val a = banded.select(col("band"), col("bkey"),
-      col("vec_id").as("id_a"), col("vec").as("vec_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("vec_id").as("id_b"), col("vec").as("vec_b"))
+    val banded = sigs.select(col("vec_id"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("vec_id").as("id_a"))
+    val b = banded.select(col("band"), col("bkey"), col("vec_id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = sigs.select(col("vec_id").as("id_a"), col("vec").as("vec_a"))
+    val vb = sigs.select(col("vec_id").as("id_b"), col("vec").as("vec_b"))
     Materialize.releasing(
-      a.join(b, Seq("band", "bkey"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b")).distinct()
+      candidates
+        .join(va, Seq("id_a"))
+        .join(vb, Seq("id_b"))
         .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
         .filter(col("sim") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("cosine_sim"))
         .orderBy(col("id_a"), col("id_b")),
-      banded)
+      sigs)
   }
 
   /** DuckDB replica of `cosinePairsLsh(threshold=0.45, nBits=18,
