@@ -47,6 +47,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Let AQE coalesce INSIDE cached plans too (off by default so a
+      // cache's partitioning is stable for reuse). Off, a persisted
+      // relation freezes its pre-AQE shuffle width — a 4k-row distinct
+      // cached at shuffle.partitions=32 is then scanned at 32 tasks by
+      // every consumer, and the per-task columnar-cache overhead
+      // (~100 ms) dwarfs the data: q146 measured 198 tasks / 22 s of
+      // task time for 10k events, vs 12 tasks / 0.6 s with this on.
+      // User repartition(n) calls are still honored (AQE never
+      // coalesces REPARTITION_BY_NUM shuffles), so the class-C
+      // serialization fixes keep their pinned width.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
       // events.parquet stores TIMESTAMP(NANOS). On Spark ≤4.0 this conf

@@ -58,6 +58,7 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -71,7 +72,45 @@ object Verify {
     // get caught on the full 322-query surface the 31-query bench
     // doesn't cover (round-10 lesson: done = hash-green AND timed).
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val ran = SparkEntry.queries
+    // Untimed session warmup. The first analysis-heavy query in run
+    // order otherwise absorbs the one-time JVM/JIT + Catalyst/codegen
+    // init (~6-7 s on this runtime): SparkEntry.queries is a hash-ordered
+    // Map, and q146 happened to iterate first for rounds 1-11, so every
+    // full dump reported it at ~8 s when its warm cost is ~1 s (stack
+    // samples during the window showed CheckAnalysis + C1/C2 compiler
+    // threads, not query work). Warm with the floor query plus the
+    // flagship entry so the timed loop starts on a JIT-warm analyzer.
+    try {
+      SparkEntry.queries.get("q000_bench_floor")
+        .foreach(_(spark, sfDir).collect())
+      SparkEntry.entry(spark).count()
+      // exercise the hot expression families once (windows, stat aggs,
+      // percentiles, string funcs, persist+cache-scan) so their lazy
+      // codegen/JIT lands here instead of on the first timed queries of
+      // the first module (measured: the head-of-order queries otherwise
+      // read 2-9x their steady-state dump wall)
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("i"))
+      val warm = spark.range(1000).toDF("i")
+        .select(col("i"), pmod(col("i"), lit(7)).as("k"),
+          concat(lit("w"), col("i").cast("string")).as("s"))
+        .persist()
+      warm.select(col("i"), col("k"),
+          rank().over(w).as("r"), avg(col("i")).over(w).as("m"),
+          upper(col("s")).as("u"), length(col("s")).as("l"))
+        .groupBy(col("k"))
+        .agg(skewness(col("i")), kurtosis(col("i")), stddev(col("i")),
+          percentile_approx(col("i"), lit(0.5), lit(100)),
+          count_distinct(col("u")), max(col("r")), avg(col("m")))
+        .collect()
+      warm.unpersist()
+    } catch { case _: Throwable => () }
+    spark.catalog.clearCache()
+    // Deterministic declaration order (allDefs), not Map hash order:
+    // stable round-over-round, so the TIMINGS vs_prev diff compares each
+    // query at the same session age.
+    val ran = SparkEntry.allDefs.map(d => (d.name, d.build))
       .filter { case (name, _) => only.isEmpty || only(name) }
     ran.foreach { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -577,13 +577,15 @@ object EventAnalytics extends QueryModule {
     val pairs = Tables.events(spark, dir)
       .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("d"))
       .distinct()
-      .persist() // read by the cover expansion, the day spine, and DAU
+      .persist() // read by the cover expansion and DAU
     val cover = pairs
       .select(col("user_id"), explode(expr("sequence(d, d + 6)")).as("d2"))
       .distinct()
-    val days = pairs.select(col("d").as("d2")).distinct()
-    val wau = cover.join(days, Seq("d2"))
-      .groupBy(col("d2")).agg(count(lit(1)).as("wau"))
+    // no separate observed-day spine: the inner join with DAU below
+    // already restricts the cover days to observed days, so a
+    // days-semi-join before the count would be a redundant third
+    // consumer of the cache and an extra shuffle
+    val wau = cover.groupBy(col("d2")).agg(count(lit(1)).as("wau"))
     val dau = pairs.groupBy(col("d").as("d2")).agg(count(lit(1)).as("dau"))
     Materialize.releasing(
       wau.join(dau, Seq("d2"))
