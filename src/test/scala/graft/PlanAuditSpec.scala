@@ -589,5 +589,30 @@ class PlanAuditSpec extends SparkSpec {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("estimate-cliff broadcast hints stay in the q40/q43 candidate joins") {
+    // r11 100x probe: AQE's size ESTIMATE for a candidate relation
+    // derives from the corpus-sized subtree that produced it, so once
+    // the corpus estimate crosses the broadcast threshold the verify /
+    // re-rank joins flip to shuffles and put the FAT relation (shingle
+    // arrays / embedding vectors) on the wire — q40 wrote 875 MiB and
+    // q43 80.5 MiB at 100x, both ~KiB with explicit broadcast() on the
+    // actually-tiny side. The cliff is INVISIBLE at spec and gate
+    // scales (estimates small -> AQE broadcasts anyway), so the pin
+    // asserts the hint NODES in the analyzed plan, which fails the
+    // moment a refactor drops them regardless of data size.
+    val cases = Seq[(String, Int, () => DataFrame)](
+      ("q40_minhash_lsh", 2, () => operators.Dedup.minHashQuery(spark, sfDir)),
+      ("q43_ann_hyperplane", 3,
+        () => operators.Similarity.annQuery(spark, sfDir)))
+    for ((name, minHints, build) <- cases) {
+      val hints = build().queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }
+      assert(hints.size >= minHints,
+        s"$name: expected >= $minHints broadcast hints on the candidate-" +
+          s"side joins (100x estimate-cliff guard), found ${hints.size}")
+    }
+  }
+
   private lazy val testImplicits = spark.implicits
 }
