@@ -107,7 +107,11 @@ object ScaleProbe {
       // same diameter, so the ROUND COUNT is unchanged and each round's
       // join/agg shuffle must scale ~10x — the probed prediction.
       "q255_kcore", "q195_connected_components", "q53_dup_groups",
-      "q75_doc_centrality")
+      "q75_doc_centrality",
+      // r11: the multimodal decode path — payloads synthesize from the
+      // document corpus, so the probe dirs exercise the binary column +
+      // mapPartitions decode seam at 10x volume
+      "q315_video_decode")
     def probe(name: String, label: String, dir: String, samples: Int): Unit = {
       val d = SparkEntry.allDefs.find(_.name == name).get
       if (samples > 1) d.build(spark, dir).count() // warm (codegen + page cache)
@@ -146,7 +150,11 @@ object ScaleProbe {
           // kernel family gets a third decade — estimate-driven plan
           // flips are invisible until the estimates get big
           "q35_jaccard_pairs", "q41_simhash", "q107_triangle_census",
-          "q42_knn_bruteforce", "q43_ann_hyperplane"))
+          "q42_knn_bruteforce", "q43_ann_hyperplane",
+          // r11: both remaining loop SHAPES at the third decade — q255
+          // covers peel-style; these cover pointer-doubling CC over two
+          // differently-dense graphs
+          "q195_connected_components", "q53_dup_groups"))
         probe(name, "100x", hundredXDir, samples = 1)
     }
     spark.stop()

@@ -268,6 +268,13 @@ object Multimodal extends QueryModule {
     val docs = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("text")).as[(Long, String)]
+      // class-C discipline (SCALE.md round 10): the codec work below is
+      // the expensive stage and must not inherit the scan's split count
+      // (a single-file corpus would serialize it — measured 12x wall at
+      // the 10x probe tier). The pre-synth relation is compact ids+text,
+      // so spreading it is cheap; in production, media BYTES arrive
+      // pre-split from storage and are never shuffled.
+      .repartition(spark.sparkContext.defaultParallelism)
     docs.mapPartitions { it =>
       it.map { case (id, text) =>
         val w = 1 + (id % 31).toInt
@@ -431,6 +438,13 @@ object Multimodal extends QueryModule {
     val docs = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("text")).as[(Long, String)]
+      // class-C discipline (SCALE.md round 10): the codec work below is
+      // the expensive stage and must not inherit the scan's split count
+      // (a single-file corpus would serialize it — measured 12x wall at
+      // the 10x probe tier). The pre-synth relation is compact ids+text,
+      // so spreading it is cheap; in production, media BYTES arrive
+      // pre-split from storage and are never shuffled.
+      .repartition(spark.sparkContext.defaultParallelism)
     docs.mapPartitions { it =>
       it.map { case (id, text) =>
         val n = 50 + (id % 101).toInt
@@ -580,6 +594,13 @@ object Multimodal extends QueryModule {
     val docs = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("text")).as[(Long, String)]
+      // class-C discipline (SCALE.md round 10): the codec work below is
+      // the expensive stage and must not inherit the scan's split count
+      // (a single-file corpus would serialize it — measured 12x wall at
+      // the 10x probe tier). The pre-synth relation is compact ids+text,
+      // so spreading it is cheap; in production, media BYTES arrive
+      // pre-split from storage and are never shuffled.
+      .repartition(spark.sparkContext.defaultParallelism)
     docs.mapPartitions { it =>
       it.map { case (id, text) =>
         val w = 1 + (id % 9).toInt
