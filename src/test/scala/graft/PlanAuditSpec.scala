@@ -570,7 +570,12 @@ class PlanAuditSpec extends SparkSpec {
         ("q258_randomization_test",
           () => operators.TradeAnalytics.randomizationTest(spark, sfDir)),
         ("q197_lsh_recall_audit",
-          () => operators.Dedup.lshRecallAudit(spark, sfDir)))
+          () => operators.Dedup.lshRecallAudit(spark, sfDir)),
+        // r11: the codec synth+decode kernel must not inherit the
+        // documents scan's split count (12x wall at the 10x probe tier
+        // before the pre-synth repartition landed)
+        ("q315_video_decode",
+          () => multimodal.Multimodal.videoDecodeQuery(spark, sfDir)))
       for ((name, build) <- cases) {
         org.apache.spark.graftbridge.ListenerBridge.drain(sc)
         stages.clear()
