@@ -332,7 +332,12 @@ object Sampling extends QueryModule {
       .foldRight(lit(8L): org.apache.spark.sql.Column) {
         case ((thr, k), rest) => when(u < thr, k.toLong).otherwise(rest)
       }
+    // class-C discipline (q258 precedent): the ×200 explode and its
+    // per-row md5 kernel must not inherit the day relation's AQE-
+    // coalesced single partition — spread the compact day rows first
+    // (the r11 width audit flagged the fused stage at 1 task × 0.7 s)
     val reps = daily
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("d"), col("x"), explode(expr("sequence(0, 199)")).as("b"))
       .withColumn("w", wCol)
     val means = reps.groupBy(col("b"))
