@@ -8,8 +8,62 @@ import org.apache.spark.sql.SparkSession
   * Each query is forced with a full-result noop action (count over the
   * final plan) after a JVM/session warmup pass so codegen + classloading
   * don't land in the first measured query.
+  *
+  * Contention instrumentation (VERDICT r11 #1): the old q000 floor is a
+  * 1-ROW query — it measures fixed per-query overhead, and a 1-row count
+  * does not contend for 32 cores, so it read a normal 0.137 s while the
+  * r11 driver sweep ran under load-15 ≈ 5.4 and recorded ten false
+  * "regressions" (all cleared by idle re-runs). This run now carries:
+  *
+  *  - a CONTENTION CANARY — a fixed 32-task CPU spin of known cost,
+  *    measured at sweep start, every [[canaryEvery]] queries, and at the
+  *    end. Its wall scales with core oversubscription (each task is pure
+  *    dependent-ALU work), so sustained host load shows as canary drift
+  *    even when every query sample is consistently elevated;
+  *  - the floor re-measured on the same schedule (floor SERIES, not one
+  *    point), so fixed-overhead drift across the sweep is visible too;
+  *  - classification: a flagged slowdown whose nearest canary drifted
+  *    >[[canaryDriftThr]]× over the canary base (min of this run's
+  *    canary samples and the prior round's recorded canary_min) is
+  *    labeled `contended-host: rerun required`, NOT "regression";
+  *  - an automatic THIRD sample for every regression-direction flag,
+  *    taken after the sweep (by then transient load may have passed);
+  *    mins and flags are recomputed with it.
   */
 object Bench {
+
+  /** Re-measure canary + floor every this many queries. */
+  private val canaryEvery = 8
+
+  /** Nearest-canary drift past this ⇒ the host was contended when the
+    * query ran; a flag under it is labeled contended, not regression. */
+  private[graft] val canaryDriftThr = 1.3
+
+  /** Fixed parallel workload: `cpus` tasks of pure dependent-ALU spin
+    * (an LCG chain — unJITtable into anything but the multiply-add it
+    * is). Known cost on an idle host ≈ 0.15-0.3 s wall with all tasks
+    * co-scheduled; under an oversubscribed host the wall scales with
+    * the oversubscription factor, which is exactly the signal the 1-row
+    * floor cannot see. Constant across rounds BY CODE — comparability
+    * of canary_min between rounds is the contract, so never tune the
+    * iteration count without bumping the name.
+    */
+  private def contentionCanary(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    // the xor-reduce crosses the task-result boundary, so the chain is
+    // observable and cannot be dead-code-eliminated
+    spark.sparkContext.parallelize(1 to cpus, cpus).map { i =>
+      var x = i.toLong | 1L
+      var j = 0
+      while (j < 100000000) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        j += 1
+      }
+      x
+    }.reduce(_ ^ _)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -42,6 +96,41 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup query failed: ${e.getMessage}")
     }
+    // canary JIT warmup (untimed) so the first timed canary point is not
+    // inflated by its own compile
+    try contentionCanary(spark, cpus)
+    catch { case _: Throwable => () }
+
+    val defs = SparkEntry.benchQueries
+    val floorDef = defs.find(_.name == "q000_bench_floor")
+
+    // one timed sample of `d` with the per-sample cache hygiene the
+    // min-of-2 scheme has always used
+    def sampleOnce(d: QueryDef): Double = {
+      operators.ScaledWindows.release()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val ok =
+        try { d.build(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
+          false
+        }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+
+    val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val floorSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def mark(idx: Int): Unit = {
+      try canarySeries += ((idx, contentionCanary(spark, cpus)))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] canary@$idx failed: ${e.getMessage}")
+      }
+      floorDef.foreach { f =>
+        val t = sampleOnce(f)
+        if (t >= 0) floorSeries += ((idx, t))
+      }
+    }
 
     // per-query warmup run (codegen compile, page cache), then two timed
     // runs; report the min AND every raw sample. Caches are cleared
@@ -54,23 +143,47 @@ object Bench {
     // samples [2.1, 8.6] was contended, one at [8.4, 8.6] regressed.
     // a failed query records -1 (not its near-zero elapsed time) so a
     // broken benchmark can't silently read as fast-and-successful
-    val results = SparkEntry.benchQueries.map { d =>
+    val measured = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    val posOf = defs.zipWithIndex.map { case (d, i) => (d.name, i) }.toMap
+    defs.zipWithIndex.foreach { case (d, i) =>
+      if (i % canaryEvery == 0) mark(i)
       try d.build(spark, sfDir).count()
       catch { case _: Throwable => () }
-      val samples = (1 to 2).map { _ =>
-        operators.ScaledWindows.release()
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val ok =
-          try { d.build(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
-            false
-          }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      (d.name, if (samples.exists(_ < 0)) -1.0 else samples.min, samples)
+      measured(d.name) = (1 to 2).map(_ => sampleOnce(d)).toList
     }
+    mark(defs.size)
+
+    def toResults(m: collection.Map[String, List[Double]]): Seq[(String, Double, Seq[Double])] =
+      defs.map { d =>
+        val ss = m(d.name)
+        (d.name, if (ss.exists(_ < 0)) -1.0 else ss.min, ss)
+      }
+
+    // vs_prev against the prior round, canary-aware; regression-direction
+    // flags earn an automatic third sample (the sweep is over — transient
+    // load that inflated both in-sweep samples may have passed), then
+    // flags are recomputed over min-of-3. Resampling is bounded by the
+    // flag count, so a clean round costs nothing extra.
+    val prev = loadPrev()
+    val canaryBase = canaryBaseOf(canarySeries.map(_._2).toSeq, prev.flatMap(_.canaryMin))
+    def flagsOf(rs: Seq[(String, Double, Seq[Double])]) = prev match {
+      case Some(p) =>
+        computeFlags(rs, p.q, p.s, posOf, canarySeries.toSeq, canaryBase)
+      case None => (Seq.empty, Seq.empty)
+    }
+    val (_, flags1) = flagsOf(toResults(measured))
+    val resampled = flags1.collect {
+      case f if f.eff > f.thr => f.name // regression-direction only
+    }
+    resampled.foreach { n =>
+      defs.find(_.name == n).foreach { d =>
+        val t = sampleOnce(d)
+        if (t >= 0) measured(n) = measured(n) :+ t
+      }
+    }
+    val results = toResults(measured)
+    val (ratios, flags) = flagsOf(results)
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, _, ss) =>
@@ -89,9 +202,20 @@ object Bench {
       "q40_minhash_lsh", "q41_simhash", "q42_knn_bruteforce",
       "q43_ann_hyperplane")
     val coreTotal = results.collect { case (k, v, _) if core16(k) && v >= 0 => v }.sum
-    val vsPrev = vsPrevBlock(results)
+    def seriesJson(s: Seq[(Int, Double)]): String =
+      s.map { case (i, v) => f"[$i,$v%.3f]" }.mkString("[", ",", "]")
+    val canaryJson =
+      if (canarySeries.isEmpty) ""
+      else f""","canary_min":${canarySeries.map(_._2).min}%.3f""" +
+        s""","canary_series":${seriesJson(canarySeries.toSeq)}""" +
+        s""","floor_series":${seriesJson(floorSeries.toSeq)}"""
+    val resampledJson =
+      if (resampled.isEmpty) ""
+      else resampled.map("\"" + _ + "\"").mkString(""","resampled":[""", ",", "]")
+    val vsPrev = prev.map(p => vsPrevJson(p.round, ratios, flags, floorOf(results)))
+      .getOrElse("")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16_total":$coreTotal%.3f,"queries":$qs,"samples":$spread$errsJson$vsPrev,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16_total":$coreTotal%.3f,"queries":$qs,"samples":$spread$errsJson$canaryJson$resampledJson$vsPrev,"sf":"$sfDir"}"""
     println(line)
     // Persist the COMPLETE result line as a repo-root round artifact:
     // the driver's BENCH_r{N}.json stores only the last 2000 chars of
@@ -108,14 +232,6 @@ object Bench {
     spark.stop()
   }
 
-  /** Mechanical round-over-round diff: locate the latest BENCH_r{N}.json
-    * the driver wrote in the repo root, extract its embedded result line,
-    * and emit per-query ratios plus a `flagged` subset (>1.5× either
-    * way) WITH both rounds' raw samples — so a flagged move is
-    * immediately classifiable as contention (wide spread) vs regression
-    * (tight spread) without narrative reconstruction. Absent or
-    * unparsable prior files degrade to an empty block, never a failure.
-    */
   /** Extract a prior round's (per-query min times, per-query samples)
     * from a driver log tail. Primary path: the full result line.
     * Fallback: the driver's log tail can truncate at the HEAD of the
@@ -172,12 +288,15 @@ object Bench {
             // arrays survive verbatim. Harvest every array-valued
             // entry, excluding the flagged block's prev_samples/
             // cur_samples (the only other array-valued keys this
-            // writer emits). Partial prior data yields a partial —
-            // still useful — vs_prev over the intersection.
+            // writer emits) and the canary/floor series (whose values
+            // are [index, time] pairs, not query samples). Partial
+            // prior data yields a partial — still useful — vs_prev
+            // over the intersection.
+            val skip = Set("prev_samples", "cur_samples",
+              "canary_series", "floor_series")
             val entryRx = """"([A-Za-z0-9_]+)"\s*:\s*\[([0-9.,\s-]*)\]""".r
             val s = entryRx.findAllMatchIn(hay).collect {
-              case m if m.group(1) != "prev_samples" &&
-                  m.group(1) != "cur_samples" =>
+              case m if !skip(m.group(1)) =>
                 (m.group(1), m.group(2).split(",").toList
                   .map(_.trim).filter(_.nonEmpty)
                   .flatMap(v => scala.util.Try(v.toDouble).toOption))
@@ -190,17 +309,117 @@ object Bench {
     }
   }
 
-  private def vsPrevBlock(
-      results: Seq[(String, Double, Seq[Double])]): String = {
+  private[graft] final case class PrevRound(round: Int, q: Map[String, Double],
+      s: Map[String, List[Double]], canaryMin: Option[Double])
+
+  private[graft] final case class Flagged(name: String, prev: Double,
+      cur: Double, ratio: Double, eff: Double, thr: Double, note: String,
+      curSamples: Seq[Double], prevSamples: Seq[Double],
+      canaryDrift: Option[Double])
+
+  /** The canary base both rounds' drift is judged against: the minimum
+    * over this run's canary samples AND the prior round's recorded
+    * canary_min. Using only the run's own min would blind the scheme to
+    * SUSTAINED contention — a sweep that is loaded end-to-end has every
+    * canary point elevated, including its own min (the exact r11
+    * failure shape: both query samples elevated, spread tight). The
+    * prior round's min anchors "idle" across rounds; the canary
+    * workload is a code constant, so the two are comparable.
+    */
+  private[graft] def canaryBaseOf(runSamples: Seq[Double],
+      prevMin: Option[Double]): Double = {
+    val all = runSamples.filter(_ > 0) ++ prevMin.filter(_ > 0)
+    if (all.isEmpty) 0.0 else all.min
+  }
+
+  /** Canary drift at query position `idx`: nearest canary sample (by
+    * position) over the base. None when the series or base is absent. */
+  private[graft] def nearestCanaryDrift(series: Seq[(Int, Double)],
+      idx: Int, base: Double): Option[Double] =
+    if (series.isEmpty || base <= 0) None
+    else Some(series.minBy { case (i, _) => math.abs(i - idx) }._2 / base)
+
+  /** Classification of one above-threshold move (VERDICT r11 #1). A
+    * drifted nearest canary outranks the spread heuristic: r11 proved
+    * "tight spread ⇒ real" unsound under SUSTAINED load (both samples
+    * elevated together), and the canary is the instrument that sees
+    * that load directly. */
+  private[graft] def classify(eff: Double, thr: Double, bothTight: Boolean,
+      canaryDrift: Option[Double]): Option[String] =
+    if (eff < 1.0 / thr) Some("improvement")
+    else if (eff <= thr) None
+    else canaryDrift match {
+      case Some(d) if d > canaryDriftThr => Some("contended-host: rerun required")
+      case _ if bothTight => Some("tight-spread regression candidate")
+      case _ => Some("wide-spread: likely contention drift, check samples")
+    }
+
+  private def floorOf(results: Seq[(String, Double, Seq[Double])]): Option[Double] =
+    results.find(_._1 == "q000_bench_floor").map(_._2).filter(_ > 0)
+
+  /** Per-query ratios + flagged subset vs a prior round. Thresholds and
+    * floor adjustment are unchanged from r9-r11 (1.25× when both rounds'
+    * samples are tight, 1.5× otherwise; floor-subtracted when both
+    * rounds carry the floor); what is new is the canary column on every
+    * flag and the contended-host verdict (see [[classify]]).
+    */
+  private[graft] def computeFlags(
+      results: Seq[(String, Double, Seq[Double])],
+      prevQ: Map[String, Double], prevS: Map[String, List[Double]],
+      posOf: Map[String, Int],
+      canarySeries: Seq[(Int, Double)], canaryBase: Double)
+      : (Seq[(String, Double)], Seq[Flagged]) = {
+    val ratios = results.flatMap { case (k, cur, _) =>
+      prevQ.get(k).filter(p => p > 0 && cur > 0).map(p => (k, p, cur, cur / p))
+    }
+    // Floor normalization (VERDICT r9 #7): q000_bench_floor measures
+    // the fixed per-query harness overhead (count over a 1-row
+    // relation). When both rounds carry it, ratios are compared on
+    // floor-SUBTRACTED times, so a 0.1 s drift in session overhead no
+    // longer reads as a 1.3× "regression" on a 0.3 s query. Degrades
+    // to raw ratios when either round lacks the floor entry.
+    val floorName = "q000_bench_floor"
+    val floorCur = floorOf(results)
+    val floorPrev = prevQ.get(floorName).filter(_ > 0)
+    def adjRatio(k: String, p: Double, c: Double): Option[Double] = for {
+      fp <- floorPrev; fc <- floorCur
+      if k != floorName && p - fp > 0.02 && c - fc > 0
+    } yield (c - fc) / (p - fp)
+    // Tightened flag (VERDICT r9 #2): when BOTH rounds' samples are
+    // tight (max/min < 1.15 — no contention signature), a 1.25× move
+    // is already suspicious; the 1.5× band applies only when spread
+    // says a sample may be contended. r9's q29 (1.35×, two
+    // consistently-elevated samples) slipped under the flat 1.5×.
+    def tight(ss: Seq[Double]): Boolean =
+      ss.size >= 2 && ss.forall(_ > 0) && ss.max / ss.min < 1.15
+    val flagged = ratios.flatMap { case (k, p, c, r) =>
+      val curS = results.find(_._1 == k).map(_._3).getOrElse(Seq.empty)
+      val pS = prevS.getOrElse(k, Nil)
+      val bothTight = tight(curS) && tight(pS)
+      val thr = if (bothTight) 1.25 else 1.5
+      val eff = adjRatio(k, p, c).getOrElse(r)
+      val drift = posOf.get(k).flatMap(
+        nearestCanaryDrift(canarySeries, _, canaryBase))
+      classify(eff, thr, bothTight, drift).map { note =>
+        Flagged(k, p, c, r, eff, thr, note, curS, pS, drift)
+      }
+    }
+    (ratios.map { case (k, _, _, r) => (k, r) }, flagged)
+  }
+
+  /** Locate + parse the prior round's bench record. BENCHFULL_r{N}
+    * (our own complete-line artifact) outranks the driver's BENCH_r{N}
+    * log tail for the same round: the tail is capped at 2000 chars and
+    * truncates mid-line once the bench set is large, degrading the
+    * prior round to a salvage parse. Excludes the CURRENT round: a
+    * builder-run bench writes BENCHFULL_r{N} mid-round, and the
+    * driver's end-of-round run must still diff against round N-1, not
+    * against that artifact. Absent or unparsable priors degrade to
+    * None, never a failure.
+    */
+  private def loadPrev(): Option[PrevRound] = {
     try {
-      // BENCHFULL_r{N} (our own complete-line artifact) outranks the
-      // driver's BENCH_r{N} log tail for the same round: the tail is
-      // capped at 2000 chars and truncates mid-line once the bench set
-      // is large, degrading the prior round to a salvage parse
       val rx = """(BENCHFULL|BENCH)_r(\d+)\.json""".r
-      // exclude the CURRENT round: a builder-run bench writes
-      // BENCHFULL_r{N} mid-round, and the driver's end-of-round run
-      // must still diff against round N-1, not against that artifact
       val curRound = Timings.currentRound(new java.io.File("."))
         .getOrElse(Int.MaxValue)
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
@@ -211,7 +430,7 @@ object Bench {
             case _ => None
           }
         }
-      if (files.isEmpty) return ""
+      if (files.isEmpty) return None
       val ((prevN, _), prevFile) = files.maxBy(_._1)
       val text = new String(
         java.nio.file.Files.readAllBytes(prevFile.toPath), "UTF-8")
@@ -227,52 +446,30 @@ object Bench {
         }
       }.getOrElse(text)
       val (prevQ, prevS) = parsePrevResult(hay)
-      if (prevQ.isEmpty) return ""
-      val ratios = results.flatMap { case (k, cur, _) =>
-        prevQ.get(k).filter(p => p > 0 && cur > 0).map(p => (k, p, cur, cur / p))
-      }
+      if (prevQ.isEmpty) return None
+      val canaryMin = """"canary_min"\s*:\s*([0-9.]+)""".r
+        .findFirstMatchIn(hay).flatMap(m =>
+          scala.util.Try(m.group(1).toDouble).toOption)
+      Some(PrevRound(prevN, prevQ, prevS, canaryMin))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] vs_prev prior load skipped: ${e.getMessage}")
+      None
+    }
+  }
+
+  private def vsPrevJson(prevN: Int, ratios: Seq[(String, Double)],
+      flags: Seq[Flagged], floorCur: Option[Double]): String = {
+    try {
       if (ratios.isEmpty) return ""
-      val rjson = ratios.map { case (k, _, _, r) => "\"" + k + "\":" + f"$r%.2f" }
+      val rjson = ratios.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
         .mkString("{", ",", "}")
-      // Floor normalization (VERDICT r9 #7): q000_bench_floor measures
-      // the fixed per-query harness overhead (count over a 1-row
-      // relation). When both rounds carry it, ratios are compared on
-      // floor-SUBTRACTED times, so a 0.1 s drift in session overhead no
-      // longer reads as a 1.3× "regression" on a 0.3 s query. Degrades
-      // to raw ratios when either round lacks the floor entry.
-      val floorName = "q000_bench_floor"
-      val floorCur = results.find(_._1 == floorName).map(_._2).filter(_ > 0)
-      val floorPrev = prevQ.get(floorName).filter(_ > 0)
-      def adjRatio(k: String, p: Double, c: Double): Option[Double] = for {
-        fp <- floorPrev; fc <- floorCur
-        if k != floorName && p - fp > 0.02 && c - fc > 0
-      } yield (c - fc) / (p - fp)
-      // Tightened flag (VERDICT r9 #2): when BOTH rounds' samples are
-      // tight (max/min < 1.15 — no contention signature), a 1.25× move
-      // is already suspicious; the 1.5× band applies only when spread
-      // says a sample may be contended. r9's q29 (1.35×, two
-      // consistently-elevated samples) slipped under the flat 1.5×.
-      def tight(ss: Seq[Double]): Boolean =
-        ss.size >= 2 && ss.forall(_ > 0) && ss.max / ss.min < 1.15
-      val flagged = ratios.flatMap { case (k, p, c, r) =>
-        val curS = results.find(_._1 == k).map(_._3).getOrElse(Seq.empty)
-        val pS = prevS.getOrElse(k, Nil)
-        val bothTight = tight(curS) && tight(pS)
-        val thr = if (bothTight) 1.25 else 1.5
-        val eff = adjRatio(k, p, c).getOrElse(r)
-        if (eff > thr || eff < 1.0 / thr) {
-          val note =
-            if (eff < 1.0) "improvement"
-            else if (bothTight) "tight-spread regression candidate"
-            else "wide-spread: likely contention drift, check samples"
-          Some((k, p, c, r, eff, thr, note, curS, pS))
-        } else None
-      }
-      val fjson = flagged.map { case (k, p, c, r, eff, thr, note, curS, pS) =>
-        val ps = pS.map(v => f"$v%.3f").mkString("[", ",", "]")
-        val cs = curS.map(v => f"$v%.3f").mkString("[", ",", "]")
-        "\"" + k + "\":" +
-          f"""{"prev":$p%.3f,"cur":$c%.3f,"ratio":$r%.2f,"adj_ratio":$eff%.2f,"threshold":$thr%.2f,"note":"$note","prev_samples":$ps,"cur_samples":$cs}"""
+      val fjson = flags.map { f =>
+        val ps = f.prevSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
+        val cs = f.curSamples.map(v => f"$v%.3f").mkString("[", ",", "]")
+        val canary = f.canaryDrift.map(d => f""","canary_drift":$d%.2f""")
+          .getOrElse("")
+        "\"" + f.name + "\":" +
+          f"""{"prev":${f.prev}%.3f,"cur":${f.cur}%.3f,"ratio":${f.ratio}%.2f,"adj_ratio":${f.eff}%.2f,"threshold":${f.thr}%.2f,"note":"${f.note}"$canary,"prev_samples":$ps,"cur_samples":$cs}"""
       }.mkString("{", ",", "}")
       val floorJson = floorCur.map(f => f""","floor":$f%.3f""").getOrElse("")
       s""","vs_prev":{"prev_round":$prevN$floorJson,"ratios":$rjson,"flagged":$fjson}"""

@@ -64,13 +64,23 @@ object Checkpoints {
         new Cut(df.checkpoint(), Seq.empty)
       case None =>
         // localCheckpoint persists its internal RDD, which registers it
-        // in getPersistentRDDs — the id delta identifies exactly the
-        // blocks this cut created (driver loops are single-threaded in
-        // this engine, so no concurrent registration races the delta)
+        // in getPersistentRDDs — the id delta identifies the blocks this
+        // cut created (driver loops are single-threaded in this engine,
+        // so no concurrent registration races the delta). The delta is
+        // FILTERED to locally-checkpointed RDDs (ADVICE r11): the cut's
+        // eager job can be the FIRST action over a lazily .persist()ed
+        // upstream (connectedComponents' edge caches ahead of round 1),
+        // which materializes — and registers — those cache RDDs inside
+        // the same window; they belong to the CacheManager's lifecycle,
+        // not this cut's, and sweeping them into the release set would
+        // silently unpersist the loop's explicit caches after round 1.
+        // Cache RDDs are never locally checkpointed, so the predicate
+        // separates the two exactly.
         val before = sc.getPersistentRDDs.keySet
         val cp = df.localCheckpoint()
         val added = sc.getPersistentRDDs.collect {
-          case (id, r) if !before(id) => r
+          case (id, r) if !before(id) &&
+              org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(r) => r
         }.toSeq
         new Cut(cp, added)
     }

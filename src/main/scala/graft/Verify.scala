@@ -126,7 +126,12 @@ object Verify {
       finally {
         operators.ScaledWindows.release()
         spark.catalog.clearCache()
-        timings(name) = (System.nanoTime() - t0) / 1e9
+        // a THROWN query is errors.json's job (ADVICE r11): recording
+        // its elapsed-until-throw here would let a working→fast-failing
+        // regression flag as an "improvement" in the TIMINGS diff and
+        // count toward the minQueries completeness gate
+        if (!errors.contains(name))
+          timings(name) = (System.nanoTime() - t0) / 1e9
       }
     }
     // like errors.json below, a subset run must MERGE with the prior

@@ -127,12 +127,27 @@ object Dedup extends QueryModule {
     // at the 100× probe tier: 2×210 MiB, a 30×-per-decade step on an
     // otherwise linear query; wall 9.9→15+ s). The hint pins the plan
     // the actual sizes want: arrays never shuffle, verification is a
-    // map-side probe of the cached corpus at every scale. (If a corpus'
-    // dup rate ever made candidates driver-hostile, the cluster
-    // alternative is the bucket-doc semi-join reduction — measured
-    // 3× fewer wire bytes but +50% local wall; see SCALE.md round 11.)
-    val candidates = broadcast(
-      lshCandidates(signed, idCol, "__sig", bands, rowsPerBand))
+    // map-side probe of the cached corpus at every scale.
+    //
+    // GUARDED (ADVICE r11): explicit hints bypass
+    // autoBroadcastJoinThreshold, and the second hint's collected
+    // payload is candidate-count × the per-doc shingle-hash array — a
+    // dup-rate spike would fail with driver OOM instead of degrading.
+    // The candidate relation is persisted and COUNTED first (dup-rate-
+    // sized, a cheap job over the already-cached signatures); past the
+    // row budget the hints are dropped and AQE plans shuffle joins —
+    // slower, never fatal. (If a corpus' dup rate ever made even the
+    // shuffled candidates hostile, the cluster alternative is the
+    // bucket-doc semi-join reduction — measured 3× fewer wire bytes but
+    // +50% local wall; see SCALE.md round 11.)
+    val candidates = lshCandidates(signed, idCol, "__sig", bands, rowsPerBand)
+      .persist()
+    // ~2M pairs × (2 ids + a ~100-hash array each) ≈ 1.6 GiB collected —
+    // the edge of a sane driver budget; measured corpora sit orders of
+    // magnitude below (sf0.1: ~3k pairs)
+    val hinted = candidates.count() <= 2000000L
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (hinted) broadcast(df) else df
     val sets = shingled.select(col(idCol), col("__shh"))
     // The second hint matters as much as the first: a hint does not
     // survive through a join's OUTPUT, so without it the id_b probe
@@ -140,7 +155,7 @@ object Dedup extends QueryModule {
     // (measured at 100×: one residual 210 MiB exchange). The hinted
     // intermediate is candidates ⋈ sh_a — still dup-rate-sized.
     Materialize.releasing(
-      broadcast(candidates
+      maybeBroadcast(maybeBroadcast(candidates)
         .join(sets.select(col(idCol).as("id_a"), col("__shh").as("sh_a")),
           Seq("id_a")))
         .join(sets.select(col(idCol).as("id_b"), col("__shh").as("sh_b")), Seq("id_b"))
@@ -151,7 +166,7 @@ object Dedup extends QueryModule {
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b")),
-      shingled)
+      shingled, candidates)
   }
 
   /** q40: MinHash-LSH near-dups on `documents`. The oracle is the exact

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalactic.Tolerance._
 
 /** Pins both parse paths of Bench.parsePrevResult — the vs_prev
   * mechanism's reader of the driver's BENCH_r{N}.json log tails. The
@@ -69,6 +70,77 @@ class BenchVsPrevSpec extends AnyFunSuite {
       "q258_randomization_test" -> 2.652, "q46_asof_join" -> 0.210))
     assert(s("q305_haar_energy") === List(0.550, 0.530))
     assert(!q.contains("prev_samples") && !q.contains("cur_samples"))
+  }
+
+  // --- contention canary (VERDICT r11 #1) ------------------------------
+
+  test("sustained contention: tight elevated samples + drifted canary → contended verdict") {
+    // the exact r11 failure shape: a query whose BOTH samples are
+    // elevated together (spread tight, 1.15 band) under sustained host
+    // load — the old classifier called this "tight-spread regression
+    // candidate"; with the nearest canary drifted past 1.3× it must
+    // now read contended-host instead
+    val results = Seq(
+      ("q000_bench_floor", 0.137, Seq(0.140, 0.137)),
+      ("q103_x", 4.1, Seq(4.2, 4.1))) // prev 1.0 → 4.1× move, tight
+    val prevQ = Map("q000_bench_floor" -> 0.135, "q103_x" -> 1.0)
+    val prevS = Map("q103_x" -> List(1.05, 1.0))
+    val posOf = Map("q000_bench_floor" -> 0, "q103_x" -> 1)
+    // canary at sweep start read 0.6 s vs an idle base of 0.2 s: 3× drift
+    val series = Seq((0, 0.6))
+    val (_, flags) = Bench.computeFlags(results, prevQ, prevS, posOf, series, 0.2)
+    val f = flags.find(_.name == "q103_x").get
+    assert(f.note === "contended-host: rerun required")
+    assert(f.canaryDrift.exists(_ > Bench.canaryDriftThr))
+  }
+
+  test("idle canary: tight elevated samples keep the regression verdict") {
+    val results = Seq(("q103_x", 4.1, Seq(4.2, 4.1)))
+    val prevQ = Map("q103_x" -> 1.0)
+    val prevS = Map("q103_x" -> List(1.05, 1.0))
+    val (_, flags) = Bench.computeFlags(results, prevQ, prevS,
+      Map("q103_x" -> 0), Seq((0, 0.205)), 0.2)
+    assert(flags.head.note === "tight-spread regression candidate")
+  }
+
+  test("canary base anchors to the prior round under end-to-end load") {
+    // a sweep contended from start to finish has EVERY canary point
+    // elevated — its own min included. The prior round's recorded
+    // canary_min (idle) must pull the base down so drift is visible.
+    assert(Bench.canaryBaseOf(Seq(0.61, 0.58, 0.66), Some(0.2)) === 0.2)
+    // and without a prior, the run min is the base (drift invisible —
+    // documented limitation, the cross-round anchor exists for this)
+    assert(Bench.canaryBaseOf(Seq(0.61, 0.58, 0.66), None) === 0.58)
+    assert(Bench.canaryBaseOf(Seq.empty, None) === 0.0)
+  }
+
+  test("nearest canary is selected by query position") {
+    val series = Seq((0, 0.2), (8, 0.6), (16, 0.2))
+    def drift(idx: Int) = Bench.nearestCanaryDrift(series, idx, 0.2).get
+    assert(drift(2) === 1.0 +- 1e-9)
+    assert(drift(7) === 3.0 +- 1e-9)
+    assert(drift(15) === 1.0 +- 1e-9)
+    assert(Bench.nearestCanaryDrift(Seq.empty, 3, 0.2) === None)
+    assert(Bench.nearestCanaryDrift(series, 3, 0.0) === None)
+  }
+
+  test("classify: improvements and under-threshold moves unchanged by canary") {
+    assert(Bench.classify(0.5, 1.5, bothTight = false, Some(5.0))
+      === Some("improvement"))
+    assert(Bench.classify(1.2, 1.5, bothTight = false, Some(5.0)) === None)
+    assert(Bench.classify(2.0, 1.5, bothTight = false, None)
+      === Some("wide-spread: likely contention drift, check samples"))
+  }
+
+  test("salvage skips canary/floor series arrays") {
+    // a truncated prior tail carrying the new series must not harvest
+    // them as query samples (their values are [index, time] pairs)
+    val tail = """"q46_asof_join":[0.216,0.210]},""" +
+      """"canary_min":0.201,"canary_series":[[0,0.21],[8,0.20]],""" +
+      """"floor_series":[[0,0.14]],"sf":"/root/testdata/sf0.1"}"""
+    val (q, _) = Bench.parsePrevResult(tail)
+    assert(q.contains("q46_asof_join"))
+    assert(!q.contains("canary_series") && !q.contains("floor_series"))
   }
 
   test("salvage harvests the real BENCH_r10 tail on disk (when present)") {

@@ -67,6 +67,35 @@ class CheckpointsSpec extends SparkSpec {
     } finally spark.conf.unset(Checkpoints.dirConf)
   }
 
+  test("cut as FIRST action over a lazy persist leaves the cache alive (ADVICE r11)") {
+    // A loop input persisted lazily and first materialized INSIDE the
+    // cut's eager job registers its cache RDD during the cut's delta
+    // window. That RDD is the CacheManager's, not the cut's: release()
+    // must free only the localCheckpoint blocks and leave the upstream
+    // cache resident, or rounds 2+ silently re-derive the input.
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    val upstream = spark.range(200).select(col("id"), (col("id") % 5).as("k"))
+      .persist() // LAZY: no action before the cut
+    try {
+      val before = sc.getPersistentRDDs.keySet
+      val cut = Checkpoints.cut(upstream.groupBy(col("k")).count())
+      val added = sc.getPersistentRDDs.keySet.diff(before)
+      assert(added.nonEmpty, "cut must register its checkpoint blocks")
+      assert(cut.df.count() === 5L)
+      cut.release()
+      val after = sc.getPersistentRDDs
+      assert(after.values.exists(r => !r.getStorageLevel.equals(
+          org.apache.spark.storage.StorageLevel.NONE) && !org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed(r)),
+        "release() must leave the upstream cache's RDD persisted")
+      // the upstream cache still serves reads without recompute paths broken
+      assert(upstream.count() === 200L)
+      // and the checkpoint blocks themselves are gone
+      assert(!after.values.exists(org.apache.spark.rdd.GraftRddBridge.isLocallyCheckpointed),
+        "release() must free the cut's own localCheckpoint blocks")
+    } finally { upstream.unpersist(); spark.catalog.clearCache() }
+  }
+
   test("iterative loops leave no lingering checkpoint blocks (ADVICE r10)") {
     // kCore + connectedComponents + dupGroups all cut per round; after
     // each returns (results materialized), every block the loop created
