@@ -408,6 +408,42 @@ object SqlSurface extends QueryModule {
     spine
   }
 
+  /** Months-per-UnionLoop-iteration for the block-unrolled recursions
+    * (q226/q235). The native recursive CTE costs ~4 scheduler jobs PER
+    * ITERATION on this runtime regardless of row counts — an ~84-month
+    * chain paid ~9-10 s of pure scheduling at any sf (the two slowest
+    * queries of the whole surface, 7% of the r11 dump wall in two
+    * queries). Advancing K months per iteration divides that floor by
+    * K while keeping the recursion native: the classic block-wise scan
+    * amortization, and the same trick a cluster deployment would need
+    * (driver-side scheduling is a shared resource there too).
+    */
+  private val unrollK = 8
+
+  /** Pivot the month spine into [[unrollK]]-month blocks: block b
+    * (1-based) carries months i ∈ [2 + K(b-1), 1 + Kb] as columns
+    * `<col>1..<col>K` (NULL-padded ragged tail); month 1 stays the
+    * recursion seed. PERSISTED + counted like the spine itself:
+    * UnionLoop re-evaluates the step query's inputs every iteration,
+    * so an unmaterialized pivot would re-run its groupBy shuffle once
+    * per block. Registered as temp view `blocks`; caller releases.
+    */
+  private def materializedBlocks(spark: SparkSession,
+      cols: Seq[String]): DataFrame = {
+    val k = unrollK
+    val pivots = (1 to k).flatMap(j => cols.map(c =>
+      s"max(CASE WHEN j = $j THEN $c END) AS $c$j")).mkString(", ")
+    val blocks = spark.sql(
+      s"""SELECT b, $pivots
+         |FROM (SELECT CAST(floor((i - 2) / $k) AS INT) + 1 AS b,
+         |        CAST((i - 2) % $k AS INT) + 1 AS j, ${cols.mkString(", ")}
+         |      FROM numbered WHERE i >= 2)
+         |GROUP BY b""".stripMargin).persist()
+    blocks.count()
+    blocks.createOrReplaceTempView("blocks")
+    blocks
+  }
+
   /** Run `body` with AQE off: every UnionLoop iteration is its own
     * adaptively-executed query over ≤84 cached rows, and AQE's
     * stage-by-stage job submission inflates the per-iteration job
@@ -430,6 +466,69 @@ object SqlSurface extends QueryModule {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** q226's Spark plan, block-unrolled: the recursion advances
+    * [[unrollK]] months per UnionLoop iteration. Each iteration joins
+    * the 1-row chain state to its pre-pivoted month block and computes
+    * the K intra-block steps as a chain of lateral column aliases —
+    * idx_j = idx_{j-1} * f_j written as NESTED aliases reproduces the
+    * per-month recurrence's IEEE op sequence EXACTLY (same literals,
+    * same associativity), so the result is bit-identical to the
+    * one-month-per-step form the DuckDB oracle states (no re-
+    * association, no log/exp prefix-product shortcut — those would
+    * break float parity). The ragged last block NULL-pads; coalesce
+    * carries the last computed state forward; stack() unpivots block
+    * rows back to months, and the seed month rejoins via UNION ALL.
+    */
+  private def unrolledMomentumSql(k: Int): String = {
+    val selM = (1 to k).map(j => s"s.m$j").mkString(", ")
+    val selRev = (1 to k).map(j => s"s.rev$j").mkString(", ")
+    // chain's column names carry an `a` prefix so the recursive term's
+    // lateral aliases (idx1..idxK) cannot collide with them: the
+    // analyzer resolves REAL columns before lateral aliases, and a
+    // collision silently rebinds idx_{j-1} to c.idx_{j-1} — NULL in the
+    // seed row — nulling every sub-step past the first (found the hard
+    // way: sf0.01 check read NULL from month 3 on). UNION matching is
+    // positional, so the term's own aliases are free.
+    val idxDefs = (1 to k).map { j =>
+      val pIdx = if (j == 1) "c.aidx_last" else s"idx${j - 1}"
+      val pRev = if (j == 1) "c.arev_last" else s"s.rev${j - 1}"
+      s"$pIdx * (1.0 + 0.5 * (CAST(s.rev$j AS DOUBLE) / $pRev - 1.0)) AS idx$j"
+    }.mkString(",\n    ")
+    val nullCols =
+      (1 to k).map(j => s"CAST(NULL AS DATE) AS am$j").mkString(", ") +
+        ",\n    " +
+        (1 to k).map(j => s"CAST(NULL AS BIGINT) AS arev$j").mkString(", ") +
+        ",\n    " +
+        (1 to k).map(j => s"CAST(NULL AS DOUBLE) AS aidx$j").mkString(", ")
+    val coalRev = (k to 1 by -1).map(j => s"s.rev$j")
+      .mkString("coalesce(", ", ", ", c.arev_last)")
+    val coalIdx = (k to 1 by -1).map(j => s"idx$j")
+      .mkString("coalesce(", ", ", ", c.aidx_last)")
+    val stackArgs = (1 to k).map(j => s"am$j, arev$j, aidx$j").mkString(", ")
+    s"""WITH RECURSIVE chain AS (
+       |  SELECT CAST(0 AS INT) AS b,
+       |    $nullCols,
+       |    rev AS arev_last, CAST(100.0 AS DOUBLE) AS aidx_last
+       |  FROM numbered WHERE i = 1
+       |  UNION ALL
+       |  SELECT s.b,
+       |    $selM,
+       |    $selRev,
+       |    $idxDefs,
+       |    $coalRev,
+       |    $coalIdx
+       |  FROM chain c JOIN blocks s ON s.b = c.b + 1
+       |)
+       |SELECT month, rev_cents, round(idx, 6) AS momentum_idx FROM (
+       |  SELECT stack($k, $stackArgs) AS (month, rev_cents, idx)
+       |  FROM chain WHERE b >= 1
+       |  UNION ALL
+       |  SELECT m, rev, CAST(100.0 AS DOUBLE) FROM numbered WHERE i = 1
+       |)
+       |WHERE month IS NOT NULL
+       |ORDER BY month""".stripMargin
+  }
+
   def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
     val spine = materializedMonthSpine(spark, dir,
       """SELECT m, rev, row_number() OVER (ORDER BY m) AS i FROM (
@@ -437,17 +536,9 @@ object SqlSurface extends QueryModule {
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |      AS rev
         |  FROM orders GROUP BY 1)""".stripMargin)
-    withoutAqe(spark)(graft.Materialize.releasing(spark.sql(
-      """WITH RECURSIVE chain AS (
-        |  SELECT i, m, rev, CAST(100.0 AS DOUBLE) AS idx
-        |  FROM numbered WHERE i = 1
-        |  UNION ALL
-        |  SELECT n.i, n.m, n.rev,
-        |    c.idx * (1.0 + 0.5 * (CAST(n.rev AS DOUBLE) / c.rev - 1.0))
-        |  FROM chain c JOIN numbered n ON n.i = c.i + 1
-        |)
-        |SELECT m AS month, rev AS rev_cents, round(idx, 6) AS momentum_idx
-        |FROM chain ORDER BY month""".stripMargin), spine))
+    val blocks = materializedBlocks(spark, Seq("m", "rev"))
+    withoutAqe(spark)(graft.Materialize.releasing(
+      spark.sql(unrolledMomentumSql(unrollK)), spine, blocks))
   }
 
   private val recursiveCteSql =
@@ -489,6 +580,71 @@ object SqlSurface extends QueryModule {
     * joins 1 row per step — iteration count is bounded by the
     * calendar, not the data volume.
     */
+  /** q235's Spark plan, block-unrolled exactly like
+    * [[unrolledMomentumSql]] but with the TWO coupled state columns
+    * (level, trend) advanced per sub-step. Lateral-alias reuse keeps
+    * the op sequence identical to the per-month form: `fc_j` IS the
+    * sum (lvl+trd) the original computes inline, `lvl_j` reuses it
+    * (`0.5*x + 0.5*(lvl+trd)` — same tree), and `trd_j` reuses `lvl_j`
+    * for the original's re-computed inner expression (same value by
+    * definition, so bit-identical). Emission order must stay
+    * interleaved (fc_j, lvl_j, trd_j per j): lateral aliases resolve
+    * left-to-right, and fc_{j+1} reads lvl_j/trd_j.
+    */
+  private def unrolledHoltSql(k: Int): String = {
+    val selM = (1 to k).map(j => s"s.m$j").mkString(", ")
+    val selX = (1 to k).map(j => s"s.x$j").mkString(", ")
+    // same `a`-prefixed chain schema trick as unrolledMomentumSql — see
+    // the collision note there; fc/lvl/trd aliases must resolve
+    // laterally, never to chain's own (seed-NULL) columns
+    val stateDefs = (1 to k).flatMap { j =>
+      val pLvl = if (j == 1) "c.alvl_last" else s"lvl${j - 1}"
+      val pTrd = if (j == 1) "c.atrd_last" else s"trd${j - 1}"
+      Seq(
+        s"$pLvl + $pTrd AS fc$j",
+        s"0.5 * s.x$j + 0.5 * fc$j AS lvl$j",
+        s"0.5 * (lvl$j - $pLvl) + 0.5 * $pTrd AS trd$j")
+    }.mkString(",\n    ")
+    val nullState = (1 to k).map(j =>
+      s"CAST(NULL AS DOUBLE) AS afc$j, CAST(NULL AS DOUBLE) AS alvl$j, " +
+        s"CAST(NULL AS DOUBLE) AS atrd$j").mkString(",\n    ")
+    val coalLvl = (k to 1 by -1).map(j => s"lvl$j")
+      .mkString("coalesce(", ", ", ", c.alvl_last)")
+    val coalTrd = (k to 1 by -1).map(j => s"trd$j")
+      .mkString("coalesce(", ", ", ", c.atrd_last)")
+    val stackArgs = (1 to k).map(j => s"am$j, ax$j, afc$j, alvl$j, atrd$j")
+      .mkString(", ")
+    s"""WITH RECURSIVE chain AS (
+       |  SELECT CAST(0 AS INT) AS b,
+       |    ${(1 to k).map(j => s"CAST(NULL AS DATE) AS am$j").mkString(", ")},
+       |    ${(1 to k).map(j => s"CAST(NULL AS DOUBLE) AS ax$j").mkString(", ")},
+       |    $nullState,
+       |    x AS alvl_last, CAST(0.0 AS DOUBLE) AS atrd_last
+       |  FROM numbered WHERE i = 1
+       |  UNION ALL
+       |  SELECT s.b,
+       |    $selM,
+       |    $selX,
+       |    $stateDefs,
+       |    $coalLvl,
+       |    $coalTrd
+       |  FROM chain c JOIN blocks s ON s.b = c.b + 1
+       |)
+       |SELECT month, round(x, 2) AS revenue,
+       |  round(lvl, 6) AS level, round(trd, 6) AS trend,
+       |  round(fc, 6) AS forecast,
+       |  round(x - fc, 6) AS residual
+       |FROM (
+       |  SELECT stack($k, $stackArgs) AS (month, x, fc, lvl, trd)
+       |  FROM chain WHERE b >= 1
+       |  UNION ALL
+       |  SELECT m, x, CAST(NULL AS DOUBLE), x, CAST(0.0 AS DOUBLE)
+       |  FROM numbered WHERE i = 1
+       |)
+       |WHERE month IS NOT NULL
+       |ORDER BY month""".stripMargin
+  }
+
   def holtSmoothing(spark: SparkSession, dir: String): DataFrame = {
     val spine = materializedMonthSpine(spark, dir,
       """SELECT m, x, row_number() OVER (ORDER BY m) AS i FROM (
@@ -496,23 +652,9 @@ object SqlSurface extends QueryModule {
         |    CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |      AS DOUBLE) / 100.0 AS DOUBLE) AS x
         |  FROM orders GROUP BY 1)""".stripMargin)
-    withoutAqe(spark)(graft.Materialize.releasing(spark.sql(
-      """WITH RECURSIVE chain AS (
-        |  SELECT i, m, x, x AS lvl, CAST(0.0 AS DOUBLE) AS trd,
-        |    CAST(NULL AS DOUBLE) AS fc
-        |  FROM numbered WHERE i = 1
-        |  UNION ALL
-        |  SELECT n.i, n.m, n.x,
-        |    0.5 * n.x + 0.5 * (c.lvl + c.trd),
-        |    0.5 * ((0.5 * n.x + 0.5 * (c.lvl + c.trd)) - c.lvl) + 0.5 * c.trd,
-        |    c.lvl + c.trd
-        |  FROM chain c JOIN numbered n ON n.i = c.i + 1
-        |)
-        |SELECT m AS month, round(x, 2) AS revenue,
-        |  round(lvl, 6) AS level, round(trd, 6) AS trend,
-        |  round(fc, 6) AS forecast,
-        |  round(x - fc, 6) AS residual
-        |FROM chain ORDER BY month""".stripMargin), spine))
+    val blocks = materializedBlocks(spark, Seq("m", "x"))
+    withoutAqe(spark)(graft.Materialize.releasing(
+      spark.sql(unrolledHoltSql(unrollK)), spine, blocks))
   }
 
   private val holtSmoothingSql =
