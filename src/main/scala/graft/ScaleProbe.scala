@@ -80,6 +80,36 @@ object ScaleProbe {
       }
     synthEmb(10, tenXDir)
 
+    // r12 (VERDICT r11 #4): the heavy bench tail — q302 backtest, the
+    // q204/q217 CF pair kernel, q312 assortativity — runs on the trade
+    // tables, which had no probe synthesis. Disjoint replication again:
+    // every key (orderkey, custkey, partkey) is remapped `k*factor+r`,
+    // so replica r's lineitems join replica r's orders only and the
+    // marketplace becomes `factor` disjoint copies of the original —
+    // basket sizes, per-item degrees, and graph structure are all
+    // preserved while customers, orders, and the catalog each grow
+    // `factor`×. That is "a marketplace factor× bigger with the same
+    // shopping behavior", the shape a real 100 TB order history has
+    // (more traffic AND more catalog, not denser baskets).
+    def synthTrade(factor: Int, dir: String, spread: Boolean = false): Unit =
+      if (!new java.io.File(s"$dir/orders.parquet").exists()) {
+        val o = Tables.orders(spark, base)
+          .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("r"))
+          .withColumn("o_orderkey", col("o_orderkey") * factor + col("r"))
+          .withColumn("o_custkey", col("o_custkey") * factor + col("r"))
+          .drop("r")
+        (if (spread) o.repartition(cpus) else o)
+          .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        val l = Tables.lineitem(spark, base)
+          .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("r"))
+          .withColumn("l_orderkey", col("l_orderkey") * factor + col("r"))
+          .withColumn("l_partkey", col("l_partkey") * factor + col("r"))
+          .drop("r")
+        (if (spread) l.repartition(cpus) else l)
+          .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      }
+    synthTrade(10, tenXDir)
+
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong()
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -111,7 +141,19 @@ object ScaleProbe {
       // r11: the multimodal decode path — payloads synthesize from the
       // document corpus, so the probe dirs exercise the binary column +
       // mapPartitions decode seam at 10x volume
-      "q315_video_decode")
+      "q315_video_decode",
+      // r12 (VERDICT r11 #4): the heavy bench tail — the backtest/CF
+      // family was the only multi-second family with no probe rows.
+      // All four run on the disjoint-replica trade synth above.
+      "q302_recsys_backtest", "q204_item_neighbors", "q217_hard_negatives",
+      "q312_assortativity")
+    // `only=q302_recsys_backtest,q312_assortativity` restricts the run —
+    // single-family re-probes shouldn't pay the full 14-query sweep.
+    val onlySet: Option[Set[String]] = args.collectFirst {
+      case a if a.startsWith("only=") =>
+        a.stripPrefix("only=").split(",").map(_.trim).toSet
+    }
+    def wanted(name: String): Boolean = onlySet.forall(_.contains(name))
     def probe(name: String, label: String, dir: String, samples: Int): Unit = {
       val d = SparkEntry.allDefs.find(_.name == name).get
       if (samples > 1) d.build(spark, dir).count() // warm (codegen + page cache)
@@ -130,8 +172,42 @@ object ScaleProbe {
       println(f"[scale] $name%-24s $label%-6s rows=$n%-8d wall=$dt%7.3f s " +
         f"shuffle_read=${sr / 1048576.0}%8.2f MiB shuffle_write=${sw / 1048576.0}%8.2f MiB")
     }
-    for (name <- probes; (label, dir) <- Seq(("sf0.1", base), ("10x", tenXDir)))
-      probe(name, label, dir, samples = 2)
+    // `skiplow` drops the sf0.1/10× tiers — a 100×-only re-probe after a
+    // crash or a fix shouldn't re-pay the lower decades it already has.
+    if (!args.contains("skiplow"))
+      for (name <- probes if wanted(name);
+           (label, dir) <- Seq(("sf0.1", base), ("10x", tenXDir)))
+        probe(name, label, dir, samples = 2)
+
+    // `ckpt` mode (VERDICT r11 #6): exercise the RELIABLE checkpoint
+    // path beyond fixture scale. Runs the two loop shapes at 10× twice —
+    // local (default) then with `spark.graft.checkpointDir` set — and
+    // prints an order-independent row checksum for each so the identical-
+    // results claim is a printed fact, plus the wall delta (the price of
+    // durable lineage cuts: checkpoint files vs executor blocks).
+    if (args.contains("ckpt")) {
+      val ckptDir = "/tmp/graft_ckpt_probe"
+      for (name <- Seq("q255_kcore", "q195_connected_components")) {
+        val d = SparkEntry.allDefs.find(_.name == name).get
+        def runOnce(mode: String): Unit = {
+          operators.ScaledWindows.release()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          val res = d.build(spark, tenXDir)
+          val Array(org.apache.spark.sql.Row(h: Long, n: Long)) = res
+            .select(xxhash64(struct(col("*"))).as("h"))
+            .agg(expr("bit_xor(h)").as("hs"), count(lit(1)).as("n"))
+            .collect(): @unchecked
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"[ckpt] $name%-28s $mode%-8s wall=$dt%7.3f s rows=$n%-8d checksum=$h%d")
+        }
+        d.build(spark, tenXDir).count() // warm (codegen + page cache)
+        runOnce("local")
+        spark.conf.set(Checkpoints.dirConf, ckptDir)
+        runOnce("reliable")
+        spark.conf.unset(Checkpoints.dirConf)
+      }
+    }
 
     // Optional third tier: `runMain graft.ScaleProbe 100` adds a 100×
     // corpus (same disjoint-replica construction, written across many
@@ -144,6 +220,7 @@ object ScaleProbe {
       val hundredXDir = "/tmp/graft_scale_100x"
       synthDocs(100, hundredXDir, spread = true)
       synthEmb(100, hundredXDir, spread = true)
+      synthTrade(100, hundredXDir, spread = true)
       for (name <- Seq("q36_corpus_prep", "q40_minhash_lsh",
           "q321_sharded_dedup_production", "q255_kcore",
           // broadened after q40's cliff: every distinct candidate/pair
@@ -154,7 +231,11 @@ object ScaleProbe {
           // r11: both remaining loop SHAPES at the third decade — q255
           // covers peel-style; these cover pointer-doubling CC over two
           // differently-dense graphs
-          "q195_connected_components", "q53_dup_groups"))
+          "q195_connected_components", "q53_dup_groups",
+          // r12: the heavy bench tail's third decade
+          "q302_recsys_backtest", "q204_item_neighbors",
+          "q217_hard_negatives", "q312_assortativity")
+          if wanted(name))
         probe(name, "100x", hundredXDir, samples = 1)
     }
     spark.stop()

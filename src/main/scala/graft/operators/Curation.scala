@@ -1500,6 +1500,16 @@ object Curation extends QueryModule {
     val ends = edges.select(col("i").as("v"), col("j").as("w"))
       .unionByName(edges.select(col("j").as("v"), col("i").as("w")))
     val deg = ends.groupBy(col("v")).agg(count(lit(1)).as("d")).persist()
+    // Deliberately NOT broadcast-hinted (r12 probe, measured both ways):
+    // deg is |nodes|-sized and the probe GROWS the catalog with the data,
+    // so unlike q204/q217's fixed-catalog itemN the small side here
+    // scales — an explicit hint pins broadcast traffic that grows as
+    // catalog × executors (quadratic-ish under co-scaling) and lost on
+    // wall at the 100× tier anyway (207 s hinted vs 142 s adaptive).
+    // AQE does the right thing per decade: broadcast while deg is small,
+    // SMJ (shuffle-linear) once it is not; the 16×/24× per-decade wire
+    // readings across the transition are the flip being paid once, not
+    // a compounding defect — see SCALE.md "Round 12".
     val moments = ends
       .join(deg.select(col("v"), col("d").as("dx")), Seq("v"))
       .join(deg.select(col("v").as("w"), col("d").as("dy")), Seq("w"))
