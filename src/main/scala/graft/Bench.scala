@@ -48,7 +48,7 @@ object Bench {
     * of canary_min between rounds is the contract, so never tune the
     * iteration count without bumping the name.
     */
-  private def contentionCanary(spark: SparkSession, cpus: Int): Double = {
+  private[graft] def contentionCanary(spark: SparkSession, cpus: Int): Double = {
     val t0 = System.nanoTime()
     // the xor-reduce crosses the task-result boundary, so the chain is
     // observable and cannot be dead-code-eliminated

@@ -179,6 +179,36 @@ object ScaleProbe {
            (label, dir) <- Seq(("sf0.1", base), ("10x", tenXDir)))
         probe(name, label, dir, samples = 2)
 
+    // `dimsum` mode (r12): the q322-vs-q204 dimension-independence
+    // demonstration needs FIXED-CATALOG scaling — more customers over
+    // the same items (the realistic CF shape, and the one q204/q217's
+    // broadcast(itemN) assumes) — because under the disjoint synth
+    // above the catalog grows too and per-item degrees stay constant,
+    // so DIMSUM's sampling never deepens. Here partkeys are KEPT:
+    // degrees grow 10×, so q204's exact pair kernel must shuffle ~10×
+    // while q322's post-sample emit count is degree-invariant
+    // (E[emits per pair] ≤ γ) and its wire should stay near-flat.
+    if (args.contains("dimsum")) {
+      val fcDir = "/tmp/graft_scale_10xfc"
+      if (!new java.io.File(s"$fcDir/orders.parquet").exists()) {
+        val factor = 10
+        Tables.orders(spark, base)
+          .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("r"))
+          .withColumn("o_orderkey", col("o_orderkey") * factor + col("r"))
+          .withColumn("o_custkey", col("o_custkey") * factor + col("r"))
+          .drop("r")
+          .write.mode("overwrite").parquet(s"$fcDir/orders.parquet")
+        Tables.lineitem(spark, base)
+          .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("r"))
+          .withColumn("l_orderkey", col("l_orderkey") * factor + col("r"))
+          .drop("r") // l_partkey KEPT: same catalog, 10x the buyers
+          .write.mode("overwrite").parquet(s"$fcDir/lineitem.parquet")
+      }
+      for (name <- Seq("q204_item_neighbors", "q322_dimsum_similarity");
+           (label, dir) <- Seq(("sf0.1", base), ("10xFC", fcDir)))
+        probe(name, label, dir, samples = 2)
+    }
+
     // `ckpt` mode (VERDICT r11 #6): exercise the RELIABLE checkpoint
     // path beyond fixture scale. Runs the two loop shapes at 10× twice —
     // local (default) then with `spark.graft.checkpointDir` set — and

@@ -95,7 +95,7 @@ object Timings {
   /** Latest TIMINGS_r{M}.json with M < n, parsed. Unreadable or
     * mismatched-scale files degrade to None, never a failure. */
   private[graft] def latestPrior(root: File, n: Int,
-      sf: String): Option[(Int, Map[String, Double])] = {
+      sf: String): Option[(Int, Map[String, Double], Option[Double])] = {
     val rx = """TIMINGS_r(\d+)\.json""".r
     val cands = Option(root.listFiles()).getOrElse(Array.empty[File])
       .flatMap(f => f.getName match {
@@ -114,7 +114,15 @@ object Timings {
           }.toMap
           case _ => Map.empty[String, Double]
         }
-        if (fileSf == sf && tim.nonEmpty) Some((m, tim)) else None
+        // pre-r12 artifacts carry no canary — None, and the contended
+        // labeling simply never engages against them
+        val can = (j \ "canary_s") match {
+          case JObject(fs) =>
+            val vs = fs.collect { case (_, JDouble(v)) => v }
+            if (vs.isEmpty) None else Some(vs.min)
+          case _ => None
+        }
+        if (fileSf == sf && tim.nonEmpty) Some((m, tim, can)) else None
       }.toOption.flatten
     }.nextOption()
   }
@@ -134,12 +142,29 @@ object Timings {
     * read, so a stale clobber would degrade to "no diff", not a bogus
     * one). */
   def writeRoundArtifact(root: File, sfDir: String,
-      timings: Map[String, Double], minQueries: Int = 0): Unit = {
+      timings: Map[String, Double], minQueries: Int = 0,
+      canary: Option[(Double, Double)] = None): Unit = {
     val sf = new File(sfDir).getName
     if (sf != "sf0.01" || timings.isEmpty || timings.size < minQueries) return
     currentRound(root).foreach { n =>
       val prior = latestPrior(root, n, sf)
-      val flags = prior.map(p => diff(p._2, timings)).getOrElse(Seq.empty)
+      val flags0 = prior.map(p => diff(p._2, timings)).getOrElse(Seq.empty)
+      // Contention labeling (the r12 lesson, Verify edition): a dump
+      // that starts minutes after a test suite / DuckDB sweep reads its
+      // early small queries 2-3x elevated and the 1-row floor cannot see
+      // it (it measures scheduling, not 32-core CPU contention). When
+      // BOTH rounds carry the 32-task spin canary and this run's min is
+      // >1.3x the prior's, regression-direction flags are labeled
+      // contended instead — same verdict scheme as Bench's vs_prev.
+      val priorCanaryMin = prior.flatMap(_._3)
+      val curCanaryMin = canary.map { case (a, b) => math.min(a, b) }
+      val contended = (for (p <- priorCanaryMin; c <- curCanaryMin)
+        yield c / p > 1.3).getOrElse(false)
+      val flags = flags0.map { f =>
+        if (contended && f.note.startsWith("regression"))
+          f.copy(note = "contended-host: canary elevated vs prior round, rerun required")
+        else f
+      }
       val timJson = timings.toSeq.sortBy(_._1)
         .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
         .mkString("{", ",", "}")
@@ -148,16 +173,19 @@ object Timings {
           f""""ratio":${fl.ratio}%.2f,"adj_ratio":${fl.adjRatio}%.2f,""" +
           s""""note":${jstr(fl.note)}}"""
       }.mkString("{", ",", "}")
-      val vsPrev = prior.map { case (m, _) =>
+      val vsPrev = prior.map { case (m, _, _) =>
         s""","vs_prev":{"prev_round":$m,"flagged":$flagJson}"""
       }.getOrElse("")
+      val canaryJson = canary.map { case (a, b) =>
+        f""","canary_s":{"start":$a%.3f,"end":$b%.3f}"""
+      }.getOrElse("")
       val body = s"""{"round":$n,"sf":${jstr(sf)},""" +
-        s""""n_queries":${timings.size},"timings":$timJson$vsPrev}"""
+        s""""n_queries":${timings.size},"timings":$timJson$canaryJson$vsPrev}"""
       Files.writeString(new File(root, s"TIMINGS_r$n.json").toPath, body)
       val msg = prior match {
         case None => s"no prior artifact — baseline written"
-        case Some((m, _)) if flags.isEmpty => s"vs r$m: no flags"
-        case Some((m, _)) =>
+        case Some((m, _, _)) if flags.isEmpty => s"vs r$m: no flags"
+        case Some((m, _, _)) =>
           s"vs r$m: ${flags.size} flagged — " + flags.map(f =>
             f"${f.name}(${f.prev}%.1fs→${f.cur}%.1fs, adj ${f.adjRatio}%.2fx, ${f.note})")
             .mkString("; ")

@@ -107,6 +107,18 @@ object Verify {
       warm.unpersist()
     } catch { case _: Throwable => () }
     spark.catalog.clearCache()
+    // Contention canary (the r12 lesson): the fixed 32-task CPU spin
+    // Bench carries, measured once after warmup and once after the
+    // loop, recorded in TIMINGS_r{N}.json. A dump started minutes
+    // after a test suite reads its early queries 2-3x elevated while
+    // the 1-row floor sees nothing; the canary pair makes that state
+    // visible and lets next round's diff label flags contended.
+    def canarySample(): Option[Double] =
+      try Some(Bench.contentionCanary(spark, cpus.toInt))
+      catch { case _: Throwable => None }
+    try Bench.contentionCanary(spark, cpus.toInt) // untimed JIT warm
+    catch { case _: Throwable => () }
+    val canaryStart = canarySample()
     // Deterministic declaration order (allDefs), not Map hash order:
     // stable round-over-round, so the TIMINGS vs_prev diff compares each
     // query at the same session age.
@@ -156,8 +168,12 @@ object Verify {
     // (VERDICT r10 #1) — no-op outside the repo root / gate scale, and
     // a subset re-run into a FRESH outDir (timings merge finds nothing)
     // must not publish a thin artifact as the round's full sweep
+    val canaryEnd = canarySample()
+    for (a <- canaryStart; b <- canaryEnd)
+      System.err.println(f"[verify] canary start=$a%.3f s end=$b%.3f s")
     Timings.writeRoundArtifact(new java.io.File("."), sfDir, timings.toMap,
-      minQueries = (SparkEntry.queries.size * 9) / 10)
+      minQueries = (SparkEntry.queries.size * 9) / 10,
+      canary = for (a <- canaryStart; b <- canaryEnd) yield (a, b))
     // subset runs must MERGE with prior errors: rewriting errors.json
     // with only the subset's failures would erase the recorded failure
     // of every query outside the subset (silent-absence, again)

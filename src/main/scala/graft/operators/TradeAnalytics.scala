@@ -1841,6 +1841,152 @@ object TradeAnalytics extends QueryModule {
       |  round(cosine, 4) AS cosine
       |FROM ranked WHERE rank <= 5 ORDER BY item, rank""".stripMargin
 
+  /** q322: DIMSUM-sampled item-item similarity (Zadeh & Carlsson,
+    * "Dimension Independent Similarity Computation", 2013 — the
+    * MLlib `RowMatrix.columnSimilarities(threshold)` algorithm) — the
+    * cluster-scale escape hatch SCALE.md has documented since round 11
+    * for the exact Σbsz² pair kernel (q204/q217), now a first-class,
+    * oracle-gated operator instead of a citation. Each within-basket
+    * pair (i, j) is emitted with probability
+    * `p = min(1, γ/√(nᵢ·nⱼ))` and the cosine estimate divides observed
+    * emits by `p·√(nᵢ·nⱼ)`: unbiased where sampling engaged, EXACT
+    * (p = 1) where it did not. The expected emit count of ANY pair is
+    * ≤ γ regardless of popularity — the high-degree hub pairs, exactly
+    * where the exact kernel's quadratic cost lives, are throttled
+    * hardest, which is what makes the shuffle dimension-independent.
+    *
+    * Cross-engine determinism (no rand(), no sampling state): the
+    * Bernoulli draw is the portable 60-bit md5 uniform of
+    * `cust|doc_a|doc_b` reduced mod 1e6 (the q38/q72/q153 hash
+    * discipline), compared against `p·1e6` computed with the same IEEE
+    * op sequence in both engines; the estimator divides exact integer
+    * emit counts by doubles derived from exact integer degrees, one op
+    * order. Output is bit-replayable under any partitioning or engine.
+    *
+    * Scale shape — what DIMSUM buys over q204's exact kernel: degrees
+    * ride INTO the expansion (broadcast catalog-sized dimension joined
+    * pre-collect), so the keep/kill decision happens inside the
+    * expansion task and sampled-away pairs never reach the wire. The
+    * aggregation input shrinks from Σ_c bsz² to ≤ γ·|observed pairs|
+    * in expectation, concentration by Chernoff (the paper's Thm 2-3).
+    * Post-aggregation the q217 discipline resumes: the kernel emits
+    * pair KEYS only; degrees join back from the broadcast dimension.
+    */
+  val DimsumGamma = 50.0
+
+  def dimsumNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    val keep = baskets.groupBy(col("cust")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 256).select(col("cust"))
+    val b = baskets.join(keep, Seq("cust")).persist()
+    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust")).persist()
+    val posts = b.join(broadcast(itemN), Seq("item"))
+      .select(col("cust"), struct(col("item").as("doc_id"),
+        col("n_cust").cast("int").as("nsh")).as("e"))
+      .groupBy(col("cust")).agg(collect_list(col("e")).as("ds"))
+    val expanded = posts.select(col("cust"), explode(
+        graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
+    val rootProd = sqrt(
+      (col("p.nsh_a").cast("long") * col("p.nsh_b")).cast("double"))
+    val pKeep = least(lit(1.0), lit(DimsumGamma) / rootProd)
+    val u = pmod(conv(substring(md5(concat_ws("|",
+        col("cust").cast("string"), col("p.doc_a").cast("string"),
+        col("p.doc_b").cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    // The ||'s left arm (p = 1 ⟺ γ ≥ √(nᵢ·nⱼ)) short-circuits the md5
+    // draw for pairs sampling never touches — at toy degrees that is
+    // most pairs, at production degrees none, and the predicate VALUE
+    // is identical either way. Production swaps the portable md5 (the
+    // DuckDB-replayable oracle contract) for a native 64-bit hash.
+    // persist: sym reads emits twice (the unionAll symmetrization)
+    val emits = expanded
+      .filter(lit(DimsumGamma) >= rootProd ||
+        u.cast("double") < pKeep * lit(1e6))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("emits"))
+      .persist()
+    def est(ni: Column, nn: Column): Column = {
+      val prod = sqrt((ni * nn).cast("double"))
+      col("emits").cast("double") /
+        (least(lit(1.0), lit(DimsumGamma) / prod) * prod)
+    }
+    val sym = emits.select(col("doc_a").as("item"), col("doc_b").as("neighbor"),
+        col("emits"))
+      .unionAll(emits.select(col("doc_b").as("item"),
+        col("doc_a").as("neighbor"), col("emits")))
+      .join(broadcast(itemN.select(col("item"), col("n_cust").as("ni"))),
+        Seq("item"))
+      .join(broadcast(itemN.select(col("item").as("neighbor"),
+        col("n_cust").as("nn"))), Seq("neighbor"))
+      .withColumn("est_cosine", est(col("ni"), col("nn")))
+    val top50 = itemN.orderBy(col("n_cust").desc, col("item")).limit(50)
+      .select(col("item"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("est_cosine").desc, col("neighbor"))
+    Materialize.releasing(
+      sym.join(broadcast(top50), Seq("item"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("item"), col("rank"), col("neighbor"),
+          col("emits").cast("bigint").as("n_emits"),
+          round(col("est_cosine"), 4).as("est_cosine"))
+        .orderBy(col("item"), col("rank")),
+      b, itemN, emits)
+  }
+
+  private val dimsumNeighborsSql =
+    s"""WITH baskets AS (
+      |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), keep AS (
+      |  SELECT cust FROM baskets GROUP BY cust HAVING count(*) <= 256
+      |), b AS (
+      |  SELECT baskets.* FROM baskets JOIN keep USING (cust)
+      |), itemn AS (
+      |  SELECT item, count(*)::BIGINT AS n_cust FROM b GROUP BY item
+      |), kept AS (
+      |  SELECT x.item AS doc_a, y.item AS doc_b
+      |  FROM b x JOIN b y ON x.cust = y.cust AND x.item < y.item
+      |  JOIN itemn nx ON nx.item = x.item
+      |  JOIN itemn ny ON ny.item = y.item
+      |  WHERE ${DimsumGamma} >= sqrt((nx.n_cust * ny.n_cust)::DOUBLE)
+      |    OR (list_reduce(list_transform(generate_series(1, 15),
+      |      i -> strpos('0123456789abcdef', substring(md5(
+      |        x.cust::VARCHAR || '|' || x.item::VARCHAR || '|' ||
+      |        y.item::VARCHAR), i, 1)) - 1),
+      |      (acc, d) -> acc * 16 + d) % 1000000)::DOUBLE
+      |    < least(1.0, ${DimsumGamma} / sqrt((nx.n_cust * ny.n_cust)::DOUBLE))
+      |      * 1e6
+      |), emits AS (
+      |  SELECT doc_a, doc_b, count(*)::BIGINT AS emits
+      |  FROM kept GROUP BY 1, 2
+      |), sym AS (
+      |  SELECT doc_a AS item, doc_b AS neighbor, emits FROM emits
+      |  UNION ALL
+      |  SELECT doc_b, doc_a, emits FROM emits
+      |), scored AS (
+      |  SELECT s.item, s.neighbor, s.emits,
+      |    s.emits::DOUBLE
+      |      / (least(1.0, ${DimsumGamma} / sqrt((a.n_cust * b2.n_cust)::DOUBLE))
+      |         * sqrt((a.n_cust * b2.n_cust)::DOUBLE)) AS est_cosine
+      |  FROM sym s JOIN itemn a ON s.item = a.item
+      |  JOIN itemn b2 ON s.neighbor = b2.item
+      |), top50 AS (
+      |  SELECT item FROM itemn ORDER BY n_cust DESC, item LIMIT 50
+      |), ranked AS (
+      |  SELECT s.item, s.neighbor, s.emits, s.est_cosine,
+      |    row_number() OVER (PARTITION BY s.item
+      |      ORDER BY s.est_cosine DESC, s.neighbor) AS rank
+      |  FROM scored s JOIN top50 USING (item)
+      |)
+      |SELECT item, rank, neighbor, emits::BIGINT AS n_emits,
+      |  round(est_cosine, 4) AS est_cosine
+      |FROM ranked WHERE rank <= 5 ORDER BY item, rank""".stripMargin
+
   /** q212: deterministic negative sampling — the contrastive-training
     * counterpart to q204's positives: for every customer, 4 items they
     * did NOT buy, drawn reproducibly from the catalog. Candidates are
@@ -4042,6 +4188,8 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q305_haar_energy", haarEnergy, Some(haarEnergySql), benchmark = true),
     QueryDef("q307_price_elasticity", priceElasticity,
       Some(priceElasticitySql)),
+    QueryDef("q322_dimsum_similarity", dimsumNeighbors,
+      Some(dimsumNeighborsSql), benchmark = true),
     QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),
     QueryDef("q290_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),

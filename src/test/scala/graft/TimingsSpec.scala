@@ -84,6 +84,37 @@ class TimingsSpec extends AnyFunSuite {
       new java.io.File(root, "TIMINGS_r11.json").toPath) === text)
   }
 
+  test("canary-elevated sweeps label regressions contended (r12)") {
+    val root = Files.createTempDirectory("graft-tim4").toFile
+    Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    // prior round: idle host, canary recorded at 0.20 s
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q110" -> 0.5), canary = Some((0.21, 0.20)))
+    assert(new java.io.File(root, "TIMINGS_r11.json")
+      .renameTo(new java.io.File(root, "TIMINGS_r10.json")))
+    // current round: both flag conditions met (2.7x, +1.0s) but the
+    // canary reads 2x the prior min — the exact post-test-suite shape
+    // that put 11 false flags in an r12 dump; must label contended
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q110" -> 1.5), canary = Some((0.41, 0.40)))
+    val text = Files.readString(new java.io.File(root, "TIMINGS_r11.json").toPath)
+    assert(text.contains(""""canary_s":{"start":0.410,"end":0.400}"""))
+    assert(text.contains("contended-host"), "regression must relabel under drift")
+    assert(!text.contains("regression: >2x"), "raw label must not survive")
+
+    // idle-vs-idle: the same move keeps its regression label
+    val root2 = Files.createTempDirectory("graft-tim5").toFile
+    Files.writeString(new java.io.File(root2, "CORRECTNESS_r10.json").toPath, "{}")
+    Timings.writeRoundArtifact(root2, "/data/sf0.01",
+      Map(floor -> 0.1, "q110" -> 0.5), canary = Some((0.21, 0.20)))
+    assert(new java.io.File(root2, "TIMINGS_r11.json")
+      .renameTo(new java.io.File(root2, "TIMINGS_r10.json")))
+    Timings.writeRoundArtifact(root2, "/data/sf0.01",
+      Map(floor -> 0.1, "q110" -> 1.5), canary = Some((0.22, 0.21)))
+    val text2 = Files.readString(new java.io.File(root2, "TIMINGS_r11.json").toPath)
+    assert(text2.contains("regression: >2x"), "idle-host regression must keep its label")
+  }
+
   test("a thin subset sweep does not publish a round artifact") {
     val root = Files.createTempDirectory("graft-tim3").toFile
     Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")

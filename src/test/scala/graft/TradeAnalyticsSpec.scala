@@ -889,6 +889,29 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q322: DIMSUM estimate is exact where sampling is off (p = 1)") {
+    // At fixture degrees (max 39) every pair has γ = 50 ≥ √(nᵢ·nⱼ), so
+    // the Bernoulli keep never engages: emits must equal the exact
+    // co-buyer counts and est_cosine the exact cosine — q322's output
+    // must reproduce q204's ranking cell for cell. The sampled regime
+    // is exercised (and oracle-replayed) at sf0.01/sf0.1 via the
+    // driver gate, where degrees exceed the γ threshold.
+    val exact = operators.TradeAnalytics.itemNeighbors(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor"), r.getAs[Long]("n_co_buyers"),
+          r.getAs[Double]("cosine"))).toMap
+    val est = operators.TradeAnalytics.dimsumNeighbors(spark, sfDir).collect()
+    assert(est.nonEmpty && est.length === exact.size)
+    est.foreach { r =>
+      val key = (r.getAs[Long]("item"), r.getAs[Int]("rank"))
+      val (nb, co, cos) = exact(key)
+      assert(r.getAs[Long]("neighbor") === nb, s"neighbor at $key")
+      assert(r.getAs[Long]("n_emits") === co, s"emits == co at $key")
+      assert(math.abs(r.getAs[Double]("est_cosine") - cos) <= 1e-12,
+        s"estimate at $key")
+    }
+  }
+
   test("q212: negatives are reproducible, non-positive, and hash-exact") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def hash60(s: String): Long = java.lang.Long.parseLong(
