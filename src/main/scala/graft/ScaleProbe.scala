@@ -36,9 +36,16 @@ object ScaleProbe {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val tenXDir = "/tmp/graft_scale_10x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // The 100× tier at 32 shuffle partitions gives ~1 GiB sort
+    // partitions against ~1.5 GiB/task execution memory — the measured
+    // 1.7-2.7× disk spill is partition GRANULARITY, not algorithm; a
+    // cluster runs thousands of partitions and never sees it. Override
+    // to demonstrate (SCALE.md round 12): partitions sized to ~128 MiB
+    // make the spill vanish at identical wire bytes.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -112,10 +119,15 @@ object ScaleProbe {
 
     val shuffleRead = new java.util.concurrent.atomic.AtomicLong()
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong()
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         shuffleRead.addAndGet(s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
         shuffleWrite.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        // r12: the 100× tier's wall-per-GiB doubling (q302/q217) was
+        // adjudicated as sort spill hitting real disk — record it so
+        // the claim is a measured column, not an inference
+        diskSpill.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
       }
     })
 
@@ -160,17 +172,18 @@ object ScaleProbe {
       val times = (1 to samples).map { _ =>
         operators.ScaledWindows.release()
         spark.catalog.clearCache()
-        shuffleRead.set(0); shuffleWrite.set(0)
+        shuffleRead.set(0); shuffleWrite.set(0); diskSpill.set(0)
         val t0 = System.nanoTime()
         val n = d.build(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         // listener events are async; drain before reading counters
         org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
-        (dt, n, shuffleRead.get(), shuffleWrite.get())
+        (dt, n, shuffleRead.get(), shuffleWrite.get(), diskSpill.get())
       }
-      val (dt, n, sr, sw) = times.minBy(_._1)
+      val (dt, n, sr, sw, sp) = times.minBy(_._1)
       println(f"[scale] $name%-24s $label%-6s rows=$n%-8d wall=$dt%7.3f s " +
-        f"shuffle_read=${sr / 1048576.0}%8.2f MiB shuffle_write=${sw / 1048576.0}%8.2f MiB")
+        f"shuffle_read=${sr / 1048576.0}%8.2f MiB shuffle_write=${sw / 1048576.0}%8.2f MiB" +
+        (if (sp > 0) f" disk_spill=${sp / 1048576.0}%8.2f MiB" else ""))
     }
     // `skiplow` drops the sf0.1/10× tiers — a 100×-only re-probe after a
     // crash or a fix shouldn't re-pay the lower decades it already has.

@@ -1888,6 +1888,10 @@ object TradeAnalytics extends QueryModule {
       .select(col("cust"), struct(col("item").as("doc_id"),
         col("n_cust").cast("int").as("nsh")).as("e"))
       .groupBy(col("cust")).agg(collect_list(col("e")).as("ds"))
+    // No pre-expansion repartition (measured, the q154 discipline): the
+    // expand+md5 kernel already lands on the 32-wide reduce side of the
+    // posts groupBy — a forced spread read wall-identical (5.05 s both
+    // ways at sf0.1) and only added a shuffle.
     val expanded = posts.select(col("cust"), explode(
         graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
     val rootProd = sqrt(
