@@ -158,7 +158,11 @@ object ScaleProbe {
       // family was the only multi-second family with no probe rows.
       // All four run on the disjoint-replica trade synth above.
       "q302_recsys_backtest", "q204_item_neighbors", "q217_hard_negatives",
-      "q312_assortativity")
+      "q312_assortativity",
+      // r12: the DIMSUM kernel under disjoint (catalog-growing) scaling —
+      // degrees constant so p never deepens: expect plain wire-linear;
+      // the fixed-catalog contrast lives in the `dimsum` mode above
+      "q322_dimsum_similarity")
     // `only=q302_recsys_backtest,q312_assortativity` restricts the run —
     // single-family re-probes shouldn't pay the full 14-query sweep.
     val onlySet: Option[Set[String]] = args.collectFirst {
