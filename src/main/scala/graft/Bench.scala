@@ -28,7 +28,21 @@ import org.apache.spark.sql.SparkSession
   *    labeled `contended-host: rerun required`, NOT "regression";
   *  - an automatic THIRD sample for every regression-direction flag,
   *    taken after the sweep (by then transient load may have passed);
-  *    mins and flags are recomputed with it.
+  *    mins and flags are recomputed with it;
+  *  - a CONTENDED-SPAN RE-RUN pass (VERDICT r12 #1): r12's flags were
+  *    all correctly canary-labeled, but the HEADLINE totals still
+  *    summed contended samples (official 11.30 s core-16 vs 8.65 s
+  *    clean same-code). Post-sweep, every query whose nearest in-sweep
+  *    canary drifted past threshold is re-sampled inside a
+  *    canary-BRACKETED window (leading and trailing canary both clean,
+  *    bounded attempts with backoff); `core16_total_clean` is computed
+  *    from those clean-sample mins and `headline_dirty` lists any
+  *    contended query that never earned a clean bracket — so a reader
+  *    of `value` alone can no longer mistake host load for regression;
+  *  - a per-query DISK-SPILL column (VERDICT r12 #5): `spill_mib`
+  *    records `diskBytesSpilled` for each query's best sample, so the
+  *    next spill regression is a datum in the artifact, not a
+  *    re-investigation.
   */
 object Bench {
 
@@ -104,11 +118,27 @@ object Bench {
     val defs = SparkEntry.benchQueries
     val floorDef = defs.find(_.name == "q000_bench_floor")
 
+    // per-sample disk-spill meter (VERDICT r12 #5): the r12 100×-probe
+    // spill adjudication had to be reconstructed by hand; recording
+    // diskBytesSpilled per query makes the next one a diff of two
+    // artifact columns
+    val spillAcc = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          spillAcc.addAndGet(s.stageInfo.taskMetrics.diskBytesSpilled)
+      })
+    // spill of each query's BEST (min-wall) sample — the plan's
+    // steady-state cost, not a contended sample's thrash
+    val bestSpill = scala.collection.mutable.Map.empty[String, (Double, Long)]
+
     // one timed sample of `d` with the per-sample cache hygiene the
     // min-of-2 scheme has always used
     def sampleOnce(d: QueryDef): Double = {
       operators.ScaledWindows.release()
       spark.catalog.clearCache()
+      spillAcc.set(0)
       val t0 = System.nanoTime()
       val ok =
         try { d.build(spark, sfDir).count(); true }
@@ -116,7 +146,15 @@ object Bench {
           System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
           false
         }
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (ok) {
+        try org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        catch { case _: Throwable => () }
+        val sp = spillAcc.get()
+        if (!bestSpill.get(d.name).exists(_._1 <= wall))
+          bestSpill(d.name) = (wall, sp)
+        wall
+      } else -1.0
     }
 
     val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
@@ -181,8 +219,72 @@ object Bench {
         if (t >= 0) measured(n) = measured(n) :+ t
       }
     }
+
+    // Contended-span clean re-run pass (VERDICT r12 #1). Trigger is the
+    // CANARY, not the flags: a contended span contaminates every query
+    // in it whether or not it crossed a vs_prev threshold (and round 1
+    // has no prev at all). Each batch of ≤canaryEvery re-runs is
+    // BRACKETED — leading and trailing canary both within drift
+    // threshold — before its samples count as clean; a batch whose
+    // trailing canary drifted keeps its samples in the min (a real wall
+    // is a real wall) but returns the queries to the queue. Bounded:
+    // ≤maxCleanAttempts canary checks, 5 s backoff while drifted.
+    val contendedSet = contendedQueries(
+      defs.map(_.name), posOf, canarySeries.toSeq, canaryBase)
+      .filterNot(_ == "q000_bench_floor").toSet
+    val cleanSamples =
+      scala.collection.mutable.Map.empty[String, List[Double]]
+    val rerunCanary = scala.collection.mutable.ArrayBuffer.empty[Double]
+    if (contendedSet.nonEmpty) {
+      System.err.println(s"[bench] ${contendedSet.size} queries ran in " +
+        s"contended spans — clean re-run pass: ${contendedSet.toSeq.sorted.mkString(",")}")
+      val pending = scala.collection.mutable.Queue(
+        defs.map(_.name).filter(contendedSet): _*)
+      val maxCleanAttempts = 12
+      var attempts = 0
+      def canaryClean(): Boolean = {
+        val c = try contentionCanary(spark, cpus)
+                catch { case _: Throwable => -1.0 }
+        if (c > 0) rerunCanary += c
+        c > 0 && canaryBase > 0 && c / canaryBase <= canaryDriftThr
+      }
+      var leadClean = canaryClean()
+      while (pending.nonEmpty && attempts < maxCleanAttempts) {
+        attempts += 1
+        if (leadClean) {
+          val batch = (1 to canaryEvery).flatMap(_ =>
+            if (pending.nonEmpty) Some(pending.dequeue()) else None)
+          val walls = batch.flatMap { n =>
+            defs.find(_.name == n).map { d =>
+              val t = sampleOnce(d)
+              if (t >= 0) measured(n) = measured(n) :+ t
+              (n, t)
+            }
+          }
+          leadClean = canaryClean() // trailing check doubles as next lead
+          if (leadClean)
+            walls.foreach { case (n, t) =>
+              if (t >= 0) cleanSamples(n) = t :: cleanSamples.getOrElse(n, Nil)
+            }
+          else {
+            System.err.println(s"[bench] trailing canary drifted — batch of " +
+              s"${batch.size} re-queued (not counted clean)")
+            batch.foreach(pending.enqueue(_))
+          }
+        } else {
+          Thread.sleep(5000)
+          leadClean = canaryClean()
+        }
+      }
+      if (pending.nonEmpty)
+        System.err.println(s"[bench] clean re-run budget exhausted with " +
+          s"${pending.size} still dirty: ${pending.mkString(",")}")
+    }
+
     val results = toResults(measured)
     val (ratios, flags) = flagsOf(results)
+    val (cleanMins, dirty) = cleanHeadline(results, contendedSet,
+      cleanSamples.toMap)
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -202,35 +304,132 @@ object Bench {
       "q40_minhash_lsh", "q41_simhash", "q42_knn_bruteforce",
       "q43_ann_hyperplane")
     val coreTotal = results.collect { case (k, v, _) if core16(k) && v >= 0 => v }.sum
+    // the contention-proof headline (VERDICT r12 #1): per-query mins
+    // restricted to canary-clean samples for contended queries; dirty =
+    // contended queries that never earned a clean bracket, whose
+    // entries fall back to the regular min and are listed so the reader
+    // can discount them
+    val coreTotalClean = cleanMins.collect {
+      case (k, v) if core16(k) && v >= 0 => v }.sum
     def seriesJson(s: Seq[(Int, Double)]): String =
       s.map { case (i, v) => f"[$i,$v%.3f]" }.mkString("[", ",", "]")
+    def strArr(key: String, xs: Seq[String]): String =
+      if (xs.isEmpty) "" else xs.map("\"" + _ + "\"")
+        .mkString(s""","$key":[""", ",", "]")
     val canaryJson =
       if (canarySeries.isEmpty) ""
       else f""","canary_min":${canarySeries.map(_._2).min}%.3f""" +
         s""","canary_series":${seriesJson(canarySeries.toSeq)}""" +
         s""","floor_series":${seriesJson(floorSeries.toSeq)}"""
-    val resampledJson =
-      if (resampled.isEmpty) ""
-      else resampled.map("\"" + _ + "\"").mkString(""","resampled":[""", ",", "]")
-    val vsPrev = prev.map(p => vsPrevJson(p.round, ratios, flags, floorOf(results)))
+    val rerunCanaryJson =
+      if (rerunCanary.isEmpty) ""
+      else rerunCanary.map(v => f"$v%.3f")
+        .mkString(""","canary_rerun":[""", ",", "]")
+    val spillJson = {
+      val entries = results.flatMap { case (k, _, _) =>
+        bestSpill.get(k).collect { case (_, sp) if sp > 512 * 1024 =>
+          "\"" + k + "\":" + f"${sp / 1048576.0}%.1f" }
+      }
+      if (entries.isEmpty) "" else entries.mkString(""","spill_mib":{""", ",", "}")
+    }
+    val resampledJson = strArr("resampled", resampled)
+    val contendedJson = strArr("contended", contendedSet.toSeq.sorted)
+    val dirtyJson = strArr("headline_dirty", dirty)
+    val vsPrev = prev.map(p => vsPrevJson(p.round, ratios, flags,
+        floorOf(results), prevCanaryRatio(canarySeries.map(_._2).toSeq,
+          p.canaryMin)))
       .getOrElse("")
+    val roundN = Timings.currentRound(new java.io.File("."))
+    val roundJson = roundN.map(n => s""","round":$n""").getOrElse("")
+    val cleanJson = f""","core16_total_clean":$coreTotalClean%.3f"""
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16_total":$coreTotal%.3f,"queries":$qs,"samples":$spread$errsJson$canaryJson$resampledJson$vsPrev,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16_total":$coreTotal%.3f$cleanJson$roundJson,"queries":$qs,"samples":$spread$errsJson$canaryJson$rerunCanaryJson$spillJson$resampledJson$contendedJson$dirtyJson$vsPrev,"sf":"$sfDir"}"""
     println(line)
     // Persist the COMPLETE result line as a repo-root round artifact:
     // the driver's BENCH_r{N}.json stores only the last 2000 chars of
-    // the run log, and with 39 benched queries the result line no
+    // the run log, and with 40 benched queries the result line no
     // longer fits — r10's tail begins mid-samples-object, which is why
     // parsePrevResult needs salvage paths at all. Next round's
     // vsPrevBlock prefers this file (full fidelity) over the tail.
-    try Timings.currentRound(new java.io.File(".")).foreach { n =>
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"BENCHFULL_r$n.json"), line)
+    // Never clobber another round's data (VERDICT r12 #3): an existing
+    // target whose recorded round differs (or predates the round field)
+    // is moved aside to `.stale`, not overwritten.
+    try roundN.foreach { n =>
+      val target = java.nio.file.Paths.get(s"BENCHFULL_r$n.json")
+      if (java.nio.file.Files.exists(target)) {
+        val existing = new String(
+          java.nio.file.Files.readAllBytes(target), "UTF-8")
+        val exRound = """"round":(\d+)""".r.findFirstMatchIn(existing)
+          .map(_.group(1).toInt)
+        if (!exRound.contains(n)) {
+          java.nio.file.Files.move(target,
+            java.nio.file.Paths.get(s"BENCHFULL_r$n.json.stale"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          System.err.println(s"[bench] BENCHFULL_r$n.json held " +
+            s"round=${exRound.getOrElse("unknown")} data — moved to .stale")
+        }
+      }
+      java.nio.file.Files.writeString(target, line)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCHFULL artifact skipped: ${e.getMessage}")
     }
+    // Compact trailing summary line (VERDICT r12 #3, parsed-null): the
+    // driver keeps only the last 2000 chars of the run log, so the full
+    // line above truncates mid-object and its parser falls back to tail
+    // salvage. This line (~1.3 KB: headline fields + per-query mins, no
+    // samples/series) fits the tail whole, so the driver's parse
+    // round-trips. parsePrevResult prefers BENCHFULL's full line; when
+    // only a driver tail survives, its line regex picks this one up
+    // with queries intact (samples degrade to the wide 1.5× band).
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16_total":$coreTotal%.3f$cleanJson$roundJson$dirtyJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Queries whose nearest in-sweep canary drifted past
+    * [[canaryDriftThr]] — their samples are contention-suspect
+    * regardless of vs_prev flagging (round 1 has no prev at all). */
+  private[graft] def contendedQueries(names: Seq[String],
+      posOf: Map[String, Int], series: Seq[(Int, Double)],
+      base: Double): Seq[String] =
+    names.filter(n => posOf.get(n)
+      .flatMap(nearestCanaryDrift(series, _, base))
+      .exists(_ > canaryDriftThr))
+
+  /** Clean per-query mins (VERDICT r12 #1): a contended query's min is
+    * taken over its canary-bracketed clean samples when it has any;
+    * queries that never earned a clean bracket fall back to the regular
+    * min and are returned as `dirty` (sweep order preserved). Errored
+    * queries (min < 0) are excluded, matching the totals' filter. */
+  private[graft] def cleanHeadline(
+      results: Seq[(String, Double, Seq[Double])],
+      contended: Set[String],
+      cleanSamples: Map[String, Seq[Double]])
+      : (Map[String, Double], Seq[String]) = {
+    val dirty = results.collect {
+      case (n, v, _) if v >= 0 && contended(n) &&
+        !cleanSamples.get(n).exists(_.exists(_ > 0)) => n
+    }
+    val mins = results.flatMap { case (n, v, _) =>
+      if (v < 0) None
+      else if (!contended(n)) Some(n -> v)
+      else cleanSamples.get(n).map(_.filter(_ > 0)) match {
+        case Some(cs) if cs.nonEmpty => Some(n -> cs.min)
+        case _ => Some(n -> v) // dirty fallback, listed above
+      }
+    }.toMap
+    (mins, dirty)
+  }
+
+  /** This run's canary min over the prior round's — >1 means this run
+    * was the more contended one (discount regressions), <1 the prior
+    * (discount improvements). Recorded in vs_prev so BOTH directions of
+    * contamination are visible to the reader (ADVICE r12). */
+  private[graft] def prevCanaryRatio(runSamples: Seq[Double],
+      prevMin: Option[Double]): Option[Double] = for {
+    p <- prevMin if p > 0
+    c <- runSamples.filter(_ > 0).minOption
+  } yield c / p
 
   /** Extract a prior round's (per-query min times, per-query samples)
     * from a driver log tail. Primary path: the full result line.
@@ -458,7 +657,8 @@ object Bench {
   }
 
   private def vsPrevJson(prevN: Int, ratios: Seq[(String, Double)],
-      flags: Seq[Flagged], floorCur: Option[Double]): String = {
+      flags: Seq[Flagged], floorCur: Option[Double],
+      canaryRatio: Option[Double]): String = {
     try {
       if (ratios.isEmpty) return ""
       val rjson = ratios.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
@@ -472,7 +672,9 @@ object Bench {
           f"""{"prev":${f.prev}%.3f,"cur":${f.cur}%.3f,"ratio":${f.ratio}%.2f,"adj_ratio":${f.eff}%.2f,"threshold":${f.thr}%.2f,"note":"${f.note}"$canary,"prev_samples":$ps,"cur_samples":$cs}"""
       }.mkString("{", ",", "}")
       val floorJson = floorCur.map(f => f""","floor":$f%.3f""").getOrElse("")
-      s""","vs_prev":{"prev_round":$prevN$floorJson,"ratios":$rjson,"flagged":$fjson}"""
+      val canaryJson = canaryRatio.map(r => f""","canary_ratio":$r%.2f""")
+        .getOrElse("")
+      s""","vs_prev":{"prev_round":$prevN$floorJson$canaryJson,"ratios":$rjson,"flagged":$fjson}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] vs_prev diff skipped: ${e.getMessage}")
       ""

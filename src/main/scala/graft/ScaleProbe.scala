@@ -53,6 +53,22 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // The heavy-family memory rule, enforced mechanically (VERDICT r12
+    // #5): SCALE.md's 100× finding is "≥1 GiB execution memory per task
+    // slot or the trade-family sorts thrash disk" — warn up front when
+    // this JVM violates it, so the next spill-inflated reading arrives
+    // pre-adjudicated instead of re-investigated. Execution memory ≈
+    // spark.memory.fraction (0.6) of (heap − 300 MiB reserved), split
+    // across `cpus` concurrent task slots.
+    val execPerSlotGiB =
+      (Runtime.getRuntime.maxMemory() - (300L << 20)) * 0.6 / cpus / (1L << 30)
+    if (execPerSlotGiB < 1.0)
+      println(f"[scale] WARNING: ~$execPerSlotGiB%.2f GiB execution memory " +
+        f"per task slot (< 1 GiB; heap=${Runtime.getRuntime.maxMemory() / (1L << 30)}%d GiB, " +
+        s"slots=$cpus) — trade-family tiers (q204/q217/q302) will sort-spill; " +
+        "raise -Xmx, lower SPARK_GRAFT_CPUS, or raise SPARK_GRAFT_SHUFFLE " +
+        "so partitions fit (SCALE.md round 12)")
+
     // `spread = true` writes the corpus over `cpus` files — the 100×
     // tier uses it so the scan has real split parallelism, the way a
     // 100 TB layout would; the 10× tier keeps its round-9 single-file
@@ -98,8 +114,11 @@ object ScaleProbe {
     // `factor`×. That is "a marketplace factor× bigger with the same
     // shopping behavior", the shape a real 100 TB order history has
     // (more traffic AND more catalog, not denser baskets).
+    // existence guard is the LAST-written file (ADVICE r12): a crash
+    // between the orders and lineitem writes must re-run the synth, not
+    // trust a half-built dir
     def synthTrade(factor: Int, dir: String, spread: Boolean = false): Unit =
-      if (!new java.io.File(s"$dir/orders.parquet").exists()) {
+      if (!new java.io.File(s"$dir/lineitem.parquet").exists()) {
         val o = Tables.orders(spark, base)
           .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("r"))
           .withColumn("o_orderkey", col("o_orderkey") * factor + col("r"))
@@ -207,7 +226,8 @@ object ScaleProbe {
     // (E[emits per pair] ≤ γ) and its wire should stay near-flat.
     if (args.contains("dimsum")) {
       val fcDir = "/tmp/graft_scale_10xfc"
-      if (!new java.io.File(s"$fcDir/orders.parquet").exists()) {
+      // lineitem is written last — same half-built-dir guard as synthTrade
+      if (!new java.io.File(s"$fcDir/lineitem.parquet").exists()) {
         val factor = 10
         Tables.orders(spark, base)
           .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("r"))
@@ -241,10 +261,15 @@ object ScaleProbe {
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
           val res = d.build(spark, tenXDir)
-          val Array(org.apache.spark.sql.Row(h: Long, n: Long)) = res
+          // coalesce: bit_xor over ZERO rows is NULL (ADVICE r12) — a
+          // degenerate result must print rows=0, not MatchError the
+          // remaining ckpt runs
+          val row = res
             .select(xxhash64(struct(col("*"))).as("h"))
-            .agg(expr("bit_xor(h)").as("hs"), count(lit(1)).as("n"))
-            .collect(): @unchecked
+            .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("hs"),
+              count(lit(1)).as("n"))
+            .collect()(0)
+          val (h, n) = (row.getLong(0), row.getLong(1))
           val dt = (System.nanoTime() - t0) / 1e9
           println(f"[ckpt] $name%-28s $mode%-8s wall=$dt%7.3f s rows=$n%-8d checksum=$h%d")
         }

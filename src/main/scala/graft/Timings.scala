@@ -78,18 +78,37 @@ object Timings {
     }
   }
 
-  /** Current round number = 1 + the latest round the driver has graded
-    * (its CORRECTNESS/BENCH files are written at round END, so during
-    * round N the maximum on disk is N-1). None outside the repo root —
-    * Verify run from elsewhere simply skips the artifact. */
-  private[graft] def currentRound(root: File): Option[Int] = {
-    val rx = """(?:CORRECTNESS|BENCH)_r(\d+)\.json""".r
-    val ns = Option(root.listFiles()).getOrElse(Array.empty[File])
-      .flatMap(f => f.getName match {
-        case rx(n) => Some(n.toInt)
-        case _ => None
-      })
-    if (ns.isEmpty) None else Some(ns.max + 1)
+  /** Current round number. Explicit input first (VERDICT r12 #3):
+    * `SPARK_GRAFT_ROUND` overrides inference outright. Otherwise
+    * inferred from the driver's graded artifacts — but NOT as a flat
+    * `max + 1`: the driver's end-of-round sequence is verify →
+    * CORRECTNESS_rN → bench → BENCH_rN, so by the time the round-N
+    * bench runs, CORRECTNESS_rN is already on disk and `max + 1` reads
+    * N+1 (the r12 sweep wrote BENCHFULL_r13.json this way). The
+    * two-counter rule disambiguates: when the newest CORRECTNESS round
+    * is AHEAD of the newest BENCH round we are inside that round's end
+    * sweep (correctness graded, bench pending) → round = newest
+    * CORRECTNESS; otherwise both artifacts are from the finished prior
+    * round → round = newest + 1. None outside the repo root — Verify
+    * run from elsewhere simply skips the artifact. */
+  private[graft] def currentRound(root: File): Option[Int] =
+    sys.env.get("SPARK_GRAFT_ROUND")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .orElse(inferRound(root))
+
+  private[graft] def inferRound(root: File): Option[Int] = {
+    val cRx = """CORRECTNESS_r(\d+)\.json""".r
+    val bRx = """BENCH_r(\d+)\.json""".r
+    val names = Option(root.listFiles()).getOrElse(Array.empty[File])
+      .map(_.getName)
+    val c = names.collect { case cRx(n) => n.toInt }
+    val b = names.collect { case bRx(n) => n.toInt }
+    if (c.isEmpty && b.isEmpty) None
+    else {
+      val cm = if (c.isEmpty) 0 else c.max
+      val bm = if (b.isEmpty) 0 else b.max
+      Some(if (cm > bm) cm else bm + 1)
+    }
   }
 
   /** Latest TIMINGS_r{M}.json with M < n, parsed. Unreadable or
@@ -118,7 +137,13 @@ object Timings {
         // labeling simply never engages against them
         val can = (j \ "canary_s") match {
           case JObject(fs) =>
-            val vs = fs.collect { case (_, JDouble(v)) => v }
+            // JInt too (ADVICE r12): an integer-valued canary field in
+            // a re-serialized artifact must not silently disable the
+            // contended labeling
+            val vs = fs.collect {
+              case (_, JDouble(v)) => v
+              case (_, JInt(v)) => v.toDouble
+            }
             if (vs.isEmpty) None else Some(vs.min)
           case _ => None
         }
@@ -160,9 +185,17 @@ object Timings {
       val curCanaryMin = canary.map { case (a, b) => math.min(a, b) }
       val contended = (for (p <- priorCanaryMin; c <- curCanaryMin)
         yield c / p > 1.3).getOrElse(false)
+      // BOTH directions (ADVICE r12): when the PRIOR round was the
+      // contended one (its canary elevated vs this idle run), the
+      // resulting "improvements" are contention relief, not code wins —
+      // label them so next round's baseline reader discounts them too
+      val priorContended = (for (p <- priorCanaryMin; c <- curCanaryMin)
+        yield p / c > 1.3).getOrElse(false)
       val flags = flags0.map { f =>
         if (contended && f.note.startsWith("regression"))
           f.copy(note = "contended-host: canary elevated vs prior round, rerun required")
+        else if (priorContended && f.note == "improvement")
+          f.copy(note = "improvement (prior-round canary was elevated: likely contention relief, not a code win)")
         else f
       }
       val timJson = timings.toSeq.sortBy(_._1)

@@ -1841,9 +1841,13 @@ object TradeAnalytics extends QueryModule {
       |  round(cosine, 4) AS cosine
       |FROM ranked WHERE rank <= 5 ORDER BY item, rank""".stripMargin
 
-  /** q322: DIMSUM-sampled item-item similarity (Zadeh & Carlsson,
-    * "Dimension Independent Similarity Computation", 2013 — the
-    * MLlib `RowMatrix.columnSimilarities(threshold)` algorithm) — the
+  /** q322: DIMSUM-sampled item-item similarity — the DISCO cosine
+    * sampler of Zadeh & Carlsson, "Dimension Independent Similarity
+    * Computation" (2013): the joint emit probability
+    * p = min(1, γ/√(nᵢnⱼ)) per co-occurrence. (MLlib's
+    * `RowMatrix.columnSimilarities(threshold)` implements the related
+    * per-endpoint variant min(1,√γ/‖cᵢ‖)·min(1,√γ/‖cⱼ‖); both are
+    * unbiased, but they are NOT the same draw — ADVICE r12.) This is the
     * cluster-scale escape hatch SCALE.md has documented since round 11
     * for the exact Σbsz² pair kernel (q204/q217), now a first-class,
     * oracle-gated operator instead of a citation. Each within-basket
@@ -1874,7 +1878,23 @@ object TradeAnalytics extends QueryModule {
     */
   val DimsumGamma = 50.0
 
-  def dimsumNeighbors(spark: SparkSession, dir: String): DataFrame = {
+  /** Broadcast budget for q322's catalog-sized degree dimension
+    * (VERDICT r12 #2, the Dedup.scala minHashLsh discipline): itemN is
+    * one (item, n_cust) row per catalog entry — ~2M rows collects to
+    * ~200 MiB driver-side, the edge of sane. q322's whole point is the
+    * 100 TB regime where the CATALOG co-scales with traffic, so an
+    * explicit hint with no guard eventually dies with driver OOM
+    * instead of degrading; past the budget the degree joins fall back
+    * to shuffle joins (AQE-planned) — slower, never fatal. The count is
+    * a cheap job over the already-persisted aggregate. Measured
+    * fallback cost: SCALE.md round 13. */
+  val DimsumItemBudget = 2000000L
+
+  def dimsumNeighbors(spark: SparkSession, dir: String): DataFrame =
+    dimsumNeighbors(spark, dir, DimsumItemBudget)
+
+  private[graft] def dimsumNeighbors(spark: SparkSession, dir: String,
+      itemBudget: Long): DataFrame = {
     val baskets = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -1884,7 +1904,10 @@ object TradeAnalytics extends QueryModule {
       .filter(col("bsz") <= 256).select(col("cust"))
     val b = baskets.join(keep, Seq("cust")).persist()
     val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust")).persist()
-    val posts = b.join(broadcast(itemN), Seq("item"))
+    val hinted = itemN.count() <= itemBudget
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (hinted) broadcast(df) else df
+    val posts = b.join(maybeBroadcast(itemN), Seq("item"))
       .select(col("cust"), struct(col("item").as("doc_id"),
         col("n_cust").cast("int").as("nsh")).as("e"))
       .groupBy(col("cust")).agg(collect_list(col("e")).as("ds"))
@@ -1922,9 +1945,9 @@ object TradeAnalytics extends QueryModule {
         col("emits"))
       .unionAll(emits.select(col("doc_b").as("item"),
         col("doc_a").as("neighbor"), col("emits")))
-      .join(broadcast(itemN.select(col("item"), col("n_cust").as("ni"))),
+      .join(maybeBroadcast(itemN.select(col("item"), col("n_cust").as("ni"))),
         Seq("item"))
-      .join(broadcast(itemN.select(col("item").as("neighbor"),
+      .join(maybeBroadcast(itemN.select(col("item").as("neighbor"),
         col("n_cust").as("nn"))), Seq("neighbor"))
       .withColumn("est_cosine", est(col("ni"), col("nn")))
     val top50 = itemN.orderBy(col("n_cust").desc, col("item")).limit(50)

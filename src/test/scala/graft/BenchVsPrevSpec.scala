@@ -132,6 +132,60 @@ class BenchVsPrevSpec extends AnyFunSuite {
       === Some("wide-spread: likely contention drift, check samples"))
   }
 
+  // --- contention-proof headline (VERDICT r12 #1) -----------------------
+
+  test("contaminated headline: contended queries resolve to clean-sample mins") {
+    // the r12 shape: q258's two in-sweep samples both ran in a
+    // contended span (nearest canary 5.8x) and its min-of-2 (16.8 s)
+    // polluted the official core16 total; a post-sweep canary-bracketed
+    // re-run read 2.42 s. The clean headline must use the clean sample
+    // for q258, the regular min for untouched queries, and no query is
+    // dirty because every contended one earned a clean bracket.
+    val results = Seq(
+      ("q01", 0.30, Seq(0.31, 0.30)),           // idle span
+      ("q258", 16.8, Seq(16.8, 18.2, 2.42)),    // contended, re-run appended
+      ("q36", 2.95, Seq(20.7, 13.2, 2.95)))     // contended, re-run appended
+    val contended = Set("q258", "q36")
+    val clean = Map("q258" -> Seq(2.42), "q36" -> Seq(2.95))
+    val (mins, dirty) = Bench.cleanHeadline(results, contended, clean)
+    assert(mins === Map("q01" -> 0.30, "q258" -> 2.42, "q36" -> 2.95))
+    assert(dirty.isEmpty)
+  }
+
+  test("contended query with no clean bracket stays dirty, falls back to min") {
+    // the canary never recovered inside the retry budget: the query's
+    // entry falls back to the (suspect) regular min AND it is listed
+    // dirty so a reader of core16_total_clean can discount it
+    val results = Seq(
+      ("q01", 0.30, Seq(0.31, 0.30)),
+      ("q258", 16.8, Seq(16.8, 18.2)),
+      ("qerr", -1.0, Seq(-1.0, -1.0)))          // errored: excluded, not dirty
+    val (mins, dirty) = Bench.cleanHeadline(results, Set("q258", "qerr"), Map.empty)
+    assert(mins === Map("q01" -> 0.30, "q258" -> 16.8))
+    assert(dirty === Seq("q258"))
+  }
+
+  test("contendedQueries selects by nearest-canary drift, not by flags") {
+    // canary at position 8 drifted 3x: queries nearest to it are
+    // suspect even if no vs_prev threshold fired (round 1 has no prev)
+    val series = Seq((0, 0.2), (8, 0.6), (16, 0.2))
+    val posOf = Map("qa" -> 2, "qb" -> 7, "qc" -> 9, "qd" -> 15)
+    val hit = Bench.contendedQueries(Seq("qa", "qb", "qc", "qd"), posOf,
+      series, 0.2)
+    assert(hit === Seq("qb", "qc"))
+    // no canary series → nothing is contended (degrades safely)
+    assert(Bench.contendedQueries(Seq("qa"), posOf, Seq.empty, 0.2).isEmpty)
+  }
+
+  test("vs_prev canary ratio exposes both contamination directions") {
+    // this run contended (2x): regressions suspect
+    assert(Bench.prevCanaryRatio(Seq(0.45, 0.40), Some(0.2)).get === 2.0 +- 1e-9)
+    // prior round contended: improvements suspect (ratio < 1)
+    assert(Bench.prevCanaryRatio(Seq(0.21, 0.20), Some(0.4)).get === 0.5 +- 1e-9)
+    assert(Bench.prevCanaryRatio(Seq.empty, Some(0.4)) === None)
+    assert(Bench.prevCanaryRatio(Seq(0.2), None) === None)
+  }
+
   test("salvage skips canary/floor series arrays") {
     // a truncated prior tail carrying the new series must not harvest
     // them as query samples (their values are [index, time] pairs)

@@ -55,11 +55,33 @@ class TimingsSpec extends AnyFunSuite {
     assert(flags.nonEmpty && flags.head.adjRatio === 2.4)
   }
 
+  test("two-counter round inference (VERDICT r12 #3)") {
+    val root = Files.createTempDirectory("graft-tim0").toFile
+    assert(Timings.inferRound(root).isEmpty) // not a repo root
+    // mid-round: both artifacts are the finished prior round's → N+1
+    Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_r10.json").toPath, "{}")
+    assert(Timings.inferRound(root) === Some(11))
+    // end-of-round sweep: the driver writes CORRECTNESS_r11 BEFORE it
+    // runs the round-11 bench — the flat max+1 rule read 12 here and
+    // misnamed the r12 sweep's artifact BENCHFULL_r13; correctness
+    // ahead of bench means we are INSIDE round 11's end sweep
+    Files.writeString(new java.io.File(root, "CORRECTNESS_r11.json").toPath, "{}")
+    assert(Timings.inferRound(root) === Some(11))
+    // bench artifact lands → round 11 is closed, next is 12
+    Files.writeString(new java.io.File(root, "BENCH_r11.json").toPath, "{}")
+    assert(Timings.inferRound(root) === Some(12))
+    // BENCH-only history (no correctness yet graded) still advances
+    val root2 = Files.createTempDirectory("graft-tim0b").toFile
+    Files.writeString(new java.io.File(root2, "BENCH_r05.json").toPath, "{}")
+    assert(Timings.inferRound(root2) === Some(6))
+  }
+
   test("round inference and artifact round-trip with vs_prev") {
     val root = Files.createTempDirectory("graft-tim").toFile
     assert(Timings.currentRound(root).isEmpty) // not a repo root
     Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
-    Files.writeString(new java.io.File(root, "BENCH_r09.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_r10.json").toPath, "{}")
     assert(Timings.currentRound(root) === Some(11))
 
     // r10 artifact on disk, then an r11 sweep with one slowed query
@@ -87,6 +109,7 @@ class TimingsSpec extends AnyFunSuite {
   test("canary-elevated sweeps label regressions contended (r12)") {
     val root = Files.createTempDirectory("graft-tim4").toFile
     Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_r10.json").toPath, "{}")
     // prior round: idle host, canary recorded at 0.20 s
     Timings.writeRoundArtifact(root, "/data/sf0.01",
       Map(floor -> 0.1, "q110" -> 0.5), canary = Some((0.21, 0.20)))
@@ -105,6 +128,7 @@ class TimingsSpec extends AnyFunSuite {
     // idle-vs-idle: the same move keeps its regression label
     val root2 = Files.createTempDirectory("graft-tim5").toFile
     Files.writeString(new java.io.File(root2, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root2, "BENCH_r10.json").toPath, "{}")
     Timings.writeRoundArtifact(root2, "/data/sf0.01",
       Map(floor -> 0.1, "q110" -> 0.5), canary = Some((0.21, 0.20)))
     assert(new java.io.File(root2, "TIMINGS_r11.json")
@@ -115,9 +139,30 @@ class TimingsSpec extends AnyFunSuite {
     assert(text2.contains("regression: >2x"), "idle-host regression must keep its label")
   }
 
+  test("prior-round contention relabels spurious improvements (ADVICE r12)") {
+    // the PRIOR round was the contended one: its canary min (0.40)
+    // sits 2x above this idle run's (0.20), so a 3x "improvement" is
+    // contention relief, not a code win — the label must say so, or
+    // next round's baseline reads it as a real gain and flags the
+    // return to normal as a regression
+    val root = Files.createTempDirectory("graft-tim6").toFile
+    Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_r10.json").toPath, "{}")
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q110" -> 3.0), canary = Some((0.41, 0.40)))
+    assert(new java.io.File(root, "TIMINGS_r11.json")
+      .renameTo(new java.io.File(root, "TIMINGS_r10.json")))
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q110" -> 1.0), canary = Some((0.21, 0.20)))
+    val text = Files.readString(new java.io.File(root, "TIMINGS_r11.json").toPath)
+    assert(text.contains("prior-round canary was elevated"),
+      "improvement under prior-round contention must carry the discount label")
+  }
+
   test("a thin subset sweep does not publish a round artifact") {
     val root = Files.createTempDirectory("graft-tim3").toFile
     Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_r10.json").toPath, "{}")
     Timings.writeRoundArtifact(root, "/data/sf0.01",
       Map("q01" -> 0.4, "q02" -> 0.3), minQueries = 100)
     assert(!new java.io.File(root, "TIMINGS_r11.json").exists())
@@ -126,6 +171,7 @@ class TimingsSpec extends AnyFunSuite {
   test("prior artifacts with a different scale are ignored in the diff") {
     val root = Files.createTempDirectory("graft-tim2").toFile
     Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_r10.json").toPath, "{}")
     Files.writeString(new java.io.File(root, "TIMINGS_r10.json").toPath,
       """{"round":10,"sf":"sf0.1","timings":{"q255":40.0}}""")
     Timings.writeRoundArtifact(root, "/data/sf0.01", Map("q255" -> 4.0))

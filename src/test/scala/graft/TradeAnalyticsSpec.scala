@@ -912,6 +912,39 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q322: over-budget catalog drops the broadcast hints, result unchanged") {
+    // VERDICT r12 #2: q322's degree dimension is catalog-sized and the
+    // catalog co-scales with data at 100 TB — an unguarded explicit
+    // broadcast(itemN) eventually dies with driver OOM instead of
+    // degrading. With the budget forced below the fixture catalog, the
+    // degree joins must fall back to shuffle joins (no
+    // ResolvedHint/broadcast exchange pinned by us) AND produce the
+    // identical result — the guard changes the plan, never the answer.
+    val hinted = operators.TradeAnalytics.dimsumNeighbors(spark, sfDir)
+    val fallback = operators.TradeAnalytics.dimsumNeighbors(spark, sfDir, 0L)
+    assert(fallback.collect().map(_.toString).toSeq ===
+      hinted.collect().map(_.toString).toSeq)
+    // the fallback plan really lost the CATALOG-sized hints: every hint
+    // surviving in the analyzed plan must be limit-bounded by
+    // construction (the 50-row top-50 spine stays broadcast — it cannot
+    // scale). AQE may still pick broadcast by SIZE at fixture scale;
+    // that is its call, not an unguarded pin.
+    def hintsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+        case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+      }
+    def limitBounded(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectFirst {
+        case g: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => g
+      }.nonEmpty
+    val unbounded = hintsOf(fallback).filterNot(h => limitBounded(h))
+    assert(unbounded.isEmpty,
+      s"over-budget path must carry no catalog-sized hints: $unbounded")
+    assert(hintsOf(hinted).exists(h => !limitBounded(h)),
+      "under-budget path keeps the explicit degree-dimension hints")
+  }
+
   test("q212: negatives are reproducible, non-positive, and hash-exact") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def hash60(s: String): Long = java.lang.Long.parseLong(
