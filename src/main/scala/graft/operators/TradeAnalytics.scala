@@ -1891,10 +1891,15 @@ object TradeAnalytics extends QueryModule {
   val DimsumItemBudget = 2000000L
 
   def dimsumNeighbors(spark: SparkSession, dir: String): DataFrame =
-    dimsumNeighbors(spark, dir, DimsumItemBudget)
+    dimsumNeighbors(spark, dir, DimsumItemBudget, DimsumGamma)
 
+  /** Budget/γ-parameterized body. γ is exposed for the accuracy sweep
+    * (VERDICT r12 #4: ScaleProbe `dimsumacc` mode measures estimator
+    * error and top-5 rank agreement vs exact q204 across γ tiers) and
+    * for the in-suite sampled-regime envelope pin — the oracle-gated
+    * q322 always runs at [[DimsumGamma]]. */
   private[graft] def dimsumNeighbors(spark: SparkSession, dir: String,
-      itemBudget: Long): DataFrame = {
+      itemBudget: Long, gamma: Double = DimsumGamma): DataFrame = {
     val baskets = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -1919,7 +1924,7 @@ object TradeAnalytics extends QueryModule {
         graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
     val rootProd = sqrt(
       (col("p.nsh_a").cast("long") * col("p.nsh_b")).cast("double"))
-    val pKeep = least(lit(1.0), lit(DimsumGamma) / rootProd)
+    val pKeep = least(lit(1.0), lit(gamma) / rootProd)
     val u = pmod(conv(substring(md5(concat_ws("|",
         col("cust").cast("string"), col("p.doc_a").cast("string"),
         col("p.doc_b").cast("string"))), 1, 15), 16, 10).cast("long"),
@@ -1931,7 +1936,7 @@ object TradeAnalytics extends QueryModule {
     // DuckDB-replayable oracle contract) for a native 64-bit hash.
     // persist: sym reads emits twice (the unionAll symmetrization)
     val emits = expanded
-      .filter(lit(DimsumGamma) >= rootProd ||
+      .filter(lit(gamma) >= rootProd ||
         u.cast("double") < pKeep * lit(1e6))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("emits"))
@@ -1939,7 +1944,7 @@ object TradeAnalytics extends QueryModule {
     def est(ni: Column, nn: Column): Column = {
       val prod = sqrt((ni * nn).cast("double"))
       col("emits").cast("double") /
-        (least(lit(1.0), lit(DimsumGamma) / prod) * prod)
+        (least(lit(1.0), lit(gamma) / prod) * prod)
     }
     val sym = emits.select(col("doc_a").as("item"), col("doc_b").as("neighbor"),
         col("emits"))

@@ -35,7 +35,7 @@ object CapstoneGate extends QueryModule {
     * null-out) and every 101st epoch-zero (the §0.1.4 regression row);
     * visatype = order priority (5 distinct values).
     */
-  private def immFromOrders(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def immFromOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).select(
       col("o_orderkey").cast("double").as("cicid"),
       (pmod(col("o_custkey"), lit(25)) +
@@ -53,7 +53,7 @@ object CapstoneGate extends QueryModule {
     * lowercased so the dim join must case-normalize to match the
     * UPPERCASE mapping side.
     */
-  private def tempFromNation(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def tempFromNation(spark: SparkSession, dir: String): DataFrame =
     Tables.nation(spark, dir).select(col("n_nationkey"),
         lower(col("n_name")).as("Country"),
         explode(array(lit(0.0), lit(1.0))).as("off"))

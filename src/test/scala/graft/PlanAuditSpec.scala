@@ -542,6 +542,43 @@ class PlanAuditSpec extends SparkSpec {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("block-unrolled recursions stay inside the UnionLoop job budget") {
+    // r12/r13: the native one-month-per-iteration recursive CTEs cost
+    // ~340 scheduler jobs (~4 per UnionLoop iteration — a fixed runtime
+    // floor independent of row counts); the 8-month block unroll plus
+    // q235's 2-alias chain (fc recovered post-stack via lag) hold both
+    // at ~55-57 jobs / ~3 s. This is the declared floor (SCALE.md round
+    // 13): wider blocks REGRESS because UnionLoop re-analyzes the step
+    // query every iteration and lateral-alias resolution is superlinear
+    // in chain width (k=16 measured slower than k=8 at 20 fewer jobs).
+    // A job count past 80 means the unroll silently reverted to
+    // month-at-a-time; the oracle cannot see that (output identical).
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sc.addSparkListener(listener)
+    try {
+      val recursions = Seq[(String, () => DataFrame)](
+        ("q226_recursive_cte",
+          () => operators.SqlSurface.recursiveCte(spark, sfDir)),
+        ("q235_holt_smoothing",
+          () => operators.SqlSurface.holtSmoothing(spark, sfDir)))
+      for ((name, build) <- recursions) {
+        org.apache.spark.graftbridge.ListenerBridge.drain(sc)
+        jobs.set(0)
+        build().collect()
+        org.apache.spark.graftbridge.ListenerBridge.drain(sc)
+        assert(jobs.get() <= 80,
+          s"$name ran ${jobs.get()} jobs — the block unroll reverted " +
+            "to month-at-a-time iterations")
+      }
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("expansion-heavy queries run their hot stage wide (class C pin)") {
     // r10 class C: q258/q197's expensive map stage (B-fold explode /
     // 16-hash signature pass) inherited the parquet SCAN's single-split
