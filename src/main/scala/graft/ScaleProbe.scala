@@ -246,6 +246,34 @@ object ScaleProbe {
         probe(name, label, dir, samples = 2)
     }
 
+    // `dimsumfallback` mode (VERDICT r12 #2): the measured cost of the
+    // over-budget path — q322 with the itemN broadcast hints dropped
+    // (budget 0 forces the shuffle-join fallback the budget guard
+    // degrades to) vs the hinted default, same data, back to back.
+    if (args.contains("dimsumfallback")) {
+      for ((label, dir) <- Seq(("sf0.1", base), ("10x", tenXDir));
+           (mode, budget) <- Seq(
+             ("hinted", operators.TradeAnalytics.DimsumItemBudget),
+             ("fallback", 0L))) {
+        val build = operators.TradeAnalytics
+          .dimsumNeighbors(spark, dir, budget)
+        build.count() // warm
+        val times = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          shuffleRead.set(0); shuffleWrite.set(0); diskSpill.set(0)
+          val t0 = System.nanoTime()
+          val n = operators.TradeAnalytics
+            .dimsumNeighbors(spark, dir, budget).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
+          (dt, n, shuffleRead.get(), shuffleWrite.get())
+        }
+        val (dt, n, sr, sw) = times.minBy(_._1)
+        println(f"[dimsumfb] $label%-6s $mode%-9s rows=$n%-6d wall=$dt%7.3f s " +
+          f"shuffle_read=${sr / 1048576.0}%8.2f MiB shuffle_write=${sw / 1048576.0}%8.2f MiB")
+      }
+    }
+
     // `dimsumacc` mode (VERDICT r12 #4): quantify DIMSUM's estimator
     // error where sampling actually ENGAGES. The fixed-catalog 10× synth
     // is the regime that deepens degrees (same items, 10× the buyers:
