@@ -1900,6 +1900,29 @@ object TradeAnalytics extends QueryModule {
     * q322 always runs at [[DimsumGamma]]. */
   private[graft] def dimsumNeighbors(spark: SparkSession, dir: String,
       itemBudget: Long, gamma: Double = DimsumGamma): DataFrame = {
+    val (sym, itemN, releasables) = dimsumScored(spark, dir, itemBudget, gamma)
+    val top50 = itemN.orderBy(col("n_cust").desc, col("item")).limit(50)
+      .select(col("item"))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("est_cosine").desc, col("neighbor"))
+    Materialize.releasing(
+      sym.join(broadcast(top50), Seq("item"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("item"), col("rank"), col("neighbor"),
+          col("emits").cast("bigint").as("n_emits"),
+          round(col("est_cosine"), 4).as("est_cosine"))
+        .orderBy(col("item"), col("rank")),
+      releasables: _*)
+  }
+
+  /** The shared DIMSUM kernel: the symmetric scored relation
+    * (item, neighbor, emits, est_cosine) plus the persisted
+    * intermediates the caller releases through [[Materialize]].
+    * q322 ranks it (top-5 per hub anchor); q323 thresholds it. */
+  private def dimsumScored(spark: SparkSession, dir: String,
+      itemBudget: Long, gamma: Double)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
     val baskets = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -1955,22 +1978,44 @@ object TradeAnalytics extends QueryModule {
       .join(maybeBroadcast(itemN.select(col("item").as("neighbor"),
         col("n_cust").as("nn"))), Seq("neighbor"))
       .withColumn("est_cosine", est(col("ni"), col("nn")))
-    val top50 = itemN.orderBy(col("n_cust").desc, col("item")).limit(50)
-      .select(col("item"))
-    val w = Window.partitionBy(col("item"))
-      .orderBy(col("est_cosine").desc, col("neighbor"))
-    Materialize.releasing(
-      sym.join(broadcast(top50), Seq("item"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("item"), col("rank"), col("neighbor"),
-          col("emits").cast("bigint").as("n_emits"),
-          round(col("est_cosine"), 4).as("est_cosine"))
-        .orderBy(col("item"), col("rank")),
-      b, itemN, emits)
+    (sym, itemN, Seq(b, itemN, emits))
   }
 
-  private val dimsumNeighborsSql =
+  /** q323: threshold-mode DIMSUM — ALL pairs with estimated cosine
+    * ≥ [[DimsumEpsilon]], the regime the DISCO paper actually states
+    * ("all pairs with similarity above ε") and the one the round-13
+    * accuracy sweep showed the sampler is FOR: estimator error follows
+    * ~1/√γ (SCALE.md r13 table), so γ buys cosine RESOLUTION — a
+    * threshold query needs γ sized to ε, while fine top-k ranking of
+    * weakly-similar items (q204's contract) stays on the exact kernel.
+    * Same kernel, guard, and engine-portable draw as q322; output is
+    * the full symmetric closure ordered (item, neighbor), so a consumer
+    * gets each qualifying pair from both endpoints' perspectives.
+    *
+    * Scale shape: identical to q322 up to the final filter — the
+    * threshold replaces the top-50-anchor rank window, so there is no
+    * per-item window at all: one filter over the aggregated emits, and
+    * output size is bounded by the data's similarity structure (the
+    * count of pairs genuinely above ε), not by catalog × k.
+    */
+  val DimsumEpsilon = 0.12
+
+  def dimsumThresholdPairs(spark: SparkSession, dir: String): DataFrame = {
+    val (sym, _, releasables) =
+      dimsumScored(spark, dir, DimsumItemBudget, DimsumGamma)
+    Materialize.releasing(
+      sym.filter(col("est_cosine") >= lit(DimsumEpsilon))
+        .select(col("item"), col("neighbor"),
+          col("emits").cast("bigint").as("n_emits"),
+          round(col("est_cosine"), 4).as("est_cosine"))
+        .orderBy(col("item"), col("neighbor")),
+      releasables: _*)
+  }
+
+  /** Shared CTE prefix (baskets → kept → emits → sym → scored) of the
+    * two DIMSUM oracles — one kernel, two consumers, in SQL as in
+    * Scala. */
+  private val dimsumKernelSql =
     s"""WITH baskets AS (
       |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2007,7 +2052,10 @@ object TradeAnalytics extends QueryModule {
       |         * sqrt((a.n_cust * b2.n_cust)::DOUBLE)) AS est_cosine
       |  FROM sym s JOIN itemn a ON s.item = a.item
       |  JOIN itemn b2 ON s.neighbor = b2.item
-      |), top50 AS (
+      |)""".stripMargin
+
+  private val dimsumNeighborsSql =
+    s"""$dimsumKernelSql, top50 AS (
       |  SELECT item FROM itemn ORDER BY n_cust DESC, item LIMIT 50
       |), ranked AS (
       |  SELECT s.item, s.neighbor, s.emits, s.est_cosine,
@@ -2018,6 +2066,13 @@ object TradeAnalytics extends QueryModule {
       |SELECT item, rank, neighbor, emits::BIGINT AS n_emits,
       |  round(est_cosine, 4) AS est_cosine
       |FROM ranked WHERE rank <= 5 ORDER BY item, rank""".stripMargin
+
+  private val dimsumThresholdSql =
+    s"""$dimsumKernelSql
+      |SELECT item, neighbor, emits::BIGINT AS n_emits,
+      |  round(est_cosine, 4) AS est_cosine
+      |FROM scored WHERE est_cosine >= ${DimsumEpsilon}
+      |ORDER BY item, neighbor""".stripMargin
 
   /** q212: deterministic negative sampling — the contrastive-training
     * counterpart to q204's positives: for every customer, 4 items they
@@ -4222,6 +4277,8 @@ object TradeAnalytics extends QueryModule {
       Some(priceElasticitySql)),
     QueryDef("q322_dimsum_similarity", dimsumNeighbors,
       Some(dimsumNeighborsSql), benchmark = true),
+    QueryDef("q323_dimsum_threshold", dimsumThresholdPairs,
+      Some(dimsumThresholdSql)),
     QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),
     QueryDef("q290_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),

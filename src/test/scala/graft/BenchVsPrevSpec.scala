@@ -152,6 +152,17 @@ class BenchVsPrevSpec extends AnyFunSuite {
     assert(dirty.isEmpty)
   }
 
+  test("a lucky in-sweep sample beats a slower clean re-run (one-sided rule)") {
+    // contention only inflates: a sample FASTER than a certified-clean
+    // one is genuine, so the clean min is min(all), not min(clean) —
+    // otherwise the clean headline reads worse than the regular one on
+    // single-sample noise (observed r13: 12.8 vs 11.2 core-16)
+    val results = Seq(("q20", 0.95, Seq(0.95, 1.40, 1.10)))
+    val (mins, dirty) = Bench.cleanHeadline(results, Set("q20"),
+      Map("q20" -> Seq(1.10)))
+    assert(mins === Map("q20" -> 0.95) && dirty.isEmpty)
+  }
+
   test("contended query with no clean bracket stays dirty, falls back to min") {
     // the canary never recovered inside the retry budget: the query's
     // entry falls back to the (suspect) regular min AND it is listed

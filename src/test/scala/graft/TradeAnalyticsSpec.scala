@@ -978,6 +978,46 @@ class TradeAnalyticsSpec extends SparkSpec {
       f"error must shrink with gamma: $m20%.4f, $m50%.4f, $m100%.4f")
   }
 
+  test("q323: threshold pairs match an exact driver-side cosine replay (p = 1)") {
+    // At fixture degrees sampling never engages, so est_cosine IS the
+    // exact cosine and q323 must equal the brute-force threshold set:
+    // every unordered pair of items with |buyers∩|/√(nᵢnⱼ) ≥ ε, emitted
+    // in both directions (symmetric closure), ordered (item, neighbor).
+    val eps = operators.TradeAnalytics.DimsumEpsilon
+    val baskets = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("cust"), r.getAs[Long]("item")))
+    val kept = baskets.groupBy(_._1).filter(_._2.length <= 256)
+    val byItem = kept.values.flatten.groupBy(_._2)
+      .map { case (i, g) => i -> g.map(_._1).toSet }
+    val items = byItem.keys.toSeq.sorted
+    val expected = (for {
+      a <- items; b <- items if a < b
+      co = (byItem(a) intersect byItem(b)).size if co > 0
+      cos = co.toDouble / math.sqrt(byItem(a).size.toDouble * byItem(b).size)
+      if cos >= eps
+      (i, n) <- Seq((a, b), (b, a))
+    } yield (i, n) -> (co.toLong, cos)).toMap
+    val rows = operators.TradeAnalytics.dimsumThresholdPairs(spark, sfDir)
+      .collect()
+    assert(rows.length === expected.size)
+    assert(rows.nonEmpty, "fixture must exercise the threshold")
+    // ordered (item, neighbor) and each pair present from both ends
+    val keys = rows.map(r => (r.getAs[Long]("item"), r.getAs[Long]("neighbor")))
+    assert(keys.toSeq === keys.toSeq.sorted)
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("item"), r.getAs[Long]("neighbor"))
+      val (co, cos) = expected(key)
+      assert(r.getAs[Long]("n_emits") === co, s"emits == co at $key")
+      assert(math.abs(r.getAs[Double]("est_cosine") - cos) <= 5.1e-5)
+      assert(expected.contains(key.swap), s"symmetric closure at $key")
+    }
+  }
+
   test("q322: over-budget catalog drops the broadcast hints, result unchanged") {
     // VERDICT r12 #2: q322's degree dimension is catalog-sized and the
     // catalog co-scales with data at 100 TB — an unguarded explicit
