@@ -168,7 +168,9 @@ object Timings {
     * one). */
   def writeRoundArtifact(root: File, sfDir: String,
       timings: Map[String, Double], minQueries: Int = 0,
-      canary: Option[(Double, Double)] = None): Unit = {
+      canary: Option[(Double, Double)] = None,
+      canarySeries: Seq[(Int, Double)] = Nil,
+      posOf: Map[String, Int] = Map.empty): Unit = {
     val sf = new File(sfDir).getName
     if (sf != "sf0.01" || timings.isEmpty || timings.size < minQueries) return
     currentRound(root).foreach { n =>
@@ -191,9 +193,25 @@ object Timings {
       // label them so next round's baseline reader discounts them too
       val priorContended = (for (p <- priorCanaryMin; c <- curCanaryMin)
         yield p / c > 1.3).getOrElse(false)
+      // Position-aware span labeling (r13): the start/end pair above is
+      // blind to MID-run contention — a concurrent job that starts after
+      // the first canary and ends before the last put 10 unlabeled
+      // false flags in an r13 builder sweep. When Verify passes its
+      // interleaved canary series, a regression flag whose NEAREST
+      // canary drifted >1.3× over the RUN's own canary min (the
+      // Bench re-run-pass base — cross-round bases float up to ~1.8×
+      // idle-to-idle and would label everything) relabels contended.
+      val runBase = canarySeries.map(_._2).filter(_ > 0)
+        .minOption.getOrElse(0.0)
+      def spanContended(name: String): Boolean =
+        posOf.get(name)
+          .flatMap(Bench.nearestCanaryDrift(canarySeries, _, runBase))
+          .exists(_ > Bench.canaryDriftThr)
       val flags = flags0.map { f =>
         if (contended && f.note.startsWith("regression"))
           f.copy(note = "contended-host: canary elevated vs prior round, rerun required")
+        else if (f.note.startsWith("regression") && spanContended(f.name))
+          f.copy(note = "contended-span: in-run canary drifted at this query's position, rerun required")
         else if (priorContended && f.note == "improvement")
           f.copy(note = "improvement (prior-round canary was elevated: likely contention relief, not a code win)")
         else f
@@ -212,8 +230,12 @@ object Timings {
       val canaryJson = canary.map { case (a, b) =>
         f""","canary_s":{"start":$a%.3f,"end":$b%.3f}"""
       }.getOrElse("")
+      val seriesJson =
+        if (canarySeries.isEmpty) ""
+        else canarySeries.map { case (i, v) => f"[$i,$v%.3f]" }
+          .mkString(""","canary_series":[""", ",", "]")
       val body = s"""{"round":$n,"sf":${jstr(sf)},""" +
-        s""""n_queries":${timings.size},"timings":$timJson$canaryJson$vsPrev}"""
+        s""""n_queries":${timings.size},"timings":$timJson$canaryJson$seriesJson$vsPrev}"""
       Files.writeString(new File(root, s"TIMINGS_r$n.json").toPath, body)
       val msg = prior match {
         case None => s"no prior artifact — baseline written"

@@ -118,13 +118,26 @@ object Verify {
       catch { case _: Throwable => None }
     try Bench.contentionCanary(spark, cpus.toInt) // untimed JIT warm
     catch { case _: Throwable => () }
-    val canaryStart = canarySample()
+    // Interleaved canary SERIES (r13): the start/end pair is blind to
+    // MID-run contention — a concurrent job bracketed by two idle
+    // canaries put 10 unlabeled false flags in an r13 sweep. A mark
+    // every [[canaryEvery]] queries (~10 extra 0.2 s spins over a
+    // 323-query dump) gives the TIMINGS diff a per-position drift
+    // column, same as Bench's sweep.
+    val canaryEvery = 32
+    val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def mark(idx: Int): Unit =
+      canarySample().foreach(v => canarySeries += ((idx, v)))
+    mark(0)
+    val canaryStart = canarySeries.headOption.map(_._2)
     // Deterministic declaration order (allDefs), not Map hash order:
     // stable round-over-round, so the TIMINGS vs_prev diff compares each
     // query at the same session age.
     val ran = SparkEntry.allDefs.map(d => (d.name, d.build))
       .filter { case (name, _) => only.isEmpty || only(name) }
-    ran.foreach { case (name, fn) =>
+    val posOf = ran.map(_._1).zipWithIndex.toMap
+    ran.zipWithIndex.foreach { case ((name, fn), i) =>
+      if (i > 0 && i % canaryEvery == 0) mark(i)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -168,12 +181,16 @@ object Verify {
     // (VERDICT r10 #1) — no-op outside the repo root / gate scale, and
     // a subset re-run into a FRESH outDir (timings merge finds nothing)
     // must not publish a thin artifact as the round's full sweep
-    val canaryEnd = canarySample()
+    mark(ran.size)
+    val canaryEnd = canarySeries.lastOption.filter(_ => canarySeries.size > 1)
+      .map(_._2)
     for (a <- canaryStart; b <- canaryEnd)
-      System.err.println(f"[verify] canary start=$a%.3f s end=$b%.3f s")
+      System.err.println(f"[verify] canary start=$a%.3f s end=$b%.3f s " +
+        f"min=${canarySeries.map(_._2).min}%.3f max=${canarySeries.map(_._2).max}%.3f")
     Timings.writeRoundArtifact(new java.io.File("."), sfDir, timings.toMap,
       minQueries = (SparkEntry.queries.size * 9) / 10,
-      canary = for (a <- canaryStart; b <- canaryEnd) yield (a, b))
+      canary = for (a <- canaryStart; b <- canaryEnd) yield (a, b),
+      canarySeries = canarySeries.toSeq, posOf = posOf)
     // subset runs must MERGE with prior errors: rewriting errors.json
     // with only the subset's failures would erase the recorded failure
     // of every query outside the subset (silent-absence, again)

@@ -139,6 +139,34 @@ class TimingsSpec extends AnyFunSuite {
     assert(text2.contains("regression: >2x"), "idle-host regression must keep its label")
   }
 
+  test("mid-run contention relabels flags by canary position (r13 series)") {
+    // start/end canaries both idle (0.21/0.20) — the whole-run check
+    // sees nothing — but the series carries a 3x spike at position 32,
+    // exactly where q_mid ran; its regression flag must relabel
+    // contended-span while q_far (position 300, nearest canary idle)
+    // keeps the raw regression verdict
+    val root = Files.createTempDirectory("graft-tim7").toFile
+    Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_r10.json").toPath, "{}")
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q_mid" -> 0.5, "q_far" -> 0.5),
+      canary = Some((0.21, 0.20)))
+    assert(new java.io.File(root, "TIMINGS_r11.json")
+      .renameTo(new java.io.File(root, "TIMINGS_r10.json")))
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q_mid" -> 1.5, "q_far" -> 1.5),
+      canary = Some((0.21, 0.20)),
+      canarySeries = Seq((0, 0.21), (32, 0.62), (64, 0.20), (300, 0.21)),
+      posOf = Map("q_mid" -> 33, "q_far" -> 299))
+    val text = Files.readString(new java.io.File(root, "TIMINGS_r11.json").toPath)
+    assert(text.contains(""""canary_series":[[0,0.210],[32,0.620]"""))
+    assert(text.contains(""""q_mid":{""") && text.contains("contended-span"),
+      "mid-run spike must relabel the co-located flag")
+    val farBlock = text.substring(text.indexOf(""""q_far":{"""))
+    assert(farBlock.take(200).contains("regression: >2x"),
+      "a flag far from the spike keeps the raw verdict")
+  }
+
   test("prior-round contention relabels spurious improvements (ADVICE r12)") {
     // the PRIOR round was the contended one: its canary min (0.40)
     // sits 2x above this idle run's (0.20), so a 3x "improvement" is
