@@ -121,10 +121,10 @@ object Verify {
     // Interleaved canary SERIES (r13): the start/end pair is blind to
     // MID-run contention — a concurrent job bracketed by two idle
     // canaries put 10 unlabeled false flags in an r13 sweep. A mark
-    // every [[canaryEvery]] queries (~10 extra 0.2 s spins over a
+    // every [[canaryEvery]] queries (~20 extra 0.2 s spins over a
     // 323-query dump) gives the TIMINGS diff a per-position drift
     // column, same as Bench's sweep.
-    val canaryEvery = 32
+    val canaryEvery = 16
     val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     def mark(idx: Int): Unit =
       canarySample().foreach(v => canarySeries += ((idx, v)))
