@@ -181,7 +181,12 @@ object ScaleProbe {
       // r12: the DIMSUM kernel under disjoint (catalog-growing) scaling —
       // degrees constant so p never deepens: expect plain wire-linear;
       // the fixed-catalog contrast lives in the `dimsum` mode above
-      "q322_dimsum_similarity")
+      "q322_dimsum_similarity",
+      // r13: the threshold consumer of the same kernel — same scaling
+      // law as q322 minus the rank window; output row count is the
+      // data's similarity structure, so disjoint replicas grow it
+      // exactly linearly (10 disjoint copies of the base pair set)
+      "q323_dimsum_threshold")
     // `only=q302_recsys_backtest,q312_assortativity` restricts the run —
     // single-family re-probes shouldn't pay the full 14-query sweep.
     val onlySet: Option[Set[String]] = args.collectFirst {
@@ -333,7 +338,14 @@ object ScaleProbe {
     // the scaled fact — not probed here.
     if (args.contains("capstone")) {
       import pipeline.{CapstoneGate, Clean, StarSchema}
-      for ((label, dir) <- Seq(("sf0.1", base), ("10x", tenXDir))) {
+      // with `100` also on the args, the deliverable gets its third
+      // decade from the spread trade synth (15M orders)
+      val capstoneTiers = Seq(("sf0.1", base), ("10x", tenXDir)) ++
+        (if (args.contains("100")) {
+          synthTrade(100, "/tmp/graft_scale_100x", spread = true)
+          Seq(("100x", "/tmp/graft_scale_100x"))
+        } else Seq.empty)
+      for ((label, dir) <- capstoneTiers) {
         val outDir = s"/tmp/graft_capstone_$label"
         spark.catalog.clearCache()
         shuffleRead.set(0); shuffleWrite.set(0); diskSpill.set(0)
@@ -415,24 +427,35 @@ object ScaleProbe {
     // codegen cost is noise, and each extra sample is a minute.
     if (args.contains("100")) {
       val hundredXDir = "/tmp/graft_scale_100x"
-      synthDocs(100, hundredXDir, spread = true)
-      synthEmb(100, hundredXDir, spread = true)
-      synthTrade(100, hundredXDir, spread = true)
-      for (name <- Seq("q36_corpus_prep", "q40_minhash_lsh",
-          "q321_sharded_dedup_production", "q255_kcore",
-          // broadened after q40's cliff: every distinct candidate/pair
-          // kernel family gets a third decade — estimate-driven plan
-          // flips are invisible until the estimates get big
-          "q35_jaccard_pairs", "q41_simhash", "q107_triangle_census",
-          "q42_knn_bruteforce", "q43_ann_hyperplane",
-          // r11: both remaining loop SHAPES at the third decade — q255
-          // covers peel-style; these cover pointer-doubling CC over two
-          // differently-dense graphs
-          "q195_connected_components", "q53_dup_groups",
-          // r12: the heavy bench tail's third decade
-          "q302_recsys_backtest", "q204_item_neighbors",
-          "q217_hard_negatives", "q312_assortativity")
-          if wanted(name))
+      val hundredXProbes = Seq("q36_corpus_prep", "q40_minhash_lsh",
+        "q321_sharded_dedup_production", "q255_kcore",
+        // broadened after q40's cliff: every distinct candidate/pair
+        // kernel family gets a third decade — estimate-driven plan
+        // flips are invisible until the estimates get big
+        "q35_jaccard_pairs", "q41_simhash", "q107_triangle_census",
+        "q42_knn_bruteforce", "q43_ann_hyperplane",
+        // r11: both remaining loop SHAPES at the third decade — q255
+        // covers peel-style; these cover pointer-doubling CC over two
+        // differently-dense graphs
+        "q195_connected_components", "q53_dup_groups",
+        // r12: the heavy bench tail's third decade
+        "q302_recsys_backtest", "q204_item_neighbors",
+        "q217_hard_negatives", "q312_assortativity",
+        // r13: the DIMSUM pair completes its three-decade series
+        "q322_dimsum_similarity", "q323_dimsum_threshold")
+      // synthesize only the tables the WANTED probes read — a
+      // trade-only 100× re-probe shouldn't pay the ~6 GiB doc/emb synth
+      val tradeOnly = Set("q302_recsys_backtest", "q204_item_neighbors",
+        "q217_hard_negatives", "q312_assortativity",
+        "q322_dimsum_similarity", "q323_dimsum_threshold")
+      val active = hundredXProbes.filter(wanted)
+      if (active.exists(n => !tradeOnly(n))) {
+        synthDocs(100, hundredXDir, spread = true)
+        synthEmb(100, hundredXDir, spread = true)
+      }
+      if (active.exists(tradeOnly) || args.contains("capstone"))
+        synthTrade(100, hundredXDir, spread = true)
+      for (name <- active)
         probe(name, "100x", hundredXDir, samples = 1)
     }
     spark.stop()
