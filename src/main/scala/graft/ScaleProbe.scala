@@ -323,6 +323,27 @@ object ScaleProbe {
           f"mean_abs_err=$meanErr%.4f max_abs_err=$maxErr%.4f " +
           f"est_rows=${est.length}%d matched_pairs=${errs.length}%d")
       }
+      // r13: the metric that matters for q323 — set precision/recall of
+      // the THRESHOLDED output under sampling. γ = 1e18 puts every pair
+      // at p = 1, so the same kernel yields the exact ε-set as ground
+      // truth; fixed-catalog scaling preserves cosines (co-counts and
+      // degrees both grow ~10×), so the set is structurally the
+      // realistic one.
+      {
+        val exactSet = operators.TradeAnalytics
+          .dimsumThresholdPairs(spark, fcDir, 1e18).collect()
+          .map(r => (r.getAs[Long]("item"), r.getAs[Long]("neighbor"))).toSet
+        for (gamma <- Seq(20.0, 50.0, 100.0)) {
+          val s = operators.TradeAnalytics
+            .dimsumThresholdPairs(spark, fcDir, gamma).collect()
+            .map(r => (r.getAs[Long]("item"), r.getAs[Long]("neighbor"))).toSet
+          val tp = (s intersect exactSet).size
+          println(f"[dimsumacc] threshold eps=${operators.TradeAnalytics.DimsumEpsilon}%.2f " +
+            f"gamma=$gamma%5.0f exact=${exactSet.size}%d sampled=${s.size}%d " +
+            f"precision=${if (s.isEmpty) 1.0 else tp.toDouble / s.size}%.3f " +
+            f"recall=${if (exactSet.isEmpty) 1.0 else tp.toDouble / exactSet.size}%.3f")
+        }
+      }
     }
 
     // `capstone` mode (VERDICT r12 #7): the reference-parity star-schema

@@ -1900,29 +1900,35 @@ object TradeAnalytics extends QueryModule {
     * q322 always runs at [[DimsumGamma]]. */
   private[graft] def dimsumNeighbors(spark: SparkSession, dir: String,
       itemBudget: Long, gamma: Double = DimsumGamma): DataFrame = {
-    val (sym, itemN, releasables) = dimsumScored(spark, dir, itemBudget, gamma)
-    val top50 = itemN.orderBy(col("n_cust").desc, col("item")).limit(50)
+    val k = dimsumScored(spark, dir, itemBudget, gamma)
+    val top50 = k.itemN.orderBy(col("n_cust").desc, col("item")).limit(50)
       .select(col("item"))
     val w = Window.partitionBy(col("item"))
       .orderBy(col("est_cosine").desc, col("neighbor"))
     Materialize.releasing(
-      sym.join(broadcast(top50), Seq("item"))
+      k.sym.join(broadcast(top50), Seq("item"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("item"), col("rank"), col("neighbor"),
           col("emits").cast("bigint").as("n_emits"),
           round(col("est_cosine"), 4).as("est_cosine"))
         .orderBy(col("item"), col("rank")),
-      releasables: _*)
+      k.releasables: _*)
   }
 
-  /** The shared DIMSUM kernel: the symmetric scored relation
-    * (item, neighbor, emits, est_cosine) plus the persisted
-    * intermediates the caller releases through [[Materialize]].
-    * q322 ranks it (top-5 per hub anchor); q323 thresholds it. */
+  /** The shared DIMSUM kernel's products: the symmetric scored
+    * relation (item, neighbor, emits, est_cosine), the degree
+    * dimension, the kept-basket relation (persisted — q323's verify
+    * phase re-reads it), whether the degree dimension fit the
+    * broadcast budget, and the persisted intermediates the caller
+    * releases through [[Materialize]]. */
+  private final case class DimsumKernel(sym: DataFrame, itemN: DataFrame,
+      baskets: DataFrame, itemNHinted: Boolean, releasables: Seq[DataFrame])
+
+  /** q322 ranks the kernel (top-5 per hub anchor); q323 thresholds
+    * and exactly verifies it. */
   private def dimsumScored(spark: SparkSession, dir: String,
-      itemBudget: Long, gamma: Double)
-      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+      itemBudget: Long, gamma: Double): DimsumKernel = {
     val baskets = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -1978,38 +1984,97 @@ object TradeAnalytics extends QueryModule {
       .join(maybeBroadcast(itemN.select(col("item").as("neighbor"),
         col("n_cust").as("nn"))), Seq("neighbor"))
       .withColumn("est_cosine", est(col("ni"), col("nn")))
-    (sym, itemN, Seq(b, itemN, emits))
+    DimsumKernel(sym, itemN, b, hinted, Seq(b, itemN, emits))
   }
 
-  /** q323: threshold-mode DIMSUM — ALL pairs with estimated cosine
-    * ≥ [[DimsumEpsilon]], the regime the DISCO paper actually states
-    * ("all pairs with similarity above ε") and the one the round-13
-    * accuracy sweep showed the sampler is FOR: estimator error follows
-    * ~1/√γ (SCALE.md r13 table), so γ buys cosine RESOLUTION — a
-    * threshold query needs γ sized to ε, while fine top-k ranking of
-    * weakly-similar items (q204's contract) stays on the exact kernel.
-    * Same kernel, guard, and engine-portable draw as q322; output is
-    * the full symmetric closure ordered (item, neighbor), so a consumer
-    * gets each qualifying pair from both endpoints' perspectives.
+  /** q323: threshold-mode DIMSUM, TWO-PHASE — all pairs with EXACT
+    * cosine ≥ [[DimsumEpsilon]], found by sampled candidate generation
+    * plus exact verification. The r13 accuracy probe killed the naive
+    * one-phase design with a measurement: at the fixed-catalog 10×
+    * tier the pure sampled ε-set read 149,714 pairs against 512 true —
+    * precision 0.002 — because a per-pair-UNBIASED estimator still has
+    * a fat upper tail, and "est ≥ ε" is a multiple-comparison over
+    * millions of below-threshold pairs (FP count ≈ |pairs| ·
+    * P[Bin(co, p) ≥ γε] — corpus-sized no matter how good the
+    * estimator). This is also how DISCO is deployed in practice: the
+    * sampler PRUNES, an exact pass DECIDES.
     *
-    * Scale shape: identical to q322 up to the final filter — the
-    * threshold replaces the top-50-anchor rank window, so there is no
-    * per-item window at all: one filter over the aggregated emits, and
-    * output size is bounded by the data's similarity structure (the
-    * count of pairs genuinely above ε), not by catalog × k.
+    *  - Phase 1 (candidates): the shared sampled kernel; canonical
+    *    pairs whose estimate clears ε·[[DimsumCandidateBar]]. A true
+    *    pair (cosine ≥ ε) has E[emits] ≥ γε, so missing the half-bar
+    *    needs a lower-tail deviation past 2× — exp(−γε/8)-small by
+    *    Chernoff, and γ tunes it (the probe measures realized recall).
+    *  - Phase 2 (verify): exact co-occurrence counts for CANDIDATE
+    *    pairs only — baskets semi-joined to candidate-incident items,
+    *    self-joined per customer, pruned to the candidate set BEFORE
+    *    the count aggregation, cosine from the full-degree dimension.
+    *    Output is exact: precision 1 by construction; overall recall =
+    *    candidate recall. Cost ∝ candidate-incident basket mass, which
+    *    γ and the bar tune — never the full Σbsz² expansion.
+    *
+    * The candidate prune join is broadcast only under the same 2M-row
+    * budget discipline as the degree dimension (a loose bar or low γ
+    * degrades to a shuffle join, never a driver OOM). Both phases are
+    * engine-portable (the draw is the shared md5 uniform; the verify
+    * is plain relational algebra), so the DuckDB oracle replays the
+    * full two-phase pipeline exactly. p = 1 (γ ≥ all √(nᵢnⱼ)) makes
+    * phase 1 lossless and the output IS the exact ε-set — the fixture
+    * spec pins that identity.
     */
   val DimsumEpsilon = 0.12
 
-  def dimsumThresholdPairs(spark: SparkSession, dir: String): DataFrame = {
-    val (sym, _, releasables) =
-      dimsumScored(spark, dir, DimsumItemBudget, DimsumGamma)
+  /** Candidate bar as a fraction of ε (phase-1 keep: est ≥ ε·bar). */
+  val DimsumCandidateBar = 0.5
+
+  def dimsumThresholdPairs(spark: SparkSession, dir: String): DataFrame =
+    dimsumThresholdPairs(spark, dir, DimsumGamma)
+
+  /** γ-parameterized for the accuracy probe: γ = 1e18 makes every
+    * pair's p = 1, so phase 1 is lossless and the result is the exact
+    * threshold set — the ground truth recall is scored against
+    * (ScaleProbe dimsumacc). */
+  private[graft] def dimsumThresholdPairs(spark: SparkSession, dir: String,
+      gamma: Double): DataFrame = {
+    val k = dimsumScored(spark, dir, DimsumItemBudget, gamma)
+    val cand = k.sym
+      .filter(col("est_cosine") >= lit(DimsumEpsilon * DimsumCandidateBar) &&
+        col("item") < col("neighbor"))
+      .select(col("item").as("ca"), col("neighbor").as("cb"))
+      .persist()
+    // same budget discipline as the degree dimension: a loose bar or
+    // low γ degrades the prune to a shuffle join, never a driver OOM
+    val candHinted = cand.count() <= 2000000L
+    def maybeB(df: DataFrame): DataFrame = if (candHinted) broadcast(df) else df
+    def maybeBItemN(df: DataFrame): DataFrame =
+      if (k.itemNHinted) broadcast(df) else df
+    val candItems = cand.select(col("ca").as("item"))
+      .unionAll(cand.select(col("cb").as("item"))).distinct()
+    // candidate-incident baskets only: the verify expansion is bounded
+    // by the candidate structure, not the catalog
+    val vb = k.baskets.join(maybeB(candItems), Seq("item"))
+      .select(col("cust"), col("item")).persist()
+    val exactCo = vb.select(col("cust"), col("item").as("a"))
+      .join(vb.select(col("cust"), col("item").as("b")), Seq("cust"))
+      .filter(col("a") < col("b"))
+      .join(maybeB(cand), col("a") === col("ca") && col("b") === col("cb"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("co"))
+    val verified = exactCo
+      .join(maybeBItemN(k.itemN.select(col("item").as("a"),
+        col("n_cust").as("na"))), Seq("a"))
+      .join(maybeBItemN(k.itemN.select(col("item").as("b"),
+        col("n_cust").as("nb"))), Seq("b"))
+      .withColumn("cosine", col("co").cast("double") /
+        sqrt((col("na") * col("nb")).cast("double")))
+      .filter(col("cosine") >= lit(DimsumEpsilon))
     Materialize.releasing(
-      sym.filter(col("est_cosine") >= lit(DimsumEpsilon))
+      verified.select(col("a").as("item"), col("b").as("neighbor"),
+          col("co"), col("cosine"))
+        .unionAll(verified.select(col("b"), col("a"), col("co"), col("cosine")))
         .select(col("item"), col("neighbor"),
-          col("emits").cast("bigint").as("n_emits"),
-          round(col("est_cosine"), 4).as("est_cosine"))
+          col("co").cast("bigint").as("n_co_buyers"),
+          round(col("cosine"), 4).as("cosine"))
         .orderBy(col("item"), col("neighbor")),
-      releasables: _*)
+      k.releasables :+ cand :+ vb: _*)
   }
 
   /** Shared CTE prefix (baskets → kept → emits → sym → scored) of the
@@ -2067,11 +2132,35 @@ object TradeAnalytics extends QueryModule {
       |  round(est_cosine, 4) AS est_cosine
       |FROM ranked WHERE rank <= 5 ORDER BY item, rank""".stripMargin
 
+  /** The two-phase replay: cand = the md5-replayable sampled prune,
+    * exactco/verified = plain relational algebra over the same b/itemn
+    * CTEs — precision-1 by construction in BOTH engines. */
   private val dimsumThresholdSql =
-    s"""$dimsumKernelSql
-      |SELECT item, neighbor, emits::BIGINT AS n_emits,
-      |  round(est_cosine, 4) AS est_cosine
-      |FROM scored WHERE est_cosine >= ${DimsumEpsilon}
+    s"""$dimsumKernelSql, cand AS (
+      |  SELECT item AS ca, neighbor AS cb FROM scored
+      |  WHERE est_cosine >= ${DimsumEpsilon * DimsumCandidateBar}
+      |    AND item < neighbor
+      |), exactco AS (
+      |  SELECT x.item AS a, y.item AS b, count(*) AS co
+      |  FROM b x JOIN b y ON x.cust = y.cust AND x.item < y.item
+      |  JOIN cand ON cand.ca = x.item AND cand.cb = y.item
+      |  GROUP BY 1, 2
+      |), verified AS (
+      |  SELECT a, b, co,
+      |    co::DOUBLE / sqrt((na.n_cust * nb.n_cust)::DOUBLE) AS cosine
+      |  FROM exactco
+      |  JOIN itemn na ON na.item = a
+      |  JOIN itemn nb ON nb.item = b
+      |  WHERE co::DOUBLE / sqrt((na.n_cust * nb.n_cust)::DOUBLE)
+      |    >= ${DimsumEpsilon}
+      |)
+      |SELECT item, neighbor, co::BIGINT AS n_co_buyers,
+      |  round(cosine, 4) AS cosine
+      |FROM (
+      |  SELECT a AS item, b AS neighbor, co, cosine FROM verified
+      |  UNION ALL
+      |  SELECT b, a, co, cosine FROM verified
+      |)
       |ORDER BY item, neighbor""".stripMargin
 
   /** q212: deterministic negative sampling — the contrastive-training

@@ -976,13 +976,36 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(x50 <= 0.45, f"gamma=50 max abs error $x50%.4f exceeds envelope")
     assert(m20 > m50 && m50 > m100,
       f"error must shrink with gamma: $m20%.4f, $m50%.4f, $m100%.4f")
+
+    // q323's two-phase contract under the same sampled regime: the
+    // verified output is a SUBSET of the exact ε-set (precision 1 by
+    // construction — phase 2 recomputes the exact cosine) and the
+    // candidate prune keeps most of it at the shipped γ (the 10xFC
+    // probe read recall 0.953 at γ=50; this synth's tie-dense base is
+    // harsher, so the pin is the probe-backed floor, not the probe
+    // value). All deterministic: md5 draw, fixed synth.
+    val eps = operators.TradeAnalytics.DimsumEpsilon
+    val exactSet = (for {
+      a <- byItem.keys.toSeq; bb <- byItem.keys.toSeq if a < bb
+      co = (byItem(a) intersect byItem(bb)).size if co > 0
+      if co.toDouble / math.sqrt(byItem(a).size.toDouble * byItem(bb).size) >= eps
+    } yield (a, bb)).toSet
+    val sampled = operators.TradeAnalytics
+      .dimsumThresholdPairs(spark, dir, 50.0).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("neighbor")))
+      .filter { case (a, bb) => a < bb }.toSet
+    assert(sampled.subsetOf(exactSet),
+      "verified output must never contain a below-threshold pair")
+    assert(exactSet.nonEmpty && sampled.size.toDouble / exactSet.size >= 0.80,
+      s"candidate recall ${sampled.size}/${exactSet.size} below the 0.80 floor")
   }
 
   test("q323: threshold pairs match an exact driver-side cosine replay (p = 1)") {
-    // At fixture degrees sampling never engages, so est_cosine IS the
-    // exact cosine and q323 must equal the brute-force threshold set:
-    // every unordered pair of items with |buyers∩|/√(nᵢnⱼ) ≥ ε, emitted
-    // in both directions (symmetric closure), ordered (item, neighbor).
+    // At fixture degrees sampling never engages, so phase 1 is lossless
+    // (candidates = exact pairs ≥ ε/2 ⊇ answer) and the verified output
+    // must equal the brute-force threshold set exactly: every unordered
+    // pair of items with |buyers∩|/√(nᵢnⱼ) ≥ ε, emitted in both
+    // directions (symmetric closure), ordered (item, neighbor).
     val eps = operators.TradeAnalytics.DimsumEpsilon
     val baskets = Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir)
@@ -1012,8 +1035,8 @@ class TradeAnalyticsSpec extends SparkSpec {
     rows.foreach { r =>
       val key = (r.getAs[Long]("item"), r.getAs[Long]("neighbor"))
       val (co, cos) = expected(key)
-      assert(r.getAs[Long]("n_emits") === co, s"emits == co at $key")
-      assert(math.abs(r.getAs[Double]("est_cosine") - cos) <= 5.1e-5)
+      assert(r.getAs[Long]("n_co_buyers") === co, s"exact co count at $key")
+      assert(math.abs(r.getAs[Double]("cosine") - cos) <= 5.1e-5)
       assert(expected.contains(key.swap), s"symmetric closure at $key")
     }
   }
