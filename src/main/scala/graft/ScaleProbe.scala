@@ -346,6 +346,19 @@ object ScaleProbe {
       }
     }
 
+    // `dimsumdiag` mode (r13): phase-1 candidate volume per tier — the
+    // quantity that decides whether q323's prune joins stay broadcast
+    // (2M budget) and how big the verify subgraph is.
+    if (args.contains("dimsumdiag")) {
+      import operators.TradeAnalytics._
+      for ((label, dir) <- Seq(("sf0.1", base), ("10x", tenXDir),
+          ("10xFC", "/tmp/graft_scale_10xfc"))
+          if new java.io.File(s"$dir/lineitem.parquet").exists()) {
+        val df = dimsumCandidateDiag(spark, dir)
+        println(f"[dimsumdiag] $label%-6s ${df}")
+      }
+    }
+
     // `capstone` mode (VERDICT r12 #7): the reference-parity star-schema
     // build — the actual deliverable — probed beyond fixture scale. The
     // CapstoneGate synthesis (orders → SAS-dated immigration rows) runs

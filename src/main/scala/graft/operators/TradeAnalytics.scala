@@ -2026,38 +2026,100 @@ object TradeAnalytics extends QueryModule {
   /** Candidate bar as a fraction of ε (phase-1 keep: est ≥ ε·bar). */
   val DimsumCandidateBar = 0.5
 
+  /** Broadcast budget for the candidate-pair prune relation. Separate
+    * from (and looser than) [[DimsumItemBudget]] deliberately: these
+    * rows are two bare longs (≈16 B payload; ~4M ≈ a few hundred MiB
+    * hashed), not minHashLsh's shingle-hash arrays — and the budget is
+    * load-bearing, measured: the 10×-disjoint tier carries 2.82M
+    * candidates (the corpus's irreducible near-ε cosine band plus
+    * estimator tail), and at the old 2M bound the prune degraded to a
+    * sort-merge join that put the FULL unpruned pair expansion on the
+    * wire (+2.6 GiB, wall 28 → 67 s). Broadcast keeps the prune
+    * in-task — the expansion dies before the exchange, the q217
+    * discipline. Past even this budget the fallback remains the safe
+    * shuffle join. */
+  val DimsumCandidateBudget = 4000000L
+
   def dimsumThresholdPairs(spark: SparkSession, dir: String): DataFrame =
     dimsumThresholdPairs(spark, dir, DimsumGamma)
+
+  /** Probe diagnostic (ScaleProbe dimsumdiag): phase-1 candidate-pair
+    * count, candidate-incident item count, and verify-subgraph basket
+    * rows per tier — the sizes that decide q323's prune-join plan and
+    * verify cost. */
+  private[graft] def dimsumCandidateDiag(spark: SparkSession,
+      dir: String): String = {
+    val k = dimsumScored(spark, dir, DimsumItemBudget, DimsumGamma)
+    val cand = k.sym
+      .filter(col("est_cosine") >= lit(DimsumEpsilon * DimsumCandidateBar) &&
+        col("item") < col("neighbor"))
+      .select(col("item").as("ca"), col("neighbor").as("cb"))
+      .persist()
+    val nCand = cand.count()
+    val candItems = cand.select(col("ca").as("item"))
+      .unionAll(cand.select(col("cb").as("item"))).distinct()
+    val nItems = candItems.count()
+    val nVb = k.baskets.join(broadcast(candItems), Seq("item")).count()
+    val nB = k.baskets.count()
+    (k.releasables :+ cand).foreach(_.unpersist())
+    f"cand_pairs=$nCand%-9d cand_items=$nItems%-8d verify_baskets=$nVb%-10d of_total=$nB%-10d"
+  }
 
   /** γ-parameterized for the accuracy probe: γ = 1e18 makes every
     * pair's p = 1, so phase 1 is lossless and the result is the exact
     * threshold set — the ground truth recall is scored against
     * (ScaleProbe dimsumacc). */
   private[graft] def dimsumThresholdPairs(spark: SparkSession, dir: String,
-      gamma: Double): DataFrame = {
+      gamma: Double, candBudget: Long = DimsumCandidateBudget): DataFrame = {
     val k = dimsumScored(spark, dir, DimsumItemBudget, gamma)
     val cand = k.sym
       .filter(col("est_cosine") >= lit(DimsumEpsilon * DimsumCandidateBar) &&
         col("item") < col("neighbor"))
       .select(col("item").as("ca"), col("neighbor").as("cb"))
       .persist()
-    // same budget discipline as the degree dimension: a loose bar or
-    // low γ degrades the prune to a shuffle join, never a driver OOM
-    val candHinted = cand.count() <= 2000000L
-    def maybeB(df: DataFrame): DataFrame = if (candHinted) broadcast(df) else df
+    val nCand = cand.count()
+    val candHinted = nCand <= candBudget
     def maybeBItemN(df: DataFrame): DataFrame =
       if (k.itemNHinted) broadcast(df) else df
     val candItems = cand.select(col("ca").as("item"))
       .unionAll(cand.select(col("cb").as("item"))).distinct()
     // candidate-incident baskets only: the verify expansion is bounded
     // by the candidate structure, not the catalog
-    val vb = k.baskets.join(maybeB(candItems), Seq("item"))
+    val vb = k.baskets.join(
+        if (candHinted) broadcast(candItems) else candItems, Seq("item"))
       .select(col("cust"), col("item")).persist()
-    val exactCo = vb.select(col("cust"), col("item").as("a"))
+    val expanded = vb.select(col("cust"), col("item").as("a"))
       .join(vb.select(col("cust"), col("item").as("b")), Seq("cust"))
       .filter(col("a") < col("b"))
-      .join(maybeB(cand), col("a") === col("ca") && col("b") === col("cb"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("co"))
+    // The expansion must die IN-TASK, never on the wire (the q217
+    // discipline — measured: an exchanged unpruned expansion cost
+    // +2.6 GiB / +40 s at the 10×-disjoint tier). Under the candidate
+    // budget the broadcast-hash prune does it; past the budget (28.2M
+    // candidates at 100×-disjoint — the catalog-growing direction) a
+    // BLOOM of the candidate pair keys keeps the kill map-side (~1.2 B
+    // per key at 1% fpp, driver-collected like any runtime filter),
+    // then the exact prune join runs on the bloom SURVIVORS after the
+    // count aggregation — candidate-sized input, AQE-planned, and the
+    // false positives die there, so the result stays exact.
+    val exactCo =
+      if (candHinted)
+        expanded
+          .join(broadcast(cand), col("a") === col("ca") && col("b") === col("cb"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("co"))
+      else {
+        val pairKey = (x: Column, y: Column) => xxhash64(x, y)
+        val survivors = graft.functions.BloomSketch.collectSketch(
+            cand.select(pairKey(col("ca"), col("cb")).as("k")), col("k"),
+            math.max(nCand, 1L), 0.01) match {
+          case None => expanded.limit(0) // no candidates: empty result
+          case Some(sketch) => expanded.filter(
+            graft.functions.BloomSketch.mightContain(sketch,
+              pairKey(col("a"), col("b"))))
+        }
+        survivors.groupBy(col("a"), col("b")).agg(count(lit(1)).as("co"))
+          .join(cand, col("a") === col("ca") && col("b") === col("cb"))
+          .select(col("a"), col("b"), col("co"))
+      }
     val verified = exactCo
       .join(maybeBItemN(k.itemN.select(col("item").as("a"),
         col("n_cust").as("na"))), Seq("a"))

@@ -1041,6 +1041,22 @@ class TradeAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q323: over-budget candidates take the bloom path, result unchanged") {
+    // past the candidate broadcast budget the verify prune switches to
+    // a driver-collected bloom (in-task kill of the expansion) plus an
+    // exact fp-removal join after the count aggregation — same rows,
+    // bit for bit, as the broadcast-prune path
+    val hinted = operators.TradeAnalytics
+      .dimsumThresholdPairs(spark, sfDir, operators.TradeAnalytics.DimsumGamma)
+      .collect()
+    val bloom = operators.TradeAnalytics
+      .dimsumThresholdPairs(spark, sfDir, operators.TradeAnalytics.DimsumGamma,
+        candBudget = 0L)
+      .collect()
+    assert(hinted.nonEmpty)
+    assert(bloom.map(_.toString).toSeq === hinted.map(_.toString).toSeq)
+  }
+
   test("q322: over-budget catalog drops the broadcast hints, result unchanged") {
     // VERDICT r12 #2: q322's degree dimension is catalog-sized and the
     // catalog co-scales with data at 100 TB — an unguarded explicit
