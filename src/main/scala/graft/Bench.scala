@@ -318,13 +318,27 @@ object Bench {
       "q40_minhash_lsh", "q41_simhash", "q42_knn_bruteforce",
       "q43_ann_hyperplane")
     val coreTotal = results.collect { case (k, v, _) if core16(k) && v >= 0 => v }.sum
-    // the contention-proof headline (VERDICT r12 #1): per-query mins
-    // restricted to canary-clean samples for contended queries; dirty =
-    // contended queries that never earned a clean bracket, whose
-    // entries fall back to the regular min and are listed so the reader
-    // can discount them
+    // the contention-proof headline (VERDICT r12 #1, reworked r14 per
+    // ADVICE r13): per-query mins restricted to canary-certified
+    // entries — a contended query that never earned a clean bracket is
+    // EXCLUDED and its regular-min mass reported as core16_dirty_mass,
+    // so clean + dirty mass = total and clean ≠ total exactly when
+    // uncertified entries remain
     val coreTotalClean = cleanMins.collect {
       case (k, v) if core16(k) && v >= 0 => v }.sum
+    val coreDirtyMass = results.collect {
+      case (k, v, _) if core16(k) && v >= 0 && dirty.contains(k) => v }.sum
+    // steady whole-run contention vs the committed idle floor (VERDICT
+    // r13 #1): the run-relative bracket base above classifies SPANS
+    // correctly but self-certifies a uniformly loaded run; the
+    // cross-round floor is the anchor that can't. Median-based — see
+    // hostInflation. The clean LABEL is refused outright past the
+    // drift threshold: a reader of core16_total_clean must never
+    // mistake a steadily loaded sweep for an idle one.
+    val floor = loadCanaryFloor(new java.io.File("."))
+    val allCanary = canarySeries.map(_._2).toSeq ++ rerunCanary
+    val inflation = hostInflation(allCanary, floor)
+    val cleanRefused = inflation.exists(_ > canaryDriftThr)
     def seriesJson(s: Seq[(Int, Double)]): String =
       s.map { case (i, v) => f"[$i,$v%.3f]" }.mkString("[", ",", "]")
     def strArr(key: String, xs: Seq[String]): String =
@@ -355,7 +369,21 @@ object Bench {
       .getOrElse("")
     val roundN = Timings.currentRound(new java.io.File("."))
     val roundJson = roundN.map(n => s""","round":$n""").getOrElse("")
-    val cleanJson = f""","core16_total_clean":$coreTotalClean%.3f"""
+    // normalization divides by the oversubscription factor the canary
+    // measured (clamped at 1: a faster-than-floor JVM is not evidence
+    // the queries ran proportionally faster) — an ESTIMATE for
+    // cross-round reading, clearly labeled, never the headline
+    val inflJson = inflation.map(i =>
+      f""","host_inflation":$i%.2f,"canary_floor":${floor.get}%.3f""" +
+      f""","core16_total_normalized":${coreTotal / math.max(i, 1.0)}%.3f""")
+      .getOrElse("")
+    val cleanJson =
+      (if (cleanRefused)
+        f""","core16_total_clean_refused":"host_inflation ${inflation.get}%.2f > $canaryDriftThr%.1f: steady whole-run contention, no sample certifiable"""" +
+        f""","core16_certified_mass":$coreTotalClean%.3f"""
+      else f""","core16_total_clean":$coreTotalClean%.3f""") +
+      (if (dirty.nonEmpty) f""","core16_dirty_mass":$coreDirtyMass%.3f"""
+       else "") + inflJson
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16_total":$coreTotal%.3f$cleanJson$roundJson,"queries":$qs,"samples":$spread$errsJson$canaryJson$rerunCanaryJson$spillJson$resampledJson$contendedJson$dirtyJson$vsPrev,"sf":"$sfDir"}"""
     println(line)
@@ -376,11 +404,19 @@ object Bench {
         val exRound = """"round":(\d+)""".r.findFirstMatchIn(existing)
           .map(_.group(1).toInt)
         if (!exRound.contains(n)) {
-          java.nio.file.Files.move(target,
-            java.nio.file.Paths.get(s"BENCHFULL_r$n.json.stale"),
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // the displaced file's own recorded round names the stale
+          // file, and an occupied name gets a counter — never
+          // REPLACE_EXISTING (ADVICE r13: a second mismatch silently
+          // destroyed the previously staled round's data)
+          val tag = exRound.map(r => s"r$r").getOrElse("unknown")
+          val staleName = Iterator.from(0)
+            .map(i => s"BENCHFULL_r$n.json.stale-$tag" +
+              (if (i == 0) "" else s"-$i"))
+            .find(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+            .get
+          java.nio.file.Files.move(target, java.nio.file.Paths.get(staleName))
           System.err.println(s"[bench] BENCHFULL_r$n.json held " +
-            s"round=${exRound.getOrElse("unknown")} data — moved to .stale")
+            s"round=${exRound.getOrElse("unknown")} data — moved to $staleName")
         }
       }
       java.nio.file.Files.writeString(target, line)
@@ -421,10 +457,15 @@ object Bench {
     * the "clean" number read WORSE than the headline whenever the
     * single re-run draws above a lucky in-sweep sample (observed r13:
     * clean 12.8 vs headline 11.2 core-16 — noise, not signal). A
-    * contended query with NO clean bracket keeps the regular min but is
-    * returned in `dirty` (sweep order): its entry is certified by
-    * nothing. Errored queries (min < 0) are excluded, matching the
-    * totals' filter. */
+    * contended query with NO clean bracket is returned in `dirty`
+    * (sweep order) and EXCLUDED from the clean map (ADVICE r13: the old
+    * regular-min fallback made `core16_total_clean` arithmetically
+    * identical to `core16_total` in every run — the field certified
+    * nothing); its uncertified mass is the caller's `dirty_mass`
+    * column, so clean + dirty mass reconstructs the headline and
+    * clean ≠ total exactly when uncertified entries remain. Errored
+    * queries (min < 0) are excluded from both, matching the totals'
+    * filter. */
   private[graft] def cleanHeadline(
       results: Seq[(String, Double, Seq[Double])],
       contended: Set[String],
@@ -441,11 +482,46 @@ object Bench {
         // certified: the clean sample upper-bounds the true cost, and
         // the regular min cannot be contamination-inflated below it
         case Some(cs) if cs.nonEmpty => Some(n -> math.min(cs.min, v))
-        case _ => Some(n -> v) // dirty fallback, listed above
+        case _ => None // uncertified: listed dirty, not counted clean
       }
     }.toMap
     (mins, dirty)
   }
+
+  /** Host-inflation factor vs the committed idle canary floor (VERDICT
+    * r13 #1): MEDIAN of this run's canary samples over the floor. The
+    * median, not the min, because the r13 driver sweep proved the min
+    * blind to STEADY load: a uniformly ~1.4×-loaded host still dipped
+    * to an idle canary once (min 0.203 vs floor 0.200 — inflation 1.01)
+    * while the series median sat ~1.5× — the statistic that tracks what
+    * the QUERIES experienced is the typical canary, not the luckiest
+    * one. None when the floor or the samples are absent. */
+  private[graft] def hostInflation(runSamples: Seq[Double],
+      floor: Option[Double]): Option[Double] = for {
+    f <- floor if f > 0
+    m <- median(runSamples.filter(_ > 0))
+  } yield m / f
+
+  private[graft] def median(xs: Seq[Double]): Option[Double] =
+    if (xs.isEmpty) None
+    else {
+      val s = xs.sorted
+      Some(if (s.size % 2 == 1) s(s.size / 2)
+           else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
+    }
+
+  /** The committed idle canary floor (BENCH_CANARY_FLOOR.json, written
+    * only by hand from idle [[CanaryFloor]] runs — a loaded run must
+    * never be able to raise its own bar). None when absent/unreadable. */
+  private[graft] def loadCanaryFloor(root: java.io.File): Option[Double] =
+    try {
+      val f = new java.io.File(root, "BENCH_CANARY_FLOOR.json")
+      if (!f.exists()) None
+      else """"canary_floor"\s*:\s*([0-9.]+)""".r
+        .findFirstMatchIn(java.nio.file.Files.readString(f.toPath))
+        .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+        .filter(_ > 0)
+    } catch { case _: Throwable => None }
 
   /** This run's canary min over the prior round's — >1 means this run
     * was the more contended one (discount regressions), <1 the prior

@@ -186,7 +186,12 @@ object ScaleProbe {
       // law as q322 minus the rank window; output row count is the
       // data's similarity structure, so disjoint replicas grow it
       // exactly linearly (10 disjoint copies of the base pair set)
-      "q323_dimsum_threshold")
+      "q323_dimsum_threshold",
+      // r14 (VERDICT r13 #5): the threshold-shaped hard-negative miner —
+      // q217's production twin; the row to read is its wire vs q217's
+      // at the same tier (the exact kernel pays Σbsz² on the wire, the
+      // miner pays the sampled kernel + candidate-bounded verify)
+      "q324_dimsum_hard_negatives")
     // `only=q302_recsys_backtest,q312_assortativity` restricts the run —
     // single-family re-probes shouldn't pay the full 14-query sweep.
     val onlySet: Option[Set[String]] = args.collectFirst {
@@ -394,13 +399,21 @@ object ScaleProbe {
         val cal = StarSchema.calendarDim(imm)
         val country = StarSchema.countryDim(imm, codes,
           CapstoneGate.tempFromNation(spark, base))
-        fact
-          .withColumn("arrival_year", year(col("arrdate")))
-          .withColumn("arrival_month", month(col("arrdate")))
+        // same clustered-write discipline as mergeMonthlyFact /
+        // writeStarSchema (VERDICT r13 #7): partitioned writes are
+        // repartitioned on their partition columns first, so file
+        // count tracks LEAVES, not tasks × leaves
+        pipeline.CapstoneEtl.clusterForWrite(
+            fact
+              .withColumn("arrival_year", year(col("arrdate")))
+              .withColumn("arrival_month", month(col("arrdate"))),
+            1, "arrival_year", "arrival_month")
           .write.mode("overwrite")
           .partitionBy("arrival_year", "arrival_month")
           .parquet(s"$outDir/immigration_fact")
-        cal.write.mode("overwrite")
+        pipeline.CapstoneEtl.clusterForWrite(cal, 1,
+            "arrival_year", "arrival_month", "arrival_week")
+          .write.mode("overwrite")
           .partitionBy("arrival_year", "arrival_month", "arrival_week")
           .parquet(s"$outDir/immigration_calendar_dim")
         country.write.mode("overwrite").parquet(s"$outDir/country_dim")
@@ -409,11 +422,30 @@ object ScaleProbe {
         val dt = (System.nanoTime() - t0) / 1e9
         org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
         imm.unpersist()
+        // small-file audit: data files vs leaf partition directories —
+        // bounded means files == leaves at filesPerLeaf = 1
+        def audit(path: String): (Long, Long) = {
+          var files = 0L
+          var leaves = 0L
+          def walk(d: java.io.File): Unit = {
+            val kids = Option(d.listFiles()).getOrElse(Array.empty)
+            val (dirs, fs) = kids.partition(_.isDirectory)
+            val data = fs.count(f => f.getName.endsWith(".parquet"))
+            files += data
+            if (dirs.isEmpty && data > 0) leaves += 1
+            dirs.foreach(walk)
+          }
+          walk(new java.io.File(path))
+          (files, leaves)
+        }
+        val (factFiles, factLeaves) = audit(s"$outDir/immigration_fact")
+        val (calFiles, calLeaves) = audit(s"$outDir/immigration_calendar_dim")
         println(f"[capstone] $label%-6s fact_rows=$factRows%-9d wall=$dt%7.3f s " +
           f"shuffle_read=${shuffleRead.get() / 1048576.0}%8.2f MiB " +
           f"shuffle_write=${shuffleWrite.get() / 1048576.0}%8.2f MiB" +
           (if (diskSpill.get() > 0)
-            f" disk_spill=${diskSpill.get() / 1048576.0}%8.2f MiB" else ""))
+            f" disk_spill=${diskSpill.get() / 1048576.0}%8.2f MiB" else "") +
+          f" fact_files=$factFiles%d/$factLeaves%d calendar_files=$calFiles%d/$calLeaves%d leaves")
       }
     }
 
@@ -452,6 +484,88 @@ object ScaleProbe {
       }
     }
 
+    // `streaming` mode (VERDICT r13 #6): the stateful streaming surface
+    // beyond fixture scale — the one family SCALE.md had no rows for.
+    // A 10× event stream (q26–q29 shape: disjoint-user replication,
+    // SAME timestamps — 10× traffic over the same period, so per-window
+    // group counts and open-session state must grow ~10×, which is
+    // exactly the state-scaling question) is staged as time-ordered
+    // file chunks and drained through real micro-batches
+    // (maxFilesPerTrigger + AvailableNow) in APPEND mode, the
+    // production mode where the watermark actually evicts state. Per
+    // query: batches, input rows, PEAK state rows/bytes (the cluster
+    // sizing number), final-batch state rows (eviction proof), wall.
+    if (args.contains("streaming")) {
+      import graft.streaming.EventStreams
+      import org.apache.spark.sql.streaming.Trigger
+      // 10× synthesis once (idempotent on the final chunk's existence)
+      val chunks = 16
+      def stage(label: String, src: org.apache.spark.sql.DataFrame,
+          dir: String): Unit =
+        if (!new java.io.File(s"$dir/chunk-${chunks - 1}.parquet").exists()) {
+          new java.io.File(dir).mkdirs()
+          val bounds = src.agg(min(unix_micros(col("ts"))).as("lo"),
+            max(unix_micros(col("ts"))).as("hi")).collect()(0)
+          val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+          val span = math.max((hi - lo) / chunks + 1, 1L)
+          // sequential single-file writes: the file source orders by
+          // modification time, so chunk i arrives as micro-batch data
+          // strictly after chunk i-1 — the landing-zone shape
+          for (i <- 0 until chunks) {
+            val tmp = s"$dir/.tmp-$i"
+            src.filter(unix_micros(col("ts")) >= lo + i * span &&
+                unix_micros(col("ts")) < lo + (i + 1) * span)
+              .coalesce(1).write.mode("overwrite").parquet(tmp)
+            val part = new java.io.File(tmp).listFiles()
+              .find(_.getName.endsWith(".parquet")).get
+            java.nio.file.Files.move(part.toPath,
+              java.nio.file.Paths.get(s"$dir/chunk-$i.parquet"))
+            new java.io.File(tmp).listFiles().foreach(_.delete())
+            new java.io.File(tmp).delete()
+          }
+        }
+      val ev = Tables.events(spark, base)
+      stage("sf0.1", ev, "/tmp/graft_stream_1x")
+      val ev10 = ev
+        .select(col("*"), explode(sequence(lit(0), lit(9))).as("r"))
+        .select((col("event_id") * 10 + col("r")).as("event_id"), col("ts"),
+          (col("user_id") * 10 + col("r")).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      stage("10x", ev10, "/tmp/graft_stream_10x")
+      val cases = Seq[(String, org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame)](
+        ("q27_tumbling", EventStreams.tumblingStats),
+        ("q28_sliding", EventStreams.slidingStats),
+        ("q29_sessions", df => EventStreams.userSessions(df)),
+        ("dedup_within_wm", df => EventStreams.dedupedEvents(df)))
+      for ((label, dir) <- Seq(("sf0.1", "/tmp/graft_stream_1x"),
+             ("10x", "/tmp/graft_stream_10x"));
+           (name, xform) <- cases) {
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft_stream_ckpt_$name").toString
+        val t0 = System.nanoTime()
+        val q = xform(EventStreams.eventsStream(spark, dir,
+            maxFilesPerTrigger = Some(1)))
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(600000)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val prog = q.recentProgress.toSeq
+        val inputRows = prog.map(_.numInputRows).sum
+        val stateRows = prog.flatMap(_.stateOperators.map(_.numRowsTotal))
+        val stateBytes = prog.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+        q.stop()
+        println(f"[stream] $name%-16s $label%-6s batches=${prog.size}%-4d " +
+          f"input_rows=$inputRows%-9d peak_state_rows=${if (stateRows.isEmpty) 0L else stateRows.max}%-9d " +
+          f"final_state_rows=${stateRows.lastOption.getOrElse(0L)}%-9d " +
+          f"peak_state_mib=${if (stateBytes.isEmpty) 0.0 else stateBytes.max / 1048576.0}%7.2f " +
+          f"wall=$dt%7.3f s")
+      }
+    }
+
     // Optional third tier: `runMain graft.ScaleProbe 100` adds a 100×
     // corpus (same disjoint-replica construction, written across many
     // files so scan-split geometry matches a real large layout) for a
@@ -476,12 +590,15 @@ object ScaleProbe {
         "q302_recsys_backtest", "q204_item_neighbors",
         "q217_hard_negatives", "q312_assortativity",
         // r13: the DIMSUM pair completes its three-decade series
-        "q322_dimsum_similarity", "q323_dimsum_threshold")
+        "q322_dimsum_similarity", "q323_dimsum_threshold",
+        // r14: the band miner's third decade
+        "q324_dimsum_hard_negatives")
       // synthesize only the tables the WANTED probes read — a
       // trade-only 100× re-probe shouldn't pay the ~6 GiB doc/emb synth
       val tradeOnly = Set("q302_recsys_backtest", "q204_item_neighbors",
         "q217_hard_negatives", "q312_assortativity",
-        "q322_dimsum_similarity", "q323_dimsum_threshold")
+        "q322_dimsum_similarity", "q323_dimsum_threshold",
+        "q324_dimsum_hard_negatives")
       val active = hundredXProbes.filter(wanted)
       if (active.exists(n => !tradeOnly(n))) {
         synthDocs(100, hundredXDir, spread = true)

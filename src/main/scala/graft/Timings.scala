@@ -40,7 +40,8 @@ object Timings {
   val floorName = "q000_bench_floor"
 
   final case class Flag(name: String, prev: Double, cur: Double,
-      ratio: Double, adjRatio: Double, note: String)
+      ratio: Double, adjRatio: Double, note: String,
+      canaryRatio: Option[Double] = None)
 
   /** Floor-aware mechanical diff of two rounds' timing maps.
     *
@@ -111,10 +112,21 @@ object Timings {
     }
   }
 
+  /** A prior round's parsed TIMINGS artifact: timings map, whole-run
+    * canary min (start/end pair), and — when the artifact carries it —
+    * the interleaved canary series, which is what lets an improvement
+    * flag be judged against the PRIOR run's contention at that query's
+    * position (VERDICT r13 #2: r13's driver sweep is a mid-run-
+    * contended prior, so r14's idle run would otherwise read as fake
+    * across-the-board improvement). */
+  private[graft] final case class Prior(round: Int,
+      timings: Map[String, Double], canaryMin: Option[Double],
+      canarySeries: Seq[(Int, Double)])
+
   /** Latest TIMINGS_r{M}.json with M < n, parsed. Unreadable or
     * mismatched-scale files degrade to None, never a failure. */
   private[graft] def latestPrior(root: File, n: Int,
-      sf: String): Option[(Int, Map[String, Double], Option[Double])] = {
+      sf: String): Option[Prior] = {
     val rx = """TIMINGS_r(\d+)\.json""".r
     val cands = Option(root.listFiles()).getOrElse(Array.empty[File])
       .flatMap(f => f.getName match {
@@ -126,10 +138,15 @@ object Timings {
         import org.json4s._
         val j = org.json4s.jackson.JsonMethods.parse(Files.readString(f.toPath))
         val fileSf = (j \ "sf") match { case JString(s) => s; case _ => "" }
+        def num: PartialFunction[JValue, Double] = {
+          case JDouble(v) => v
+          // JInt too (ADVICE r12): an integer-valued field in a
+          // re-serialized artifact must not silently disable labeling
+          case JInt(v) => v.toDouble
+        }
         val tim = (j \ "timings") match {
           case JObject(fs) => fs.collect {
-            case (k, JDouble(v)) => (k, v)
-            case (k, JInt(v)) => (k, v.toDouble)
+            case (k, v) if num.isDefinedAt(v) => (k, num(v))
           }.toMap
           case _ => Map.empty[String, Double]
         }
@@ -137,17 +154,20 @@ object Timings {
         // labeling simply never engages against them
         val can = (j \ "canary_s") match {
           case JObject(fs) =>
-            // JInt too (ADVICE r12): an integer-valued canary field in
-            // a re-serialized artifact must not silently disable the
-            // contended labeling
-            val vs = fs.collect {
-              case (_, JDouble(v)) => v
-              case (_, JInt(v)) => v.toDouble
-            }
+            val vs = fs.collect { case (_, v) if num.isDefinedAt(v) => num(v) }
             if (vs.isEmpty) None else Some(vs.min)
           case _ => None
         }
-        if (fileSf == sf && tim.nonEmpty) Some((m, tim, can)) else None
+        val series = (j \ "canary_series") match {
+          case JArray(rows) => rows.collect {
+            case JArray(List(i, v))
+              if num.isDefinedAt(i) && num.isDefinedAt(v) =>
+                (num(i).toInt, num(v))
+          }
+          case _ => Seq.empty[(Int, Double)]
+        }
+        if (fileSf == sf && tim.nonEmpty) Some(Prior(m, tim, can, series))
+        else None
       }.toOption.flatten
     }.nextOption()
   }
@@ -170,12 +190,13 @@ object Timings {
       timings: Map[String, Double], minQueries: Int = 0,
       canary: Option[(Double, Double)] = None,
       canarySeries: Seq[(Int, Double)] = Nil,
-      posOf: Map[String, Int] = Map.empty): Unit = {
+      posOf: Map[String, Int] = Map.empty,
+      resampled: Map[String, Seq[Double]] = Map.empty): Unit = {
     val sf = new File(sfDir).getName
     if (sf != "sf0.01" || timings.isEmpty || timings.size < minQueries) return
     currentRound(root).foreach { n =>
       val prior = latestPrior(root, n, sf)
-      val flags0 = prior.map(p => diff(p._2, timings)).getOrElse(Seq.empty)
+      val flags0 = prior.map(p => diff(p.timings, timings)).getOrElse(Seq.empty)
       // Contention labeling (the r12 lesson, Verify edition): a dump
       // that starts minutes after a test suite / DuckDB sweep reads its
       // early small queries 2-3x elevated and the 1-row floor cannot see
@@ -183,7 +204,7 @@ object Timings {
       // BOTH rounds carry the 32-task spin canary and this run's min is
       // >1.3x the prior's, regression-direction flags are labeled
       // contended instead — same verdict scheme as Bench's vs_prev.
-      val priorCanaryMin = prior.flatMap(_._3)
+      val priorCanaryMin = prior.flatMap(_.canaryMin)
       val curCanaryMin = canary.map { case (a, b) => math.min(a, b) }
       val contended = (for (p <- priorCanaryMin; c <- curCanaryMin)
         yield c / p > 1.3).getOrElse(false)
@@ -207,12 +228,39 @@ object Timings {
         posOf.get(name)
           .flatMap(Bench.nearestCanaryDrift(canarySeries, _, runBase))
           .exists(_ > Bench.canaryDriftThr)
-      val flags = flags0.map { f =>
+      // Per-flag canary ratio (VERDICT r13 #2): the prior run's nearest
+      // canary at this query's position over this run's — >1.3 means
+      // the PRIOR sample was the contended one and an "improvement" is
+      // relief, not a code win; <1/1.3 the mirror. Positions index the
+      // same declaration-ordered sweep in both rounds (new queries
+      // append, so alignment degrades by at most the insertion count);
+      // either side falls back to its run's whole-run canary min.
+      // Recorded on EVERY flag so the reader sees the evidence, not
+      // just the verdict — r13's driver artifacts are a mid-run-
+      // contended prior, and without the prior SERIES r14's idle sweep
+      // would read its relief as genuine improvement.
+      def flagCanaryRatio(name: String): Option[Double] = {
+        val pos = posOf.get(name)
+        val priorAt = pos.flatMap { p =>
+          prior.map(_.canarySeries).filter(_.nonEmpty)
+            .map(s => s.minBy { case (i, _) => math.abs(i - p) }._2)
+        }.orElse(priorCanaryMin)
+        val curAt = pos.flatMap { p =>
+          Some(canarySeries).filter(_.nonEmpty)
+            .map(s => s.minBy { case (i, _) => math.abs(i - p) }._2)
+        }.orElse(curCanaryMin)
+        for (pv <- priorAt; cv <- curAt if cv > 0) yield pv / cv
+      }
+      def priorSpanContended(name: String): Boolean =
+        flagCanaryRatio(name).exists(_ > 1.3)
+      val flags = flags0.map { f0 =>
+        val f = f0.copy(canaryRatio = flagCanaryRatio(f0.name))
         if (contended && f.note.startsWith("regression"))
           f.copy(note = "contended-host: canary elevated vs prior round, rerun required")
         else if (f.note.startsWith("regression") && spanContended(f.name))
           f.copy(note = "contended-span: in-run canary drifted at this query's position, rerun required")
-        else if (priorContended && f.note == "improvement")
+        else if ((priorContended || priorSpanContended(f.name)) &&
+            f.note == "improvement")
           f.copy(note = "improvement (prior-round canary was elevated: likely contention relief, not a code win)")
         else f
       }
@@ -220,13 +268,15 @@ object Timings {
         .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
         .mkString("{", ",", "}")
       val flagJson = flags.map { fl =>
+        val cr = fl.canaryRatio.map(r => f""","canary_ratio":$r%.2f""")
+          .getOrElse("")
         jstr(fl.name) + ":" + f"""{"prev":${fl.prev}%.3f,"cur":${fl.cur}%.3f,""" +
-          f""""ratio":${fl.ratio}%.2f,"adj_ratio":${fl.adjRatio}%.2f,""" +
+          f""""ratio":${fl.ratio}%.2f,"adj_ratio":${fl.adjRatio}%.2f$cr,""" +
           s""""note":${jstr(fl.note)}}"""
       }.mkString("{", ",", "}")
-      val vsPrev = prior.map { case (m, _, _) =>
-        s""","vs_prev":{"prev_round":$m,"flagged":$flagJson}"""
-      }.getOrElse("")
+      val vsPrev = prior.map(p =>
+        s""","vs_prev":{"prev_round":${p.round},"flagged":$flagJson}""")
+        .getOrElse("")
       val canaryJson = canary.map { case (a, b) =>
         f""","canary_s":{"start":$a%.3f,"end":$b%.3f}"""
       }.getOrElse("")
@@ -234,14 +284,22 @@ object Timings {
         if (canarySeries.isEmpty) ""
         else canarySeries.map { case (i, v) => f"[$i,$v%.3f]" }
           .mkString(""","canary_series":[""", ",", "]")
+      // double-sampled walls from the in-run resampling pass (VERDICT
+      // r13 #4): both walls on record so a reader can see whether the
+      // flagged reading reproduced once its span canary recovered
+      val resampledJson =
+        if (resampled.isEmpty) ""
+        else resampled.toSeq.sortBy(_._1).map { case (k, ws) =>
+          jstr(k) + ":" + ws.map(w => f"$w%.3f").mkString("[", ",", "]")
+        }.mkString(""","resampled":{""", ",", "}")
       val body = s"""{"round":$n,"sf":${jstr(sf)},""" +
-        s""""n_queries":${timings.size},"timings":$timJson$canaryJson$seriesJson$vsPrev}"""
+        s""""n_queries":${timings.size},"timings":$timJson$canaryJson$seriesJson$resampledJson$vsPrev}"""
       Files.writeString(new File(root, s"TIMINGS_r$n.json").toPath, body)
       val msg = prior match {
         case None => s"no prior artifact — baseline written"
-        case Some((m, _, _)) if flags.isEmpty => s"vs r$m: no flags"
-        case Some((m, _, _)) =>
-          s"vs r$m: ${flags.size} flagged — " + flags.map(f =>
+        case Some(p) if flags.isEmpty => s"vs r${p.round}: no flags"
+        case Some(p) =>
+          s"vs r${p.round}: ${flags.size} flagged — " + flags.map(f =>
             f"${f.name}(${f.prev}%.1fs→${f.cur}%.1fs, adj ${f.adjRatio}%.2fx, ${f.note})")
             .mkString("; ")
       }

@@ -129,7 +129,10 @@ object Verify {
     def mark(idx: Int): Unit =
       canarySample().foreach(v => canarySeries += ((idx, v)))
     mark(0)
-    val canaryStart = canarySeries.headOption.map(_._2)
+    // position-0 mark explicitly (ADVICE r13): if the first sample
+    // failed, headOption would resolve to a MID-run mark and mislabel
+    // it as the run's start, skewing the whole-run contended check
+    val canaryStart = canarySeries.find(_._1 == 0).map(_._2)
     // Deterministic declaration order (allDefs), not Map hash order:
     // stable round-over-round, so the TIMINGS vs_prev diff compares each
     // query at the same session age.
@@ -187,10 +190,65 @@ object Verify {
     for (a <- canaryStart; b <- canaryEnd)
       System.err.println(f"[verify] canary start=$a%.3f s end=$b%.3f s " +
         f"min=${canarySeries.map(_._2).min}%.3f max=${canarySeries.map(_._2).max}%.3f")
-    Timings.writeRoundArtifact(new java.io.File("."), sfDir, timings.toMap,
-      minQueries = (SparkEntry.queries.size * 9) / 10,
-      canary = for (a <- canaryStart; b <- canaryEnd) yield (a, b),
-      canarySeries = canarySeries.toSeq, posOf = posOf)
+    // Bounded in-run resampling (VERDICT r13 #4): a >2× vs_prev flag
+    // whose span canary was elevated is almost always contention (the
+    // r13 driver artifact carried 57 such flags — unreadable), and by
+    // sweep end the transient load has usually passed. Re-dump each
+    // such query ONCE (≤12, worst adj-ratio first), fold the faster
+    // wall into the artifact's timing, and record BOTH walls so the
+    // reader sees whether the reading reproduced. Full sweeps only — a
+    // subset re-gate has no business rewriting the round's timings.
+    val resampled = scala.collection.mutable.Map.empty[String, Seq[Double]]
+    if (only.isEmpty) try {
+      val root = new java.io.File(".")
+      val runBase = canarySeries.map(_._2).filter(_ > 0).minOption.getOrElse(0.0)
+      for (n <- Timings.currentRound(root);
+           prior <- Timings.latestPrior(root, n, new java.io.File(sfDir).getName)) {
+        val suspects = Timings.diff(prior.timings, timings.toMap)
+          .filter(f => f.note.startsWith("regression") &&
+            posOf.get(f.name)
+              .flatMap(Bench.nearestCanaryDrift(canarySeries.toSeq, _, runBase))
+              .exists(_ > Bench.canaryDriftThr))
+          .sortBy(-_.adjRatio).take(12)
+        if (suspects.nonEmpty)
+          System.err.println(s"[verify] resampling ${suspects.size} " +
+            s"contended-span >2x flags: ${suspects.map(_.name).mkString(",")}")
+        suspects.foreach { f =>
+          ran.find(_._1 == f.name).foreach { case (name, fn) =>
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+                .parquet(s"$outDir/$name")
+              val w2 = (System.nanoTime() - t0) / 1e9
+              resampled(name) = Seq(timings(name), w2)
+              timings(name) = math.min(timings(name), w2)
+            } catch { case e: Throwable =>
+              System.err.println(s"[verify] resample $name FAILED: $e")
+            } finally {
+              operators.ScaledWindows.release()
+              spark.catalog.clearCache()
+            }
+          }
+        }
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] resample pass skipped: ${e.getMessage}")
+    }
+    // FULL sweeps only (r14): a subset re-gate used to slip past the
+    // minQueries guard via the timings MERGE and republish the round
+    // artifact with its own (1-query) canary state applied to all 324
+    // merged flags — every full-sweep span label was clobbered by a
+    // whole-run verdict from a run that executed one query. The round
+    // artifact is the full sweep's testimony; subsets update
+    // timings.json/errors.json and stop there.
+    if (only.isEmpty)
+      Timings.writeRoundArtifact(new java.io.File("."), sfDir, timings.toMap,
+        minQueries = (SparkEntry.queries.size * 9) / 10,
+        canary = for (a <- canaryStart; b <- canaryEnd) yield (a, b),
+        canarySeries = canarySeries.toSeq, posOf = posOf,
+        resampled = resampled.toMap)
+    else System.err.println(s"[verify] subset run (${only.size} queries): " +
+      "round artifact left to the next full sweep")
     // subset runs must MERGE with prior errors: rewriting errors.json
     // with only the subset's failures would erase the recorded failure
     // of every query outside the subset (silent-absence, again)

@@ -661,16 +661,18 @@ object SqlSurface extends QueryModule {
        |ORDER BY month""".stripMargin
   }
 
-  /** q235's own block factor (VERDICT r12 #6): at the shared k = 8 the
-    * two recursions cost the SAME 57 jobs, yet q235's wall sat 1.5× —
-    * the delta is per-ITERATION width (5 stack columns and a 3-alias
-    * lateral chain per month vs q226's 3 and 1), so a deeper unroll
-    * amortizes it further. The unroll transform is k-independent — the
-    * same nested-alias chain, same IEEE op sequence, NULL-padded ragged
-    * tail — so any k yields bit-identical output to the one-month
-    * oracle (hash-gated at both sfs); 16 halves the UnionLoop iteration
-    * count (~84-month calendar → 6 blocks). q226 stays at 8: already at
-    * target, and two factors keep BOTH unroll geometries oracle-pinned.
+  /** q235's own block factor, kept at 8 after the deeper unroll was
+    * measured WORSE (VERDICT r12 #6, remeasured r13): k = 16 halves the
+    * UnionLoop iteration count (~84-month calendar → 6 blocks) but the
+    * per-block analysis cost grows faster than the job count falls —
+    * wall 4.1 → 5.5 s, 37 jobs (see the measurement note inside
+    * [[unrolledHoltSql]]) — so q235's win came from the 2-alias chain
+    * rework instead. The constant stays separate from the shared
+    * `unrollK` even while the values coincide: the unroll transform is
+    * k-independent (same nested-alias chain, same IEEE op sequence,
+    * NULL-padded ragged tail — any k is bit-identical to the one-month
+    * oracle, hash-gated at both sfs), and the two recursions' block
+    * factors are tuned by different width/job trade-offs.
     */
   private val holtUnrollK = 8
 

@@ -2071,6 +2071,23 @@ object TradeAnalytics extends QueryModule {
     * (ScaleProbe dimsumacc). */
   private[graft] def dimsumThresholdPairs(spark: SparkSession, dir: String,
       gamma: Double, candBudget: Long = DimsumCandidateBudget): DataFrame = {
+    val (verified, k, extras) = dimsumVerified(spark, dir, gamma, candBudget)
+    Materialize.releasing(
+      verified.select(col("a").as("item"), col("b").as("neighbor"),
+          col("co"), col("cosine"))
+        .unionAll(verified.select(col("b"), col("a"), col("co"), col("cosine")))
+        .select(col("item"), col("neighbor"),
+          col("co").cast("bigint").as("n_co_buyers"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("item"), col("neighbor")),
+      k.releasables ++ extras: _*)
+  }
+
+  /** The shared two-phase core of q323/q324: canonical verified pairs
+    * (a < b, EXACT co-count and cosine ≥ ε) plus the kernel and the
+    * extra persisted frames the caller must release. */
+  private def dimsumVerified(spark: SparkSession, dir: String,
+      gamma: Double, candBudget: Long): (DataFrame, DimsumKernel, Seq[DataFrame]) = {
     val k = dimsumScored(spark, dir, DimsumItemBudget, gamma)
     val cand = k.sym
       .filter(col("est_cosine") >= lit(DimsumEpsilon * DimsumCandidateBar) &&
@@ -2128,15 +2145,7 @@ object TradeAnalytics extends QueryModule {
       .withColumn("cosine", col("co").cast("double") /
         sqrt((col("na") * col("nb")).cast("double")))
       .filter(col("cosine") >= lit(DimsumEpsilon))
-    Materialize.releasing(
-      verified.select(col("a").as("item"), col("b").as("neighbor"),
-          col("co"), col("cosine"))
-        .unionAll(verified.select(col("b"), col("a"), col("co"), col("cosine")))
-        .select(col("item"), col("neighbor"),
-          col("co").cast("bigint").as("n_co_buyers"),
-          round(col("cosine"), 4).as("cosine"))
-        .orderBy(col("item"), col("neighbor")),
-      k.releasables :+ cand :+ vb: _*)
+    (verified, k, Seq(cand, vb))
   }
 
   /** Shared CTE prefix (baskets → kept → emits → sym → scored) of the
@@ -2224,6 +2233,105 @@ object TradeAnalytics extends QueryModule {
       |  SELECT b, a, co, cosine FROM verified
       |)
       |ORDER BY item, neighbor""".stripMargin
+
+  /** Upper edge of q324's mining band: a candidate negative whose best
+    * similarity to the user's basket exceeds this is more likely an
+    * unobserved POSITIVE (a substitute the user simply hasn't bought
+    * yet) than a hard negative — training on it teaches the model to
+    * push genuinely relevant items away. The band is therefore
+    * [ε, DimsumBandHi]: above ε so the gradient is informative (the
+    * whole point of hard negatives), below the cap so label noise
+    * stays out. */
+  val DimsumBandHi = 0.5
+
+  /** q324: threshold-shaped hard-negative mining (VERDICT r13 #5) —
+    * the production-scale counterpart of q217. q217 ranks via the
+    * EXACT pair kernel (top-5 neighbors per item, Σbsz² expansion):
+    * the right tool when per-item fine-grained order matters, but its
+    * shuffle grows with degree², and hard-negative MINING doesn't need
+    * order — it needs every basket-adjacent item whose best similarity
+    * falls in a margin band. That is exactly the shape the two-phase
+    * DIMSUM threshold kernel (q323) serves: phase 1's sampling
+    * throttles hub pairs to E[emits] ≤ γ so the expansion is
+    * dimension-independent, phase 2 verifies exactly, and the mining
+    * consumes only pairs with exact cosine ≥ ε — sub-band pairs never
+    * materialize, unlike q217 where the full pair relation exists
+    * before the top-5 cut (SCALE.md r14 measures the wire delta at the
+    * fixed-catalog 10× tier).
+    *
+    * Per user: candidates = ε-verified neighbors of basket items,
+    * scored by the BEST exact cosine across the basket, anti-joined
+    * against positives, band-capped at [[DimsumBandHi]], top-3 by
+    * (score desc, item) — the q217 output shape, so the two operators
+    * are directly comparable downstream.
+    */
+  def dimsumHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val (verified, k, extras) =
+      dimsumVerified(spark, dir, DimsumGamma, DimsumCandidateBudget)
+    val simpairs = verified
+      .select(col("a").as("item"), col("b").as("neighbor"), col("cosine"))
+      .unionAll(verified
+        .select(col("b").as("item"), col("a").as("neighbor"), col("cosine")))
+    val cand = k.baskets.join(simpairs, Seq("item"))
+      .groupBy(col("cust"), col("neighbor"))
+      .agg(max(col("cosine")).as("score"))
+    val hard = cand
+      .join(k.baskets.select(col("cust"), col("item").as("neighbor")),
+        Seq("cust", "neighbor"), "left_anti")
+      .filter(col("score") <= lit(DimsumBandHi))
+    val wUser = Window.partitionBy(col("cust"))
+      .orderBy(col("score").desc, col("neighbor"))
+    Materialize.releasing(
+      hard.withColumn("rank", row_number().over(wUser))
+        .filter(col("rank") <= 3)
+        .select(col("cust").as("user_id"), col("rank"),
+          col("neighbor").as("item"), round(col("score"), 4).as("score"))
+        .orderBy(col("user_id"), col("rank")),
+      k.releasables ++ extras: _*)
+  }
+
+  /** The q323 two-phase replay extended by the mining consumer — all
+    * the way from the md5-Bernoulli candidate draw to the band-capped
+    * per-user top-3, in one SQL pipeline. */
+  private val dimsumHardNegativesSql =
+    s"""$dimsumKernelSql, cand AS (
+      |  SELECT item AS ca, neighbor AS cb FROM scored
+      |  WHERE est_cosine >= ${DimsumEpsilon * DimsumCandidateBar}
+      |    AND item < neighbor
+      |), exactco AS (
+      |  SELECT x.item AS a, y.item AS b, count(*) AS co
+      |  FROM b x JOIN b y ON x.cust = y.cust AND x.item < y.item
+      |  JOIN cand ON cand.ca = x.item AND cand.cb = y.item
+      |  GROUP BY 1, 2
+      |), verified AS (
+      |  SELECT a, b,
+      |    co::DOUBLE / sqrt((na.n_cust * nb.n_cust)::DOUBLE) AS cosine
+      |  FROM exactco
+      |  JOIN itemn na ON na.item = a
+      |  JOIN itemn nb ON nb.item = b
+      |  WHERE co::DOUBLE / sqrt((na.n_cust * nb.n_cust)::DOUBLE)
+      |    >= ${DimsumEpsilon}
+      |), simpairs AS (
+      |  SELECT a AS item, b AS neighbor, cosine FROM verified
+      |  UNION ALL
+      |  SELECT b, a, cosine FROM verified
+      |), usercand AS (
+      |  SELECT bb.cust, s.neighbor, max(s.cosine) AS score
+      |  FROM b bb JOIN simpairs s ON bb.item = s.item
+      |  GROUP BY 1, 2
+      |), hard AS (
+      |  SELECT c.cust, c.neighbor, c.score FROM usercand c
+      |  ANTI JOIN b ON c.cust = b.cust AND c.neighbor = b.item
+      |)
+      |SELECT cust AS user_id, rank::INT AS rank, neighbor AS item,
+      |  round(score, 4) AS score
+      |FROM (
+      |  SELECT cust, neighbor, score,
+      |    row_number() OVER (PARTITION BY cust
+      |      ORDER BY score DESC, neighbor) AS rank
+      |  FROM hard WHERE score <= ${DimsumBandHi}
+      |) WHERE rank <= 3
+      |ORDER BY user_id, rank""".stripMargin
 
   /** q212: deterministic negative sampling — the contrastive-training
     * counterpart to q204's positives: for every customer, 4 items they
@@ -4430,6 +4538,8 @@ object TradeAnalytics extends QueryModule {
       Some(dimsumNeighborsSql), benchmark = true),
     QueryDef("q323_dimsum_threshold", dimsumThresholdPairs,
       Some(dimsumThresholdSql)),
+    QueryDef("q324_dimsum_hard_negatives", dimsumHardNegatives,
+      Some(dimsumHardNegativesSql)),
     QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),
     QueryDef("q290_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),

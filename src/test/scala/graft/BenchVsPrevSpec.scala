@@ -163,17 +163,56 @@ class BenchVsPrevSpec extends AnyFunSuite {
     assert(mins === Map("q20" -> 0.95) && dirty.isEmpty)
   }
 
-  test("contended query with no clean bracket stays dirty, falls back to min") {
-    // the canary never recovered inside the retry budget: the query's
-    // entry falls back to the (suspect) regular min AND it is listed
-    // dirty so a reader of core16_total_clean can discount it
+  test("contended query with no clean bracket stays dirty and is EXCLUDED") {
+    // the canary never recovered inside the retry budget: the query is
+    // listed dirty and its (suspect) min is NOT in the clean map —
+    // ADVICE r13: the old regular-min fallback made core16_total_clean
+    // arithmetically identical to core16_total in every run; the
+    // uncertified mass is reported separately as core16_dirty_mass so
+    // clean + dirty mass still reconstructs the headline
     val results = Seq(
       ("q01", 0.30, Seq(0.31, 0.30)),
       ("q258", 16.8, Seq(16.8, 18.2)),
       ("qerr", -1.0, Seq(-1.0, -1.0)))          // errored: excluded, not dirty
     val (mins, dirty) = Bench.cleanHeadline(results, Set("q258", "qerr"), Map.empty)
-    assert(mins === Map("q01" -> 0.30, "q258" -> 16.8))
+    assert(mins === Map("q01" -> 0.30))
     assert(dirty === Seq("q258"))
+  }
+
+  // --- steady whole-run contention vs the committed floor (r14) ---------
+
+  test("host inflation is median-based: a steady 1.4x load cannot self-certify") {
+    // the r13 driver shape: the canary MIN dipped to idle once (0.203
+    // vs floor 0.200 — a min-based check reads 1.01 and certifies) but
+    // the series median sat ~1.5x; the median-based factor must refuse
+    val steady = Seq(0.31, 0.203, 0.35, 0.29, 0.405, 0.30, 0.32)
+    val infl = Bench.hostInflation(steady, Some(0.200)).get
+    assert(infl > Bench.canaryDriftThr, f"steady load must refuse (got $infl%.2f)")
+    // an idle run with ordinary spread stays under the threshold
+    val idle = Seq(0.21, 0.20, 0.24, 0.22, 0.20, 0.23)
+    assert(Bench.hostInflation(idle, Some(0.200)).get < Bench.canaryDriftThr)
+    // no floor / no samples → None (the label degrades to run-relative)
+    assert(Bench.hostInflation(steady, None) === None)
+    assert(Bench.hostInflation(Seq.empty, Some(0.2)) === None)
+  }
+
+  test("median of odd/even/empty sample sets") {
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) === Some(2.0))
+    assert(Bench.median(Seq(4.0, 1.0, 2.0, 3.0)) === Some(2.5))
+    assert(Bench.median(Seq.empty) === None)
+  }
+
+  test("canary floor file round-trips through the loader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-floor").toFile
+    assert(Bench.loadCanaryFloor(dir) === None)
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "BENCH_CANARY_FLOOR.json").toPath,
+      """{"canary_floor":0.207,"min":0.197,"reps":7,"updated_round":14}""")
+    assert(Bench.loadCanaryFloor(dir) === Some(0.207))
+    // garbage degrades to None, never a throw
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "BENCH_CANARY_FLOOR.json").toPath, "not json")
+    assert(Bench.loadCanaryFloor(dir) === None)
   }
 
   test("contendedQueries selects by nearest-canary drift, not by flags") {

@@ -165,6 +165,51 @@ class CapstonePipelineSpec extends SparkSpec {
     assert(out === Map(1L -> 1, 9L -> 2)) // Feb replaced, Jan intact
   }
 
+  test("partitioned writes are file-bounded: files per leaf <= filesPerLeaf (r14)") {
+    // the classic 100 TB ETL failure: an UNclustered partitionBy write
+    // puts up to one file per (task x leaf) in every partition dir.
+    // clusterForWrite repartitions on the partition columns first, so
+    // a many-partition input must still land exactly filesPerLeaf
+    // file(s) in each leaf — asserted here with a 16-partition input
+    // spread across every leaf, the shape that explodes unclustered.
+    import TestSpark.spark.implicits._
+    def leafFiles(root: String): Seq[Int] = {
+      def walk(d: java.io.File): Seq[java.io.File] = {
+        val kids = Option(d.listFiles()).getOrElse(Array.empty).toSeq
+        val dirs = kids.filter(_.isDirectory)
+        if (dirs.isEmpty) Seq(d) else dirs.flatMap(walk)
+      }
+      walk(new java.io.File(root))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")))
+        .filter(_ > 0)
+    }
+    val rows = (1L to 400L)
+      .map(i => (i, java.sql.Date.valueOf(f"2016-${(i % 6 + 1)}%02d-${(i % 27 + 1)}%02d")))
+    val batch = rows.toDF("record_id", "arrdate").repartition(16)
+    val dir = java.nio.file.Files.createTempDirectory("bounded_write").toString
+    CapstoneEtl.mergeMonthlyFact(spark, batch, s"$dir/fact1")
+    val f1 = leafFiles(s"$dir/fact1")
+    assert(f1.size === 6 && f1.forall(_ === 1),
+      s"filesPerLeaf=1 must write exactly one file per month dir: $f1")
+    // the salt only SHOWS with AQE coalescing off: at fixture volume
+    // AQE folds the clustered shuffle to one task (correct small-file
+    // behavior — the ≤ filesPerLeaf bound holds either way); a real
+    // tier's partitions are too big to coalesce, so disable it here to
+    // observe the spread the salt buys at scale
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      CapstoneEtl.mergeMonthlyFact(spark, batch, s"$dir/fact3", filesPerLeaf = 3)
+    } finally spark.conf.set(coalesceKey, prevCoalesce)
+    val f3 = leafFiles(s"$dir/fact3")
+    assert(f3.forall(_ <= 3) && f3.exists(_ > 1),
+      s"filesPerLeaf=3 must salt leaves into at most 3 files: $f3")
+    // result content is unchanged by the clustering
+    assert(spark.read.parquet(s"$dir/fact1").select("record_id")
+      .collect().map(_.getLong(0)).sorted.toSeq === (1L to 400L))
+  }
+
   test("end-to-end: CSV in, partitioned star-schema parquet out") {
     val dir = java.nio.file.Files.createTempDirectory("capstone_e2e").toString
     // write raw fixtures as the CSVs etl.py expects (S2-S4 readers)

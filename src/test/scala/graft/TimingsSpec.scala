@@ -187,6 +187,55 @@ class TimingsSpec extends AnyFunSuite {
       "improvement under prior-round contention must carry the discount label")
   }
 
+  test("mid-run-contended PRIOR relabels improvements at its spike positions (r14)") {
+    // the r13 blast-radius shape: the prior round's driver sweep was
+    // contended MID-run (start/end canaries idle, so the whole-run
+    // prior-contended check sees nothing), and this idle run reads the
+    // relief as a 3x "improvement". The per-flag canary ratio — prior
+    // nearest canary at the query's position over this run's — must
+    // relabel the co-located flag and leave the far one a genuine
+    // improvement, and the ratio must be recorded on both flags.
+    val root = Files.createTempDirectory("graft-tim8").toFile
+    Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_r10.json").toPath, "{}")
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q_mid" -> 3.0, "q_far" -> 3.0),
+      canary = Some((0.21, 0.20)),
+      canarySeries = Seq((0, 0.21), (32, 0.62), (64, 0.20), (300, 0.20)),
+      posOf = Map("q_mid" -> 33, "q_far" -> 299))
+    assert(new java.io.File(root, "TIMINGS_r11.json")
+      .renameTo(new java.io.File(root, "TIMINGS_r10.json")))
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q_mid" -> 1.0, "q_far" -> 1.0),
+      canary = Some((0.21, 0.20)),
+      canarySeries = Seq((0, 0.21), (32, 0.20), (64, 0.20), (300, 0.21)),
+      posOf = Map("q_mid" -> 33, "q_far" -> 299))
+    val text = Files.readString(new java.io.File(root, "TIMINGS_r11.json").toPath)
+    val midBlock = text.substring(text.indexOf(""""q_mid":{"""))
+      .takeWhile(_ != '}') + "}"
+    val farBlock = text.substring(text.indexOf(""""q_far":{"""))
+      .takeWhile(_ != '}') + "}"
+    assert(midBlock.contains("prior-round canary was elevated"),
+      s"co-located improvement must relabel: $midBlock")
+    assert(midBlock.contains(""""canary_ratio":3.10"""),
+      s"prior spike / cur idle = 0.62/0.20: $midBlock")
+    assert(farBlock.contains(""""note":"improvement""""),
+      s"far improvement stays genuine: $farBlock")
+    assert(farBlock.contains(""""canary_ratio":0.9"""),
+      s"the evidence column rides on every flag: $farBlock")
+  }
+
+  test("resampled walls are embedded in the artifact") {
+    val root = Files.createTempDirectory("graft-tim9").toFile
+    Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_r10.json").toPath, "{}")
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q110" -> 0.9),
+      resampled = Map("q110" -> Seq(2.45, 0.9)))
+    val text = Files.readString(new java.io.File(root, "TIMINGS_r11.json").toPath)
+    assert(text.contains(""""resampled":{"q110":[2.450,0.900]}"""))
+  }
+
   test("a thin subset sweep does not publish a round artifact") {
     val root = Files.createTempDirectory("graft-tim3").toFile
     Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
