@@ -251,7 +251,12 @@ object ScaleProbe {
           .drop("r") // l_partkey KEPT: same catalog, 10x the buyers
           .write.mode("overwrite").parquet(s"$fcDir/lineitem.parquet")
       }
-      for (name <- Seq("q204_item_neighbors", "q322_dimsum_similarity");
+      // r14: the hard-negative pair joins the fixed-catalog contrast —
+      // q217's exact kernel vs q324's sampled-prune miner where degrees
+      // actually deepen (10× buyers over the same catalog)
+      for (name <- Seq("q204_item_neighbors", "q322_dimsum_similarity",
+             "q217_hard_negatives", "q324_dimsum_hard_negatives")
+             if wanted(name);
            (label, dir) <- Seq(("sf0.1", base), ("10xFC", fcDir)))
         probe(name, label, dir, samples = 2)
     }
@@ -402,16 +407,20 @@ object ScaleProbe {
         // same clustered-write discipline as mergeMonthlyFact /
         // writeStarSchema (VERDICT r13 #7): partitioned writes are
         // repartitioned on their partition columns first, so file
-        // count tracks LEAVES, not tasks × leaves
+        // count tracks LEAVES, not tasks × leaves.
+        // SPARK_GRAFT_FILES_PER_LEAF sizes the salt: 1 = minimum
+        // files but one write task per leaf (serializes big leaves);
+        // >1 restores write parallelism at files = leaves × k
+        val fpl = sys.env.getOrElse("SPARK_GRAFT_FILES_PER_LEAF", "1").toInt
         pipeline.CapstoneEtl.clusterForWrite(
             fact
               .withColumn("arrival_year", year(col("arrdate")))
               .withColumn("arrival_month", month(col("arrdate"))),
-            1, "arrival_year", "arrival_month")
+            fpl, "arrival_year", "arrival_month")
           .write.mode("overwrite")
           .partitionBy("arrival_year", "arrival_month")
           .parquet(s"$outDir/immigration_fact")
-        pipeline.CapstoneEtl.clusterForWrite(cal, 1,
+        pipeline.CapstoneEtl.clusterForWrite(cal, fpl,
             "arrival_year", "arrival_month", "arrival_week")
           .write.mode("overwrite")
           .partitionBy("arrival_year", "arrival_month", "arrival_week")

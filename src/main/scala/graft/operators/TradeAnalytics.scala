@@ -2137,6 +2137,12 @@ object TradeAnalytics extends QueryModule {
           .join(cand, col("a") === col("ca") && col("b") === col("cb"))
           .select(col("a"), col("b"), col("co"))
       }
+    // persist: every consumer reads `verified` TWICE (the unionAll
+    // symmetrization), and without the pin the second branch re-runs
+    // the whole verify DAG — the Σbsz² candidate expansion included
+    // (caught at 100×-disjoint, r14: q324 read 41.7 GiB double-
+    // evaluated; SCALE.md r14 records the pinned rerun). The relation
+    // itself is tiny (ε-set pairs: 51k rows at 100×).
     val verified = exactCo
       .join(maybeBItemN(k.itemN.select(col("item").as("a"),
         col("n_cust").as("na"))), Seq("a"))
@@ -2145,7 +2151,8 @@ object TradeAnalytics extends QueryModule {
       .withColumn("cosine", col("co").cast("double") /
         sqrt((col("na") * col("nb")).cast("double")))
       .filter(col("cosine") >= lit(DimsumEpsilon))
-    (verified, k, Seq(cand, vb))
+      .persist()
+    (verified, k, Seq(cand, vb, verified))
   }
 
   /** Shared CTE prefix (baskets → kept → emits → sym → scored) of the
