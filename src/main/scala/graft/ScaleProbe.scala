@@ -547,9 +547,23 @@ object ScaleProbe {
         ("q28_sliding", EventStreams.slidingStats),
         ("q29_sessions", df => EventStreams.userSessions(df)),
         ("dedup_within_wm", df => EventStreams.dedupedEvents(df)))
-      for ((label, dir) <- Seq(("sf0.1", "/tmp/graft_stream_1x"),
-             ("10x", "/tmp/graft_stream_10x"));
+      // `rocksdb` arg: re-run the 10× tier on the RocksDB state store —
+      // the provider a 100 TB deployment actually uses once per-entity
+      // state outgrows executor heap (state lives on local disk +
+      // changelog, memory holds the working set). Same queries, same
+      // results; the row to read is peak_state_mib (now native/off-heap
+      // accounting) and the wall delta vs the default provider.
+      val providerTiers =
+        Seq(("sf0.1", "/tmp/graft_stream_1x", false),
+          ("10x", "/tmp/graft_stream_10x", false)) ++
+        (if (args.contains("rocksdb"))
+          Seq(("10x-rocks", "/tmp/graft_stream_10x", true)) else Seq.empty)
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      for ((label, dir, rocks) <- providerTiers;
            (name, xform) <- cases) {
+        if (rocks) spark.conf.set(providerKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        else spark.conf.unset(providerKey)
         val ckpt = java.nio.file.Files
           .createTempDirectory(s"graft_stream_ckpt_$name").toString
         val t0 = System.nanoTime()

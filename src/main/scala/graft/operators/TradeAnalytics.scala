@@ -2340,6 +2340,108 @@ object TradeAnalytics extends QueryModule {
       |) WHERE rank <= 3
       |ORDER BY user_id, rank""".stripMargin
 
+  /** q325: degree-adaptive similarity routing — SCALE.md r14's measured
+    * regime rule as an operator, so the choice the documentation tells
+    * a production reader to make is made by code. The rule, measured
+    * across r12–r14: the exact pair kernel (q204) wins the
+    * CATALOG-GROWING regime (degrees bounded — its Σbsz² cost is
+    * linear in traffic and it pays no estimator overhead; q324's 100×
+    * row), the sampled DIMSUM kernel (q322) wins the DEGREE-DEEPENING
+    * regime (hub degrees ≫ γ — sampling throttles exactly the pairs
+    * the exact kernel pays quadratically for; 0.55× wire at 10×FC).
+    * The routing statistic is the cheapest thing that decides it: the
+    * worst-pair sampling root √(n₁·n₂) over the two largest item
+    * degrees. If even that pair has p = 1 (root ≤ γ), DIMSUM is pure
+    * overhead — its estimates equal the exact cosines — so the exact
+    * kernel runs; past it, sampling engages where it matters and the
+    * sampled kernel runs. One degree aggregation + a 2-row collect
+    * (S9-bounded) buys the decision.
+    *
+    * The driver's own test data exercises BOTH routes: sf0.001/sf0.01
+    * sit at root 38.5/48.5 (≤ γ = 50 → exact), sf0.1 at 52.0 (→
+    * sampled) — and the DuckDB oracle computes the same statistic in
+    * SQL and guards both branches with it, so the gate checks the
+    * router, not a frozen route. Unified output shape
+    * (item, rank, neighbor, support, score): support = co-buyers on
+    * the exact route, kept emits on the sampled route.
+    */
+  def adaptiveItemNeighbors(spark: SparkSession, dir: String): DataFrame =
+    adaptiveItemNeighbors(spark, dir, DimsumGamma)
+
+  /** γ-parameterized so the spec can force each route on one fixture. */
+  private[graft] def adaptiveItemNeighbors(spark: SparkSession, dir: String,
+      gamma: Double): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    val keep = baskets.groupBy(col("cust")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 256).select(col("cust"))
+    val top2 = baskets.join(keep, Seq("cust"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("n_cust").desc).limit(2)
+      .collect().map(_.getAs[Long]("n_cust"))
+    val sampled = top2.length == 2 &&
+      math.sqrt(top2(0).toDouble * top2(1)) > gamma
+    val routed =
+      if (sampled)
+        dimsumNeighbors(spark, dir, DimsumItemBudget, gamma)
+          .select(col("item"), col("rank"), col("neighbor"),
+            col("n_emits").as("support"), col("est_cosine").as("score"))
+      else
+        itemNeighbors(spark, dir)
+          .select(col("item"), col("rank"), col("neighbor"),
+            col("n_co_buyers").as("support"), col("cosine").as("score"))
+    routed.orderBy(col("item"), col("rank"))
+  }
+
+  /** Both routes live in the oracle too, each guarded by the SQL twin
+    * of the routing statistic — the gate exercises the exact branch at
+    * sf0.01 (root 48.5) and the sampled branch at sf0.1 (root 52.0). */
+  private val adaptiveNeighborsSql =
+    s"""$dimsumKernelSql, stat AS (
+      |  SELECT sqrt((min(n_cust) * max(n_cust))::DOUBLE) AS root
+      |  FROM (SELECT n_cust FROM itemn ORDER BY n_cust DESC LIMIT 2)
+      |), epairs AS (
+      |  SELECT x.item AS ia, y.item AS ib, count(*) AS co
+      |  FROM b x JOIN b y ON x.cust = y.cust AND x.item < y.item
+      |  GROUP BY 1, 2
+      |), esym AS (
+      |  SELECT ia AS item, ib AS neighbor, co FROM epairs
+      |  UNION ALL
+      |  SELECT ib, ia, co FROM epairs
+      |), escored AS (
+      |  SELECT s.item, s.neighbor, s.co,
+      |    s.co::DOUBLE / sqrt(a.n_cust::DOUBLE * b2.n_cust) AS cosine
+      |  FROM esym s JOIN itemn a ON s.item = a.item
+      |  JOIN itemn b2 ON s.neighbor = b2.item
+      |), top50 AS (
+      |  SELECT item FROM itemn ORDER BY n_cust DESC, item LIMIT 50
+      |), exact_route AS (
+      |  SELECT item, rank, neighbor, co::BIGINT AS support,
+      |    round(cosine, 4) AS score
+      |  FROM (
+      |    SELECT s.item, s.neighbor, s.co, s.cosine,
+      |      row_number() OVER (PARTITION BY s.item
+      |        ORDER BY s.cosine DESC, s.neighbor) AS rank
+      |    FROM escored s JOIN top50 USING (item))
+      |  WHERE rank <= 5 AND (SELECT root FROM stat) <= ${DimsumGamma}
+      |), sampled_route AS (
+      |  SELECT item, rank, neighbor, emits::BIGINT AS support,
+      |    round(est_cosine, 4) AS score
+      |  FROM (
+      |    SELECT s.item, s.neighbor, s.emits, s.est_cosine,
+      |      row_number() OVER (PARTITION BY s.item
+      |        ORDER BY s.est_cosine DESC, s.neighbor) AS rank
+      |    FROM scored s JOIN top50 USING (item))
+      |  WHERE rank <= 5 AND (SELECT root FROM stat) > ${DimsumGamma}
+      |)
+      |SELECT * FROM exact_route
+      |UNION ALL
+      |SELECT * FROM sampled_route
+      |ORDER BY item, rank""".stripMargin
+
   /** q212: deterministic negative sampling — the contrastive-training
     * counterpart to q204's positives: for every customer, 4 items they
     * did NOT buy, drawn reproducibly from the catalog. Candidates are
@@ -4547,6 +4649,8 @@ object TradeAnalytics extends QueryModule {
       Some(dimsumThresholdSql)),
     QueryDef("q324_dimsum_hard_negatives", dimsumHardNegatives,
       Some(dimsumHardNegativesSql)),
+    QueryDef("q325_adaptive_neighbors", adaptiveItemNeighbors(_, _),
+      Some(adaptiveNeighborsSql)),
     QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),
     QueryDef("q290_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),

@@ -1112,6 +1112,35 @@ class TradeAnalyticsSpec extends SparkSpec {
       val s = r.getAs[Double]("score"); s >= eps - 1e-9 && s <= hi + 1e-9 })
   }
 
+  test("q325: the router picks the exact kernel at bounded degrees and the sampled one past them") {
+    // sf0.001's top-2 degrees give root 38.5: at the shipped γ = 50 the
+    // route must be EXACT and equal q204's output cell-for-cell under
+    // the unified (support, score) names; with γ forced below the root
+    // the route must flip and equal q322's sampled output.
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    val routed = operators.TradeAnalytics.adaptiveItemNeighbors(spark, sfDir)
+    assert(routed.columns.toSeq ===
+      Seq("item", "rank", "neighbor", "support", "score"))
+    val exact = operators.TradeAnalytics.itemNeighbors(spark, sfDir)
+      .select(col("item"), col("rank"), col("neighbor"),
+        col("n_co_buyers").as("support"), col("cosine").as("score"))
+      .orderBy(col("item"), col("rank"))
+    assert(canon(routed) === canon(exact), "bounded degrees must route exact")
+    val forced = operators.TradeAnalytics
+      .adaptiveItemNeighbors(spark, sfDir, gamma = 10.0)
+    val sampledTwin = operators.TradeAnalytics
+      .dimsumNeighbors(spark, sfDir, operators.TradeAnalytics.DimsumItemBudget,
+        gamma = 10.0)
+      .select(col("item"), col("rank"), col("neighbor"),
+        col("n_emits").as("support"), col("est_cosine").as("score"))
+      .orderBy(col("item"), col("rank"))
+    assert(canon(forced) === canon(sampledTwin),
+      "deep degrees (γ forced below the root) must route sampled")
+    assert(canon(forced) !== canon(exact),
+      "the fixture must genuinely distinguish the two routes")
+  }
+
   test("q322: over-budget catalog drops the broadcast hints, result unchanged") {
     // VERDICT r12 #2: q322's degree dimension is catalog-sized and the
     // catalog co-scales with data at 100 TB — an unguarded explicit
