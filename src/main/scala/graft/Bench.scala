@@ -78,6 +78,37 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Memory-BANDWIDTH canary (VERDICT r14 #6): `cpus` tasks each
+    * allocate a 32 MiB long array and stream it with 8 sequential
+    * summing passes — ~9 GiB of demanded memory traffic per sample at
+    * cpus=32, far past L3, so the wall tracks available DRAM bandwidth.
+    * This is the load axis the ALU canary is blind to: the r3 incident
+    * and r14's three unadjudicated flags both had memory-heavy
+    * co-tenants inflating real (scan-shaped) queries 3-30× while the
+    * pure-ALU spin read ≤1.3× — its working set lives in registers and
+    * never touches the bus. A co-tenant that saturates memory shows
+    * here first; a pure-CPU co-tenant shows in the ALU canary first;
+    * hostInflation takes the max of the two. Constant across rounds BY
+    * CODE — same comparability contract as [[contentionCanary]]. */
+  private[graft] def bandwidthCanary(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.sparkContext.parallelize(1 to cpus, cpus).map { i =>
+      val n = 4 * 1024 * 1024 // 32 MiB of longs per task
+      val a = new Array[Long](n)
+      var j = 0
+      while (j < n) { a(j) = i.toLong + j; j += 1 }
+      var acc = 0L
+      var pass = 0
+      while (pass < 8) {
+        var k = 0
+        while (k < n) { acc += a(k); k += 1 }
+        pass += 1
+      }
+      acc
+    }.reduce(_ ^ _)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -112,7 +143,7 @@ object Bench {
     }
     // canary JIT warmup (untimed) so the first timed canary point is not
     // inflated by its own compile
-    try contentionCanary(spark, cpus)
+    try { contentionCanary(spark, cpus); bandwidthCanary(spark, cpus) }
     catch { case _: Throwable => () }
 
     val defs = SparkEntry.benchQueries
@@ -158,11 +189,16 @@ object Bench {
     }
 
     val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val bwSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val floorSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     def mark(idx: Int): Unit = {
       try canarySeries += ((idx, contentionCanary(spark, cpus)))
       catch { case e: Throwable =>
         System.err.println(s"[bench] canary@$idx failed: ${e.getMessage}")
+      }
+      try bwSeries += ((idx, bandwidthCanary(spark, cpus)))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bw canary@$idx failed: ${e.getMessage}")
       }
       floorDef.foreach { f =>
         val t = sampleOnce(f)
@@ -321,24 +357,53 @@ object Bench {
     // the contention-proof headline (VERDICT r12 #1, reworked r14 per
     // ADVICE r13): per-query mins restricted to canary-certified
     // entries — a contended query that never earned a clean bracket is
-    // EXCLUDED and its regular-min mass reported as core16_dirty_mass,
-    // so clean + dirty mass = total and clean ≠ total exactly when
-    // uncertified entries remain
+    // EXCLUDED and its regular-min mass reported as core16_dirty_mass.
+    // clean + dirty mass ≤ total (NOT =, ADVICE r14: a certified
+    // query's clean sample may undercut its in-sweep min, pulling the
+    // clean sum below total − dirty even with zero uncertified
+    // entries); uncertified entries always leave clean < total
     val coreTotalClean = cleanMins.collect {
       case (k, v) if core16(k) && v >= 0 => v }.sum
     val coreDirtyMass = results.collect {
       case (k, v, _) if core16(k) && v >= 0 && dirty.contains(k) => v }.sum
     // steady whole-run contention vs the committed idle floor (VERDICT
-    // r13 #1): the run-relative bracket base above classifies SPANS
-    // correctly but self-certifies a uniformly loaded run; the
-    // cross-round floor is the anchor that can't. Median-based — see
-    // hostInflation. The clean LABEL is refused outright past the
-    // drift threshold: a reader of core16_total_clean must never
-    // mistake a steadily loaded sweep for an idle one.
-    val floor = loadCanaryFloor(new java.io.File("."))
-    val allCanary = canarySeries.map(_._2).toSeq ++ rerunCanary
-    val inflation = hostInflation(allCanary, floor)
-    val cleanRefused = inflation.exists(_ > canaryDriftThr)
+    // r13 #1, reworked r15 per ADVICE r14): the run-relative bracket
+    // base above classifies SPANS correctly but self-certifies a
+    // uniformly loaded run; the cross-round floor is the anchor that
+    // can't. Median-based — see hostInflation — and fed by the
+    // INTERLEAVED sweep series only: the rerun-loop's 5 s backoff
+    // polling oversamples exactly the contended minutes it is waiting
+    // out, so folding rerunCanary into the stat let a transient
+    // mid-run spike drag the median over the bar and refuse a label
+    // whose certified brackets all ran idle (ADVICE r14, medium).
+    // Inflation is the MAX over the ALU and bandwidth canaries — a
+    // memory-heavy co-tenant inflates scan-shaped queries 3-30× while
+    // the register-resident ALU spin reads ~1.25× (r3; r14's three
+    // unadjudicated flags). The refusal engages only when the
+    // offending series' run band OVERLAPS the committed idle band
+    // (ADVICE r14, low): this host's idle canary floats >2× across
+    // speed modes (the floor file's min/max band records it), so a run
+    // sitting entirely above the band is "slow mode OR load" —
+    // recorded as evidence (host_inflation + note), never a hard
+    // refusal — while a run that dipped into the idle band at least
+    // once is provably in the floor's own mode, and an elevated MEDIAN
+    // there is load.
+    val floorFile = loadFloorFile(new java.io.File("."))
+    val floor = floorFile.map(_.alu.median)
+    val aluSamples = canarySeries.map(_._2).toSeq
+    val bwSamples = bwSeries.map(_._2).toSeq
+    val aluInfl = hostInflation(aluSamples, floor)
+    val bwInfl = hostInflation(bwSamples, floorFile.flatMap(_.bw).map(_.median))
+    val inflation = (aluInfl.toSeq ++ bwInfl.toSeq).maxOption
+    def seriesRefuses(infl: Option[Double], samples: Seq[Double],
+        fb: Option[Band]): Boolean =
+      infl.exists(_ > canaryDriftThr) &&
+        (for (r <- runBandOf(samples); b <- fb)
+          yield bandsOverlap(r, (b.min, b.max))).getOrElse(false)
+    val cleanRefused =
+      seriesRefuses(aluInfl, aluSamples, floorFile.map(_.alu)) ||
+        seriesRefuses(bwInfl, bwSamples, floorFile.flatMap(_.bw))
+    val modeShiftSuspect = !cleanRefused && inflation.exists(_ > canaryDriftThr)
     def seriesJson(s: Seq[(Int, Double)]): String =
       s.map { case (i, v) => f"[$i,$v%.3f]" }.mkString("[", ",", "]")
     def strArr(key: String, xs: Seq[String]): String =
@@ -348,6 +413,8 @@ object Bench {
       if (canarySeries.isEmpty) ""
       else f""","canary_min":${canarySeries.map(_._2).min}%.3f""" +
         s""","canary_series":${seriesJson(canarySeries.toSeq)}""" +
+        (if (bwSeries.isEmpty) ""
+         else s""","bw_series":${seriesJson(bwSeries.toSeq)}""") +
         s""","floor_series":${seriesJson(floorSeries.toSeq)}"""
     val rerunCanaryJson =
       if (rerunCanary.isEmpty) ""
@@ -373,10 +440,20 @@ object Bench {
     // measured (clamped at 1: a faster-than-floor JVM is not evidence
     // the queries ran proportionally faster) — an ESTIMATE for
     // cross-round reading, clearly labeled, never the headline
-    val inflJson = inflation.map(i =>
-      f""","host_inflation":$i%.2f,"canary_floor":${floor.get}%.3f""" +
-      f""","core16_total_normalized":${coreTotal / math.max(i, 1.0)}%.3f""")
-      .getOrElse("")
+    val inflJson = inflation.map { i =>
+      val aluJ = aluInfl.map(a => f""","host_inflation_alu":$a%.2f""")
+        .getOrElse("")
+      val bwJ = bwInfl.map(b => f""","host_inflation_bw":$b%.2f""")
+        .getOrElse("")
+      val fJ = floor.map(f => f""","canary_floor":$f%.3f""").getOrElse("")
+      val bwfJ = floorFile.flatMap(_.bw)
+        .map(b => f""","bw_floor":${b.median}%.3f""").getOrElse("")
+      f""","host_inflation":$i%.2f$aluJ$bwJ$fJ$bwfJ""" +
+      f""","core16_total_normalized":${coreTotal / math.max(i, 1.0)}%.3f""" +
+      (if (modeShiftSuspect)
+        s""","host_inflation_note":"run canary band disjoint from committed idle band: host speed-mode shift indistinguishable from steady load; clean label kept, read host_inflation as evidence""""
+       else "")
+    }.getOrElse("")
     val cleanJson =
       (if (cleanRefused)
         f""","core16_total_clean_refused":"host_inflation ${inflation.get}%.2f > $canaryDriftThr%.1f: steady whole-run contention, no sample certifiable"""" +
@@ -462,8 +539,9 @@ object Bench {
     * regular-min fallback made `core16_total_clean` arithmetically
     * identical to `core16_total` in every run — the field certified
     * nothing); its uncertified mass is the caller's `dirty_mass`
-    * column, so clean + dirty mass reconstructs the headline and
-    * clean ≠ total exactly when uncertified entries remain. Errored
+    * column. clean + dirty mass ≤ total: the min(cleanSample,
+    * regularMin) above can undercut the in-sweep min, so the
+    * reconstruction is a bound, not an identity (ADVICE r14). Errored
     * queries (min < 0) are excluded from both, matching the totals'
     * filter. */
   private[graft] def cleanHeadline(
@@ -510,17 +588,61 @@ object Bench {
            else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
     }
 
+  /** One canary statistic's idle band: the committed median (the
+    * inflation denominator) plus the min/max spread of the idle
+    * samples it came from (the refusal's mode check — see
+    * [[bandsOverlap]]). */
+  private[graft] final case class Band(median: Double, min: Double,
+      max: Double)
+
+  /** The committed idle floor file's contents: the ALU canary band
+    * plus — when the file was written by a bandwidth-aware
+    * [[CanaryFloor]] — the bandwidth canary band. */
+  private[graft] final case class FloorFile(alu: Band, bw: Option[Band])
+
+  /** Two [min, max] bands overlap. The refusal precondition (ADVICE
+    * r14): a run whose canary band shares no point with the committed
+    * idle band may simply be a slower host speed mode (this VM's idle
+    * canary floats >2× across modes) — only a run that touched the
+    * idle band is provably in the floor's mode, making an elevated
+    * median attributable to load. */
+  private[graft] def bandsOverlap(run: (Double, Double),
+      floor: (Double, Double)): Boolean =
+    run._1 <= floor._2 && floor._1 <= run._2
+
+  private[graft] def runBandOf(xs: Seq[Double]): Option[(Double, Double)] = {
+    val p = xs.filter(_ > 0)
+    if (p.isEmpty) None else Some((p.min, p.max))
+  }
+
   /** The committed idle canary floor (BENCH_CANARY_FLOOR.json, written
     * only by hand from idle [[CanaryFloor]] runs — a loaded run must
     * never be able to raise its own bar). None when absent/unreadable. */
   private[graft] def loadCanaryFloor(root: java.io.File): Option[Double] =
+    loadFloorFile(root).map(_.alu.median)
+
+  /** Parse the full floor file: ALU band (canary_floor/min/max) and,
+    * when present, the bandwidth band (bw_floor/bw_min/bw_max). A
+    * pre-r15 file without min/max degrades its band to [median,
+    * median] (the refusal then engages only when the run touched the
+    * median exactly — conservative in the safe direction). */
+  private[graft] def loadFloorFile(root: java.io.File): Option[FloorFile] =
     try {
       val f = new java.io.File(root, "BENCH_CANARY_FLOOR.json")
       if (!f.exists()) None
-      else """"canary_floor"\s*:\s*([0-9.]+)""".r
-        .findFirstMatchIn(java.nio.file.Files.readString(f.toPath))
-        .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
-        .filter(_ > 0)
+      else {
+        val text = java.nio.file.Files.readString(f.toPath)
+        def num(key: String): Option[Double] =
+          (""""""" + key + """"\s*:\s*([0-9.]+)""").r
+            .findFirstMatchIn(text)
+            .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+            .filter(_ > 0)
+        def band(med: String, lo: String, hi: String): Option[Band] =
+          num(med).map(m =>
+            Band(m, num(lo).getOrElse(m), num(hi).getOrElse(m)))
+        band("canary_floor", "min", "max").map(alu =>
+          FloorFile(alu, band("bw_floor", "bw_min", "bw_max")))
+      }
     } catch { case _: Throwable => None }
 
   /** This run's canary min over the prior round's — >1 means this run

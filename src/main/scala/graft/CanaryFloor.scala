@@ -25,18 +25,42 @@ object CanaryFloor {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Bench.contentionCanary(spark, cpus) // untimed JIT warm
-    val samples = (1 to reps).map(_ => Bench.contentionCanary(spark, cpus))
+    Bench.bandwidthCanary(spark, cpus)
+    // interleaved sampling (ALU, then bandwidth, per rep) so both
+    // floors see the same minutes of host state
+    val pairs = (1 to reps).map(_ =>
+      (Bench.contentionCanary(spark, cpus), Bench.bandwidthCanary(spark, cpus)))
+    val samples = pairs.map(_._1)
+    val bw = pairs.map(_._2)
     val med = Bench.median(samples).get
+    val bwMed = Bench.median(bw).get
     val round = Timings.currentRound(new java.io.File(".")).getOrElse(0)
-    // canary_floor is the idle MEDIAN, not the min: hostInflation is a
-    // median-over-floor ratio, and median/median is the like-for-like
-    // comparison — dividing a run median by a lucky idle min would
-    // read ordinary idle spread as inflation
+    // canary_floor / bw_floor are the idle MEDIANS, not the mins:
+    // hostInflation is a median-over-floor ratio, and median/median is
+    // the like-for-like comparison — dividing a run median by a lucky
+    // idle min would read ordinary idle spread as inflation. min/max
+    // are the idle BANDS the refusal's mode check reads (ADVICE r14:
+    // this host's idle canary floats >2x across speed modes, so a run
+    // band disjoint from the idle band is mode-ambiguous evidence, not
+    // provable load).
     val body =
       f"""{"canary_floor":$med%.3f,"min":${samples.min}%.3f,""" +
-      f""""max":${samples.max}%.3f,"reps":$reps,"updated_round":$round,""" +
+      f""""max":${samples.max}%.3f,"bw_floor":$bwMed%.3f,""" +
+      f""""bw_min":${bw.min}%.3f,"bw_max":${bw.max}%.3f,""" +
+      f""""reps":$reps,"updated_round":$round,""" +
       s""""source":"idle CanaryFloor run","samples":[""" +
-      samples.map(v => f"$v%.3f").mkString(",") + "]}"
+      samples.map(v => f"$v%.3f").mkString(",") + """],"bw_samples":[""" +
+      bw.map(v => f"$v%.3f").mkString(",") + """],"note":""" +
+      "\"canary_floor/bw_floor are idle-run MEDIANS (hostInflation " +
+      "compares run-median/floor, like for like); min/max and " +
+      "bw_min/bw_max are the idle BANDS the refusal's mode check reads. " +
+      "Updated ONLY by hand from idle `runMain graft.CanaryFloor` runs " +
+      "- Bench reads, never writes. Idle absolute values float across " +
+      "sessions/JVMs (r12 min 0.148, r13 idle 0.197-0.266, r14 idle " +
+      "0.253-0.313), so a run band disjoint from these bands is " +
+      "mode-ambiguous EVIDENCE (host_inflation + note), not a refusal; " +
+      "the clean headline's primary defense remains dirty-mass " +
+      "exclusion.\"}"
     println(body)
     if (args.contains("write"))
       java.nio.file.Files.writeString(

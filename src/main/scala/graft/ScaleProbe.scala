@@ -410,8 +410,10 @@ object ScaleProbe {
         // count tracks LEAVES, not tasks × leaves.
         // SPARK_GRAFT_FILES_PER_LEAF sizes the salt: 1 = minimum
         // files but one write task per leaf (serializes big leaves);
-        // >1 restores write parallelism at files = leaves × k
-        val fpl = sys.env.getOrElse("SPARK_GRAFT_FILES_PER_LEAF", "1").toInt
+        // >1 restores write parallelism at files = leaves × k;
+        // 0 (default since r15) = auto-sized from the batch's own
+        // leaf stats (VERDICT r14 #5 — see autoFilesPerLeaf)
+        val fpl = sys.env.getOrElse("SPARK_GRAFT_FILES_PER_LEAF", "0").toInt
         pipeline.CapstoneEtl.clusterForWrite(
             fact
               .withColumn("arrival_year", year(col("arrdate")))
@@ -511,6 +513,10 @@ object ScaleProbe {
       val chunks = 16
       def stage(label: String, src: org.apache.spark.sql.DataFrame,
           dir: String): Unit =
+        // idempotence keys on the LAST chunk; a prior run that crashed
+        // partway leaves chunks 0..k behind, so every move below must
+        // REPLACE_EXISTING or the re-run wedges on FileAlreadyExists
+        // over stale partial data forever (ADVICE r14)
         if (!new java.io.File(s"$dir/chunk-${chunks - 1}.parquet").exists()) {
           new java.io.File(dir).mkdirs()
           val bounds = src.agg(min(unix_micros(col("ts"))).as("lo"),
@@ -528,7 +534,8 @@ object ScaleProbe {
             val part = new java.io.File(tmp).listFiles()
               .find(_.getName.endsWith(".parquet")).get
             java.nio.file.Files.move(part.toPath,
-              java.nio.file.Paths.get(s"$dir/chunk-$i.parquet"))
+              java.nio.file.Paths.get(s"$dir/chunk-$i.parquet"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             new java.io.File(tmp).listFiles().foreach(_.delete())
             new java.io.File(tmp).delete()
           }

@@ -121,7 +121,8 @@ object Timings {
     * across-the-board improvement). */
   private[graft] final case class Prior(round: Int,
       timings: Map[String, Double], canaryMin: Option[Double],
-      canarySeries: Seq[(Int, Double)])
+      canarySeries: Seq[(Int, Double)],
+      positions: Map[String, Int] = Map.empty)
 
   /** Latest TIMINGS_r{M}.json with M < n, parsed. Unreadable or
     * mismatched-scale files degrade to None, never a failure. */
@@ -166,7 +167,17 @@ object Timings {
           }
           case _ => Seq.empty[(Int, Double)]
         }
-        if (fileSf == sf && tim.nonEmpty) Some(Prior(m, tim, can, series))
+        // name→position map (r15): lets flagCanaryRatio look up the
+        // PRIOR run's own position for a query instead of assuming
+        // this run's — insertions shift positional alignment one slot
+        // per new query (VERDICT r14 #2). Absent in pre-r15 artifacts.
+        val pos = (j \ "positions") match {
+          case JObject(fs) => fs.collect {
+            case (k, v) if num.isDefinedAt(v) => (k, num(v).toInt)
+          }.toMap
+          case _ => Map.empty[String, Int]
+        }
+        if (fileSf == sf && tim.nonEmpty) Some(Prior(m, tim, can, series, pos))
         else None
       }.toOption.flatten
     }.nextOption()
@@ -231,21 +242,23 @@ object Timings {
       // Per-flag canary ratio (VERDICT r13 #2): the prior run's nearest
       // canary at this query's position over this run's — >1.3 means
       // the PRIOR sample was the contended one and an "improvement" is
-      // relief, not a code win; <1/1.3 the mirror. Positions index the
-      // same declaration-ordered sweep in both rounds (new queries
-      // append, so alignment degrades by at most the insertion count);
-      // either side falls back to its run's whole-run canary min.
-      // Recorded on EVERY flag so the reader sees the evidence, not
-      // just the verdict — r13's driver artifacts are a mid-run-
-      // contended prior, and without the prior SERIES r14's idle sweep
-      // would read its relief as genuine improvement.
+      // relief, not a code win; <1/1.3 the mirror. The prior side is
+      // NAME-KEYED when the prior artifact carries its positions map
+      // (VERDICT r14 #2): insertions used to shift positional
+      // alignment one slot per new query, attributing a prior spike to
+      // the wrong neighbor; the prior run's own recorded position for
+      // THIS query is exact. Pre-r15 artifacts fall back to this run's
+      // position; either side falls back further to its run's
+      // whole-run canary min. Recorded on EVERY flag so the reader
+      // sees the evidence, not just the verdict.
       def flagCanaryRatio(name: String): Option[Double] = {
-        val pos = posOf.get(name)
-        val priorAt = pos.flatMap { p =>
-          prior.map(_.canarySeries).filter(_.nonEmpty)
-            .map(s => s.minBy { case (i, _) => math.abs(i - p) }._2)
+        val priorAt = prior.flatMap { p =>
+          p.positions.get(name).orElse(posOf.get(name)).flatMap { pp =>
+            Some(p.canarySeries).filter(_.nonEmpty)
+              .map(s => s.minBy { case (i, _) => math.abs(i - pp) }._2)
+          }
         }.orElse(priorCanaryMin)
-        val curAt = pos.flatMap { p =>
+        val curAt = posOf.get(name).flatMap { p =>
           Some(canarySeries).filter(_.nonEmpty)
             .map(s => s.minBy { case (i, _) => math.abs(i - p) }._2)
         }.orElse(curCanaryMin)
@@ -284,6 +297,14 @@ object Timings {
         if (canarySeries.isEmpty) ""
         else canarySeries.map { case (i, v) => f"[$i,$v%.3f]" }
           .mkString(""","canary_series":[""", ",", "]")
+      // the run's own name→position map, so the NEXT round's
+      // flagCanaryRatio can align this round's canary series by name
+      // instead of assuming positions match (VERDICT r14 #2)
+      val posJson =
+        if (posOf.isEmpty) ""
+        else posOf.toSeq.sortBy(_._2)
+          .map { case (k, i) => jstr(k) + ":" + i }
+          .mkString(""","positions":{""", ",", "}")
       // double-sampled walls from the in-run resampling pass (VERDICT
       // r13 #4): both walls on record so a reader can see whether the
       // flagged reading reproduced once its span canary recovered
@@ -293,7 +314,7 @@ object Timings {
           jstr(k) + ":" + ws.map(w => f"$w%.3f").mkString("[", ",", "]")
         }.mkString(""","resampled":{""", ",", "}")
       val body = s"""{"round":$n,"sf":${jstr(sf)},""" +
-        s""""n_queries":${timings.size},"timings":$timJson$canaryJson$seriesJson$resampledJson$vsPrev}"""
+        s""""n_queries":${timings.size},"timings":$timJson$canaryJson$seriesJson$posJson$resampledJson$vsPrev}"""
       Files.writeString(new File(root, s"TIMINGS_r$n.json").toPath, body)
       val msg = prior match {
         case None => s"no prior artifact — baseline written"

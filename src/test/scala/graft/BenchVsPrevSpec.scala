@@ -215,6 +215,51 @@ class BenchVsPrevSpec extends AnyFunSuite {
     assert(Bench.loadCanaryFloor(dir) === None)
   }
 
+  test("bandwidth-aware floor file parses both bands; legacy file degrades (r15)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-floor2").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "BENCH_CANARY_FLOOR.json").toPath,
+      """{"canary_floor":0.207,"min":0.197,"max":0.313,""" +
+        """"bw_floor":0.120,"bw_min":0.110,"bw_max":0.160,"reps":7}""")
+    val ff = Bench.loadFloorFile(dir).get
+    assert(ff.alu === Bench.Band(0.207, 0.197, 0.313))
+    assert(ff.bw === Some(Bench.Band(0.120, 0.110, 0.160)))
+    // the bare "min"/"max" keys must not be confused with bw_min/bw_max
+    // — and a pre-r15 file (no bw, no max) degrades its band to the
+    // median on the missing edge, never throws
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "BENCH_CANARY_FLOOR.json").toPath,
+      """{"canary_floor":0.207,"min":0.197,"reps":7}""")
+    val legacy = Bench.loadFloorFile(dir).get
+    assert(legacy.alu === Bench.Band(0.207, 0.197, 0.207))
+    assert(legacy.bw === None)
+  }
+
+  test("refusal requires the run band to overlap the idle band (ADVICE r14)") {
+    // the r13 steady-load shape: run dipped into the idle band once
+    // (min 0.203 ≤ floor max 0.313) so the host is provably in the
+    // floor's speed mode → an elevated median IS load → refuse
+    assert(Bench.bandsOverlap((0.203, 0.41), (0.148, 0.313)))
+    // a slow host MODE: every sample sits above the idle band's max —
+    // indistinguishable from steady load, so no hard refusal
+    assert(!Bench.bandsOverlap((0.40, 0.55), (0.148, 0.313)))
+    assert(Bench.runBandOf(Seq(0.3, -1.0, 0.2, 0.5)) === Some((0.2, 0.5)))
+    assert(Bench.runBandOf(Seq.empty) === None)
+  }
+
+  test("bandwidth canary catches memory load the ALU canary reads shallow (r14 #6)") {
+    // replay of the r14 shape: memory-heavy co-tenant → ALU series
+    // reads 1.25x (under the 1.3 bar) while the bandwidth series reads
+    // 1.5x; max-of-the-two must cross the threshold
+    val aluInfl = Bench.hostInflation(
+      Seq(0.25, 0.25, 0.26, 0.25), Some(0.20)).get
+    val bwInfl = Bench.hostInflation(
+      Seq(0.18, 0.19, 0.18, 0.18), Some(0.12)).get
+    assert(aluInfl < Bench.canaryDriftThr, f"ALU reads shallow: $aluInfl%.2f")
+    assert(bwInfl > Bench.canaryDriftThr, f"BW sees the load: $bwInfl%.2f")
+    assert(math.max(aluInfl, bwInfl) > Bench.canaryDriftThr)
+  }
+
   test("contendedQueries selects by nearest-canary drift, not by flags") {
     // canary at position 8 drifted 3x: queries nearest to it are
     // suspect even if no vs_prev threshold fired (round 1 has no prev)

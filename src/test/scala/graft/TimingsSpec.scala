@@ -225,6 +225,61 @@ class TimingsSpec extends AnyFunSuite {
       s"the evidence column rides on every flag: $farBlock")
   }
 
+  test("insertions cannot shift canary attribution: prior series aligns by name (r15)") {
+    // prior round: q_x ran at position 20, inside a canary spike; this
+    // round two queries were inserted ahead of it, so q_x now runs at
+    // position 40 (idle span). Position-based alignment would read the
+    // prior canary at 40 (idle, 0.20) and mislabel the improvement
+    // genuine; the prior artifact's name-keyed positions map must pin
+    // the prior lookup at 20 (spiked, 0.60) → ratio 3.0 → relief label.
+    val root = Files.createTempDirectory("graft-tim10").toFile
+    Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_r10.json").toPath, "{}")
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q_x" -> 3.0),
+      canary = Some((0.21, 0.20)),
+      canarySeries = Seq((0, 0.21), (20, 0.60), (40, 0.20)),
+      posOf = Map("q_x" -> 20))
+    val prior = Files.readString(new java.io.File(root, "TIMINGS_r11.json").toPath)
+    assert(prior.contains(""""positions":{"""), "artifact must carry positions")
+    assert(new java.io.File(root, "TIMINGS_r11.json")
+      .renameTo(new java.io.File(root, "TIMINGS_r10.json")))
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q_x" -> 1.0),
+      canary = Some((0.21, 0.20)),
+      canarySeries = Seq((0, 0.21), (20, 0.20), (40, 0.20)),
+      posOf = Map("q_x" -> 40)) // shifted by two insertions
+    val text = Files.readString(new java.io.File(root, "TIMINGS_r11.json").toPath)
+    val block = text.substring(text.indexOf(""""q_x":{"""))
+      .takeWhile(_ != '}') + "}"
+    assert(block.contains(""""canary_ratio":3.00"""),
+      s"prior lookup must use the prior round's own position: $block")
+    assert(block.contains("prior-round canary was elevated"),
+      s"the relief label must follow: $block")
+  }
+
+  test("resample targets: ALL regression flags qualify, worst first, no canary gate (r15)") {
+    def flag(n: String, adj: Double, note: String) =
+      Timings.Flag(n, 1.0, adj, adj, adj, note)
+    // the r14 shape: three 3x regression flags whose span canary read
+    // 1.25 (clean) — the old elevated-canary precondition skipped them;
+    // they must now be selected regardless
+    val flags = Seq(
+      flag("q106", 3.08, "regression: >2x prior dump wall"),
+      flag("q120", 3.49, "regression: >2x prior dump wall"),
+      flag("q127", 2.92, "regression: >2x prior dump wall"),
+      flag("q50", 0.2, "improvement"),
+      flag("q60", 2.5, "contended-host: canary elevated vs prior round, rerun required"))
+    assert(Verify.resampleTargets(flags) === Seq("q120", "q106", "q127"))
+    // cap scales with the flag count: 92 flags → 23 resampled, not 12
+    val many = (1 to 92).map(i =>
+      flag(f"q$i%03d", 2.0 + i * 0.01, "regression: >2x prior dump wall"))
+    assert(Verify.resampleCap(92) === 23)
+    val picked = Verify.resampleTargets(many)
+    assert(picked.size === 23 && picked.head === "q092")
+    assert(Verify.resampleCap(5) === 12, "clean sweeps keep the old bound")
+  }
+
   test("resampled walls are embedded in the artifact") {
     val root = Files.createTempDirectory("graft-tim9").toFile
     Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
