@@ -2398,10 +2398,15 @@ object TradeAnalytics extends QueryModule {
 
   /** Both routes live in the oracle too, each guarded by the SQL twin
     * of the routing statistic — the gate exercises the exact branch at
-    * sf0.01 (root 48.5) and the sampled branch at sf0.1 (root 52.0). */
+    * sf0.01 (root 48.5) and the sampled branch at sf0.1 (root 52.0).
+    * A degenerate sub-2-item catalog yields root 0 → exact route,
+    * mirroring the Scala router's two-item requirement (ADVICE r14:
+    * min·max over ONE row used to read root = n, diverging from the
+    * Scala router on single-item catalogs with n_cust > γ). */
   private val adaptiveNeighborsSql =
     s"""$dimsumKernelSql, stat AS (
-      |  SELECT sqrt((min(n_cust) * max(n_cust))::DOUBLE) AS root
+      |  SELECT CASE WHEN count(*) = 2
+      |    THEN sqrt((min(n_cust) * max(n_cust))::DOUBLE) ELSE 0 END AS root
       |  FROM (SELECT n_cust FROM itemn ORDER BY n_cust DESC LIMIT 2)
       |), epairs AS (
       |  SELECT x.item AS ia, y.item AS ib, count(*) AS co
@@ -2436,6 +2441,172 @@ object TradeAnalytics extends QueryModule {
       |        ORDER BY s.est_cosine DESC, s.neighbor) AS rank
       |    FROM scored s JOIN top50 USING (item))
       |  WHERE rank <= 5 AND (SELECT root FROM stat) > ${DimsumGamma}
+      |)
+      |SELECT * FROM exact_route
+      |UNION ALL
+      |SELECT * FROM sampled_route
+      |ORDER BY item, rank""".stripMargin
+
+  /** q326: PER-ITEM hybrid similarity routing (VERDICT r14 #7) — the
+    * production refinement of q325's whole-query router. q325 picks one
+    * kernel for the whole catalog, but a real catalog is a power law:
+    * the low-degree TAIL anchors never trip the sampling condition
+    * (their pairs all have p = 1, so DIMSUM is pure estimator overhead)
+    * while the HUB anchors are exactly where the exact kernel's Σbsz²
+    * cost concentrates. Route each anchor independently: item i goes
+    * SAMPLED iff its worst-pair sampling root √(nᵢ·m₁) > γ (m₁ = the
+    * catalog's max degree — i's most expensive possible partner; for
+    * i = the hub itself this upper-bounds with the self-pair, a
+    * deliberate conservatism that only ever routes a borderline hub to
+    * the kernel built for hubs). The statistic is one degree
+    * aggregation + a 51-row collect (S9-bounded: max degree + top-50
+    * anchor degrees).
+    *
+    * Scale shape — why this beats running either kernel whole: ONE
+    * Σbsz² basket expansion pass serves both routes, and every pair
+    * dies IN-TASK unless it touches a top-50 anchor (the q217/q324
+    * discipline): a pair incident to an exact-routed anchor emits a
+    * route-'x' row, a pair incident to a sampled-routed anchor emits a
+    * route-'s' row only if it survives q322's md5-Bernoulli draw — so
+    * the shuffle carries anchor-incident pairs only, tagged, once
+    * (≤ 2 rows for the rare pair touching both routes). Post-agg the
+    * degrees join back from the broadcast dimension and each anchor's
+    * top-5 ranks within its own route's score (exact cosine on 'x',
+    * unbiased DIMSUM estimate on 's' — identical to q204/q322 values
+    * by construction, which the spec pins cell-for-cell).
+    */
+  def hybridItemNeighbors(spark: SparkSession, dir: String): DataFrame =
+    hybridItemNeighbors(spark, dir, DimsumGamma)
+
+  /** γ-parameterized so the spec can force a mixed routing on one
+    * fixture (γ between the tail's and the hub's worst-pair roots). */
+  private[graft] def hybridItemNeighbors(spark: SparkSession, dir: String,
+      gamma: Double): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    val keep = baskets.groupBy(col("cust")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 256).select(col("cust"))
+    val b = baskets.join(keep, Seq("cust")).persist()
+    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust")).persist()
+    // routing stats: top-50 anchors + the global max degree (51 small
+    // rows to the driver — the S9 bound)
+    val top50 = itemN.orderBy(col("n_cust").desc, col("item")).limit(50)
+      .collect().map(r => (r.getAs[Long]("item"), r.getAs[Long]("n_cust")))
+    if (top50.isEmpty) {
+      b.unpersist(); itemN.unpersist()
+      return spark.emptyDataFrame
+        .withColumn("item", lit(0L)).withColumn("rank", lit(0))
+        .withColumn("neighbor", lit(0L)).withColumn("support", lit(0L))
+        .withColumn("score", lit(0.0)).limit(0)
+    }
+    val m1 = top50.map(_._2).max
+    val (sampledAnchors, exactAnchors) = top50.partition { case (_, n) =>
+      math.sqrt(n.toDouble * m1) > gamma
+    }
+    val eSet = exactAnchors.map(_._1).toSeq
+    val sSet = sampledAnchors.map(_._1).toSeq
+    def inSet(c: Column, s: Seq[Long]): Column =
+      if (s.isEmpty) lit(false) else c.isin(s: _*)
+    val posts = b.join(broadcast(itemN), Seq("item"))
+      .select(col("cust"), struct(col("item").as("doc_id"),
+        col("n_cust").cast("int").as("nsh")).as("e"))
+      .groupBy(col("cust")).agg(collect_list(col("e")).as("ds"))
+    val expanded = posts.select(col("cust"), explode(
+        graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
+    val rootProd = sqrt(
+      (col("p.nsh_a").cast("long") * col("p.nsh_b")).cast("double"))
+    val pKeep = least(lit(1.0), lit(gamma) / rootProd)
+    val u = pmod(conv(substring(md5(concat_ws("|",
+        col("cust").cast("string"), col("p.doc_a").cast("string"),
+        col("p.doc_b").cast("string"))), 1, 15), 16, 10).cast("long"),
+      lit(1000000L))
+    val touchesE = inSet(col("p.doc_a"), eSet) || inSet(col("p.doc_b"), eSet)
+    val touchesS = inSet(col("p.doc_a"), sSet) || inSet(col("p.doc_b"), sSet)
+    val drawKeep = lit(gamma) >= rootProd || u.cast("double") < pKeep * lit(1e6)
+    // the in-task route fan-out: ≤2 tagged rows per pair, everything
+    // else dies before the exchange
+    val tagged = expanded.select(col("p.doc_a").as("doc_a"),
+        col("p.doc_b").as("doc_b"),
+        explode(filter(array(
+          when(touchesE, lit("x")),
+          when(touchesS && drawKeep, lit("s"))), c => c.isNotNull)).as("route"))
+    val counted = tagged.groupBy(col("route"), col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("cnt")).persist()
+    val sym = counted.select(col("route"), col("doc_a").as("item"),
+        col("doc_b").as("neighbor"), col("cnt"))
+      .unionAll(counted.select(col("route"), col("doc_b").as("item"),
+        col("doc_a").as("neighbor"), col("cnt")))
+      .join(broadcast(itemN.select(col("item"), col("n_cust").as("ni"))),
+        Seq("item"))
+      .join(broadcast(itemN.select(col("item").as("neighbor"),
+        col("n_cust").as("nn"))), Seq("neighbor"))
+    val prod = sqrt((col("ni") * col("nn")).cast("double"))
+    val routed = sym.filter(
+        (col("route") === "x" && inSet(col("item"), eSet)) ||
+        (col("route") === "s" && inSet(col("item"), sSet)))
+      .withColumn("score", when(col("route") === "x",
+          col("cnt").cast("double") / prod)
+        .otherwise(col("cnt").cast("double") /
+          (least(lit(1.0), lit(gamma) / prod) * prod)))
+    val w = Window.partitionBy(col("item"))
+      .orderBy(col("score").desc, col("neighbor"))
+    Materialize.releasing(
+      routed.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("item"), col("rank"), col("neighbor"),
+          col("cnt").cast("bigint").as("support"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("item"), col("rank")),
+      b, itemN, counted)
+  }
+
+  /** Both kernels replay in SQL (the q322/q204 CTE shapes); the
+    * per-item predicate √(nᵢ·m₁) > γ gates which route's rows an
+    * anchor contributes — computed identically to the Scala router. */
+  private val hybridNeighborsSql =
+    s"""$dimsumKernelSql, m1 AS (
+      |  SELECT max(n_cust) AS m FROM itemn
+      |), top50 AS (
+      |  SELECT item, n_cust FROM itemn ORDER BY n_cust DESC, item LIMIT 50
+      |), routedset AS (
+      |  SELECT item,
+      |    CASE WHEN sqrt((n_cust * (SELECT m FROM m1))::DOUBLE) > ${DimsumGamma}
+      |         THEN 1 ELSE 0 END AS sampled
+      |  FROM top50
+      |), epairs AS (
+      |  SELECT x.item AS ia, y.item AS ib, count(*) AS co
+      |  FROM b x JOIN b y ON x.cust = y.cust AND x.item < y.item
+      |  GROUP BY 1, 2
+      |), esym AS (
+      |  SELECT ia AS item, ib AS neighbor, co FROM epairs
+      |  UNION ALL
+      |  SELECT ib, ia, co FROM epairs
+      |), escored AS (
+      |  SELECT s.item, s.neighbor, s.co,
+      |    s.co::DOUBLE / sqrt(a.n_cust::DOUBLE * b2.n_cust) AS cosine
+      |  FROM esym s JOIN itemn a ON s.item = a.item
+      |  JOIN itemn b2 ON s.neighbor = b2.item
+      |), exact_route AS (
+      |  SELECT item, rank, neighbor, co::BIGINT AS support,
+      |    round(cosine, 4) AS score
+      |  FROM (
+      |    SELECT s.item, s.neighbor, s.co, s.cosine,
+      |      row_number() OVER (PARTITION BY s.item
+      |        ORDER BY s.cosine DESC, s.neighbor) AS rank
+      |    FROM escored s JOIN routedset r ON r.item = s.item AND r.sampled = 0)
+      |  WHERE rank <= 5
+      |), sampled_route AS (
+      |  SELECT item, rank, neighbor, emits::BIGINT AS support,
+      |    round(est_cosine, 4) AS score
+      |  FROM (
+      |    SELECT s.item, s.neighbor, s.emits, s.est_cosine,
+      |      row_number() OVER (PARTITION BY s.item
+      |        ORDER BY s.est_cosine DESC, s.neighbor) AS rank
+      |    FROM scored s JOIN routedset r ON r.item = s.item AND r.sampled = 1)
+      |  WHERE rank <= 5
       |)
       |SELECT * FROM exact_route
       |UNION ALL
@@ -4651,6 +4822,8 @@ object TradeAnalytics extends QueryModule {
       Some(dimsumHardNegativesSql)),
     QueryDef("q325_adaptive_neighbors", adaptiveItemNeighbors(_, _),
       Some(adaptiveNeighborsSql)),
+    QueryDef("q326_hybrid_neighbors", hybridItemNeighbors(_, _),
+      Some(hybridNeighborsSql)),
     QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),
     QueryDef("q290_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),

@@ -76,6 +76,36 @@ object CapstoneEtl {
       demographics = StarSchema.demographicsDim(demographics))
   }
 
+  /** ~target bytes of one written leaf file. The row-width estimate
+    * feeding it is the schema's in-memory defaultSize, which runs 2-5×
+    * parquet's encoded size — so the rule over-provisions shards and
+    * real files land at ~50-128 MiB, the safe side of the small-file /
+    * giant-file trade. */
+  private[graft] val TargetLeafFileBytes: Long = 256L << 20
+
+  /** Floor on shard size so tiny batches are never shredded into
+    * confetti files by the even-share term (a 150k-row test batch over
+    * 32 slots would otherwise shard at 4.7k rows/file). */
+  private[graft] val MinShardRows: Long = 65536L
+
+  /** The SCALE.md r14 finding-3 sizing rule as code (VERDICT r14 #5):
+    * split the biggest leaf into shards no bigger than (a) one target
+    * file (~256 MiB at the estimated row width — the 100 TB file-size
+    * cap) and (b) one even slot share of the batch (the measured
+    * write-parallelism driver: fpl=1 serialized the 100× capstone
+    * write to 61.7 s against fpl=8's 27.7 s because the largest leaf
+    * becomes one straggler task). Clamped to [1, 64]: past 64 shards
+    * per leaf the layout is telling you to add a partition column, not
+    * more salt. */
+  private[graft] def autoFilesPerLeaf(maxLeafRows: Long, totalRows: Long,
+      estRowBytes: Long, parallelism: Int): Int = {
+    val byBytes = TargetLeafFileBytes / math.max(estRowBytes, 1L)
+    val byEvenShare = totalRows / math.max(parallelism, 1)
+    val shard = math.max(MinShardRows, math.min(byBytes, byEvenShare))
+    math.max(1, math.min(64,
+      math.ceil(maxLeafRows.toDouble / shard.toDouble).toInt))
+  }
+
   /** Cluster a batch on its hive-partition columns before a
     * `partitionBy` write, so each leaf directory is written by a
     * BOUNDED number of tasks: files ≈ leaves × filesPerLeaf, never
@@ -84,16 +114,36 @@ object CapstoneEtl {
     * to 32 files in every year/month/week directory, and at a
     * 1000-executor scale that is millions of kilobyte files and a
     * metadata-bound table). `filesPerLeaf > 1` adds a deterministic
-    * row-hash salt for partitions too large for one file — the knob a
-    * real deployment sizes to its target file size (~128 MiB–1 GiB).
+    * row-hash salt for partitions too large for one file.
+    *
+    * `filesPerLeaf <= 0` (the default upstream) AUTO-SIZES the salt
+    * from one stats pass over the batch — per-leaf row counts (a
+    * compact aggregation: one row per leaf, two values collected) fed
+    * through [[autoFilesPerLeaf]] with the schema's estimated row
+    * width and the session's parallelism. An explicit positive value
+    * remains the manual override.
     */
   private[graft] def clusterForWrite(df: DataFrame, filesPerLeaf: Int,
       cols: String*): DataFrame = {
     import org.apache.spark.sql.functions._
     val keys = cols.map(col)
-    if (filesPerLeaf <= 1) df.repartition(keys: _*)
+    val fpl =
+      if (filesPerLeaf > 0) filesPerLeaf
+      else {
+        val stats = df.groupBy(keys: _*).agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).collect()(0)
+        val auto =
+          if (stats.isNullAt(0)) 1
+          else autoFilesPerLeaf(stats.getLong(0), stats.getLong(1),
+            df.schema.map(_.dataType.defaultSize.toLong).sum,
+            df.sparkSession.sparkContext.defaultParallelism)
+        System.err.println(s"[layout] auto filesPerLeaf=$auto " +
+          s"(maxLeafRows=${if (stats.isNullAt(0)) 0 else stats.getLong(0)})")
+        auto
+      }
+    if (fpl <= 1) df.repartition(keys: _*)
     else df.repartition(keys :+
-      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(filesPerLeaf)): _*)
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(fpl)): _*)
   }
 
   /** Write the star schema as Parquet; calendar dim hive-partitioned by
@@ -102,7 +152,7 @@ object CapstoneEtl {
     * see [[clusterForWrite]].
     */
   def writeStarSchema(t: StarSchemaTables, outDir: String,
-      filesPerLeaf: Int = 1): Unit = {
+      filesPerLeaf: Int = 0): Unit = {
     t.fact.write.mode(SaveMode.Overwrite).parquet(s"$outDir/immigration_fact")
     t.visa.write.mode(SaveMode.Overwrite).parquet(s"$outDir/visa_type_dim")
     clusterForWrite(t.calendar, filesPerLeaf,
@@ -122,7 +172,7 @@ object CapstoneEtl {
     * the delta, not the table.
     */
   def mergeMonthlyFact(spark: SparkSession, monthBatch: DataFrame,
-      factDir: String, filesPerLeaf: Int = 1): Unit = {
+      factDir: String, filesPerLeaf: Int = 0): Unit = {
     import org.apache.spark.sql.functions._
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

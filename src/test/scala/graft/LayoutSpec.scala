@@ -5,6 +5,55 @@ import org.apache.spark.sql.functions._
 
 class LayoutSpec extends SparkSpec {
 
+  test("autoFilesPerLeaf encodes the measured sizing rule (VERDICT r14 #5)") {
+    import graft.pipeline.CapstoneEtl.autoFilesPerLeaf
+    // the SCALE.md r14 capstone shape: 40M-row batch, biggest leaf
+    // 10M rows, ~100 B rows, 32 slots — the even-share term binds
+    // (1.25M rows/shard) → 8, the knob value r14 measured by hand
+    // (fpl=8 restored the 100x write from 61.7 s to 27.7 s)
+    assert(autoFilesPerLeaf(10000000L, 40000000L, 100L, 32) === 8)
+    // one giant leaf, file-size cap binds: 50M rows x 200 B estimated
+    // = ~10 GB over a 256 MiB target → 38 shards
+    assert(autoFilesPerLeaf(50000000L, 50000000L, 200L, 16) === 38)
+    // tiny batch: MinShardRows floors the shard — never confetti files
+    assert(autoFilesPerLeaf(5000L, 150000L, 20L, 32) === 1)
+    // clamp at 64: past that the layout needs a partition column, not salt
+    assert(autoFilesPerLeaf(1000000000L, 1000000000L, 500L, 1000) === 64)
+    // degenerate inputs stay sane
+    assert(autoFilesPerLeaf(0L, 0L, 0L, 0) === 1)
+  }
+
+  test("clusterForWrite auto-sizes the salt from leaf stats on a skewed batch") {
+    // skewed fixture: January holds 160k rows (> MinShardRows → the
+    // 64k-row shard floor binds: auto fpl = ceil(160k/65536) = 3),
+    // February 4k. filesPerLeaf is left unset → the auto path runs.
+    val big = spark.range(160000).select(col("id").as("record_id"),
+      lit(java.sql.Date.valueOf("2016-01-15")).as("arrdate"))
+    val small = spark.range(4000).select((col("id") + 200000L).as("record_id"),
+      lit(java.sql.Date.valueOf("2016-02-15")).as("arrdate"))
+    val batch = big.unionAll(small).repartition(16)
+    val dir = java.nio.file.Files.createTempDirectory("auto_fpl").toString
+    // the salt spread only shows with AQE partition coalescing off
+    // (same reasoning as the CapstonePipelineSpec bounded-write case)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      graft.pipeline.CapstoneEtl.mergeMonthlyFact(spark, batch, dir)
+    } finally spark.conf.set(coalesceKey, prev)
+    def leafFiles(month: Int): Int = {
+      val d = new java.io.File(s"$dir/arrival_year=2016/arrival_month=$month")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val (janFiles, febFiles) = (leafFiles(1), leafFiles(2))
+    assert(janFiles > 1 && janFiles <= 3,
+      s"the 160k-row leaf must split into 2-3 auto-sized shards: $janFiles")
+    assert(febFiles >= 1 && febFiles <= 3,
+      s"every leaf stays bounded by the computed fpl: $febFiles")
+    assert(spark.read.parquet(dir).count() === 164000L)
+  }
+
   test("range-clustered write produces pairwise-disjoint per-file key ranges") {
     val dir = java.nio.file.Files.createTempDirectory("layout").toString + "/orders"
     Layout.writeRangeClustered(

@@ -1141,6 +1141,61 @@ class TradeAnalyticsSpec extends SparkSpec {
       "the fixture must genuinely distinguish the two routes")
   }
 
+  test("q326: per-item hybrid routing matches the right kernel anchor-by-anchor") {
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    // the routing stats, recomputed independently of the operator:
+    // kept-basket degrees, top-50 anchors, max degree
+    val baskets = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    val keep = baskets.groupBy(col("cust")).agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= 256).select(col("cust"))
+    val top = baskets.join(keep, Seq("cust"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("item")).limit(50)
+      .collect().map(r => (r.getAs[Long]("item"), r.getAs[Long]("n")))
+    val m1 = top.map(_._2).max
+    val roots = top.map { case (_, n) => math.sqrt(n.toDouble * m1) }
+    // at the shipped γ = 50 every fixture root is ≤ 50 → all-exact:
+    // the hybrid must equal q204 under the unified names
+    assert(roots.max <= operators.TradeAnalytics.DimsumGamma,
+      "fixture premise: default γ routes everything exact")
+    val exactAll = operators.TradeAnalytics.itemNeighbors(spark, sfDir)
+      .select(col("item"), col("rank"), col("neighbor"),
+        col("n_co_buyers").as("support"), col("cosine").as("score"))
+      .orderBy(col("item"), col("rank"))
+    assert(canon(operators.TradeAnalytics.hybridItemNeighbors(spark, sfDir))
+      === canon(exactAll))
+    // force a MIXED routing: γ strictly between the tail's and the
+    // hub's worst-pair roots — each anchor must then carry exactly its
+    // own kernel's rows, cell-for-cell
+    val gamma = (roots.min + roots.max) / 2
+    val sampledSet = top.collect {
+      case (i, n) if math.sqrt(n.toDouble * m1) > gamma => i
+    }.toSet
+    assert(sampledSet.nonEmpty && sampledSet.size < top.length,
+      s"γ=$gamma must split the anchors (got ${sampledSet.size}/${top.length})")
+    val hybrid = operators.TradeAnalytics
+      .hybridItemNeighbors(spark, sfDir, gamma)
+    val sampledAll = operators.TradeAnalytics
+      .dimsumNeighbors(spark, sfDir, operators.TradeAnalytics.DimsumItemBudget,
+        gamma)
+      .select(col("item"), col("rank"), col("neighbor"),
+        col("n_emits").as("support"), col("est_cosine").as("score"))
+    val inSampled = col("item").isin(sampledSet.toSeq: _*)
+    val expected = exactAll.filter(!inSampled)
+      .unionAll(sampledAll.filter(inSampled))
+      .orderBy(col("item"), col("rank"))
+    assert(canon(hybrid) === canon(expected),
+      "every anchor must carry its own route's kernel values")
+    // and the two routes genuinely differ on this fixture
+    assert(canon(hybrid) !== canon(exactAll))
+  }
+
   test("q322: over-budget catalog drops the broadcast hints, result unchanged") {
     // VERDICT r12 #2: q322's degree dimension is catalog-sized and the
     // catalog co-scales with data at 100 TB — an unguarded explicit
