@@ -191,7 +191,11 @@ object ScaleProbe {
       // q217's production twin; the row to read is its wire vs q217's
       // at the same tier (the exact kernel pays Σbsz² on the wire, the
       // miner pays the sampled kernel + candidate-bounded verify)
-      "q324_dimsum_hard_negatives")
+      "q324_dimsum_hard_negatives",
+      // r15 (VERDICT r14 #7): the per-item hybrid router — one tagged
+      // expansion pass, anchor-incident pairs only on the wire; the
+      // row to read is its wire vs q204's AND q322's at the same tier
+      "q326_hybrid_neighbors")
     // `only=q302_recsys_backtest,q312_assortativity` restricts the run —
     // single-family re-probes shouldn't pay the full 14-query sweep.
     val onlySet: Option[Set[String]] = args.collectFirst {
@@ -253,9 +257,12 @@ object ScaleProbe {
       }
       // r14: the hard-negative pair joins the fixed-catalog contrast —
       // q217's exact kernel vs q324's sampled-prune miner where degrees
-      // actually deepen (10× buyers over the same catalog)
+      // actually deepen (10× buyers over the same catalog).
+      // r15: q326 joins it — the per-item router's claim is wire ≤
+      // min(q204, q322) at the tier where both routes engage.
       for (name <- Seq("q204_item_neighbors", "q322_dimsum_similarity",
-             "q217_hard_negatives", "q324_dimsum_hard_negatives")
+             "q217_hard_negatives", "q324_dimsum_hard_negatives",
+             "q326_hybrid_neighbors")
              if wanted(name);
            (label, dir) <- Seq(("sf0.1", base), ("10xFC", fcDir)))
         probe(name, label, dir, samples = 2)
@@ -622,13 +629,15 @@ object ScaleProbe {
         // r13: the DIMSUM pair completes its three-decade series
         "q322_dimsum_similarity", "q323_dimsum_threshold",
         // r14: the band miner's third decade
-        "q324_dimsum_hard_negatives")
+        "q324_dimsum_hard_negatives",
+        // r15: the per-item router's third decade
+        "q326_hybrid_neighbors")
       // synthesize only the tables the WANTED probes read — a
       // trade-only 100× re-probe shouldn't pay the ~6 GiB doc/emb synth
       val tradeOnly = Set("q302_recsys_backtest", "q204_item_neighbors",
         "q217_hard_negatives", "q312_assortativity",
         "q322_dimsum_similarity", "q323_dimsum_threshold",
-        "q324_dimsum_hard_negatives")
+        "q324_dimsum_hard_negatives", "q326_hybrid_neighbors")
       val active = hundredXProbes.filter(wanted)
       if (active.exists(n => !tradeOnly(n))) {
         synthDocs(100, hundredXDir, spread = true)

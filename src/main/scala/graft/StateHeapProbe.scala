@@ -118,6 +118,12 @@ object StateHeapProbe {
       f"peak_state_mib=${if (stateBytes.isEmpty) 0.0 else stateBytes.max / 1048576.0}%8.2f " +
       f"heap_max_mib=${Runtime.getRuntime.maxMemory() / 1048576}%d " +
       f"wall=$dt%8.3f s")
-    spark.stop()
+    // halt, don't stop(): the measurement is complete and printed; the
+    // RocksDB provider's native teardown under session stop can SIGSEGV
+    // (observed: row printed, then exit 134 in shutdown), which would
+    // read as a failed point in the ladder log. The probe JVM is
+    // single-purpose — skipping shutdown hooks loses nothing.
+    System.out.flush()
+    Runtime.getRuntime.halt(0)
   }
 }
