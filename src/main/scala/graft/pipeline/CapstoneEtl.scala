@@ -121,7 +121,12 @@ object CapstoneEtl {
     * compact aggregation: one row per leaf, two values collected) fed
     * through [[autoFilesPerLeaf]] with the schema's estimated row
     * width and the session's parallelism. An explicit positive value
-    * remains the manual override.
+    * remains the manual override. CALLER CONTRACT for auto mode: the
+    * stats pass is an extra ACTION over `df`, so hand this a cached /
+    * cheap-to-recompute relation (or persist around stats + write, as
+    * [[mergeMonthlyFact]] does) — an expensive un-persisted lineage
+    * would otherwise evaluate twice, the q324-class double-evaluation
+    * shape.
     */
   private[graft] def clusterForWrite(df: DataFrame, filesPerLeaf: Int,
       cols: String*): DataFrame = {
@@ -176,16 +181,20 @@ object CapstoneEtl {
     import org.apache.spark.sql.functions._
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // persist around stats + write: auto-sizing runs a leaf-stats
+    // action before the write, and the caller's batch lineage must not
+    // evaluate twice for it (see clusterForWrite's caller contract)
+    val batch = monthBatch
+      .withColumn("arrival_year", year(col("arrdate")))
+      .withColumn("arrival_month", month(col("arrdate")))
+      .persist()
     try {
-      clusterForWrite(
-          monthBatch
-            .withColumn("arrival_year", year(col("arrdate")))
-            .withColumn("arrival_month", month(col("arrdate"))),
-          filesPerLeaf, "arrival_year", "arrival_month")
+      clusterForWrite(batch, filesPerLeaf, "arrival_year", "arrival_month")
         .write.mode(SaveMode.Overwrite)
         .partitionBy("arrival_year", "arrival_month")
         .parquet(factDir)
     } finally {
+      batch.unpersist()
       prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
