@@ -2479,9 +2479,11 @@ object TradeAnalytics extends QueryModule {
     hybridItemNeighbors(spark, dir, DimsumGamma)
 
   /** γ-parameterized so the spec can force a mixed routing on one
-    * fixture (γ between the tail's and the hub's worst-pair roots). */
+    * fixture (γ between the tail's and the hub's worst-pair roots);
+    * budget-parameterized so the spec can force the over-budget
+    * shuffle-join fallback. */
   private[graft] def hybridItemNeighbors(spark: SparkSession, dir: String,
-      gamma: Double): DataFrame = {
+      gamma: Double, itemBudget: Long = DimsumItemBudget): DataFrame = {
     val baskets = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -2510,7 +2512,16 @@ object TradeAnalytics extends QueryModule {
     val sSet = sampledAnchors.map(_._1).toSeq
     def inSet(c: Column, s: Seq[Long]): Column =
       if (s.isEmpty) lit(false) else c.isin(s: _*)
-    val posts = b.join(broadcast(itemN), Seq("item"))
+    // itemN is CATALOG-sized and the catalog co-scales with traffic at
+    // 100 TB — the same broadcast-budget guard as dimsumScored
+    // (VERDICT r12 #2): past the budget the degree joins degrade to
+    // shuffle joins (AQE-planned), never a driver OOM. Caught by this
+    // round's own 100×-disjoint probe review: the first cut pinned
+    // broadcast(itemN) unconditionally, a ~20M-row collect there.
+    val hinted = itemN.count() <= itemBudget
+    def maybeB(df: DataFrame): DataFrame =
+      if (hinted) broadcast(df) else df
+    val posts = b.join(maybeB(itemN), Seq("item"))
       .select(col("cust"), struct(col("item").as("doc_id"),
         col("n_cust").cast("int").as("nsh")).as("e"))
       .groupBy(col("cust")).agg(collect_list(col("e")).as("ds"))
@@ -2539,9 +2550,9 @@ object TradeAnalytics extends QueryModule {
         col("doc_b").as("neighbor"), col("cnt"))
       .unionAll(counted.select(col("route"), col("doc_b").as("item"),
         col("doc_a").as("neighbor"), col("cnt")))
-      .join(broadcast(itemN.select(col("item"), col("n_cust").as("ni"))),
+      .join(maybeB(itemN.select(col("item"), col("n_cust").as("ni"))),
         Seq("item"))
-      .join(broadcast(itemN.select(col("item").as("neighbor"),
+      .join(maybeB(itemN.select(col("item").as("neighbor"),
         col("n_cust").as("nn"))), Seq("neighbor"))
     val prod = sqrt((col("ni") * col("nn")).cast("double"))
     val routed = sym.filter(

@@ -1196,6 +1196,20 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(canon(hybrid) !== canon(exactAll))
   }
 
+  test("q326: over-budget catalog drops the broadcast hints, result unchanged") {
+    // same guard discipline as q322 (VERDICT r12 #2), caught by this
+    // round's 100x probe review: itemN is catalog-sized; with the
+    // budget forced to 0 the degree joins must fall back to shuffle
+    // joins and produce the identical routed output
+    val hinted = operators.TradeAnalytics
+      .hybridItemNeighbors(spark, sfDir, operators.TradeAnalytics.DimsumGamma)
+    val fallback = operators.TradeAnalytics
+      .hybridItemNeighbors(spark, sfDir, operators.TradeAnalytics.DimsumGamma,
+        itemBudget = 0L)
+    assert(fallback.collect().map(_.toString).toSeq ===
+      hinted.collect().map(_.toString).toSeq)
+  }
+
   test("q322: over-budget catalog drops the broadcast hints, result unchanged") {
     // VERDICT r12 #2: q322's degree dimension is catalog-sized and the
     // catalog co-scales with data at 100 TB — an unguarded explicit
