@@ -40,13 +40,16 @@ object Verify {
     regs.sortBy(-_.adjRatio).take(resampleCap(regs.size)).map(_.name)
   }
 
-  /** Bounded, but scaled with the flag count (VERDICT r14 #3): a sweep
-    * contended end-to-end can carry 90+ flags and the old fixed 12
-    * left the tail single-sampled (r14's first self-contended sweep:
-    * 92 flags, 12 resampled). max(12, n/4) keeps a clean sweep's cost
-    * at zero extra and gives a fully-contended sweep a meaningful
-    * second pass. */
-  private[graft] def resampleCap(nFlags: Int): Int = math.max(12, nFlags / 4)
+  /** Bounded, but generous (VERDICT r14 #3, re-tuned mid-r15): the
+    * first r15 cut scaled as max(12, n/4), and this round's own first
+    * clean sweep promptly left 5 of 17 regression flags unadjudicated
+    * (q323/q325 — idle BenchOne refuted both within minutes) — the r14
+    * failure shape at smaller scale. A resample costs one dump wall
+    * (~2–20 s), so the bound exists only as a runaway stop, not a
+    * budget: 48 covers every regression flag of a normal sweep AND of
+    * the worst observed contended sweep (r14: 92 total flags, ~60
+    * regression-direction), while n/4 keeps it monotonic past that. */
+  private[graft] def resampleCap(nFlags: Int): Int = math.max(48, nFlags / 4)
 
   /** Merge a subset run's failures into the prior errors.json: prior
     * entries OUTSIDE the re-run set survive verbatim (their queries
