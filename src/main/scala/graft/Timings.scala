@@ -202,7 +202,8 @@ object Timings {
       canary: Option[(Double, Double)] = None,
       canarySeries: Seq[(Int, Double)] = Nil,
       posOf: Map[String, Int] = Map.empty,
-      resampled: Map[String, Seq[Double]] = Map.empty): Unit = {
+      resampled: Map[String, Seq[Double]] = Map.empty,
+      bwSeries: Seq[(Int, Double)] = Nil): Unit = {
     val sf = new File(sfDir).getName
     if (sf != "sf0.01" || timings.isEmpty || timings.size < minQueries) return
     currentRound(root).foreach { n =>
@@ -235,10 +236,19 @@ object Timings {
       // idle-to-idle and would label everything) relabels contended.
       val runBase = canarySeries.map(_._2).filter(_ > 0)
         .minOption.getOrElse(0.0)
+      // r15: span labeling takes the WORSE of the ALU and bandwidth
+      // drifts at the flag's position — memory-shaped load inflates
+      // dump walls 2× while the ALU spin reads idle (this round's
+      // first clean sweep: ALU min 0.156 under a dozen 2× walls)
+      val bwBase = bwSeries.map(_._2).filter(_ > 0)
+        .minOption.getOrElse(0.0)
       def spanContended(name: String): Boolean =
-        posOf.get(name)
-          .flatMap(Bench.nearestCanaryDrift(canarySeries, _, runBase))
-          .exists(_ > Bench.canaryDriftThr)
+        posOf.get(name).exists { p =>
+          Bench.nearestCanaryDrift(canarySeries, p, runBase)
+            .exists(_ > Bench.canaryDriftThr) ||
+          Bench.nearestCanaryDrift(bwSeries, p, bwBase)
+            .exists(_ > Bench.canaryDriftThr)
+        }
       // Per-flag canary ratio (VERDICT r13 #2): the prior run's nearest
       // canary at this query's position over this run's — >1.3 means
       // the PRIOR sample was the contended one and an "improvement" is
@@ -294,9 +304,12 @@ object Timings {
         f""","canary_s":{"start":$a%.3f,"end":$b%.3f}"""
       }.getOrElse("")
       val seriesJson =
-        if (canarySeries.isEmpty) ""
-        else canarySeries.map { case (i, v) => f"[$i,$v%.3f]" }
-          .mkString(""","canary_series":[""", ",", "]")
+        (if (canarySeries.isEmpty) ""
+         else canarySeries.map { case (i, v) => f"[$i,$v%.3f]" }
+           .mkString(""","canary_series":[""", ",", "]")) +
+        (if (bwSeries.isEmpty) ""
+         else bwSeries.map { case (i, v) => f"[$i,$v%.3f]" }
+           .mkString(""","bw_series":[""", ",", "]"))
       // the run's own name→position map, so the NEXT round's
       // flagCanaryRatio can align this round's canary series by name
       // instead of assuming positions match (VERDICT r14 #2)

@@ -143,18 +143,29 @@ object Verify {
     def canarySample(): Option[Double] =
       try Some(Bench.contentionCanary(spark, cpus.toInt))
       catch { case _: Throwable => None }
-    try Bench.contentionCanary(spark, cpus.toInt) // untimed JIT warm
-    catch { case _: Throwable => () }
+    try { // untimed JIT warm, both canaries
+      Bench.contentionCanary(spark, cpus.toInt)
+      Bench.bandwidthCanary(spark, cpus.toInt)
+    } catch { case _: Throwable => () }
     // Interleaved canary SERIES (r13): the start/end pair is blind to
     // MID-run contention — a concurrent job bracketed by two idle
     // canaries put 10 unlabeled false flags in an r13 sweep. A mark
     // every [[canaryEvery]] queries (~20 extra 0.2 s spins over a
     // 323-query dump) gives the TIMINGS diff a per-position drift
-    // column, same as Bench's sweep.
+    // column, same as Bench's sweep. The BANDWIDTH canary rides the
+    // same marks since r15: this round's first clean sweep read its
+    // ALU series fast (min 0.156) while a dozen dump walls sat 2×
+    // elevated — the memory-shaped load the ALU spin can't see
+    // (VERDICT r14 #6); span labeling now takes the worse of the two
+    // drifts at each position.
     val canaryEvery = 16
     val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    def mark(idx: Int): Unit =
+    val bwSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def mark(idx: Int): Unit = {
       canarySample().foreach(v => canarySeries += ((idx, v)))
+      try bwSeries += ((idx, Bench.bandwidthCanary(spark, cpus.toInt)))
+      catch { case _: Throwable => () }
+    }
     mark(0)
     // position-0 mark explicitly (ADVICE r13): if the first sample
     // failed, headOption would resolve to a MID-run mark and mislabel
@@ -270,7 +281,7 @@ object Verify {
         minQueries = (SparkEntry.queries.size * 9) / 10,
         canary = for (a <- canaryStart; b <- canaryEnd) yield (a, b),
         canarySeries = canarySeries.toSeq, posOf = posOf,
-        resampled = resampled.toMap)
+        resampled = resampled.toMap, bwSeries = bwSeries.toSeq)
     else System.err.println(s"[verify] subset run (${only.size} queries): " +
       "round artifact left to the next full sweep")
     // subset runs must MERGE with prior errors: rewriting errors.json

@@ -167,6 +167,38 @@ class TimingsSpec extends AnyFunSuite {
       "a flag far from the spike keeps the raw verdict")
   }
 
+  test("bandwidth-canary spike relabels a flag the ALU series reads idle (r15)") {
+    // the r15 first-clean-sweep shape: ALU series flat end to end
+    // (memory-heavy co-tenant — the register-resident spin can't see
+    // it) but the bandwidth series spikes 3x at q_mem's position; its
+    // regression flag must relabel contended-span while q_cpu (bw
+    // idle at its position) keeps the raw verdict
+    val root = Files.createTempDirectory("graft-tim11").toFile
+    Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_r10.json").toPath, "{}")
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q_mem" -> 0.5, "q_cpu" -> 0.5),
+      canary = Some((0.21, 0.20)))
+    assert(new java.io.File(root, "TIMINGS_r11.json")
+      .renameTo(new java.io.File(root, "TIMINGS_r10.json")))
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q_mem" -> 1.5, "q_cpu" -> 1.5),
+      canary = Some((0.21, 0.20)),
+      canarySeries = Seq((0, 0.21), (32, 0.20), (64, 0.20), (300, 0.21)),
+      bwSeries = Seq((0, 0.12), (32, 0.40), (64, 0.12), (300, 0.12)),
+      posOf = Map("q_mem" -> 33, "q_cpu" -> 299))
+    val text = Files.readString(new java.io.File(root, "TIMINGS_r11.json").toPath)
+    assert(text.contains(""""bw_series":[[0,0.120],[32,0.400]"""))
+    val memBlock = text.substring(text.indexOf(""""q_mem":{"""))
+      .takeWhile(_ != '}') + "}"
+    val cpuBlock = text.substring(text.indexOf(""""q_cpu":{"""))
+      .takeWhile(_ != '}') + "}"
+    assert(memBlock.contains("contended-span"),
+      s"bw spike must relabel the co-located flag: $memBlock")
+    assert(cpuBlock.contains("regression: >2x"),
+      s"a flag far from the bw spike keeps the raw verdict: $cpuBlock")
+  }
+
   test("prior-round contention relabels spurious improvements (ADVICE r12)") {
     // the PRIOR round was the contended one: its canary min (0.40)
     // sits 2x above this idle run's (0.20), so a 3x "improvement" is
