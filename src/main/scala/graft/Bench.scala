@@ -53,6 +53,16 @@ object Bench {
     * query ran; a flag under it is labeled contended, not regression. */
   private[graft] val canaryDriftThr = 1.3
 
+  /** The BANDWIDTH series' drift bar. Higher than the ALU's because
+    * the instrument's own idle spread is wider than 1.3: a single idle
+    * floor window measured bw samples 0.112–0.290 s (2.6× —
+    * allocation/GC timing variance), so a 1.3× bw drift fires on
+    * ordinary idle spread (observed live on this host). 3.0 sits above
+    * the measured idle spread with margin while still far below what
+    * real memory pressure produces (the r3-class co-tenants inflated
+    * memory-bound work 3–30×). */
+  private[graft] val bwDriftThr = 3.0
+
   /** Fixed parallel workload: `cpus` tasks of pure dependent-ALU spin
     * (an LCG chain — unJITtable into anything but the multiply-add it
     * is). Known cost on an idle host ≈ 0.15-0.3 s wall with all tasks
@@ -141,10 +151,16 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] warmup query failed: ${e.getMessage}")
     }
-    // canary JIT warmup (untimed) so the first timed canary point is not
-    // inflated by its own compile
-    try { contentionCanary(spark, cpus); bandwidthCanary(spark, cpus) }
-    catch { case _: Throwable => () }
+    // canary warmup (untimed), THREE reps each: one rep is not enough —
+    // measured across four r15 runs, the first timed marks read
+    // ALU 0.28–0.33 / bw 0.37–0.52 against settled 0.16 / 0.10 even at
+    // load 0.18, i.e. the JVM's own C2 compilation and heap expansion
+    // (the bw canary's first 1 GiB allocation rounds) masquerade as a
+    // contended span at sweep start and send the first batch of
+    // queries through the clean re-run pass every single run
+    try (1 to 3).foreach { _ =>
+      contentionCanary(spark, cpus); bandwidthCanary(spark, cpus)
+    } catch { case _: Throwable => () }
 
     val defs = SparkEntry.benchQueries
     val floorDef = defs.find(_.name == "q000_bench_floor")
@@ -279,8 +295,16 @@ object Bench {
     // (the r11 sustained-load case, spec-pinned).
     val runCanaryBase = canarySeries.map(_._2).filter(_ > 0)
       .minOption.getOrElse(0.0)
-    val contendedSet = contendedQueries(
-      defs.map(_.name), posOf, canarySeries.toSeq, runCanaryBase)
+    // contention suspicion takes the worse of the two instruments —
+    // the bw series at ITS OWN bar (see bwDriftThr: its idle spread
+    // exceeds the ALU bar, so 1.3× there would flag idle runs).
+    // Brackets below certify on the ALU canary alone, same reasoning.
+    val bwRunBase = bwSeries.map(_._2).filter(_ > 0)
+      .minOption.getOrElse(0.0)
+    val contendedSet = (contendedQueries(
+        defs.map(_.name), posOf, canarySeries.toSeq, runCanaryBase) ++
+      contendedQueries(
+        defs.map(_.name), posOf, bwSeries.toSeq, bwRunBase, bwDriftThr))
       .filterNot(_ == "q000_bench_floor").toSet
     val cleanSamples =
       scala.collection.mutable.Map.empty[String, List[Double]]
@@ -400,10 +424,20 @@ object Bench {
       infl.exists(_ > canaryDriftThr) &&
         (for (r <- runBandOf(samples); b <- fb)
           yield bandsOverlap(r, (b.min, b.max))).getOrElse(false)
+    // Only the ALU series can REFUSE the label: its idle spread is
+    // tight (~1.24× within one floor window) so a >1.3× median ratio
+    // is a real signature. The bandwidth series' own idle spread is
+    // 2.6× within ONE window (allocation/GC timing variance) — wider
+    // than the refusal bar itself, so a bw median-ratio refusal fires
+    // on ordinary idle spread (observed live: a run with bw 1.46 /
+    // ALU 1.19 whose bw median 0.226 sat INSIDE the idle band
+    // 0.112–0.290 was refused by the first cut of this code). The bw
+    // series keeps its two real jobs: SPAN labeling (run-relative
+    // drift — robust, no floor involved) and the host_inflation
+    // evidence column (max of the two ratios).
     val cleanRefused =
-      seriesRefuses(aluInfl, aluSamples, floorFile.map(_.alu)) ||
-        seriesRefuses(bwInfl, bwSamples, floorFile.flatMap(_.bw))
-    val modeShiftSuspect = !cleanRefused && inflation.exists(_ > canaryDriftThr)
+      seriesRefuses(aluInfl, aluSamples, floorFile.map(_.alu))
+    val inflSuspect = !cleanRefused && inflation.exists(_ > canaryDriftThr)
     def seriesJson(s: Seq[(Int, Double)]): String =
       s.map { case (i, v) => f"[$i,$v%.3f]" }.mkString("[", ",", "]")
     def strArr(key: String, xs: Seq[String]): String =
@@ -450,8 +484,8 @@ object Bench {
         .map(b => f""","bw_floor":${b.median}%.3f""").getOrElse("")
       f""","host_inflation":$i%.2f$aluJ$bwJ$fJ$bwfJ""" +
       f""","core16_total_normalized":${coreTotal / math.max(i, 1.0)}%.3f""" +
-      (if (modeShiftSuspect)
-        s""","host_inflation_note":"run canary band disjoint from committed idle band: host speed-mode shift indistinguishable from steady load; clean label kept, read host_inflation as evidence""""
+      (if (inflSuspect)
+        s""","host_inflation_note":"inflation over the drift bar without an ALU-certifiable steady-load signature (bw idle spread exceeds the bar; or run band disjoint from the idle band = mode shift): recorded as evidence, clean label kept""""
        else "")
     }.getOrElse("")
     val cleanJson =
@@ -516,15 +550,16 @@ object Bench {
     spark.stop()
   }
 
-  /** Queries whose nearest in-sweep canary drifted past
-    * [[canaryDriftThr]] — their samples are contention-suspect
-    * regardless of vs_prev flagging (round 1 has no prev at all). */
+  /** Queries whose nearest in-sweep canary drifted past `thr` — their
+    * samples are contention-suspect regardless of vs_prev flagging
+    * (round 1 has no prev at all). `thr` defaults to the ALU bar;
+    * callers pass [[bwDriftThr]] for the bandwidth series. */
   private[graft] def contendedQueries(names: Seq[String],
       posOf: Map[String, Int], series: Seq[(Int, Double)],
-      base: Double): Seq[String] =
+      base: Double, thr: Double = canaryDriftThr): Seq[String] =
     names.filter(n => posOf.get(n)
       .flatMap(nearestCanaryDrift(series, _, base))
-      .exists(_ > canaryDriftThr))
+      .exists(_ > thr))
 
   /** Clean per-query mins (VERDICT r12 #1). Contention is ONE-SIDED —
     * a co-runner can only inflate a wall — so once a query holds at

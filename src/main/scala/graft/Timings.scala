@@ -239,7 +239,10 @@ object Timings {
       // r15: span labeling takes the WORSE of the ALU and bandwidth
       // drifts at the flag's position — memory-shaped load inflates
       // dump walls 2× while the ALU spin reads idle (this round's
-      // first clean sweep: ALU min 0.156 under a dozen 2× walls)
+      // first clean sweep: ALU min 0.156 under a dozen 2× walls). The
+      // bw series is judged at ITS OWN bar (Bench.bwDriftThr): its
+      // idle spread is wider than the ALU bar, so 1.3× there would
+      // relabel genuine flags on idle sweeps.
       val bwBase = bwSeries.map(_._2).filter(_ > 0)
         .minOption.getOrElse(0.0)
       def spanContended(name: String): Boolean =
@@ -247,7 +250,7 @@ object Timings {
           Bench.nearestCanaryDrift(canarySeries, p, runBase)
             .exists(_ > Bench.canaryDriftThr) ||
           Bench.nearestCanaryDrift(bwSeries, p, bwBase)
-            .exists(_ > Bench.canaryDriftThr)
+            .exists(_ > Bench.bwDriftThr)
         }
       // Per-flag canary ratio (VERDICT r13 #2): the prior run's nearest
       // canary at this query's position over this run's — >1.3 means

@@ -143,7 +143,10 @@ object Verify {
     def canarySample(): Option[Double] =
       try Some(Bench.contentionCanary(spark, cpus.toInt))
       catch { case _: Throwable => None }
-    try { // untimed JIT warm, both canaries
+    try (1 to 3).foreach { _ => // untimed warm, both canaries — THREE
+      // reps: the first marks otherwise carry the JVM's own C2/heap-
+      // expansion cost and read as a contended span at sweep start
+      // (measured r15: mark-0 ALU ~2x, bw ~4x settled values, idle)
       Bench.contentionCanary(spark, cpus.toInt)
       Bench.bandwidthCanary(spark, cpus.toInt)
     } catch { case _: Throwable => () }

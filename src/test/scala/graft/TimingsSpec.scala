@@ -177,26 +177,30 @@ class TimingsSpec extends AnyFunSuite {
     Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
     Files.writeString(new java.io.File(root, "BENCH_r10.json").toPath, "{}")
     Timings.writeRoundArtifact(root, "/data/sf0.01",
-      Map(floor -> 0.1, "q_mem" -> 0.5, "q_cpu" -> 0.5),
+      Map(floor -> 0.1, "q_mem" -> 0.5, "q_cpu" -> 0.5, "q_spread" -> 0.5),
       canary = Some((0.21, 0.20)))
     assert(new java.io.File(root, "TIMINGS_r11.json")
       .renameTo(new java.io.File(root, "TIMINGS_r10.json")))
+    // bw spikes 3.3x (past ITS bar, 3.0) at q_mem's position; at
+    // q_spread's it reads 2.1x — over the ALU bar but inside the bw
+    // instrument's own idle spread (measured 2.6x in one window), so
+    // that flag must NOT relabel
     Timings.writeRoundArtifact(root, "/data/sf0.01",
-      Map(floor -> 0.1, "q_mem" -> 1.5, "q_cpu" -> 1.5),
+      Map(floor -> 0.1, "q_mem" -> 1.5, "q_cpu" -> 1.5, "q_spread" -> 1.5),
       canary = Some((0.21, 0.20)),
-      canarySeries = Seq((0, 0.21), (32, 0.20), (64, 0.20), (300, 0.21)),
-      bwSeries = Seq((0, 0.12), (32, 0.40), (64, 0.12), (300, 0.12)),
-      posOf = Map("q_mem" -> 33, "q_cpu" -> 299))
+      canarySeries = Seq((0, 0.21), (32, 0.20), (64, 0.20), (150, 0.21), (300, 0.21)),
+      bwSeries = Seq((0, 0.12), (32, 0.40), (64, 0.12), (150, 0.25), (300, 0.12)),
+      posOf = Map("q_mem" -> 33, "q_spread" -> 149, "q_cpu" -> 299))
     val text = Files.readString(new java.io.File(root, "TIMINGS_r11.json").toPath)
     assert(text.contains(""""bw_series":[[0,0.120],[32,0.400]"""))
-    val memBlock = text.substring(text.indexOf(""""q_mem":{"""))
-      .takeWhile(_ != '}') + "}"
-    val cpuBlock = text.substring(text.indexOf(""""q_cpu":{"""))
-      .takeWhile(_ != '}') + "}"
-    assert(memBlock.contains("contended-span"),
-      s"bw spike must relabel the co-located flag: $memBlock")
-    assert(cpuBlock.contains("regression: >2x"),
-      s"a flag far from the bw spike keeps the raw verdict: $cpuBlock")
+    def block(k: String): String =
+      text.substring(text.indexOf(s""""$k":{""")).takeWhile(_ != '}') + "}"
+    assert(block("q_mem").contains("contended-span"),
+      s"bw spike past bwDriftThr must relabel: ${block("q_mem")}")
+    assert(block("q_spread").contains("regression: >2x"),
+      s"bw idle spread (2.1x < 3.0) must NOT relabel: ${block("q_spread")}")
+    assert(block("q_cpu").contains("regression: >2x"),
+      s"a flag far from the bw spike keeps the raw verdict: ${block("q_cpu")}")
   }
 
   test("prior-round contention relabels spurious improvements (ADVICE r12)") {
