@@ -4834,7 +4834,7 @@ object TradeAnalytics extends QueryModule {
     QueryDef("q325_adaptive_neighbors", adaptiveItemNeighbors(_, _),
       Some(adaptiveNeighborsSql)),
     QueryDef("q326_hybrid_neighbors", hybridItemNeighbors(_, _),
-      Some(hybridNeighborsSql)),
+      Some(hybridNeighborsSql), benchmark = true),
     QueryDef("q289_mann_kendall", mannKendall, Some(mannKendallSql)),
     QueryDef("q290_seasonal_decompose", seasonalDecompose,
       Some(seasonalDecomposeSql)),

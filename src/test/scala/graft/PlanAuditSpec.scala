@@ -507,6 +507,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 8, s"expected <=8 hash exchanges, got $shuffles:\n$plan")
   }
 
+  test("q326 hybrid router: ONE expansion pass, tagged in-task, equi-joins only (r15)") {
+    // the operator's scale contract: a single Σbsz² basket expansion
+    // serves both routes (a double evaluation — the q324-class bug —
+    // would show as a second pairExpand Generate), the route fan-out is
+    // an in-task explode over the tags array (the second Generate),
+    // and every join is an equi join (degree attach + anchor prune).
+    val df = operators.TradeAnalytics.hybridItemNeighbors(spark, sfDir)
+    assert(df.collect().nonEmpty)
+    val plan = explainText(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"hybrid kernel must stay equi-join-only:\n$plan")
+    // The tagged-pair aggregate is PERSISTED before its two unionAll
+    // readers — that cache is what makes the Σbsz² expansion execute
+    // once (the q324-class double-evaluation guard). In formatted text
+    // the cached plan prints once under each reader (2 Generate nodes
+    // × 2 printed copies = 4 unique header ids — printing duplication,
+    // not execution), so the real pin is the InMemoryTableScan beneath
+    // the symmetrization plus the node-count ceiling: losing the
+    // persist would inline the expansion subtree into both branches
+    // and drop the table scan.
+    assert(plan.contains("InMemoryTableScan"),
+      s"the tagged-pair relation must be cached (single expansion):\n$plan")
+    val generates = """\((\d+)\) Generate""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet.size
+    assert(generates <= 4,
+      s"2 Generate nodes (pairExpand + route tags) print at most twice " +
+        s"via the cached-plan print: got $generates:\n$plan")
+  }
+
   test("Markov-family metadata DPs stay driver-side (bounded job count)") {
     // r10: these four reduce the fact table to a ≤(|types|+1)·|types|
     // count matrix and run their sweeps as exact driver DPs (SURVEY S9).
