@@ -49,19 +49,50 @@ object Bench {
   /** Re-measure canary + floor every this many queries. */
   private val canaryEvery = 8
 
+  /** A committed floor older than this re-arms the startup staleness
+    * probe (VERDICT r15 #5): this host's idle bands were measured to
+    * drift 0.175–0.547 over two hours, so a floor from yesterday's
+    * speed mode is a weak anchor. 6 h ≈ a round's wall clock. */
+  private[graft] val floorMaxAgeHours = 6.0
+
+  /** The idle gate passes while each canary reads under its committed
+    * idle band max × this margin (VERDICT r15 #1). 1.2 sits above the
+    * band-edge jitter of a single sample (the bands are min/max over
+    * 7–11 reps; one more draw lands just past max routinely) while a
+    * genuinely contended host (r15: 2.9–9.6× bw) never gets close. */
+  private[graft] val idleGateMargin = 1.2
+
   /** Nearest-canary drift past this ⇒ the host was contended when the
     * query ran; a flag under it is labeled contended, not regression. */
   private[graft] val canaryDriftThr = 1.3
 
-  /** The BANDWIDTH series' drift bar. Higher than the ALU's because
-    * the instrument's own idle spread is wider than 1.3: a single idle
-    * floor window measured bw samples 0.112–0.290 s (2.6× —
-    * allocation/GC timing variance), so a 1.3× bw drift fires on
-    * ordinary idle spread (observed live on this host). 3.0 sits above
-    * the measured idle spread with margin while still far below what
-    * real memory pressure produces (the r3-class co-tenants inflated
-    * memory-bound work 3–30×). */
+  /** The BANDWIDTH series' FALLBACK drift bar, used only when no
+    * committed floor file carries a bw band. Higher than the ALU's
+    * because the instrument's own idle spread is wider than 1.3: a
+    * single idle floor window measured bw samples 0.112–0.290 s
+    * (2.6× — allocation/GC timing variance), so a 1.3× bw drift fires
+    * on ordinary idle spread (observed live on this host). 3.0 sits
+    * above that spread with margin while still far below what real
+    * memory pressure produces (the r3-class co-tenants inflated
+    * memory-bound work 3–30×). Prefer [[bwBarOf]]. */
   private[graft] val bwDriftThr = 3.0
+
+  /** The bandwidth drift bar DERIVED from the committed floor's own
+    * measured idle spread (VERDICT r15 #4): bar = (bw_max / bw_min)
+    * × 1.15 margin. The run-relative drift statistic (sample over the
+    * run's own min) can reach exactly the instrument's idle spread on
+    * a fully idle host, so the bar must sit above the spread the
+    * FLOOR file measured — a constant bakes in one window's spread
+    * forever, over- or under-counting as the floor is re-measured.
+    * Floored at 2.0 (a spread tighter than that is below the
+    * instrument's session-to-session repeatability — r15's in-run bw
+    * mins moved 0.108→0.117 across sweeps of the same day), falls
+    * back to [[bwDriftThr]] when the floor carries no bw band. */
+  private[graft] def bwBarOf(floor: Option[FloorFile]): Double =
+    floor.flatMap(_.bw)
+      .filter(b => b.min > 0 && b.max >= b.min)
+      .map(b => math.max(2.0, (b.max / b.min) * 1.15))
+      .getOrElse(bwDriftThr)
 
   /** Fixed parallel workload: `cpus` tasks of pure dependent-ALU spin
     * (an LCG chain — unJITtable into anything but the multiply-add it
@@ -165,6 +196,60 @@ object Bench {
     val defs = SparkEntry.benchQueries
     val floorDef = defs.find(_.name == "q000_bench_floor")
 
+    // Committed idle floor, loaded UP FRONT (VERDICT r15 #1/#4/#5):
+    // the idle gate, the derived bandwidth bar, and the staleness
+    // probe all read it before the sweep starts. Bench still never
+    // WRITES the floor file — a loaded run must not raise its own bar.
+    val floorFile = loadFloorFile(new java.io.File("."))
+    val bwBar = bwBarOf(floorFile)
+    // Floor-staleness probe (VERDICT r15 #5): the committed idle bands
+    // were measured to drift 0.175–0.547 over two hours on this host,
+    // so a floor file older than [[floorMaxAgeHours]] quietly weakens
+    // both the refusal band and normalization. When stale (or
+    // untimestamped — every pre-r16 file), take a fresh 3-pair
+    // interleaved probe at startup and use min(committed, probe) as
+    // each series' effective inflation denominator: a LOADED probe
+    // reads high and is discarded by the min (the bar cannot be
+    // gamed upward), while a genuinely-faster host mode lowers the
+    // floor so steady load is not masked by a stale slow-mode anchor.
+    // The probe is artifact evidence (floor_probe_*), never written
+    // to the floor file; the refusal's mode-overlap check keeps the
+    // committed band alone (a same-window probe would defeat its
+    // "slow mode vs load" ambiguity test).
+    val floorAgeH = floorFile.flatMap(_.measuredAtMs)
+      .map(t => (System.currentTimeMillis() - t) / 3.6e6)
+    val floorStale = floorAgeH.forall(_ > floorMaxAgeHours)
+    val floorProbe =
+      if (floorFile.isDefined && floorStale) try {
+        val pairs = (1 to 3).map(_ =>
+          (contentionCanary(spark, cpus), bandwidthCanary(spark, cpus)))
+        for (a <- median(pairs.map(_._1)); b <- median(pairs.map(_._2)))
+          yield (a, b)
+      } catch { case _: Throwable => None }
+      else None
+    val aluFloorEff = floorFile.map(ff =>
+      (Seq(ff.alu.median) ++ floorProbe.map(_._1)).min)
+    val bwFloorEff = floorFile.flatMap(_.bw).map(b =>
+      (Seq(b.median) ++ floorProbe.map(_._2)).min)
+
+    // Idle gate (VERDICT r15 #1): the r15 sweep ran under 19–62× bw
+    // contention and — correctly — certified nothing; the fix is to
+    // not MEASURE inside such a window in the first place. At every
+    // canary mark, if either canary reads outside its committed idle
+    // band (×[[idleGateMargin]]), the sweep WAITS — bounded by a
+    // total budget across the whole run — re-sampling both canaries
+    // every 15 s until they re-enter the bands or the budget runs
+    // out. Budget exhausted ⇒ proceed exactly as before (the span
+    // labeling + clean-rerun + refusal machinery still stand); the
+    // artifact records waited seconds and gate count either way.
+    // Band-absolute, not run-relative: the run's own min is not yet
+    // known at gate time, and the committed band is the only anchor
+    // that a contended start can't shift.
+    val idleWaitBudgetSec = sys.env.get("SPARK_GRAFT_IDLE_WAIT_SEC")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(1800)
+    var idleWaitedSec = 0.0
+    var idleGates = 0
+
     // per-sample disk-spill meter (VERDICT r12 #5): the r12 100×-probe
     // spill adjudication had to be reconstructed by hand; recording
     // diskBytesSpilled per query makes the next one a diff of two
@@ -221,6 +306,41 @@ object Bench {
         if (t >= 0) floorSeries += ((idx, t))
       }
     }
+    // both canaries inside their committed idle bands (× margin) —
+    // the idle gate's pass condition; no floor file ⇒ always pass
+    def idleNow(alu: Double, bw: Double): Boolean = floorFile.forall { ff =>
+      alu <= ff.alu.max * idleGateMargin &&
+        ff.bw.forall(b => bw <= b.max * idleGateMargin)
+    }
+    // mark, then wait out a contended window before the next chunk of
+    // queries runs (see the idle-gate comment above). Wait samples are
+    // recorded in the series AT THE SAME INDEX: queries BEFORE the
+    // mark keep their dirty nearest-mark label (first entry wins the
+    // nearest-tie, and the clean-rerun pass re-certifies them);
+    // queries AFTER resume against an idle-verified host.
+    def gatedMark(idx: Int): Unit = {
+      mark(idx)
+      def lastVals = (
+        canarySeries.reverseIterator.find(_._1 == idx).map(_._2).getOrElse(-1.0),
+        bwSeries.reverseIterator.find(_._1 == idx).map(_._2).getOrElse(-1.0))
+      var (a, b) = lastVals
+      if (floorFile.isEmpty || a <= 0 || b <= 0 || idleNow(a, b)) return
+      idleGates += 1
+      val t0 = System.nanoTime()
+      var waited = 0.0
+      var go = true
+      while (go && a > 0 && b > 0 && !idleNow(a, b) &&
+          idleWaitedSec + waited < idleWaitBudgetSec) {
+        Thread.sleep(15000)
+        mark(idx)
+        val lv = lastVals; a = lv._1; b = lv._2
+        waited = (System.nanoTime() - t0) / 1e9
+        go = a > 0 && b > 0 // a failed sample can't adjudicate — move on
+      }
+      idleWaitedSec += (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] idle gate@$idx: waited ${(System.nanoTime() - t0) / 1e9}%.0f s " +
+        f"(alu=$a%.3f bw=$b%.3f, total waited $idleWaitedSec%.0f/$idleWaitBudgetSec s)")
+    }
 
     // per-query warmup run (codegen compile, page cache), then two timed
     // runs; report the min AND every raw sample. Caches are cleared
@@ -236,7 +356,7 @@ object Bench {
     val measured = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     val posOf = defs.zipWithIndex.map { case (d, i) => (d.name, i) }.toMap
     defs.zipWithIndex.foreach { case (d, i) =>
-      if (i % canaryEvery == 0) mark(i)
+      if (i % canaryEvery == 0) gatedMark(i)
       try d.build(spark, sfDir).count()
       catch { case _: Throwable => () }
       measured(d.name) = (1 to 2).map(_ => sampleOnce(d)).toList
@@ -304,11 +424,12 @@ object Bench {
     val contendedSet = (contendedQueries(
         defs.map(_.name), posOf, canarySeries.toSeq, runCanaryBase) ++
       contendedQueries(
-        defs.map(_.name), posOf, bwSeries.toSeq, bwRunBase, bwDriftThr))
+        defs.map(_.name), posOf, bwSeries.toSeq, bwRunBase, bwBar))
       .filterNot(_ == "q000_bench_floor").toSet
     val cleanSamples =
       scala.collection.mutable.Map.empty[String, List[Double]]
     val rerunCanary = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val rerunBw = scala.collection.mutable.ArrayBuffer.empty[Double]
     if (contendedSet.nonEmpty) {
       System.err.println(s"[bench] ${contendedSet.size} queries ran in " +
         s"contended spans — clean re-run pass: ${contendedSet.toSeq.sorted.mkString(",")}")
@@ -316,11 +437,23 @@ object Bench {
         defs.map(_.name).filter(contendedSet): _*)
       val maxCleanAttempts = 12
       var attempts = 0
+      // Both instruments gate a clean bracket (ADVICE r15): the old
+      // ALU-only check let a bw-contended query earn a "clean"
+      // certified sample under a persistent memory-heavy co-tenant —
+      // the exact blind spot the bw canary was added for. The bw side
+      // certifies at ITS OWN bar vs the run's bw min (same reasoning
+      // as span labeling); a run with no bw base degrades to ALU-only.
       def canaryClean(): Boolean = {
         val c = try contentionCanary(spark, cpus)
                 catch { case _: Throwable => -1.0 }
         if (c > 0) rerunCanary += c
-        c > 0 && runCanaryBase > 0 && c / runCanaryBase <= canaryDriftThr
+        val bwc = try bandwidthCanary(spark, cpus)
+                  catch { case _: Throwable => -1.0 }
+        if (bwc > 0) rerunBw += bwc
+        val aluOk =
+          c > 0 && runCanaryBase > 0 && c / runCanaryBase <= canaryDriftThr
+        val bwOk = bwRunBase <= 0 || (bwc > 0 && bwc / bwRunBase <= bwBar)
+        aluOk && bwOk
       }
       var leadClean = canaryClean()
       while (pending.nonEmpty && attempts < maxCleanAttempts) {
@@ -412,12 +545,14 @@ object Bench {
     // refusal — while a run that dipped into the idle band at least
     // once is provably in the floor's own mode, and an elevated MEDIAN
     // there is load.
-    val floorFile = loadFloorFile(new java.io.File("."))
-    val floor = floorFile.map(_.alu.median)
+    // effective floors (min of committed and the staleness probe —
+    // see the startup block) are the inflation denominators; the
+    // refusal's band check below stays on the committed band alone
+    val floor = aluFloorEff
     val aluSamples = canarySeries.map(_._2).toSeq
     val bwSamples = bwSeries.map(_._2).toSeq
     val aluInfl = hostInflation(aluSamples, floor)
-    val bwInfl = hostInflation(bwSamples, floorFile.flatMap(_.bw).map(_.median))
+    val bwInfl = hostInflation(bwSamples, bwFloorEff)
     val inflation = (aluInfl.toSeq ++ bwInfl.toSeq).maxOption
     def seriesRefuses(infl: Option[Double], samples: Seq[Double],
         fb: Option[Band]): Boolean =
@@ -451,9 +586,12 @@ object Bench {
          else s""","bw_series":${seriesJson(bwSeries.toSeq)}""") +
         s""","floor_series":${seriesJson(floorSeries.toSeq)}"""
     val rerunCanaryJson =
-      if (rerunCanary.isEmpty) ""
-      else rerunCanary.map(v => f"$v%.3f")
-        .mkString(""","canary_rerun":[""", ",", "]")
+      (if (rerunCanary.isEmpty) ""
+       else rerunCanary.map(v => f"$v%.3f")
+         .mkString(""","canary_rerun":[""", ",", "]")) +
+      (if (rerunBw.isEmpty) ""
+       else rerunBw.map(v => f"$v%.3f")
+         .mkString(""","bw_rerun":[""", ",", "]"))
     val spillJson = {
       val entries = results.flatMap { case (k, _, _) =>
         bestSpill.get(k).collect { case (_, sp) if sp > 512 * 1024 =>
@@ -470,31 +608,50 @@ object Bench {
       .getOrElse("")
     val roundN = Timings.currentRound(new java.io.File("."))
     val roundJson = roundN.map(n => s""","round":$n""").getOrElse("")
-    // normalization divides by the oversubscription factor the canary
-    // measured (clamped at 1: a faster-than-floor JVM is not evidence
-    // the queries ran proportionally faster) — an ESTIMATE for
-    // cross-round reading, clearly labeled, never the headline
+    // normalization divides by the ALU oversubscription factor only
+    // (ADVICE r15: the bw instrument's idle median ratio reads ~1.46
+    // on idle runs — its noise would deflate idle estimates; the max
+    // stays in host_inflation as the evidence column), clamped at 1
+    // (a faster-than-floor JVM is not evidence the queries ran
+    // proportionally faster) — an ESTIMATE for cross-round reading,
+    // clearly labeled, never the headline
     val inflJson = inflation.map { i =>
       val aluJ = aluInfl.map(a => f""","host_inflation_alu":$a%.2f""")
         .getOrElse("")
       val bwJ = bwInfl.map(b => f""","host_inflation_bw":$b%.2f""")
         .getOrElse("")
       val fJ = floor.map(f => f""","canary_floor":$f%.3f""").getOrElse("")
-      val bwfJ = floorFile.flatMap(_.bw)
-        .map(b => f""","bw_floor":${b.median}%.3f""").getOrElse("")
+      val bwfJ = bwFloorEff
+        .map(b => f""","bw_floor":$b%.3f""").getOrElse("")
       f""","host_inflation":$i%.2f$aluJ$bwJ$fJ$bwfJ""" +
-      f""","core16_total_normalized":${coreTotal / math.max(i, 1.0)}%.3f""" +
+      f""","core16_total_normalized":${coreTotal / math.max(aluInfl.getOrElse(1.0), 1.0)}%.3f""" +
       (if (inflSuspect)
         s""","host_inflation_note":"inflation over the drift bar without an ALU-certifiable steady-load signature (bw idle spread exceeds the bar; or run band disjoint from the idle band = mode shift): recorded as evidence, clean label kept""""
        else "")
     }.getOrElse("")
+    // floor-staleness evidence (VERDICT r15 #5): age of the committed
+    // floor + the startup probe medians when one was taken
+    val floorMetaJson =
+      floorAgeH.map(a => f""","floor_age_h":$a%.1f""").getOrElse("") +
+      floorProbe.map { case (a, b) =>
+        f""","floor_probe_alu":$a%.3f,"floor_probe_bw":$b%.3f""" }
+        .getOrElse("")
+    // idle-gate evidence (VERDICT r15 #1): how long the sweep waited
+    // for the host to re-enter the committed idle bands
+    val idleGateJson =
+      if (floorFile.isEmpty) ""
+      else f""","idle_gate":{"budget_s":$idleWaitBudgetSec,"waited_s":$idleWaitedSec%.0f,"gates":$idleGates}"""
     val cleanJson =
       (if (cleanRefused)
-        f""","core16_total_clean_refused":"host_inflation ${inflation.get}%.2f > $canaryDriftThr%.1f: steady whole-run contention, no sample certifiable"""" +
+        // the refusal condition is ALU-only (seriesRefuses), so the
+        // recorded justification is the ALU ratio (ADVICE r15: the max
+        // used to be interpolated here — a number that did not trigger
+        // the refusal whenever bw > ALU)
+        f""","core16_total_clean_refused":"host_inflation_alu ${aluInfl.get}%.2f > $canaryDriftThr%.1f: steady whole-run contention, no sample certifiable"""" +
         f""","core16_certified_mass":$coreTotalClean%.3f"""
       else f""","core16_total_clean":$coreTotalClean%.3f""") +
       (if (dirty.nonEmpty) f""","core16_dirty_mass":$coreDirtyMass%.3f"""
-       else "") + inflJson
+       else "") + inflJson + floorMetaJson + idleGateJson
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","core16_total":$coreTotal%.3f$cleanJson$roundJson,"queries":$qs,"samples":$spread$errsJson$canaryJson$rerunCanaryJson$spillJson$resampledJson$contendedJson$dirtyJson$vsPrev,"sf":"$sfDir"}"""
     println(line)
@@ -632,8 +789,12 @@ object Bench {
 
   /** The committed idle floor file's contents: the ALU canary band
     * plus — when the file was written by a bandwidth-aware
-    * [[CanaryFloor]] — the bandwidth canary band. */
-  private[graft] final case class FloorFile(alu: Band, bw: Option[Band])
+    * [[CanaryFloor]] — the bandwidth canary band, and (r16) the
+    * epoch-millis timestamp of the measurement, absent in older
+    * files (which therefore always count stale — see
+    * [[floorMaxAgeHours]]). */
+  private[graft] final case class FloorFile(alu: Band, bw: Option[Band],
+      measuredAtMs: Option[Long] = None)
 
   /** Two [min, max] bands overlap. The refusal precondition (ADVICE
     * r14): a run whose canary band shares no point with the committed
@@ -676,7 +837,8 @@ object Bench {
           num(med).map(m =>
             Band(m, num(lo).getOrElse(m), num(hi).getOrElse(m)))
         band("canary_floor", "min", "max").map(alu =>
-          FloorFile(alu, band("bw_floor", "bw_min", "bw_max")))
+          FloorFile(alu, band("bw_floor", "bw_min", "bw_max"),
+            num("measured_at_ms").map(_.toLong)))
       }
     } catch { case _: Throwable => None }
 

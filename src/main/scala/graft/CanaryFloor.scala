@@ -35,6 +35,32 @@ object CanaryFloor {
     val med = Bench.median(samples).get
     val bwMed = Bench.median(bw).get
     val round = Timings.currentRound(new java.io.File(".")).getOrElse(0)
+    // Timestamp + history (VERDICT r15 #5): the floor drifts with the
+    // host's speed modes (measured 0.175–0.547 ALU over two hours), so
+    // Bench treats a floor older than floorMaxAgeHours as stale and
+    // takes its own startup probe. `measured_at_ms` dates this
+    // measurement; `history` carries the prior file's summary rows
+    // (capped) so the drift trail survives refreshes.
+    val nowMs = System.currentTimeMillis()
+    val history: String = {
+      val prior = scala.util.Try(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("BENCH_CANARY_FLOOR.json"))).toOption
+      val priorRow = prior.flatMap { text =>
+        def num(k: String): Option[String] =
+          (""""""" + k + """"\s*:\s*([0-9.]+)""").r
+            .findFirstMatchIn(text).map(_.group(1))
+        num("canary_floor").map { cf =>
+          s"""{"measured_at_ms":${num("measured_at_ms").getOrElse("0")},""" +
+          s""""canary_floor":$cf,"bw_floor":${num("bw_floor").getOrElse("0")},""" +
+          s""""updated_round":${num("updated_round").getOrElse("0")}}"""
+        }
+      }
+      val priorHist = prior.toSeq.flatMap(text =>
+        """"history"\s*:\s*\[(.*?)\]""".r.findFirstMatchIn(text)
+          .map(_.group(1)).filter(_.nonEmpty).toSeq
+          .flatMap(_.split("""(?<=\}),(?=\{)""").toSeq))
+      (priorHist ++ priorRow).takeRight(20).mkString("[", ",", "]")
+    }
     // canary_floor / bw_floor are the idle MEDIANS, not the mins:
     // hostInflation is a median-over-floor ratio, and median/median is
     // the like-for-like comparison — dividing a run median by a lucky
@@ -48,6 +74,7 @@ object CanaryFloor {
       f""""max":${samples.max}%.3f,"bw_floor":$bwMed%.3f,""" +
       f""""bw_min":${bw.min}%.3f,"bw_max":${bw.max}%.3f,""" +
       f""""reps":$reps,"updated_round":$round,""" +
+      s""""measured_at_ms":$nowMs,"history":$history,""" +
       s""""source":"idle CanaryFloor run","samples":[""" +
       samples.map(v => f"$v%.3f").mkString(",") + """],"bw_samples":[""" +
       bw.map(v => f"$v%.3f").mkString(",") + """],"note":""" +

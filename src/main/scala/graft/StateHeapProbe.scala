@@ -105,14 +105,19 @@ object StateHeapProbe {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(1800000)
+    // a drain still running at 30 min is a PARTIAL point (ADVICE r15:
+    // the ignored boolean let it fall through to a normal exit-0 row
+    // with fewer input_rows than staged) — tag the row and exit
+    // nonzero so the ladder log can't read it as a completed drain
+    val drained = q.awaitTermination(1800000)
     val dt = (System.nanoTime() - t0) / 1e9
     val prog = q.recentProgress.toSeq
     val inputRows = prog.map(_.numInputRows).sum
     val stateRows = prog.flatMap(_.stateOperators.map(_.numRowsTotal))
     val stateBytes = prog.flatMap(_.stateOperators.map(_.memoryUsedBytes))
     q.stop()
-    println(f"[stateheap] $mode%-8s keys=${keysM}%.0fM batches=${prog.size}%-3d " +
+    println((if (drained) "" else "[stateheap] TIMEOUT: partial drain at 30 min\n") +
+      f"[stateheap] $mode%-8s keys=${keysM}%.0fM batches=${prog.size}%-3d " +
       f"input_rows=$inputRows%-9d peak_state_rows=${if (stateRows.isEmpty) 0L else stateRows.max}%-9d " +
       f"final_state_rows=${stateRows.lastOption.getOrElse(0L)}%-9d " +
       f"peak_state_mib=${if (stateBytes.isEmpty) 0.0 else stateBytes.max / 1048576.0}%8.2f " +
@@ -122,8 +127,11 @@ object StateHeapProbe {
     // RocksDB provider's native teardown under session stop can SIGSEGV
     // (observed: row printed, then exit 134 in shutdown), which would
     // read as a failed point in the ladder log. The probe JVM is
-    // single-purpose — skipping shutdown hooks loses nothing.
+    // single-purpose — skipping shutdown hooks loses nothing. Exit 7
+    // marks a timed-out (partial) drain — distinct from the heap
+    // store's OOM exit 3 — so the ladder's exit-code column separates
+    // "too slow" from "died".
     System.out.flush()
-    Runtime.getRuntime.halt(0)
+    Runtime.getRuntime.halt(if (drained) 0 else 7)
   }
 }

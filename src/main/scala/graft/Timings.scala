@@ -240,17 +240,21 @@ object Timings {
       // drifts at the flag's position — memory-shaped load inflates
       // dump walls 2× while the ALU spin reads idle (this round's
       // first clean sweep: ALU min 0.156 under a dozen 2× walls). The
-      // bw series is judged at ITS OWN bar (Bench.bwDriftThr): its
-      // idle spread is wider than the ALU bar, so 1.3× there would
-      // relabel genuine flags on idle sweeps.
+      // bw series is judged at ITS OWN bar: its idle spread is wider
+      // than the ALU bar, so 1.3× there would relabel genuine flags
+      // on idle sweeps. The bar is DERIVED from the committed floor's
+      // measured idle spread (VERDICT r15 #4, see Bench.bwBarOf)
+      // rather than a constant, so re-measuring the floor recalibrates
+      // the labeler too.
       val bwBase = bwSeries.map(_._2).filter(_ > 0)
         .minOption.getOrElse(0.0)
+      val bwBar = Bench.bwBarOf(Bench.loadFloorFile(root))
       def spanContended(name: String): Boolean =
         posOf.get(name).exists { p =>
           Bench.nearestCanaryDrift(canarySeries, p, runBase)
             .exists(_ > Bench.canaryDriftThr) ||
           Bench.nearestCanaryDrift(bwSeries, p, bwBase)
-            .exists(_ > Bench.bwDriftThr)
+            .exists(_ > bwBar)
         }
       // Per-flag canary ratio (VERDICT r13 #2): the prior run's nearest
       // canary at this query's position over this run's — >1.3 means

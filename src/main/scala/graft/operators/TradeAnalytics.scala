@@ -2481,9 +2481,16 @@ object TradeAnalytics extends QueryModule {
   /** γ-parameterized so the spec can force a mixed routing on one
     * fixture (γ between the tail's and the hub's worst-pair roots);
     * budget-parameterized so the spec can force the over-budget
-    * shuffle-join fallback. */
+    * shuffle-join fallback; anchor-K-parameterized (VERDICT r15 #6)
+    * so a caller can widen or narrow the anchor set — the routing
+    * stat's driver collect is O(K) rows (K anchors + the max degree
+    * ride along), the S9 bound, so K must stay a human-scale constant
+    * (top-N lists, dashboards), never a catalog fraction; the
+    * anchor-incidence prune's shuffle mass also grows with K. The
+    * declared q326 shape stays K = 50. */
   private[graft] def hybridItemNeighbors(spark: SparkSession, dir: String,
-      gamma: Double, itemBudget: Long = DimsumItemBudget): DataFrame = {
+      gamma: Double, itemBudget: Long = DimsumItemBudget,
+      anchorK: Int = 50): DataFrame = {
     val baskets = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -2493,9 +2500,9 @@ object TradeAnalytics extends QueryModule {
       .filter(col("bsz") <= 256).select(col("cust"))
     val b = baskets.join(keep, Seq("cust")).persist()
     val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust")).persist()
-    // routing stats: top-50 anchors + the global max degree (51 small
-    // rows to the driver — the S9 bound)
-    val top50 = itemN.orderBy(col("n_cust").desc, col("item")).limit(50)
+    // routing stats: top-K anchors + the global max degree (K+1 small
+    // rows to the driver — the S9 bound, O(anchorK))
+    val top50 = itemN.orderBy(col("n_cust").desc, col("item")).limit(anchorK)
       .collect().map(r => (r.getAs[Long]("item"), r.getAs[Long]("n_cust")))
     if (top50.isEmpty) {
       b.unpersist(); itemN.unpersist()

@@ -160,11 +160,17 @@ object CapstoneEtl {
       filesPerLeaf: Int = 0): Unit = {
     t.fact.write.mode(SaveMode.Overwrite).parquet(s"$outDir/immigration_fact")
     t.visa.write.mode(SaveMode.Overwrite).parquet(s"$outDir/visa_type_dim")
-    clusterForWrite(t.calendar, filesPerLeaf,
+    // persist around stats + write (ADVICE r15): auto filesPerLeaf
+    // runs a leaf-stats action before the write, and an un-cached
+    // calendar lineage would evaluate twice — the clusterForWrite
+    // caller contract, honored here as mergeMonthlyFact does
+    val cal = t.calendar.persist()
+    try clusterForWrite(cal, filesPerLeaf,
         "arrival_year", "arrival_month", "arrival_week")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("arrival_year", "arrival_month", "arrival_week")
       .parquet(s"$outDir/immigration_calendar_dim")
+    finally cal.unpersist()
     t.country.write.mode(SaveMode.Overwrite).parquet(s"$outDir/country_dim")
     t.demographics.write.mode(SaveMode.Overwrite).parquet(s"$outDir/usa_demographics_dim")
   }

@@ -235,6 +235,42 @@ class BenchVsPrevSpec extends AnyFunSuite {
     assert(legacy.bw === None)
   }
 
+  test("bw drift bar derives from the committed floor's idle spread (r16)") {
+    // measured spread 2.59x (the r15 committed floor) → bar ≈ 2.98,
+    // numerically the old constant — the derivation is what changes
+    assert(math.abs(Bench.bwBarOf(Some(Bench.FloorFile(
+      Bench.Band(0.221, 0.175, 0.293),
+      Some(Bench.Band(0.155, 0.112, 0.290))))) - (0.290 / 0.112) * 1.15) < 1e-9)
+    // a TIGHTER measured floor lowers the bar: spread 1.5x → floored
+    // at 2.0 (below session-to-session repeatability)
+    assert(Bench.bwBarOf(Some(Bench.FloorFile(
+      Bench.Band(0.2, 0.18, 0.25),
+      Some(Bench.Band(0.12, 0.10, 0.15))))) === 2.0)
+    // no bw band / no floor → the conservative constant
+    assert(Bench.bwBarOf(Some(Bench.FloorFile(
+      Bench.Band(0.2, 0.18, 0.25), None))) === Bench.bwDriftThr)
+    assert(Bench.bwBarOf(None) === Bench.bwDriftThr)
+    // a degenerate band (min 0) cannot produce an infinite bar
+    assert(Bench.bwBarOf(Some(Bench.FloorFile(
+      Bench.Band(0.2, 0.18, 0.25),
+      Some(Bench.Band(0.12, 0.0, 0.15))))) === Bench.bwDriftThr)
+  }
+
+  test("floor file timestamp parses; absent timestamp reads stale (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-floor3").toFile
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "BENCH_CANARY_FLOOR.json").toPath,
+      """{"canary_floor":0.207,"min":0.197,"max":0.313,""" +
+        """"measured_at_ms":1755400000000,"reps":7}""")
+    assert(Bench.loadFloorFile(dir).get.measuredAtMs === Some(1755400000000L))
+    // pre-r16 file: no timestamp → None (Bench counts it stale and
+    // arms the startup probe)
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "BENCH_CANARY_FLOOR.json").toPath,
+      """{"canary_floor":0.207,"min":0.197,"reps":7}""")
+    assert(Bench.loadFloorFile(dir).get.measuredAtMs === None)
+  }
+
   test("refusal requires the run band to overlap the idle band (ADVICE r14)") {
     // the r13 steady-load shape: run dipped into the idle band once
     // (min 0.203 ≤ floor max 0.313) so the host is provably in the

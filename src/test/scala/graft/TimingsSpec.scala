@@ -203,6 +203,34 @@ class TimingsSpec extends AnyFunSuite {
       s"a flag far from the bw spike keeps the raw verdict: ${block("q_cpu")}")
   }
 
+  test("a tighter committed floor lowers the span labeler's bw bar (r16)") {
+    // same 2.1x bw drift as the q_spread case above — under the 3.0
+    // fallback bar it keeps its regression label, but when the repo
+    // root carries a floor whose MEASURED bw idle spread is tight
+    // (1.5x → bar floored at 2.0), the same drift is now outside the
+    // instrument's idle spread and must relabel contended-span. This
+    // is the q221-class shape (VERDICT r15 #4): bw-shaped load the
+    // constant bar undercounted.
+    val root = Files.createTempDirectory("graft-tim12").toFile
+    Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_CANARY_FLOOR.json").toPath,
+      """{"canary_floor":0.207,"min":0.197,"max":0.313,""" +
+        """"bw_floor":0.120,"bw_min":0.100,"bw_max":0.150,"reps":7}""")
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q_spread" -> 0.5), canary = Some((0.21, 0.20)))
+    assert(new java.io.File(root, "TIMINGS_r11.json")
+      .renameTo(new java.io.File(root, "TIMINGS_r10.json")))
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q_spread" -> 1.5), canary = Some((0.21, 0.20)),
+      canarySeries = Seq((0, 0.21), (150, 0.21), (300, 0.21)),
+      bwSeries = Seq((0, 0.12), (150, 0.25), (300, 0.12)),
+      posOf = Map("q_spread" -> 149))
+    val text = Files.readString(new java.io.File(root, "TIMINGS_r11.json").toPath)
+    assert(text.contains("contended-span"),
+      s"2.1x bw drift must relabel under a 2.0 floor-derived bar: $text")
+  }
+
   test("prior-round contention relabels spurious improvements (ADVICE r12)") {
     // the PRIOR round was the contended one: its canary min (0.40)
     // sits 2x above this idle run's (0.20), so a 3x "improvement" is

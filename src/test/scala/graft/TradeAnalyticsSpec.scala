@@ -1196,6 +1196,35 @@ class TradeAnalyticsSpec extends SparkSpec {
     assert(canon(hybrid) !== canon(exactAll))
   }
 
+  test("q326: non-default anchor K narrows the anchor set, rows agree (r16)") {
+    // VERDICT r15 #6: K was baked in at 50 (and the routing stat's S9
+    // driver collect is O(K)). A K=5 run must produce exactly the
+    // default run's rows restricted to the 5 highest-degree anchors —
+    // the per-anchor kernels don't change with K (γ and the degree
+    // table are K-independent), only the anchor set does.
+    val k5 = operators.TradeAnalytics.hybridItemNeighbors(
+      spark, sfDir, operators.TradeAnalytics.DimsumGamma, anchorK = 5)
+    val default = operators.TradeAnalytics.hybridItemNeighbors(spark, sfDir)
+    val top5 = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+      .groupBy(col("cust")).agg(collect_set(col("item")).as("is"))
+      .filter(size(col("is")) <= 256)
+      .select(explode(col("is")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("item")).limit(5)
+      .collect().map(_.getAs[Long]("item")).toSet
+    assert(top5.size === 5)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    assert(canon(k5) ===
+      canon(default.filter(col("item").isin(top5.toSeq: _*))
+        .orderBy(col("item"), col("rank"))))
+  }
+
   test("q326: over-budget catalog drops the broadcast hints, result unchanged") {
     // same guard discipline as q322 (VERDICT r12 #2), caught by this
     // round's 100x probe review: itemN is catalog-sized; with the
