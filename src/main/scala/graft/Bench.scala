@@ -150,6 +150,18 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** A bandwidth MARK: min of two back-to-back [[bandwidthCanary]]
+    * samples. Contention is one-sided — sustained memory load
+    * inflates both draws — while the instrument's own one-shot
+    * outliers (a GC or heap-expansion pause in one draw; observed
+    * 2–3× single-sample spikes on idle sweeps) inflate only one.
+    * Bracket-max span labeling ([[spanCanaryDrift]]) amplifies a
+    * single outlier mark into a whole mislabeled span, so the mark
+    * statistic must shed one-shot noise. ALU marks stay single-sample
+    * (that instrument's idle spread is tight). */
+  private[graft] def bandwidthMark(spark: SparkSession, cpus: Int): Double =
+    math.min(bandwidthCanary(spark, cpus), bandwidthCanary(spark, cpus))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -222,7 +234,7 @@ object Bench {
     val floorProbe =
       if (floorFile.isDefined && floorStale) try {
         val pairs = (1 to 3).map(_ =>
-          (contentionCanary(spark, cpus), bandwidthCanary(spark, cpus)))
+          (contentionCanary(spark, cpus), bandwidthMark(spark, cpus)))
         for (a <- median(pairs.map(_._1)); b <- median(pairs.map(_._2)))
           yield (a, b)
       } catch { case _: Throwable => None }
@@ -297,7 +309,7 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] canary@$idx failed: ${e.getMessage}")
       }
-      try bwSeries += ((idx, bandwidthCanary(spark, cpus)))
+      try bwSeries += ((idx, bandwidthMark(spark, cpus)))
       catch { case e: Throwable =>
         System.err.println(s"[bench] bw canary@$idx failed: ${e.getMessage}")
       }
@@ -447,7 +459,7 @@ object Bench {
         val c = try contentionCanary(spark, cpus)
                 catch { case _: Throwable => -1.0 }
         if (c > 0) rerunCanary += c
-        val bwc = try bandwidthCanary(spark, cpus)
+        val bwc = try bandwidthMark(spark, cpus)
                   catch { case _: Throwable => -1.0 }
         if (bwc > 0) rerunBw += bwc
         val aluOk =
@@ -707,15 +719,15 @@ object Bench {
     spark.stop()
   }
 
-  /** Queries whose nearest in-sweep canary drifted past `thr` — their
-    * samples are contention-suspect regardless of vs_prev flagging
-    * (round 1 has no prev at all). `thr` defaults to the ALU bar;
-    * callers pass [[bwDriftThr]] for the bandwidth series. */
+  /** Queries whose bracketing in-sweep canaries drifted past `thr` —
+    * their samples are contention-suspect regardless of vs_prev
+    * flagging (round 1 has no prev at all). `thr` defaults to the ALU
+    * bar; callers pass the bw bar for the bandwidth series. */
   private[graft] def contendedQueries(names: Seq[String],
       posOf: Map[String, Int], series: Seq[(Int, Double)],
       base: Double, thr: Double = canaryDriftThr): Seq[String] =
     names.filter(n => posOf.get(n)
-      .flatMap(nearestCanaryDrift(series, _, base))
+      .flatMap(spanCanaryDrift(series, _, base))
       .exists(_ > thr))
 
   /** Clean per-query mins (VERDICT r12 #1). Contention is ONE-SIDED —
@@ -953,11 +965,36 @@ object Bench {
   }
 
   /** Canary drift at query position `idx`: nearest canary sample (by
-    * position) over the base. None when the series or base is absent. */
+    * position) over the base. None when the series or base is absent.
+    * Kept for PRIOR-round alignment (flagCanaryRatio) — current-run
+    * span labeling uses [[spanCanaryDrift]]. */
   private[graft] def nearestCanaryDrift(series: Seq[(Int, Double)],
       idx: Int, base: Double): Option[Double] =
     if (series.isEmpty || base <= 0) None
     else Some(series.minBy { case (i, _) => math.abs(i - idx) }._2 / base)
+
+  /** Span drift at query position `idx`: the WORSE of the two marks
+    * BRACKETING the position (greatest mark position ≤ idx and least
+    * ≥ idx; all samples at those positions when a gate wait stacked
+    * several). The nearest-mark rule systematically undercounted
+    * half-span contention: r15's q221 (position 155) sat between a
+    * 2.5× mark at 144 and a clean one at 160 — nearest picked the
+    * clean side and the flag shipped as "regression"; r16's first
+    * sweep reproduced the shape exactly (q106 at 138 between a 5.9×
+    * bw mark at 128 and a clean 144). Load seen at EITHER endpoint of
+    * a span could have covered any query inside it, so the span's
+    * verdict is the max. One-sided when the position precedes the
+    * first or follows the last mark. */
+  private[graft] def spanCanaryDrift(series: Seq[(Int, Double)],
+      idx: Int, base: Double): Option[Double] =
+    if (series.isEmpty || base <= 0) None
+    else {
+      val loPos = series.collect { case (i, _) if i <= idx => i }.maxOption
+      val hiPos = series.collect { case (i, _) if i >= idx => i }.minOption
+      val vals = series.collect {
+        case (i, v) if loPos.contains(i) || hiPos.contains(i) => v }
+      Some(vals.max / base)
+    }
 
   /** Classification of one above-threshold move (VERDICT r11 #1). A
     * drifted nearest canary outranks the spread heuristic: r11 proved
@@ -1019,7 +1056,7 @@ object Bench {
       val thr = if (bothTight) 1.25 else 1.5
       val eff = adjRatio(k, p, c).getOrElse(r)
       val drift = posOf.get(k).flatMap(
-        nearestCanaryDrift(canarySeries, _, canaryBase))
+        spanCanaryDrift(canarySeries, _, canaryBase))
       classify(eff, thr, bothTight, drift).map { note =>
         Flagged(k, p, c, r, eff, thr, note, curS, pS, drift)
       }

@@ -27,9 +27,12 @@ object CanaryFloor {
     Bench.contentionCanary(spark, cpus) // untimed JIT warm
     Bench.bandwidthCanary(spark, cpus)
     // interleaved sampling (ALU, then bandwidth, per rep) so both
-    // floors see the same minutes of host state
+    // floors see the same minutes of host state. The bw draw is the
+    // min-of-2 MARK statistic (r16) — the floor's band must be the
+    // spread of the same statistic the sweeps record, or bwBarOf
+    // derives a bar for an instrument nobody runs anymore.
     val pairs = (1 to reps).map(_ =>
-      (Bench.contentionCanary(spark, cpus), Bench.bandwidthCanary(spark, cpus)))
+      (Bench.contentionCanary(spark, cpus), Bench.bandwidthMark(spark, cpus)))
     val samples = pairs.map(_._1)
     val bw = pairs.map(_._2)
     val med = Bench.median(samples).get

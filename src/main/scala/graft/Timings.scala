@@ -203,7 +203,9 @@ object Timings {
       canarySeries: Seq[(Int, Double)] = Nil,
       posOf: Map[String, Int] = Map.empty,
       resampled: Map[String, Seq[Double]] = Map.empty,
-      bwSeries: Seq[(Int, Double)] = Nil): Unit = {
+      bwSeries: Seq[(Int, Double)] = Nil,
+      resampleCanary: Map[String, (Double, Double)] = Map.empty,
+      floorSeries: Seq[(Int, Double)] = Nil): Unit = {
     val sf = new File(sfDir).getName
     if (sf != "sf0.01" || timings.isEmpty || timings.size < minQueries) return
     currentRound(root).foreach { n =>
@@ -249,11 +251,14 @@ object Timings {
       val bwBase = bwSeries.map(_._2).filter(_ > 0)
         .minOption.getOrElse(0.0)
       val bwBar = Bench.bwBarOf(Bench.loadFloorFile(root))
+      // bracket-max, not nearest (r16, see Bench.spanCanaryDrift):
+      // r15's q221 and r16's q106 both sat between one dirty and one
+      // clean mark, and the nearest rule picked the clean side
       def spanContended(name: String): Boolean =
         posOf.get(name).exists { p =>
-          Bench.nearestCanaryDrift(canarySeries, p, runBase)
+          Bench.spanCanaryDrift(canarySeries, p, runBase)
             .exists(_ > Bench.canaryDriftThr) ||
-          Bench.nearestCanaryDrift(bwSeries, p, bwBase)
+          Bench.spanCanaryDrift(bwSeries, p, bwBase)
             .exists(_ > bwBar)
         }
       // Per-flag canary ratio (VERDICT r13 #2): the prior run's nearest
@@ -283,12 +288,22 @@ object Timings {
       }
       def priorSpanContended(name: String): Boolean =
         flagCanaryRatio(name).exists(_ > 1.3)
+      // a surviving regression flag whose RESAMPLE itself ran under a
+      // drifted ALU canary (r16): "reproduced on the second sample"
+      // is the signature the resampler treats as genuine, but a
+      // second sample taken under load confirms nothing — say so on
+      // the flag instead of leaving the reader to cross-check series
+      def resampleDirty(name: String): Boolean =
+        resampleCanary.get(name).exists { case (a, _) =>
+          runBase > 0 && a / runBase > Bench.canaryDriftThr }
       val flags = flags0.map { f0 =>
         val f = f0.copy(canaryRatio = flagCanaryRatio(f0.name))
         if (contended && f.note.startsWith("regression"))
           f.copy(note = "contended-host: canary elevated vs prior round, rerun required")
         else if (f.note.startsWith("regression") && spanContended(f.name))
           f.copy(note = "contended-span: in-run canary drifted at this query's position, rerun required")
+        else if (f.note.startsWith("regression") && resampleDirty(f.name))
+          f.copy(note = "regression: >2x prior dump wall (resample ran under drifted canary - unconfirmed, rerun required)")
         else if ((priorContended || priorSpanContended(f.name)) &&
             f.note == "improvement")
           f.copy(note = "improvement (prior-round canary was elevated: likely contention relief, not a code win)")
@@ -316,7 +331,13 @@ object Timings {
            .mkString(""","canary_series":[""", ",", "]")) +
         (if (bwSeries.isEmpty) ""
          else bwSeries.map { case (i, v) => f"[$i,$v%.3f]" }
-           .mkString(""","bw_series":[""", ",", "]"))
+           .mkString(""","bw_series":[""", ",", "]")) +
+        // IO/scheduler axis (r16): min-of-2 floor-dump walls per mark
+        // — EVIDENCE only until a labeling bar is calibrated from
+        // recorded idle series (see Verify's floor-mark comment)
+        (if (floorSeries.isEmpty) ""
+         else floorSeries.map { case (i, v) => f"[$i,$v%.3f]" }
+           .mkString(""","floor_series":[""", ",", "]"))
       // the run's own name→position map, so the NEXT round's
       // flagCanaryRatio can align this round's canary series by name
       // instead of assuming positions match (VERDICT r14 #2)
@@ -329,10 +350,16 @@ object Timings {
       // r13 #4): both walls on record so a reader can see whether the
       // flagged reading reproduced once its span canary recovered
       val resampledJson =
-        if (resampled.isEmpty) ""
-        else resampled.toSeq.sortBy(_._1).map { case (k, ws) =>
-          jstr(k) + ":" + ws.map(w => f"$w%.3f").mkString("[", ",", "]")
-        }.mkString(""","resampled":{""", ",", "}")
+        (if (resampled.isEmpty) ""
+         else resampled.toSeq.sortBy(_._1).map { case (k, ws) =>
+           jstr(k) + ":" + ws.map(w => f"$w%.3f").mkString("[", ",", "]")
+         }.mkString(""","resampled":{""", ",", "}")) +
+        // the [alu, bw] canary pair taken right after each resample's
+        // wall — the evidence column for the resampleDirty relabel
+        (if (resampleCanary.isEmpty) ""
+         else resampleCanary.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
+           jstr(k) + ":" + f"[$a%.3f,$b%.3f]"
+         }.mkString(""","resample_canary":{""", ",", "}"))
       val body = s"""{"round":$n,"sf":${jstr(sf)},""" +
         s""""n_queries":${timings.size},"timings":$timJson$canaryJson$seriesJson$posJson$resampledJson$vsPrev}"""
       Files.writeString(new File(root, s"TIMINGS_r$n.json").toPath, body)

@@ -164,9 +164,38 @@ object Verify {
     val canaryEvery = 16
     val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     val bwSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val floorSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    // The FLOOR mark: min-of-2 dumps of the 1-row floor query — the
+    // fixed harness overhead INCLUDING the parquet write. This is the
+    // third load axis (r16): a same-code re-sweep read its tail 3×
+    // slow while BOTH canaries sat idle (ALU 0.16–0.23, bw 0.05–0.08)
+    // and only the floor betrayed it (0.158 → 0.273) — IO/scheduler-
+    // shaped load that CPU and memory-bandwidth spins cannot see.
+    // EVIDENCE series only for now: the bench-side floor series
+    // spreads 5–9× across idle rounds (scheduling jitter dominates a
+    // 0.1 s job), so a labeling bar must be calibrated from recorded
+    // idle series before it can adjudicate — recording is how that
+    // calibration data accrues.
+    val floorFn = {
+      val f = SparkEntry.queries.get(Timings.floorName)
+      () => f.map { fn =>
+        def one(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/.floorprobe")
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(one(), one())
+      }
+    }
     def mark(idx: Int): Unit = {
       canarySample().foreach(v => canarySeries += ((idx, v)))
-      try bwSeries += ((idx, Bench.bandwidthCanary(spark, cpus.toInt)))
+      // min-of-2 bw mark (r16, see Bench.bandwidthMark): bracket-max
+      // span labeling would amplify a one-shot GC outlier into a
+      // whole mislabeled span
+      try bwSeries += ((idx, Bench.bandwidthMark(spark, cpus.toInt)))
+      catch { case _: Throwable => () }
+      try floorFn().foreach(v => floorSeries += ((idx, v)))
       catch { case _: Throwable => () }
     }
     mark(0)
@@ -243,6 +272,8 @@ object Verify {
     // on the second sample regardless. Full sweeps only — a subset
     // re-gate has no business rewriting the round's timings.
     val resampled = scala.collection.mutable.Map.empty[String, Seq[Double]]
+    val resampleCanary =
+      scala.collection.mutable.Map.empty[String, (Double, Double)]
     if (only.isEmpty) try {
       val root = new java.io.File(".")
       for (n <- Timings.currentRound(root);
@@ -251,8 +282,25 @@ object Verify {
         if (suspects.nonEmpty)
           System.err.println(s"[verify] resampling ${suspects.size} " +
             s">2x regression-direction flags: ${suspects.mkString(",")}")
+        // The resample pass runs at sweep END, where the tail is often
+        // the sweep's most contended stretch (this round's own first
+        // sweep: final ALU mark 2.1× the run min — and all three
+        // resampled "regressions" dutifully reproduced inside it). A
+        // reproduced reading proves nothing if both samples ran under
+        // load, so each resample (a) WAITS briefly — bounded — for the
+        // ALU canary to re-enter 1.3× of the run min, and (b) records
+        // the canary pair taken right after its wall, which the round
+        // artifact publishes per flag (the reader sees whether the
+        // second sample is evidence or noise).
+        val runMin = canarySeries.map(_._2).filter(_ > 0)
+          .minOption.getOrElse(0.0)
         suspects.foreach { s =>
           ran.find(_._1 == s).foreach { case (name, fn) =>
+            var gate = 0
+            while (gate < 4 && runMin > 0 &&
+                canarySample().exists(_ / runMin > 1.3)) {
+              gate += 1; Thread.sleep(10000)
+            }
             val t0 = System.nanoTime()
             try {
               fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -260,6 +308,11 @@ object Verify {
               val w2 = (System.nanoTime() - t0) / 1e9
               resampled(name) = Seq(timings(name), w2)
               timings(name) = math.min(timings(name), w2)
+              for (a <- canarySample()) {
+                val b = try Bench.bandwidthMark(spark, cpus.toInt)
+                        catch { case _: Throwable => -1.0 }
+                resampleCanary(name) = (a, b)
+              }
             } catch { case e: Throwable =>
               System.err.println(s"[verify] resample $name FAILED: $e")
             } finally {
@@ -284,7 +337,9 @@ object Verify {
         minQueries = (SparkEntry.queries.size * 9) / 10,
         canary = for (a <- canaryStart; b <- canaryEnd) yield (a, b),
         canarySeries = canarySeries.toSeq, posOf = posOf,
-        resampled = resampled.toMap, bwSeries = bwSeries.toSeq)
+        resampled = resampled.toMap, bwSeries = bwSeries.toSeq,
+        resampleCanary = resampleCanary.toMap,
+        floorSeries = floorSeries.toSeq)
     else System.err.println(s"[verify] subset run (${only.size} queries): " +
       "round artifact left to the next full sweep")
     // subset runs must MERGE with prior errors: rewriting errors.json

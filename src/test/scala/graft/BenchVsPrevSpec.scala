@@ -296,14 +296,18 @@ class BenchVsPrevSpec extends AnyFunSuite {
     assert(math.max(aluInfl, bwInfl) > Bench.canaryDriftThr)
   }
 
-  test("contendedQueries selects by nearest-canary drift, not by flags") {
-    // canary at position 8 drifted 3x: queries nearest to it are
-    // suspect even if no vs_prev threshold fired (round 1 has no prev)
-    val series = Seq((0, 0.2), (8, 0.6), (16, 0.2))
-    val posOf = Map("qa" -> 2, "qb" -> 7, "qc" -> 9, "qd" -> 15)
-    val hit = Bench.contendedQueries(Seq("qa", "qb", "qc", "qd"), posOf,
+  test("contendedQueries selects by bracketing-canary drift, not by flags") {
+    // canary at position 8 drifted 3x: every query in a span TOUCHING
+    // that mark is suspect even if no vs_prev threshold fired (round 1
+    // has no prev). Bracket-max (r16): qa (span 0–8) and qd (span
+    // 8–16) are inside spans with a dirty endpoint too — the load seen
+    // at position 8 could have covered any of them; qe (span 16–24,
+    // both endpoints clean) is not.
+    val series = Seq((0, 0.2), (8, 0.6), (16, 0.2), (24, 0.2))
+    val posOf = Map("qa" -> 2, "qb" -> 7, "qc" -> 9, "qd" -> 15, "qe" -> 20)
+    val hit = Bench.contendedQueries(Seq("qa", "qb", "qc", "qd", "qe"), posOf,
       series, 0.2)
-    assert(hit === Seq("qb", "qc"))
+    assert(hit === Seq("qa", "qb", "qc", "qd"))
     // no canary series → nothing is contended (degrades safely)
     assert(Bench.contendedQueries(Seq("qa"), posOf, Seq.empty, 0.2).isEmpty)
   }

@@ -203,6 +203,72 @@ class TimingsSpec extends AnyFunSuite {
       s"a flag far from the bw spike keeps the raw verdict: ${block("q_cpu")}")
   }
 
+  test("span drift takes the worse of the BRACKETING marks, not the nearest (r16)") {
+    // the r15 q221 / r16 q106 shape: a query between one dirty and
+    // one clean mark, nearer the clean one — nearest undercounts,
+    // bracket-max catches it
+    val series = Seq((128, 0.307), (144, 0.063))
+    assert(Bench.nearestCanaryDrift(series, 138, 0.052).get < 2.0,
+      "nearest picks the clean side (the old failure)")
+    assert(Bench.spanCanaryDrift(series, 138, 0.052).get > 5.0,
+      "bracket-max sees the dirty endpoint")
+    // one-sided when the position precedes the first / follows the
+    // last mark
+    assert(Bench.spanCanaryDrift(series, 100, 0.052).get ===
+      0.307 / 0.052)
+    assert(Bench.spanCanaryDrift(series, 200, 0.052).get ===
+      0.063 / 0.052)
+    // stacked idle-gate samples at one position: the max of ALL
+    // entries at the bracketing positions
+    assert(Bench.spanCanaryDrift(
+      Seq((0, 0.06), (8, 0.30), (8, 0.06), (16, 0.06)), 10, 0.06).get
+      === 5.0)
+    assert(Bench.spanCanaryDrift(Nil, 10, 0.06) === None)
+    assert(Bench.spanCanaryDrift(series, 10, 0.0) === None)
+  }
+
+  test("a regression flag whose resample ran under a drifted canary says so (r16)") {
+    // the r16 first-sweep shape: the resample pass runs in the sweep's
+    // tail; three 2x flags "reproduced" inside a 2.1x-drifted stretch.
+    // With the resample's own canary recorded, the flag must carry the
+    // unconfirmed label (and the artifact the evidence column).
+    val root = Files.createTempDirectory("graft-tim13").toFile
+    Files.writeString(new java.io.File(root, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root, "BENCH_r10.json").toPath, "{}")
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q_tail" -> 0.5), canary = Some((0.21, 0.20)))
+    assert(new java.io.File(root, "TIMINGS_r11.json")
+      .renameTo(new java.io.File(root, "TIMINGS_r10.json")))
+    Timings.writeRoundArtifact(root, "/data/sf0.01",
+      Map(floor -> 0.1, "q_tail" -> 1.5), canary = Some((0.21, 0.20)),
+      canarySeries = Seq((0, 0.20), (100, 0.21)),
+      posOf = Map("q_tail" -> 50),
+      resampled = Map("q_tail" -> Seq(1.6, 1.5)),
+      resampleCanary = Map("q_tail" -> ((0.45, 0.08))))
+    val text = Files.readString(new java.io.File(root, "TIMINGS_r11.json").toPath)
+    assert(text.contains("resample ran under drifted canary"),
+      s"dirty-resample regression must be marked unconfirmed: $text")
+    assert(text.contains(""""resample_canary":{"q_tail":[0.450,0.080]}"""))
+    // a CLEAN resample keeps the plain regression verdict
+    val root2 = Files.createTempDirectory("graft-tim14").toFile
+    Files.writeString(new java.io.File(root2, "CORRECTNESS_r10.json").toPath, "{}")
+    Files.writeString(new java.io.File(root2, "BENCH_r10.json").toPath, "{}")
+    Timings.writeRoundArtifact(root2, "/data/sf0.01",
+      Map(floor -> 0.1, "q_tail" -> 0.5), canary = Some((0.21, 0.20)))
+    assert(new java.io.File(root2, "TIMINGS_r11.json")
+      .renameTo(new java.io.File(root2, "TIMINGS_r10.json")))
+    Timings.writeRoundArtifact(root2, "/data/sf0.01",
+      Map(floor -> 0.1, "q_tail" -> 1.5), canary = Some((0.21, 0.20)),
+      canarySeries = Seq((0, 0.20), (100, 0.21)),
+      posOf = Map("q_tail" -> 50),
+      resampled = Map("q_tail" -> Seq(1.6, 1.5)),
+      resampleCanary = Map("q_tail" -> ((0.21, 0.08))))
+    val text2 = Files.readString(new java.io.File(root2, "TIMINGS_r11.json").toPath)
+    assert(text2.contains("regression: >2x prior dump wall") &&
+      !text2.contains("unconfirmed"),
+      s"clean-resample regression keeps its verdict: $text2")
+  }
+
   test("a tighter committed floor lowers the span labeler's bw bar (r16)") {
     // same 2.1x bw drift as the q_spread case above — under the 3.0
     // fallback bar it keeps its regression label, but when the repo
