@@ -239,10 +239,18 @@ object Bench {
           yield (a, b)
       } catch { case _: Throwable => None }
       else None
+    // the probe can pull each effective floor down AT MOST to the
+    // committed band's own min: a single freak-fast probe median
+    // below anything the floor window ever measured would otherwise
+    // poison the denominator and refuse a genuinely idle run (the
+    // refusal compares run-median/effective-floor); a truly faster
+    // host MODE is committed by re-running CanaryFloor by hand
     val aluFloorEff = floorFile.map(ff =>
-      (Seq(ff.alu.median) ++ floorProbe.map(_._1)).min)
+      (Seq(ff.alu.median) ++
+        floorProbe.map(p => math.max(p._1, ff.alu.min))).min)
     val bwFloorEff = floorFile.flatMap(_.bw).map(b =>
-      (Seq(b.median) ++ floorProbe.map(_._2)).min)
+      (Seq(b.median) ++
+        floorProbe.map(p => math.max(p._2, b.min))).min)
 
     // Idle gate (VERDICT r15 #1): the r15 sweep ran under 19–62× bw
     // contention and — correctly — certified nothing; the fix is to
