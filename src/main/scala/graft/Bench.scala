@@ -77,6 +77,26 @@ object Bench {
     * memory-bound work 3–30×). Prefer [[bwBarOf]]. */
   private[graft] val bwDriftThr = 3.0
 
+  /** The ALU SPAN bar derived from the committed floor's measured ALU
+    * idle spread, same construction as [[bwBarOf]] (r16): the first
+    * certified-clean r16 sweep (host_inflation 1.06 on both axes) had
+    * ALU marks 0.16–0.24 — a 1.5× within-run idle spread — so the
+    * constant 1.3× bar against the run MIN marked half the sweep
+    * contended and the clean-rerun pass could never certify it (every
+    * trailing canary read ~1.46× the one fast outlier). Span labeling
+    * flags deviations WITHIN a run and must sit above the
+    * instrument's own idle spread; sustained whole-run load is the
+    * floor-anchored hostInflation/refusal's job, whose median/median
+    * statistic keeps the tight [[canaryDriftThr]]. Floored at
+    * canaryDriftThr, falls back to it without a floor file — every
+    * pre-r16 spec fixture and floor-less run behaves exactly as
+    * before. */
+  private[graft] def aluBarOf(floor: Option[FloorFile]): Double =
+    floor.map(_.alu)
+      .filter(b => b.min > 0 && b.max >= b.min)
+      .map(b => math.max(canaryDriftThr, (b.max / b.min) * 1.15))
+      .getOrElse(canaryDriftThr)
+
   /** The bandwidth drift bar DERIVED from the committed floor's own
     * measured idle spread (VERDICT r15 #4): bar = (bw_max / bw_min)
     * × 1.15 margin. The run-relative drift statistic (sample over the
@@ -214,6 +234,7 @@ object Bench {
     // WRITES the floor file — a loaded run must not raise its own bar.
     val floorFile = loadFloorFile(new java.io.File("."))
     val bwBar = bwBarOf(floorFile)
+    val aluBar = aluBarOf(floorFile)
     // Floor-staleness probe (VERDICT r15 #5): the committed idle bands
     // were measured to drift 0.175–0.547 over two hours on this host,
     // so a floor file older than [[floorMaxAgeHours]] quietly weakens
@@ -398,7 +419,8 @@ object Bench {
     val canaryBase = canaryBaseOf(canarySeries.map(_._2).toSeq, prev.flatMap(_.canaryMin))
     def flagsOf(rs: Seq[(String, Double, Seq[Double])]) = prev match {
       case Some(p) =>
-        computeFlags(rs, p.q, p.s, posOf, canarySeries.toSeq, canaryBase)
+        computeFlags(rs, p.q, p.s, posOf, canarySeries.toSeq, canaryBase,
+          aluBar)
       case None => (Seq.empty, Seq.empty)
     }
     val (_, flags1) = flagsOf(toResults(measured))
@@ -442,7 +464,7 @@ object Bench {
     val bwRunBase = bwSeries.map(_._2).filter(_ > 0)
       .minOption.getOrElse(0.0)
     val contendedSet = (contendedQueries(
-        defs.map(_.name), posOf, canarySeries.toSeq, runCanaryBase) ++
+        defs.map(_.name), posOf, canarySeries.toSeq, runCanaryBase, aluBar) ++
       contendedQueries(
         defs.map(_.name), posOf, bwSeries.toSeq, bwRunBase, bwBar))
       .filterNot(_ == "q000_bench_floor").toSet
@@ -471,7 +493,7 @@ object Bench {
                   catch { case _: Throwable => -1.0 }
         if (bwc > 0) rerunBw += bwc
         val aluOk =
-          c > 0 && runCanaryBase > 0 && c / runCanaryBase <= canaryDriftThr
+          c > 0 && runCanaryBase > 0 && c / runCanaryBase <= aluBar
         val bwOk = bwRunBase <= 0 || (bwc > 0 && bwc / bwRunBase <= bwBar)
         aluOk && bwOk
       }
@@ -1010,11 +1032,12 @@ object Bench {
     * elevated together), and the canary is the instrument that sees
     * that load directly. */
   private[graft] def classify(eff: Double, thr: Double, bothTight: Boolean,
-      canaryDrift: Option[Double]): Option[String] =
+      canaryDrift: Option[Double],
+      aluBar: Double = canaryDriftThr): Option[String] =
     if (eff < 1.0 / thr) Some("improvement")
     else if (eff <= thr) None
     else canaryDrift match {
-      case Some(d) if d > canaryDriftThr => Some("contended-host: rerun required")
+      case Some(d) if d > aluBar => Some("contended-host: rerun required")
       case _ if bothTight => Some("tight-spread regression candidate")
       case _ => Some("wide-spread: likely contention drift, check samples")
     }
@@ -1032,7 +1055,8 @@ object Bench {
       results: Seq[(String, Double, Seq[Double])],
       prevQ: Map[String, Double], prevS: Map[String, List[Double]],
       posOf: Map[String, Int],
-      canarySeries: Seq[(Int, Double)], canaryBase: Double)
+      canarySeries: Seq[(Int, Double)], canaryBase: Double,
+      aluBar: Double = canaryDriftThr)
       : (Seq[(String, Double)], Seq[Flagged]) = {
     val ratios = results.flatMap { case (k, cur, _) =>
       prevQ.get(k).filter(p => p > 0 && cur > 0).map(p => (k, p, cur, cur / p))
@@ -1065,7 +1089,7 @@ object Bench {
       val eff = adjRatio(k, p, c).getOrElse(r)
       val drift = posOf.get(k).flatMap(
         spanCanaryDrift(canarySeries, _, canaryBase))
-      classify(eff, thr, bothTight, drift).map { note =>
+      classify(eff, thr, bothTight, drift, aluBar).map { note =>
         Flagged(k, p, c, r, eff, thr, note, curS, pS, drift)
       }
     }

@@ -250,14 +250,17 @@ object Timings {
       // the labeler too.
       val bwBase = bwSeries.map(_._2).filter(_ > 0)
         .minOption.getOrElse(0.0)
-      val bwBar = Bench.bwBarOf(Bench.loadFloorFile(root))
+      val roundFloor = Bench.loadFloorFile(root)
+      val bwBar = Bench.bwBarOf(roundFloor)
+      val aluBar = Bench.aluBarOf(roundFloor)
       // bracket-max, not nearest (r16, see Bench.spanCanaryDrift):
       // r15's q221 and r16's q106 both sat between one dirty and one
-      // clean mark, and the nearest rule picked the clean side
+      // clean mark, and the nearest rule picked the clean side. Both
+      // series at their floor-derived bars (Bench.aluBarOf/bwBarOf).
       def spanContended(name: String): Boolean =
         posOf.get(name).exists { p =>
           Bench.spanCanaryDrift(canarySeries, p, runBase)
-            .exists(_ > Bench.canaryDriftThr) ||
+            .exists(_ > aluBar) ||
           Bench.spanCanaryDrift(bwSeries, p, bwBase)
             .exists(_ > bwBar)
         }
@@ -295,7 +298,7 @@ object Timings {
       // the flag instead of leaving the reader to cross-check series
       def resampleDirty(name: String): Boolean =
         resampleCanary.get(name).exists { case (a, _) =>
-          runBase > 0 && a / runBase > Bench.canaryDriftThr }
+          runBase > 0 && a / runBase > aluBar }
       val flags = flags0.map { f0 =>
         val f = f0.copy(canaryRatio = flagCanaryRatio(f0.name))
         if (contended && f.note.startsWith("regression"))

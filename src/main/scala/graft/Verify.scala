@@ -294,6 +294,9 @@ object Verify {
         // second sample is evidence or noise).
         val runMin = canarySeries.map(_._2).filter(_ > 0)
           .minOption.getOrElse(0.0)
+        // the ALU span bar (floor-derived, see Bench.aluBarOf): the
+        // gate must not wait out the instrument's own idle spread
+        val gateBar = Bench.aluBarOf(Bench.loadFloorFile(root))
         // per-resample gate waits share one bounded budget: a fully
         // contended tail must cost minutes, not (48 flags × 40 s)
         var gateBudgetMs = 300000L
@@ -301,7 +304,7 @@ object Verify {
           ran.find(_._1 == s).foreach { case (name, fn) =>
             var gate = 0
             while (gate < 4 && gateBudgetMs > 0 && runMin > 0 &&
-                canarySample().exists(_ / runMin > 1.3)) {
+                canarySample().exists(_ / runMin > gateBar)) {
               gate += 1; Thread.sleep(10000); gateBudgetMs -= 10000
             }
             val t0 = System.nanoTime()

@@ -256,6 +256,22 @@ class BenchVsPrevSpec extends AnyFunSuite {
       Some(Bench.Band(0.12, 0.0, 0.15))))) === Bench.bwDriftThr)
   }
 
+  test("ALU span bar derives from the floor's measured ALU spread (r16)") {
+    val ff = Some(Bench.FloorFile(Bench.Band(0.221, 0.175, 0.293),
+      Some(Bench.Band(0.155, 0.112, 0.290))))
+    val bar = Bench.aluBarOf(ff)
+    assert(math.abs(bar - (0.293 / 0.175) * 1.15) < 1e-9)
+    // the first certified-clean r16 sweep's shape: run min 0.16 was a
+    // fast outlier, typical marks 0.21–0.24 — ordinary idle spread
+    // (1.46x) must read CLEAN at the derived bar while the genuine
+    // mid-run spike (0.35 → 2.19x) stays dirty
+    assert(0.234 / 0.16 < bar && 0.35 / 0.16 > bar)
+    // no floor → the legacy constant; a tight floor can't go below it
+    assert(Bench.aluBarOf(None) === Bench.canaryDriftThr)
+    assert(Bench.aluBarOf(Some(Bench.FloorFile(
+      Bench.Band(0.2, 0.19, 0.21), None))) === Bench.canaryDriftThr)
+  }
+
   test("floor file timestamp parses; absent timestamp reads stale (r16)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-floor3").toFile
     java.nio.file.Files.writeString(
