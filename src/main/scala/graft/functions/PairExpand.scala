@@ -233,11 +233,225 @@ case class PairExpandIds(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object AnchorPairExpandImpl {
+
+  /** Anchor-restricted pair expansion (r16, guide §1.2/§2.3): emit ONLY
+    * the ordered pairs (doc_a < doc_b) with at least one endpoint in
+    * `anchors` — the exact subset a downstream anchor-incidence filter
+    * would keep — without materializing the C(n,2) full expansion
+    * first. Identical pair set (and hence identical aggregation
+    * results) to `pairExpand(...)` + filter(endpoint ∈ anchors), by
+    * construction: after the same doc_id sort, pair (i, j), i < j, is
+    * emitted once — from the i-anchor branch when ids(i) ∈ anchors,
+    * else from the j-anchor walk. Cost per posting list drops from
+    * O(n²) to O(n log n + n·|A∩list| + emits); with a human-scale
+    * anchor set (top-K lists) the Σbsz² kernel becomes Σbsz·K-bounded.
+    * `anchors` MUST be sorted ascending (callers pass
+    * `.sorted.toArray`); membership is binary search.
+    */
+  def expand(arr: ArrayData, anchors: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val nshs = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getStruct(i, 2)
+      ids(i) = s.getLong(0)
+      nshs(i) = s.getInt(1)
+      i += 1
+    }
+    // insertion sort by doc_id — same canonical order as pairExpand
+    i = 1
+    while (i < n) {
+      val id = ids(i); val ns = nshs(i)
+      var j = i - 1
+      while (j >= 0 && ids(j) > id) {
+        ids(j + 1) = ids(j); nshs(j + 1) = nshs(j); j -= 1
+      }
+      ids(j + 1) = id; nshs(j + 1) = ns
+      i += 1
+    }
+    val aPos = new Array[Int](n)
+    var na = 0
+    i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(anchors, ids(i)) >= 0) {
+        aPos(na) = i; na += 1
+      }
+      i += 1
+    }
+    // exact output size: anchor rows pair with every later row; a
+    // non-anchor row pairs with the anchors after it (anchor-anchor
+    // pairs counted once, in the first branch)
+    var cnt = 0
+    var ap = 0
+    i = 0
+    while (i < n) {
+      if (ap < na && aPos(ap) <= i) ap += 1
+      if (ap > 0 && aPos(ap - 1) == i) cnt += n - 1 - i
+      else cnt += na - ap
+      i += 1
+    }
+    val out = new Array[Any](cnt)
+    var k = 0
+    ap = 0
+    i = 0
+    while (i < n) {
+      if (ap < na && aPos(ap) <= i) ap += 1
+      if (ap > 0 && aPos(ap - 1) == i) {
+        var j = i + 1
+        while (j < n) {
+          out(k) = new GenericInternalRow(
+            Array[Any](ids(i), nshs(i), ids(j), nshs(j)))
+          k += 1; j += 1
+        }
+      } else {
+        var q = ap
+        while (q < na) {
+          val j = aPos(q)
+          out(k) = new GenericInternalRow(
+            Array[Any](ids(i), nshs(i), ids(j), nshs(j)))
+          k += 1; q += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Bare-id sibling of [[expand]] for kernels where no per-item
+    * payload rides the pair (q204's exact co-count). */
+  def expandIds(arr: ArrayData, anchors: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    val ids = arr.toLongArray()
+    java.util.Arrays.sort(ids)
+    val aPos = new Array[Int](n)
+    var na = 0
+    var i = 0
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(anchors, ids(i)) >= 0) {
+        aPos(na) = i; na += 1
+      }
+      i += 1
+    }
+    var cnt = 0
+    var ap = 0
+    i = 0
+    while (i < n) {
+      if (ap < na && aPos(ap) <= i) ap += 1
+      if (ap > 0 && aPos(ap - 1) == i) cnt += n - 1 - i
+      else cnt += na - ap
+      i += 1
+    }
+    val out = new Array[Any](cnt)
+    var k = 0
+    ap = 0
+    i = 0
+    while (i < n) {
+      if (ap < na && aPos(ap) <= i) ap += 1
+      if (ap > 0 && aPos(ap - 1) == i) {
+        var j = i + 1
+        while (j < n) {
+          out(k) = new GenericInternalRow(Array[Any](ids(i), ids(j)))
+          k += 1; j += 1
+        }
+      } else {
+        var q = ap
+        while (q < na) {
+          out(k) = new GenericInternalRow(Array[Any](ids(i), ids(aPos(q).toInt)))
+          k += 1; q += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `anchor_pair_expand(array<struct<doc_id:long, nsh:int>>)` →
+  * `array<struct<doc_a, nsh_a, doc_b, nsh_b>>`, doc_a < doc_b, at
+  * least one endpoint in the (driver-supplied, human-scale) anchor
+  * set. Semantically = PairExpand + anchor-incidence filter.
+  */
+case class AnchorPairExpand(child: Expression, anchors: Seq[Long])
+    extends UnaryExpression {
+  @transient private lazy val sortedAnchors: Array[Long] =
+    anchors.toArray.sorted
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("doc_a", LongType, nullable = false),
+    StructField("nsh_a", IntegerType, nullable = false),
+    StructField("doc_b", LongType, nullable = false),
+    StructField("nsh_b", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "anchor_pair_expand"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(fields), _)
+          if fields.length == 2 && fields(0).dataType == LongType &&
+            fields(1).dataType == IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"anchor_pair_expand expects array<struct<bigint, int>>, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    AnchorPairExpandImpl.expand(input.asInstanceOf[ArrayData], sortedAnchors)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("anchors", sortedAnchors, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AnchorPairExpandImpl.expand($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AnchorPairExpand =
+    copy(child = newChild)
+}
+
+/** `anchor_pair_expand_ids(array<long>)` → `array<struct<id_a, id_b>>`,
+  * id_a < id_b, at least one endpoint in the anchor set. */
+case class AnchorPairExpandIds(child: Expression, anchors: Seq[Long])
+    extends UnaryExpression {
+  @transient private lazy val sortedAnchors: Array[Long] =
+    anchors.toArray.sorted
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "anchor_pair_expand_ids"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"anchor_pair_expand_ids expects array<bigint>, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    AnchorPairExpandImpl.expandIds(input.asInstanceOf[ArrayData], sortedAnchors)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("anchors", sortedAnchors, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.AnchorPairExpandImpl.expandIds($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AnchorPairExpandIds =
+    copy(child = newChild)
+}
+
 object PairExpandFunctions {
   def pairExpand(c: Column): Column =
     ColumnBridge.column(PairExpand(ColumnBridge.expression(c)))
   def pairExpandIds(c: Column): Column =
     ColumnBridge.column(PairExpandIds(ColumnBridge.expression(c)))
+  def anchorPairExpand(c: Column, anchors: Seq[Long]): Column =
+    ColumnBridge.column(AnchorPairExpand(ColumnBridge.expression(c), anchors))
+  def anchorPairExpandIds(c: Column, anchors: Seq[Long]): Column =
+    ColumnBridge.column(AnchorPairExpandIds(ColumnBridge.expression(c), anchors))
   def simhashBucketPairs(c: Column, bitsPerBand: Int, nBands: Int,
       maxHamming: Int): Column =
     ColumnBridge.column(SimhashBucketPairs(

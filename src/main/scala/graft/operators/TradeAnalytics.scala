@@ -1755,29 +1755,62 @@ object TradeAnalytics extends QueryModule {
     * mirrored in the oracle). Neighbor ranking is a per-item window
     * top-5 (WindowGroupLimit, partial per group).
     */
-  def itemNeighbors(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared capped co-purchase basket build (r16, guide §2.4): ONE
+    * exchange keyed on cust replaces the old three (the distinct's
+    * (cust,item) exchange, the re-exchange the keep-join required, and
+    * posts' groupBy(cust) exchange) — hash(cust) satisfies the
+    * clustered distribution of every downstream cust-keyed operator,
+    * so distinct/keep/join/posts all run in place. It also spreads the
+    * scan-fused probe+dedup work across the session's parallelism: the
+    * sf parquet inputs are single-row-group files, so the old plan ran
+    * the join + partial distinct 1-wide per file (the r10
+    * "single-split scan serializing an expensive map stage"
+    * signature). At cluster scale the scan has thousands of natural
+    * splits and this exchange simply replaces the distinct's — same
+    * bytes, strictly fewer shuffles. Returns (b, itemN), both
+    * persisted; callers release via Materialize. */
+  private def coPurchaseBaskets(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val baskets = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .repartition(spark.sparkContext.defaultParallelism, col("cust"))
       .distinct()
     val keep = baskets.groupBy(col("cust")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= 256).select(col("cust"))
     val b = baskets.join(keep, Seq("cust"))
       .persist() // read by itemN and posts — one basket build, not two
     val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust")).persist()
-    val posts = b
-      .select(col("cust"), struct(col("item").as("doc_id"),
-        lit(0).as("nsh")).as("e"))
-      .groupBy(col("cust")).agg(collect_list(col("e")).as("ds"))
+    (b, itemN)
+  }
+
+  /** Top-K most-bought items (n_cust desc, item tiebreak) as driver
+    * values — the S9-bounded anchor collect (K + ties is human-scale
+    * by contract, the q326 discipline). */
+  private def topAnchors(itemN: DataFrame, k: Int): Array[Long] =
+    itemN.orderBy(col("n_cust").desc, col("item")).limit(k)
+      .select(col("item")).collect().map(_.getLong(0))
+
+  def itemNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val (b, itemN) = coPurchaseBaskets(spark, dir)
+    // Anchor-restricted kernel (r16, guide §1.2 step 1): the output
+    // only ranks neighbors of the top-50 anchors, so every pair with
+    // NO anchor endpoint was expanded, shuffled, and aggregated only
+    // to die in the final broadcast(top50) join. anchorPairExpandIds
+    // emits exactly the anchor-incident subset in-task — the Σbsz²
+    // expansion (13.1M pair rows at sf0.1) collapses to the
+    // anchor-incident mass, and the bare-id kernel drops the nsh=0
+    // payload the r11 pair-key-only shape still carried. Degrees join
+    // back post-agg from the broadcast dimension, unchanged.
+    val anchors = topAnchors(itemN, 50)
+    val posts = b.groupBy(col("cust")).agg(collect_list(col("item")).as("ds"))
     // persist: sym reads pairs TWICE (the unionAll symmetrization) —
-    // without it the whole Σbsz² pairExpand kernel evaluates twice.
-    // Pair-key-only kernel (r11, shared shape with q217): per-item
-    // degrees join back AFTER the Σbsz² aggregation from the bounded
-    // |catalog|-row degree dimension instead of riding every pair.
+    // without it the whole anchor-expand kernel evaluates twice.
     val pairs = posts.select(explode(
-        graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+        graft.functions.PairExpandFunctions.anchorPairExpandIds(
+          col("ds"), anchors.toSeq)).as("p"))
+      .select(col("p.id_a").as("doc_a"), col("p.id_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("co"))
       .persist()
@@ -1791,8 +1824,10 @@ object TradeAnalytics extends QueryModule {
         col("n_cust").as("nn"))), Seq("neighbor"))
       .withColumn("cosine", col("co").cast("double") /
         sqrt(col("ni").cast("double") * col("nn")))
-    val top50 = itemN.orderBy(col("n_cust").desc, col("item")).limit(50)
-      .select(col("item"))
+    // the anchor relation, rebuilt from the collected values so the
+    // final filter and the kernel's anchor set cannot diverge
+    import spark.implicits._
+    val top50 = spark.createDataset(anchors.toSeq).toDF("item")
     val w = Window.partitionBy(col("item"))
       .orderBy(col("cosine").desc, col("neighbor"))
     Materialize.releasing(
@@ -1900,13 +1935,21 @@ object TradeAnalytics extends QueryModule {
     * q322 always runs at [[DimsumGamma]]. */
   private[graft] def dimsumNeighbors(spark: SparkSession, dir: String,
       itemBudget: Long, gamma: Double = DimsumGamma): DataFrame = {
-    val k = dimsumScored(spark, dir, itemBudget, gamma)
-    val top50 = k.itemN.orderBy(col("n_cust").desc, col("item")).limit(50)
-      .select(col("item"))
+    // Anchor-restricted kernel (r16, guide §1.2 step 1): q322 ranks
+    // only the top-50 hub anchors, so the sampled expansion keeps just
+    // the anchor-incident pairs in-task (same DIMSUM draw per kept
+    // pair — emit counts for surviving pairs are bit-identical).
+    // q323/q324 still run the full kernel (their ε-threshold scans the
+    // whole catalog).
+    val k = dimsumScored(spark, dir, itemBudget, gamma, anchorK = Some(50))
+    import spark.implicits._
+    // 50-row LocalRelation: auto-broadcast by size, no explicit hint —
+    // the over-budget path's no-catalog-hints contract stays clean
+    val top50 = spark.createDataset(k.anchors.get).toDF("item")
     val w = Window.partitionBy(col("item"))
       .orderBy(col("est_cosine").desc, col("neighbor"))
     Materialize.releasing(
-      k.sym.join(broadcast(top50), Seq("item"))
+      k.sym.join(top50, Seq("item"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("item"), col("rank"), col("neighbor"),
@@ -1923,21 +1966,20 @@ object TradeAnalytics extends QueryModule {
     * broadcast budget, and the persisted intermediates the caller
     * releases through [[Materialize]]. */
   private final case class DimsumKernel(sym: DataFrame, itemN: DataFrame,
-      baskets: DataFrame, itemNHinted: Boolean, releasables: Seq[DataFrame])
+      baskets: DataFrame, itemNHinted: Boolean, releasables: Seq[DataFrame],
+      anchors: Option[Seq[Long]] = None)
 
   /** q322 ranks the kernel (top-5 per hub anchor); q323 thresholds
-    * and exactly verifies it. */
+    * and exactly verifies it. `anchorK = Some(k)` restricts the
+    * expansion to pairs incident to the top-k anchors (r16) — the
+    * emitted-pair subset a post-expansion anchor filter would keep,
+    * with identical per-pair draws; None keeps the full Σbsz²
+    * expansion for the threshold-family consumers. */
   private def dimsumScored(spark: SparkSession, dir: String,
-      itemBudget: Long, gamma: Double): DimsumKernel = {
-    val baskets = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
-      .distinct()
-    val keep = baskets.groupBy(col("cust")).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= 256).select(col("cust"))
-    val b = baskets.join(keep, Seq("cust")).persist()
-    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust")).persist()
+      itemBudget: Long, gamma: Double,
+      anchorK: Option[Int] = None): DimsumKernel = {
+    val (b, itemN) = coPurchaseBaskets(spark, dir)
+    val anchors = anchorK.map(k => topAnchors(itemN, k).toSeq)
     val hinted = itemN.count() <= itemBudget
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (hinted) broadcast(df) else df
@@ -1949,8 +1991,12 @@ object TradeAnalytics extends QueryModule {
     // expand+md5 kernel already lands on the 32-wide reduce side of the
     // posts groupBy — a forced spread read wall-identical (5.05 s both
     // ways at sf0.1) and only added a shuffle.
-    val expanded = posts.select(col("cust"), explode(
-        graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
+    val expanded = posts.select(col("cust"), explode(anchors match {
+        case Some(a) =>
+          graft.functions.PairExpandFunctions.anchorPairExpand(col("ds"), a)
+        case None =>
+          graft.functions.PairExpandFunctions.pairExpand(col("ds"))
+      }).as("p"))
     val rootProd = sqrt(
       (col("p.nsh_a").cast("long") * col("p.nsh_b")).cast("double"))
     val pKeep = least(lit(1.0), lit(gamma) / rootProd)
@@ -1984,7 +2030,7 @@ object TradeAnalytics extends QueryModule {
       .join(maybeBroadcast(itemN.select(col("item").as("neighbor"),
         col("n_cust").as("nn"))), Seq("neighbor"))
       .withColumn("est_cosine", est(col("ni"), col("nn")))
-    DimsumKernel(sym, itemN, b, hinted, Seq(b, itemN, emits))
+    DimsumKernel(sym, itemN, b, hinted, Seq(b, itemN, emits), anchors)
   }
 
   /** q323: threshold-mode DIMSUM, TWO-PHASE — all pairs with EXACT
@@ -2371,17 +2417,12 @@ object TradeAnalytics extends QueryModule {
   /** γ-parameterized so the spec can force each route on one fixture. */
   private[graft] def adaptiveItemNeighbors(spark: SparkSession, dir: String,
       gamma: Double): DataFrame = {
-    val baskets = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
-      .distinct()
-    val keep = baskets.groupBy(col("cust")).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= 256).select(col("cust"))
-    val top2 = baskets.join(keep, Seq("cust"))
-      .groupBy(col("item")).agg(count(lit(1)).as("n_cust"))
-      .orderBy(col("n_cust").desc).limit(2)
+    val (b, itemN) = coPurchaseBaskets(spark, dir)
+    val top2 = itemN.orderBy(col("n_cust").desc).limit(2)
       .collect().map(_.getAs[Long]("n_cust"))
+    // the routing stat was this build's only read — the routed kernel
+    // rebuilds its own pinned copy
+    b.unpersist(); itemN.unpersist()
     val sampled = top2.length == 2 &&
       math.sqrt(top2(0).toDouble * top2(1)) > gamma
     val routed =
@@ -2491,15 +2532,7 @@ object TradeAnalytics extends QueryModule {
   private[graft] def hybridItemNeighbors(spark: SparkSession, dir: String,
       gamma: Double, itemBudget: Long = DimsumItemBudget,
       anchorK: Int = 50): DataFrame = {
-    val baskets = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
-      .distinct()
-    val keep = baskets.groupBy(col("cust")).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= 256).select(col("cust"))
-    val b = baskets.join(keep, Seq("cust")).persist()
-    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust")).persist()
+    val (b, itemN) = coPurchaseBaskets(spark, dir)
     // routing stats: top-K anchors + the global max degree (K+1 small
     // rows to the driver — the S9 bound, O(anchorK))
     val top50 = itemN.orderBy(col("n_cust").desc, col("item")).limit(anchorK)
@@ -2532,8 +2565,14 @@ object TradeAnalytics extends QueryModule {
       .select(col("cust"), struct(col("item").as("doc_id"),
         col("n_cust").cast("int").as("nsh")).as("e"))
       .groupBy(col("cust")).agg(collect_list(col("e")).as("ds"))
+    // r16 (guide §1.2 step 1): the route tagging below keeps ONLY
+    // anchor-incident pairs, so the expansion emits exactly that
+    // subset in-task via the anchor kernel instead of materializing
+    // the full Σbsz² expansion and killing most of it in the tag
+    // filter. Same pair set, same per-pair md5 draw — identical rows.
     val expanded = posts.select(col("cust"), explode(
-        graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
+        graft.functions.PairExpandFunctions.anchorPairExpand(
+          col("ds"), top50.map(_._1).toSeq)).as("p"))
     val rootProd = sqrt(
       (col("p.nsh_a").cast("long") * col("p.nsh_b")).cast("double"))
     val pKeep = least(lit(1.0), lit(gamma) / rootProd)
@@ -2718,39 +2757,37 @@ object TradeAnalytics extends QueryModule {
     * keyed aggregations and a per-user window over ≤ 5·|basket| rows.
     */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
-      .distinct()
-    val keep = baskets.groupBy(col("cust")).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= 256).select(col("cust"))
-    val b = baskets.join(keep, Seq("cust")).persist()
-    val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust")).persist()
-    val posts = b
-      .select(col("cust"), struct(col("item").as("doc_id"),
-        lit(0).as("nsh")).as("e"))
-      .groupBy(col("cust")).agg(collect_list(col("e")).as("ds"))
+    val (b, itemN) = coPurchaseBaskets(spark, dir)
+    val posts = b.groupBy(col("cust")).agg(collect_list(col("item")).as("ds"))
     // persist: sym reads pairs TWICE (the unionAll symmetrization) —
     // without it the whole Σbsz² pairExpand kernel evaluates twice.
-    // The Σbsz² relation carries ONLY the pair key: per-item degrees
-    // (nsh) are functionally dependent on the item ids, so shipping
-    // them through the kernel widened every emitted struct and the
-    // 12M-key aggregation for data derivable by a post-agg broadcast
-    // join against the |catalog|-row degree dimension.
+    // The Σbsz² relation carries ONLY the pair key (r16: the bare-id
+    // kernel — the r11 shape still shipped a constant nsh=0 payload
+    // through every emitted struct): per-item degrees are functionally
+    // dependent on the item ids, so they join back AFTER the Σbsz²
+    // aggregation from the bounded |catalog|-row degree dimension.
+    // No anchor restriction here — q217 ranks top-5 neighbors for
+    // EVERY item, so the full pair relation is the computation.
     val pairs = posts.select(explode(
-        graft.functions.PairExpandFunctions.pairExpand(col("ds"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+        graft.functions.PairExpandFunctions.pairExpandIds(col("ds"))).as("p"))
+      .select(col("p.id_a").as("doc_a"), col("p.id_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("co"))
       .persist()
+    // catalog-sized broadcasts under the q322 budget discipline (r16 —
+    // these were unconditional hints before, the exact shape the q326
+    // probe review flagged): past the budget every degree/neighbor
+    // join degrades to an AQE-planned shuffle join, never a driver OOM
+    val nCat = itemN.count()
+    val hinted = nCat <= DimsumItemBudget
+    def maybeB(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
     val sym = pairs.select(col("doc_a").as("item"), col("doc_b").as("neighbor"),
         col("co"))
       .unionAll(pairs.select(col("doc_b").as("item"), col("doc_a").as("neighbor"),
         col("co")))
-      .join(broadcast(itemN.select(col("item"), col("n_cust").as("ni"))),
+      .join(maybeB(itemN.select(col("item"), col("n_cust").as("ni"))),
         Seq("item"))
-      .join(broadcast(itemN.select(col("item").as("neighbor"),
+      .join(maybeB(itemN.select(col("item").as("neighbor"),
         col("n_cust").as("nn"))), Seq("neighbor"))
       .withColumn("cosine", col("co").cast("double") /
         sqrt(col("ni").cast("double") * col("nn")))
@@ -2759,7 +2796,15 @@ object TradeAnalytics extends QueryModule {
     val nb5 = sym.withColumn("nrk", row_number().over(wItem))
       .filter(col("nrk") <= 5)
       .select(col("item"), col("neighbor"), col("cosine"))
-    val cand = b.join(nb5, Seq("item"))
+    // Broadcasting nb5 (≤ 5 rows per catalog item — its own, tighter
+    // budget) keeps b on its cust layout through the whole tail: the
+    // candidate join, the (cust, neighbor) aggregation, the anti join,
+    // and the per-user window then all run exchange-free on hash(cust)
+    // — three full shuffles of the basket relation removed (guide
+    // §2.4). Past the budget the join shuffles as before.
+    val cand = b.join(
+        if (nCat * 5 <= DimsumItemBudget) broadcast(nb5) else nb5,
+        Seq("item"))
       .groupBy(col("cust"), col("neighbor"))
       .agg(max(col("cosine")).as("score"))
     val hard = cand.join(

@@ -198,6 +198,57 @@ class PropertySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("anchor_pair_expand equals pair_expand filtered to anchor-incident pairs") {
+    import TestSpark.spark.implicits._
+    val anchors = Seq(3L, 11L, 27L, 38L)
+    val lists = List.fill(150)(
+      rng.shuffle((0L until 40L).toList).take(rng.nextInt(8) + 2)
+        .map(id => (id, rng.nextInt(100) + 1)))
+    val df = lists.map(_.toSeq).toDF("ds")
+      .select(col("ds").cast("array<struct<doc_id:bigint,nsh:int>>").as("ds"))
+    val got = df.select(graft.functions.PairExpandFunctions.anchorPairExpand(
+        col("ds"), anchors))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toList)
+      .toList
+    val aSet = anchors.toSet
+    val want = lists.map { l =>
+      val s = l.sortBy(_._1)
+      (for { i <- s.indices; j <- (i + 1) until s.size
+             if aSet(s(i)._1) || aSet(s(j)._1) }
+        yield (s(i)._1, s(i)._2, s(j)._1, s(j)._2)).toList
+    }
+    // SET equality is the contract the kernels' consumers (aggregations)
+    // rely on; order equality is asserted too since both iterate the
+    // same sorted list
+    assert(got.map(_.toSet) === want.map(_.toSet))
+    // empty anchor set ⇒ no pairs at all
+    val none = df.select(graft.functions.PairExpandFunctions.anchorPairExpand(
+        col("ds"), Seq.empty))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)).toList
+    assert(none.forall(_.isEmpty))
+  }
+
+  test("anchor_pair_expand_ids equals pair_expand_ids filtered to anchor-incident pairs") {
+    import TestSpark.spark.implicits._
+    val anchors = Seq(1L, 17L, 29L, 44L, 58L)
+    val lists = List.fill(150)(
+      rng.shuffle((0L until 60L).toList).take(rng.nextInt(9) + 2))
+    val got = lists.map(_.toSeq).toDF("ids")
+      .select(graft.functions.PairExpandFunctions.anchorPairExpandIds(
+        col("ids"), anchors))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1))).toList).toList
+    val aSet = anchors.toSet
+    val want = lists.map { l =>
+      val s = l.sorted
+      (for { i <- s.indices; j <- (i + 1) until s.size
+             if aSet(s(i)) || aSet(s(j)) }
+        yield (s(i), s(j))).toList
+    }
+    assert(got.map(_.toSet) === want.map(_.toSet))
+  }
+
   test("simhash_bucket_pairs equals a brute-force reference incl. first-band tags") {
     import TestSpark.spark.implicits._
     val bitsPerBand = 10; val nBands = 6; val maxHamming = 5
