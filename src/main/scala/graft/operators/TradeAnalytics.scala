@@ -1805,19 +1805,23 @@ object TradeAnalytics extends QueryModule {
     // back post-agg from the broadcast dimension, unchanged.
     val anchors = topAnchors(itemN, 50)
     val posts = b.groupBy(col("cust")).agg(collect_list(col("item")).as("ds"))
-    // persist: sym reads pairs TWICE (the unionAll symmetrization) —
-    // without it the whole anchor-expand kernel evaluates twice.
     val pairs = posts.select(explode(
         graft.functions.PairExpandFunctions.anchorPairExpandIds(
           col("ds"), anchors.toSeq)).as("p"))
       .select(col("p.id_a").as("doc_a"), col("p.id_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("co"))
-      .persist()
-    val sym = pairs.select(col("doc_a").as("item"), col("doc_b").as("neighbor"),
-        col("co"))
-      .unionAll(pairs.select(col("doc_b").as("item"), col("doc_a").as("neighbor"),
-        col("co")))
+    // symmetrize IN-TASK (r16): the old unionAll read `pairs` twice,
+    // which forced a persist whose cache materialization cost more
+    // than the kernel itself (probe-measured); exploding both
+    // directions of each aggregated pair row keeps the relation
+    // single-pass and fuses straight into the degree joins
+    val sym = pairs.select(explode(array(
+        struct(col("doc_a").as("item"), col("doc_b").as("neighbor"), col("co")),
+        struct(col("doc_b").as("item"), col("doc_a").as("neighbor"), col("co"))))
+        .as("s"))
+      .select(col("s.item").as("item"), col("s.neighbor").as("neighbor"),
+        col("s.co").as("co"))
       .join(broadcast(itemN.select(col("item"), col("n_cust").as("ni"))),
         Seq("item"))
       .join(broadcast(itemN.select(col("item").as("neighbor"),
@@ -1838,7 +1842,7 @@ object TradeAnalytics extends QueryModule {
           col("co").cast("bigint").as("n_co_buyers"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy(col("item"), col("rank")),
-      itemN, b, pairs)
+      itemN, b)
   }
 
   private val itemNeighborsSql =
@@ -2009,28 +2013,32 @@ object TradeAnalytics extends QueryModule {
     // most pairs, at production degrees none, and the predicate VALUE
     // is identical either way. Production swaps the portable md5 (the
     // DuckDB-replayable oracle contract) for a native 64-bit hash.
-    // persist: sym reads emits twice (the unionAll symmetrization)
     val emits = expanded
       .filter(lit(gamma) >= rootProd ||
         u.cast("double") < pKeep * lit(1e6))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("emits"))
-      .persist()
     def est(ni: Column, nn: Column): Column = {
       val prod = sqrt((ni * nn).cast("double"))
       col("emits").cast("double") /
         (least(lit(1.0), lit(gamma) / prod) * prod)
     }
-    val sym = emits.select(col("doc_a").as("item"), col("doc_b").as("neighbor"),
-        col("emits"))
-      .unionAll(emits.select(col("doc_b").as("item"),
-        col("doc_a").as("neighbor"), col("emits")))
+    // in-task symmetrization (r16): one explode emits both directions
+    // of each aggregated pair row, so the kernel output is single-pass
+    // and needs no persist for the old unionAll's two reads
+    val sym = emits.select(explode(array(
+        struct(col("doc_a").as("item"), col("doc_b").as("neighbor"),
+          col("emits")),
+        struct(col("doc_b").as("item"), col("doc_a").as("neighbor"),
+          col("emits")))).as("s"))
+      .select(col("s.item").as("item"), col("s.neighbor").as("neighbor"),
+        col("s.emits").as("emits"))
       .join(maybeBroadcast(itemN.select(col("item"), col("n_cust").as("ni"))),
         Seq("item"))
       .join(maybeBroadcast(itemN.select(col("item").as("neighbor"),
         col("n_cust").as("nn"))), Seq("neighbor"))
       .withColumn("est_cosine", est(col("ni"), col("nn")))
-    DimsumKernel(sym, itemN, b, hinted, Seq(b, itemN, emits), anchors)
+    DimsumKernel(sym, itemN, b, hinted, Seq(b, itemN), anchors)
   }
 
   /** q323: threshold-mode DIMSUM, TWO-PHASE — all pairs with EXACT
@@ -2118,13 +2126,20 @@ object TradeAnalytics extends QueryModule {
   private[graft] def dimsumThresholdPairs(spark: SparkSession, dir: String,
       gamma: Double, candBudget: Long = DimsumCandidateBudget): DataFrame = {
     val (verified, k, extras) = dimsumVerified(spark, dir, gamma, candBudget)
+    // in-task symmetrization (r16): the unionAll's second read of
+    // `verified` duplicated the ENTIRE two-phase plan tree through the
+    // union (persist dedups execution, not planning — the analyzed
+    // plan was ~190k explain lines and planning dominated the sf0.01
+    // wall); one explode keeps the tree single-branch
     Materialize.releasing(
-      verified.select(col("a").as("item"), col("b").as("neighbor"),
-          col("co"), col("cosine"))
-        .unionAll(verified.select(col("b"), col("a"), col("co"), col("cosine")))
-        .select(col("item"), col("neighbor"),
-          col("co").cast("bigint").as("n_co_buyers"),
-          round(col("cosine"), 4).as("cosine"))
+      verified.select(explode(array(
+          struct(col("a").as("item"), col("b").as("neighbor"),
+            col("co"), col("cosine")),
+          struct(col("b").as("item"), col("a").as("neighbor"),
+            col("co"), col("cosine")))).as("s"))
+        .select(col("s.item").as("item"), col("s.neighbor").as("neighbor"),
+          col("s.co").cast("bigint").as("n_co_buyers"),
+          round(col("s.cosine"), 4).as("cosine"))
         .orderBy(col("item"), col("neighbor")),
       k.releasables ++ extras: _*)
   }
@@ -2321,10 +2336,14 @@ object TradeAnalytics extends QueryModule {
   def dimsumHardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val (verified, k, extras) =
       dimsumVerified(spark, dir, DimsumGamma, DimsumCandidateBudget)
-    val simpairs = verified
-      .select(col("a").as("item"), col("b").as("neighbor"), col("cosine"))
-      .unionAll(verified
-        .select(col("b").as("item"), col("a").as("neighbor"), col("cosine")))
+    // in-task symmetrization (r16) — same single-branch explode as
+    // q323; halves the analyzed plan tree the old unionAll doubled
+    val simpairs = verified.select(explode(array(
+        struct(col("a").as("item"), col("b").as("neighbor"), col("cosine")),
+        struct(col("b").as("item"), col("a").as("neighbor"), col("cosine"))))
+        .as("s"))
+      .select(col("s.item").as("item"), col("s.neighbor").as("neighbor"),
+        col("s.cosine").as("cosine"))
     val cand = k.baskets.join(simpairs, Seq("item"))
       .groupBy(col("cust"), col("neighbor"))
       .agg(max(col("cosine")).as("score"))
@@ -2591,11 +2610,16 @@ object TradeAnalytics extends QueryModule {
           when(touchesE, lit("x")),
           when(touchesS && drawKeep, lit("s"))), c => c.isNotNull)).as("route"))
     val counted = tagged.groupBy(col("route"), col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("cnt")).persist()
-    val sym = counted.select(col("route"), col("doc_a").as("item"),
-        col("doc_b").as("neighbor"), col("cnt"))
-      .unionAll(counted.select(col("route"), col("doc_b").as("item"),
-        col("doc_a").as("neighbor"), col("cnt")))
+      .agg(count(lit(1)).as("cnt"))
+    // in-task symmetrization (r16) — same single-pass explode as
+    // q204/q322, so the counted relation needs no persist
+    val sym = counted.select(col("route"), explode(array(
+        struct(col("doc_a").as("item"), col("doc_b").as("neighbor"),
+          col("cnt")),
+        struct(col("doc_b").as("item"), col("doc_a").as("neighbor"),
+          col("cnt")))).as("s"))
+      .select(col("route"), col("s.item").as("item"),
+        col("s.neighbor").as("neighbor"), col("s.cnt").as("cnt"))
       .join(maybeB(itemN.select(col("item"), col("n_cust").as("ni"))),
         Seq("item"))
       .join(maybeB(itemN.select(col("item").as("neighbor"),
@@ -2617,7 +2641,7 @@ object TradeAnalytics extends QueryModule {
           col("cnt").cast("bigint").as("support"),
           round(col("score"), 4).as("score"))
         .orderBy(col("item"), col("rank")),
-      b, itemN, counted)
+      b, itemN)
   }
 
   /** Both kernels replay in SQL (the q322/q204 CTE shapes); the
@@ -2759,8 +2783,6 @@ object TradeAnalytics extends QueryModule {
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val (b, itemN) = coPurchaseBaskets(spark, dir)
     val posts = b.groupBy(col("cust")).agg(collect_list(col("item")).as("ds"))
-    // persist: sym reads pairs TWICE (the unionAll symmetrization) —
-    // without it the whole Σbsz² pairExpand kernel evaluates twice.
     // The Σbsz² relation carries ONLY the pair key (r16: the bare-id
     // kernel — the r11 shape still shipped a constant nsh=0 payload
     // through every emitted struct): per-item degrees are functionally
@@ -2773,7 +2795,6 @@ object TradeAnalytics extends QueryModule {
       .select(col("p.id_a").as("doc_a"), col("p.id_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("co"))
-      .persist()
     // catalog-sized broadcasts under the q322 budget discipline (r16 —
     // these were unconditional hints before, the exact shape the q326
     // probe review flagged): past the budget every degree/neighbor
@@ -2781,10 +2802,17 @@ object TradeAnalytics extends QueryModule {
     val nCat = itemN.count()
     val hinted = nCat <= DimsumItemBudget
     def maybeB(df: DataFrame): DataFrame = if (hinted) broadcast(df) else df
-    val sym = pairs.select(col("doc_a").as("item"), col("doc_b").as("neighbor"),
-        col("co"))
-      .unionAll(pairs.select(col("doc_b").as("item"), col("doc_a").as("neighbor"),
-        col("co")))
+    // in-task symmetrization (r16): at sf0.1 the pair relation is
+    // 12.7M nearly-unique rows — persisting it for the unionAll's two
+    // reads cost more than recomputing the kernel (probe-measured);
+    // one explode emits both directions and the relation stays
+    // single-pass
+    val sym = pairs.select(explode(array(
+        struct(col("doc_a").as("item"), col("doc_b").as("neighbor"), col("co")),
+        struct(col("doc_b").as("item"), col("doc_a").as("neighbor"), col("co"))))
+        .as("s"))
+      .select(col("s.item").as("item"), col("s.neighbor").as("neighbor"),
+        col("s.co").as("co"))
       .join(maybeB(itemN.select(col("item"), col("n_cust").as("ni"))),
         Seq("item"))
       .join(maybeB(itemN.select(col("item").as("neighbor"),
@@ -2818,7 +2846,7 @@ object TradeAnalytics extends QueryModule {
         .select(col("cust").as("user_id"), col("rank"),
           col("neighbor").as("item"), round(col("score"), 4).as("score"))
         .orderBy(col("user_id"), col("rank")),
-      b, pairs, itemN)
+      b, itemN)
   }
 
   private val hardNegativesSql =
@@ -4584,10 +4612,19 @@ object TradeAnalytics extends QueryModule {
     // twice — 4 re-evaluations of two shuffles each without it. Sized
     // ~|train lineitems| rows of 3 longs; released by the harness's
     // clearCache.
+    // ok-keyed layout (r16, guide §2.4): one REPARTITION by the order
+    // key replaces the distinct's (c, ok, item) exchange AND
+    // co-partitions both sides of the co-occurrence self-join below —
+    // the join's two full exchanges of the train relation disappear
+    // (hash(ok) satisfies the distinct's clustering and the join's
+    // distribution requirement). Same bytes on the one exchange that
+    // remains.
     val trainItems = tagged.filter(col("rn") > 1)
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("o_orderkey").as("ok"),
-        col("l_partkey").as("item")).distinct()
+        col("l_partkey").as("item"))
+      .repartition(spark.sparkContext.defaultParallelism, col("ok"))
+      .distinct()
       .persist()
     val heldOut = tagged.filter(col("rn") === 1)
       .join(li, col("o_orderkey") === col("l_orderkey"))
@@ -4601,10 +4638,18 @@ object TradeAnalytics extends QueryModule {
     val cooc = coocFull.withColumn("nrk", row_number().over(wNbr))
       .filter(col("nrk") <= RecsysNeighborK).drop("nrk")
     val profile = trainItems.select(col("c"), col("item")).distinct()
+    val w = spark.sparkContext.defaultParallelism
+    // c-keyed scoring tail (r16, guide §2.4): keying the candidate
+    // expansion on the customer once lets the (c, j) aggregation, the
+    // unseen anti join, and the per-customer top-k window all run in
+    // place — the old plan re-exchanged the aggregated relation for
+    // each of them (probe-measured ~1 s at sf0.1)
     val scores = profile.join(cooc, col("item") === col("i"))
+      .repartition(w, col("c"))
       .groupBy(col("c"), col("j"))
       .agg(sum(col("w")).as("score"))
-      .join(profile.select(col("c"), col("item").as("j")),
+      .join(profile.select(col("c"), col("item").as("j"))
+          .repartition(w, col("c")),
         Seq("c", "j"), "left_anti") // recommend only unseen items
     val wTop = Window.partitionBy(col("c"))
       .orderBy(col("score").desc, col("j"))
