@@ -165,13 +165,58 @@ object ScaledWindows {
       .drop(PID, "__sw_local", "__sw_off")
   }
 
-  /** Global `row_number() OVER (ORDER BY order)` as `out` (1-based),
-    * via an exclusive prefix COUNT plus one.
+  /** Partition-local 0-based row index over the PINNED rangeTag
+    * layout, WITHOUT the pass-2 window exchange (r16, guide §2.4):
+    * `Window.partitionBy(__sw_pid)` required a hash(__sw_pid) exchange
+    * of the ENTIRE data relation — a pure permutation of partitions,
+    * since the cached pass-1 layout already holds exactly one pid per
+    * partition, but Spark cannot see that equivalence. For the
+    * cumulative-COUNT shapes (rowNumber/ntile) the local value is just
+    * the row's position in its sorted partition, which
+    * `monotonically_increasing_id()` exposes directly: over partition
+    * p it assigns (p << 33) + rowIndex in evaluation order, and the
+    * evaluation order is pinned by the in-place sort over the
+    * persisted layout (callers pass a TOTAL order — the existing
+    * contract). Subtracting the pid reconstructs the 0-based index
+    * deterministically: same blocks, same sort, same ids on any rerun
+    * or task retry. General prefixSum (arbitrary `value`) keeps the
+    * window path.
+    */
+  private def localIndex(parted: DataFrame, order: Seq[Column]): DataFrame =
+    parted.sortWithinPartitions(order: _*)
+      .withColumn("__sw_mid", monotonically_increasing_id())
+      .withColumn("__sw_local",
+        col("__sw_mid") - shiftleft(col(PID).cast("long"), 33))
+      .drop("__sw_mid")
+
+  /** The ≤ numParts-row offsets relation: per-pid exclusive prefix
+    * count, plus the grand total when `totalOut` is set. */
+  private def countOffsets(parted: DataFrame,
+      totalOut: Option[String]): DataFrame = {
+    val wOff = Window.orderBy(col(PID))
+    val offsets0 = parted.groupBy(col(PID)).agg(count(lit(1)).as("__sw_ptot"))
+      .withColumn("__sw_off", coalesce(sum(col("__sw_ptot")).over(
+        wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    totalOut.fold(offsets0.select(col(PID), col("__sw_off"))) { t =>
+      offsets0.withColumn(t, sum(col("__sw_ptot")).over(
+          wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col(PID), col("__sw_off"), col(t))
+    }
+  }
+
+  /** Global `row_number() OVER (ORDER BY order)` as `out` (1-based):
+    * partition-local index over the pinned pass-1 layout plus the
+    * broadcast per-partition offset — no exchange of the data relation
+    * beyond pass 1's range shuffle.
     */
   def rowNumber(df: DataFrame, order: Seq[Column], out: String,
-                numParts: Int = 0): DataFrame =
-    prefixSum(df, order, lit(1L), out, exclusive = true, numParts)
-      .withColumn(out, (col(out) + 1L))
+                numParts: Int = 0): DataFrame = {
+    val parted = rangeTag(df, order, numParts)
+    localIndex(parted, order)
+      .join(broadcast(countOffsets(parted, None)), Seq(PID))
+      .withColumn(out, col("__sw_local") + col("__sw_off") + 1L)
+      .drop(PID, "__sw_local", "__sw_off")
+  }
 
   /** Global `ntile(k) OVER (ORDER BY order)` as `out` (IntegerType),
     * with exact SQL NTILE remainder semantics — n mod k leading
@@ -185,10 +230,13 @@ object ScaledWindows {
   def ntile(df: DataFrame, order: Seq[Column], k: Int, out: String,
             numParts: Int = 0): DataFrame = {
     // n rides along from the offsets relation (totalOut) — no second
-    // aggregation pass over the data relation just for the count
-    prefixSumWithTotal(df, order, lit(1L), "__sw_rn", Some("__sw_n"),
-        exclusive = true, numParts)
-      .withColumn("__sw_rn", col("__sw_rn") + 1L)
+    // aggregation pass over the data relation just for the count;
+    // rank via the exchange-free local index (see localIndex)
+    val parted = rangeTag(df, order, numParts)
+    localIndex(parted, order)
+      .join(broadcast(countOffsets(parted, Some("__sw_n"))), Seq(PID))
+      .withColumn("__sw_rn", col("__sw_local") + col("__sw_off") + 1L)
+      .drop(PID, "__sw_local", "__sw_off")
       .withColumn("__sw_q", expr(s"__sw_n div $k"))
       .withColumn("__sw_r", expr(s"__sw_n % $k"))
       .withColumn(out,
