@@ -233,6 +233,70 @@ case class PairExpandIds(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object PairExpandImplPacked {
+
+  /** Packed-long sibling of [[PairExpandImplIds.pairExpandIds]] (r17,
+    * guide §2.3 — narrower shuffle/aggregation keys): each ordered pair
+    * (a < b) is emitted as the single long (a << 32) | b instead of a
+    * two-long struct. Grouping on the packed key is bijective with
+    * grouping on (a, b) exactly when every id fits in an unsigned
+    * 32-bit slot, so callers MUST guard on max id < 2³² (and fall back
+    * to the struct kernel past it — the id domain at catalog scale is
+    * a runtime property, not a compile-time one). The kernel re-checks
+    * defensively and throws rather than silently corrupting pairs.
+    */
+  def pairExpandPackedIds(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val ids = arr.toLongArray()
+    java.util.Arrays.sort(ids)
+    if (n > 0 && (ids(0) < 0L || ids(n - 1) >= (1L << 32)))
+      throw new IllegalArgumentException(
+        s"pair_expand_packed_ids: id out of [0, 2^32): ${ids(0)}..${ids(n - 1)}")
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val hi = ids(i) << 32
+      var j = i + 1
+      while (j < n) {
+        out(k) = hi | ids(j)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `pair_expand_packed_ids(array<long>)` → `array<long>` of
+  * (id_a << 32) | id_b, id_a < id_b — the bare-id pair expansion with
+  * a single-long pair key. Caller-guarded: ids must be in [0, 2³²). */
+case class PairExpandPackedIds(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pair_expand_packed_ids"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pair_expand_packed_ids expects array<bigint>, got ${other.sql}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    PairExpandImplPacked.pairExpandPackedIds(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PairExpandImplPacked.pairExpandPackedIds($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PairExpandPackedIds =
+    copy(child = newChild)
+}
+
 object AnchorPairExpandImpl {
 
   /** Anchor-restricted pair expansion (r16, guide §1.2/§2.3): emit ONLY
@@ -448,6 +512,8 @@ object PairExpandFunctions {
     ColumnBridge.column(PairExpand(ColumnBridge.expression(c)))
   def pairExpandIds(c: Column): Column =
     ColumnBridge.column(PairExpandIds(ColumnBridge.expression(c)))
+  def pairExpandPackedIds(c: Column): Column =
+    ColumnBridge.column(PairExpandPackedIds(ColumnBridge.expression(c)))
   def anchorPairExpand(c: Column, anchors: Seq[Long]): Column =
     ColumnBridge.column(AnchorPairExpand(ColumnBridge.expression(c), anchors))
   def anchorPairExpandIds(c: Column, anchors: Seq[Long]): Column =

@@ -189,18 +189,41 @@ object ScaledWindows {
         col("__sw_mid") - shiftleft(col(PID).cast("long"), 33))
       .drop("__sw_mid")
 
+  /** Runtime pin of localIndex's layout invariant (r17, VERDICT r16
+    * #4 / ADVICE r16): the reconstruction is only correct while the
+    * persisted `__sw_pid` equals the physical partition index at
+    * re-evaluation. Any renumbering/coalescing between the cached
+    * pass-1 scan and the mID projection shifts `__sw_mid` by a
+    * multiple of 2³³, so the derived local index leaves [0, ptot) for
+    * the affected rows (ptot < 2³³ by the per-partition row budget) —
+    * two long comparisons per row catch it and raise instead of
+    * silently mis-ranking. `__sw_ptot` rides the ≤ numParts-row
+    * broadcast offsets relation for free.
+    */
+  private def guardLocal(joined: DataFrame): DataFrame =
+    joined.withColumn("__sw_local",
+        when(col("__sw_local") >= 0 && col("__sw_local") < col("__sw_ptot"),
+          col("__sw_local"))
+          .otherwise(raise_error(format_string(
+            "ScaledWindows.localIndex: cached pass-1 pid no longer matches " +
+              "the physical partition index (pid=%d local=%d ptot=%d)",
+            col(PID), col("__sw_local"), col("__sw_ptot")))))
+      .drop("__sw_ptot")
+
   /** The ≤ numParts-row offsets relation: per-pid exclusive prefix
-    * count, plus the grand total when `totalOut` is set. */
+    * count and per-pid row count (the guardLocal bound), plus the
+    * grand total when `totalOut` is set. */
   private def countOffsets(parted: DataFrame,
       totalOut: Option[String]): DataFrame = {
     val wOff = Window.orderBy(col(PID))
     val offsets0 = parted.groupBy(col(PID)).agg(count(lit(1)).as("__sw_ptot"))
       .withColumn("__sw_off", coalesce(sum(col("__sw_ptot")).over(
         wOff.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    totalOut.fold(offsets0.select(col(PID), col("__sw_off"))) { t =>
+    totalOut.fold(offsets0.select(col(PID), col("__sw_off"),
+        col("__sw_ptot"))) { t =>
       offsets0.withColumn(t, sum(col("__sw_ptot")).over(
           wOff.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .select(col(PID), col("__sw_off"), col(t))
+        .select(col(PID), col("__sw_off"), col("__sw_ptot"), col(t))
     }
   }
 
@@ -212,8 +235,8 @@ object ScaledWindows {
   def rowNumber(df: DataFrame, order: Seq[Column], out: String,
                 numParts: Int = 0): DataFrame = {
     val parted = rangeTag(df, order, numParts)
-    localIndex(parted, order)
-      .join(broadcast(countOffsets(parted, None)), Seq(PID))
+    guardLocal(localIndex(parted, order)
+        .join(broadcast(countOffsets(parted, None)), Seq(PID)))
       .withColumn(out, col("__sw_local") + col("__sw_off") + 1L)
       .drop(PID, "__sw_local", "__sw_off")
   }
@@ -233,8 +256,8 @@ object ScaledWindows {
     // aggregation pass over the data relation just for the count;
     // rank via the exchange-free local index (see localIndex)
     val parted = rangeTag(df, order, numParts)
-    localIndex(parted, order)
-      .join(broadcast(countOffsets(parted, Some("__sw_n"))), Seq(PID))
+    guardLocal(localIndex(parted, order)
+        .join(broadcast(countOffsets(parted, Some("__sw_n"))), Seq(PID)))
       .withColumn("__sw_rn", col("__sw_local") + col("__sw_off") + 1L)
       .drop(PID, "__sw_local", "__sw_off")
       .withColumn("__sw_q", expr(s"__sw_n div $k"))

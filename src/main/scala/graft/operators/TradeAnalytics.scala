@@ -2790,11 +2790,38 @@ object TradeAnalytics extends QueryModule {
     // aggregation from the bounded |catalog|-row degree dimension.
     // No anchor restriction here — q217 ranks top-5 neighbors for
     // EVERY item, so the full pair relation is the computation.
-    val pairs = posts.select(explode(
-        graft.functions.PairExpandFunctions.pairExpandIds(col("ds"))).as("p"))
-      .select(col("p.id_a").as("doc_a"), col("p.id_b").as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("co"))
+    // Packed-long pair key + no map-side partial agg (r17, VERDICT r16
+    // #2 / guide §2.3): the Σbsz² aggregation's 12.7M keys are nearly
+    // unique, so the planner's unconditional partial aggregation built
+    // a 12.7M-entry map-side hash table to shrink the shuffle ~3%
+    // (plan: Exchange carried 13.1M of 13.14M emitted rows, 400.6 MiB).
+    // Packing (a << 32) | b collapses the struct key to one long —
+    // grouping is bijective with (a, b) while max id < 2³², guarded at
+    // runtime off the persisted degree dimension (and re-checked
+    // in-kernel: out-of-range ids throw rather than corrupt) — and the
+    // explicit pk repartition makes the aggregation COMPLETE (single
+    // hash table, reduce side only): the exchange now moves bare
+    // 8-byte keys and the partial map build is gone. Past 2³² ids the
+    // struct kernel below is the path — same rows, same oracle.
+    val maxIdRow = itemN.agg(min(col("item")), max(col("item"))).collect()(0)
+    val packedOk = !maxIdRow.isNullAt(1) &&
+      maxIdRow.getLong(0) >= 0L && maxIdRow.getLong(1) < (1L << 32)
+    val pairs = if (packedOk) {
+      posts.select(explode(
+          graft.functions.PairExpandFunctions.pairExpandPackedIds(col("ds")))
+          .as("pk"))
+        .repartition(spark.sparkContext.defaultParallelism, col("pk"))
+        .groupBy(col("pk"))
+        .agg(count(lit(1)).as("co"))
+        .select(shiftrightunsigned(col("pk"), 32).as("doc_a"),
+          col("pk").bitwiseAND(lit(4294967295L)).as("doc_b"), col("co"))
+    } else {
+      posts.select(explode(
+          graft.functions.PairExpandFunctions.pairExpandIds(col("ds"))).as("p"))
+        .select(col("p.id_a").as("doc_a"), col("p.id_b").as("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("co"))
+    }
     // catalog-sized broadcasts under the q322 budget discipline (r16 —
     // these were unconditional hints before, the exact shape the q326
     // probe review flagged): past the budget every degree/neighbor
@@ -3624,18 +3651,29 @@ object TradeAnalytics extends QueryModule {
     * permutations: per replicate b every row draws the portable md5
     * uniform of (b, orderkey), rows are ranked within the replicate,
     * and the n_A smallest ranks take group A — an exact relabeling
-    * (group sizes preserved), not a Bernoulli approximation. The
-    * per-replicate rank rides the same ScaledWindows trick as q256:
-    * one GLOBAL 2-pass rank over (b, u, key), then subtract the
-    * replicate's base rank — B never becomes a reducer count. The
-    * base rank needs no second pass over the ranked relation: the
-    * global order leads with b and every replicate holds EXACTLY
-    * n = n_a + n_b rows by construction (explode of a constant
-    * sequence), so replicate b spans ranks (b−1)·n+1 … b·n and the
-    * base is arithmetic — (b−1)·n — off the broadcast totals. (r10:
-    * the former groupBy(b).min(grn) branch re-consumed all B·n ranked
-    * rows — window sort + shuffle — just to recompute that constant;
-    * dropping it took the sf0.1 sweep wall from 41.5 s to ~14 s.)
+    * (group sizes preserved), not a Bernoulli approximation.
+    *
+    * r17 (guide §1.2 step 1): the per-replicate rank is never needed —
+    * only the SUM of c over each replicate's n_a smallest (u, key)
+    * rows. That is a distributed SELECTION, not a ranking, so the old
+    * global 2-pass rank (range-exchange the full B·n relation — 202
+    * MiB at sf0.1 — persist it, sort it, and join broadcast offsets)
+    * is replaced by two content-pure aggregation passes over the
+    * expansion with NO exchange, persist, or sort of the B·n rows:
+    *   pass 1 — per-(b, bucket) counts, bucket = u's top 8 bits (a
+    *     monotone function of u, so bucket order refines rank order);
+    *     a tiny window over the ≤ B·256-row histogram finds, per b,
+    *     the bucket containing rank n_a and the count strictly below;
+    *   pass 2 — per b in one aggregation: the exact sum of c over
+    *     buckets below the boundary, plus the boundary bucket's ≈
+    *     n/256 rows collected and sorted in-task (sort_array over
+    *     struct(u, key, c) — lexicographic = the rank order), the
+    *     first n_a − below of which complete the selection exactly,
+    *     ties and all (u, key is a total order, same as the oracle's
+    *     ORDER BY u, o_orderkey).
+    * Both passes are pure content aggregations — no layout or rank
+    * dependence — so re-evaluating the expansion is deterministic by
+    * construction (and ReuseExchange dedups the scan-side shuffle).
     * p = (1 + #{|diff_b| ≥ |obs|}) / (B+1), the add-one estimator.
     *
     * All replicate sums are integer cents; the only doubles are two
@@ -3668,22 +3706,44 @@ object TradeAnalytics extends QueryModule {
     // content, and the rangeTag persist downstream pins one layout.
     // Width = the session's own parallelism, not a literal core count
     // (ADVICE r10): on a cluster defaultParallelism tracks total cores.
+    // u < 16^15 = 2^60; its top 8 bits give 256 md5-uniform buckets,
+    // and bucket order refines (u, key) rank order (monotone in u)
     val rep = s.repartition(spark.sparkContext.defaultParallelism)
       .select(col("o_orderkey"), col("c"),
         explode(sequence(lit(1), lit(nPerm))).as("b"))
       .withColumn("u", expr(
         "cast(conv(substring(md5(concat(cast(b as string), ':', " +
           "cast(o_orderkey as string))), 1, 15), 16, 10) as bigint)"))
-    val granked = ScaledWindows.rowNumber(rep,
-      Seq(col("b"), col("u"), col("o_orderkey")), "grn")
-    val perms = granked
+      .withColumn("bkt", shiftrightunsigned(col("u"), 52))
+    // pass 1: per-(b, bucket) histogram (≤ B·256 rows after the
+    // map-side partial agg), then the boundary bucket per replicate —
+    // the one containing rank n_a — via a cumulative count over the
+    // histogram's bounded spine
+    val wB = Window.partitionBy(col("b")).orderBy(col("bkt"))
+    val bounds = rep.groupBy(col("b"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(wB))
+      .crossJoin(broadcast(tot.select(col("n_a").as("na0"))))
+      .filter(col("cum") >= col("na0") &&
+        col("cum") - col("n") < col("na0"))
+      .select(col("b"), col("bkt").as("bb"),
+        (col("cum") - col("n")).as("below"))
+    // pass 2: one aggregation per replicate — exact sum below the
+    // boundary bucket + the boundary bucket's ≈ n/256 rows selected
+    // in-task (sort_array is lexicographic over struct(u, key, c) =
+    // the exact rank order; slice takes the n_a − below smallest)
+    val perms = rep
+      .join(broadcast(bounds), Seq("b"))
       .crossJoin(broadcast(tot))
-      .withColumn("in_a",
-        col("grn") - (col("b") - 1L) * (col("n_a") + col("n_b"))
-          <= col("n_a"))
-      .groupBy(col("b"), col("n_a"), col("n_b"), col("s_tot"))
-      .agg(sum(when(col("in_a"), col("c")).otherwise(0L)).cast("bigint")
-        .as("s_ab"))
+      .groupBy(col("b"), col("n_a"), col("n_b"), col("s_tot"), col("below"))
+      .agg(
+        sum(when(col("bkt") < col("bb"), col("c")).otherwise(0L)).as("s_low"),
+        sort_array(collect_list(when(col("bkt") === col("bb"),
+          struct(col("u"), col("o_orderkey"), col("c"))))).as("edge"))
+      .withColumn("s_ab", (col("s_low") + aggregate(
+          slice(col("edge"), lit(1), (col("n_a") - col("below")).cast("int")),
+          lit(0L), (acc, x) => acc + x.getField("c")))
+        .cast("bigint"))
       .withColumn("diff_b", col("s_ab") / col("n_a") -
         (col("s_tot") - col("s_ab")) / col("n_b"))
     perms
@@ -4629,28 +4689,76 @@ object TradeAnalytics extends QueryModule {
     val heldOut = tagged.filter(col("rn") === 1)
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("item")).distinct()
-    val coocFull = trainItems.alias("x").join(trainItems.alias("y"),
-        col("x.ok") === col("y.ok") && col("x.item") =!= col("y.item"))
-      .groupBy(col("x.item").as("i"), col("y.item").as("j"))
+    // Half-pair co-occurrence (r17, guide §2.3 — shuffle fewer bytes):
+    // the old self-join emitted BOTH directions (item ≠ item), then
+    // aggregated 2× the distinct pair mass; w(i,j) = w(j,i) by
+    // symmetry, so emit i < j once — half the join output, half the
+    // (i,j) aggregation's shuffle and hash-map — and mirror the
+    // AGGREGATED relation in-task (the q204/q322 explode
+    // symmetrization, oracle-identical) before the top-K window.
+    val coocHalf = trainItems.alias("x").join(trainItems.alias("y"),
+        col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("ia"), col("y.item").as("ib"))
       .agg(count(lit(1)).as("w"))
+    val coocFull = coocHalf.select(explode(array(
+        struct(col("ia").as("i"), col("ib").as("j"), col("w")),
+        struct(col("ib").as("i"), col("ia").as("j"), col("w")))).as("s"))
+      .select(col("s.i").as("i"), col("s.j").as("j"), col("s.w").as("w"))
     val wNbr = Window.partitionBy(col("i"))
       .orderBy(col("w").desc, col("j"))
     val cooc = coocFull.withColumn("nrk", row_number().over(wNbr))
       .filter(col("nrk") <= RecsysNeighborK).drop("nrk")
-    val profile = trainItems.select(col("c"), col("item")).distinct()
     val w = spark.sparkContext.defaultParallelism
-    // c-keyed scoring tail (r16, guide §2.4): keying the candidate
-    // expansion on the customer once lets the (c, j) aggregation, the
-    // unseen anti join, and the per-customer top-k window all run in
-    // place — the old plan re-exchanged the aggregated relation for
-    // each of them (probe-measured ~1 s at sf0.1)
-    val scores = profile.join(cooc, col("item") === col("i"))
+    // One-exchange scoring tail (r17, guide §2.4/§3). The r16 shape
+    // still paid FOUR exchanges after the profile distinct: re-key
+    // profile by item for the cooc join (12 MiB at sf0.1), repartition
+    // the |profile|×K expansion by c (329 MiB), re-exchange the (c, j)
+    // aggregate by (c, j) for the anti join's full-key co-partition
+    // requirement (293 MiB — requireAllClusterKeysForCoPartition), and
+    // re-exchange by c for the top-3 window (44 MiB). Three moves kill
+    // all four:
+    //  - cooc is grouped into per-item neighbor ARRAYS (≤ K rows per
+    //    catalog item — an S9-bounded dimension like q217's nb5) and
+    //    broadcast under the same budget discipline, so the expansion
+    //    runs on profile's own layout;
+    //  - profile's distinct itself runs on hash(c) (hash(c) satisfies
+    //    the (c, item) clustering), making hash(c) the ONE layout the
+    //    whole tail shares;
+    //  - the anti join folds into the (c, j) aggregation as a SEEN
+    //    marker row (each profile item rides its exploded candidate
+    //    array with a null weight): sum(w) ignores the marker, so
+    //    scores are bit-identical, and max(isnull(w)) = "j was in the
+    //    profile" — filter(!seen) IS the left_anti, evaluated in
+    //    place. The (c, j) agg, the filter and the per-customer top-3
+    //    window (WindowGroupLimit) then all run on hash(c) with zero
+    //    further exchanges.
+    // Past the broadcast budget the join degrades to an AQE-planned
+    // shuffle join (never a driver OOM) — the r16 shape, same rows.
+    val coocArr = cooc.groupBy(col("i"))
+      .agg(collect_list(struct(col("j"), col("w"))).as("nbrs"))
+    // catalog bound for the broadcast guard: item ids upper-bound the
+    // distinct-item count (the conservative, collect-free direction);
+    // trainItems is persisted, so the max is a cached column pass
+    val maxItemRow = trainItems.agg(max(col("item"))).collect()(0)
+    val coocFits = !maxItemRow.isNullAt(0) &&
+      maxItemRow.getLong(0) * RecsysNeighborK <= DimsumItemBudget
+    val profileP = trainItems.select(col("c"), col("item"))
       .repartition(w, col("c"))
+      .distinct() // in place: hash(c) satisfies the (c, item) clustering
+    val nbrType = "array<struct<j:bigint,w:bigint>>"
+    val cand = profileP
+      .join(if (coocFits) broadcast(coocArr) else coocArr,
+        col("item") === col("i"), "left")
+      .select(col("c"), explode(concat(
+        coalesce(col("nbrs"), array().cast(nbrType)),
+        array(struct(col("item").as("j"),
+          lit(null).cast("bigint").as("w"))))).as("e"))
+    val scores = cand
+      .select(col("c"), col("e.j").as("j"), col("e.w").as("w"))
       .groupBy(col("c"), col("j"))
-      .agg(sum(col("w")).as("score"))
-      .join(profile.select(col("c"), col("item").as("j"))
-          .repartition(w, col("c")),
-        Seq("c", "j"), "left_anti") // recommend only unseen items
+      .agg(sum(col("w")).as("score"), max(col("w").isNull).as("seen"))
+      .filter(!col("seen")) // = the old left_anti: j never a profile item
+      .drop("seen")
     val wTop = Window.partitionBy(col("c"))
       .orderBy(col("score").desc, col("j"))
     val topk = scores.withColumn("rk", row_number().over(wTop))
