@@ -49,6 +49,12 @@ object Bench {
   /** Re-measure canary + floor every this many queries. */
   private val canaryEvery = 8
 
+  /** A query whose warmup pass exceeds this many seconds earns its own
+    * idle gate before its timed samples (VERDICT r16 #7) — heavy
+    * queries are where a contaminated sample costs the most and where
+    * the every-[[canaryEvery]] gate's granularity is coarsest. */
+  private[graft] val heavyGateSec = 2.0
+
   /** A committed floor older than this re-arms the startup staleness
     * probe (VERDICT r15 #5): this host's idle bands were measured to
     * drift 0.175–0.547 over two hours, so a floor from yesterday's
@@ -398,8 +404,20 @@ object Bench {
     val posOf = defs.zipWithIndex.map { case (d, i) => (d.name, i) }.toMap
     defs.zipWithIndex.foreach { case (d, i) =>
       if (i % canaryEvery == 0) gatedMark(i)
+      val w0 = System.nanoTime()
       try d.build(spark, sfDir).count()
       catch { case _: Throwable => () }
+      val warmSec = (System.nanoTime() - w0) / 1e9
+      // Per-heavy-query idle gate (VERDICT r16 #7): the every-8 gate
+      // only catches contention at chunk boundaries, so load arriving
+      // mid-chunk contaminated whole heavy-query samples (r16: 23/41
+      // contention-labeled, q258 carrying two 47 s samples). Any query
+      // whose just-measured warmup exceeds [[heavyGateSec]] gets its
+      // own gate-verified idle window before the timed samples — the
+      // marks land at this query's index, which also sharpens span
+      // labeling. Same total wait budget; the timed sampleOnce loop is
+      // untouched.
+      if (warmSec > heavyGateSec && i % canaryEvery != 0) gatedMark(i)
       measured(d.name) = (1 to 2).map(_ => sampleOnce(d)).toList
     }
     mark(defs.size)

@@ -529,15 +529,44 @@ object SqlSurface extends QueryModule {
   }
 
   def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
-    val spine = materializedMonthSpine(spark, dir,
-      """SELECT m, rev, row_number() OVER (ORDER BY m) AS i FROM (
-        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-        |      AS rev
-        |  FROM orders GROUP BY 1)""".stripMargin)
-    val blocks = materializedBlocks(spark, Seq("m", "rev"))
-    withoutAqe(spark)(graft.Materialize.releasing(
-      spark.sql(unrolledMomentumSql(unrollK)), spine, blocks))
+    // r17 (guide §1.4; VERDICT r16 #8; the r10 bounded-metadata
+    // discipline): the recursion's whole state is the MONTH spine —
+    // calendar-bounded (~84 rows here, thousands at any horizon), i.e.
+    // metadata-sized at every corpus scale — while Spark's UnionLoop
+    // pays ~4 scheduler jobs plus a full re-analysis of the step query
+    // PER ITERATION (the r11–r16 measured floor: 3.3–4.0 s of pure
+    // scheduling for the k = 8 block-unroll's ~57 jobs; k = 12/24
+    // probed WORSE in r16, so deeper unrolling was a dead end). The
+    // chain is therefore an S9 collect + exact driver recurrence (the
+    // q240/q257 DP precedent): ONE aggregation job reduces the fact
+    // table to the ordered month relation, the momentum index advances
+    // on the driver with the identical IEEE op tree
+    // (idx · (1.0 + 0.5·(rev/prev − 1.0)) — JVM doubles, same operand
+    // order ⇒ bit-identical to the UnionLoop chain and the DuckDB
+    // oracle), and the result returns as a calendar-sized local
+    // relation. The final round/ORDER BY stay in the plan so the
+    // rounding function is the engine's own.
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    val monthly = spark.sql(
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev
+        |FROM orders GROUP BY 1 ORDER BY m""".stripMargin).collect()
+    val chain = scala.collection.mutable.ArrayBuffer
+      .empty[(java.sql.Date, Long, Double)]
+    var idx = 100.0
+    var prevRev = 0L
+    monthly.zipWithIndex.foreach { case (r, i) =>
+      val m = r.getDate(0); val rev = r.getLong(1)
+      if (i > 0) idx = idx * (1.0 + 0.5 * (rev.toDouble / prevRev.toDouble - 1.0))
+      prevRev = rev
+      chain += ((m, rev, idx))
+    }
+    import spark.implicits._
+    chain.toSeq.toDF("month", "rev_cents", "idx")
+      .select(col("month"), col("rev_cents"),
+        round(col("idx"), 6).as("momentum_idx"))
+      .orderBy(col("month"))
   }
 
   private val recursiveCteSql =

@@ -1755,34 +1755,41 @@ object TradeAnalytics extends QueryModule {
     * mirrored in the oracle). Neighbor ranking is a per-item window
     * top-5 (WindowGroupLimit, partial per group).
     */
-  /** Shared capped co-purchase basket build (r16, guide §2.4): ONE
-    * exchange keyed on cust replaces the old three (the distinct's
-    * (cust,item) exchange, the re-exchange the keep-join required, and
-    * posts' groupBy(cust) exchange) — hash(cust) satisfies the
-    * clustered distribution of every downstream cust-keyed operator,
-    * so distinct/keep/join/posts all run in place. It also spreads the
-    * scan-fused probe+dedup work across the session's parallelism: the
-    * sf parquet inputs are single-row-group files, so the old plan ran
-    * the join + partial distinct 1-wide per file (the r10
-    * "single-split scan serializing an expensive map stage"
-    * signature). At cluster scale the scan has thousands of natural
-    * splits and this exchange simply replaces the distinct's — same
-    * bytes, strictly fewer shuffles. Returns (b, itemN), both
-    * persisted; callers release via Materialize. */
+  /** Shared capped co-purchase basket build. r17 (VERDICT r16 #5,
+    * guide §2.5 two-level aggregation): the r16 shape hashed the RAW
+    * (cust, item) join output on cust alone, so one pathological
+    * mega-customer's entire pre-dedup row mass landed on a single
+    * task. Now the build is a two-level distinct: a round-robin spread
+    * of the scan (the r10 "single-split scan serializes the expensive
+    * map stage" fix — at sf the parquet inputs are 1-split files, and
+    * at cluster scale this spread is the same width the scan's natural
+    * splits give) feeds a map-side PARTIAL collect_set per cust — the
+    * (cust, item) dedup happens BEFORE the cust exchange — so the one
+    * hash(cust) exchange moves per-partition deduped sets: a
+    * mega-customer ships ≤ width partial sets of ≤ |catalog| items
+    * instead of its raw purchase history, and at production dup ratios
+    * (repeat purchases) the shuffle shrinks by the dup factor. The
+    * merged per-cust set IS the posting list every pair kernel wants,
+    * so the basket cap (≤256 DISTINCT items — same semantics as the
+    * old count-distinct keep join) is a size() filter and the old
+    * keep aggregation + join and the callers' posts re-aggregation
+    * all disappear. Returns (posts, b, itemN): posts = (cust, ds
+    * array) persisted; b = its explode (derived, not persisted — one
+    * cheap codegen pass per consumer over the compact cached sets);
+    * itemN persisted. Callers release posts/itemN via Materialize. */
   private def coPurchaseBaskets(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
-    val baskets = Tables.lineitem(spark, dir)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val posts = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
-      .repartition(spark.sparkContext.defaultParallelism, col("cust"))
-      .distinct()
-    val keep = baskets.groupBy(col("cust")).agg(count(lit(1)).as("bsz"))
-      .filter(col("bsz") <= 256).select(col("cust"))
-    val b = baskets.join(keep, Seq("cust"))
-      .persist() // read by itemN and posts — one basket build, not two
+      .repartition(spark.sparkContext.defaultParallelism)
+      .groupBy(col("cust")).agg(collect_set(col("item")).as("ds"))
+      .filter(size(col("ds")) <= 256)
+      .persist()
+    val b = posts.select(col("cust"), explode(col("ds")).as("item"))
     val itemN = b.groupBy(col("item")).agg(count(lit(1)).as("n_cust")).persist()
-    (b, itemN)
+    (posts, b, itemN)
   }
 
   /** Top-K most-bought items (n_cust desc, item tiebreak) as driver
@@ -1793,7 +1800,7 @@ object TradeAnalytics extends QueryModule {
       .select(col("item")).collect().map(_.getLong(0))
 
   def itemNeighbors(spark: SparkSession, dir: String): DataFrame = {
-    val (b, itemN) = coPurchaseBaskets(spark, dir)
+    val (posts, _, itemN) = coPurchaseBaskets(spark, dir)
     // Anchor-restricted kernel (r16, guide §1.2 step 1): the output
     // only ranks neighbors of the top-50 anchors, so every pair with
     // NO anchor endpoint was expanded, shuffled, and aggregated only
@@ -1804,7 +1811,6 @@ object TradeAnalytics extends QueryModule {
     // payload the r11 pair-key-only shape still carried. Degrees join
     // back post-agg from the broadcast dimension, unchanged.
     val anchors = topAnchors(itemN, 50)
-    val posts = b.groupBy(col("cust")).agg(collect_list(col("item")).as("ds"))
     val pairs = posts.select(explode(
         graft.functions.PairExpandFunctions.anchorPairExpandIds(
           col("ds"), anchors.toSeq)).as("p"))
@@ -1842,7 +1848,7 @@ object TradeAnalytics extends QueryModule {
           col("co").cast("bigint").as("n_co_buyers"),
           round(col("cosine"), 4).as("cosine"))
         .orderBy(col("item"), col("rank")),
-      itemN, b)
+      itemN, posts)
   }
 
   private val itemNeighborsSql =
@@ -1982,7 +1988,7 @@ object TradeAnalytics extends QueryModule {
   private def dimsumScored(spark: SparkSession, dir: String,
       itemBudget: Long, gamma: Double,
       anchorK: Option[Int] = None): DimsumKernel = {
-    val (b, itemN) = coPurchaseBaskets(spark, dir)
+    val (posts0, b, itemN) = coPurchaseBaskets(spark, dir)
     val anchors = anchorK.map(k => topAnchors(itemN, k).toSeq)
     val hinted = itemN.count() <= itemBudget
     def maybeBroadcast(df: DataFrame): DataFrame =
@@ -2038,7 +2044,7 @@ object TradeAnalytics extends QueryModule {
       .join(maybeBroadcast(itemN.select(col("item").as("neighbor"),
         col("n_cust").as("nn"))), Seq("neighbor"))
       .withColumn("est_cosine", est(col("ni"), col("nn")))
-    DimsumKernel(sym, itemN, b, hinted, Seq(b, itemN), anchors)
+    DimsumKernel(sym, itemN, b, hinted, Seq(posts0, itemN), anchors)
   }
 
   /** q323: threshold-mode DIMSUM, TWO-PHASE — all pairs with EXACT
@@ -2198,12 +2204,12 @@ object TradeAnalytics extends QueryModule {
           .join(cand, col("a") === col("ca") && col("b") === col("cb"))
           .select(col("a"), col("b"), col("co"))
       }
-    // persist: every consumer reads `verified` TWICE (the unionAll
-    // symmetrization), and without the pin the second branch re-runs
-    // the whole verify DAG — the Σbsz² candidate expansion included
-    // (caught at 100×-disjoint, r14: q324 read 41.7 GiB double-
-    // evaluated; SCALE.md r14 records the pinned rerun). The relation
-    // itself is tiny (ε-set pairs: 51k rows at 100×).
+    // No persist (r17, ADVICE r16): the r14 pin existed because the
+    // unionAll symmetrization read `verified` twice and the second
+    // branch re-ran the whole verify DAG (41.7 GiB double-evaluated at
+    // 100×-disjoint); both consumers now symmetrize with a single-read
+    // explode (r16), so the relation is single-pass and the pin was
+    // pure cache-materialization overhead on the consumers' only read.
     val verified = exactCo
       .join(maybeBItemN(k.itemN.select(col("item").as("a"),
         col("n_cust").as("na"))), Seq("a"))
@@ -2212,8 +2218,7 @@ object TradeAnalytics extends QueryModule {
       .withColumn("cosine", col("co").cast("double") /
         sqrt((col("na") * col("nb")).cast("double")))
       .filter(col("cosine") >= lit(DimsumEpsilon))
-      .persist()
-    (verified, k, Seq(cand, vb, verified))
+    (verified, k, Seq(cand, vb))
   }
 
   /** Shared CTE prefix (baskets → kept → emits → sym → scored) of the
@@ -2436,12 +2441,12 @@ object TradeAnalytics extends QueryModule {
   /** γ-parameterized so the spec can force each route on one fixture. */
   private[graft] def adaptiveItemNeighbors(spark: SparkSession, dir: String,
       gamma: Double): DataFrame = {
-    val (b, itemN) = coPurchaseBaskets(spark, dir)
+    val (posts0, _, itemN) = coPurchaseBaskets(spark, dir)
     val top2 = itemN.orderBy(col("n_cust").desc).limit(2)
       .collect().map(_.getAs[Long]("n_cust"))
     // the routing stat was this build's only read — the routed kernel
     // rebuilds its own pinned copy
-    b.unpersist(); itemN.unpersist()
+    posts0.unpersist(); itemN.unpersist()
     val sampled = top2.length == 2 &&
       math.sqrt(top2(0).toDouble * top2(1)) > gamma
     val routed =
@@ -2551,13 +2556,13 @@ object TradeAnalytics extends QueryModule {
   private[graft] def hybridItemNeighbors(spark: SparkSession, dir: String,
       gamma: Double, itemBudget: Long = DimsumItemBudget,
       anchorK: Int = 50): DataFrame = {
-    val (b, itemN) = coPurchaseBaskets(spark, dir)
+    val (posts0, b, itemN) = coPurchaseBaskets(spark, dir)
     // routing stats: top-K anchors + the global max degree (K+1 small
     // rows to the driver — the S9 bound, O(anchorK))
     val top50 = itemN.orderBy(col("n_cust").desc, col("item")).limit(anchorK)
       .collect().map(r => (r.getAs[Long]("item"), r.getAs[Long]("n_cust")))
     if (top50.isEmpty) {
-      b.unpersist(); itemN.unpersist()
+      posts0.unpersist(); itemN.unpersist()
       return spark.emptyDataFrame
         .withColumn("item", lit(0L)).withColumn("rank", lit(0))
         .withColumn("neighbor", lit(0L)).withColumn("support", lit(0L))
@@ -2641,7 +2646,7 @@ object TradeAnalytics extends QueryModule {
           col("cnt").cast("bigint").as("support"),
           round(col("score"), 4).as("score"))
         .orderBy(col("item"), col("rank")),
-      b, itemN)
+      posts0, itemN)
   }
 
   /** Both kernels replay in SQL (the q322/q204 CTE shapes); the
@@ -2781,8 +2786,7 @@ object TradeAnalytics extends QueryModule {
     * keyed aggregations and a per-user window over ≤ 5·|basket| rows.
     */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val (b, itemN) = coPurchaseBaskets(spark, dir)
-    val posts = b.groupBy(col("cust")).agg(collect_list(col("item")).as("ds"))
+    val (posts, b, itemN) = coPurchaseBaskets(spark, dir)
     // The Σbsz² relation carries ONLY the pair key (r16: the bare-id
     // kernel — the r11 shape still shipped a constant nsh=0 payload
     // through every emitted struct): per-item degrees are functionally
@@ -2873,7 +2877,7 @@ object TradeAnalytics extends QueryModule {
         .select(col("cust").as("user_id"), col("rank"),
           col("neighbor").as("item"), round(col("score"), 4).as("score"))
         .orderBy(col("user_id"), col("rank")),
-      b, itemN)
+      posts, itemN)
   }
 
   private val hardNegativesSql =

@@ -198,6 +198,81 @@ class PropertySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("pair_expand_packed_ids packs exactly pair_expand_ids' pairs; guards its id domain") {
+    import TestSpark.spark.implicits._
+    // include ids at the unsigned-32-bit boundary: (1<<32)-1 must pack
+    // and unpack exactly (the q217 runtime guard admits max id < 2^32)
+    val domain = (0L until 40L) ++ Seq((1L << 32) - 1, (1L << 32) - 2, (1L << 31))
+    val lists = List.fill(150)(
+      rng.shuffle(domain.toList).take(rng.nextInt(9) + 2))
+    val got = lists.map(_.toSeq).toDF("ids")
+      .select(graft.functions.PairExpandFunctions.pairExpandPackedIds(col("ids")))
+      .collect().map(_.getSeq[Long](0)
+        .map(pk => (pk >>> 32, pk & 0xFFFFFFFFL)).toList).toList
+    val want = lists.map { l =>
+      val s = l.sorted
+      (for { i <- s.indices; j <- (i + 1) until s.size }
+        yield (s(i), s(j))).toList
+    }
+    assert(got === want)
+    // past the domain the kernel throws rather than corrupting pairs —
+    // the backstop behind hardNegatives' max-id runtime guard
+    // (surfaces as the raw IllegalArgumentException when constant
+    // folding evaluates the literal list on the driver, wrapped in a
+    // SparkException when a task hits it — accept either)
+    val boom = intercept[Exception] {
+      Seq(Seq(1L, 1L << 32)).toDF("ids")
+        .select(graft.functions.PairExpandFunctions.pairExpandPackedIds(col("ids")))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(boom).exists(_.contains("pair_expand_packed_ids")),
+      s"expected the kernel's domain guard, got: $boom")
+  }
+
+  test("q258 boundary-bucket selection: sort_array/slice/aggregate equal the rank formulation") {
+    import TestSpark.spark.implicits._
+    // synthetic replicates: per b, the sum of c over the n_a smallest
+    // (u, key) rows — computed once by ranking (the old ScaledWindows
+    // shape) and once by the r17 bucket selection's in-task tail
+    // (collect_list skips the null non-boundary rows; sort_array is
+    // lexicographic over struct(u, key, c); slice takes the first k) —
+    // must agree for every replicate including tie-free boundaries.
+    val nA = 7
+    val rows = for {
+      b <- 1 to 20
+      key <- 1 to 50
+    } yield (b, rng.nextLong() & ((1L << 60) - 1), key.toLong,
+      rng.nextInt(1000).toLong)
+    val df = rows.toDF("b", "u", "key", "c")
+      .withColumn("bkt", shiftrightunsigned(col("u"), 52))
+    val want = rows.groupBy(_._1).map { case (b, rs) =>
+      (b, rs.sortBy(r => (r._2, r._3)).take(nA).map(_._4).sum)
+    }
+    // the bucket containing rank nA, per b (the pass-1 logic)
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("bkt"))
+    val bounds = df.groupBy(col("b"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(wB))
+      .filter(col("cum") >= nA && col("cum") - col("n") < nA)
+      .select(col("b"), col("bkt").as("bb"), (col("cum") - col("n")).as("below"))
+    val got = df.join(bounds, Seq("b"))
+      .groupBy(col("b"), col("below"))
+      .agg(
+        sum(when(col("bkt") < col("bb"), col("c")).otherwise(0L)).as("s_low"),
+        sort_array(collect_list(when(col("bkt") === col("bb"),
+          struct(col("u"), col("key"), col("c"))))).as("edge"))
+      .withColumn("s_ab", col("s_low") + aggregate(
+        slice(col("edge"), lit(1), (lit(nA) - col("below")).cast("int")),
+        lit(0L), (acc, x) => acc + x.getField("c")))
+      .select(col("b"), col("s_ab"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    want.foreach { case (b, s) => assert(got(b) === s, s"replicate $b") }
+  }
+
   test("anchor_pair_expand equals pair_expand filtered to anchor-incident pairs") {
     import TestSpark.spark.implicits._
     val anchors = Seq(3L, 11L, 27L, 38L)
