@@ -4693,6 +4693,12 @@ object TradeAnalytics extends QueryModule {
     val heldOut = tagged.filter(col("rn") === 1)
       .join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("item")).distinct()
+    // catalog bound for the broadcast guard AND the packed-pair guard
+    // below: item ids upper-bound the distinct-item count (the
+    // conservative, collect-free direction); trainItems is persisted,
+    // so the max is a cached column pass
+    val maxItemRow = trainItems.agg(max(col("item"))).collect()(0)
+    val maxItem = if (maxItemRow.isNullAt(0)) -1L else maxItemRow.getLong(0)
     // Half-pair co-occurrence (r17, guide §2.3 — shuffle fewer bytes):
     // the old self-join emitted BOTH directions (item ≠ item), then
     // aggregated 2× the distinct pair mass; w(i,j) = w(j,i) by
@@ -4700,10 +4706,30 @@ object TradeAnalytics extends QueryModule {
     // (i,j) aggregation's shuffle and hash-map — and mirror the
     // AGGREGATED relation in-task (the q204/q322 explode
     // symmetrization, oracle-identical) before the top-K window.
-    val coocHalf = trainItems.alias("x").join(trainItems.alias("y"),
-        col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("ia"), col("y.item").as("ib"))
-      .agg(count(lit(1)).as("w"))
+    // r17 second pass: the within-order pair set doesn't need a join
+    // at all — trainItems is already hash(ok) partitioned, so
+    // groupBy(ok).collect_list runs IN PLACE and the packed pair
+    // kernel (q217's single-long (i<j) key, runtime-guarded on
+    // max id < 2³² with the join formulation as the fallback) emits
+    // each order's pairs in-task: the self-join's build+probe over the
+    // whole train relation and the two-long agg key both disappear;
+    // the only exchange left on this path is the pair aggregation's
+    // own (now on a single long). Same pair multiset, same counts.
+    val coocHalf =
+      if (maxItem < (1L << 32)) {
+        trainItems
+          .groupBy(col("ok")).agg(collect_list(col("item")).as("ds"))
+          .select(explode(graft.functions.PairExpandFunctions
+            .pairExpandPackedIds(col("ds"))).as("pk"))
+          .groupBy(col("pk")).agg(count(lit(1)).as("w"))
+          .select(shiftrightunsigned(col("pk"), 32).as("ia"),
+            col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("ib"), col("w"))
+      } else {
+        trainItems.alias("x").join(trainItems.alias("y"),
+            col("x.ok") === col("y.ok") && col("x.item") < col("y.item"))
+          .groupBy(col("x.item").as("ia"), col("y.item").as("ib"))
+          .agg(count(lit(1)).as("w"))
+      }
     val coocFull = coocHalf.select(explode(array(
         struct(col("ia").as("i"), col("ib").as("j"), col("w")),
         struct(col("ib").as("i"), col("ia").as("j"), col("w")))).as("s"))
@@ -4740,12 +4766,7 @@ object TradeAnalytics extends QueryModule {
     // shuffle join (never a driver OOM) — the r16 shape, same rows.
     val coocArr = cooc.groupBy(col("i"))
       .agg(collect_list(struct(col("j"), col("w"))).as("nbrs"))
-    // catalog bound for the broadcast guard: item ids upper-bound the
-    // distinct-item count (the conservative, collect-free direction);
-    // trainItems is persisted, so the max is a cached column pass
-    val maxItemRow = trainItems.agg(max(col("item"))).collect()(0)
-    val coocFits = !maxItemRow.isNullAt(0) &&
-      maxItemRow.getLong(0) * RecsysNeighborK <= DimsumItemBudget
+    val coocFits = maxItem >= 0 && maxItem * RecsysNeighborK <= DimsumItemBudget
     val profileP = trainItems.select(col("c"), col("item"))
       .repartition(w, col("c"))
       .distinct() // in place: hash(c) satisfies the (c, item) clustering
