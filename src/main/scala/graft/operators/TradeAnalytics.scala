@@ -1759,17 +1759,21 @@ object TradeAnalytics extends QueryModule {
     * guide §2.5 two-level aggregation): the r16 shape hashed the RAW
     * (cust, item) join output on cust alone, so one pathological
     * mega-customer's entire pre-dedup row mass landed on a single
-    * task. Now the build is a two-level distinct: a round-robin spread
-    * of the scan (the r10 "single-split scan serializes the expensive
-    * map stage" fix — at sf the parquet inputs are 1-split files, and
-    * at cluster scale this spread is the same width the scan's natural
-    * splits give) feeds a map-side PARTIAL collect_set per cust — the
-    * (cust, item) dedup happens BEFORE the cust exchange — so the one
-    * hash(cust) exchange moves per-partition deduped sets: a
-    * mega-customer ships ≤ width partial sets of ≤ |catalog| items
-    * instead of its raw purchase history, and at production dup ratios
-    * (repeat purchases) the shuffle shrinks by the dup factor. The
-    * merged per-cust set IS the posting list every pair kernel wants,
+    * task. Now the dedup is its own partial-aggregated pass on the
+    * skew-free (cust, item) key: map-side partial dedup (a pair-key
+    * hash, no per-group buffers — it also spreads the 1-split sf
+    * scan, the r10 fix) before an exchange that spreads even a
+    * mega-customer's rows across reducers by the full pair key, so
+    * the later hash(cust) exchange ships only DEDUPED rows — at
+    * production dup ratios (repeat purchases) that shuffle shrinks by
+    * the dup factor, and the per-cust set build is bounded by
+    * distinct items, not raw history. (A first r17 cut ran partial
+    * collect_set over a raw round-robin spread instead — BenchOne
+    * liked it, but the sweep instrument showed the map-side per-cust
+    * set buffers aging the shared heap: q217/q204 in-sweep walls rose
+    * ~15% and even untouched later queries drifted, so it was
+    * replaced by this shape.) The merged per-cust set IS the posting
+    * list every pair kernel wants,
     * so the basket cap (≤256 DISTINCT items — same semantics as the
     * old count-distinct keep join) is a size() filter and the old
     * keep aggregation + join and the callers' posts re-aggregation
@@ -1777,13 +1781,30 @@ object TradeAnalytics extends QueryModule {
     * array) persisted; b = its explode (derived, not persisted — one
     * cheap codegen pass per consumer over the compact cached sets);
     * itemN persisted. Callers release posts/itemN via Materialize. */
-  private def coPurchaseBaskets(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val posts = Tables.lineitem(spark, dir)
+  private def coPurchaseBaskets(spark: SparkSession, dir: String,
+      wide: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
+    val deduped = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .distinct()
+    // width pin, per consumer: AQE coalesces the small deduped
+    // exchanges to 2–3 partitions at sf, and the persisted posts
+    // inherit that. For the FULL Σbsz² kernels (q217, q323/q324) a
+    // narrow cache serializes the scan-fused expansion (the r10
+    // single-split pathology; measured: q217 7.5 → 10.9 s at 2-wide),
+    // so they pin the session's parallelism — a user-specified
+    // numPartitions is exempt from AQE coalescing, and hash(cust)
+    // lets the set build run in place on it. The anchor-restricted
+    // consumers (q204/q322/q325/q326) do orders of magnitude less
+    // work per basket and measured FASTER on the AQE-sized cache
+    // (q204 2.5 → 1.5 s in-sweep): fewer, fuller tasks beat 32-way
+    // scheduling at their work size, so they skip the pin.
+    val keyed =
+      if (wide) deduped.repartition(
+        spark.sparkContext.defaultParallelism, col("cust"))
+      else deduped
+    val posts = keyed
       .groupBy(col("cust")).agg(collect_set(col("item")).as("ds"))
       .filter(size(col("ds")) <= 256)
       .persist()
@@ -1988,7 +2009,10 @@ object TradeAnalytics extends QueryModule {
   private def dimsumScored(spark: SparkSession, dir: String,
       itemBudget: Long, gamma: Double,
       anchorK: Option[Int] = None): DimsumKernel = {
-    val (posts0, b, itemN) = coPurchaseBaskets(spark, dir)
+    // full-catalog kernel (no anchor restriction) = the Σbsz² shape
+    // that needs the wide posts cache; anchor-restricted stays narrow
+    val (posts0, b, itemN) = coPurchaseBaskets(spark, dir,
+      wide = anchorK.isEmpty)
     val anchors = anchorK.map(k => topAnchors(itemN, k).toSeq)
     val hinted = itemN.count() <= itemBudget
     def maybeBroadcast(df: DataFrame): DataFrame =
@@ -2786,7 +2810,7 @@ object TradeAnalytics extends QueryModule {
     * keyed aggregations and a per-user window over ≤ 5·|basket| rows.
     */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
-    val (posts, b, itemN) = coPurchaseBaskets(spark, dir)
+    val (posts, b, itemN) = coPurchaseBaskets(spark, dir, wide = true)
     // The Σbsz² relation carries ONLY the pair key (r16: the bare-id
     // kernel — the r11 shape still shipped a constant nsh=0 payload
     // through every emitted struct): per-item degrees are functionally
